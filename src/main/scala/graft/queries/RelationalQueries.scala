@@ -1,0 +1,387 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.1–§2.6) re-expressed over
+  * the driver's TPC-H-ish testdata.
+  *
+  * Scale notes (100 TB design intent, verified via .explain in specs):
+  *  - dimension joins (customer/nation/region vs orders/lineitem) are
+  *    explicit `broadcast()` — mirrors the reference's 77-row areas dim
+  *    (`StreamingTaxiTrips.py:140-141`, `TransformTaxiTrips.py:93-94`);
+  *  - fact–fact joins (lineitem ⋈ orders) shuffle on the join key and
+  *    rely on AQE for skew/coalesce;
+  *  - aggregates are plain groupBy → partial+final HashAggregate with
+  *    map-side combine; countDistinct gets Catalyst's Expand plan
+  *    (`TransformTaxiTrips.py:106-113` analog);
+  *  - every aggregate column is rounded and aliased identically on the
+  *    Spark and DuckDB sides (driver hash-compares by column name).
+  */
+object RelationalQueries {
+  private type QFn = (SparkSession, String) => DataFrame
+
+  private def q(name: String, doc: String, oracle: String)(fn: QFn) =
+    GraftQuery(name, fn, Some(oracle), doc)
+
+  /** TPC-H Q1 shape — the A3-style wide aggregate (groupBy + sums +
+    * count) with a pushed-down scan filter. Reference: cleaning + agg
+    * pipeline of `TransformTaxiTrips.py:98-113`. */
+  val q01PricingSummary: GraftQuery = q(
+    "q01_pricing_summary",
+    "A3 wide agg; S4 scan; pushdown filter",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2)                            AS sum_qty,
+      |       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)  AS sum_disc_price,
+      |       round(avg(l_quantity), 4)                            AS avg_qty,
+      |       round(avg(l_extendedprice), 4)                       AS avg_price,
+      |       count(*)                                             AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .where($"l_shipdate" <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q6 shape — selective scan, all predicates pushed to parquet
+    * (P9 filter semantics: `AreasLoc.py:51-52`). */
+  val q02SelectiveFilter: GraftQuery = q(
+    "q02_selective_filter",
+    "P9 filter; predicate pushdown to scan",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*)                                    AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz")
+        && $"l_shipdate" < lit("1997-01-01").cast("timestamp_ntz")
+        && $"l_discount".between(0.05, 0.07)
+        && $"l_quantity" < 24)
+      .agg(
+        round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Broadcast equi-join fact→dim then aggregate — J1/J2 shape
+    * (stream/batch enrichment against the areas master). */
+  val q03BroadcastJoin: GraftQuery = q(
+    "q03_broadcast_join_agg",
+    "J1/J2 dim enrichment as broadcast hash join; A3 agg",
+    """SELECT c_mktsegment,
+      |       round(sum(o_totalprice), 2) AS revenue,
+      |       count(*)                    AS orders,
+      |       count(DISTINCT o_custkey)   AS customers
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("orders"),
+        countDistinct($"o_custkey").as("customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** TPC-H Q5 shape — fact–fact shuffle join plus a broadcast dim
+    * chain (customer→nation→region). The lineitem⋈orders join is the
+    * one that must shuffle at 100 TB; dims stay broadcast. */
+  val q04StarJoin: GraftQuery = q(
+    "q04_star_join",
+    "multi-join star; broadcast dims + shuffled fact join",
+    """SELECT r_name, n_name,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*)                                            AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Left outer enrichment — the batch-path join semantics of
+    * `TransformTaxiTrips.py:93-94` (keep unmatched left rows). */
+  val q05LeftJoin: GraftQuery = q(
+    "q05_left_join_agg",
+    "J2 left-outer enrichment semantics",
+    """SELECT n_name,
+      |       count(c_custkey)                           AS customers,
+      |       round(coalesce(sum(c_acctbal), 0.0), 2)    AS acctbal
+      |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "nation")
+      .join(Tables(s, dir, "customer"), $"n_nationkey" === $"c_nationkey", "left")
+      .groupBy($"n_name")
+      .agg(
+        count($"c_custkey").as("customers"),
+        round(coalesce(sum($"c_acctbal"), lit(0.0)), 2).as("acctbal"))
+      .orderBy($"n_name")
+  }
+
+  /** Full-row distinct — A1 (`TransformTaxiTrips.py:42`):
+    * HashAggregate over all projected columns. */
+  val q06Distinct: GraftQuery = q(
+    "q06_distinct",
+    "A1 .distinct() dedup as hash aggregate",
+    """SELECT DISTINCT l_orderkey, l_suppkey
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_suppkey""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+      .distinct()
+      .orderBy($"l_orderkey", $"l_suppkey")
+  }
+
+  /** Multiple countDistinct in one aggregate — Catalyst Expand plan
+    * (A3's `countDistinct(taxi_id)`, `TransformTaxiTrips.py:112`). */
+  val q07CountDistinct: GraftQuery = q(
+    "q07_count_distinct",
+    "A3 countDistinct via Expand + 2-phase agg",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_suppkey)  AS suppliers,
+      |       count(DISTINCT l_partkey)  AS parts,
+      |       count(*)                   AS items,
+      |       round(sum(l_quantity), 2)  AS qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_suppkey").as("suppliers"),
+        countDistinct($"l_partkey").as("parts"),
+        count(lit(1)).as("items"),
+        round(sum($"l_quantity"), 2).as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Two-level re-aggregation preserving the reference's A4 quirk:
+    * level-2 takes `countDistinct` OVER THE LEVEL-1 COUNT COLUMN
+    * (`TransformTaxiTrips.py:123-136`) — deliberately replicated, see
+    * SURVEY.md §2.4. */
+  val q08TwoLevelAgg: GraftQuery = q(
+    "q08_two_level_agg",
+    "A3→A4 re-aggregation incl. countDistinct-of-count quirk",
+    """WITH lvl1 AS (
+      |  SELECT CAST(o_orderdate AS DATE)  AS order_day,
+      |         o_orderpriority,
+      |         round(sum(o_totalprice), 2) AS totals,
+      |         count(o_orderkey)           AS orders,
+      |         count(DISTINCT o_custkey)   AS customers
+      |  FROM orders
+      |  GROUP BY 1, 2)
+      |SELECT order_day,
+      |       round(sum(totals), 2)          AS totals,
+      |       CAST(sum(orders) AS BIGINT)    AS orders,
+      |       count(DISTINCT customers)      AS customers_quirk
+      |FROM lvl1
+      |GROUP BY order_day
+      |ORDER BY order_day""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val lvl1 = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("order_day"), $"o_orderpriority")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("totals"),
+        count($"o_orderkey").as("orders"),
+        countDistinct($"o_custkey").as("customers"))
+    lvl1
+      .groupBy($"order_day")
+      .agg(
+        round(sum($"totals"), 2).as("totals"),
+        sum($"orders").as("orders"),
+        countDistinct($"customers").as("customers_quirk"))
+      .orderBy($"order_day")
+  }
+
+  /** Day truncation key — A7 (`TransformTaxiTrips.py:47`). */
+  val q09DayTrunc: GraftQuery = q(
+    "q09_day_trunc",
+    "A7 day-truncated aggregation key",
+    """SELECT CAST(ts AS DATE)         AS day,
+      |       count(*)                 AS events,
+      |       round(sum(value), 2)     AS value_sum
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).as("events"), round(sum($"value"), 2).as("value_sum"))
+      .orderBy($"day")
+  }
+
+  /** 15-minute tumbling-window rollup — batch analog of D1, the
+    * Druid-replacement aggregation (count + sums by dims per 15-min
+    * segment, `druid/kafkaIngestionTaxiTrips.json:42-87`). The
+    * streaming variant lives in graft.streaming.RealtimeRollup. */
+  val q10WindowRollup: GraftQuery = q(
+    "q10_window_rollup_15min",
+    "D1/A8 Druid-style 15-min tumbling rollup (batch analog)",
+    """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type,
+      |       count(*)             AS events,
+      |       round(sum(value), 2) AS value_sum
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("events"), round(sum($"value"), 2).as("value_sum"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"events", $"value_sum")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Top-k per group via window function — D6 ("top companies by
+    * revenue"); rank on the ROUNDED measure with a key tie-break so
+    * rank order is engine-independent. */
+  val q11TopKPerGroup: GraftQuery = q(
+    "q11_topk_per_group",
+    "D6 rank()/row_number top-k views",
+    """WITH rev AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT n_name, c_custkey, coalesce(revenue, 0.0) AS revenue
+      |  FROM customer
+      |  LEFT JOIN rev ON c_custkey = o_custkey
+      |  JOIN nation  ON c_nationkey = n_nationkey),
+      |r AS (
+      |  SELECT n_name, c_custkey, revenue,
+      |         row_number() OVER (PARTITION BY n_name
+      |                            ORDER BY revenue DESC, c_custkey) AS rnk
+      |  FROM j)
+      |SELECT n_name, rnk, c_custkey, revenue
+      |FROM r WHERE rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val rev = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"))
+    val j = Tables(s, dir, "customer")
+      .join(rev, $"c_custkey" === $"o_custkey", "left")
+      .withColumn("revenue", coalesce($"revenue", lit(0.0)))
+      .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+    val w = Window.partitionBy($"n_name").orderBy($"revenue".desc, $"c_custkey")
+    j.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"n_name", $"rnk", $"c_custkey", $"revenue")
+      .orderBy($"n_name", $"rnk")
+  }
+
+  /** Hourly active users — D2 ("active taxis in the last N hours"),
+    * exact variant. At 100 TB the `taxis`-style measure flips to
+    * approx_count_distinct behind a flag (SURVEY.md §2.4 note). */
+  val q12ActiveUsers: GraftQuery = q(
+    "q12_active_users_hourly",
+    "D2 active-entities-per-time-bucket (exact countDistinct)",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |       count(DISTINCT user_id) AS active_users,
+      |       count(*)                AS events
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY hour""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(countDistinct($"user_id").as("active_users"), count(lit(1)).as("events"))
+      .orderBy($"hour")
+  }
+
+  /** Currency-string cleaning — P3/F1: `regexp_replace('[\$,)]','')`
+    * + cast double (`IngestHistoricTrips.py:82-86`). The testdata has
+    * no currency strings, so we format one deterministically first,
+    * then exercise the exact cleaning expression. */
+  val q13CurrencyParse: GraftQuery = q(
+    "q13_currency_parse",
+    "P3/F1 currency clean: regexp_replace + cast",
+    """SELECT round(sum(CAST(regexp_replace(printf('$%.2f', l_extendedprice), '[$,)]', '', 'g') AS DOUBLE)), 2) AS total,
+      |       count(*) AS n
+      |FROM lineitem""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .select(format_string("$%.2f", $"l_extendedprice").as("price_str"))
+      .select(graft.functions.CleaningOps.parseCurrency($"price_str").as("price"))
+      .agg(round(sum($"price"), 2).as("total"), count(lit(1)).as("n"))
+  }
+
+  /** JSON field extraction — F5-adjacent (from_json surface); the
+    * events.props column carries a JSON payload like the Kafka value
+    * in `StreamingTaxiTrips.py:89`. */
+  val q14JsonExtract: GraftQuery = q(
+    "q14_json_extract",
+    "F5 JSON payload parsing (get_json_object)",
+    """SELECT event_type,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("k_sum"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
+    q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
+    q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
+    q13CurrencyParse, q14JsonExtract)
+}
