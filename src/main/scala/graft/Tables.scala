@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -17,6 +18,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver-generated `events` table stores TIMESTAMP(NANOS), which
+    // Spark's vectorized Parquet reader rejects (PARQUET_TYPE_ILLEGAL).
+    // Read nanos as long and rebuild the timestamp at micro precision
+    // (the data is µs-grained, so `DIV 1000` is lossless; integer
+    // division — a double division would lose bits above 2^53).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
 }

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (SURVEY.md §2.9 D5) over the `documents`
+  * testdata table — the LLM-training-data-pipeline surface: token
+  * counting, quality scoring, language-ID heuristics, document
+  * fingerprinting, and n-gram Jaccard near-dup detection.
+  *
+  * Everything is built-in Catalyst expressions (split / higher-order
+  * array functions / md5) — zero UDFs, so the whole stage codegens and
+  * the only shuffles are the final groupBys. Oracle parity notes:
+  *  - token splits use the same regex (`\s+` over trimmed text`) on
+  *    both engines;
+  *  - ratios are single divisions of exact integers → bit-identical
+  *    across engines; fingerprints are md5 hex (engine-independent);
+  *  - langid scoring uses occurrence counts via split-length
+  *    (integer math only) so argmax is deterministic.
+  *
+  * 100 TB notes: every query here is a narrow per-row projection
+  * followed by one hash aggregate — embarrassingly parallel, no
+  * skew-prone keys (lang/source are low-cardinality but the partial
+  * aggregation collapses rows map-side before the shuffle). The
+  * Jaccard near-dup query is BANDED (self-join on a prefix bucket),
+  * never all-pairs.
+  */
+object TextQueries {
+  private type QFn = (SparkSession, String) => DataFrame
+
+  private def q(name: String, doc: String, oracle: String)(fn: QFn) =
+    GraftQuery(name, fn, Some(oracle), doc)
+
+  /** Whitespace tokenization shared by all queries (P-analog of the
+    * reference's shared cleaning projection idiom). */
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** D5 — corpus token/char statistics per language. */
+  val t01TokenStats: GraftQuery = q(
+    "t01_token_stats",
+    "D5 token counting: per-lang corpus stats",
+    """SELECT lang,
+      |       count(*)                                                             AS docs,
+      |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)   AS tokens,
+      |       CAST(sum(n_chars) AS BIGINT)                                         AS chars,
+      |       round(avg(n_chars), 2)                                               AS avg_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(tokens($"text"))).as("tokens"),
+        sum($"n_chars").as("chars"),
+        round(avg($"n_chars"), 2).as("avg_chars"))
+      .orderBy($"lang")
+  }
+
+  /** D5 — per-doc quality scoring (type-token ratio, stopword ratio)
+    * aggregated per source. Ratios are int/int single divisions →
+    * engine-exact; only the avg() is rounded. */
+  val t02QualityScore: GraftQuery = q(
+    "t02_quality_score",
+    "D5 quality scoring: TTR + stopword ratio per source",
+    """WITH d AS (
+      |  SELECT source,
+      |         regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |         len(toks)                                                       AS n_tok,
+      |         len(list_distinct(toks))                                        AS n_uniq,
+      |         len(list_filter(toks, x -> x IN ('the', 'a')))                  AS n_stop
+      |  FROM d)
+      |SELECT source,
+      |       count(*)                                              AS docs,
+      |       round(avg(CAST(n_uniq AS DOUBLE) / n_tok), 4)         AS avg_ttr,
+      |       round(avg(CAST(n_stop AS DOUBLE) / n_tok), 4)         AS avg_stop_ratio,
+      |       CAST(sum(n_tok) AS BIGINT)                            AS tokens
+      |FROM m
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"source", tokens($"text").as("toks"))
+      .select(
+        $"source",
+        size($"toks").as("n_tok"),
+        size(array_distinct($"toks")).as("n_uniq"),
+        size(filter($"toks", x => x.isin("the", "a"))).as("n_stop"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("docs"),
+        round(avg($"n_uniq".cast("double") / $"n_tok"), 4).as("avg_ttr"),
+        round(avg($"n_stop".cast("double") / $"n_tok"), 4).as("avg_stop_ratio"),
+        sum($"n_tok").as("tokens"))
+      .orderBy($"source")
+  }
+
+  /** D5 — language-ID by marker-substring occurrence counts (n-gram
+    * heuristic, integer math only: occurrences = split-parts − 1, so
+    * the argmax is bit-deterministic on both engines). On the
+    * synthetic corpus this classifies topic-markers, not real
+    * languages — the operator shape (per-row scoring + argmax CASE +
+    * rollup) is what carries to a real profile table. */
+  val t03LangId: GraftQuery = q(
+    "t03_langid_heuristic",
+    "D5 language-ID heuristic: marker n-gram scoring + argmax",
+    """WITH s AS (
+      |  SELECT lang,
+      |         len(string_split(text, 'the'))   - 1 AS s_the,
+      |         len(string_split(text, 'data'))  - 1 AS s_data,
+      |         len(string_split(text, 'query')) - 1 AS s_query
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang,
+      |         CASE WHEN s_the >= s_data AND s_the >= s_query THEN 'm_the'
+      |              WHEN s_data >= s_query                     THEN 'm_data'
+      |              ELSE 'm_query' END AS predicted
+      |  FROM s)
+      |SELECT lang, predicted, count(*) AS docs
+      |FROM p
+      |GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    def occ(marker: String): Column =
+      size(split($"text", java.util.regex.Pattern.quote(marker), -1)) - 1
+    Tables(s, dir, "documents")
+      .select(
+        $"lang",
+        occ("the").as("s_the"), occ("data").as("s_data"), occ("query").as("s_query"))
+      .select(
+        $"lang",
+        when($"s_the" >= $"s_data" && $"s_the" >= $"s_query", "m_the")
+          .when($"s_data" >= $"s_query", "m_data")
+          .otherwise("m_query").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** D5/D3 — document fingerprinting: md5 over a normalized prefix,
+    * then collision groups = near-duplicate clusters. md5 hex is
+    * engine-independent, so the oracle matches exactly. */
+  val t04Fingerprint: GraftQuery = q(
+    "t04_fingerprint_dedup",
+    "D5/D3 md5 fingerprint + duplicate-group detection",
+    """SELECT md5(substr(text, 1, 40))  AS fp,
+      |       count(*)                  AS docs,
+      |       CAST(min(doc_id) AS BIGINT) AS keeper
+      |FROM documents
+      |GROUP BY 1
+      |HAVING count(*) > 1
+      |ORDER BY fp""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy(md5(substring($"text", 1, 40).cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("docs"), min($"doc_id").as("keeper"))
+      .where($"docs" > 1)
+      .orderBy($"fp")
+  }
+
+  /** D3 — n-gram (token-set) Jaccard near-dup pairs, BANDED by a
+    * text-prefix bucket so the self-join is bucket-local (at 100 TB
+    * this is the LSH-band pattern: candidates only within a bucket,
+    * never an all-pairs cross join). Jaccard = |∩|/|∪| of distinct
+    * token sets — single int/int division, engine-exact. */
+  val t05JaccardPairs: GraftQuery = q(
+    "t05_jaccard_near_dup",
+    "D3 banded token-set Jaccard near-duplicate pairs",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         substr(text, 1, 20)                               AS bucket,
+      |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |  FROM documents)
+      |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+      |       CAST(b.doc_id AS BIGINT) AS doc_b,
+      |       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+      |FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select(
+        $"doc_id",
+        substring($"text", 1, 20).as("bucket"),
+        array_distinct(tokens($"text")).as("toks"))
+    val a = d.select($"doc_id".as("doc_a"), $"bucket", $"toks".as("toks_a"))
+    val b = d.select($"doc_id".as("doc_b"), $"bucket", $"toks".as("toks_b"))
+    a.join(b, Seq("bucket"))
+      .where($"doc_a" < $"doc_b")
+      .select(
+        $"doc_a", $"doc_b",
+        round(
+          size(array_intersect($"toks_a", $"toks_b")).cast("double") /
+            size(array_union($"toks_a", $"toks_b")), 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint, t05JaccardPairs)
+}

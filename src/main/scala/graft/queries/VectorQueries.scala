@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators (SURVEY.md §2.9 D4) over the
+  * `embeddings` testdata table (64-dim `array<float>` + int label).
+  *
+  * Design for 100 TB:
+  *  - brute-force KNN broadcasts the (small) QUERY set against the
+  *    (huge) corpus — cost O(N·Q), one scan, no corpus self-join;
+  *  - the LSH variant (v04) buckets by deterministic random-hyperplane
+  *    signatures so candidate generation is a bucket-equi-join, never
+  *    a cartesian product;
+  *  - all vector math is double-precision built-in higher-order
+  *    functions (`zip_with` + `aggregate`) → whole-stage codegen,
+  *    zero UDFs.
+  *
+  * Oracle parity: both engines fold the 64 elements sequentially in
+  * array order with double math, so dot/norm agree to the last ulp in
+  * practice; similarities are rounded to 6 decimals and ranked on the
+  * ROUNDED value with a vec_id tie-break so rank order is
+  * engine-independent.
+  */
+object VectorQueries {
+  private type QFn = (SparkSession, String) => DataFrame
+
+  private def q(name: String, doc: String, oracle: Option[String])(fn: QFn) =
+    GraftQuery(name, fn, oracle, doc)
+
+  /** Double-precision dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Double-precision L2 norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded for cross-engine determinism. */
+  def cosine6(a: Column, b: Column): Column =
+    round(dot(a, b) / (l2norm(a) * l2norm(b)), 6)
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+  }
+
+  /** D4 — exact brute-force cosine top-k: 5 query vectors vs the full
+    * corpus. The query side is broadcast; the corpus is scanned once.
+    * At 100 TB the per-query top-k would move from a window to a
+    * bounded-heap partial aggregate, but with Q=5 partitions carrying
+    * ≤N rows each the window is acceptable and exact. */
+  val v01KnnBruteForce: GraftQuery = q(
+    "v01_knn_bruteforce",
+    "D4 exact cosine top-k (broadcast query set, single corpus scan)",
+    Some("""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         round(
+      |           list_aggregate(list_transform(list_zip(e.v, q.qv), x -> x[1] * x[2]), 'sum')
+      |           / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))), 6) AS sim
+      |  FROM e CROSS JOIN q
+      |  WHERE e.vec_id <> q.query_id),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM sims)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |       rnk,
+      |       CAST(vec_id AS BIGINT)   AS neighbor_id,
+      |       sim
+      |FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val e = emb(s, dir)
+    val qs = e.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val sims = e.crossJoin(broadcast(qs))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    sims.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** D4 — per-label norm statistics: the vector-column profiling scan
+    * (min/max of per-row norms are engine-exact; only avg is subject
+    * to summation order, rounded to 4). */
+  val v02NormStats: GraftQuery = q(
+    "v02_norm_stats",
+    "D4 vector profiling: per-label L2-norm stats",
+    Some("""WITH n AS (
+      |  SELECT label,
+      |         sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS nrm
+      |  FROM embeddings)
+      |SELECT label,
+      |       count(*)            AS vectors,
+      |       round(avg(nrm), 4)  AS avg_norm,
+      |       round(min(nrm), 6)  AS min_norm,
+      |       round(max(nrm), 6)  AS max_norm
+      |FROM n
+      |GROUP BY label
+      |ORDER BY label""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    emb(s, dir)
+      .select($"label", l2norm($"v").as("nrm"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("vectors"),
+        round(avg($"nrm"), 4).as("avg_norm"),
+        round(min($"nrm"), 6).as("min_norm"),
+        round(max($"nrm"), 6).as("max_norm"))
+      .orderBy($"label")
+  }
+
+  /** D4 — all-pairs similarity between per-label CENTROIDS (explode →
+    * per-dimension re-agg → 5×5 pairs). Exercises posexplode +
+    * array re-assembly; the pairwise stage runs over only L centroids
+    * so it stays driver-trivial at any corpus size. Centroid dims are
+    * rounded to 8 before the pairwise cosine so both engines rank the
+    * same values. */
+  val v03CentroidSim: GraftQuery = q(
+    "v03_centroid_similarity",
+    "D4 label centroids via explode + re-agg; pairwise centroid cosine",
+    Some("""WITH x AS (
+      |  SELECT label,
+      |         generate_subscripts(embedding, 1)          AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE)          AS val
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, pos, round(avg(val), 8) AS cval
+      |  FROM x GROUP BY label, pos),
+      |v AS (
+      |  SELECT label, list(cval ORDER BY pos) AS cv
+      |  FROM c GROUP BY label)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |       round(
+      |         list_aggregate(list_transform(list_zip(a.cv, b.cv), x -> x[1] * x[2]), 'sum')
+      |         / (sqrt(list_aggregate(list_transform(a.cv, x -> x * x), 'sum'))
+      |            * sqrt(list_aggregate(list_transform(b.cv, x -> x * x), 'sum'))), 4) AS sim
+      |FROM v a JOIN v b ON a.label < b.label
+      |ORDER BY label_a, label_b""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val c = emb(s, dir)
+      .select($"label", posexplode($"v").as(Seq("pos", "val")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"val"), 8).as("cval"))
+    val v = c.groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"cval"))).as("pairs"))
+      .select($"label", transform($"pairs", p => p("cval")).as("cv"))
+    val a = v.select($"label".as("label_a"), $"cv".as("cv_a"))
+    val b = v.select($"label".as("label_b"), $"cv".as("cv_b"))
+    a.join(b, $"label_a" < $"label_b")
+      .select(
+        $"label_a", $"label_b",
+        round(
+          dot($"cv_a", $"cv_b") / (l2norm($"cv_a") * l2norm($"cv_b")), 4).as("sim"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i): xxhash64 of the coordinate mapped to ±1. No RNG — fully
+    * reproducible across runs and engines (though the oracle for LSH
+    * is recall-vs-exact, checked in the spec, not DuckDB). */
+  private def hyperplaneSign(plane: Int, dim: Column): Column =
+    when(pmod(xxhash64(lit(plane) * 1000 + dim), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** D4 — LSH-bucketed ANN (random-hyperplane / SimHash family).
+    * Signature = sign bits of v·h_j for 8 deterministic hyperplanes →
+    * 256 buckets; candidates are generated ONLY within a bucket
+    * (equi-join on the signature — no cartesian product anywhere in
+    * the plan), then verified with exact cosine and top-3 picked.
+    * Rows-only correctness check from the driver; the ScalaTest spec
+    * pins recall ≥ 0.5 vs v01's exact answer on sf0.001 and asserts
+    * the plan contains no CartesianProduct/BroadcastNestedLoopJoin.
+    */
+  val v04LshAnn: GraftQuery = q(
+    "v04_lsh_ann",
+    "D4 LSH-bucketed ANN: hyperplane signatures, bucket-local candidates",
+    None
+  ) { (s, dir) =>
+    import s.implicits._
+    val nPlanes = 8
+    val e = emb(s, dir)
+    // signature bit j = sign(sum_i v[i] * h(j, i))
+    val sigBits: Seq[Column] = (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with($"v", sequence(lit(0), lit(63)), (x, i) => x * hyperplaneSign(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val signed = e.withColumn("sig", sigBits.reduce(_ + _))
+    val qs = signed.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"sig")
+    val cands = signed.join(broadcast(qs), Seq("sig"))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    cands.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    v01KnnBruteForce, v02NormStats, v03CentroidSim, v04LshAnn)
+}
