@@ -15,13 +15,19 @@ object CleaningOps {
 
   /** P3/F1 — currency string like "$1,234.56" → double.
     * Exact reference semantics: `regexp_replace(col,'[\$,)]','')` then
-    * cast (`IngestHistoricTrips.py:82-86`). */
+    * cast (`IngestHistoricTrips.py:82-86`). `try_cast` because the
+    * reference ran pre-ANSI Spark, where an unparseable string casts
+    * to null instead of failing the job — the permissive behavior IS
+    * the cleaning contract ("strings first, cast later"). */
   def parseCurrency(c: Column): Column =
-    regexp_replace(c, "[\\$,)]", "").cast("double")
+    regexp_replace(c, "[\\$,)]", "").try_cast("double")
 
   /** P4 — the reference's deliberately lossy miles cast: declared
-    * double, stored int (`IngestHistoricTrips.py:77`). 0.6 mi → 0. */
-  def lossyIntCast(c: Column): Column = c.cast("int")
+    * double, stored int (`IngestHistoricTrips.py:77`). 0.6 mi → 0.
+    * try_cast: on the STREAM path miles arrive as strings and "3.2"
+    * does not parse as int → null (pre-ANSI cast semantics, which the
+    * reference relies on). */
+  def lossyIntCast(c: Column): Column = c.try_cast("int")
 
   /** A7 — day-truncation key, byte-compatible with
     * `to_timestamp(date_format(ts,'yyyy-MM-dd 00:00:00'))`

@@ -284,10 +284,18 @@ object RelationalQueries {
 
   /** Top-k per group via window function — D6 ("top companies by
     * revenue"); rank on the ROUNDED measure with a key tie-break so
-    * rank order is engine-independent. */
+    * rank order is engine-independent.
+    *
+    * Scale design: computed in TWO phases. Phase 1 ranks within
+    * (group, spark_partition_id) — a high-cardinality salted key, so
+    * no single reducer sees a whole group — and keeps only each
+    * partition's local top-k (the global top-k is a subset of the
+    * union of local top-ks). Phase 2 ranks the ≤ groups×partitions×k
+    * survivors on the real group key. A single window over 25 nations
+    * would funnel the full fact table through ≤25 tasks at 100 TB. */
   val q11TopKPerGroup: GraftQuery = q(
     "q11_topk_per_group",
-    "D6 rank()/row_number top-k views",
+    "D6 two-phase (salted) top-k per group",
     """WITH rev AS (
       |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
       |  FROM orders GROUP BY 1),
@@ -313,8 +321,17 @@ object RelationalQueries {
       .join(rev, $"c_custkey" === $"o_custkey", "left")
       .withColumn("revenue", coalesce($"revenue", lit(0.0)))
       .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
-    val w = Window.partitionBy($"n_name").orderBy($"revenue".desc, $"c_custkey")
-    j.withColumn("rnk", row_number().over(w))
+    // phase 1: local top-3 within (n_name, input partition) — salted
+    // window, no skew; result is a superset of the global top-3.
+    val w1 = Window.partitionBy($"n_name", $"pid")
+      .orderBy($"revenue".desc, $"c_custkey")
+    val survivors = j.withColumn("pid", spark_partition_id())
+      .withColumn("r1", row_number().over(w1))
+      .where($"r1" <= 3)
+      .drop("pid", "r1")
+    // phase 2: exact rank over the few survivors per group.
+    val w2 = Window.partitionBy($"n_name").orderBy($"revenue".desc, $"c_custkey")
+    survivors.withColumn("rnk", row_number().over(w2))
       .where($"rnk" <= 3)
       .select($"n_name", $"rnk", $"c_custkey", $"revenue")
       .orderBy($"n_name", $"rnk")
@@ -342,20 +359,34 @@ object RelationalQueries {
 
   /** Currency-string cleaning — P3/F1: `regexp_replace('[\$,)]','')`
     * + cast double (`IngestHistoricTrips.py:82-86`). The testdata has
-    * no currency strings, so we format one deterministically first,
-    * then exercise the exact cleaning expression. */
+    * no currency strings, so we build one deterministically first
+    * (integer floor math — `printf %.2f` would differ between Java's
+    * HALF_UP and DuckDB's half-even on exact-tie doubles), then
+    * exercise the exact cleaning expression and sum in exact integer
+    * cents so the aggregate is order-independent. */
   val q13CurrencyParse: GraftQuery = q(
     "q13_currency_parse",
     "P3/F1 currency clean: regexp_replace + cast",
-    """SELECT round(sum(CAST(regexp_replace(printf('$%.2f', l_extendedprice), '[$,)]', '', 'g') AS DOUBLE)), 2) AS total,
+    """WITH c AS (
+      |  SELECT '$' || CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR)
+      |         || '.' || lpad(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS price_str
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT CAST(regexp_replace(price_str, '[$,)]', '', 'g') AS DOUBLE) AS price FROM c)
+      |SELECT CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
       |       count(*) AS n
-      |FROM lineitem""".stripMargin
+      |FROM p""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
     Tables(s, dir, "lineitem")
-      .select(format_string("$%.2f", $"l_extendedprice").as("price_str"))
+      .select(concat(
+        lit("$"), floor($"l_extendedprice").cast("long").cast("string"),
+        lit("."), lpad((floor($"l_extendedprice" * 100).cast("long") % 100).cast("string"), 2, "0")
+      ).as("price_str"))
       .select(graft.functions.CleaningOps.parseCurrency($"price_str").as("price"))
-      .agg(round(sum($"price"), 2).as("total"), count(lit(1)).as("n"))
+      .agg(
+        sum(floor($"price" * 100 + 0.5).cast("long")).as("total_cents"),
+        count(lit(1)).as("n"))
   }
 
   /** JSON field extraction — F5-adjacent (from_json surface); the

@@ -170,44 +170,52 @@ object VectorQueries {
       .orderBy($"label_a", $"label_b")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j,
-    * dim i): xxhash64 of the coordinate mapped to ±1. No RNG — fully
-    * reproducible across runs and engines (though the oracle for LSH
-    * is recall-vs-exact, checked in the spec, not DuckDB). */
-  private def hyperplaneSign(plane: Int, dim: Column): Column =
-    when(pmod(xxhash64(lit(plane) * 1000 + dim), lit(2)) === 0, lit(1.0))
-      .otherwise(lit(-1.0))
-
-  /** D4 — LSH-bucketed ANN (random-hyperplane / SimHash family).
-    * Signature = sign bits of v·h_j for 8 deterministic hyperplanes →
-    * 256 buckets; candidates are generated ONLY within a bucket
-    * (equi-join on the signature — no cartesian product anywhere in
-    * the plan), then verified with exact cosine and top-3 picked.
-    * Rows-only correctness check from the driver; the ScalaTest spec
-    * pins recall ≥ 0.5 vs v01's exact answer on sf0.001 and asserts
-    * the plan contains no CartesianProduct/BroadcastNestedLoopJoin.
-    */
-  val v04LshAnn: GraftQuery = q(
+  /** D4 — IVF-style bucketed ANN (the 100-TB scale path for v01).
+    * Coarse quantizer: 16 deterministic pivots (the first 16 corpus
+    * vectors by vec_id — no RNG, fully reproducible); every vector is
+    * assigned to its nearest pivot (one broadcast of the pivot table,
+    * map-side argmax via max_by — no shuffle for assignment). Queries
+    * probe their nProbe=2 nearest pivot buckets; candidates are
+    * generated ONLY by the bucket equi-join (no cartesian product /
+    * nested-loop anywhere), then re-ranked with exact cosine.
+    *
+    * At 100 TB: pivots come from a sampled k-means (still a tiny
+    * broadcast table); assignment stays a narrow map; the candidate
+    * join shuffles only the probed buckets ≈ nProbe/nPivots of the
+    * corpus. Driver records a rows-only check; the ScalaTest spec
+    * pins recall vs v01's exact answer and the no-cartesian plan. */
+  val v04IvfAnn: GraftQuery = q(
     "v04_lsh_ann",
-    "D4 LSH-bucketed ANN: hyperplane signatures, bucket-local candidates",
+    "D4 IVF-bucketed ANN: pivot assignment + nprobe candidate join",
     None
   ) { (s, dir) =>
     import s.implicits._
-    val nPlanes = 8
+    val nPivots = 16
+    val nProbe = 2
     val e = emb(s, dir)
-    // signature bit j = sign(sum_i v[i] * h(j, i))
-    val sigBits: Seq[Column] = (0 until nPlanes).map { j =>
-      val proj = aggregate(
-        zip_with($"v", sequence(lit(0), lit(63)), (x, i) => x * hyperplaneSign(j, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    val signed = e.withColumn("sig", sigBits.reduce(_ + _))
-    val qs = signed.where($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"sig")
-    val cands = signed.join(broadcast(qs), Seq("sig"))
+    val pivots = e.where($"vec_id" < nPivots)
+      .select($"vec_id".as("pivot_id"), $"v".as("pv"))
+    // nearest pivot per corpus vector: broadcast pivots, argmax cosine
+    // (ties broken toward the lowest pivot_id for determinism)
+    val scored = e.crossJoin(broadcast(pivots))
+      .select($"vec_id", $"v",
+        $"pivot_id", cosine6($"v", $"pv").as("psim"))
+    val assigned = scored
+      .groupBy($"vec_id", $"v")
+      .agg(max_by($"pivot_id", struct($"psim", -$"pivot_id")).as("bucket"))
+    // query probes: top-nProbe buckets per query vector
+    val qScored = scored.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"pivot_id", $"psim")
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"psim".desc, $"pivot_id")
+    val probes = qScored.withColumn("pr", row_number().over(wProbe))
+      .where($"pr" <= nProbe)
+      .select($"query_id", $"qv", $"pivot_id".as("bucket"))
+    // candidates: bucket-local equi-join, then exact re-rank
+    val cands = assigned.join(broadcast(probes), Seq("bucket"))
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
     cands.withColumn("rnk", row_number().over(w))
       .where($"rnk" <= 3)
@@ -216,5 +224,5 @@ object VectorQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    v01KnnBruteForce, v02NormStats, v03CentroidSim, v04LshAnn)
+    v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn)
 }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{QueryRegistry, SparkSpec}
+
+/** Smoke + physical-plan assertions for every registered query at
+  * sf0.001 (SURVEY.md §4 — the plans we claim are the plans we get).
+  * Numeric correctness is the driver's DuckDB gate; here we pin SHAPE:
+  * broadcasts where intended, no cartesian products, pushed filters. */
+class QueryPlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryRegistry.asMap(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("every registered query runs and returns rows at sf0.001") {
+    QueryRegistry.all.foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("q03/q04: dims broadcast by explicit hint; fact join shuffles") {
+    // disable auto-broadcast so only the EXPLICIT broadcast() hints
+    // survive — this is what the plan degrades to at 100 TB where no
+    // fact table fits the threshold
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(plan("q03_broadcast_join_agg").contains("BroadcastHashJoin"))
+      val p4 = plan("q04_star_join")
+      assert(p4.contains("BroadcastHashJoin"), "hinted dims must broadcast")
+      // the fact-fact join (lineitem ⋈ orders, unhinted) must shuffle
+      assert(p4.contains("SortMergeJoin") || p4.contains("ShuffledHashJoin"),
+        "fact join must not broadcast at scale")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q02: predicates are pushed to the parquet scan") {
+    val p = plan("q02_selective_filter")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+  }
+
+  test("no cartesian products anywhere; ANN candidates are equi-joins") {
+    QueryRegistry.all.foreach { q =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      // BroadcastNestedLoopJoin against a bounded broadcast side (the
+      // 5-row query set in v01, the 16-row pivot table in v04) is a
+      // deliberate O(N·k) map-side expansion and allowed; a true
+      // CartesianProduct (shuffle both sides, O(N²)) never is.
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+      if (q.name == "v04_lsh_ann")
+        assert(p.contains("BroadcastHashJoin"),
+          "IVF candidate generation must be a hash equi-join on bucket")
+    }
+  }
+
+  test("v04 IVF ANN achieves recall ≥ 0.4 vs exact KNN at sf0.001") {
+    val exact = QueryRegistry.asMap("v01_knn_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = QueryRegistry.asMap("v04_lsh_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(f"IVF nprobe=2/16 recall vs exact top-3: $recall%.2f")
+    assert(recall >= 0.4, f"IVF recall $recall%.2f < 0.4")
+  }
+
+  test("q11 two-phase top-k: both window passes present, salted first") {
+    val p = plan("q11_topk_per_group")
+    // two Window operators: (n_name, pid) then (n_name)
+    assert("Window".r.findAllIn(p).length >= 2, "expected two window passes")
+    assert(p.contains("spark_partition_id") || p.contains("pid"),
+      "salted pre-pass missing")
+  }
+}

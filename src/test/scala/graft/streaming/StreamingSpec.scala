@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.taxi.{Fixture, TransformJob}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-streaming specs (SURVEY.md §5.3, §2.7 T1–T6): the same
+  * JSON the replay producer emits, driven through MemoryStream, plus
+  * checkpoint-restart exactly-once behavior on the file sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = tmpDir("stream")
+  private lazy val areasCsv = Fixture.write(s"$dir/areas.csv", Fixture.areasCsv)
+
+  test("parse → clean → inner enrich (F5/P10/P2/J1): unknown area dropped") {
+    val areas = TransformJob.readAreas(spark, areasCsv)
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(Fixture.kafkaJsonLines: _*)
+    val enriched = StreamingJob.enrich(
+      StreamingJob.narrow(StreamingJob.clean(StreamingJob.parse(mem.toDF()))),
+      areas)
+    val q = enriched.writeStream.format("memory").queryName("enriched_t")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("enriched_t")
+    // t1 (areas 10→20) survives; t4 (pickup 99 unknown) dropped by INNER
+    assert(out.count() === 1)
+    val r = out.head()
+    assert(r.getAs[String]("trip_id") === "t1")
+    assert(r.getAs[String]("pickup_community_area_name") === "NORTHSIDE")
+    assert(r.getAs[String]("dropoff_community_area_name") === "LAKEVIEW")
+    assert(r.getAs[Double]("fare") === 12.5)
+  }
+
+  test("kafka payload shape (S7/F6): key=taxi_id, value=to_json(struct(*))") {
+    val areas = TransformJob.readAreas(spark, areasCsv)
+    val enriched = StreamingJob.enrich(
+      StreamingJob.narrow(StreamingJob.clean(
+        StreamingJob.parse(Fixture.kafkaJsonLines.toDF("value")))), areas)
+    val payload = StreamingJob.toKafkaPayload(enriched).head()
+    assert(payload.getAs[String]("key") === "taxiA")
+    val value = payload.getAs[String]("value")
+    assert(value.contains(""""trip_id":"t1""""))
+    assert(value.contains(""""pickup_community_area_name":"NORTHSIDE""""))
+  }
+
+  test("parquet file sink + checkpoint restart is exactly-once (S8/T4)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    val cleaned = StreamingJob.clean(StreamingJob.parse(mem.toDF()))
+    val sinkPath = s"$dir/trips_sink"
+    val ckpt = s"$dir/ckpt_files"
+
+    mem.addData(Fixture.kafkaJsonLines.head)
+    val q1 = StreamingJob.parquetSinkWriter(cleaned, sinkPath, ckpt,
+      Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    assert(spark.read.parquet(sinkPath).count() === 1)
+
+    // restart from the same checkpoint with one more row: only the new
+    // row is appended (offsets committed, no reprocessing)
+    mem.addData(Fixture.kafkaJsonLines(1))
+    val q2 = StreamingJob.parquetSinkWriter(cleaned, sinkPath, ckpt,
+      Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val back = spark.read.parquet(sinkPath)
+    assert(back.count() === 2)
+    assert(back.select("trip_id").as[String].collect().toSet === Set("t1", "t4"))
+    // event-time partitioning survived the stream path
+    assert(new java.io.File(s"$sinkPath/year=2021/month=3").exists)
+  }
+
+  test("15-min rollup (D1/A8): watermarked tumbling window aggregates") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(Fixture.kafkaJsonLines: _*)
+    val rolled = RealtimeRollup.rollup15min(
+      StreamingJob.clean(StreamingJob.parse(mem.toDF())))
+    val q = rolled.writeStream.format("memory").queryName("rollup_t")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    // Append mode emits only watermark-closed windows; with a live
+    // stream nothing closes yet — assert the aggregation is running
+    // and state is keyed as expected via the complete-mode variant:
+    val batch = RealtimeRollup.rollup15min(
+      StreamingJob.clean(StreamingJob.parse(Fixture.kafkaJsonLines.toDF("value"))))
+    val rows = batch.orderBy($"window_start", $"taxi_id").collect()
+    assert(rows.length === 2)
+    val first = rows.head
+    // t1: 09:15 AM → window [09:15, 09:30)
+    assert(first.getAs[java.sql.Timestamp]("window_start").toString
+      .startsWith("2021-03-05 09:15:00"))
+    assert(first.getAs[Long]("trips") === 1L)
+    assert(first.getAs[Double]("triptotal_sum") === 15.5)
+  }
+
+  test("active taxis sliding window (D2)") {
+    val batch = RealtimeRollup.activeTaxis(
+      StreamingJob.clean(StreamingJob.parse(Fixture.kafkaJsonLines.toDF("value"))))
+    // t1 09:15 and t4 20:00 on different days-hours → no shared window;
+    // each 1-hour window sliding by 15 min covers each event 4 times
+    val rows = batch.collect()
+    assert(rows.map(_.getAs[Long]("active_taxis")).forall(_ === 1L))
+    assert(rows.length === 8)
+  }
+}
