@@ -23,7 +23,9 @@ object QueryRegistry {
   def all: Seq[GraftQuery] =
     queries.RelationalQueries.all ++
       queries.TextQueries.all ++
-      queries.VectorQueries.all
+      queries.VectorQueries.all ++
+      queries.DedupQueries.all ++
+      queries.MultimodalQueries.all
 
   def asMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

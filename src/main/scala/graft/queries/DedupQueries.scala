@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-deduplication operators (SURVEY.md §2.9 D3) over `documents`
+  * and `embeddings` — the LLM-pipeline dedup family beyond the exact
+  * hash-groupBy (t04) and banded n-gram Jaccard (t05):
+  *
+  *  - d01: shingle → MinHash → band → bucket-join → exact-verify.
+  *    16 bands × 4 rows (64 deterministic xxhash64 min-hashes); a
+  *    true pair at Jaccard ≥ 0.9 is missed with prob (1−0.9⁴)¹⁶ ≈
+  *    4e-8, and candidates are verified with exact Jaccard so false
+  *    positives never surface. Candidate generation is ONLY the
+  *    (band, signature) equi-join — never all-pairs.
+  *  - d02: 64-bit SimHash + 8-band Hamming blocking.
+  *  - d03: embedding-cosine near-dup via the IVF bucketing of v04.
+  *
+  * Scale: every stage is (narrow projection → explode(bands) →
+  * hash-partition join on high-cardinality keys). The heaviest shuffle
+  * carries (doc_id, band, sig) triples — 16 rows per doc, not the
+  * documents themselves; shingle sets are re-joined only for the few
+  * verified candidates.
+  */
+object DedupQueries {
+  private type QFn = (SparkSession, String) => DataFrame
+
+  private def q(name: String, doc: String, oracle: Option[String])(fn: QFn) =
+    GraftQuery(name, fn, oracle, doc)
+
+  private val MinhashBands = 16
+  private val MinhashRows = 4 // 64 hash functions total
+
+  /** Distinct 3-token shingles of a text column (guarded for short
+    * docs: <3 tokens degrades to the whole-doc string). */
+  def shingles(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash value for one seeded hash function over a shingle set. */
+  private def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, t => xxhash64(lit(seed), t)))
+
+  /** D3 — MinHash-LSH near-duplicate pairs, exact-verified.
+    * Output: (doc_a, doc_b, jaccard) for shingle-Jaccard ≥ 0.6.
+    * Oracle: all-pairs Jaccard in DuckDB (feasible at oracle SF; the
+    * Spark side must stay banded — the plan spec pins it). */
+  val d01MinHashLsh: GraftQuery = q(
+    "d01_minhash_lsh_dedup",
+    "D3 shingle→minhash→band→bucket-join→verify near-dup pairs",
+    Some("""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 3
+      |              THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |              ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+      |  FROM t)
+      |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+      |       CAST(b.doc_id AS BIGINT) AS doc_b,
+      |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", shingles($"text").as("sh"))
+    // 16 band signatures, each a struct of 4 min-hashes
+    val bandCols = (0 until MinhashBands).map { b =>
+      val mins = (0 until MinhashRows).map(r => minhash($"sh", b * MinhashRows + r))
+      struct(lit(b).as("band"), struct(mins: _*).as("sig"))
+    }
+    val banded = docs
+      .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "sig"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verify: re-join the shingle sets of candidate pairs only
+    val withSets = candidates
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("j"))
+    withSets
+      .where($"j" >= 0.6)
+      .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** D3 — 64-bit SimHash near-dup pairs with 8-band Hamming blocking:
+    * signature bit j = sign of Σ over shingles of (bit j of
+    * xxhash64(shingle) ? +1 : −1); candidates share ≥1 of 8 exact
+    * 8-bit sub-signatures; by pigeonhole, any pair at Hamming ≤ 7 shares at least
+    * one untouched band, so candidate recall is GUARANTEED for the
+    * pairs the ≤7 verify cutoff accepts (the cutoff and the blocking
+    * bound match by construction). Random 64-bit pairs sit at
+    * Hamming ≈ 32, so precision is near-perfect. Rows-only + spec
+    * (no DuckDB xxhash64). */
+  val d02SimHash: GraftQuery = q(
+    "d02_simhash_dedup",
+    "D3 SimHash 64-bit + banded Hamming blocking",
+    None
+  ) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", shingles($"text").as("sh"))
+    // per-bit vote: sum over shingles of ±1 by hash bit j
+    val bitCols = (0 until 64).map { j =>
+      val votes = aggregate($"sh", lit(0),
+        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))
+      when(votes >= 0, lit(1L)).otherwise(lit(0L)).as(s"bit$j")
+    }
+    val sig = (0 until 64).map(j => col(s"bit$j") * lit(1L << j))
+      .reduce(_ + _) // two's-complement safe: bit63*2^63 wraps, still a stable key
+    val signed = docs.select($"doc_id" +: bitCols: _*)
+      .select($"doc_id", sig.as("sig"))
+    val bands = (0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        shiftright($"sig", b * 8).bitwiseAND(0xff).as("sub")))
+    val banded = signed
+      .select($"doc_id", $"sig", explode(array(bands: _*)).as("bs"))
+      .select($"doc_id", $"sig", $"bs.band".as("band"), $"bs.sub".as("sub"))
+    val cands = banded.as("a").join(banded.as("b"), Seq("band", "sub"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .select($"doc_a", $"doc_b",
+        bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
+      .where($"hamming" <= 7)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** D3 — embedding-cosine near-dup: each vector's nearest neighbor
+    * within its IVF bucket (pivot assignment as in v04). The standard
+    * "semantic dedup" candidate report: at 100 TB the bucket bounds
+    * the pair space; exact cosine re-ranks inside. Rows-only check
+    * (per-vector output is always non-empty); spec pins agreement
+    * with brute force on the top pair. */
+  val d03EmbeddingNearDup: GraftQuery = q(
+    "d03_embedding_near_dup",
+    "D3 embedding-cosine near-dup via IVF buckets",
+    None
+  ) { (s, dir) =>
+    import s.implicits._
+    val nPivots = 16
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pivots = e.where($"vec_id" < nPivots)
+      .select($"vec_id".as("pivot_id"), $"v".as("pv"))
+    val assigned = e.crossJoin(broadcast(pivots))
+      .select($"vec_id", $"v", $"pivot_id",
+        VectorQueries.cosine6($"v", $"pv").as("psim"))
+      .groupBy($"vec_id", $"v")
+      .agg(max_by($"pivot_id", struct($"psim", -$"pivot_id")).as("bucket"))
+    val pairs = assigned.as("a").join(assigned.as("b"), "bucket")
+      .where($"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("other_id"),
+        VectorQueries.cosine6($"a.v", $"b.v").as("sim"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"other_id")
+    pairs.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"vec_id", $"other_id".as("nearest_in_bucket"), $"sim")
+      .orderBy($"vec_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(d01MinHashLsh, d02SimHash, d03EmbeddingNearDup)
+}

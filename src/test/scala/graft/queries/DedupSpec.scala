@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.{QueryRegistry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins the fuzzy-dedup family against exact ground truth at sf0.001
+  * (the oracle gate covers d01 vs DuckDB; these specs cover what SQL
+  * can't — LSH recall and SimHash precision). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Exact all-pairs shingle-Jaccard (test-only crossJoin — 500 docs). */
+  private lazy val exactPairs: Map[(Long, Long), Double] = {
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", DedupQueries.shingles($"text").as("sh"))
+    val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    a.crossJoin(b).where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("j"))
+      .where($"j" >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("d01 MinHash-LSH finds exactly the Jaccard>=0.6 pairs (no misses, no extras)") {
+    val expected = exactPairs.filter(_._2 >= 0.6).keySet
+    val got = QueryRegistry.asMap("d01_minhash_lsh_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "calibration: fixture must contain near-dups")
+    assert(got === expected)
+  }
+
+  test("d02 SimHash hamming<=7 pairs are all true near-duplicates") {
+    val got = QueryRegistry.asMap("d02_simhash_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "SimHash found no pairs")
+    // precision: every reported pair has high exact shingle Jaccard
+    got.foreach { p =>
+      assert(exactPairs.getOrElse(p, 0.0) >= 0.5,
+        s"SimHash pair $p has exact Jaccard ${exactPairs.getOrElse(p, 0.0)}")
+    }
+    // recall against the near-identical population
+    val strong = exactPairs.filter(_._2 >= 0.9).keySet
+    val recall = (strong intersect got).size.toDouble / strong.size
+    info(f"SimHash recall on J>=0.9 pairs: $recall%.2f")
+    assert(recall >= 0.8, f"SimHash recall $recall%.2f < 0.8")
+  }
+
+  test("d03 embedding near-dup agrees with brute force within probed buckets") {
+    val got = QueryRegistry.asMap("d03_embedding_near_dup")(spark, sf)
+    assert(got.count() === 500, "one nearest-in-bucket row per vector")
+    // spot-check: reported sim can never exceed the true global max
+    val e = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val v0 = got.where($"vec_id" === 0).head()
+    val trueBest = e.where($"vec_id" === 0).crossJoin(
+      e.select($"vec_id".as("o"), $"v".as("ov"))).where($"o" =!= 0)
+      .select(max(VectorQueries.cosine6($"v", $"ov"))).head().getDouble(0)
+    assert(v0.getAs[Double]("sim") <= trueBest + 1e-9)
+  }
+}
