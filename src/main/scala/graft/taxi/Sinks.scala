@@ -14,10 +14,23 @@ trait ViewSink {
 /** S9 — JDBC sink, `mode=overwrite` per-year tables (drops/recreates
   * the table like the reference). One JDBC connection per partition at
   * write time; callers should `coalesce` small aggregate views to
-  * bound connection count. */
-final class JdbcSink(url: String, props: java.util.Properties) extends ViewSink {
-  def write(df: DataFrame, table: String): Unit =
-    df.write.mode("overwrite").jdbc(url, table, props)
+  * bound connection count. `columnTypes` optionally overrides DDL
+  * column types (e.g. VARCHAR(n) where a dialect would default string
+  * columns to CLOB/TEXT and break filter pushdown on read-back). */
+final class JdbcSink(url: String, props: java.util.Properties,
+    columnTypes: Map[String, String] = Map.empty) extends ViewSink {
+  def write(df: DataFrame, table: String): Unit = {
+    val w = df.write.mode("overwrite")
+    val typed =
+      if (columnTypes.isEmpty) w
+      else {
+        val present = columnTypes.filter { case (c, _) => df.columns.contains(c) }
+        if (present.isEmpty) w
+        else w.option("createTableColumnTypes",
+          present.map { case (c, t) => s"$c $t" }.mkString(", "))
+      }
+    typed.jdbc(url, table, props)
+  }
 }
 
 /** Parquet sink for local runs/tests — same overwrite semantics. */
