@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * hash-groupBy (t04) and banded n-gram Jaccard (t05):
   *
   *  - d01: shingle → MinHash → band → bucket-join → exact-verify.
-  *    16 bands × 4 rows (64 deterministic xxhash64 min-hashes); a
-  *    true pair at Jaccard ≥ 0.9 is missed with prob (1−0.9⁴)¹⁶ ≈
-  *    4e-8, and candidates are verified with exact Jaccard so false
+  *    13 bands × 5 rows (65 derived min-hashes, JIT-compiled typed
+  *    Scala — see HashSketch); a true pair at Jaccard ≥ 0.9 is missed with prob
+  *    (1−0.9⁵)¹³ ≈ 9e-6, noise pairs (J≈0.3) collide with prob ≈3%,
+  *    and candidates are verified with exact Jaccard so false
   *    positives never surface. Candidate generation is ONLY the
   *    (band, signature) equi-join — never all-pairs.
   *  - d02: 64-bit SimHash + 8-band Hamming blocking.
@@ -30,8 +31,8 @@ object DedupQueries {
   private def q(name: String, doc: String, oracle: Option[String])(fn: QFn) =
     GraftQuery(name, fn, oracle, doc)
 
-  private val MinhashBands = 16
-  private val MinhashRows = 4 // 64 hash functions total
+  private val MinhashBands = 13
+  private val MinhashRows = 5 // 65 hash functions total
 
   /** Distinct 3-token shingles of a text column (guarded for short
     * docs: <3 tokens degrades to the whole-doc string). */
@@ -44,10 +45,6 @@ object DedupQueries {
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
       .otherwise(array(concat_ws(" ", toks)))
   }
-
-  /** MinHash value for one seeded hash function over a shingle set. */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, t => xxhash64(lit(seed), t)))
 
   /** D3 — MinHash-LSH near-duplicate pairs, exact-verified.
     * Output: (doc_a, doc_b, jaccard) for shingle-Jaccard ≥ 0.6.
@@ -76,29 +73,41 @@ object DedupQueries {
       |ORDER BY doc_a, doc_b""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
-      .select($"doc_id", shingles($"text").as("sh"))
-    // 16 band signatures, each a struct of 4 min-hashes
-    val bandCols = (0 until MinhashBands).map { b =>
-      val mins = (0 until MinhashRows).map(r => minhash($"sh", b * MinhashRows + r))
-      struct(lit(b).as("band"), struct(mins: _*).as("sig"))
-    }
-    val banded = docs
-      .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
-      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    import graft.functions.HashSketch
+    // Signature generation is JIT-compiled typed Scala — as Catalyst
+    // higher-order functions the 65-minima loop evaluates interpreted
+    // (HOFs are CodegenFallback, no CSE) and measured 40+ s at sf0.01;
+    // see graft.functions.HashSketch. Output is 13 (band, 5-hash sig)
+    // rows per doc; joins/dedup/sorting stay relational.
+    val banded = Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val mins = HashSketch.minhash(HashSketch.shingle3(text),
+          MinhashBands * MinhashRows)
+        (0 until MinhashBands).iterator.map { b =>
+          (id, b, mins.slice(b * MinhashRows, (b + 1) * MinhashRows).toSeq)
+        }
+      }
+      .toDF("doc_id", "band", "sig")
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band", "sig"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verify: re-join the shingle sets of candidate pairs only
-    val withSets = candidates
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))).as("j"))
-    withSets
+    // exact verify on candidate pairs only: sorted-hash-set Jaccard in
+    // a typed map (two-pointer merge; set-equal to string-set Jaccard
+    // modulo 64-bit hash collisions)
+    val hashSets = Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) => (id, HashSketch.hashSet(HashSketch.shingle3(t)).toSeq) }
+      .toDF("doc_id", "hsh")
+    candidates
+      .join(hashSets.select($"doc_id".as("doc_a"), $"hsh".as("ha")), "doc_a")
+      .join(hashSets.select($"doc_id".as("doc_b"), $"hsh".as("hb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"ha", $"hb")
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .map { case (a, b, ha, hb) => (a, b, HashSketch.jaccardSorted(ha, hb)) }
+      .toDF("doc_a", "doc_b", "j")
       .where($"j" >= 0.6)
       .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -119,33 +128,31 @@ object DedupQueries {
     None
   ) { (s, dir) =>
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
-      .select($"doc_id", shingles($"text").as("sh"))
-    // per-bit vote: sum over shingles of ±1 by hash bit j
-    val bitCols = (0 until 64).map { j =>
-      val votes = aggregate($"sh", lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      when(votes >= 0, lit(1L)).otherwise(lit(0L)).as(s"bit$j")
-    }
-    val sig = (0 until 64).map(j => col(s"bit$j") * lit(1L << j))
-      .reduce(_ + _) // two's-complement safe: bit63*2^63 wraps, still a stable key
-    val signed = docs.select($"doc_id" +: bitCols: _*)
-      .select($"doc_id", sig.as("sig"))
+    // SimHash signature in typed Scala (same rationale as d01):
+    // 8 × 8-bit sub-signatures per doc, then relational banding.
+    val signed = Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.functions.HashSketch.simhashSubs(
+          graft.functions.HashSketch.shingle3(text)).toSeq)
+      }
+      .toDF("doc_id", "subs")
     val bands = (0 until 8).map(b =>
-      struct(lit(b).as("band"),
-        shiftright($"sig", b * 8).bitwiseAND(0xff).as("sub")))
+      struct(lit(b).as("band"), element_at($"subs", b + 1).as("sub")))
     val banded = signed
-      .select($"doc_id", $"sig", explode(array(bands: _*)).as("bs"))
-      .select($"doc_id", $"sig", $"bs.band".as("band"), $"bs.sub".as("sub"))
+      .select($"doc_id", $"subs", explode(array(bands: _*)).as("bs"))
+      .select($"doc_id", $"subs", $"bs.band".as("band"), $"bs.sub".as("sub"))
     val cands = banded.as("a").join(banded.as("b"), Seq("band", "sub"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+        $"a.subs".as("subs_a"), $"b.subs".as("subs_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
       .select($"doc_a", $"doc_b",
-        bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
+        aggregate(
+          zip_with($"subs_a", $"subs_b",
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+          lit(0), (acc, x) => acc + x).as("hamming"))
       .where($"hamming" <= 7)
       .orderBy($"doc_a", $"doc_b")
   }
