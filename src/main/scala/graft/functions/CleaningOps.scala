@@ -20,6 +20,14 @@ object CleaningOps {
     * to null instead of failing the job — the permissive behavior IS
     * the cleaning contract ("strings first, cast later"). */
   def parseCurrency(c: Column): Column =
+    translate(c, "$,)", "").try_cast("double")
+
+  /** The literal reference expression (regexp_replace) — semantically
+    * identical to the translate-based parseCurrency above (both strip
+    * the characters $ , ) anywhere in the string); translate is
+    * codegen'd as a char-map loop with no regex engine, so it is the
+    * production spelling. Kept for documentation and the parity spec. */
+  def parseCurrencyRegex(c: Column): Column =
     regexp_replace(c, "[\\$,)]", "").try_cast("double")
 
   /** P4 — the reference's deliberately lossy miles cast: declared

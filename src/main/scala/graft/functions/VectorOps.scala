@@ -1,0 +1,44 @@
+package graft.functions
+
+/** JIT-compiled vector math for the ANN/dedup hot loops — same
+  * rationale as [[HashSketch]]: a cosine over a 64-dim array costs
+  * ~130 interpreted expression evals as a Catalyst higher-order
+  * function vs ~64 fused multiply-adds as plain Scala. Results are
+  * bit-identical to the sequential-fold `zip_with`/`aggregate`
+  * formulation (same order of operations), so relational and typed
+  * stages can be mixed freely. */
+object VectorOps {
+
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+  def cosine(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine rounded to 6 decimals — matches the relational
+    * `VectorQueries.cosine6` exactly (HALF_UP on a positive scale
+    * factor is what Spark's round does; java.math does the same). */
+  def cosine6(a: Array[Double], b: Array[Double]): Double =
+    BigDecimal(cosine(a, b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Index of the max-cosine pivot (first wins ties → lowest index,
+    * mirroring max_by(struct(sim, -pivot_id)) determinism). */
+  def nearestPivot(v: Array[Double], pivots: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var p = 0
+    while (p < pivots.length) {
+      val s = cosine(v, pivots(p))
+      if (s > bestSim) { bestSim = s; best = p }
+      p += 1
+    }
+    best
+  }
+}

@@ -169,20 +169,26 @@ object DedupQueries {
     None
   ) { (s, dir) =>
     import s.implicits._
+    import graft.functions.VectorOps
     val nPivots = 16
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val pivots = e.where($"vec_id" < nPivots)
-      .select($"vec_id".as("pivot_id"), $"v".as("pv"))
-    val assigned = e.crossJoin(broadcast(pivots))
-      .select($"vec_id", $"v", $"pivot_id",
-        VectorQueries.cosine6($"v", $"pv").as("psim"))
-      .groupBy($"vec_id", $"v")
-      .agg(max_by($"pivot_id", struct($"psim", -$"pivot_id")).as("bucket"))
+      .as[(Long, Array[Double])]
+    // pivot table is bounded (16 rows) — collect + broadcast, exactly
+    // what a sampled-k-means coarse quantizer does at scale
+    val pivotArr = e.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
+    val bc = s.sparkContext.broadcast(pivotArr)
+    // assignment: one narrow JIT'd map, no shuffle
+    val assigned = e.map { case (id, v) =>
+      (id, VectorOps.nearestPivot(v, bc.value), v)
+    }.toDF("vec_id", "bucket", "v")
+    // within-bucket pairs: relational equi-join on bucket, typed cosine
     val pairs = assigned.as("a").join(assigned.as("b"), "bucket")
       .where($"a.vec_id" =!= $"b.vec_id")
-      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("other_id"),
-        VectorQueries.cosine6($"a.v", $"b.v").as("sim"))
+      .select($"a.vec_id", $"b.vec_id".as("other_id"), $"a.v", $"b.v".as("ov"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (id, oid, v, ov) => (id, oid, VectorOps.cosine6(v, ov)) }
+      .toDF("vec_id", "other_id", "sim")
     val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"other_id")
     pairs.withColumn("rn", row_number().over(w))
       .where($"rn" === 1)

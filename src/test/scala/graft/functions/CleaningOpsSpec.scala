@@ -16,6 +16,16 @@ class CleaningOpsSpec extends SparkSpec {
       Some(7.1), None))
   }
 
+  test("translate-based parseCurrency == reference regexp_replace form") {
+    val in = Seq("$12.50", "$1,200.00", "$0.00", "(3.25)", "7.1", "$1,2,3)",
+      "", "$", "abc", null).toDF("c")
+    val both = in.select(
+      CleaningOps.parseCurrency($"c").as("fast"),
+      CleaningOps.parseCurrencyRegex($"c").as("ref"))
+    assert(both.where(
+      !($"fast" <=> $"ref")).count() === 0)
+  }
+
   test("lossyIntCast truncates toward zero (reference miles semantics)") {
     val out = Seq(0.6, 12.4, -1.7, 3.0).toDF("m")
       .select(CleaningOps.lossyIntCast($"m").as("v")).as[Int].collect()

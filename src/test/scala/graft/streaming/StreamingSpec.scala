@@ -74,6 +74,32 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$sinkPath/year=2021/month=3").exists)
   }
 
+  test("T1 fan-out: one lineage drives two independent queries") {
+    implicit val sql = spark.sqlContext
+    val areas = TransformJob.readAreas(spark, areasCsv)
+    val mem = MemoryStream[String]
+    mem.addData(Fixture.kafkaJsonLines: _*)
+    val cleaned = StreamingJob.clean(StreamingJob.parse(mem.toDF()))
+    // query 1: enriched feed (kafka-shaped payload) to memory
+    val q1 = StreamingJob.toKafkaPayload(
+      StreamingJob.enrich(StreamingJob.narrow(cleaned), areas))
+      .writeStream.format("memory").queryName("fan_kafka")
+      .outputMode("append").start()
+    // query 2: raw cleaned archive to parquet with its own checkpoint
+    val dir2 = tmpDir("fanout")
+    val q2 = StreamingJob.parquetSinkWriter(cleaned, s"$dir2/sink",
+      s"$dir2/ckpt", org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    // independent consumption: q1 sees only the enrichable row (inner
+    // join drops t4), q2 archives BOTH rows
+    assert(spark.table("fan_kafka").count() === 1)
+    assert(spark.read.parquet(s"$dir2/sink").count() === 2)
+  }
+
   test("15-min rollup (D1/A8): watermarked tumbling window aggregates") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[String]
