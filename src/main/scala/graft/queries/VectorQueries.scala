@@ -30,8 +30,16 @@ object VectorQueries {
   private def q(name: String, doc: String, oracle: Option[String])(fn: QFn) =
     GraftQuery(name, fn, oracle, doc)
 
-  /** Double-precision dot product of two array<double> columns. */
+  /** Double-precision dot product of two array<double> columns —
+    * native codegen'd Catalyst expression (see
+    * [[graft.plans.ArrayDotProduct]]); bit-identical to the
+    * `aggregate(zip_with(...))` sequential fold it replaces. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.ArrayDotProduct.fastDot(a, b)
+
+  /** The original higher-order-function formulation, kept for the
+    * equivalence spec (interpreted eval — do not use in hot paths). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Double-precision L2 norm. */

@@ -1,0 +1,44 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.queries.VectorQueries
+import org.apache.spark.sql.functions._
+
+class ArrayDotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native dot product == HOF fold bit-for-bit on real embeddings") {
+    val e = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pair = e.as("a").crossJoin(e.as("b"))
+      .where($"a.vec_id" < 50 && $"b.vec_id" < 50)
+    val diff = pair.select(
+      ArrayDotProduct.fastDot($"a.v", $"b.v").as("native"),
+      VectorQueries.dotHof($"a.v", $"b.v").as("hof"))
+      .where(!($"native" <=> $"hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("null array yields null; mismatched lengths use shorter") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0)))).toDF("a", "b")
+    val out = df.select(ArrayDotProduct.fastDot($"a", $"b").as("d"))
+      .as[Option[Double]].collect()
+    assert(out.toSeq === Seq(Some(32.0), None, Some(3.0)))
+  }
+
+  test("expression participates in codegen (no CodegenFallback)") {
+    val e = Tables(spark, sf, "embeddings")
+      .select($"embedding".cast("array<double>").as("v"))
+    val plan = e.select(ArrayDotProduct.fastDot($"v", $"v").as("d"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks an operator inside a WholeStageCodegen
+    // stage; a CodegenFallback expression would strip it
+    assert(plan.contains("*(1) Project [array_dot_product"),
+      s"dot-product projection must stay inside a codegen stage:\n$plan")
+  }
+}
