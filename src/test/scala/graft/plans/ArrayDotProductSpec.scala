@@ -31,6 +31,14 @@ class ArrayDotProductSpec extends SparkSpec {
     assert(out.toSeq === Seq(Some(32.0), None, Some(3.0)))
   }
 
+  test("SQL function registration via GraftExtensions.register") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(r === 11.0)
+  }
+
   test("expression participates in codegen (no CodegenFallback)") {
     val e = Tables(spark, sf, "embeddings")
       .select($"embedding".cast("array<double>").as("v"))

@@ -116,6 +116,16 @@ class TaxiPipelineSpec extends SparkSpec {
     assert(files.length === 1, "coalesce(1) single-file write")
   }
 
+  test("typed Dataset[TaxiTrip] view of the cleaned schema") {
+    val trips = TaxiTrip.cleanTyped(IngestHistoricJob.readRawTrips(spark, tripsCsv))
+    val t2 = trips.filter(_.trip_id == "t2").head()
+    assert(t2.trip_miles === Some(0))
+    assert(t2.fare === Some(1200.0))
+    assert(t2.year === Some(2021) && t2.month === Some(3))
+    val t3 = trips.filter(_.trip_id == "t3").head()
+    assert(t3.trip_seconds === None && t3.company === None)
+  }
+
   test("DROPMALFORMED drops rows that violate the schema") {
     val bad = Fixture.write(s"$dir/in/bad.csv",
       Fixture.rawTripsHeader + "\n" +
