@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys (SURVEY.md §7.3.4): when one join key
+  * carries a disproportionate share of the fact rows (a mega-company,
+  * a null-ish default area), a plain shuffle join funnels that key
+  * through one reducer. Salting splits each fact row's key into
+  * `factor` sub-keys deterministically and replicates the (small)
+  * build side across all sub-keys, so the hot key spreads over
+  * `factor` reducers.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`)
+  * covers sort-merge joins at runtime; explicit salting remains the
+  * tool when the build side must shuffle too, for deterministic plan
+  * shape, or pre-AQE engines. Deterministic salt (hash of a row-unique
+  * column, not rand()) keeps retries/replays consistent.
+  */
+object SkewJoin {
+
+  /** Inner/left equi-join of `fact` (big, skewed) with `dim` (small)
+    * on `key`, salted by `factor`. `saltOn` must be a row-stable
+    * column of the fact side (e.g. a primary key) — it seeds the salt
+    * deterministically. */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltOn: Column,
+      factor: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(xxhash64(saltOn), lit(factor)))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    salted
+      .join(explodedDim, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+}

@@ -410,9 +410,71 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** Semi/anti joins — EXISTS / NOT EXISTS without materializing the
+    * right side's columns (no dedup needed, one shuffle, build side
+    * can broadcast). Customers with vs without open-priority orders. */
+  val q15SemiAntiJoin: GraftQuery = q(
+    "q15_semi_anti_join",
+    "left_semi / left_anti joins (EXISTS / NOT EXISTS)",
+    """SELECT c_mktsegment,
+      |       count(*) FILTER (has_urgent)      AS with_urgent,
+      |       count(*) FILTER (NOT has_urgent)  AS without_urgent
+      |FROM (
+      |  SELECT c.c_mktsegment,
+      |         EXISTS (SELECT 1 FROM orders o
+      |                 WHERE o.o_custkey = c.c_custkey
+      |                   AND o.o_orderpriority = '1-URGENT') AS has_urgent
+      |  FROM customer c)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+    val urgent = Tables(s, dir, "orders")
+      .where($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    val withU = c.join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("with_urgent"))
+    val withoutU = c.join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("without_urgent"))
+    withU.join(withoutU, Seq("c_mktsegment"), "full")
+      .select($"c_mktsegment",
+        coalesce($"with_urgent", lit(0L)).as("with_urgent"),
+        coalesce($"without_urgent", lit(0L)).as("without_urgent"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Window FRAME coverage — running (cumulative) sum per group with
+    * an explicit ROWS BETWEEN frame; deterministic tie-break in the
+    * frame ordering so both engines accumulate identically. Sums are
+    * exact integer event counts to stay order-independent. */
+  val q16RunningWindow: GraftQuery = q(
+    "q16_running_window",
+    "window frames: cumulative sum over ordered rows per group",
+    """SELECT event_type, day, daily_events,
+      |       CAST(sum(daily_events) OVER (
+      |         PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS running_events
+      |FROM (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS daily_events
+      |  FROM events GROUP BY 1, 2)
+      |ORDER BY event_type, day""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("daily_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running_events", sum($"daily_events").over(w))
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
     q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
-    q13CurrencyParse, q14JsonExtract)
+    q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow)
 }

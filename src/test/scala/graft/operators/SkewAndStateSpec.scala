@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.streaming.TaxiSessionTracker
+import graft.streaming.TaxiSessionTracker.{TaxiSession, TripEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+class SkewAndStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join (inner + left) on real tables") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = Tables(spark, sf, "orders")
+    val cust = Tables(spark, sf, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val plain = orders.join(cust, Seq("o_custkey"))
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("rev"))
+    val salted = SkewJoin.saltedJoin(orders, cust, "o_custkey",
+      saltOn = $"o_orderkey", factor = 8)
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("rev"))
+    assert(plain.orderBy($"c_mktsegment").collect().toSeq ===
+      salted.orderBy($"c_mktsegment").collect().toSeq)
+    // left join keeps unmatched fact rows exactly once
+    val factExtra = orders.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .union(Seq((-1L, -1L, 5.0)).toDF("o_custkey", "o_orderkey", "o_totalprice"))
+    val leftPlain = factExtra.join(cust, Seq("o_custkey"), "left").count()
+    val leftSalted = SkewJoin.saltedJoin(factExtra, cust, "o_custkey",
+      $"o_orderkey", 8, "left").count()
+    assert(leftPlain === leftSalted)
+  }
+
+  test("salted join spreads a hot key across salt partitions") {
+    // 10k rows all with the SAME key — the pathological skew case
+    val fact = spark.range(10000)
+      .select(lit(1L).as("k"), $"id", (rand(7) * 10).as("v"))
+    val dim = Seq((1L, "hot")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(fact, dim, "k", $"id", factor = 16)
+    assert(out.count() === 10000)
+    // the fact side's shuffle key space is (k, salt): verify all 16
+    // salts are actually populated
+    val salts = fact.withColumn("__salt", pmod(xxhash64($"id"), lit(16)))
+      .select(countDistinct($"__salt")).head().getLong(0)
+    assert(salts === 16L)
+  }
+
+  test("flatMapGroupsWithState maintains per-taxi session state across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[TripEvent]
+    val sessions = TaxiSessionTracker.sessionState(mem.toDS(),
+      GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.format("memory").queryName("sessions_t")
+      .outputMode("update").start()
+    try {
+      mem.addData(TripEvent("taxiA", Some(10.0), Some(600)),
+        TripEvent("taxiA", Some(5.5), Some(300)),
+        TripEvent("taxiB", Some(20.0), None))
+      q.processAllAvailable()
+      val s1 = spark.table("sessions_t").as[TaxiSession].collect()
+        .groupBy(_.taxi_id).view.mapValues(_.last).toMap
+      assert(s1("taxiA") === TaxiSession("taxiA", 2, 15.5, 900))
+      assert(s1("taxiB") === TaxiSession("taxiB", 1, 20.0, 0))
+      // second micro-batch accumulates onto existing state
+      mem.addData(TripEvent("taxiA", Some(4.5), Some(100)))
+      q.processAllAvailable()
+      val s2 = spark.table("sessions_t").as[TaxiSession].collect()
+        .filter(_.taxi_id == "taxiA").last
+      assert(s2 === TaxiSession("taxiA", 3, 20.0, 1000))
+    } finally q.stop()
+  }
+}
