@@ -127,6 +127,65 @@ object HashSketch {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD '03):
+    * rolling Rabin–Karp hashes over character k-grams, then the
+    * minimum hash of every sliding window of `w` consecutive k-gram
+    * hashes (rightmost minimum on ties). The selected minima are a
+    * position-robust fingerprint set — shared substrings of length
+    * ≥ w+k−1 guarantee shared fingerprints. */
+  def winnow(text: String, k: Int = 8, w: Int = 6): Array[Long] = {
+    val s = text
+    if (s.length < k) return Array(fnv1a64(s))
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = mix(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = mix(h)
+      i += 1
+    }
+    if (n <= w) return Array(hashes.min)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var start = 0
+    while (start + w <= n) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      out.add(hashes(minIdx))
+      start += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Containment of sorted fingerprint sets: |A∩B| / min(|A|,|B|). */
+  def containmentSorted(a: Seq[Long], b: Seq[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val m = math.min(a.length, b.length)
+    if (m == 0) 1.0 else inter.toDouble / m
+  }
+
   /** Hamming distance between two sub-signature arrays. */
   def hamming(a: Seq[Int], b: Seq[Int]): Int = {
     var d = 0

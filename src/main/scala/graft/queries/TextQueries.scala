@@ -205,6 +205,83 @@ object TextQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D5 — BPE-style token counting: regex pre-tokenization (letter
+    * runs / digit runs / single punctuation — the coarse shape of
+    * GPT-style pre-tokenizers) counted per doc, aggregated per lang.
+    * ASCII-only classes so the Java and DuckDB regex dialects agree. */
+  val t06BpeTokens: GraftQuery = GraftQuery(
+    "t06_bpe_token_count",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"lang",
+          size(regexp_extract_all($"text",
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum($"n_bpe").as("bpe_tokens"),
+          max($"n_bpe").as("max_bpe"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang,
+      |       count(*)                                                              AS docs,
+      |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+      |       CAST(max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS max_bpe
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin),
+    "D5 BPE-ish regex token counting")
+
+  /** D5/D3 — winnowing fingerprints (rolling Rabin–Karp k-gram hashes
+    * + sliding-window minima, JIT'd in HashSketch): near-dup pairs =
+    * docs sharing a fingerprint (inverted-index join on the
+    * fingerprint — the scalable grouping), verified by fingerprint
+    * containment ≥ 0.8. Rows-only + spec (hash-based internals). */
+  val t07Winnowing: GraftQuery = GraftQuery(
+    "t07_winnow_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.HashSketch
+      val fps = Tables(s, dir, "documents")
+        .select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, t) => (id, HashSketch.winnow(t).toSeq) }
+        .toDF("doc_id", "fps")
+      // inverted index as grouped postings: docs sharing a RARE
+      // fingerprint become candidate pairs. The document-frequency cap
+      // (df ≤ 10, standard winnowing-index hygiene) both drops
+      // boilerplate fingerprints AND bounds the per-posting pair
+      // fan-out to C(10,2) — one groupBy + a flat pair expansion
+      // instead of a posting-list self-join.
+      val cands = fps.select($"doc_id", explode($"fps").as("fp"))
+        .groupBy($"fp").agg(collect_list($"doc_id").as("docs"))
+        .where(size($"docs").between(2, 10))
+        .select($"docs").as[Seq[Long]]
+        .flatMap { docs =>
+          val sorted = docs.sorted
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.length
+          } yield (sorted(i), sorted(j))
+        }
+        .toDF("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
+      cands
+        .join(fps.select($"doc_id".as("doc_a"), $"fps".as("fa")), "doc_a")
+        .join(fps.select($"doc_id".as("doc_b"), $"fps".as("fb")), "doc_b")
+        .select($"doc_a", $"doc_b", $"fa", $"fb")
+        .as[(Long, Long, Seq[Long], Seq[Long])]
+        .map { case (a, b, fa, fb) =>
+          (a, b, HashSketch.containmentSorted(fa, fb)) }
+        .toDF("doc_a", "doc_b", "containment")
+        .where($"containment" >= 0.8)
+        .select($"doc_a", $"doc_b", round($"containment", 4).as("containment"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    None,
+    "D5/D3 winnowing (rolling-hash) fingerprint near-dup pairs")
+
   val all: Seq[GraftQuery] = Seq(
-    t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint, t05JaccardPairs)
+    t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
+    t05JaccardPairs, t06BpeTokens, t07Winnowing)
 }

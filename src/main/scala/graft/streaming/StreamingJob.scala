@@ -95,6 +95,20 @@ object StreamingJob {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Streaming → JDBC bridge via foreachBatch: Structured Streaming
+    * has no built-in JDBC sink, so each micro-batch is appended
+    * transactionally-per-batch through the batch writer (exactly-once
+    * only if the table has a batch-id dedup key; at-least-once
+    * otherwise — same contract as the reference's Kafka sink). */
+  def jdbcArchiveWriter(cleaned: DataFrame, url: String, table: String,
+      props: java.util.Properties, checkpoint: String): DataStreamWriter[Row] =
+    cleaned.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").jdbc(url, table, props)
+      }
+
   /** Full production topology: one lineage, two queries (T1). */
   def run(spark: SparkSession, brokers: String, inTopic: String,
       outTopic: String, areasPath: String, tripsPath: String,

@@ -41,6 +41,26 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back2.head().getAs[String]("company") === "Gamma")
   }
 
+  test("streaming foreachBatch appends micro-batches into JDBC") {
+    implicit val sql = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val cleaned = graft.streaming.StreamingJob.clean(
+      graft.streaming.StreamingJob.parse(mem.toDF()))
+      .select($"trip_id", $"taxi_id", $"fare")
+    val dir = tmpDir("jdbc_stream")
+    val q = graft.streaming.StreamingJob.jdbcArchiveWriter(
+      cleaned, url, "stream_archive", new java.util.Properties, s"$dir/ckpt")
+      .start()
+    try {
+      mem.addData(Fixture.kafkaJsonLines: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.jdbc(url, "stream_archive", new java.util.Properties)
+    assert(back.count() === 2)
+    assert(back.select("trip_id").collect().map(_.getString(0)).toSet
+      === Set("t1", "t4"))
+  }
+
   test("TransformJob end-to-end into JDBC (the reference's real topology)") {
     val dir = tmpDir("jdbc_e2e")
     val tripsCsv = Fixture.write(s"$dir/trips.csv", Fixture.rawTripsCsv)
