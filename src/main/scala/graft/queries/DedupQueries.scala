@@ -63,13 +63,14 @@ object DedupQueries {
       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
       |              ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
       |  FROM t)
-      |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
-      |       CAST(b.doc_id AS BIGINT) AS doc_b,
-      |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+      |p AS (
+      |  SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+      |         CAST(b.doc_id AS BIGINT) AS doc_b,
+      |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |         / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+      |FROM p WHERE j >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
