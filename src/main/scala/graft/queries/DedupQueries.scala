@@ -62,7 +62,7 @@ object DedupQueries {
       |              THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
       |              ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
-      |  FROM t)
+      |  FROM t),
       |p AS (
       |  SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
       |         CAST(b.doc_id AS BIGINT) AS doc_b,
