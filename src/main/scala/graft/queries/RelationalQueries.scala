@@ -472,9 +472,40 @@ object RelationalQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** F5/P10 proper — schema-driven from_json parse + `parsed.*`
+    * flatten (the streaming job's exact idiom, `StreamingTaxiTrips
+    * .py:89-91`), here over the events JSON payload in batch so the
+    * oracle gate covers it too (q14 covers the path-extraction
+    * variant). */
+  val q17FromJsonFlatten: GraftQuery = q(
+    "q17_from_json_flatten",
+    "F5/P10 from_json with explicit schema + struct flatten",
+    """SELECT event_type,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      |       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)    AS k_max,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables(s, dir, "events")
+      .select($"event_type", from_json($"props", schema).as("parsed"))
+      .select($"event_type", $"parsed.*") // P10 flatten
+      .groupBy($"event_type")
+      .agg(
+        sum($"k").as("k_sum"),
+        max($"k").as("k_max"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
     q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
-    q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow)
+    q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
+    q17FromJsonFlatten)
 }

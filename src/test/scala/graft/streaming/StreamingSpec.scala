@@ -124,6 +124,26 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("triptotal_sum") === 15.5)
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark collapses replays") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    val cleaned = StreamingJob.clean(StreamingJob.parse(mem.toDF()))
+      .withWatermark("trip_start_timestamp", "1 hour")
+      .dropDuplicatesWithinWatermark("trip_id")
+    val q = cleaned.select("trip_id").writeStream.format("memory")
+      .queryName("dedup_t").outputMode("append").start()
+    try {
+      // same trip delivered twice in one batch and again in a second
+      // batch (at-least-once source semantics) → exactly one output
+      mem.addData(Fixture.kafkaJsonLines.head, Fixture.kafkaJsonLines.head)
+      q.processAllAvailable()
+      mem.addData(Fixture.kafkaJsonLines.head, Fixture.kafkaJsonLines(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_t").as[String].collect().sorted
+    assert(out.toSeq === Seq("t1", "t4"))
+  }
+
   test("active taxis sliding window (D2)") {
     val batch = RealtimeRollup.activeTaxis(
       StreamingJob.clean(StreamingJob.parse(Fixture.kafkaJsonLines.toDF("value"))))
