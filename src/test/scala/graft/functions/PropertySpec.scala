@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants (SURVEY.md §5.4):
+  *  - currency round-trip: any formatted dollar amount survives the
+  *    clean + cast path;
+  *  - aggregation hierarchy: child-view sums re-aggregate to parent
+  *    totals (the A3→A4 invariant for every additive measure — and
+  *    the documented NON-invariant for the distinct `taxis` measure);
+  *  - sketch properties: Jaccard bounds and MinHash agreement.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling from a ScalaCheck Gen (no scalatestplus
+    * bridge in the offline cache — generators only, fixed seeds). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val amounts: Gen[BigDecimal] =
+    Gen.chooseNum(0L, 99999999L).map(c => BigDecimal(c) / 100)
+
+  test("property: currency strings round-trip through parseCurrency") {
+    samples(Gen.listOfN(50, amounts), 5).foreach { xs =>
+      if (xs.nonEmpty) {
+        val strs = xs.map(a => f"$$${a}%,.2f") // "$1,234.56"
+        val parsed = strs.toDF("c")
+          .select(CleaningOps.parseCurrency($"c").as("v"))
+          .as[Double].collect()
+        assert(parsed.toSeq === xs.map(_.toDouble))
+      }
+    }
+  }
+
+  test("property: additive measures re-aggregate; distinct does not") {
+    val keys = Gen.chooseNum(1, 4)
+    val rows = Gen.listOfN(200, for {
+      company <- Gen.oneOf("A", "B", "C")
+      area <- keys
+      taxi <- Gen.chooseNum(1, 6)
+      fare <- Gen.chooseNum(1, 10000)
+    } yield (company, area, s"taxi$taxi", fare.toLong))
+    samples(rows, 5).foreach { rs =>
+      if (rs.size > 10) {
+        val df = rs.toDF("company", "area", "taxi_id", "fare_cents")
+        val child = df.groupBy($"company", $"area").agg(
+          sum($"fare_cents").as("fares"),
+          count(lit(1)).as("trips"),
+          countDistinct($"taxi_id").as("taxis"))
+        val parentFromChild = child.groupBy($"area").agg(
+          sum($"fares").as("fares"), sum($"trips").as("trips"))
+        val parentDirect = df.groupBy($"area").agg(
+          sum($"fare_cents").as("fares"), count(lit(1)).as("trips"),
+          countDistinct($"taxi_id").as("true_taxis"))
+        // additive measures agree exactly
+        val cmp = parentFromChild.as("c").join(parentDirect.as("d"), "area")
+        assert(cmp.where($"c.fares" =!= $"d.fares").count() === 0)
+        assert(cmp.where($"c.trips" =!= $"d.trips").count() === 0)
+        // the quirk: countDistinct of child taxi-counts is NOT the true
+        // distinct unless every company in an area has a unique count
+        val quirk = child.groupBy($"area")
+          .agg(countDistinct($"taxis").as("quirk_taxis"))
+          .join(parentDirect, "area")
+        assert(quirk.where($"quirk_taxis" > $"true_taxis").count() === 0,
+          "quirk value can never exceed the true distinct count")
+      }
+    }
+  }
+
+  test("property: jaccardSorted is bounded and symmetric") {
+    val sets = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.distinct.sorted)
+    for (a <- samples(sets, 30); b <- samples(sets, 5)) {
+      val j1 = HashSketch.jaccardSorted(a, b)
+      val j2 = HashSketch.jaccardSorted(b, a)
+      assert(j1 === j2)
+      assert(j1 >= 0.0 && j1 <= 1.0)
+      if (a.nonEmpty) assert(HashSketch.jaccardSorted(a, a) === 1.0)
+    }
+  }
+}
