@@ -47,6 +47,31 @@ class SkewAndStateSpec extends SparkSpec {
     assert(salts === 16L)
   }
 
+  test("bounded-heap TopK aggregator equals the window formulation") {
+    val sf = "/root/testdata/sf0.001"
+    val rev = Tables(spark, sf, "orders")
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"))
+    val cust = Tables(spark, sf, "customer")
+      .join(rev, $"c_custkey" === $"o_custkey", "left")
+      .withColumn("revenue", coalesce($"revenue", lit(0.0)))
+      .select($"c_nationkey", $"c_custkey", $"revenue")
+    // window reference
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_nationkey").orderBy($"revenue".desc, $"c_custkey")
+    val viaWindow = cust.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"c_nationkey", $"rnk", $"c_custkey", $"revenue")
+      .orderBy($"c_nationkey", $"rnk").collect().toSeq
+    // bounded-heap aggregator
+    val viaAgg = TopK.topKPerGroup(cust, "c_nationkey", "revenue", "c_custkey", 3)
+      .select($"c_nationkey", $"rnk",
+        $"c_custkey".cast("long").as("c_custkey"), $"revenue")
+      .orderBy($"c_nationkey", $"rnk").collect().toSeq
+    assert(viaAgg.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      === viaWindow.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))))
+  }
+
   test("flatMapGroupsWithState maintains per-taxi session state across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TripEvent]

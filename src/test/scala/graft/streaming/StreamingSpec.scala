@@ -124,6 +124,38 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("triptotal_sum") === 15.5)
   }
 
+  test("watermark advance closes windows and append-mode emits them") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val rolled = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"v")
+    val q = rolled.writeStream.format("memory").queryName("wm_t")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: two events in the 10:00 window → nothing emitted yet
+      mem.addData((ts("2024-05-01 10:02:00"), "a", 1.0),
+        (ts("2024-05-01 10:07:00"), "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_t").count() === 0)
+      // batch 2: an event 2 hours later pushes the watermark past the
+      // first window's end → the closed window is appended
+      mem.addData((ts("2024-05-01 12:00:00"), "b", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("wm_t").collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Long]("n") === 2L)
+      assert(out.head.getAs[Double]("v") === 3.0)
+      // late row behind the watermark is DROPPED from the aggregate
+      mem.addData((ts("2024-05-01 10:01:00"), "a", 100.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_t").count() === 1, "late data must not reopen windows")
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark collapses replays") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[String]
