@@ -502,10 +502,43 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** Multi-level aggregation in ONE pass — ROLLUP(status, priority):
+    * detail + subtotal + grand-total rows from a single shuffle
+    * (Catalyst Expand), vs the reference's chained re-aggregation
+    * (A3→A4) which runs two aggregations. grouping() distinguishes
+    * subtotal rows from genuine NULL keys. */
+  val q18Rollup: GraftQuery = q(
+    "q18_rollup_grouping_sets",
+    "ROLLUP multi-level aggregate (Expand, one shuffle)",
+    """SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       CAST(grouping(o_orderstatus) AS INT)   AS g_status,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+      |       round(sum(o_totalprice), 2)      AS revenue,
+      |       count(*)                         AS orders
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping($"o_orderstatus").as("g_status"),
+        grouping($"o_orderpriority").as("g_priority"),
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("orders"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"g_status", $"g_priority", $"revenue", $"orders")
+      .orderBy($"g_status", $"g_priority", $"status", $"priority")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
     q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
-    q17FromJsonFlatten)
+    q17FromJsonFlatten, q18Rollup)
 }

@@ -80,6 +80,30 @@ class TaxiPipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("taxis") === 1L)
   }
 
+  test("rollupViews: one-pass grouping-sets equals the chained two-level views") {
+    val areas = TransformJob.readAreas(spark, areasCsv)
+    val enriched = TransformJob.enrich(
+      TransformJob.prepare(spark.read.parquet(s"$dir/trips_parquet")), areas)
+    val (companyV, dayV) = TransformJob.rollupViews(enriched, "pickup")
+    // company level == the classic A3 view
+    val classic = TransformJob.companyAreaView(enriched, "pickup")
+    val keyCols = Seq("trip_start_date", "company", "pickup_community_area")
+    val a = companyV.orderBy(keyCols.map(col): _*).collect().toSeq
+    val b = classic.select(companyV.columns.map(col): _*)
+      .orderBy(keyCols.map(col): _*).collect().toSeq
+    assert(a === b)
+    // day level carries the TRUE distinct-taxis (corrected semantics)
+    val d10 = dayV.where($"pickup_community_area" === 10
+      && $"trip_start_date" === to_timestamp(lit("2021-03-05 00:00:00"))).head()
+    assert(d10.getAs[Double]("fares") === 1212.5)
+    assert(d10.getAs[Long]("taxis") === 1L)
+    // day level sums equal re-aggregated company level for additive cols
+    val reagg = companyV.groupBy($"trip_start_date", $"pickup_community_area")
+      .agg(sum($"fares").as("fares2"), sum($"trips").as("trips2"))
+    val cmp = dayV.join(reagg, Seq("trip_start_date", "pickup_community_area"))
+    assert(cmp.where($"fares" =!= $"fares2" || $"trips" =!= $"trips2").count() === 0)
+  }
+
   test("sketch views: mergeable HLL distinct re-aggregates correctly") {
     val areas = TransformJob.readAreas(spark, areasCsv)
     val enriched = TransformJob.enrich(
