@@ -24,7 +24,13 @@ object Tables {
     // Read nanos as long and rebuild the timestamp at micro precision
     // (the data is µs-grained, so `DIV 1000` is lossless; integer
     // division — a double division would lose bits above 2^53).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `nanosAsLong` is an SQLConf, not a per-read option, so setting it
+    // is necessarily session-global; scope the mutation to the one
+    // table that needs it (harness session builders also set it at
+    // construction — this is the fallback for externally-built
+    // sessions).
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

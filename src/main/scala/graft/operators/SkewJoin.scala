@@ -30,6 +30,13 @@ object SkewJoin {
       saltOn: Column,
       factor: Int,
       joinType: String = "inner"): DataFrame = {
+    // Replicating the dim across `factor` salts is only correct when
+    // the dim side never emits unmatched rows: right/full outer would
+    // produce `factor` duplicates per unmatched dim key. Fail fast.
+    require(
+      Set("inner", "left", "leftouter").contains(
+        joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val salted = fact.withColumn("__salt", pmod(xxhash64(saltOn), lit(factor)))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor - 1L))))

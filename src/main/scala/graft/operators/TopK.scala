@@ -20,8 +20,18 @@ object TopK {
 
   type Entry = (Double, Long) // (score, tie-break tag / id)
 
-  private def ord: Ordering[Entry] =
-    Ordering.by[Entry, (Double, Long)] { case (s, t) => (-s, t) }
+  // Explicit comparator rather than Ordering.by(-score): negating the
+  // score maps NaN to NaN, whose placement under Scala's tuple
+  // ordering diverges from Spark's `desc` semantics.
+  // java.lang.Double.compare treats NaN as greater than every value,
+  // so score-desc puts NaN rows first — exactly where a
+  // `Window.orderBy($"score".desc)` formulation ranks them.
+  private def ord: Ordering[Entry] = new Ordering[Entry] {
+    def compare(a: Entry, b: Entry): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // score desc
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // tag asc
+    }
+  }
 
   /** Merge two ascending-by-rank lists, keep the best k. Both inputs
     * are already ≤ k long, so this is O(k). */

@@ -89,29 +89,36 @@ object TransformJob {
 
   /** A4/A6 — day × area re-aggregation over the company-level view.
     * `strictParity` keeps the reference's `countDistinct("taxis")`
-    * quirk; the corrected variant recomputes distinct taxis from the
-    * enriched base table (the only way to merge distincts EXACTLY
-    * without a sketch — a second scan of the base). */
+    * quirk; the corrected variant aggregates straight from the
+    * enriched base table in ONE pass (sums-of-sums equal sums over
+    * base rows, so only the distinct measure needs the base). No
+    * re-join: groups whose l2 keys are null (null community area from
+    * the LEFT enrich, unknown areas with null name/centroids) must
+    * survive, and a key-equality re-join silently drops them
+    * (null != null). */
   def areaView(
       companyView: DataFrame,
       enriched: DataFrame,
       side: String,
-      strictParity: Boolean = true): DataFrame = {
-    val reagg = companyView.groupBy(l2Keys(side): _*).agg(
-      sum("fares").as("fares"),
-      sum("tips").as("tips"),
-      sum("tolls").as("tolls"),
-      sum("extras").as("extras"),
-      sum("trip_totals").as("trip_totals"),
-      sum("trips").as("trips"),
-      countDistinct("taxis").as("taxis"))
-    if (strictParity) reagg
-    else {
-      val trueTaxis = enriched.groupBy(l2Keys(side): _*)
-        .agg(countDistinct("taxi_id").as("taxis"))
-      reagg.drop("taxis").join(trueTaxis, l2Keys(side).map(_.toString))
-    }
-  }
+      strictParity: Boolean = true): DataFrame =
+    if (strictParity)
+      companyView.groupBy(l2Keys(side): _*).agg(
+        sum("fares").as("fares"),
+        sum("tips").as("tips"),
+        sum("tolls").as("tolls"),
+        sum("extras").as("extras"),
+        sum("trip_totals").as("trip_totals"),
+        sum("trips").as("trips"),
+        countDistinct("taxis").as("taxis"))
+    else
+      enriched.groupBy(l2Keys(side): _*).agg(
+        sum("fare").as("fares"),
+        sum("tips").as("tips"),
+        sum("tolls").as("tolls"),
+        sum("extras").as("extras"),
+        sum("trip_total").as("trip_totals"),
+        count("trip_id").as("trips"),
+        countDistinct("taxi_id").as("taxis"))
 
   /** The PRODUCTION fix for the A4 quirk at 100 TB: the company-level
     * view carries a mergeable HLL sketch of taxi_id

@@ -47,6 +47,35 @@ class SkewAndStateSpec extends SparkSpec {
     assert(salts === 16L)
   }
 
+  test("salted join fails fast on join types the salting breaks") {
+    val fact = Seq((1L, 1L)).toDF("k", "id")
+    val dim = Seq((1L, "x")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, "k", $"id", 4, "right")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, "k", $"id", 4, "full_outer")
+    }
+    // accepted spellings still work
+    assert(SkewJoin.saltedJoin(fact, dim, "k", $"id", 4, "left_outer")
+      .count() === 1L)
+  }
+
+  test("TopK ranks NaN scores like the window desc formulation") {
+    val df = Seq(
+      (1, 10L, 1.0), (1, 11L, Double.NaN), (1, 12L, 2.0), (1, 13L, Double.NaN))
+      .toDF("g", "tag", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"tag")
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3).orderBy($"rnk")
+      .select($"tag").as[Long].collect().toSeq
+    val viaAgg = TopK.topKPerGroup(df, "g", "score", "tag", 3)
+      .orderBy($"rnk").select($"tag").as[Long].collect().toSeq
+    assert(viaAgg === viaWindow) // NaN first: 11, 13, then 2.0 → 12
+    assert(viaAgg === Seq(11L, 13L, 12L))
+  }
+
   test("bounded-heap TopK aggregator equals the window formulation") {
     val sf = "/root/testdata/sf0.001"
     val rev = Tables(spark, sf, "orders")

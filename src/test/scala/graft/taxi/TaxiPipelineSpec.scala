@@ -78,6 +78,21 @@ class TaxiPipelineSpec extends SparkSpec {
     val r = p.where($"pickup_community_area" === 20
       && $"trip_start_date" === to_timestamp(lit("2021-03-06 00:00:00"))).head()
     assert(r.getAs[Long]("taxis") === 1L)
+
+    // Null-keyed groups must SURVIVE the corrected variant (a
+    // key-equality re-join would drop them: null != null):
+    // t4 pickup area 99 is unknown to the master → null name/centroids
+    val a99 = p.where($"pickup_community_area" === 99
+      && $"trip_start_date" === to_timestamp(lit("2021-03-06 00:00:00"))).head()
+    assert(a99.getAs[String]("pickup_community_area_name") === null)
+    assert(a99.getAs[Double]("fares") === 25.0)
+    assert(a99.getAs[Long]("taxis") === 1L)
+    // t6 has NO community area at all → fully-null area key
+    val an = p.where($"pickup_community_area".isNull
+      && $"trip_start_date" === to_timestamp(lit("2021-04-02 00:00:00"))).head()
+    assert(an.getAs[Double]("fares") === 9.75)
+    assert(an.getAs[Long]("trips") === 1L)
+    assert(an.getAs[Long]("taxis") === 1L)
   }
 
   test("rollupViews: one-pass grouping-sets equals the chained two-level views") {
