@@ -28,14 +28,17 @@ object VectorOps {
     BigDecimal(cosine(a, b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble
 
-  /** Index of the max-cosine pivot (first wins ties → lowest index,
-    * mirroring max_by(struct(sim, -pivot_id)) determinism). */
+  /** Index of the max-cosine pivot. Compares the ROUNDED cosine6 (the
+    * engine's cross-engine-deterministic similarity) with first-wins
+    * ties → lowest index — identical to ranking by
+    * (round(sim,6) desc, pivot_id asc), so a SQL oracle can replicate
+    * the assignment exactly. */
   def nearestPivot(v: Array[Double], pivots: Array[Array[Double]]): Int = {
     var best = 0
     var bestSim = Double.NegativeInfinity
     var p = 0
     while (p < pivots.length) {
-      val s = cosine(v, pivots(p))
+      val s = cosine6(v, pivots(p))
       if (s > bestSim) { bestSim = s; best = p }
       p += 1
     }

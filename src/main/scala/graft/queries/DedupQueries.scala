@@ -161,13 +161,49 @@ object DedupQueries {
   /** D3 — embedding-cosine near-dup: each vector's nearest neighbor
     * within its IVF bucket (pivot assignment as in v04). The standard
     * "semantic dedup" candidate report: at 100 TB the bucket bounds
-    * the pair space; exact cosine re-ranks inside. Rows-only check
-    * (per-vector output is always non-empty); spec pins agreement
+    * the pair space; exact cosine re-ranks inside. Every stage is
+    * deterministic (fixed pivots, rounded similarities, id
+    * tie-breaks), so the DuckDB oracle replicates the whole pipeline
+    * including the bucketing; the spec additionally pins agreement
     * with brute force on the top pair. */
   val d03EmbeddingNearDup: GraftQuery = q(
     "d03_embedding_near_dup",
     "D3 embedding-cosine near-dup via IVF buckets",
-    None
+    Some("""WITH e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT vec_id AS pivot_id, v AS pv FROM e WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.v, p.pivot_id,
+      |         round(
+      |           list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1] * x[2]), 'sum')
+      |           / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(p.pv, x -> x * x), 'sum'))), 6) AS psim
+      |  FROM e CROSS JOIN p),
+      |assigned AS (
+      |  SELECT vec_id, v, pivot_id AS bucket FROM (
+      |    SELECT vec_id, v, pivot_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY psim DESC, pivot_id) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id, b.vec_id AS other_id,
+      |         round(
+      |           list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+      |           / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS sim
+      |  FROM assigned a JOIN assigned b USING (bucket)
+      |  WHERE a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT vec_id, other_id, sim,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY sim DESC, other_id) AS rn
+      |  FROM pairs)
+      |SELECT vec_id, other_id AS nearest_in_bucket, sim
+      |FROM r WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
     import graft.functions.VectorOps

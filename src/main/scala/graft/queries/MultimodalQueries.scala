@@ -18,9 +18,13 @@ object MultimodalQueries {
 
   /** m01 — partition-batch feature extraction over a binary column:
     * documents → MediaRow(binary payload) → mapPartitions featurize →
-    * per-kind aggregate of the feature vectors. Rows-only check
-    * (the featurizer is engine-specific by design); the spec pins
-    * determinism and batch shape. */
+    * per-kind aggregate of the feature vectors. The stub featurizer is
+    * a 16-bin high-nibble byte histogram (float32-normalized), and the
+    * testdata text is pure ASCII, so the DuckDB oracle reproduces it
+    * from character codes; float32 division is safely emulated via
+    * double division + cast (53 ≥ 2·24+2, so no double-rounding
+    * hazard). The spec additionally pins determinism and batch
+    * shape. */
   val m01BinaryFeatures: GraftQuery = GraftQuery(
     "m01_binary_features",
     (s, dir) => {
@@ -40,11 +44,34 @@ object MultimodalQueries {
           count(lit(1)).as("n"))
         .orderBy($"kind", $"bin")
     },
-    None,
+    Some("""WITH d AS (
+      |  SELECT doc_id, lang, text, length(text) AS len FROM documents),
+      |chars AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len + 1),
+      |                i -> ascii(text[i]) // 16)) AS bin
+      |  FROM d),
+      |cnt AS (
+      |  SELECT doc_id, bin, count(*) AS c FROM chars GROUP BY doc_id, bin),
+      |grid AS (
+      |  SELECT d.doc_id, d.lang, d.len, CAST(b.bin AS INT) AS bin
+      |  FROM d CROSS JOIN (SELECT unnest(range(16)) AS bin) b),
+      |w AS (
+      |  SELECT g.lang, g.bin,
+      |         CAST(CAST(coalesce(c.c, 0) AS DOUBLE)
+      |              / CAST(greatest(g.len, 1) AS DOUBLE) AS FLOAT) AS weight
+      |  FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin)
+      |SELECT lang AS kind, bin, round(avg(weight), 6) AS avg_weight,
+      |       count(*) AS n
+      |FROM w GROUP BY lang, bin
+      |ORDER BY kind, bin""".stripMargin),
     "multimodal: binary column + mapPartitions batch featurize")
 
   /** m02 — 1:N frame sampling over binary payloads (video-style
-    * fan-out), aggregated back to per-media frame stats. */
+    * fan-out), aggregated back to per-media frame stats. The evenly
+    * spaced byte slices partition the payload, so the oracle checks
+    * the fan-out contract exactly: nFrames frames per non-empty
+    * payload, slice bytes summing back to the payload length. */
   val m02FrameSample: GraftQuery = GraftQuery(
     "m02_frame_sample",
     (s, dir) => {
@@ -62,7 +89,12 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("frames"), sum($"frame_bytes").as("total_bytes"))
         .orderBy($"mediaId")
     },
-    None,
+    Some("""SELECT CAST(doc_id AS BIGINT)               AS mediaId,
+      |       CAST(4 AS BIGINT)                    AS frames,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+      |FROM documents
+      |WHERE octet_length(encode(text)) > 0
+      |ORDER BY mediaId""".stripMargin),
     "multimodal: deterministic frame sampling (1:N batch fan-out)")
 
   val all: Seq[GraftQuery] = Seq(m01BinaryFeatures, m02FrameSample)

@@ -190,12 +190,55 @@ object VectorQueries {
     * At 100 TB: pivots come from a sampled k-means (still a tiny
     * broadcast table); assignment stays a narrow map; the candidate
     * join shuffles only the probed buckets ≈ nProbe/nPivots of the
-    * corpus. Driver records a rows-only check; the ScalaTest spec
-    * pins recall vs v01's exact answer and the no-cartesian plan. */
+    * corpus. Every stage is deterministic (fixed pivots, rounded
+    * sims, id tie-breaks), so the DuckDB oracle replicates the FULL
+    * approximate pipeline — bucketing, probing, candidate join,
+    * re-rank; the ScalaTest spec additionally pins recall vs v01's
+    * exact answer and the no-cartesian plan. */
   val v04IvfAnn: GraftQuery = q(
     "v04_lsh_ann",
     "D4 IVF-bucketed ANN: pivot assignment + nprobe candidate join",
-    None
+    Some("""WITH e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT vec_id AS pivot_id, v AS pv FROM e WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.v, p.pivot_id,
+      |         round(
+      |           list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1] * x[2]), 'sum')
+      |           / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(p.pv, x -> x * x), 'sum'))), 6) AS psim
+      |  FROM e CROSS JOIN p),
+      |assigned AS (
+      |  SELECT vec_id, v, pivot_id AS bucket FROM (
+      |    SELECT vec_id, v, pivot_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY psim DESC, pivot_id) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, pivot_id AS bucket FROM (
+      |    SELECT vec_id, v, pivot_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY psim DESC, pivot_id) AS pr
+      |    FROM scored WHERE vec_id < 5) WHERE pr <= 2),
+      |cands AS (
+      |  SELECT DISTINCT q.query_id, a.vec_id,
+      |         round(
+      |           list_aggregate(list_transform(list_zip(a.v, q.qv), x -> x[1] * x[2]), 'sum')
+      |           / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))), 6) AS sim
+      |  FROM assigned a JOIN probes q USING (bucket)
+      |  WHERE a.vec_id <> q.query_id),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM cands)
+      |SELECT query_id, rnk, vec_id AS neighbor_id, sim
+      |FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
     val nPivots = 16
