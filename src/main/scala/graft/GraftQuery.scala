@@ -25,7 +25,8 @@ object QueryRegistry {
       queries.TextQueries.all ++
       queries.VectorQueries.all ++
       queries.DedupQueries.all ++
-      queries.MultimodalQueries.all
+      queries.MultimodalQueries.all ++
+      queries.CurationQueries.all
 
   def asMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -76,8 +76,36 @@ object HashSketch {
     mins
   }
 
+  /** 64-bit SimHash over the shingle set as a single packed long —
+    * bit j set iff the majority of shingle hashes have bit j set.
+    * Banding and Hamming distance stay RELATIONAL on this: band b's
+    * key is `(sig >> 8b) & 255` and the distance is
+    * `bit_count(a ^ b)` — both codegen'd integer expressions, no
+    * array columns, no interpreted higher-order functions. */
+  def simhash64(shingles: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    var s = 0
+    while (s < shingles.length) {
+      val h = mix(fnv1a64(shingles(s)))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      s += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash over the shingle set, returned as 8 × 8-bit
-    * sub-signatures (the Hamming-blocking band keys). */
+    * sub-signatures (the Hamming-blocking band keys; byte b of
+    * [[simhash64]]). */
   def simhashSubs(shingles: Array[String]): Array[Int] = {
     val votes = new Array[Int](64)
     var s = 0
@@ -103,6 +131,19 @@ object HashSketch {
       b += 1
     }
     subs
+  }
+
+  /** Collapse one minhash band (a consecutive signature slice) to a
+    * single 64-bit band key via sequential mix-combine. A key
+    * collision can only create an extra CANDIDATE pair (which exact
+    * verification then rejects), never a miss — so LSH recall is
+    * unaffected while the banded join shuffles one long instead of a
+    * boxed array per band. */
+  def bandKey(mins: Array[Long], from: Int, until: Int): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    var i = from
+    while (i < until) { h = mix(h ^ mins(i)); i += 1 }
+    h
   }
 
   /** Sorted distinct base hashes of the shingle set — the compact

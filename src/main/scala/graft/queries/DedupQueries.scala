@@ -78,15 +78,19 @@ object DedupQueries {
     // Signature generation is JIT-compiled typed Scala — as Catalyst
     // higher-order functions the 65-minima loop evaluates interpreted
     // (HOFs are CodegenFallback, no CSE) and measured 40+ s at sf0.01;
-    // see graft.functions.HashSketch. Output is 13 (band, 5-hash sig)
-    // rows per doc; joins/dedup/sorting stay relational.
+    // see graft.functions.HashSketch. Each band's 5-hash slice is
+    // collapsed to ONE long band key (HashSketch.bandKey — collisions
+    // only add candidates, which exact verification rejects), so the
+    // banded shuffle carries 13 × (long, int, long) rows per doc and
+    // the bucket join is a primitive equi-join; joins/dedup/sorting
+    // stay relational.
     val banded = Tables(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val mins = HashSketch.minhash(HashSketch.shingle3(text),
           MinhashBands * MinhashRows)
         (0 until MinhashBands).iterator.map { b =>
-          (id, b, mins.slice(b * MinhashRows, (b + 1) * MinhashRows).toSeq)
+          (id, b, HashSketch.bandKey(mins, b * MinhashRows, (b + 1) * MinhashRows))
         }
       }
       .toDF("doc_id", "band", "sig")
@@ -129,31 +133,29 @@ object DedupQueries {
     None
   ) { (s, dir) =>
     import s.implicits._
-    // SimHash signature in typed Scala (same rationale as d01):
-    // 8 × 8-bit sub-signatures per doc, then relational banding.
+    // SimHash signature in typed Scala (same rationale as d01) as ONE
+    // packed long per doc; banding and Hamming distance are then pure
+    // codegen'd integer expressions — band b's key is byte b of the
+    // signature, the distance is bit_count(sig_a ^ sig_b). No array
+    // columns, no interpreted higher-order functions anywhere.
     val signed = Tables(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, text) =>
-        (id, graft.functions.HashSketch.simhashSubs(
-          graft.functions.HashSketch.shingle3(text)).toSeq)
+        (id, graft.functions.HashSketch.simhash64(
+          graft.functions.HashSketch.shingle3(text)))
       }
-      .toDF("doc_id", "subs")
-    val bands = (0 until 8).map(b =>
-      struct(lit(b).as("band"), element_at($"subs", b + 1).as("sub")))
+      .toDF("doc_id", "sig")
     val banded = signed
-      .select($"doc_id", $"subs", explode(array(bands: _*)).as("bs"))
-      .select($"doc_id", $"subs", $"bs.band".as("band"), $"bs.sub".as("sub"))
+      .select($"doc_id", $"sig", explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("sub", expr("(sig >> (band * 8)) & 255"))
     val cands = banded.as("a").join(banded.as("b"), Seq("band", "sub"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.subs".as("subs_a"), $"b.subs".as("subs_b"))
+        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
       .select($"doc_a", $"doc_b",
-        aggregate(
-          zip_with($"subs_a", $"subs_b",
-            (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
-          lit(0), (acc, x) => acc + x).as("hamming"))
+        bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
       .where($"hamming" <= 7)
       .orderBy($"doc_a", $"doc_b")
   }

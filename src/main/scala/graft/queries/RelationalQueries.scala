@@ -160,19 +160,21 @@ object RelationalQueries {
   }
 
   /** Full-row distinct — A1 (`TransformTaxiTrips.py:42`):
-    * HashAggregate over all projected columns. */
+    * HashAggregate over all projected columns. The output is
+    * fact-sized, so — unlike every other query here, whose results are
+    * small aggregates — there is deliberately NO global orderBy: at
+    * scale that would be a second full shuffle purely for presentation
+    * (the correctness gate sorts rows itself before comparing). */
   val q06Distinct: GraftQuery = q(
     "q06_distinct",
     "A1 .distinct() dedup as hash aggregate",
     """SELECT DISTINCT l_orderkey, l_suppkey
-      |FROM lineitem
-      |ORDER BY l_orderkey, l_suppkey""".stripMargin
+      |FROM lineitem""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
     Tables(s, dir, "lineitem")
       .select($"l_orderkey", $"l_suppkey")
       .distinct()
-      .orderBy($"l_orderkey", $"l_suppkey")
   }
 
   /** Multiple countDistinct in one aggregate — Catalyst Expand plan

