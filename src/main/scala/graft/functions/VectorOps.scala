@@ -44,4 +44,21 @@ object VectorOps {
     }
     best
   }
+
+  /** The two nearest pivots (by rounded cosine6, ties → lowest index)
+    * — the IVF sub-bucketing cell key: (nearest, second-nearest)
+    * refines B coarse buckets into B·(B−1) cells, identical to ranking
+    * rows 1 and 2 of (round(sim,6) desc, pivot_id asc) in SQL. */
+  def nearest2Pivots(v: Array[Double], pivots: Array[Array[Double]]): (Int, Int) = {
+    var b1 = -1; var s1 = Double.NegativeInfinity
+    var b2 = -1; var s2 = Double.NegativeInfinity
+    var p = 0
+    while (p < pivots.length) {
+      val s = cosine6(v, pivots(p))
+      if (s > s1) { b2 = b1; s2 = s1; b1 = p; s1 = s }
+      else if (s > s2) { b2 = p; s2 = s }
+      p += 1
+    }
+    (b1, b2)
+  }
 }

@@ -161,13 +161,21 @@ object DedupQueries {
   }
 
   /** D3 — embedding-cosine near-dup: each vector's nearest neighbor
-    * within its IVF bucket (pivot assignment as in v04). The standard
-    * "semantic dedup" candidate report: at 100 TB the bucket bounds
-    * the pair space; exact cosine re-ranks inside. Every stage is
-    * deterministic (fixed pivots, rounded similarities, id
-    * tie-breaks), so the DuckDB oracle replicates the whole pipeline
-    * including the bucketing; the spec additionally pins agreement
-    * with brute force on the top pair. */
+    * within its IVF CELL, where the cell key is the (nearest,
+    * second-nearest) pivot pair — the sub-bucketing refinement of the
+    * v04 coarse quantizer. B pivots give B·(B−1) cells, so the
+    * within-cell pair join costs Σ|cell|² ≈ N²/(B·(B−1)) instead of
+    * N²/B — the knob that keeps "semantic dedup" sub-quadratic at
+    * 100 TB (raise B via sampled k-means; cell size ≈ N/B² stays
+    * bounded). Near-identical vectors perturb pivot similarities
+    * negligibly, so true near-dups share BOTH nearest pivots with high
+    * probability — the candidates-only/exact-verify LSH argument.
+    * Vectors alone in their cell report no candidate (correct for a
+    * dedup report). Every stage is deterministic (fixed pivots,
+    * rounded similarities, id tie-breaks), so the DuckDB oracle
+    * replicates the whole pipeline including both cell levels; the
+    * spec additionally bounds every reported sim by the true global
+    * best. */
   val d03EmbeddingNearDup: GraftQuery = q(
     "d03_embedding_near_dup",
     "D3 embedding-cosine near-dup via IVF buckets",
@@ -184,26 +192,30 @@ object DedupQueries {
       |           / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
       |              * sqrt(list_aggregate(list_transform(p.pv, x -> x * x), 'sum'))), 6) AS psim
       |  FROM e CROSS JOIN p),
+      |ranked AS (
+      |  SELECT vec_id, v, pivot_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY psim DESC, pivot_id) AS rn
+      |  FROM scored),
       |assigned AS (
-      |  SELECT vec_id, v, pivot_id AS bucket FROM (
-      |    SELECT vec_id, v, pivot_id,
-      |           row_number() OVER (PARTITION BY vec_id
-      |                              ORDER BY psim DESC, pivot_id) AS rn
-      |    FROM scored) WHERE rn = 1),
+      |  SELECT r1.vec_id, r1.v,
+      |         r1.pivot_id AS cell1, r2.pivot_id AS cell2
+      |  FROM ranked r1 JOIN ranked r2
+      |    ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
       |pairs AS (
       |  SELECT a.vec_id, b.vec_id AS other_id,
       |         round(
       |           list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
       |           / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
       |              * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS sim
-      |  FROM assigned a JOIN assigned b USING (bucket)
+      |  FROM assigned a JOIN assigned b USING (cell1, cell2)
       |  WHERE a.vec_id <> b.vec_id),
       |r AS (
       |  SELECT vec_id, other_id, sim,
       |         row_number() OVER (PARTITION BY vec_id
       |                            ORDER BY sim DESC, other_id) AS rn
       |  FROM pairs)
-      |SELECT vec_id, other_id AS nearest_in_bucket, sim
+      |SELECT vec_id, other_id AS nearest_in_cell, sim
       |FROM r WHERE rn = 1
       |ORDER BY vec_id""".stripMargin)
   ) { (s, dir) =>
@@ -217,12 +229,14 @@ object DedupQueries {
     // what a sampled-k-means coarse quantizer does at scale
     val pivotArr = e.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
     val bc = s.sparkContext.broadcast(pivotArr)
-    // assignment: one narrow JIT'd map, no shuffle
+    // two-level cell assignment: one narrow JIT'd map, no shuffle
     val assigned = e.map { case (id, v) =>
-      (id, VectorOps.nearestPivot(v, bc.value), v)
-    }.toDF("vec_id", "bucket", "v")
-    // within-bucket pairs: relational equi-join on bucket, typed cosine
-    val pairs = assigned.as("a").join(assigned.as("b"), "bucket")
+      val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
+      (id, b1, b2, v)
+    }.toDF("vec_id", "cell1", "cell2", "v")
+    // within-cell pairs: relational equi-join on BOTH cell levels,
+    // typed cosine re-rank
+    val pairs = assigned.as("a").join(assigned.as("b"), Seq("cell1", "cell2"))
       .where($"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id", $"b.vec_id".as("other_id"), $"a.v", $"b.v".as("ov"))
       .as[(Long, Long, Array[Double], Array[Double])]
@@ -231,7 +245,7 @@ object DedupQueries {
     val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"other_id")
     pairs.withColumn("rn", row_number().over(w))
       .where($"rn" === 1)
-      .select($"vec_id", $"other_id".as("nearest_in_bucket"), $"sim")
+      .select($"vec_id", $"other_id".as("nearest_in_cell"), $"sim")
       .orderBy($"vec_id")
   }
 

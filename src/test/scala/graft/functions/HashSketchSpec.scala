@@ -45,4 +45,23 @@ class HashSketchSpec extends AnyFunSuite {
     assert(HashSketch.hamming(Seq(0xff, 0x00), Seq(0x00, 0x00)) === 8)
     assert(HashSketch.hamming(Seq(0x0f, 0x01), Seq(0x0f, 0x00)) === 1)
   }
+
+  test("simhash64 packs exactly the simhashSubs bytes (band extraction identity)") {
+    for (text <- Seq("a b c d e f g", "data query the table join scan",
+        "x y z", "one two three four five six seven eight nine ten")) {
+      val sh = HashSketch.shingle3(text)
+      val sig = HashSketch.simhash64(sh)
+      val subs = HashSketch.simhashSubs(sh)
+      for (b <- 0 until 8)
+        assert(((sig >>> (b * 8)) & 0xffL).toInt === subs(b),
+          s"byte $b of simhash64 must equal simhashSubs($b) for '$text'")
+    }
+  }
+
+  test("bandKey: equal slices collide, differing slices (almost surely) don't") {
+    val m1 = Array(1L, 2L, 3L, 4L, 5L, 99L)
+    val m2 = Array(1L, 2L, 3L, 4L, 5L, 42L)
+    assert(HashSketch.bandKey(m1, 0, 5) === HashSketch.bandKey(m2, 0, 5))
+    assert(HashSketch.bandKey(m1, 1, 6) !== HashSketch.bandKey(m2, 1, 6))
+  }
 }

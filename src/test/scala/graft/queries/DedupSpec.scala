@@ -49,16 +49,35 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, f"SimHash recall $recall%.2f < 0.8")
   }
 
-  test("d03 embedding near-dup agrees with brute force within probed buckets") {
+  test("d03 embedding near-dup: cell-bounded candidates, sims bounded by brute force") {
     val got = QueryRegistry.asMap("d03_embedding_near_dup")(spark, sf)
-    assert(got.count() === 500, "one nearest-in-bucket row per vector")
-    // spot-check: reported sim can never exceed the true global max
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("sim"))).toMap
+    // two-level cells leave singleton-cell vectors without a candidate
+    // — a dedup report, not a per-vector NN — but must still cover a
+    // meaningful share of the corpus
+    assert(got.nonEmpty && got.size <= 500)
+    info(s"d03 reports candidates for ${got.size}/500 vectors")
+    // every reported sim is bounded by that vector's TRUE best
+    // neighbor (exact all-pairs at test scale)
     val e = Tables(spark, sf, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val v0 = got.where($"vec_id" === 0).head()
-    val trueBest = e.where($"vec_id" === 0).crossJoin(
-      e.select($"vec_id".as("o"), $"v".as("ov"))).where($"o" =!= 0)
-      .select(max(VectorQueries.cosine6($"v", $"ov"))).head().getDouble(0)
-    assert(v0.getAs[Double]("sim") <= trueBest + 1e-9)
+    val trueBest = e.crossJoin(e.select($"vec_id".as("o"), $"v".as("ov")))
+      .where($"vec_id" =!= $"o")
+      .groupBy($"vec_id")
+      .agg(max(VectorQueries.cosine6($"v", $"ov")).as("best"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, sim) =>
+      assert(sim <= trueBest(id) + 1e-9,
+        s"vec $id reported sim $sim above true best ${trueBest(id)}")
+    }
+    // near-identical pairs (the dedup targets) survive sub-bucketing:
+    // vectors whose true best is >= 0.99 must overwhelmingly report a
+    // candidate
+    val mustFind = trueBest.filter(_._2 >= 0.99).keySet
+    val found = mustFind.count(got.contains)
+    info(s"near-identical coverage: $found/${mustFind.size}")
+    if (mustFind.nonEmpty)
+      assert(found.toDouble / mustFind.size >= 0.8,
+        "sub-bucketing lost too many near-identical duplicates")
   }
 }
