@@ -97,5 +97,51 @@ object MultimodalQueries {
       |ORDER BY mediaId""".stripMargin),
     "multimodal: deterministic frame sampling (1:N batch fan-out)")
 
-  val all: Seq[GraftQuery] = Seq(m01BinaryFeatures, m02FrameSample)
+  /** m03 — resize plumbing under the correctness gate: every payload
+    * truncated-or-padded to a fixed byte budget with metadata updated,
+    * then verified per kind by row count, exact output size, and a
+    * byte-value checksum. Truncation keeps the first `target` bytes
+    * and zero-pads short payloads, so over ASCII text the checksum is
+    * the character-code sum of the first `target` chars — exactly
+    * computable in the oracle. */
+  val m03Resize: GraftQuery = GraftQuery(
+    "m03_resize_checksum",
+    (s, dir) => {
+      import s.implicits._
+      val target = 128
+      val media = Multimodal.asMedia(
+        Tables(s, dir, "documents").select(
+          $"doc_id".as("mediaId"),
+          $"lang".as("kind"),
+          lit("utf8").as("format"),
+          $"text".cast("binary").as("payload")),
+        nPartitions = 8)
+      Multimodal.resizeTo(media, target, targetW = 16, targetH = 8)
+        .map { r =>
+          var sum = 0L
+          r.payload.foreach(b => sum += (b & 0xff))
+          (r.mediaId, r.meta.kind, r.payload.length, sum)
+        }
+        .toDF("mediaId", "kind", "bytes", "checksum")
+        .groupBy($"kind")
+        .agg(
+          count(lit(1)).as("media"),
+          max($"bytes").as("max_bytes"),
+          min($"bytes").as("min_bytes"),
+          sum($"checksum").as("byte_sum"))
+        .orderBy($"kind")
+    },
+    Some("""SELECT lang                                        AS kind,
+      |       count(*)                                    AS media,
+      |       128                                         AS max_bytes,
+      |       128                                         AS min_bytes,
+      |       CAST(sum(list_aggregate(list_transform(
+      |              range(1, least(length(text), 128) + 1),
+      |              i -> ascii(text[i])), 'sum')) AS BIGINT) AS byte_sum
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY kind""".stripMargin),
+    "multimodal: resize (truncate-or-pad) + metadata propagation")
+
+  val all: Seq[GraftQuery] = Seq(m01BinaryFeatures, m02FrameSample, m03Resize)
 }
