@@ -17,24 +17,30 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * with full codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.arrayDotProduct)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val arrayDotProduct: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
-    FunctionIdentifier("array_dot_product"),
-    new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot_product"),
+  private def binary(name: String, cls: Class[_],
+      build: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
     (children: Seq[Expression]) => {
       require(children.length == 2,
-        s"array_dot_product expects 2 arguments, got ${children.length}")
-      ArrayDotProduct(children.head, children(1))
+        s"$name expects 2 arguments, got ${children.length}")
+      build(children.head, children(1))
     })
+
+  private val functions = Seq(
+    binary("array_dot_product", classOf[ArrayDotProduct], ArrayDotProduct.apply),
+    binary("array_cosine", classOf[ArrayCosine], ArrayCosine.apply))
 
   /** Programmatic registration into an already-built session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      arrayDotProduct._1.funcName, arrayDotProduct._3, "built-in")
+    functions.foreach { f =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        f._1.funcName, f._3, "built-in")
+    }
 }

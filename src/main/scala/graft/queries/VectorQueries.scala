@@ -45,9 +45,12 @@ object VectorQueries {
   /** Double-precision L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, rounded for cross-engine determinism. */
+  /** Cosine similarity, rounded for cross-engine determinism. The
+    * FUSED one-pass expression ([[graft.plans.ArrayCosine]]) replaces
+    * the 3-traversal dot/norm/norm composition; its fold order and
+    * final arithmetic are identical, so oracle hashes are unchanged. */
   def cosine6(a: Column, b: Column): Column =
-    round(dot(a, b) / (l2norm(a) * l2norm(b)), 6)
+    round(graft.plans.ArrayCosine.fastCosine(a, b), 6)
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -37,6 +37,34 @@ class ArrayDotProductSpec extends SparkSpec {
       "SELECT array_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .as[Double].head()
     assert(r === 11.0)
+    val c = spark.sql(
+      "SELECT array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .as[Double].head()
+    assert(c === 1.0)
+  }
+
+  test("fused cosine == composed dot/norm/norm bit-for-bit on real embeddings") {
+    val e = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pair = e.as("a").crossJoin(e.as("b"))
+      .where($"a.vec_id" < 50 && $"b.vec_id" < 50)
+    val composed = ArrayDotProduct.fastDot($"a.v", $"b.v") /
+      (sqrt(ArrayDotProduct.fastDot($"a.v", $"a.v")) *
+        sqrt(ArrayDotProduct.fastDot($"b.v", $"b.v")))
+    val diff = pair.select(
+      ArrayCosine.fastCosine($"a.v", $"b.v").as("fused"),
+      composed.as("composed"))
+      .where(!($"fused" <=> $"composed"))
+    assert(diff.count() === 0)
+  }
+
+  test("fused cosine participates in codegen") {
+    val e = Tables(spark, sf, "embeddings")
+      .select($"embedding".cast("array<double>").as("v"))
+    val plan = e.select(ArrayCosine.fastCosine($"v", $"v").as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [array_cosine"),
+      s"fused cosine projection must stay inside a codegen stage:\n$plan")
   }
 
   test("expression participates in codegen (no CodegenFallback)") {
