@@ -537,10 +537,67 @@ object RelationalQueries {
       .orderBy($"g_status", $"g_priority", $"status", $"priority")
   }
 
+  /** AS-OF join — the temporal operator Spark has no native join type
+    * for (SURVEY.md §7.2 custom-op preference (a): COMPOSE existing
+    * ops when semantics allow): for each click event, the user's most
+    * recent error event at-or-before the click's timestamp.
+    *
+    * Implementation is the scalable union+window formulation: tag both
+    * sides, union, ONE shuffle on (user_id), per-user time-ordered
+    * window carrying the last non-null dim payload forward
+    * (`last(..., ignoreNulls=true)` over rows UNBOUNDED PRECEDING..
+    * CURRENT). Dim rows sort before fact rows at equal timestamps, so
+    * the match is inclusive (ts_dim <= ts_fact) — exactly DuckDB's
+    * ASOF LEFT JOIN, which the oracle uses natively. At 100 TB this
+    * shape beats a range-join: no candidate-interval explosion, state
+    * is one row per partition during the window scan, and skewed users
+    * are bounded by per-user event counts. */
+  val q19AsofJoin: GraftQuery = q(
+    "q19_asof_join",
+    "as-of temporal join via union + time-ordered window (one shuffle)",
+    """WITH f AS (
+      |  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+      |d AS (
+      |  SELECT ts AS dts, user_id, event_id AS asof_event, value AS asof_value
+      |  FROM events WHERE event_type = 'error')
+      |SELECT f.event_id, f.user_id, d.asof_event,
+      |       round(d.asof_value, 2)                        AS asof_value,
+      |       CAST(epoch_us(f.ts) - epoch_us(d.dts) AS BIGINT) AS us_since
+      |FROM f ASOF LEFT JOIN d
+      |  ON f.user_id = d.user_id AND f.ts >= d.dts
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val fact = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id",
+        lit(null).cast("long").as("devent"),
+        lit(null).cast("double").as("dvalue"),
+        lit(null).cast("timestamp").as("dts"),
+        lit(0).as("isdim"))
+    val dim = ev.where($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id",
+        $"event_id".as("devent"), $"value".as("dvalue"),
+        $"ts".as("dts"), lit(1).as("isdim"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"isdim".desc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fact.union(dim)
+      .select($"user_id", $"ts", $"event_id", $"isdim",
+        last($"devent", ignoreNulls = true).over(w).as("asof_event"),
+        last($"dvalue", ignoreNulls = true).over(w).as("av"),
+        last($"dts", ignoreNulls = true).over(w).as("adts"))
+      .where($"isdim" === 0)
+      .select($"event_id", $"user_id", $"asof_event",
+        round($"av", 2).as("asof_value"),
+        (unix_micros($"ts") - unix_micros($"adts")).as("us_since"))
+      .orderBy($"event_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
     q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
-    q17FromJsonFlatten, q18Rollup)
+    q17FromJsonFlatten, q18Rollup, q19AsofJoin)
 }
