@@ -156,6 +156,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks matched to recent errors, state bounded by watermarks") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val errors = MemoryStream[(String, java.sql.Timestamp, Double)]
+    // both sides watermarked — REQUIRED for Spark to bound join state:
+    // an error row is dropped from state once no future click can
+    // reach back to it through the interval condition
+    val c = clicks.toDS().toDF("user", "cts").withWatermark("cts", "10 minutes")
+    val e = errors.toDS().toDF("euser", "ets", "sev")
+      .withWatermark("ets", "10 minutes")
+    val joined = c.join(e,
+      $"user" === $"euser" &&
+        $"ets" >= $"cts" - expr("INTERVAL 10 MINUTES") && $"ets" <= $"cts")
+      .select($"user", $"cts", $"ets", $"sev")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m")
+    try {
+      errors.addData(("u1", ts("10:00:00"), 3.0), ("u2", ts("10:01:00"), 1.0))
+      clicks.addData(
+        ("u1", ts("10:05:00")), // within 10 min of u1's error → match
+        ("u1", ts("10:20:00")), // error too old → no match
+        ("u3", ts("10:06:00"))) // no error for u3 → no match
+      q.processAllAvailable()
+      val out = spark.table("ss_join").collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[String]("user") === "u1")
+      assert(out.head.getAs[java.sql.Timestamp]("ets") === ts("10:00:00"))
+      assert(out.head.getAs[Double]("sev") === 3.0)
+      // a second batch can still match fresh pairs
+      errors.addData(("u2", ts("10:25:00"), 7.0))
+      clicks.addData(("u2", ts("10:30:00")))
+      q.processAllAvailable()
+      val out2 = spark.table("ss_join").collect()
+      assert(out2.length === 2)
+      assert(out2.exists(r => r.getAs[String]("user") == "u2"
+        && r.getAs[Double]("sev") == 7.0))
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark collapses replays") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[String]
