@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators (SURVEY.md §2.9 D5) over the `documents`
@@ -330,7 +331,40 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** D5 — vocabulary building: corpus-wide token frequencies, top 25
+    * by (count desc, token asc). The canonical wordcount shape a
+    * tokenizer-training pass runs at 100 TB: explode is a narrow
+    * per-row flatMap, the groupBy gets map-side partial aggregation
+    * (high-cardinality token keys — no skew funnel), and only the
+    * bounded top-k crosses the final single-partition boundary via
+    * Catalyst's rank-limit pushdown (TakeOrderedAndProject). */
+  val t09VocabTopK: GraftQuery = q(
+    "t09_vocab_topk",
+    "D5 vocabulary build: corpus token frequencies, bounded top-k",
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |f AS (
+      |  SELECT token, count(*) AS freq FROM tok GROUP BY token)
+      |SELECT token, freq,
+      |       row_number() OVER (ORDER BY freq DESC, token) AS rnk
+      |FROM f
+      |ORDER BY rnk
+      |LIMIT 25""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(25)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"freq".desc, $"token")))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
-    t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles)
+    t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
+    t09VocabTopK)
 }
