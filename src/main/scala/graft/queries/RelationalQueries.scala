@@ -594,10 +594,79 @@ object RelationalQueries {
       .orderBy($"event_id")
   }
 
+  /** Set operations — INTERSECT/EXCEPT (SURVEY §2.5: absent from the
+    * reference, required for a complete relational surface). Both
+    * compile to the same machinery as joins: INTERSECT → left-semi
+    * over distinct, EXCEPT → left-anti over distinct — one shuffle
+    * each on the compared columns, no new physical operator to
+    * design. Suppliers serving urgent orders vs those serving only
+    * non-urgent ones. */
+  val q20SetOps: GraftQuery = q(
+    "q20_set_ops",
+    "INTERSECT/EXCEPT as semi/anti over distinct (one shuffle each)",
+    """WITH urgent AS (
+      |  SELECT DISTINCT l.l_suppkey FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderpriority = '1-URGENT'),
+      |high AS (
+      |  SELECT DISTINCT l.l_suppkey FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderpriority = '2-HIGH')
+      |SELECT 'both' AS grp, count(*) AS suppliers
+      |FROM (SELECT l_suppkey FROM urgent INTERSECT SELECT l_suppkey FROM high)
+      |UNION ALL
+      |SELECT 'urgent_only' AS grp, count(*) AS suppliers
+      |FROM (SELECT l_suppkey FROM urgent EXCEPT SELECT l_suppkey FROM high)
+      |ORDER BY grp""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+    val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+    def supps(prio: String) = li
+      .join(ord.where($"o_orderpriority" === prio),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey").distinct()
+    val urgent = supps("1-URGENT")
+    val high = supps("2-HIGH")
+    urgent.intersect(high).agg(count(lit(1)).as("suppliers"))
+      .select(lit("both").as("grp"), $"suppliers")
+      .unionAll(
+        urgent.except(high).agg(count(lit(1)).as("suppliers"))
+          .select(lit("urgent_only").as("grp"), $"suppliers"))
+      .orderBy($"grp")
+  }
+
+  /** Pivot — groupBy().pivot() with a FIXED column list (SURVEY §2.4:
+    * absent from the reference; a dashboard staple). The pinned pivot
+    * values keep the plan a single pass (no extra distinct-values job)
+    * and make the output schema static — both required at scale. */
+  val q21Pivot: GraftQuery = q(
+    "q21_pivot",
+    "pivot with pinned value list (single-pass, static schema)",
+    """SELECT user_id % 10                                        AS cohort,
+      |       count(*) FILTER (WHERE event_type = 'click')    AS click,
+      |       count(*) FILTER (WHERE event_type = 'error')    AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view')     AS view
+      |FROM events
+      |GROUP BY cohort
+      |ORDER BY cohort""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select(($"user_id" % 10).as("cohort"), $"event_type")
+      .groupBy($"cohort")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"cohort")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
     q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
-    q17FromJsonFlatten, q18Rollup, q19AsofJoin)
+    q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot)
 }
