@@ -72,5 +72,46 @@ object CurationQueries {
       |ORDER BY lang, split""".stripMargin),
     "north-star composition: quality gates + deterministic hash split")
 
-  val all: Seq[GraftQuery] = Seq(c01CorpusCuration)
+  /** c02 — deterministic stratified sampling: exactly k docs per
+    * stratum (lang), chosen by salted-md5 hash order with a doc_id
+    * tie-break. Unlike `df.sample`/TABLESAMPLE, the selection is a
+    * pure function of the data — reproducible across runs, engines,
+    * task retries, and partitionings (rand()-based sampling is none
+    * of these). Plan: one shuffle on the stratum key, per-stratum
+    * rank, bounded output; Catalyst's WindowGroupLimit prunes
+    * per-partition before the exchange. At 100 TB swap the window for
+    * the bounded-heap TopK aggregator (same contract, O(k) state). */
+  val c02StratifiedSample: GraftQuery = GraftQuery(
+    "c02_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val k = 20
+      val h = conv(
+        substring(md5(concat($"doc_id".cast("string"), lit(":sample"))
+          .cast("binary")), 1, 15), 16, 10).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy(h.asc, $"doc_id".asc)
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+        .withColumn("rnk", row_number().over(w))
+        .where($"rnk" <= k)
+        .select($"lang", $"rnk", $"doc_id", $"n_chars")
+        .orderBy($"lang", $"rnk")
+    },
+    Some("""WITH h AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15)
+      |              AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+      |  FROM h)
+      |SELECT lang, rnk, CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(n_chars AS BIGINT) AS n_chars
+      |FROM r WHERE rnk <= 20
+      |ORDER BY lang, rnk""".stripMargin),
+    "north-star: deterministic stratified sampling (exact per-stratum quotas)")
+
+  val all: Seq[GraftQuery] = Seq(c01CorpusCuration, c02StratifiedSample)
 }
