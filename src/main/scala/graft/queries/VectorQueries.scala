@@ -135,12 +135,17 @@ object VectorQueries {
       .orderBy($"label")
   }
 
-  /** D4 — all-pairs similarity between per-label CENTROIDS (explode →
-    * per-dimension re-agg → 5×5 pairs). Exercises posexplode +
-    * array re-assembly; the pairwise stage runs over only L centroids
-    * so it stays driver-trivial at any corpus size. Centroid dims are
-    * rounded to 8 before the pairwise cosine so both engines rank the
-    * same values. */
+  /** D4 — all-pairs similarity between per-label CENTROIDS. Centroids
+    * come from the elementwise [[graft.operators.VectorAgg]] mean
+    * Aggregator — O(dim) state per group, map-side partial sums, ONE
+    * partial vector shuffled per group per partition. (The posexplode
+    * → per-dimension re-agg formulation multiplies shuffle volume by
+    * the dimensionality — 64× — and needs a second aggregate to
+    * reassemble arrays; the equivalence spec keeps both forms equal.)
+    * The pairwise stage runs over only L centroids so it stays
+    * driver-trivial at any corpus size. Centroid dims are rounded to
+    * 8 before the pairwise cosine so both engines rank the same
+    * values. */
   val v03CentroidSim: GraftQuery = q(
     "v03_centroid_similarity",
     "D4 label centroids via explode + re-agg; pairwise centroid cosine",
@@ -164,13 +169,10 @@ object VectorQueries {
       |ORDER BY label_a, label_b""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
-    val c = emb(s, dir)
-      .select($"label", posexplode($"v").as(Seq("pos", "val")))
-      .groupBy($"label", $"pos")
-      .agg(round(avg($"val"), 8).as("cval"))
-    val v = c.groupBy($"label")
-      .agg(array_sort(collect_list(struct($"pos", $"cval"))).as("pairs"))
-      .select($"label", transform($"pairs", p => p("cval")).as("cv"))
+    val v = emb(s, dir)
+      .groupBy($"label")
+      .agg(graft.operators.VectorAgg.vectorMean($"v").as("mv"))
+      .select($"label", transform($"mv", x => round(x, 8)).as("cv"))
     val a = v.select($"label".as("label_a"), $"cv".as("cv_a"))
     val b = v.select($"label".as("label_b"), $"cv".as("cv_b"))
     a.join(b, $"label_a" < $"label_b")

@@ -136,6 +136,26 @@ class SkewAndStateSpec extends SparkSpec {
     }
   }
 
+  test("VectorAgg.vectorMean equals the posexplode centroid formulation at round-8") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"label", $"embedding".cast("array<double>").as("v"))
+    val viaAgg = e.groupBy($"label")
+      .agg(VectorAgg.vectorMean($"v").as("mv"))
+      .select($"label", transform($"mv", x => round(x, 8)).as("cv"))
+      .orderBy($"label")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val viaExplode = e
+      .select($"label", posexplode($"v").as(Seq("pos", "val")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"val"), 8).as("cval"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"cval"))).as("pairs"))
+      .select($"label", transform($"pairs", p => p("cval")).as("cv"))
+      .orderBy($"label")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(viaAgg.toSeq === viaExplode.toSeq)
+  }
+
   test("flatMapGroupsWithState maintains per-taxi session state across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TripEvent]
