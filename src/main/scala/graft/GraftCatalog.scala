@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface entry point (reference requirement 4,
+  * `/root/reference/README.md:12`: everything queryable from a
+  * dashboard tool). Registers every testdata table as a temp view and
+  * the engine's native SQL functions, so a JDBC/Thrift dashboard — or
+  * plain `spark.sql` — can query the full surface without touching the
+  * DataFrame API:
+  *
+  * {{{
+  * GraftCatalog.registerAll(spark, "/root/testdata/sf0.01")
+  * spark.sql("SELECT array_cosine(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * Views are lazy logical plans over the parquet scans — registering
+  * costs nothing until queried, and Catalyst prunes/pushes down
+  * through them exactly as through the DataFrame reads.
+  */
+object GraftCatalog {
+
+  /** Register all testdata tables as temp views + native functions. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    Tables.names.foreach { name =>
+      Tables(spark, sfDir, name).createOrReplaceTempView(name)
+    }
+    plans.GraftExtensions.register(spark)
+  }
+}

@@ -26,6 +26,29 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("GraftCatalog: full surface reachable through plain spark.sql") {
+    graft.GraftCatalog.registerAll(spark, sf)
+    // a relational query over the views
+    val top = spark.sql("""
+      SELECT n_name, count(*) AS customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY customers DESC, n_name LIMIT 3""").collect()
+    assert(top.length === 3 && top.head.getLong(1) > 0)
+    // the native expressions, via SQL, over a registered view
+    val sim = spark.sql("""
+      SELECT round(array_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS s
+      FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1""")
+      .head().getDouble(0)
+    assert(sim >= -1.0 && sim <= 1.0)
+    // pushdown survives the view boundary
+    val plan = spark.sql(
+      "SELECT l_orderkey FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-01-01'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("l_shipdate"),
+      s"filter must push through the temp view to the scan:\n$plan")
+  }
+
   test("bloom filter is injected on the probe side of a selective shuffle join") {
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
