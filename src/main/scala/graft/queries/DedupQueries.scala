@@ -99,20 +99,26 @@ object DedupQueries {
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verify on candidate pairs only: sorted-hash-set Jaccard in
-    // a typed map (two-pointer merge; set-equal to string-set Jaccard
-    // modulo 64-bit hash collisions)
-    val hashSets = Tables(s, dir, "documents")
+    // exact verify on candidate pairs only, via primitive counting
+    // joins (same rule as the banding: no boxed array columns in any
+    // shuffle): |A∩B| = matched (doc, hash) rows once the pair is
+    // joined to both docs' exploded shingle-hash sets; Jaccard =
+    // inter / (|A| + |B| − inter). Set-equal to string-set Jaccard
+    // modulo 64-bit collisions.
+    val hashes = Tables(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, t) => (id, HashSketch.hashSet(HashSketch.shingle3(t)).toSeq) }
-      .toDF("doc_id", "hsh")
+      .flatMap { case (id, t) =>
+        HashSketch.hashSet(HashSketch.shingle3(t)).iterator.map(h => (id, h)) }
+      .toDF("doc_id", "h")
+    val sizes = hashes.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     candidates
-      .join(hashSets.select($"doc_id".as("doc_a"), $"hsh".as("ha")), "doc_a")
-      .join(hashSets.select($"doc_id".as("doc_b"), $"hsh".as("hb")), "doc_b")
-      .select($"doc_a", $"doc_b", $"ha", $"hb")
-      .as[(Long, Long, Seq[Long], Seq[Long])]
-      .map { case (a, b, ha, hb) => (a, b, HashSketch.jaccardSorted(ha, hb)) }
-      .toDF("doc_a", "doc_b", "j")
+      .join(hashes.select($"doc_id".as("doc_a"), $"h"), "doc_a")
+      .join(hashes.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("j"))
       .where($"j" >= 0.6)
       .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
