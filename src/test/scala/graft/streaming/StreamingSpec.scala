@@ -156,6 +156,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful aggregation state survives checkpoint restart (T4+T5)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def rolled = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"v")
+    val d = tmpDir("stateful_restart")
+    def start() = rolled.writeStream.format("parquet")
+      .option("path", s"$d/sink").option("checkpointLocation", s"$d/ckpt")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // phase 1: two rows land in the 10:00 window; the window is still
+    // open when the query stops — its partial aggregate exists ONLY in
+    // the checkpointed state store
+    val q1 = start()
+    try {
+      mem.addData((ts("2024-05-01 10:02:00"), "a", 1.0),
+        (ts("2024-05-01 10:07:00"), "a", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!new java.io.File(s"$d/sink").exists ||
+      spark.read.parquet(s"$d/sink").count() === 0)
+    // phase 2: restart from the checkpoint; a third row joins the SAME
+    // window (recovered state), then a late-clock row closes it
+    val q2 = start()
+    try {
+      mem.addData((ts("2024-05-01 10:10:00"), "a", 4.0))
+      q2.processAllAvailable()
+      mem.addData((ts("2024-05-01 12:00:00"), "b", 9.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(s"$d/sink").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n") === 3L,
+      "pre-restart rows must be recovered from checkpointed state")
+    assert(out.head.getAs[Double]("v") === 7.0)
+  }
+
   test("stream-stream interval join: clicks matched to recent errors, state bounded by watermarks") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[(String, java.sql.Timestamp)]
