@@ -663,10 +663,65 @@ object RelationalQueries {
       .orderBy($"cohort")
   }
 
+  /** Batch sessionization — gap-based session assignment (the
+    * log-processing primitive behind per-user behavior analytics and
+    * training-data conversation splitting): a new session starts when
+    * the gap to the previous event exceeds 30 minutes; session ids are
+    * the running sum of session-start flags. Two window passes over
+    * ONE partitioning (user_id, time-ordered) — a single shuffle, no
+    * self-join; integer microsecond math keeps the gap comparison
+    * engine-exact. The streaming analog is `TaxiSessionTracker` /
+    * session_window; this is the batch backfill path. */
+  val q22Sessionize: GraftQuery = q(
+    "q22_sessionize",
+    "gap-based sessionization: lag + running sum, one shuffle",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x),
+      |g AS (
+      |  SELECT user_id, sid, count(*) AS events FROM s GROUP BY user_id, sid)
+      |SELECT user_id,
+      |       count(*)                    AS sessions,
+      |       CAST(max(events) AS BIGINT) AS max_session_events,
+      |       CAST(sum(events) AS BIGINT) AS events
+      |FROM g
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("new_s",
+        when(lag($"ts", 1).over(w).isNull ||
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) > 1800000000L,
+          1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(wRun))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("events"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("sessions"),
+        max($"events").as("max_session_events"),
+        sum($"events").as("events"))
+      .orderBy($"user_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
     q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
-    q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot)
+    q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
+    q22Sessionize)
 }
