@@ -717,11 +717,58 @@ object RelationalQueries {
       .orderBy($"user_id")
   }
 
+  /** Time-bucket gap filling — the dashboard/time-series staple the
+    * windowed rollups (q10/q12) leave out: buckets with no events must
+    * appear as zeros. The dense bucket axis comes from ONE
+    * `sequence()` spanning min..max event time, exploded and
+    * broadcast-joined (the axis is tiny — bounded by time range /
+    * bucket width, not by data size) against the per-bucket aggregate;
+    * error events per 6-hour bucket here. No driver-side loop, no
+    * cross join against the fact table. */
+  val q23GapFill: GraftQuery = q(
+    "q23_gap_fill",
+    "dense time axis via sequence+explode, zero-filled bucket rollup",
+    """WITH b AS (
+      |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+      |           + INTERVAL 1 SECOND * CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket,
+      |         count(*) AS n
+      |  FROM events WHERE event_type = 'error' GROUP BY bucket),
+      |bounds AS (
+      |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+      |           + INTERVAL 1 SECOND * CAST(floor(epoch(min(ts)) / 21600) * 21600 AS BIGINT) AS lo,
+      |         TIMESTAMP '1970-01-01 00:00:00'
+      |           + INTERVAL 1 SECOND * CAST(floor(epoch(max(ts)) / 21600) * 21600 AS BIGINT) AS hi
+      |  FROM events),
+      |axis AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket
+      |  FROM bounds)
+      |SELECT axis.bucket, CAST(coalesce(b.n, 0) AS BIGINT) AS errors
+      |FROM axis LEFT JOIN b USING (bucket)
+      |ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    def bucketOf(c: Column): Column =
+      timestamp_seconds(floor(unix_timestamp(c) / 21600L) * 21600L)
+    val counts = ev.where($"event_type" === "error")
+      .groupBy(bucketOf($"ts").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // dense axis: one row in, (range/width) rows out — size bounded by
+    // the TIME RANGE, independent of event count
+    val axis = ev.agg(
+        bucketOf(min($"ts")).as("lo"), bucketOf(max($"ts")).as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("INTERVAL 6 HOURS"))).as("bucket"))
+    axis.join(counts, Seq("bucket"), "left")
+      .select($"bucket", coalesce($"n", lit(0L)).as("errors"))
+      .orderBy($"bucket")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
     q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
-    q22Sessionize)
+    q22Sessionize, q23GapFill)
 }
