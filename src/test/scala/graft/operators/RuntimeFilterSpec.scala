@@ -49,6 +49,31 @@ class RuntimeFilterSpec extends SparkSpec {
       s"filter must push through the temp view to the scan:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // thresholds low enough that the hot key's partition counts as
+      // skewed at test scale
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB") {
+      // pathological skew: 200k of 210k rows share one key
+      val fact = spark.range(200000).select(lit(1L).as("k"), $"id")
+        .union(spark.range(10000).select(($"id" % 97 + 2).as("k"), $"id"))
+      val dim = spark.range(100).select($"id".as("k"),
+        concat(lit("dim_"), $"id").as("name"))
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS df's QueryExecution, so AQE's final
+      // plan is observable on it (count() would plan separately)
+      assert(joined.collect().length === 210000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n$finalPlan")
+    }
+  }
+
   test("bloom filter is injected on the probe side of a selective shuffle join") {
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
