@@ -28,27 +28,14 @@ object VectorOps {
     BigDecimal(cosine(a, b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble
 
-  /** Index of the max-cosine pivot. Compares the ROUNDED cosine6 (the
-    * engine's cross-engine-deterministic similarity) with first-wins
-    * ties → lowest index — identical to ranking by
-    * (round(sim,6) desc, pivot_id asc), so a SQL oracle can replicate
-    * the assignment exactly. */
-  def nearestPivot(v: Array[Double], pivots: Array[Array[Double]]): Int = {
-    var best = 0
-    var bestSim = Double.NegativeInfinity
-    var p = 0
-    while (p < pivots.length) {
-      val s = cosine6(v, pivots(p))
-      if (s > bestSim) { bestSim = s; best = p }
-      p += 1
-    }
-    best
-  }
-
-  /** The two nearest pivots (by rounded cosine6, ties → lowest index)
-    * — the IVF sub-bucketing cell key: (nearest, second-nearest)
-    * refines B coarse buckets into B·(B−1) cells, identical to ranking
-    * rows 1 and 2 of (round(sim,6) desc, pivot_id asc) in SQL. */
+  /** The two nearest pivots (by ROUNDED cosine6 — the engine's
+    * cross-engine-deterministic similarity — with first-wins ties →
+    * lowest index): the IVF sub-bucketing cell key. (nearest,
+    * second-nearest) refines B coarse buckets into B·(B−1) cells,
+    * identical to ranking rows 1 and 2 of
+    * (round(sim,6) desc, pivot_id asc) in SQL, so a SQL oracle can
+    * replicate the assignment exactly; `._1` alone is the single-level
+    * coarse assignment. */
   def nearest2Pivots(v: Array[Double], pivots: Array[Array[Double]]): (Int, Int) = {
     var b1 = -1; var s1 = Double.NegativeInfinity
     var b2 = -1; var s2 = Double.NegativeInfinity

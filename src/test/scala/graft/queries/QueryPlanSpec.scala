@@ -67,6 +67,18 @@ class QueryPlanSpec extends SparkSpec {
     assert(recall >= 0.4, f"IVF recall $recall%.2f < 0.4")
   }
 
+  test("q19/q22: one hash shuffle each (the union+window / lag+cumsum claim)") {
+    // both queries claim "a single shuffle on the key"; the only other
+    // exchange allowed is the final presentation orderBy (range
+    // partitioning), which the gate would tolerate dropping
+    for (name <- Seq("q19_asof_join", "q22_sessionize")) {
+      val p = plan(name)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges === 1,
+        s"$name must shuffle exactly once on its key, found $hashExchanges:\n$p")
+    }
+  }
+
   test("q11 two-phase top-k: both window passes present, salted first") {
     val p = plan("q11_topk_per_group")
     // two Window operators: (n_name, pid) then (n_name)
