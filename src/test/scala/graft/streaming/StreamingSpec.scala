@@ -236,6 +236,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window: gap-merged sessions emit when the watermark closes them") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sessions = mem.toDF().toDF("ts", "user", "amount")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user")
+      .agg(count(lit(1)).as("events"), sum($"amount").as("total"))
+      .select($"session_window.start".as("ss"), $"user", $"events", $"total")
+    val q = sessions.writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // three events within 30-min gaps merge into ONE session even
+      // though they span 40 minutes of wall clock
+      mem.addData((ts("2024-06-01 09:00:00"), "u1", 1.0),
+        (ts("2024-06-01 09:20:00"), "u1", 2.0),
+        (ts("2024-06-01 09:40:00"), "u1", 4.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_win").count() === 0, "session still open")
+      // an event far ahead closes u1's session via the watermark
+      mem.addData((ts("2024-06-01 13:00:00"), "u2", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_win").collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[String]("user") === "u1")
+      assert(out.head.getAs[Long]("events") === 3L)
+      assert(out.head.getAs[Double]("total") === 7.0)
+      assert(out.head.getAs[java.sql.Timestamp]("ss") === ts("2024-06-01 09:00:00"))
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark collapses replays") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[String]
