@@ -2,13 +2,16 @@
 """Local replica of the driver's correctness gate: read Verify output
 parquet per query, run the oracle SQL in DuckDB over the same sf dir,
 sort columns by name + rows, and compare values. Usage:
-  python3 tools/compare.py <sfDir> <verifyOutDir>
+  python3 tools/compare.py <sfDir> <verifyOutDir> [skip1,skip2,...]
+The optional third arg skips named queries (e.g. oracles that are
+all-pairs in SQL and quadratic at larger scale factors).
 """
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -18,7 +21,7 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
-    if not os.path.isdir(d):
+    if not os.path.isdir(d) or name in skip:
         continue
     files = glob.glob(f"{d}/*.parquet")
     spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
