@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the
+  * operator a dedup pipeline needs between near-dup PAIR detection
+  * (d01/t04/t05) and canonical-document selection: pairs chain
+  * (a~b, b~c ⇒ {a,b,c}), so keepers must come from components, not
+  * pairs.
+  *
+  * Algorithm: every vertex starts labeled with itself; each round a
+  * vertex takes the min of its own label and its neighbors' labels;
+  * stop when no label changes. Converges in O(diameter) rounds —
+  * near-dup clusters are small and dense, so typically 2–3.
+  *
+  * Scale shape per round: one shuffle of (edge endpoint, label) pairs
+  * + one min-aggregate — primitive longs only, Σ cost O(E) per round.
+  * The driver-side loop holds only a changed-row COUNT, never data;
+  * each round's result is checkpointed via localCheckpoint to cut the
+  * growing lineage (iterative DataFrame plans otherwise re-plan the
+  * whole history each round).
+  */
+object ConnectedComponents {
+
+  /** @param edges two long columns (src, dst), undirected semantics.
+    * @return (id, component) — component = min vertex id reachable. */
+  def components(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select($"u".as("id")).distinct()
+      .select($"id", $"id".as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = und
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy($"u".as("id"))
+        .agg(min($"component").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select($"id",
+          least($"component", coalesce($"nmin", $"component")).as("component"),
+          ($"nmin" < $"component").as("chg"))
+      val materialized = next.localCheckpoint()
+      changed = materialized.where($"chg").count()
+      labels = materialized.drop("chg")
+      iter += 1
+    }
+    labels
+  }
+}

@@ -255,5 +255,58 @@ object DedupQueries {
       .orderBy($"vec_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(d01MinHashLsh, d02SimHash, d03EmbeddingNearDup)
+  /** D3 — near-dup pair → CLUSTER resolution: pairs chain (a~b, b~c ⇒
+    * one cluster {a,b,c}), so canonical-document selection needs
+    * connected components, not pairs. Edges are the banded token-set
+    * Jaccard ≥ 0.5 pairs (t05's shape); components come from
+    * [[graft.operators.ConnectedComponents]] (iterative min-label
+    * propagation, O(E) primitive shuffle per round, O(diameter)
+    * rounds). Output: one row per cluster — keeper = min doc_id,
+    * member count. The oracle recomputes true components with a
+    * recursive transitive-closure CTE, so the iterative algorithm is
+    * verified against an independent exact formulation. */
+  val d04DedupClusters: GraftQuery = q(
+    "d04_dedup_clusters",
+    "D3 pair→cluster resolution via iterative connected components",
+    Some("""WITH RECURSIVE d AS (
+      |  SELECT doc_id, substr(text, 1, 20) AS bucket,
+      |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT CAST(a.doc_id AS BIGINT) AS u, CAST(b.doc_id AS BIGINT) AS v
+      |  FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      |und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      |reach(u, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      |  UNION
+      |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u),
+      |labels AS (
+      |  SELECT u AS id, min(r) AS component FROM reach GROUP BY u)
+      |SELECT component AS keeper, count(*) AS docs
+      |FROM labels
+      |GROUP BY component
+      |ORDER BY keeper""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id",
+        substring($"text", 1, 20).as("bucket"),
+        array_distinct(split(trim($"text"), "\\s+")).as("toks"))
+    val a = d.select($"doc_id".as("doc_a"), $"bucket", $"toks".as("ta"))
+    val b = d.select($"doc_id".as("doc_b"), $"bucket", $"toks".as("tb"))
+    val edges = a.join(b, Seq("bucket"))
+      .where($"doc_a" < $"doc_b")
+      .where(size(array_intersect($"ta", $"tb")).cast("double")
+        / size(array_union($"ta", $"tb")) >= 0.5)
+      .select($"doc_a", $"doc_b")
+    graft.operators.ConnectedComponents.components(edges, "doc_a", "doc_b")
+      .groupBy($"component".as("keeper"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy($"keeper")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters)
 }

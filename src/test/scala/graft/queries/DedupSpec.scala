@@ -49,6 +49,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, f"SimHash recall $recall%.2f < 0.8")
   }
 
+  test("connected components chain transitively and keep clusters separate") {
+    import graft.operators.ConnectedComponents
+    // chain 1-2-3-4 (never all directly connected), separate pair 10-11,
+    // and a triangle 20-21-22
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = ConnectedComponents.components(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(got) === Seq(1L, 1L, 1L, 1L),
+      "a 4-chain must collapse to one component labeled by its min id")
+    assert(Seq(10L, 11L).map(got) === Seq(10L, 10L))
+    assert(Seq(20L, 21L, 22L).map(got) === Seq(20L, 20L, 20L))
+  }
+
   test("d03 embedding near-dup: cell-bounded candidates, sims bounded by brute force") {
     val got = QueryRegistry.asMap("d03_embedding_near_dup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getAs[Double]("sim"))).toMap
