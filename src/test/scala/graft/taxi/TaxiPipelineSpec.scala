@@ -95,6 +95,19 @@ class TaxiPipelineSpec extends SparkSpec {
     assert(an.getAs[Long]("taxis") === 1L)
   }
 
+  test("reference schema quirks: case-insensitive resolution + space-in-name column") {
+    // the reference resolves areas["area_Number"] against a field
+    // declared area_number (`StreamingTaxiTrips.py:20,34`) and names a
+    // column literally "Payment Type" (`AreasLoc.py:38`) — both only
+    // work under spark.sql.caseSensitive=false, which is Spark's
+    // default and this engine's assumed contract
+    assert(spark.conf.get("spark.sql.caseSensitive") === "false")
+    val df = Seq((10, "Cash")).toDF("area_number", "Payment Type")
+    assert(df.select(col("area_Number")).head().getInt(0) === 10)
+    assert(df.select(col("PAYMENT TYPE")).head().getString(0) === "Cash")
+    assert(df.selectExpr("`Payment Type`").head().getString(0) === "Cash")
+  }
+
   test("rollupViews: one-pass grouping-sets equals the chained two-level views") {
     val areas = TransformJob.readAreas(spark, areasCsv)
     val enriched = TransformJob.enrich(
