@@ -105,11 +105,19 @@ object DedupQueries {
     // joined to both docs' exploded shingle-hash sets; Jaccard =
     // inter / (|A| + |B| − inter). Set-equal to string-set Jaccard
     // modulo 64-bit collisions.
-    val hashes = Tables(s, dir, "documents")
+    val allHashes = Tables(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, t) =>
         HashSketch.hashSet(HashSketch.shingle3(t)).iterator.map(h => (id, h)) }
       .toDF("doc_id", "h")
+    // semi-join prune: only CANDIDATE docs' hashes enter the verify
+    // joins. Candidate doc ids are small relative to the corpus (LSH
+    // collision rate), so the semi-join broadcasts and the corpus-wide
+    // hash set is filtered map-side — the verify stage's shuffle
+    // volume is bounded by candidates, not by the corpus.
+    val candDocs = candidates.select($"doc_a".as("doc_id"))
+      .unionAll(candidates.select($"doc_b".as("doc_id"))).distinct()
+    val hashes = allHashes.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = hashes.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     candidates
       .join(hashes.select($"doc_id".as("doc_a"), $"h"), "doc_a")

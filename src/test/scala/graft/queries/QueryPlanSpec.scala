@@ -79,6 +79,28 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("measured shuffle volumes match the PLANS.md cost model") {
+    import graft.tools.PlanMetrics
+    val events = graft.Tables(spark, sf, "events").count()
+    // q22: the hash exchange carries each event exactly once; the only
+    // other exchange is the presentation orderBy over per-user rows
+    val q22 = PlanMetrics.shuffles(
+      QueryRegistry.asMap("q22_sessionize")(spark, sf))
+    val hash22 = q22.filter(_.partitioning.startsWith("hashpartitioning"))
+    assert(hash22.map(_.rows) === Seq(events),
+      s"q22 must shuffle each event exactly once: $q22")
+    // d01: the cost-model BOUND — no shuffle exchange may carry more
+    // than the banded volume (13 band rows per doc). At this scale the
+    // banded self-join side is broadcast, so the measured exchanges
+    // are candidate/verify stages, all far below the bound.
+    val docs = graft.Tables(spark, sf, "documents").count()
+    val d01 = PlanMetrics.shuffles(
+      QueryRegistry.asMap("d01_minhash_lsh_dedup")(spark, sf))
+    assert(d01.nonEmpty)
+    assert(d01.forall(_.rows <= docs * 13),
+      s"no d01 exchange may exceed the banded volume (13·$docs): $d01")
+  }
+
   test("q11 two-phase top-k: both window passes present, salted first") {
     val p = plan("q11_topk_per_group")
     // two Window operators: (n_name, pid) then (n_name)
