@@ -277,11 +277,16 @@ object TextQueries {
       // computed relationally: |A∩B| = matching (fp) rows after the
       // candidate pair is joined back to both docs' postings; set
       // sizes come from a per-doc count. All joins/aggregates carry
-      // primitive longs only.
-      val sizes = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      // primitive longs only, and a broadcast semi-join prunes the
+      // corpus-wide fingerprint set to candidate docs map-side (same
+      // candidate-bounded verify rule as d01).
+      val candDocs = cands.select($"doc_a".as("doc_id"))
+        .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
+      val cfps = fps.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val sizes = cfps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = cands
-        .join(fps.select($"doc_id".as("doc_a"), $"fp"), "doc_a")
-        .join(fps.select($"doc_id".as("doc_b"), $"fp"), Seq("doc_b", "fp"))
+        .join(cfps.select($"doc_id".as("doc_a"), $"fp"), "doc_a")
+        .join(cfps.select($"doc_id".as("doc_b"), $"fp"), Seq("doc_b", "fp"))
         .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
