@@ -279,6 +279,83 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** D4 — int8 scalar quantization: the standard 4× memory/shuffle
+    * compression for embedding corpora (at 100 TB the vector column
+    * dominates storage and every ANN shuffle). Per-vector symmetric
+    * quantization q[i] = floor(v[i]/scale + 0.5) with
+    * scale = max|v|/127, then similarity on the int8 codes rescaled by
+    * the two scales. All math is engine-exact: floor(x+0.5) avoids the
+    * round()-on-negatives divergence (half-up vs half-away-from-zero),
+    * and integer dot products are exact in both engines. Output: the
+    * quantized KNN of v01's query set plus the per-pair error vs the
+    * exact cosine — quantization quality under the correctness gate. */
+  val v05QuantizedKnn: GraftQuery = q(
+    "v05_quantized_knn",
+    "D4 int8 scalar quantization + quantized KNN with error vs exact",
+    Some("""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+      |  FROM e),
+      |qz AS (
+      |  SELECT vec_id, v, scale,
+      |         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+      |  FROM s),
+      |qs AS (SELECT vec_id AS query_id, q AS qq, scale AS qscale, v AS qv
+      |       FROM qz WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT qs.query_id, qz.vec_id,
+      |         round(qz.scale * qs.qscale *
+      |           list_aggregate(list_transform(list_zip(qz.q, qs.qq),
+      |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |           / (sqrt(list_aggregate(list_transform(qz.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(qs.qv, x -> x * x), 'sum'))), 6) AS qsim,
+      |         round(
+      |           list_aggregate(list_transform(list_zip(qz.v, qs.qv), x -> x[1] * x[2]), 'sum')
+      |           / (sqrt(list_aggregate(list_transform(qz.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(qs.qv, x -> x * x), 'sum'))), 6) AS esim
+      |  FROM qz CROSS JOIN qs
+      |  WHERE qz.vec_id <> qs.query_id),
+      |r AS (
+      |  SELECT query_id, vec_id, qsim, esim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY qsim DESC, vec_id) AS rnk
+      |  FROM sims)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, rnk,
+      |       CAST(vec_id AS BIGINT)   AS neighbor_id,
+      |       qsim,
+      |       round(abs(qsim - esim), 6) AS err
+      |FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val e = emb(s, dir)
+    val qz = e
+      .withColumn("scale",
+        aggregate(transform($"v", x => abs(x)), lit(0.0),
+          (acc, x) => greatest(acc, x)) / 127.0)
+      .withColumn("q", transform($"v", x => floor(x / $"scale" + 0.5).cast("long")))
+    val qs = qz.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"q".as("qq"),
+        $"scale".as("qscale"), $"v".as("qv"))
+    val sims = qz.crossJoin(broadcast(qs))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round($"scale" * $"qscale" *
+          aggregate(zip_with($"q", $"qq",
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x)
+          / (l2norm($"v") * l2norm($"qv")), 6).as("qsim"),
+        cosine6($"v", $"qv").as("esim"))
+    val w = Window.partitionBy($"query_id").orderBy($"qsim".desc, $"vec_id")
+    sims.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"),
+        $"qsim", round(abs($"qsim" - $"esim"), 6).as("err"))
+      .orderBy($"query_id", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn)
+    v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn, v05QuantizedKnn)
 }
