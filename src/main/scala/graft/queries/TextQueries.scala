@@ -368,8 +368,69 @@ object TextQueries {
         Window.orderBy($"freq".desc, $"token")))
   }
 
+  /** D5 — TF-IDF lexical ranking for a fixed query term set (the
+    * retrieval scoring primitive next to v06's vector search): per-doc
+    * term frequencies are narrow projections, document frequencies are
+    * ONE tiny global aggregate broadcast back to every row, and only
+    * the bounded top-k crosses a partition boundary. Scoring is an
+    * explicit left-associated sum of tf·idf products with smoothed
+    * idf = ln((N+1)/(df+1)), so the double math is identical in both
+    * engines. */
+  val t10TfIdf: GraftQuery = q(
+    "t10_tfidf_rank",
+    "D5 TF-IDF ranking: per-doc tf, broadcast global df, bounded top-k",
+    """WITH tf AS (
+      |  SELECT doc_id,
+      |         len(string_split(text, 'data'))  - 1 AS tf_data,
+      |         len(string_split(text, 'query')) - 1 AS tf_query,
+      |         len(string_split(text, 'model')) - 1 AS tf_model
+      |  FROM documents),
+      |df AS (
+      |  SELECT count(*) AS n,
+      |         count(*) FILTER (WHERE tf_data  > 0) AS df_data,
+      |         count(*) FILTER (WHERE tf_query > 0) AS df_query,
+      |         count(*) FILTER (WHERE tf_model > 0) AS df_model
+      |  FROM tf),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         round(tf_data  * ln((n + 1.0) / (df_data  + 1.0))
+      |             + tf_query * ln((n + 1.0) / (df_query + 1.0))
+      |             + tf_model * ln((n + 1.0) / (df_model + 1.0)), 6) AS score
+      |  FROM tf CROSS JOIN df)
+      |SELECT doc_id, score,
+      |       row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      |FROM scored
+      |ORDER BY rnk
+      |LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    def occ(term: String): Column =
+      size(split($"text", java.util.regex.Pattern.quote(term), -1)) - 1
+    val tf = Tables(s, dir, "documents")
+      .select($"doc_id",
+        occ("data").as("tf_data"),
+        occ("query").as("tf_query"),
+        occ("model").as("tf_model"))
+    val df = tf.agg(
+      count(lit(1)).as("n"),
+      count(when($"tf_data" > 0, 1)).as("df_data"),
+      count(when($"tf_query" > 0, 1)).as("df_query"),
+      count(when($"tf_model" > 0, 1)).as("df_model"))
+    def idf(dfCol: Column, n: Column): Column = log((n + 1.0) / (dfCol + 1.0))
+    tf.crossJoin(broadcast(df))
+      .select($"doc_id",
+        round($"tf_data" * idf($"df_data", $"n")
+          + $"tf_query" * idf($"df_query", $"n")
+          + $"tf_model" * idf($"df_model", $"n"), 6).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id")))
+      .select($"doc_id", $"score", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
-    t09VocabTopK)
+    t09VocabTopK, t10TfIdf)
 }

@@ -356,6 +356,62 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** D4 — FILTERED vector search (the retrieval-pipeline shape:
+    * metadata predicate + ANN): neighbors restricted to documents with
+    * lang = 'en', via a broadcast semi-join of the embedding corpus
+    * against the filtered doc ids BEFORE any distance math — the
+    * pre-filter strategy. Post-filtering (search first, discard
+    * non-matching neighbors) under-fills k when the filter is
+    * selective; pre-filtering keeps k exact and, at 100 TB with IVF,
+    * becomes filter-aware probing — same candidate join, corpus side
+    * semi-joined first. */
+  val v06FilteredKnn: GraftQuery = q(
+    "v06_filtered_knn",
+    "D4 filtered vector search: metadata pre-filter + exact KNN",
+    Some("""WITH en AS (
+      |  SELECT doc_id FROM documents WHERE lang = 'en'),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corpus AS (
+      |  SELECT e.* FROM e JOIN en ON e.vec_id = en.doc_id),
+      |q AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT q.query_id, corpus.vec_id,
+      |         round(
+      |           list_aggregate(list_transform(list_zip(corpus.v, q.qv), x -> x[1] * x[2]), 'sum')
+      |           / (sqrt(list_aggregate(list_transform(corpus.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))), 6) AS sim
+      |  FROM corpus CROSS JOIN q
+      |  WHERE corpus.vec_id <> q.query_id),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM sims)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, rnk,
+      |       CAST(vec_id AS BIGINT)   AS neighbor_id, sim
+      |FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val en = Tables(s, dir, "documents")
+      .where($"lang" === "en").select($"doc_id".as("vec_id"))
+    val e = emb(s, dir)
+    val corpus = e.join(broadcast(en), Seq("vec_id"), "left_semi")
+    val qs = e.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val sims = corpus.crossJoin(broadcast(qs))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    sims.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn, v05QuantizedKnn)
+    v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
+    v05QuantizedKnn, v06FilteredKnn)
 }
