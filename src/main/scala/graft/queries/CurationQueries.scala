@@ -113,5 +113,106 @@ object CurationQueries {
       |ORDER BY lang, rnk""".stripMargin),
     "north-star: deterministic stratified sampling (exact per-stratum quotas)")
 
-  val all: Seq[GraftQuery] = Seq(c01CorpusCuration, c02StratifiedSample)
+  /** c03 — hybrid retrieval via Reciprocal Rank Fusion: the standard
+    * way to combine a vector ranking and a lexical ranking without
+    * score calibration — fused = Σ 1/(60 + rank) over the lists a doc
+    * appears in. Vector side: exact cosine ranking of the corpus for
+    * query vector 0; lexical side: the t10 TF-IDF ranking. Both
+    * rankings are bounded top-k lists, the fusion is a tiny full-outer
+    * join on doc_id, and 1/(60+rank) sums over INTEGER ranks are
+    * engine-exact doubles. */
+  val c03HybridRrf: GraftQuery = GraftQuery(
+    "c03_hybrid_rrf",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.queries.VectorQueries
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val qv = e.where($"vec_id" === 0).select($"v".as("qv"))
+      val wV = Window.orderBy($"sim".desc, $"doc_id")
+      val vecRank = e.crossJoin(broadcast(qv))
+        .where($"vec_id" =!= 0)
+        .select($"vec_id".as("doc_id"),
+          VectorQueries.cosine6($"v", $"qv").as("sim"))
+        .orderBy($"sim".desc, $"doc_id").limit(20)
+        .withColumn("vrnk", row_number().over(wV))
+        .select($"doc_id", $"vrnk")
+      def occ(term: String) =
+        size(split($"text", java.util.regex.Pattern.quote(term), -1)) - 1
+      val tf = Tables(s, dir, "documents")
+        .select($"doc_id",
+          occ("data").as("t1"), occ("query").as("t2"), occ("model").as("t3"))
+      val df = tf.agg(count(lit(1)).as("n"),
+        count(when($"t1" > 0, 1)).as("d1"),
+        count(when($"t2" > 0, 1)).as("d2"),
+        count(when($"t3" > 0, 1)).as("d3"))
+      val wL = Window.orderBy($"score".desc, $"doc_id")
+      val lexRank = tf.crossJoin(broadcast(df))
+        .select($"doc_id",
+          round($"t1" * log(($"n" + 1.0) / ($"d1" + 1.0))
+            + $"t2" * log(($"n" + 1.0) / ($"d2" + 1.0))
+            + $"t3" * log(($"n" + 1.0) / ($"d3" + 1.0)), 6).as("score"))
+        .orderBy($"score".desc, $"doc_id").limit(20)
+        .withColumn("lrnk", row_number().over(wL))
+        .select($"doc_id", $"lrnk")
+      val wF = Window.orderBy($"rrf".desc, $"doc_id")
+      vecRank.join(lexRank, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          round(
+            coalesce(lit(1.0) / (lit(60.0) + $"vrnk"), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60.0) + $"lrnk"), lit(0.0)),
+            6).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id").limit(10)
+        .withColumn("rnk", row_number().over(wF))
+        .select($"rnk", $"doc_id", $"rrf")
+    },
+    Some("""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+      |vsim AS (
+      |  SELECT vec_id AS doc_id,
+      |         round(
+      |           list_aggregate(list_transform(list_zip(e.v, qv.q), x -> x[1] * x[2]), 'sum')
+      |           / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(qv.q, x -> x * x), 'sum'))), 6) AS sim
+      |  FROM e CROSS JOIN qv WHERE e.vec_id <> 0),
+      |vrank AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vrnk
+      |  FROM vsim ORDER BY sim DESC, doc_id LIMIT 20),
+      |tf AS (
+      |  SELECT doc_id,
+      |         len(string_split(text, 'data'))  - 1 AS t1,
+      |         len(string_split(text, 'query')) - 1 AS t2,
+      |         len(string_split(text, 'model')) - 1 AS t3
+      |  FROM documents),
+      |df AS (
+      |  SELECT count(*) AS n,
+      |         count(*) FILTER (WHERE t1 > 0) AS d1,
+      |         count(*) FILTER (WHERE t2 > 0) AS d2,
+      |         count(*) FILTER (WHERE t3 > 0) AS d3
+      |  FROM tf),
+      |lex AS (
+      |  SELECT doc_id,
+      |         round(t1 * ln((n + 1.0) / (d1 + 1.0))
+      |             + t2 * ln((n + 1.0) / (d2 + 1.0))
+      |             + t3 * ln((n + 1.0) / (d3 + 1.0)), 6) AS score
+      |  FROM tf CROSS JOIN df),
+      |lrank AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrnk
+      |  FROM lex ORDER BY score DESC, doc_id LIMIT 20),
+      |fused AS (
+      |  SELECT coalesce(vrank.doc_id, lrank.doc_id) AS doc_id,
+      |         round(coalesce(1.0 / (60.0 + vrnk), 0.0)
+      |             + coalesce(1.0 / (60.0 + lrnk), 0.0), 6) AS rrf
+      |  FROM vrank FULL OUTER JOIN lrank ON vrank.doc_id = lrank.doc_id)
+      |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk,
+      |       CAST(doc_id AS BIGINT) AS doc_id, rrf
+      |FROM fused
+      |ORDER BY rrf DESC, doc_id
+      |LIMIT 10""".stripMargin),
+    "north-star: hybrid retrieval — reciprocal rank fusion of vector + lexical")
+
+  val all: Seq[GraftQuery] = Seq(
+    c01CorpusCuration, c02StratifiedSample, c03HybridRrf)
 }
