@@ -213,6 +213,48 @@ object CurationQueries {
       |LIMIT 10""".stripMargin),
     "north-star: hybrid retrieval — reciprocal rank fusion of vector + lexical")
 
+  /** c04 — table profiling (the Deequ-style validation pass a
+    * pipeline runs before training): row count, per-column null
+    * counts, exact distinct cardinalities, and min/max — ONE wide
+    * aggregate over one scan. Multiple exact countDistincts share a
+    * single Expand plan; at 100 TB swap them for
+    * `approx_count_distinct` (HLL, no Expand) — same call shape, the
+    * trade the taxi views already make via `approxTaxis`. Typed
+    * min/max columns avoid cross-engine string formatting of
+    * numerics. */
+  val c04Profile: GraftQuery = GraftQuery(
+    "c04_profile",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("rows"),
+        (count(lit(1)) - count($"l_quantity")).as("qty_nulls"),
+        countDistinct($"l_quantity").as("qty_distinct"),
+        round(min($"l_quantity"), 2).as("qty_min"),
+        round(max($"l_quantity"), 2).as("qty_max"),
+        (count(lit(1)) - count($"l_returnflag")).as("flag_nulls"),
+        countDistinct($"l_returnflag").as("flag_distinct"),
+        min($"l_returnflag").as("flag_min"),
+        max($"l_returnflag").as("flag_max"),
+        countDistinct($"l_orderkey").as("orders_distinct"),
+        min($"l_shipdate").as("ship_min"),
+        max($"l_shipdate").as("ship_max"))
+    },
+    Some("""SELECT count(*)                               AS rows,
+      |       count(*) - count(l_quantity)           AS qty_nulls,
+      |       count(DISTINCT l_quantity)             AS qty_distinct,
+      |       round(min(l_quantity), 2)              AS qty_min,
+      |       round(max(l_quantity), 2)              AS qty_max,
+      |       count(*) - count(l_returnflag)         AS flag_nulls,
+      |       count(DISTINCT l_returnflag)           AS flag_distinct,
+      |       min(l_returnflag)                      AS flag_min,
+      |       max(l_returnflag)                      AS flag_max,
+      |       count(DISTINCT l_orderkey)             AS orders_distinct,
+      |       min(l_shipdate)                        AS ship_min,
+      |       max(l_shipdate)                        AS ship_max
+      |FROM lineitem""".stripMargin),
+    "north-star: one-pass table profiling (nulls/distincts/ranges)")
+
   val all: Seq[GraftQuery] = Seq(
-    c01CorpusCuration, c02StratifiedSample, c03HybridRrf)
+    c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile)
 }
