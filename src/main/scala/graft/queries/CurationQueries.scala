@@ -265,6 +265,55 @@ object CurationQueries {
       |FROM lineitem""".stripMargin),
     "north-star: one-pass table profiling (nulls/distincts/ranges)")
 
+  /** c05 — sequence packing: assign documents to fixed token-budget
+    * bins (the pretraining-batch packing step). Exact first-fit is
+    * inherently sequential; the scalable standard is CONTIGUOUS
+    * packing — order docs deterministically within each stratum,
+    * running-sum their token counts, bin = floor((cumsum − own) /
+    * budget). One shuffle (the per-lang window), then a per-bin
+    * rollup; fill ratios report packing efficiency. Integer token
+    * math end to end → engine-exact. */
+  val c05SequencePacking: GraftQuery = GraftQuery(
+    "c05_sequence_packing",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096L
+      val toks = split(trim($"text"), "\\s+")
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", size(toks).cast("long").as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("bin", floor(($"cum" - $"n_tok") / budget).cast("long"))
+        .groupBy($"lang", $"bin")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum($"n_tok").as("tokens"),
+          round(sum($"n_tok") / (budget * 1.0), 4).as("fill_ratio"))
+        .orderBy($"lang", $"bin")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                          ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d),
+      |b AS (
+      |  SELECT lang, CAST(floor((cum - n_tok) / 4096) AS BIGINT) AS bin, n_tok
+      |  FROM c)
+      |SELECT lang, bin, count(*) AS docs,
+      |       CAST(sum(n_tok) AS BIGINT)           AS tokens,
+      |       round(sum(n_tok) / 4096.0, 4)        AS fill_ratio
+      |FROM b
+      |GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin),
+    "north-star: contiguous sequence packing into fixed token budgets")
+
   val all: Seq[GraftQuery] = Seq(
-    c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile)
+    c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile,
+    c05SequencePacking)
 }

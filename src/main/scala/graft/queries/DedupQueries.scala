@@ -315,6 +315,61 @@ object DedupQueries {
       .orderBy($"keeper")
   }
 
+  /** D3 — INCREMENTAL dedup: the daily-ingest shape — a small
+    * incoming batch is checked against the standing corpus with an
+    * ASYMMETRIC banded join (incoming ⋈ corpus index), never a
+    * corpus self-join. At 100 TB the corpus side is a persisted,
+    * bucket-partitioned fingerprint index and the join shuffles only
+    * the incoming batch's bands; here the deterministic 20% split
+    * (doc_id % 5 = 0) stands in for the day's batch. Output: each
+    * incoming doc's best corpus match at Jaccard ≥ 0.6 (max J, lowest
+    * corpus id tie-break). */
+  val d05IncrementalDedup: GraftQuery = q(
+    "d05_incremental_dedup",
+    "D3 incremental new-batch-vs-corpus dedup (asymmetric banded join)",
+    Some("""WITH d AS (
+      |  SELECT doc_id, substr(text, 1, 20) AS bucket,
+      |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |  FROM documents),
+      |inc AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+      |corp AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+      |m AS (
+      |  SELECT CAST(inc.doc_id AS BIGINT) AS incoming_id,
+      |         CAST(corp.doc_id AS BIGINT) AS corpus_id,
+      |         round(CAST(len(list_intersect(inc.toks, corp.toks)) AS DOUBLE)
+      |               / len(list_distinct(list_concat(inc.toks, corp.toks))), 4) AS j
+      |  FROM inc JOIN corp ON inc.bucket = corp.bucket),
+      |r AS (
+      |  SELECT incoming_id, corpus_id, j,
+      |         row_number() OVER (PARTITION BY incoming_id
+      |                            ORDER BY j DESC, corpus_id) AS rn
+      |  FROM m WHERE j >= 0.6)
+      |SELECT incoming_id, corpus_id AS dup_of, j AS jaccard
+      |FROM r WHERE rn = 1
+      |ORDER BY incoming_id""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id",
+        substring($"text", 1, 20).as("bucket"),
+        array_distinct(split(trim($"text"), "\\s+")).as("toks"))
+    val incoming = d.where($"doc_id" % 5 === 0)
+      .select($"doc_id".as("incoming_id"), $"bucket", $"toks".as("ti"))
+    val corpus = d.where($"doc_id" % 5 =!= 0)
+      .select($"doc_id".as("corpus_id"), $"bucket", $"toks".as("tc"))
+    val matches = incoming.join(corpus, Seq("bucket"))
+      .select($"incoming_id", $"corpus_id",
+        round(size(array_intersect($"ti", $"tc")).cast("double")
+          / size(array_union($"ti", $"tc")), 4).as("j"))
+      .where($"j" >= 0.6)
+    val w = Window.partitionBy($"incoming_id").orderBy($"j".desc, $"corpus_id")
+    matches.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"incoming_id", $"corpus_id".as("dup_of"), $"j".as("jaccard"))
+      .orderBy($"incoming_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters)
+    d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
+    d05IncrementalDedup)
 }
