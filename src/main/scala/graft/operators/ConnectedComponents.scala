@@ -52,6 +52,12 @@ object ConnectedComponents {
       labels = materialized.drop("chg")
       iter += 1
     }
+    // stale labels are silently WRONG components — fail loudly instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          s"($changed labels still changing — graph diameter exceeds the " +
+          "iteration cap); raise maxIter")
     labels
   }
 }

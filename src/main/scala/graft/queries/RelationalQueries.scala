@@ -551,7 +551,12 @@ object RelationalQueries {
     * ASOF LEFT JOIN, which the oracle uses natively. At 100 TB this
     * shape beats a range-join: no candidate-interval explosion, state
     * is one row per partition during the window scan, and skewed users
-    * are bounded by per-user event counts. */
+    * are bounded by per-user event counts.
+    *
+    * Null-key caveat: window partitioning groups null keys TOGETHER
+    * (unlike a join, where null never equals null) — a nullable join
+    * key must be filtered or coalesced first. The events table's
+    * user_id is non-null, so both formulations agree here. */
   val q19AsofJoin: GraftQuery = q(
     "q19_asof_join",
     "as-of temporal join via union + time-ordered window (one shuffle)",

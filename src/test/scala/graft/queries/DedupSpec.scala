@@ -63,6 +63,17 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).map(got) === Seq(20L, 20L, 20L))
   }
 
+  test("connected components fail loudly when the iteration cap is too low") {
+    import graft.operators.ConnectedComponents
+    // a long path needs ~length/2 rounds; maxIter=1 cannot converge —
+    // stale labels must throw, never return silently-wrong components
+    val path = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(path, "a", "b", maxIter = 1).collect()
+    }
+  }
+
   test("d03 embedding near-dup: cell-bounded candidates, sims bounded by brute force") {
     val got = QueryRegistry.asMap("d03_embedding_near_dup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getAs[Double]("sim"))).toMap
