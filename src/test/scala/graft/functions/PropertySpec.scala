@@ -71,6 +71,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: hash split/sample is invariant to partitioning (no rand())") {
+    // the curation split and stratified sample are pure functions of
+    // the data — identical results regardless of how rows are
+    // partitioned. rand()-based sampling fails this (per-partition
+    // RNG streams change with the layout / task retries).
+    val q = graft.queries.CurationQueries.all.map(x => x.name -> x.fn).toMap
+    for (name <- Seq("c01_corpus_curation", "c02_stratified_sample")) {
+      val base = q(name)(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString).sorted.toSeq
+      // re-run with the session forced to a different shuffle width:
+      // the query re-reads and re-partitions from scratch
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        val alt = q(name)(spark, "/root/testdata/sf0.001")
+          .collect().map(_.toString).sorted.toSeq
+        assert(alt === base, s"$name changed under a different partitioning")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+  }
+
   test("property: jaccardSorted is bounded and symmetric") {
     val sets = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.distinct.sorted)
     for (a <- samples(sets, 30); b <- samples(sets, 5)) {
