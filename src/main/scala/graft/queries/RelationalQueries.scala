@@ -769,11 +769,49 @@ object RelationalQueries {
       .orderBy($"bucket")
   }
 
+  /** Correlated subqueries through the SQL surface — exercising
+    * Catalyst's decorrelation (SURVEY §4: "built-in if SQL surface
+    * used later" — this makes it used and gated). The scalar subquery
+    * (nation-average balance per customer) decorrelates to an
+    * aggregate + join; the NOT EXISTS decorrelates to a left-anti
+    * join — no per-row re-execution survives in the physical plan.
+    * Issued as SQL text over GraftCatalog views: the same path a
+    * dashboard takes. */
+  val q24Decorrelated: GraftQuery = q(
+    "q24_correlated_subquery",
+    "correlated scalar + NOT EXISTS subqueries, decorrelated by Catalyst",
+    """SELECT n_name,
+      |       count(*) AS rich_customers,
+      |       round(sum(c_acctbal), 2) AS balance
+      |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    graft.GraftCatalog.registerAll(s, dir)
+    s.sql("""
+      SELECT n_name,
+             count(*) AS rich_customers,
+             round(sum(c_acctbal), 2) AS balance
+      FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+      WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY n_name
+      ORDER BY n_name""")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
     q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
-    q22Sessionize, q23GapFill)
+    q22Sessionize, q23GapFill, q24Decorrelated)
 }

@@ -101,6 +101,13 @@ class QueryPlanSpec extends SparkSpec {
       s"no d01 exchange may exceed the banded volume (13·$docs): $d01")
   }
 
+  test("q24: correlated subqueries are fully decorrelated (joins, no Subquery nodes)") {
+    val p = plan("q24_correlated_subquery")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    assert(!p.toLowerCase.contains("subquery"),
+      s"no per-row subquery may survive decorrelation:\n$p")
+  }
+
   test("q11 two-phase top-k: both window passes present, salted first") {
     val p = plan("q11_topk_per_group")
     // two Window operators: (n_name, pid) then (n_name)
