@@ -236,6 +236,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation gates are batch/stream identical (the P1==P2 theme on the new surface)") {
+    implicit val sql = spark.sqlContext
+    // shared gate expression: min length + type-token ratio (c01's)
+    def gate(df: org.apache.spark.sql.DataFrame) = {
+      val toks = split(trim($"text"), "\\s+")
+      df.select($"doc_id", $"text",
+          size(toks).as("n_tok"),
+          size(array_distinct(toks)).as("n_uniq"))
+        .where($"n_tok" >= 5 && ($"n_uniq".cast("double") / $"n_tok") >= 0.3)
+        .select($"doc_id")
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // passes
+      (2L, "a a a a a a a a a a"),                         // TTR gate fails
+      (3L, "too short"),                                   // length gate fails
+      (4L, "data systems scale when partitions stay balanced")) // passes
+    val batchIds = gate(docs.toDF("doc_id", "text"))
+      .as[Long].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = gate(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gate_t")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamIds = spark.table("gate_t").as[Long].collect().toSet
+    assert(batchIds === Set(1L, 4L))
+    assert(streamIds === batchIds,
+      "the same gate expression must admit identical docs in batch and stream")
+  }
+
   test("native session_window: gap-merged sessions emit when the watermark closes them") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
