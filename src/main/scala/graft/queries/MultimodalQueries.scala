@@ -143,5 +143,36 @@ object MultimodalQueries {
       |ORDER BY kind""".stripMargin),
     "multimodal: resize (truncate-or-pad) + metadata propagation")
 
-  val all: Seq[GraftQuery] = Seq(m01BinaryFeatures, m02FrameSample, m03Resize)
+  /** m04 — chunk-checksum dedup over the BINARY payload column (the
+    * multimodal face of the dedup family): md5 the leading fixed-size
+    * chunk of the opaque bytes, group, report shared-chunk clusters
+    * per kind. This is how large-media corpora are deduped without
+    * decoding — checksum fixed-size chunks (the whole-payload hash is
+    * the copies=identical special case; content-defined chunking is
+    * the rolling-hash refinement, whose plumbing t07 covers). The
+    * payloads here are the documents' UTF-8 bytes, so the oracle md5s
+    * the same leading bytes from the text column. */
+  val m04PayloadDedup: GraftQuery = GraftQuery(
+    "m04_payload_dedup",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang".as("kind"),
+          md5(substring($"text".cast("binary"), 1, 64)).as("chunk_sum"))
+        .groupBy($"kind", $"chunk_sum")
+        .agg(count(lit(1)).as("copies"), min($"doc_id").as("keeper"))
+        .where($"copies" > 1)
+        .orderBy($"kind", $"chunk_sum")
+    },
+    Some("""SELECT lang AS kind, md5(substr(text, 1, 64)) AS chunk_sum,
+      |       count(*) AS copies,
+      |       CAST(min(doc_id) AS BIGINT) AS keeper
+      |FROM documents
+      |GROUP BY kind, chunk_sum
+      |HAVING count(*) > 1
+      |ORDER BY kind, chunk_sum""".stripMargin),
+    "multimodal chunk-checksum dedup: shared leading chunks per kind")
+
+  val all: Seq[GraftQuery] = Seq(
+    m01BinaryFeatures, m02FrameSample, m03Resize, m04PayloadDedup)
 }
