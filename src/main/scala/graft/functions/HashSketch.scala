@@ -13,9 +13,16 @@ package graft.functions
   * candidate joins and verification stay relational where Spark's
   * join machinery earns its keep.
   *
-  * Hash values are internal-only (candidates are exact-verified), so
-  * the hash family needs determinism, not external compatibility:
-  * FNV-1a over UTF-8 bytes + splitmix64 finalizing per function index.
+  * Two hash families live here, chosen by what the output must be
+  * comparable against:
+  *  - MinHash (d01) values are internal-only (candidates are
+  *    exact-verified, so the final answer is hash-free): FNV-1a over
+  *    UTF-8 bytes + splitmix64 finalizing per function index —
+  *    64-bit wrapping arithmetic, fastest option.
+  *  - SimHash (d02) and winnowing (t07) values ARE the output, so the
+  *    DuckDB oracle must reproduce them exactly: mod-P polynomial
+  *    hashes ([[polyHash]]/[[diffuse]]) whose every intermediate fits
+  *    a BIGINT — identical integer sequences on both engines.
   */
 object HashSketch {
 
@@ -76,61 +83,81 @@ object HashSketch {
     mins
   }
 
-  /** 64-bit SimHash over the shingle set as a single packed long —
-    * bit j set iff the majority of shingle hashes have bit j set.
-    * Banding and Hamming distance stay RELATIONAL on this: band b's
-    * key is `(sig >> 8b) & 255` and the distance is
-    * `bit_count(a ^ b)` — both codegen'd integer expressions, no
-    * array columns, no interpreted higher-order functions. */
-  def simhash64(shingles: Array[String]): Long = {
-    val votes = new Array[Int](64)
-    var s = 0
-    while (s < shingles.length) {
-      val h = mix(fnv1a64(shingles(s)))
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      s += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) {
-      if (votes(j) >= 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
+  /** Modulus shared by every ORACLE-MIRRORABLE hash below. All values
+    * stay in [0, P) and every intermediate product is < P² ≈ 10¹⁸ <
+    * 2⁶³, so Scala Long and DuckDB BIGINT evaluate the identical
+    * integer sequence — which is what lets d02/t07 carry full DuckDB
+    * oracles instead of rows-only checks (64-bit wrapping hashes like
+    * FNV/xxhash are NOT SQL-expressible; mod-P polynomial hashes
+    * are). */
+  val P = 1000000007L
+
+  /** Polynomial string hash mod [[P]], base 131, folded left-to-right
+    * from 0. DuckDB-identical form:
+    * `list_reduce(list_transform(generate_series(1, length(s)),
+    *    i -> CAST(ascii(s[i]) AS BIGINT)), (h, c) -> (h*131+c) % P)`
+    * (list_reduce seeds from the first element, which equals folding
+    * from 0 since 0*131 + c₀ = c₀). Parity assumes single-byte code
+    * points — the testdata corpus is 100% ASCII. */
+  def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 131 + s.charAt(i)) % P; i += 1 }
+    h
   }
 
-  /** 64-bit SimHash over the shingle set, returned as 8 × 8-bit
-    * sub-signatures (the Hamming-blocking band keys; byte b of
-    * [[simhash64]]). */
-  def simhashSubs(shingles: Array[String]): Array[Int] = {
-    val votes = new Array[Int](64)
+  /** Quadratic diffusion mod [[P]] — the non-linear mixing step that
+    * decorrelates low bits of related polynomial hashes while staying
+    * a one-line BIGINT expression in the oracle. */
+  def diffuse(x: Long): Long = (x * x + x) % P
+
+  /** Per-band affine multipliers/offsets for [[simhash128]] — fixed
+    * constants < P, duplicated literally in the d02 oracle SQL. */
+  val BandA: Array[Long] = Array(
+    236898829L, 681205763L, 105683867L, 893741531L,
+    319406581L, 748807279L, 552167521L, 407145341L)
+  val BandB: Array[Long] = Array(
+    85734059L, 962623609L, 227583979L, 664051099L,
+    133987433L, 503595613L, 847421867L, 318037609L)
+
+  /** 128-bit SimHash over the shingle set as TWO packed longs
+    * (lo = bands 0–3, hi = bands 4–7; 16 bits per band): bit (b,j) is
+    * the majority vote over shingles of bit j of
+    * `diffuse(diffuse(polyHash(shingle)) * BandA(b) + BandB(b))`.
+    *
+    * 16-bit bands are the SCALE parameterization (vs 8-bit bands of a
+    * 64-bit sig): P(two random docs collide in a band) drops 256× to
+    * 1/65536, so random-pair candidates stop being the quadratic
+    * blowup term at corpus scale. The pigeonhole recall guarantee
+    * comes from multi-probe banding in d02: Hamming ≤ 15 over 8 bands
+    * forces ≥ 1 band with ≤ 1 differing bit, which a single-bit-flip
+    * probe catches. Banding and Hamming stay RELATIONAL on the packed
+    * longs: band key = 16-bit slice, distance =
+    * `bit_count(lo⊕lo') + bit_count(hi⊕hi')` — codegen'd integer
+    * expressions, no array columns. */
+  def simhash128(shingles: Array[String]): (Long, Long) = {
+    val votes = new Array[Int](128)
     var s = 0
     while (s < shingles.length) {
-      val h = mix(fnv1a64(shingles(s)))
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      val x = diffuse(polyHash(shingles(s)))
+      var b = 0
+      while (b < 8) {
+        val z = diffuse((x * BandA(b) + BandB(b)) % P)
+        var j = 0
+        while (j < 16) {
+          val i = b * 16 + j
+          if (((z >>> j) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          j += 1
+        }
+        b += 1
       }
       s += 1
     }
-    val subs = new Array[Int](8)
-    var b = 0
-    while (b < 8) {
-      var sub = 0
-      var r = 0
-      while (r < 8) {
-        if (votes(b * 8 + r) >= 0) sub |= (1 << r)
-        r += 1
-      }
-      subs(b) = sub
-      b += 1
-    }
-    subs
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) >= 0) lo |= (1L << i); i += 1 }
+    while (i < 128) { if (votes(i) >= 0) hi |= (1L << (i - 64)); i += 1 }
+    (lo, hi)
   }
 
   /** Collapse one minhash band (a consecutive signature slice) to a
@@ -170,47 +197,56 @@ object HashSketch {
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD '03):
     * rolling Rabin–Karp hashes over character k-grams, then the
-    * minimum hash of every sliding window of `w` consecutive k-gram
-    * hashes (rightmost minimum on ties). The selected minima are a
-    * position-robust fingerprint set — shared substrings of length
-    * ≥ w+k−1 guarantee shared fingerprints. */
+    * minimum hash VALUE of every sliding window of `w` consecutive
+    * k-gram hashes. The selected minima are a position-robust
+    * fingerprint set — shared substrings of length ≥ w+k−1 guarantee
+    * shared fingerprints.
+    *
+    * Hashing is [[polyHash]]-consistent mod-P arithmetic (the rolling
+    * recurrence computes exactly `diffuse(polyHash(kgram))` for every
+    * k-gram), so the DuckDB oracle reproduces every fingerprint by
+    * hashing each `substr(text, i, k)` directly — rolling is only the
+    * O(n) evaluation strategy, not a different function. The output is
+    * the DISTINCT SORTED minima values (position tie-breaks never
+    * change the selected VALUE, so min-per-window is well-defined on
+    * both engines). */
   def winnow(text: String, k: Int = 8, w: Int = 6): Array[Long] = {
     val s = text
-    if (s.length < k) return Array(fnv1a64(s))
+    if (s.length < k) return Array(diffuse(polyHash(s)))
     val n = s.length - k + 1
     val hashes = new Array[Long](n)
-    val B = 1000003L
-    var pow = 1L
+    val B = 131L
+    var pow = 1L // 131^(k-1) mod P
     var i = 0
-    while (i < k - 1) { pow *= B; i += 1 }
+    while (i < k - 1) { pow = (pow * B) % P; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
-    hashes(0) = mix(h)
+    while (i < k) { h = (h * B + s.charAt(i)) % P; i += 1 }
+    hashes(0) = diffuse(h)
     i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
-      hashes(i) = mix(h)
+      h = ((h - s.charAt(i - 1) * pow) % P + P) % P
+      h = (h * B + s.charAt(i + k - 1)) % P
+      hashes(i) = diffuse(h)
       i += 1
     }
     if (n <= w) return Array(hashes.min)
-    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val out = new java.util.TreeSet[java.lang.Long]()
     var start = 0
     while (start + w <= n) {
-      var minIdx = start
+      var m = hashes(start)
       var j = start + 1
       while (j < start + w) {
-        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        if (hashes(j) < m) m = hashes(j)
         j += 1
       }
-      out.add(hashes(minIdx))
+      out.add(m)
       start += 1
     }
     val arr = new Array[Long](out.size)
     val it = out.iterator()
     var x = 0
     while (it.hasNext) { arr(x) = it.next(); x += 1 }
-    java.util.Arrays.sort(arr)
     arr
   }
 
@@ -227,14 +263,4 @@ object HashSketch {
     if (m == 0) 1.0 else inter.toDouble / m
   }
 
-  /** Hamming distance between two sub-signature arrays. */
-  def hamming(a: Seq[Int], b: Seq[Int]): Int = {
-    var d = 0
-    var i = 0
-    while (i < a.length) {
-      d += java.lang.Integer.bitCount(a(i) ^ b(i))
-      i += 1
-    }
-    d
-  }
 }

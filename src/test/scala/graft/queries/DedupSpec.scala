@@ -33,7 +33,7 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("d02 SimHash hamming<=7 pairs are all true near-duplicates") {
+  test("d02 SimHash hamming<=15 pairs are all true near-duplicates") {
     val got = QueryRegistry.asMap("d02_simhash_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.nonEmpty, "SimHash found no pairs")
@@ -47,6 +47,35 @@ class DedupSpec extends SparkSpec {
     val recall = (strong intersect got).size.toDouble / strong.size
     info(f"SimHash recall on J>=0.9 pairs: $recall%.2f")
     assert(recall >= 0.8, f"SimHash recall $recall%.2f < 0.8")
+  }
+
+  test("d02 multi-probe banding admits a bounded candidate rate") {
+    import graft.functions.HashSketch
+    // The quadratic term at corpus scale is the fraction of ALL pairs
+    // that become banded candidates (share a band exactly or within
+    // one flipped bit — what the probe join admits). Pin it well below
+    // all-pairs: 16-bit bands × 17 probes ⇒ ~8·17/65536 ≈ 0.2% for
+    // random pairs, plus the (rare) true near-dups.
+    val sigs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (_, t) => HashSketch.simhash128(HashSketch.shingle3(t)) }
+    def bandSubs(s: (Long, Long)): Array[Long] =
+      (0 until 8).map { b =>
+        if (b < 4) (s._1 >> (b * 16)) & 0xffffL else (s._2 >> ((b - 4) * 16)) & 0xffffL
+      }.toArray
+    val subs = sigs.map(bandSubs)
+    var cand = 0L; var total = 0L
+    for (i <- subs.indices; j <- (i + 1) until subs.length) {
+      total += 1
+      val admitted = (0 until 8).exists { b =>
+        java.lang.Long.bitCount(subs(i)(b) ^ subs(j)(b)) <= 1
+      }
+      if (admitted) cand += 1
+    }
+    val rate = cand.toDouble / total
+    info(f"multi-probe candidate rate: $rate%.4f ($cand of $total pairs)")
+    assert(rate < 0.02,
+      f"banding admits $rate%.4f of all pairs — quadratic blowup risk")
   }
 
   test("connected components chain transitively and keep clusters separate") {
