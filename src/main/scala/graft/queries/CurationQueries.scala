@@ -270,21 +270,47 @@ object CurationQueries {
     * inherently sequential; the scalable standard is CONTIGUOUS
     * packing — order docs deterministically within each stratum,
     * running-sum their token counts, bin = floor((cumsum − own) /
-    * budget). One shuffle (the per-lang window), then a per-bin
-    * rollup; fill ratios report packing efficiency. Integer token
-    * math end to end → engine-exact. */
+    * budget).
+    *
+    * The prefix sum is TWO-LEVEL so no task ever scans a whole
+    * language (lang is ~5-valued — a per-lang window is a
+    * single-reducer funnel at corpus scale): docs are sharded by
+    * contiguous doc_id RANGE (shard = doc_id / 1024, so shard order =
+    * doc_id order), the running sum is computed within (lang, shard)
+    * — high-cardinality keys, bounded rows per task — and each
+    * shard's exclusive prefix offset comes from a broadcast of the
+    * tiny per-shard totals table (langs × N/1024 rows). offset +
+    * local cumsum = exactly the global per-lang cumsum by doc_id, so
+    * bins are byte-identical to the single-window formulation the
+    * oracle uses. (Sparse/skewed id spaces re-shard on
+    * range-partition statistics instead of a fixed width; the
+    * structure is unchanged.) Integer token math end to end →
+    * engine-exact. */
   val c05SequencePacking: GraftQuery = GraftQuery(
     "c05_sequence_packing",
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val budget = 4096L
+      val shardWidth = 1024L
       val toks = split(trim($"text"), "\\s+")
-      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", size(toks).cast("long").as("n_tok"),
+          floor($"doc_id" / shardWidth).as("shard"))
+      // level 1: running sum WITHIN each (lang, shard) range
+      val wLocal = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents")
-        .select($"doc_id", $"lang", size(toks).cast("long").as("n_tok"))
-        .withColumn("cum", sum($"n_tok").over(w))
+      val local = d.withColumn("lcum", sum($"n_tok").over(wLocal))
+      // level 2: exclusive prefix offsets over the per-shard TOTALS —
+      // a langs × (maxId/1024) table, window'd cheaply and broadcast
+      val wOff = Window.partitionBy($"lang").orderBy($"shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy($"lang", $"shard")
+        .agg(sum($"n_tok").as("stot"))
+        .withColumn("off", coalesce(sum($"stot").over(wOff), lit(0L)))
+        .select($"lang", $"shard", $"off")
+      local.join(broadcast(offsets), Seq("lang", "shard"))
+        .withColumn("cum", $"off" + $"lcum")
         .withColumn("bin", floor(($"cum" - $"n_tok") / budget).cast("long"))
         .groupBy($"lang", $"bin")
         .agg(

@@ -108,6 +108,34 @@ class QueryPlanSpec extends SparkSpec {
       s"no per-row subquery may survive decorrelation:\n$p")
   }
 
+  test("c05 two-level packing: no full-corpus window partitioned by lang alone") {
+    val p = plan("c05_sequence_packing")
+    // the running sum over documents must partition by (lang, shard) —
+    // a window partitioned by ~5-valued lang alone funnels every doc
+    // of a language through one task at corpus scale
+    assert("windowspecdefinition\\(lang#\\d+, shard#\\d+L?, doc_id#".r
+      .findFirstIn(p).isDefined,
+      s"two-level (lang, shard) running-sum window missing:\n$p")
+    assert("windowspecdefinition\\(lang#\\d+, doc_id#".r.findFirstIn(p).isEmpty,
+      s"per-lang full-corpus window (single-reducer funnel) present:\n$p")
+  }
+
+  test("t09/t10: global rank windows run above the bounded top-k limit") {
+    // the unpartitioned row_number window is benign ONLY because it
+    // sees <= k rows (it sits above orderBy+limit, which compiles to
+    // TakeOrderedAndProject); pin that so a refactor can't silently
+    // move the window below the limit onto the full corpus
+    for (name <- Seq("t09_vocab_topk", "t10_tfidf_rank")) {
+      val p = plan(name)
+      val wi = p.indexOf("Window")
+      val ti = p.indexOf("TakeOrderedAndProject")
+      assert(wi >= 0 && ti >= 0,
+        s"$name: expected Window + TakeOrderedAndProject in:\n$p")
+      assert(wi < ti,
+        s"$name: unpartitioned window must sit ABOVE the limit (<= k rows):\n$p")
+    }
+  }
+
   test("q11 two-phase top-k: both window passes present, salted first") {
     val p = plan("q11_topk_per_group")
     // two Window operators: (n_name, pid) then (n_name)
