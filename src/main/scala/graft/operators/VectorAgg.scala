@@ -27,11 +27,20 @@ object VectorAgg {
     new Aggregator[Array[Double], Buf, Array[Double]] {
       override def zero: Buf = (Array.emptyDoubleArray, 0L)
 
+      // ragged inputs are a data bug, not a truncation opportunity:
+      // silently folding min(length) yields a wrong centroid with no
+      // diagnostic (same fail-loud contract as ConnectedComponents)
+      private def requireSameDim(have: Int, got: Int): Unit =
+        if (have != got) throw new IllegalArgumentException(
+          s"vectorMean requires uniform vector length: buffer dim $have, " +
+            s"input dim $got")
+
       override def reduce(b: Buf, v: Array[Double]): Buf = {
         if (v == null) b
         else if (b._2 == 0L) (v.clone(), 1L)
         else {
           val s = b._1
+          requireSameDim(s.length, v.length)
           var i = 0
           while (i < s.length) { s(i) += v(i); i += 1 }
           (s, b._2 + 1)
@@ -43,6 +52,7 @@ object VectorAgg {
         else if (b._2 == 0L) a
         else {
           val s = a._1
+          requireSameDim(s.length, b._1.length)
           var i = 0
           while (i < s.length) { s(i) += b._1(i); i += 1 }
           (s, a._2 + b._2)

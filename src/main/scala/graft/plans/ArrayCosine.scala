@@ -24,7 +24,10 @@ import org.apache.spark.sql.graftbridge.{columnToExpr, exprToColumn}
   *
   * Zero-norm inputs yield NaN (0/0), matching the composed form. A
   * null array on either side yields null via the binary null
-  * contract.
+  * contract. Mismatched lengths throw (one int compare per row):
+  * truncating to min(length) would silently compute a cosine whose
+  * norms disagree with the composed form — ragged embedding columns
+  * are a data bug that must surface, not fold away.
   */
 case class ArrayCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +50,9 @@ case class ArrayCosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"array_cosine requires equal-length arrays: $n vs ${y.numElements()}")
     var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
     var i = 0
     while (i < n) {
@@ -68,7 +73,12 @@ case class ArrayCosine(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "array_cosine requires equal-length arrays: " + $n + " vs " +
+         |      $b.numElements());
+         |}
          |double $s1 = 0.0; double $s2 = 0.0; double $s3 = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $a.getDouble($i);

@@ -240,8 +240,12 @@ object CurationQueries {
         max($"l_returnflag").as("flag_max"),
         min($"l_shipdate").as("ship_min"),
         max($"l_shipdate").as("ship_max"))
+      // count(col) after distinct (not count(*)) so a NULL group never
+      // counts — SQL COUNT(DISTINCT col) semantics, which the oracle
+      // uses; .distinct().count() would diverge by 1 on a null-bearing
+      // column
       def distinctOf(c: String, as: String) =
-        li.select(col(c)).distinct().agg(count(lit(1)).as(as))
+        li.select(col(c)).distinct().agg(count(col(c)).as(as))
       base
         .crossJoin(distinctOf("l_quantity", "qty_distinct"))
         .crossJoin(distinctOf("l_returnflag", "flag_distinct"))

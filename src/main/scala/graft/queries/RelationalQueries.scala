@@ -542,16 +542,17 @@ object RelationalQueries {
     * ops when semantics allow): for each click event, the user's most
     * recent error event at-or-before the click's timestamp.
     *
-    * Implementation is the scalable union+window formulation: tag both
-    * sides, union, ONE shuffle on (user_id), per-user time-ordered
-    * window carrying the last non-null dim payload forward
-    * (`last(..., ignoreNulls=true)` over rows UNBOUNDED PRECEDING..
-    * CURRENT). Dim rows sort before fact rows at equal timestamps, so
-    * the match is inclusive (ts_dim <= ts_fact) — exactly DuckDB's
-    * ASOF LEFT JOIN, which the oracle uses natively. At 100 TB this
-    * shape beats a range-join: no candidate-interval explosion, state
-    * is one row per partition during the window scan, and skewed users
-    * are bounded by per-user event counts.
+    * Implementation is [[graft.operators.AsOfJoin.leftAsOf]] — the
+    * scalable union+window formulation: tag both sides, union, ONE
+    * shuffle on (user_id), per-user time-ordered window carrying the
+    * last non-null dim payload forward as ONE STRUCT (so the match is
+    * never a torn row mixing fields of different error events — see
+    * the operator doc). Dim rows sort before fact rows at equal
+    * timestamps, so the match is inclusive (ts_dim <= ts_fact) —
+    * exactly DuckDB's ASOF LEFT JOIN, which the oracle uses natively.
+    * At 100 TB this shape beats a range-join: no candidate-interval
+    * explosion, state is one row per partition during the window scan,
+    * and skewed users are bounded by per-user event counts.
     *
     * Null-key caveat: window partitioning groups null keys TOGETHER
     * (unlike a join, where null never equals null) — a nullable join
@@ -575,27 +576,15 @@ object RelationalQueries {
     import s.implicits._
     val ev = Tables(s, dir, "events")
     val fact = ev.where($"event_type" === "click")
-      .select($"user_id", $"ts", $"event_id",
-        lit(null).cast("long").as("devent"),
-        lit(null).cast("double").as("dvalue"),
-        lit(null).cast("timestamp").as("dts"),
-        lit(0).as("isdim"))
+      .select($"event_id", $"user_id", $"ts")
     val dim = ev.where($"event_type" === "error")
-      .select($"user_id", $"ts", $"event_id",
-        $"event_id".as("devent"), $"value".as("dvalue"),
-        $"ts".as("dts"), lit(1).as("isdim"))
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"ts".asc, $"isdim".desc, $"event_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fact.union(dim)
-      .select($"user_id", $"ts", $"event_id", $"isdim",
-        last($"devent", ignoreNulls = true).over(w).as("asof_event"),
-        last($"dvalue", ignoreNulls = true).over(w).as("av"),
-        last($"dts", ignoreNulls = true).over(w).as("adts"))
-      .where($"isdim" === 0)
-      .select($"event_id", $"user_id", $"asof_event",
-        round($"av", 2).as("asof_value"),
-        (unix_micros($"ts") - unix_micros($"adts")).as("us_since"))
+      .select($"user_id", $"ts", $"event_id".as("devent"),
+        $"value".as("dvalue"))
+    graft.operators.AsOfJoin
+      .leftAsOf(fact, dim, key = "user_id", ts = "ts", dimTieBreak = "devent")
+      .select($"event_id", $"user_id", $"asof.devent".as("asof_event"),
+        round($"asof.dvalue", 2).as("asof_value"),
+        (unix_micros($"ts") - unix_micros($"asof.ts")).as("us_since"))
       .orderBy($"event_id")
   }
 

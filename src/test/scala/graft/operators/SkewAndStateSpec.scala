@@ -156,6 +156,19 @@ class SkewAndStateSpec extends SparkSpec {
     assert(viaAgg.toSeq === viaExplode.toSeq)
   }
 
+  test("VectorAgg.vectorMean fails loudly on ragged vector lengths") {
+    val ragged = Seq((1, Seq(1.0, 2.0)), (1, Seq(1.0, 2.0, 3.0)))
+      .toDF("label", "v").coalesce(1) // same partition → reduce path hits it
+    val e = intercept[Exception] {
+      ragged.groupBy($"label").agg(VectorAgg.vectorMean($"v")).collect()
+    }
+    def chainHasDims(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(m =>
+        m.contains("dim 2") && m.contains("dim 3")) || chainHasDims(t.getCause))
+    assert(chainHasDims(e),
+      s"mismatch error must name both dims, got: ${e.getMessage}")
+  }
+
   test("flatMapGroupsWithState maintains per-taxi session state across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[TripEvent]

@@ -58,6 +58,17 @@ class ArrayDotProductSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("fused cosine rejects mismatched lengths (no silent truncated norms)") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(ArrayCosine.fastCosine($"a", $"b")).collect()
+    }
+    def chain(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage)
+        .exists(_.contains("equal-length")) || chain(t.getCause))
+    assert(chain(e), s"expected equal-length error, got: ${e.getMessage}")
+  }
+
   test("fused cosine participates in codegen") {
     val e = Tables(spark, sf, "embeddings")
       .select($"embedding".cast("array<double>").as("v"))
