@@ -17,25 +17,37 @@ import org.apache.spark.sql.functions._
   * Scale shape per round: one shuffle of (edge endpoint, label) pairs
   * + one min-aggregate — primitive longs only, Σ cost O(E) per round.
   * The driver-side loop holds only a changed-row COUNT, never data;
-  * each round's result is checkpointed via localCheckpoint to cut the
-  * growing lineage (iterative DataFrame plans otherwise re-plan the
-  * whole history each round).
+  * each round's result is checkpointed to cut the growing lineage
+  * (iterative DataFrame plans otherwise re-plan the whole history
+  * each round).
+  *
+  * Checkpoint reliability is the caller's deployment choice:
+  * `localCheckpoint` (default) stores blocks on executors — fast, but
+  * a lost executor kills the job, acceptable only in local mode or
+  * for restartable jobs. Passing `checkpointDir` switches to RELIABLE
+  * `Dataset.checkpoint()` into that (HDFS/object-store) path, which
+  * survives executor loss — the 100-TB-cluster option.
   */
 object ConnectedComponents {
 
   /** @param edges two long columns (src, dst), undirected semantics.
+    * @param checkpointDir fault-tolerant checkpoint location; None ⇒
+    *        executor-local checkpoints (local-mode fast path).
     * @return (id, component) — component = min vertex id reachable. */
   def components(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = edges.select(col(src).as("u"), col(dst).as("v"))
-      .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
-      .distinct()
-      .localCheckpoint()
-    var labels = und.select($"u".as("id")).distinct()
-      .select($"id", $"id".as("component"))
-      .localCheckpoint()
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def persistCut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val und = persistCut(
+      edges.select(col(src).as("u"), col(dst).as("v"))
+        .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
+        .distinct())
+    var labels = persistCut(
+      und.select($"u".as("id")).distinct()
+        .select($"id", $"id".as("component")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -47,7 +59,7 @@ object ConnectedComponents {
         .select($"id",
           least($"component", coalesce($"nmin", $"component")).as("component"),
           ($"nmin" < $"component").as("chg"))
-      val materialized = next.localCheckpoint()
+      val materialized = persistCut(next)
       changed = materialized.where($"chg").count()
       labels = materialized.drop("chg")
       iter += 1

@@ -92,6 +92,25 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).map(got) === Seq(20L, 20L, 20L))
   }
 
+  test("connected components converge on a wide-diameter chain with reliable checkpoints") {
+    import graft.operators.ConnectedComponents
+    // a 16-node path (diameter 15) exercises many propagation rounds,
+    // and the reliable-checkpoint path (Dataset.checkpoint into a
+    // fault-tolerant dir — the cluster-mode option) instead of
+    // localCheckpoint
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val path = (1L to 16L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("a", "b")
+    val got = ConnectedComponents
+      .components(path, "a", "b", maxIter = 20, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 16L).map(got).toSet === Set(1L),
+      "the whole chain must collapse to the min label across >3 rounds")
+    // reliable checkpoints actually landed in the directory
+    val files = new java.io.File(dir).listFiles()
+    assert(files != null && files.nonEmpty, "no checkpoint data written")
+  }
+
   test("connected components fail loudly when the iteration cap is too low") {
     import graft.operators.ConnectedComponents
     // a long path needs ~length/2 rounds; maxIter=1 cannot converge —
