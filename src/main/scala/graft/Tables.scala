@@ -32,7 +32,11 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // rebuild only when the file actually stored NANOS (read as long);
+    // derived datasets (e.g. tools.ScaleUp output) store TIMESTAMP
+    // directly and must pass through untouched
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else df
   }

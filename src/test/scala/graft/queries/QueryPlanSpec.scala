@@ -99,6 +99,14 @@ class QueryPlanSpec extends SparkSpec {
     assert(d01.nonEmpty)
     assert(d01.forall(_.rows <= docs * 13),
       s"no d01 exchange may exceed the banded volume (13·$docs): $d01")
+    // d02: linear term = 8 exact + 136 probe rows per doc; no exchange
+    // may exceed the probe fan-out (the quadratic candidate term is
+    // pinned separately by DedupSpec's candidate-rate bound)
+    val d02 = PlanMetrics.shuffles(
+      QueryRegistry.asMap("d02_simhash_dedup")(spark, sf))
+    assert(d02.nonEmpty)
+    assert(d02.forall(_.rows <= docs * 144),
+      s"no d02 exchange may exceed the multi-probe volume (144·$docs): $d02")
   }
 
   test("q24: correlated subqueries are fully decorrelated (joins, no Subquery nodes)") {
