@@ -504,8 +504,72 @@ object TextQueries {
       .select($"doc_id", $"score", $"rnk")
   }
 
+  /** D5/D3 — eval-set CONTAMINATION screening: the decontamination
+    * pass every LLM pipeline runs before training (GPT-3 appendix C
+    * style): report train docs sharing any verbatim 13-token n-gram
+    * with the held-out eval split, with the count of distinct shared
+    * grams as evidence. Exact-span screening is deliberately distinct
+    * from fuzzy dedup (d01/d05) — a train doc quoting 13 consecutive
+    * eval tokens is contamination even at low whole-doc similarity.
+    *
+    * Scale shape: benchmark/eval sets are tiny relative to the corpus,
+    * so the eval gram set BROADCASTS and the corpus-side grams are
+    * generated in a narrow typed flatMap and filtered MAP-SIDE — no
+    * shuffle ever carries a train gram; the only exchange is the final
+    * groupBy over matched (train, eval) pairs. Gram generation is
+    * JIT'd Scala (HOF transform would evaluate interpreted —
+    * HashSketch rationale). */
+  val t11Contamination: GraftQuery = q(
+    "t11_contamination",
+    "D5/D3 eval-contamination screening: verbatim 13-gram overlap, broadcast eval side",
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, greatest(0, len(toks)-12)),
+      |                i -> array_to_string(toks[i:i+12], ' '))) AS gram
+      |  FROM d),
+      |e AS (SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 5 = 0),
+      |t AS (SELECT DISTINCT doc_id AS train_id, gram FROM g WHERE doc_id % 5 <> 0)
+      |SELECT CAST(train_id AS BIGINT) AS train_id,
+      |       CAST(eval_id AS BIGINT) AS eval_id,
+      |       count(*) AS shared_grams
+      |FROM t JOIN e USING (gram)
+      |GROUP BY train_id, eval_id
+      |ORDER BY train_id, eval_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    // per-doc gram dedup happens INSIDE the flatMap (bounded by doc
+    // length), so neither side needs a distinct() — a corpus-wide
+    // distinct would shuffle every train gram, which is exactly what
+    // this operator's shape avoids
+    val grams = Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+")
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i + 13 <= toks.length) {
+          seen.add(toks.slice(i, i + 13).mkString(" "))
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.iterator().asScala.map(g => (id, g))
+      }
+      .toDF("doc_id", "gram")
+    val evalGrams = grams.where($"doc_id" % 5 === 0)
+      .select($"doc_id".as("eval_id"), $"gram")
+    val trainGrams = grams.where($"doc_id" % 5 =!= 0)
+      .select($"doc_id".as("train_id"), $"gram")
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy($"train_id", $"eval_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy($"train_id", $"eval_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
-    t09VocabTopK, t10TfIdf)
+    t09VocabTopK, t10TfIdf, t11Contamination)
 }

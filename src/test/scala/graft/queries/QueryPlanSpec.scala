@@ -144,6 +144,17 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("t11 contamination: eval side broadcasts, one pair-agg shuffle only") {
+    val p = plan("t11_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram set must broadcast (corpus side stays map-side):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"train grams must never reach a shuffle join:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"only the matched-pair aggregation may shuffle, found $hashExchanges:\n$p")
+  }
+
   test("q11 two-phase top-k: both window passes present, salted first") {
     val p = plan("q11_topk_per_group")
     // two Window operators: (n_name, pid) then (n_name)
