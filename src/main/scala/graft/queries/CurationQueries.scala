@@ -343,7 +343,78 @@ object CurationQueries {
       |ORDER BY lang, bin""".stripMargin),
     "north-star: contiguous sequence packing into fixed token budgets")
 
+  /** c06 — LEAKAGE-SAFE train/eval split: hash-split by near-dup
+    * CLUSTER, not by document. A doc-level split (c01's shape) leaks:
+    * a train doc's near-duplicate can land in eval, and the model is
+    * then scored on (a trivial variant of) its own training data —
+    * the split-contamination failure decontamination audits (t11)
+    * exist to catch. Splitting on the connected-component label makes
+    * leakage impossible BY CONSTRUCTION: every member of a near-dup
+    * cluster shares the component, hence the hash, hence the side —
+    * including transitive chains (a~b, b~c ⇒ a,c same side even if
+    * a,c are not directly similar). Singleton docs are their own
+    * cluster (left join + coalesce).
+    *
+    * Composition of existing verified pieces: jaccardEdges (t05's
+    * banded pair shape) → ConnectedComponents (d04) → salted-md5
+    * split (c01's determinism contract, salted ':leak' so the
+    * assignment is independent of c01's). The oracle recomputes
+    * components with the recursive transitive-closure CTE and the
+    * identical md5 arithmetic. Output: per split, docs and distinct
+    * clusters. */
+  val c06LeakageSafeSplit: GraftQuery = GraftQuery(
+    "c06_leakage_safe_split",
+    (s, dir) => {
+      import s.implicits._
+      val comp = graft.operators.ConnectedComponents
+        .components(DedupQueries.jaccardEdges(s, dir), "doc_a", "doc_b")
+      val labeled = Tables(s, dir, "documents").select($"doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"component", $"doc_id").as("cluster"))
+      val h = conv(
+        substring(md5(concat($"cluster".cast("string"), lit(":leak"))
+          .cast("binary")), 1, 15), 16, 10).cast("long")
+      labeled
+        .withColumn("split", when(h % 10 < 9, "train").otherwise("eval"))
+        .groupBy($"split")
+        .agg(
+          count(lit(1)).as("docs"),
+          countDistinct($"cluster").as("clusters"))
+        .orderBy($"split")
+    },
+    Some("""WITH RECURSIVE d AS (
+      |  SELECT doc_id, substr(text, 1, 20) AS bucket,
+      |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT CAST(a.doc_id AS BIGINT) AS u, CAST(b.doc_id AS BIGINT) AS v
+      |  FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      |und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      |reach(u, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      |  UNION
+      |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u),
+      |labels AS (
+      |  SELECT u AS id, min(r) AS component FROM reach GROUP BY u),
+      |alld AS (
+      |  SELECT doc_id,
+      |         coalesce(l.component, CAST(doc_id AS BIGINT)) AS cluster
+      |  FROM documents LEFT JOIN labels l ON l.id = doc_id),
+      |s AS (
+      |  SELECT cluster,
+      |         CASE WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR) || ':leak'), 1, 15)
+      |                   AS BIGINT) % 10 < 9
+      |              THEN 'train' ELSE 'eval' END AS split
+      |  FROM alld)
+      |SELECT split, count(*) AS docs, count(DISTINCT cluster) AS clusters
+      |FROM s
+      |GROUP BY split
+      |ORDER BY split""".stripMargin),
+    "north-star: leakage-safe split — near-dup clusters never straddle train/eval")
+
   val all: Seq[GraftQuery] = Seq(
     c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile,
-    c05SequencePacking)
+    c05SequencePacking, c06LeakageSafeSplit)
 }

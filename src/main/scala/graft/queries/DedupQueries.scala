@@ -373,6 +373,26 @@ object DedupQueries {
       .orderBy($"vec_id")
   }
 
+  /** Bucket-banded token-set Jaccard ≥ `threshold` edge set — the
+    * shared near-dup PAIR definition behind d04 (cluster resolution)
+    * and c06 (leakage-safe split), t05's shape: candidates only
+    * within a text-prefix bucket, never all-pairs. */
+  def jaccardEdges(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id",
+        substring($"text", 1, 20).as("bucket"),
+        array_distinct(split(trim($"text"), "\\s+")).as("toks"))
+    val a = d.select($"doc_id".as("doc_a"), $"bucket", $"toks".as("ta"))
+    val b = d.select($"doc_id".as("doc_b"), $"bucket", $"toks".as("tb"))
+    a.join(b, Seq("bucket"))
+      .where($"doc_a" < $"doc_b")
+      .where(size(array_intersect($"ta", $"tb")).cast("double")
+        / size(array_union($"ta", $"tb")) >= threshold)
+      .select($"doc_a", $"doc_b")
+  }
+
   /** D3 — near-dup pair → CLUSTER resolution: pairs chain (a~b, b~c ⇒
     * one cluster {a,b,c}), so canonical-document selection needs
     * connected components, not pairs. Edges are the banded token-set
@@ -408,18 +428,8 @@ object DedupQueries {
       |ORDER BY keeper""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
-    val d = Tables(s, dir, "documents")
-      .select($"doc_id",
-        substring($"text", 1, 20).as("bucket"),
-        array_distinct(split(trim($"text"), "\\s+")).as("toks"))
-    val a = d.select($"doc_id".as("doc_a"), $"bucket", $"toks".as("ta"))
-    val b = d.select($"doc_id".as("doc_b"), $"bucket", $"toks".as("tb"))
-    val edges = a.join(b, Seq("bucket"))
-      .where($"doc_a" < $"doc_b")
-      .where(size(array_intersect($"ta", $"tb")).cast("double")
-        / size(array_union($"ta", $"tb")) >= 0.5)
-      .select($"doc_a", $"doc_b")
-    graft.operators.ConnectedComponents.components(edges, "doc_a", "doc_b")
+    graft.operators.ConnectedComponents
+      .components(jaccardEdges(s, dir), "doc_a", "doc_b")
       .groupBy($"component".as("keeper"))
       .agg(count(lit(1)).as("docs"))
       .orderBy($"keeper")

@@ -122,6 +122,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("c06: cluster split never separates near-dup pairs (doc-level split would)") {
+    import graft.operators.ConnectedComponents
+    val edges = DedupQueries.jaccardEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "calibration: fixture must contain near-dup edges")
+    val comp = ConnectedComponents
+      .components(DedupQueries.jaccardEdges(spark, sf), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def h60(sd: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(sd.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def clusterTrain(id: Long): Boolean =
+      h60(comp.getOrElse(id, id).toString + ":leak") % 10 < 9
+    def docTrain(id: Long): Boolean = h60(id.toString + ":leak") % 10 < 9
+    val straddleCluster =
+      edges.count { case (a, b) => clusterTrain(a) != clusterTrain(b) }
+    val straddleDoc = edges.count { case (a, b) => docTrain(a) != docTrain(b) }
+    info(s"doc-level split would leak $straddleDoc of ${edges.length} near-dup edges")
+    assert(straddleCluster === 0,
+      "cluster-keyed split must never place a near-dup pair on opposite sides")
+  }
+
   test("d03 embedding near-dup: cell-bounded candidates, sims bounded by brute force") {
     val got = QueryRegistry.asMap("d03_embedding_near_dup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getAs[Double]("sim"))).toMap
