@@ -184,18 +184,27 @@ object VectorQueries {
   }
 
   /** D4 — IVF-style bucketed ANN (the 100-TB scale path for v01).
-    * Coarse quantizer: 16 deterministic pivots (the first 16 corpus
+    * Coarse quantizer: B deterministic pivots (the first B corpus
     * vectors by vec_id — no RNG, fully reproducible); every vector is
-    * assigned to its nearest pivot (one broadcast of the pivot table,
-    * map-side argmax via max_by — no shuffle for assignment). Queries
-    * probe their nProbe=2 nearest pivot buckets; candidates are
-    * generated ONLY by the bucket equi-join (no cartesian product /
-    * nested-loop anywhere), then re-ranked with exact cosine.
+    * assigned to its nearest pivot by a TYPED map-side argmax over the
+    * broadcast pivot array (VectorOps.nearest2Pivots — JIT'd Scala,
+    * zero shuffle; the earlier relational crossJoin+max_by formulation
+    * shuffled N·B vector-carrying rows through the argmax groupBy,
+    * which at B = √(N/8) turns into an N^1.5 vector shuffle — measured
+    * 58 s vs 4 s at the 100× replica). Queries probe their nProbe=2
+    * nearest pivot buckets; candidates are generated ONLY by the
+    * bucket equi-join (no cartesian product / nested-loop anywhere),
+    * then re-ranked with exact cosine.
     *
     * At 100 TB: pivots come from a sampled k-means (still a tiny
     * broadcast table); assignment stays a narrow map; the candidate
     * join shuffles only the probed buckets ≈ nProbe/nPivots of the
-    * corpus. Every stage is deterministic (fixed pivots, rounded
+    * corpus. The pivot count is the latency knob and is TURNED
+    * automatically like d03's: B = max(16, ⌈√(N/8)⌉), so per-query
+    * candidates ≈ nProbe·N/B stay sub-linear as the corpus grows; B
+    * is a deterministic function of the exact count, mirrored in the
+    * oracle (N ≤ 2048 ⇒ B = 16 — gate results unchanged).
+    * Every stage is deterministic (fixed pivots, rounded
     * sims, id tie-breaks), so the DuckDB oracle replicates the FULL
     * approximate pipeline — bucketing, probing, candidate join,
     * re-rank; the ScalaTest spec additionally pins recall vs v01's
@@ -207,8 +216,12 @@ object VectorQueries {
       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
       |         CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings),
+      |b AS (
+      |  SELECT greatest(16, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) AS npiv
+      |  FROM e),
       |p AS (
-      |  SELECT vec_id AS pivot_id, v AS pv FROM e WHERE vec_id < 16),
+      |  SELECT vec_id AS pivot_id, v AS pv FROM e
+      |  WHERE vec_id < (SELECT npiv FROM b)),
       |scored AS (
       |  SELECT e.vec_id, e.v, p.pivot_id,
       |         round(
@@ -246,27 +259,26 @@ object VectorQueries {
       |ORDER BY query_id, rnk""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
-    val nPivots = 16
-    val nProbe = 2
-    val e = emb(s, dir)
-    val pivots = e.where($"vec_id" < nPivots)
-      .select($"vec_id".as("pivot_id"), $"v".as("pv"))
-    // nearest pivot per corpus vector: broadcast pivots, argmax cosine
-    // (ties broken toward the lowest pivot_id for determinism)
-    val scored = e.crossJoin(broadcast(pivots))
-      .select($"vec_id", $"v",
-        $"pivot_id", cosine6($"v", $"pv").as("psim"))
-    val assigned = scored
-      .groupBy($"vec_id", $"v")
-      .agg(max_by($"pivot_id", struct($"psim", -$"pivot_id")).as("bucket"))
-    // query probes: top-nProbe buckets per query vector
-    val qScored = scored.where($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"pivot_id", $"psim")
-    val wProbe = Window.partitionBy($"query_id")
-      .orderBy($"psim".desc, $"pivot_id")
-    val probes = qScored.withColumn("pr", row_number().over(wProbe))
-      .where($"pr" <= nProbe)
-      .select($"query_id", $"qv", $"pivot_id".as("bucket"))
+    import graft.functions.VectorOps
+    val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
+    val nPivots = math.max(16L, math.ceil(math.sqrt(ev.count() / 8.0)).toLong)
+    // pivot table is bounded (B ≪ N) — collect + broadcast, exactly
+    // what a sampled-k-means coarse quantizer does at scale
+    val pivotArr = ev.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
+    val bc = s.sparkContext.broadcast(pivotArr)
+    // nearest pivot per corpus vector: typed map-side argmax over the
+    // broadcast pivots (rounded cosine6, ties toward the lowest
+    // pivot_id — identical ordering to the oracle's rank-1 row)
+    val assigned = ev.map { case (id, v) =>
+      (id, VectorOps.nearest2Pivots(v, bc.value)._1.toLong, v)
+    }.toDF("vec_id", "bucket", "v")
+    // query probes: the nProbe=2 nearest buckets per query vector
+    // (= nearest2Pivots, same ordering as the oracle's pr <= 2)
+    val probes = ev.filter(_._1 < 5)
+      .flatMap { case (id, v) =>
+        val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
+        Iterator((id, b1.toLong, v), (id, b2.toLong, v))
+      }.toDF("query_id", "bucket", "qv")
     // candidates: bucket-local equi-join, then exact re-rank
     val cands = assigned.join(broadcast(probes), Seq("bucket"))
       .where($"vec_id" =!= $"query_id")

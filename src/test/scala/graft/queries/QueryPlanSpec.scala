@@ -46,9 +46,9 @@ class QueryPlanSpec extends SparkSpec {
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       // BroadcastNestedLoopJoin against a bounded broadcast side (the
-      // 5-row query set in v01, the 16-row pivot table in v04) is a
-      // deliberate O(N·k) map-side expansion and allowed; a true
-      // CartesianProduct (shuffle both sides, O(N²)) never is.
+      // 5-row query set in v01) is a deliberate O(N·k) map-side
+      // expansion and allowed; a true CartesianProduct (shuffle both
+      // sides, O(N²)) never is.
       assert(!p.contains("CartesianProduct"),
         s"${q.name} plans a CartesianProduct")
       if (q.name == "v04_lsh_ann")
