@@ -122,6 +122,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d06 sharded index reports exactly d02's same-lang pairs") {
+    val lang = Tables(spark, sf, "documents")
+      .select($"doc_id", $"lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val global = QueryRegistry.asMap("d02_simhash_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sharded = QueryRegistry.asMap("d06_sharded_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = global.filter { case (a, b) => lang(a) == lang(b) }
+    assert(sharded === expected,
+      "sharding by lang must keep exactly the within-shard subset of the global index")
+  }
+
   test("c06: cluster split never separates near-dup pairs (doc-level split would)") {
     import graft.operators.ConnectedComponents
     val edges = DedupQueries.jaccardEdges(spark, sf)
