@@ -39,6 +39,15 @@ final class ParquetSink(baseDir: String) extends ViewSink {
     df.write.mode("overwrite").parquet(s"$baseDir/$table")
 }
 
+/** ORC sink — the columnar alternative where the warehouse reads ORC
+  * (Hive-first estates). Same overwrite semantics; ORC carries
+  * min/max/bloom indexes per stripe, so read-back predicate pushdown
+  * works like parquet's (spec-pinned). */
+final class OrcSink(baseDir: String) extends ViewSink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").orc(s"$baseDir/$table")
+}
+
 /** In-memory sink for assertions in specs. */
 final class MemorySink extends ViewSink {
   val tables: mutable.Map[String, DataFrame] = mutable.Map.empty

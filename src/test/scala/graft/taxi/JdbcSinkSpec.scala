@@ -41,6 +41,24 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back2.head().getAs[String]("company") === "Gamma")
   }
 
+  test("OrcSink round-trips a view with working predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("orc-sink").toString
+    val sink = new OrcSink(dir)
+    val v = Seq(("2021-03-05", "Acme", 1212.5), ("2021-03-06", "Beta", 31.5))
+      .toDF("trip_start_date", "company", "fares")
+    sink.write(v, "companies_view")
+    val back = spark.read.orc(s"$dir/companies_view")
+      .where($"company" === "Acme")
+    assert(back.collect().map(_.getAs[Double]("fares")).toSeq === Seq(1212.5))
+    // the filter must reach the ORC scan (stripe min/max skipping)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("company"),
+      s"company filter not pushed into the ORC scan:\n$plan")
+    // overwrite semantics match the parquet/jdbc sinks
+    sink.write(v.limit(1), "companies_view")
+    assert(spark.read.orc(s"$dir/companies_view").count() === 1)
+  }
+
   test("streaming foreachBatch appends micro-batches into JDBC") {
     implicit val sql = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
