@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental dedup: per-micro-batch asymmetric banded join
+  * against the standing index, index grows with novel docs only. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("cross-batch near-dups are flagged against the standing index") {
+    implicit val sql = spark.sqlContext
+    val indexDir = tmp("sdedup-idx")
+    val outDir = tmp("sdedup-out")
+    val ckpt = tmp("sdedup-ckpt")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // batch 1: two unrelated docs — both novel
+    mem.addData((1L, base), (2L, "completely different content about query planners"))
+    val q1 = StreamingDedup.run(docs, indexDir, outDir, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // batch 2: a near-dup of doc 1 (one token changed) + a novel doc
+    val near = base.replace("today", "tonight")
+    mem.addData((3L, near), (4L, "yet another topic entirely with new words"))
+    val q2 = StreamingDedup.run(docs, indexDir, outDir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) === None && out(2L) === None, "batch-1 docs are novel")
+    assert(out(3L) === Some(1L),
+      s"doc 3 must be flagged as a dup of doc 1, got ${out(3L)}")
+    assert(out(4L) === None)
+
+    // the index holds exactly the novel docs (dup 3 never entered)
+    val idx = spark.read.schema(StreamingDedup.indexSchema).parquet(indexDir)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(idx === Set(1L, 2L, 4L))
+  }
+
+  test("per-batch logic matches the batch (d05-shape) formulation") {
+    // same decision on the same data when run as one batch join —
+    // batch/stream parity for the dedup family
+    val corpus = Seq((10L, "alpha bravo charlie delta echo foxtrot golf hotel"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "alpha bravo charlie delta echo foxtrot golf hotelx"),
+      (21L, "nothing in common with the corpus at all"))
+      .toDF("doc_id", "text")
+    val index = corpus.select(
+      $"doc_id".as("corpus_id"),
+      substring($"text", 1, 20).as("bucket"),
+      array_distinct(split(trim($"text"), "\\s+")).as("toks"))
+    val (decisions, novel) = StreamingDedup.dedupBatch(incoming, index)
+    val d = decisions.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(d(20L) === Some(10L))
+    assert(d(21L) === None)
+    assert(novel.select($"corpus_id").as[Long].collect().toSeq === Seq(21L))
+  }
+}
