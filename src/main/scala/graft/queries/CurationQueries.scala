@@ -296,7 +296,15 @@ object CurationQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val budget = 4096L
-      val shardWidth = 1024L
+      // shard width balances the two bounds: ≤ ~10⁶ shards keeps the
+      // offsets table broadcastable at any N, while width ≤
+      // max(1024, N/10⁶) keeps per-task window rows bounded. Bins are
+      // shard-INDEPENDENT by construction (offset + local cumsum =
+      // exact global cumsum), so the width never changes results and
+      // the oracle needs no mirror.
+      val maxId = Tables(s, dir, "documents")
+        .agg(max($"doc_id")).head().getLong(0)
+      val shardWidth = math.max(1024L, maxId / 1000000L + 1)
       val toks = split(trim($"text"), "\\s+")
       val d = Tables(s, dir, "documents")
         .select($"doc_id", $"lang", size(toks).cast("long").as("n_tok"),
