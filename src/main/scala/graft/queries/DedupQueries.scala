@@ -53,8 +53,84 @@ object DedupQueries {
   val d01MinHashLsh: GraftQuery = q(
     "d01_minhash_lsh_dedup",
     "D3 shingle→minhash→band→bucket-join→verify near-dup pairs",
-    Some(simhashOracle(sharded = false))
-  ) { (s, dir) => simhashPairs(s, dir, sharded = false) }
+    Some("""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 3
+      |              THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |              ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+      |  FROM t),
+      |p AS (
+      |  SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+      |         CAST(b.doc_id AS BIGINT) AS doc_b,
+      |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |         / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+      |FROM p WHERE j >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.HashSketch
+    // Signature generation is JIT-compiled typed Scala — as Catalyst
+    // higher-order functions the 65-minima loop evaluates interpreted
+    // (HOFs are CodegenFallback, no CSE) and measured 40+ s at sf0.01;
+    // see graft.functions.HashSketch. Each band's 5-hash slice is
+    // collapsed to ONE long band key (HashSketch.bandKey — collisions
+    // only add candidates, which exact verification rejects), so the
+    // banded shuffle carries 13 × (long, int, long) rows per doc and
+    // the bucket join is a primitive equi-join; joins/dedup/sorting
+    // stay relational.
+    val banded = Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val mins = HashSketch.minhash(HashSketch.shingle3(text),
+          MinhashBands * MinhashRows)
+        (0 until MinhashBands).iterator.map { b =>
+          (id, b, HashSketch.bandKey(mins, b * MinhashRows, (b + 1) * MinhashRows))
+        }
+      }
+      .toDF("doc_id", "band", "sig")
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "sig"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verify on candidate pairs only, via primitive counting
+    // joins (same rule as the banding: no boxed array columns in any
+    // shuffle): |A∩B| = matched (doc, hash) rows once the pair is
+    // joined to both docs' exploded shingle-hash sets; Jaccard =
+    // inter / (|A| + |B| − inter). Set-equal to string-set Jaccard
+    // modulo 64-bit collisions.
+    val allHashes = Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        HashSketch.hashSet(HashSketch.shingle3(t)).iterator.map(h => (id, h)) }
+      .toDF("doc_id", "h")
+    // semi-join prune: only CANDIDATE docs' hashes enter the verify
+    // joins. Candidate doc ids are small relative to the corpus (LSH
+    // collision rate), so the semi-join broadcasts and the corpus-wide
+    // hash set is filtered map-side — the verify stage's shuffle
+    // volume is bounded by candidates, not by the corpus.
+    val candDocs = candidates.select($"doc_a".as("doc_id"))
+      .unionAll(candidates.select($"doc_b".as("doc_id"))).distinct()
+    val hashes = allHashes.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sizes = hashes.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    candidates
+      .join(hashes.select($"doc_id".as("doc_a"), $"h"), "doc_a")
+      .join(hashes.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("j"))
+      .where($"j" >= 0.6)
+      .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   /** Oracle template shared by d02/d06: full signature recomputation
     * in BIGINT-exact mod-P arithmetic, then all-pairs Hamming <= 15 —
@@ -155,30 +231,6 @@ object DedupQueries {
     Some(simhashOracle(sharded = true))
   ) { (s, dir) => simhashPairs(s, dir, sharded = true) }
 
-  /** D3 — 128-bit SimHash near-dup pairs with 8-band (16-bit)
-    * MULTI-PROBE Hamming blocking (Lv et al., multi-probe LSH,
-    * VLDB'07): signature bit (b,j) = majority vote over shingles of
-    * bit j of the band-b mod-P hash (HashSketch.simhash128). The index
-    * side carries each doc's 8 exact 16-bit band keys; the probe side
-    * additionally probes each key's 16 single-bit flips. By
-    * pigeonhole, a pair at Hamming ≤ 15 has a band with ≤ 1 differing
-    * bit (8 bands × ≥2 diffs each would be ≥ 16), and that band's
-    * flipped-or-exact probe meets the exact key — so candidate recall
-    * is GUARANTEED for the ≤15 verify cutoff.
-    *
-    * Scale: 16-bit bands collide for random pairs with p ≈ 1/65536,
-    * ×(8 bands × 17 probes) ⇒ ~1/482 per random pair — 15× fewer
-    * candidates than 8-bit banding (8/256 = 1/32), the difference
-    * between a workable candidate set and a quadratic blowup at
-    * corpus scale. The probe fan-out is linear (144 primitive rows per
-    * doc), which is the cheap term; measured on the corpus, true
-    * near-dup pairs (J ≥ 0.9) sit at Hamming 4–15 and random pairs at
-    * ≈ 64 (min observed 37), so ≤15 separates cleanly.
-    *
-    * The mod-P hash family is BIGINT-expressible, so the oracle
-    * recomputes the full signatures in DuckDB and checks ALL-PAIRS
-    * Hamming ≤ 15 — an independent (unbanded) formulation that also
-    * re-proves the pigeonhole recall claim on real data. */
   /** Shared SimHash pair pipeline — d02 (global index) and d06
     * (lang-sharded index) differ only in whether `lang` joins the
     * banding key and bounds the verify. */
@@ -228,118 +280,35 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D3 — 128-bit SimHash near-dup pairs with 8-band (16-bit)
+    * MULTI-PROBE Hamming blocking (Lv et al., multi-probe LSH,
+    * VLDB'07): signature bit (b,j) = majority vote over shingles of
+    * bit j of the band-b mod-P hash (HashSketch.simhash128). The index
+    * side carries each doc's 8 exact 16-bit band keys; the probe side
+    * additionally probes each key's 16 single-bit flips. By
+    * pigeonhole, a pair at Hamming ≤ 15 has a band with ≤ 1 differing
+    * bit (8 bands × ≥2 diffs each would be ≥ 16), and that band's
+    * flipped-or-exact probe meets the exact key — so candidate recall
+    * is GUARANTEED for the ≤15 verify cutoff.
+    *
+    * Scale: 16-bit bands collide for random pairs with p ≈ 1/65536,
+    * ×(8 bands × 17 probes) ⇒ ~1/482 per random pair — 15× fewer
+    * candidates than 8-bit banding (8/256 = 1/32), the difference
+    * between a workable candidate set and a quadratic blowup at
+    * corpus scale. The probe fan-out is linear (144 primitive rows per
+    * doc), which is the cheap term; measured on the corpus, true
+    * near-dup pairs (J ≥ 0.9) sit at Hamming 4–15 and random pairs at
+    * ≈ 64 (min observed 37), so ≤15 separates cleanly.
+    *
+    * The mod-P hash family is BIGINT-expressible, so the oracle
+    * recomputes the full signatures in DuckDB and checks ALL-PAIRS
+    * Hamming ≤ 15 — an independent (unbanded) formulation that also
+    * re-proves the pigeonhole recall claim on real data. */
   val d02SimHash: GraftQuery = q(
     "d02_simhash_dedup",
     "D3 SimHash 128-bit + multi-probe 16-bit Hamming blocking",
-    Some("""WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-      |  FROM documents),
-      |s AS (
-      |  SELECT doc_id,
-      |         CASE WHEN len(toks) >= 3
-      |              THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
-      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-      |              ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
-      |  FROM t),
-      |g AS (SELECT doc_id, unnest(sh) AS sg FROM s),
-      |hx AS (
-      |  SELECT doc_id,
-      |         ((base*base + base) % 1000000007) AS x
-      |  FROM (
-      |    SELECT doc_id,
-      |           CASE WHEN length(sg) = 0 THEN 0
-      |                ELSE list_reduce(
-      |                  list_transform(generate_series(1, length(sg)),
-      |                                 i -> CAST(ascii(sg[i]) AS BIGINT)),
-      |                  (h, c) -> (h*131 + c) % 1000000007) END AS base
-      |    FROM g)),
-      |ab(band, a, b) AS (VALUES
-      |  (0, 236898829, 85734059),  (1, 681205763, 962623609),
-      |  (2, 105683867, 227583979), (3, 893741531, 664051099),
-      |  (4, 319406581, 133987433), (5, 748807279, 503595613),
-      |  (6, 552167521, 847421867), (7, 407145341, 318037609)),
-      |z AS (
-      |  SELECT doc_id, band, ((y*y + y) % 1000000007) AS z
-      |  FROM (SELECT doc_id, band,
-      |               ((x * CAST(a AS BIGINT) + b) % 1000000007) AS y
-      |        FROM hx CROSS JOIN ab)),
-      |votes AS (
-      |  SELECT doc_id, band, bit,
-      |         sum(CASE WHEN ((z >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
-      |  FROM z CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit)
-      |  GROUP BY doc_id, band, bit),
-      |subs AS (
-      |  SELECT doc_id, band,
-      |         sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sub
-      |  FROM votes GROUP BY doc_id, band),
-      |sig AS (
-      |  SELECT doc_id,
-      |         CAST(CASE WHEN slo >= 9223372036854775808 THEN slo - 18446744073709551616
-      |                   ELSE slo END AS BIGINT) AS lo,
-      |         CAST(CASE WHEN shi >= 9223372036854775808 THEN shi - 18446744073709551616
-      |                   ELSE shi END AS BIGINT) AS hi
-      |  FROM (
-      |    SELECT doc_id,
-      |           sum(CASE WHEN band < 4
-      |                    THEN CAST(sub AS HUGEINT)
-      |                         * (CASE band WHEN 0 THEN 1 WHEN 1 THEN 65536
-      |                            WHEN 2 THEN 4294967296 ELSE 281474976710656 END)
-      |                    ELSE 0 END) AS slo,
-      |           sum(CASE WHEN band >= 4
-      |                    THEN CAST(sub AS HUGEINT)
-      |                         * (CASE band WHEN 4 THEN 1 WHEN 5 THEN 65536
-      |                            WHEN 6 THEN 4294967296 ELSE 281474976710656 END)
-      |                    ELSE 0 END) AS shi
-      |    FROM subs GROUP BY doc_id))
-      |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
-      |       CAST(b.doc_id AS BIGINT) AS doc_b,
-      |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
-      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 15
-      |ORDER BY doc_a, doc_b""".stripMargin)
-  ) { (s, dir) =>
-    import s.implicits._
-    // SimHash signature in typed Scala (same rationale as d01) as TWO
-    // packed longs per doc; banding and Hamming distance are then pure
-    // codegen'd integer expressions — band b's key is the b-th 16-bit
-    // slice, the distance is bit_count(lo⊕lo') + bit_count(hi⊕hi').
-    // No array columns, no interpreted higher-order functions anywhere.
-    val signed = Tables(s, dir, "documents")
-      .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) =>
-        val (lo, hi) = graft.functions.HashSketch.simhash128(
-          graft.functions.HashSketch.shingle3(text))
-        (id, lo, hi)
-      }
-      .toDF("doc_id", "lo", "hi")
-    val exact = signed
-      .select($"doc_id", $"lo", $"hi",
-        explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("sub", expr(
-        "CASE WHEN band < 4 THEN (lo >> (band * 16)) & 65535 " +
-          "ELSE (hi >> ((band - 4) * 16)) & 65535 END"))
-    // multi-probe side: the exact key plus its 16 single-bit flips
-    // (p = 16 ⇒ unflipped). XOR is symmetric, so for any pair with a
-    // ≤1-bit band it suffices that the HIGHER-id doc probes — the
-    // doc_a < doc_b filter below keeps exactly that orientation.
-    val probes = exact
-      .select($"doc_id", $"lo", $"hi", $"band",
-        explode(sequence(lit(0), lit(16))).as("p"), $"sub")
-      .withColumn("sub", expr("CASE WHEN p = 16 THEN sub ELSE sub ^ (1 << p) END"))
-      .drop("p")
-    val cands = exact.as("a").join(probes.as("b"), Seq("band", "sub"))
-      .where($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.lo".as("lo_a"), $"a.hi".as("hi_a"),
-        $"b.lo".as("lo_b"), $"b.hi".as("hi_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cands
-      .select($"doc_a", $"doc_b",
-        (bit_count($"lo_a".bitwiseXOR($"lo_b"))
-          + bit_count($"hi_a".bitwiseXOR($"hi_b"))).cast("long").as("hamming"))
-      .where($"hamming" <= 15)
-      .orderBy($"doc_a", $"doc_b")
-  }
+    Some(simhashOracle(sharded = false))
+  ) { (s, dir) => simhashPairs(s, dir, sharded = false) }
 
   /** D3 — embedding-cosine near-dup: each vector's nearest neighbor
     * within its IVF CELL, where the cell key is the (nearest,
