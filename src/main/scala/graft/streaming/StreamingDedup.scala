@@ -17,15 +17,23 @@ import org.apache.spark.sql.types._
   * by the band key so index lookups prune to matching buckets).
   *
   * foreachBatch is the right tool (not a stream-stream join): the
-  * index is a slowly-growing BATCH table the stream joins against,
-  * and appends within the same transaction boundary as the decision
-  * output — Structured Streaming replays the batch on failure, and
-  * both writes are idempotent per (batch doc_id).
+  * index is a slowly-growing BATCH table the stream joins against.
+  * Structured Streaming replays a micro-batch whose writes completed
+  * but whose checkpoint commit did not, so BOTH sinks write their
+  * batch into a `batch_id=<id>` partition with dynamic partition
+  * overwrite — a replay rewrites the same partition instead of
+  * appending duplicate decision/index rows.
   *
   * Batch/stream parity: the per-batch logic is expression-for-
   * expression the d05 oracle semantics (bucket = substr(text,1,20),
   * Jaccard over distinct tokens ≥ 0.6, best match by (J desc, id)) —
   * pinned by the spec's cross-check against the batch formulation.
+  * Beyond d05 (whose corpus side is all prior docs), a micro-batch is
+  * ALSO checked against its own earlier-id members — a crawl batch is
+  * exactly where near-dups cluster, and without the self-check every
+  * same-batch twin would enter the index as "novel". `dup_of` may
+  * therefore name a same-batch doc that is itself a dup of something
+  * older; chains collapse downstream via d04 cluster resolution.
   */
 object StreamingDedup {
 
@@ -40,15 +48,23 @@ object StreamingDedup {
       substring(col("text"), 1, 20).as("bucket"),
       array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
 
-  /** Read the standing index, tolerating the empty first batch. */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val hasData = {
-      val d = new java.io.File(indexDir)
-      d.isDirectory && d.listFiles() != null &&
-        d.listFiles().exists(_.getName.endsWith(".parquet"))
+  /** Read the standing index, tolerating the empty first batch.
+    * The on-disk layout is partitioned by `batch_id` (see run); the
+    * partition column is pruned after the optional `beforeBatch`
+    * bound. A replayed batch passes its own id as the bound so a
+    * crashed attempt's already-written partition — which carries the
+    * replayed batch's OWN doc ids — is never re-matched against. */
+  def readIndex(spark: SparkSession, indexDir: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    def hasParquet(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.exists(k => k.getName.endsWith(".parquet") || (k.isDirectory && hasParquet(k)))
     }
-    if (hasData) spark.read.schema(indexSchema).parquet(indexDir)
-    else spark.createDataFrame(
+    if (hasParquet(new java.io.File(indexDir))) {
+      val all = spark.read.parquet(indexDir)
+      val bounded = beforeBatch.fold(all)(b => all.where(col("batch_id") < b))
+      bounded.select(indexSchema.fieldNames.map(col).toIndexedSeq: _*)
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
   }
 
@@ -58,8 +74,17 @@ object StreamingDedup {
     val spark = batch.sparkSession
     import spark.implicits._
     val in = indexed(batch, "doc_id")
-    val idx = index.select($"corpus_id", $"bucket", $"toks".as("ctoks"))
+    // "seen so far" = the standing index PLUS earlier-id members of
+    // this same batch (id order stands in for arrival order within a
+    // batch; any deterministic tie-break works, it only has to be
+    // acyclic so one of each twin-pair survives as novel).
+    val intra = in.select($"doc_id".as("corpus_id"), $"bucket",
+      $"toks".as("ctoks"), lit(true).as("is_intra"))
+    val idx = index.select($"corpus_id", $"bucket", $"toks".as("ctoks"),
+      lit(false).as("is_intra"))
+      .unionByName(intra)
     val matches = in.join(idx, Seq("bucket"))
+      .where(!$"is_intra" || $"corpus_id" < $"doc_id")
       .select($"doc_id", $"corpus_id",
         round(size(array_intersect($"toks", $"ctoks")).cast("double")
           / size(array_union($"toks", $"ctoks")), 4).as("j"))
@@ -82,16 +107,31 @@ object StreamingDedup {
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val (decisions, novel) = dedupBatch(batch, readIndex(spark, indexDir))
-        // decisions first, then the index append: a replayed batch
-        // re-derives the same decisions (novel rows are keyed by
-        // doc_id, so re-appends are dedupable downstream)
-        decisions.write.mode("append").parquet(outDir)
-        novel.write.mode("append").parquet(indexDir)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexDir, outDir)
       }
       .start()
+  }
+
+  /** The foreachBatch body, exposed so the replay path is testable.
+    * Idempotent replay: each write lands in its batch_id partition
+    * under dynamic overwrite, so a batch replayed after a
+    * crash-between-write-and-commit replaces its own partition rather
+    * than appending a second copy, and the bounded index read
+    * guarantees the replay joins against exactly the index state the
+    * original attempt saw. */
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val (decisions, novel) =
+      dedupBatch(batch, readIndex(spark, indexDir, Some(batchId)))
+    def writeBatch(df: DataFrame, dir: String): Unit = df
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+    writeBatch(decisions, outDir)
+    writeBatch(novel, indexDir)
   }
 }

@@ -41,9 +41,57 @@ class StreamingDedupSpec extends SparkSpec {
     assert(out(4L) === None)
 
     // the index holds exactly the novel docs (dup 3 never entered)
-    val idx = spark.read.schema(StreamingDedup.indexSchema).parquet(indexDir)
+    val idx = StreamingDedup.readIndex(spark, indexDir)
       .select($"corpus_id").as[Long].collect().toSet
     assert(idx === Set(1L, 2L, 4L))
+  }
+
+  test("same-batch near-dups: later id is flagged, only earlier enters index") {
+    implicit val sql = spark.sqlContext
+    val indexDir = tmp("sdedup-intra-idx")
+    val outDir = tmp("sdedup-intra-out")
+    val ckpt = tmp("sdedup-intra-ckpt")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    // one micro-batch carrying a twin pair + an unrelated doc
+    mem.addData((7L, base), (8L, base.replace("twelve", "thirteen")),
+      (9L, "entirely unrelated content talking about parquet footers"))
+    val q = StreamingDedup.run(docs, indexDir, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(7L) === None, "earlier twin is novel")
+    assert(out(8L) === Some(7L), s"later twin must point at 7, got ${out(8L)}")
+    assert(out(9L) === None)
+    val idx = StreamingDedup.readIndex(spark, indexDir)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(idx === Set(7L, 9L), "the flagged twin never enters the index")
+  }
+
+  test("replaying a micro-batch is idempotent (no duplicate rows, same decisions)") {
+    val indexDir = tmp("sdedup-replay-idx")
+    val outDir = tmp("sdedup-replay-out")
+    val b0 = Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel"))
+      .toDF("doc_id", "text")
+    StreamingDedup.processBatch(b0, 0L, indexDir, outDir)
+    val b1 = Seq(
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotelx"),
+      (3L, "fresh material no overlap with anything prior"))
+      .toDF("doc_id", "text")
+    StreamingDedup.processBatch(b1, 1L, indexDir, outDir)
+    val once = spark.read.parquet(outDir).collect().toSeq.sortBy(_.getLong(0))
+    // crash-after-write: the same batch runs again with the same id —
+    // its own already-written index partition must not be re-matched
+    StreamingDedup.processBatch(b1, 1L, indexDir, outDir)
+    val twice = spark.read.parquet(outDir).collect().toSeq.sortBy(_.getLong(0))
+    assert(twice === once, "replay must not change or duplicate decisions")
+    val idx = StreamingDedup.readIndex(spark, indexDir)
+      .select($"corpus_id").as[Long].collect().sorted.toSeq
+    assert(idx === Seq(1L, 3L), "replay must not duplicate index entries")
   }
 
   test("per-batch logic matches the batch (d05-shape) formulation") {
