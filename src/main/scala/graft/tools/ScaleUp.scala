@@ -36,6 +36,35 @@ object ScaleUp {
     else text.trim.split("\\s+").grouped(2)
       .flatMap(g => g.toSeq :+ s"zq${copy}x").mkString(" ")
 
+  /** The embeddings analog of mark(): a copy-keyed SIGNED CIRCULAR
+    * SHIFT of the coordinates. The transform is orthogonal, so every
+    * within-copy inner product — and therefore every within-copy
+    * cosine, near-dup pair, and IVF cell structure — is preserved
+    * EXACTLY, while a vector and its copy-k image decorrelate like
+    * unrelated vectors. Plain replication would give every vector
+    * copies−1 exact twins (cosine 1.0), and d03's pair count would
+    * measure a copies²-per-vector dup explosion no real N× corpus
+    * has — the same reasoning the doc marker applies to text. Sign
+    * flips come from a splitmix-style diffusion of (copy, dim) so
+    * copy k = shift-by-(k mod d) alone can never reduce to the
+    * identity (k = d wraps, but the signs still differ). copy 0 =
+    * identity. */
+  def rotate(v: Array[Float], copy: Int): Array[Float] =
+    if (copy == 0) v
+    else {
+      val d = v.length
+      val out = new Array[Float](d)
+      var i = 0
+      while (i < d) {
+        var z = copy.toLong * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 31)) * 0x94D049BB133111EBL
+        val sign = if (((z >>> 17) & 1L) == 0L) 1f else -1f
+        out(i) = sign * v((i + copy) % d)
+        i += 1
+      }
+      out
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: ScaleUp <srcDir> <destDir> <copies>")
     val (src, dest, copies) = (args(0), args(1), args(2).toInt)
@@ -86,7 +115,14 @@ object ScaleUp {
       "l_partkey" -> partOff, "l_suppkey" -> suppOff), "lineitem")
     write(replicate("events",
       "event_id" -> eventOff, "user_id" -> userOff), "events")
-    write(replicate("embeddings", "vec_id" -> vecOff), "embeddings")
+    val vecs = Tables(spark, src, "embeddings")
+      .select($"vec_id", $"embedding", $"label").as[(Long, Array[Float], Int)]
+    val rotated = (0 until copies).map { k =>
+      vecs.map { case (id, v, label) =>
+        (id + vecOff * k, rotate(v, k), label)
+      }.toDF("vec_id", "embedding", "label")
+    }.reduce(_ unionAll _)
+    write(rotated, "embeddings")
 
     val docs = Tables(spark, src, "documents")
       .select($"doc_id", $"text", $"lang", $"source").as[(Long, String, String, String)]

@@ -36,4 +36,38 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(jacc > 0.5,
       f"marked near-dups must remain near-dups (J = $jacc%.2f)")
   }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var (d, na, nb) = (0.0, 0.0, 0.0)
+    for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+    d / math.sqrt(na * nb)
+  }
+
+  private def pseudoVec(seed: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      var z = seed.toLong * 0x2545F4914F6CDD1DL + i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 33)) * 0xFF51AFD7ED558CCDL
+      ((z >>> 20).toInt % 1000) / 500f - 1f
+    }
+
+  test("rotate: copy 0 is the identity; copies are no longer exact twins") {
+    val v = pseudoVec(7, 64)
+    assert(ScaleUp.rotate(v, 0) eq v)
+    for (k <- Seq(1, 5, 64, 100)) { // 64 wraps the shift: signs must still differ
+      val c = cos(v, ScaleUp.rotate(v, k))
+      assert(math.abs(c) < 0.6,
+        f"copy $k must decorrelate from the original (cos = $c%.3f)")
+    }
+  }
+
+  test("rotate: orthogonal — every within-copy cosine is preserved exactly") {
+    val a = pseudoVec(1, 64)
+    val b = pseudoVec(2, 64)
+    // a near-dup pair: b' = a with one coordinate nudged
+    val nd = a.clone(); nd(10) += 0.05f
+    for (k <- Seq(1, 9, 100)) {
+      assert(math.abs(cos(a, b) - cos(ScaleUp.rotate(a, k), ScaleUp.rotate(b, k))) < 1e-6)
+      assert(math.abs(cos(a, nd) - cos(ScaleUp.rotate(a, k), ScaleUp.rotate(nd, k))) < 1e-6)
+    }
+  }
 }
