@@ -543,8 +543,12 @@ object TextQueries {
     // per-doc gram dedup happens INSIDE the flatMap (bounded by doc
     // length), so neither side needs a distinct() — a corpus-wide
     // distinct would shuffle every train gram, which is exactly what
-    // this operator's shape avoids
-    val grams = Tables(s, dir, "documents")
+    // this operator's shape avoids. The split filter is applied BEFORE
+    // the flatMap: a filter after a DeserializeToObject barrier can't
+    // reach the scan, so filtering `grams` post-hoc would tokenize and
+    // 13-gram the FULL corpus once per join side — here each side's
+    // scan prunes to its own split and tokenizes it exactly once.
+    def grams(side: DataFrame, idName: String): DataFrame = side
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, t) =>
         val toks = t.trim.split("\\s+")
@@ -557,11 +561,10 @@ object TextQueries {
         import scala.jdk.CollectionConverters._
         seen.iterator().asScala.map(g => (id, g))
       }
-      .toDF("doc_id", "gram")
-    val evalGrams = grams.where($"doc_id" % 5 === 0)
-      .select($"doc_id".as("eval_id"), $"gram")
-    val trainGrams = grams.where($"doc_id" % 5 =!= 0)
-      .select($"doc_id".as("train_id"), $"gram")
+      .toDF(idName, "gram")
+    val docs = Tables(s, dir, "documents")
+    val evalGrams = grams(docs.where($"doc_id" % 5 === 0), "eval_id")
+    val trainGrams = grams(docs.where($"doc_id" % 5 =!= 0), "train_id")
     trainGrams.join(broadcast(evalGrams), Seq("gram"))
       .groupBy($"train_id", $"eval_id")
       .agg(count(lit(1)).as("shared_grams"))
