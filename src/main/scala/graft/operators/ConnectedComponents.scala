@@ -25,8 +25,16 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` (default) stores blocks on executors — fast, but
   * a lost executor kills the job, acceptable only in local mode or
   * for restartable jobs. Passing `checkpointDir` switches to RELIABLE
-  * `Dataset.checkpoint()` into that (HDFS/object-store) path, which
-  * survives executor loss — the 100-TB-cluster option.
+  * checkpoints — an explicit parquet write-then-read into that
+  * (HDFS/object-store) path, which survives executor loss: the
+  * 100-TB-cluster option. Deliberately NOT `Dataset.checkpoint()`:
+  * that would mutate the session-global SparkContext checkpoint dir
+  * (unsettable afterwards) and leave one full copy of the labels per
+  * round on disk forever (Spark never cleans reliable checkpoints by
+  * default). The explicit files are operator-owned — each round's
+  * intermediate is deleted as soon as the next round is materialized,
+  * so at most two label snapshots exist at any moment and only the
+  * FINAL one (which the returned DataFrame reads) outlives the call.
   */
 object ConnectedComponents {
 
@@ -38,14 +46,40 @@ object ConnectedComponents {
       maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def persistCut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var ckptSeq = 0
+    var lastLabelPath: Option[String] = None
+    def delete(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
+    }
+    // reliable mode: eager parquet write + read-back (lineage cut that
+    // survives executor loss, no SparkContext-global checkpoint state)
+    def persistCut(df: DataFrame): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        val path = s"$dir/cc-ckpt-$ckptSeq"
+        ckptSeq += 1
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+    }
+    def persistLabels(df: DataFrame): DataFrame = {
+      val cut = persistCut(df)
+      if (checkpointDir.isDefined) {
+        // the new snapshot is fully materialized (eager write), so the
+        // previous round's file is dead — delete it now, bounding the
+        // operator's footprint at two label snapshots
+        lastLabelPath.foreach(delete)
+        lastLabelPath = Some(s"${checkpointDir.get}/cc-ckpt-${ckptSeq - 1}")
+      }
+      cut
+    }
     val und = persistCut(
       edges.select(col(src).as("u"), col(dst).as("v"))
         .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
         .distinct())
-    var labels = persistCut(
+    var labels = persistLabels(
       und.select($"u".as("id")).distinct()
         .select($"id", $"id".as("component")))
     var changed = 1L
@@ -59,11 +93,14 @@ object ConnectedComponents {
         .select($"id",
           least($"component", coalesce($"nmin", $"component")).as("component"),
           ($"nmin" < $"component").as("chg"))
-      val materialized = persistCut(next)
+      val materialized = persistLabels(next)
       changed = materialized.where($"chg").count()
       labels = materialized.drop("chg")
       iter += 1
     }
+    // the edges snapshot is only read during the loop; the returned
+    // labels read solely from their own (final) snapshot
+    if (checkpointDir.isDefined) delete(s"${checkpointDir.get}/cc-ckpt-0")
     // stale labels are silently WRONG components — fail loudly instead
     if (changed > 0)
       throw new IllegalStateException(

@@ -95,8 +95,8 @@ class DedupSpec extends SparkSpec {
   test("connected components converge on a wide-diameter chain with reliable checkpoints") {
     import graft.operators.ConnectedComponents
     // a 16-node path (diameter 15) exercises many propagation rounds,
-    // and the reliable-checkpoint path (Dataset.checkpoint into a
-    // fault-tolerant dir — the cluster-mode option) instead of
+    // and the reliable-checkpoint path (eager parquet write-then-read
+    // into a fault-tolerant dir — the cluster-mode option) instead of
     // localCheckpoint
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     val path = (1L to 16L).sliding(2).map(s => (s.head, s.last)).toSeq
@@ -106,9 +106,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 16L).map(got).toSet === Set(1L),
       "the whole chain must collapse to the min label across >3 rounds")
-    // reliable checkpoints actually landed in the directory
+    // intermediate snapshots are cleaned up as rounds supersede them:
+    // ~9 rounds ran, but only the FINAL labels snapshot (which the
+    // returned DataFrame reads) may outlive the call
     val files = new java.io.File(dir).listFiles()
-    assert(files != null && files.nonEmpty, "no checkpoint data written")
+    assert(files != null && files.length === 1,
+      s"exactly the final checkpoint must remain, got " +
+        s"${Option(files).fold(0)(_.length)}")
+    // and the session-global checkpoint dir was never touched
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "operator must not mutate the SparkContext checkpoint dir")
   }
 
   test("connected components fail loudly when the iteration cap is too low") {
