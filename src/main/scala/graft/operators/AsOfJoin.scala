@@ -47,6 +47,16 @@ object AsOfJoin {
       dimTieBreak: String): DataFrame = {
     val spark = fact.sparkSession
     import spark.implicits._
+    // the output appends `asof`, and the union plan carries internal
+    // tag columns — a fact column with one of these names would emit a
+    // duplicate/ambiguous column downstream, so fail at plan time with
+    // a named error instead of a later AMBIGUOUS_REFERENCE
+    val reserved = Seq("asof", "__k", "__t", "__isdim", "__ord", "__fact")
+    val clash = fact.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"leftAsOf: fact columns ${clash.mkString(", ")} collide with " +
+        s"reserved output/internal names (${reserved.mkString(", ")}); " +
+        "rename them before joining")
     val payloadCols = dim.columns.filterNot(_ == key).toSeq
     val payloadType = StructType(payloadCols.map(c => dim.schema(c)))
     val factType = StructType(fact.schema.fields)

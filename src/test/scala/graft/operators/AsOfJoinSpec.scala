@@ -48,4 +48,16 @@ class AsOfJoinSpec extends SparkSpec {
       .select($"asof.did").as[Long].collect().toSeq
     assert(got === Seq(301L))
   }
+
+  test("fact columns colliding with reserved names fail at plan time, not downstream") {
+    val dim = Seq((1L, ts(10), 1.0)).toDF("k", "ts", "v")
+    for (bad <- Seq("asof", "__fact")) {
+      val fact = Seq((1L, 1L, ts(20))).toDF(bad, "k", "ts")
+      val e = intercept[IllegalArgumentException] {
+        AsOfJoin.leftAsOf(fact, dim, "k", "ts", "v")
+      }
+      assert(e.getMessage.contains(bad),
+        s"error must name the colliding column '$bad'")
+    }
+  }
 }
