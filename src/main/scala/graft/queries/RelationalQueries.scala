@@ -796,11 +796,86 @@ object RelationalQueries {
       ORDER BY n_name""")
   }
 
+  /** Bloom semi-join reduction on a selective fact–dim shuffle join:
+    * only ~4% of orders pass the price gate, so un-pruned, EVERY
+    * lineitem row would cross the shuffle just to be dropped by the
+    * join. [[graft.operators.BloomJoin.prune]] filters lineitem
+    * map-side against a sketch of the surviving orderkeys BEFORE any
+    * exchange; false positives are killed by the exact join that
+    * follows, so the oracle is the plain join — the sketch can only
+    * remove rows the join would drop anyway. QueryPlanSpec pins
+    * `might_contain` sitting below the join in the lineitem branch. */
+  val q25BloomJoin: GraftQuery = q(
+    "q25_bloom_pruned_join",
+    "Bloom semi-join reduction: map-side prune of the big side of a selective join",
+    """SELECT o_orderpriority AS priority,
+      |       count(*) AS line_cnt,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 480000
+      |GROUP BY o_orderpriority
+      |ORDER BY priority""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val bigOrders = Tables(s, dir, "orders")
+      .where($"o_totalprice" > 480000)
+      .select($"o_orderkey", $"o_orderpriority")
+    val lineitem = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    graft.operators.BloomJoin
+      .prune(lineitem, "l_orderkey", bigOrders, "o_orderkey",
+        expectedItems = 1000000L)
+      .join(bigOrders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("line_cnt"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"priority")
+  }
+
+  /** Range (point-in-interval) join via
+    * [[graft.operators.IntervalJoin]]: every event joined to the 2-h
+    * observation windows containing it. Written as a raw range
+    * predicate Spark plans BroadcastNestedLoopJoin —
+    * O(events × windows) compares; the operator's bucket expansion
+    * makes it a hash equi-join on the bucket key (QueryPlanSpec pins
+    * the absence of any nested-loop/cartesian node). Windows derive
+    * deterministically from the events table (every 97th event id
+    * opens a window), so the oracle is the plain range join. */
+  val q26IntervalJoin: GraftQuery = q(
+    "q26_interval_join",
+    "bucketed range join: events x containing 2-h windows, no nested loop",
+    """WITH w AS (
+      |  SELECT event_id AS window_id, ts AS w_start,
+      |         ts + INTERVAL 2 HOUR AS w_end
+      |  FROM events WHERE event_id % 97 = 0)
+      |SELECT window_id, count(*) AS n_events,
+      |       count(DISTINCT e.user_id) AS n_users
+      |FROM w JOIN events e ON e.ts >= w_start AND e.ts < w_end
+      |GROUP BY window_id
+      |ORDER BY window_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+    val windows = events.where($"event_id" % 97 === 0)
+      .select($"event_id".as("window_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 2 HOURS")).as("w_end"))
+    graft.operators.IntervalJoin
+      .pointInInterval(
+        events.select($"ts", $"user_id"), "ts",
+        windows, "w_start", "w_end", widthSec = 7200L)
+      .groupBy($"window_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"window_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
     q09DayTrunc, q10WindowRollup, q11TopKPerGroup, q12ActiveUsers,
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
-    q22Sessionize, q23GapFill, q24Decorrelated)
+    q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
+    q26IntervalJoin)
 }

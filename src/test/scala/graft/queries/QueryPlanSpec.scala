@@ -57,6 +57,28 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("q25: bloom prune filters the lineitem branch below the join") {
+    val p = plan("q25_bloom_pruned_join")
+    assert(p.contains("might_contain"),
+      "the bloom probe must appear in the physical plan")
+    // the probe must sit in the lineitem scan branch (map-side,
+    // before any exchange), not above the join
+    val scanIdx = p.indexOf("lineitem")
+    val probeIdx = p.indexOf("might_contain")
+    assert(scanIdx >= 0 && probeIdx >= 0)
+    val joinIdx = p.indexOf("Join")
+    assert(probeIdx > joinIdx,
+      "probe must be deeper in the tree than the topmost join node")
+  }
+
+  test("q26: the range join is a bucket equi-join, never a nested loop") {
+    val p = plan("q26_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join must not plan a nested-loop/cartesian join")
+    assert(p.contains("__bucket") || p.contains("HashJoin"),
+      "bucket key must drive a hash equi-join")
+  }
+
   test("v04 IVF ANN achieves recall ≥ 0.4 vs exact KNN at sf0.001") {
     val exact = QueryRegistry.asMap("v01_knn_bruteforce")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
