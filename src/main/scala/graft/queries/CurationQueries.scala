@@ -422,7 +422,70 @@ object CurationQueries {
       |ORDER BY split""".stripMargin),
     "north-star: leakage-safe split — near-dup clusters never straddle train/eval")
 
+  /** The per-domain sampling rates of the c07 mixing recipe, expressed
+    * as exact 60-bit integer thresholds (rate × 2⁶⁰, truncated) so
+    * BOTH engines compare the same integers — a double-typed
+    * `hv < rate · 2⁶⁰` would round differently above 2⁵³. */
+  private val MixThresholds: Seq[(String, Double, Long)] =
+    Seq("en" -> 0.9, "de" -> 0.75, "es" -> 0.6, "zh" -> 0.5, "fr" -> 0.3)
+      .map { case (l, r) => (l, r, (r * math.pow(2, 60)).toLong) }
+
+  /** c07 — CORPUS MIXING: the Pile/Dolma-style per-domain sampling
+    * recipe (upweight scarce high-quality domains, downsample the
+    * crawl) as a DETERMINISTIC hash-threshold filter: keep a doc iff
+    * its 60-bit salted-md5 hash < rate × 2⁶⁰. No rand(): the sample
+    * is reproducible across runs, engines, retries, and partition
+    * layouts (same c01 contract), and each doc's fate is independent,
+    * so the achieved rate concentrates tightly around the target.
+    *
+    * Scale shape: the gate is a MAP-SIDE filter on a narrow
+    * projection — the corpus is never shuffled; the only exchange is
+    * the 5-row per-domain summary aggregate. Rates > 1 (epoch-style
+    * upsampling) compose as ⌊rate⌋ full copies + this same
+    * fractional-part filter. */
+  val c07CorpusMix: GraftQuery = GraftQuery(
+    "c07_corpus_mix",
+    (s, dir) => {
+      import s.implicits._
+      val hv = conv(
+        substring(md5(concat($"doc_id".cast("string"), lit(":mix"))
+          .cast("binary")), 1, 15), 16, 10).cast("long")
+      val thr = MixThresholds.foldLeft(lit(0L)) { case (acc, (l, _, t)) =>
+        when($"lang" === l, lit(t)).otherwise(acc)
+      }
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("total_docs"),
+          count(when(hv < thr, 1)).as("kept_docs"),
+          sum(when(hv < thr, $"n_chars")).as("kept_chars"))
+        .withColumn("achieved_rate",
+          round($"kept_docs".cast("double") / $"total_docs", 4))
+        .orderBy($"lang")
+    },
+    Some {
+      val cases = MixThresholds
+        .map { case (l, _, t) => s"WHEN '$l' THEN CAST($t AS BIGINT)" }
+        .mkString(" ")
+      s"""WITH h AS (
+         |  SELECT lang, n_chars,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15)
+         |              AS BIGINT) AS hv,
+         |         CASE lang $cases ELSE 0 END AS thr
+         |  FROM documents)
+         |SELECT lang,
+         |       count(*) AS total_docs,
+         |       count(*) FILTER (hv < thr) AS kept_docs,
+         |       CAST(sum(n_chars) FILTER (hv < thr) AS BIGINT) AS kept_chars,
+         |       round(CAST(count(*) FILTER (hv < thr) AS DOUBLE) / count(*), 4)
+         |         AS achieved_rate
+         |FROM h
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
+    },
+    "north-star: deterministic per-domain corpus mixing (hash-threshold sampling)")
+
   val all: Seq[GraftQuery] = Seq(
     c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile,
-    c05SequencePacking, c06LeakageSafeSplit)
+    c05SequencePacking, c06LeakageSafeSplit, c07CorpusMix)
 }
