@@ -571,8 +571,61 @@ object TextQueries {
       .orderBy($"train_id", $"eval_id")
   }
 
+  /** D5 — CONTEXT-WINDOW CHUNKING with stride: split every document
+    * into fixed-size token windows (32 tokens, stride 24 ⇒ 8-token
+    * overlap) — the preprocessing step that turns documents into
+    * training sequences / retrieval passages. Chunk identity is the
+    * md5 of the space-joined window, so the output is engine-
+    * comparable without shipping chunk text.
+    *
+    * Scale shape: a narrow typed flatMap (JIT'd — array slicing in a
+    * Catalyst HOF would run interpreted), fan-out ≈ len/stride per
+    * doc, map-side only; nothing shuffles but the ordered output
+    * itself. Start positions cover every token (last window may be
+    * short), and the start grid is deterministic, so both engines
+    * enumerate identical chunks. */
+  val t12DocChunks: GraftQuery = q(
+    "t12_doc_chunks",
+    "D5 context-window chunking (32-token windows, stride 24, md5 chunk ids)",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |i AS (
+      |  SELECT doc_id, toks,
+      |         unnest(generate_series(0,
+      |           CAST(floor(greatest(len(toks) - 1, 0) / 24) AS BIGINT))) AS ci
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, ci, toks[ci*24 + 1 : least(ci*24 + 32, len(toks))] AS ch
+      |  FROM i)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(ci AS BIGINT) AS chunk_idx,
+      |       CAST(len(ch) AS BIGINT) AS n_toks,
+      |       md5(array_to_string(ch, ' ')) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val W = 32; val S = 24
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val maxI = math.max(0, (toks.length - 1) / S)
+        (0 to maxI).iterator.map { i =>
+          val ch = toks.slice(i * S, math.min(i * S + W, toks.length))
+          val hex = md.digest(ch.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, i.toLong, ch.length.toLong, hex)
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_toks", "chunk_md5")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
-    t09VocabTopK, t10TfIdf, t11Contamination)
+    t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks)
 }
