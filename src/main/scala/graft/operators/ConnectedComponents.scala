@@ -46,6 +46,11 @@ object ConnectedComponents {
       maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // each invocation snapshots under its own unique subdirectory —
+    // two concurrent components() calls sharing a checkpointDir must
+    // never overwrite or delete each other's files
+    val runDir = checkpointDir.map(d =>
+      s"$d/cc-${java.util.UUID.randomUUID().toString.take(12)}")
     var ckptSeq = 0
     var lastLabelPath: Option[String] = None
     def delete(path: String): Unit = {
@@ -56,57 +61,65 @@ object ConnectedComponents {
     }
     // reliable mode: eager parquet write + read-back (lineage cut that
     // survives executor loss, no SparkContext-global checkpoint state)
-    def persistCut(df: DataFrame): DataFrame = checkpointDir match {
+    def persistCut(df: DataFrame): DataFrame = runDir match {
       case None => df.localCheckpoint()
       case Some(dir) =>
-        val path = s"$dir/cc-ckpt-$ckptSeq"
+        val path = s"$dir/ckpt-$ckptSeq"
         ckptSeq += 1
         df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
     }
     def persistLabels(df: DataFrame): DataFrame = {
       val cut = persistCut(df)
-      if (checkpointDir.isDefined) {
+      runDir.foreach { dir =>
         // the new snapshot is fully materialized (eager write), so the
         // previous round's file is dead — delete it now, bounding the
         // operator's footprint at two label snapshots
         lastLabelPath.foreach(delete)
-        lastLabelPath = Some(s"${checkpointDir.get}/cc-ckpt-${ckptSeq - 1}")
+        lastLabelPath = Some(s"$dir/ckpt-${ckptSeq - 1}")
       }
       cut
     }
-    val und = persistCut(
-      edges.select(col(src).as("u"), col(dst).as("v"))
-        .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
-        .distinct())
-    var labels = persistLabels(
-      und.select($"u".as("id")).distinct()
-        .select($"id", $"id".as("component")))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = und
-        .join(labels.withColumnRenamed("id", "v"), "v")
-        .groupBy($"u".as("id"))
-        .agg(min($"component").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select($"id",
-          least($"component", coalesce($"nmin", $"component")).as("component"),
-          ($"nmin" < $"component").as("chg"))
-      val materialized = persistLabels(next)
-      changed = materialized.where($"chg").count()
-      labels = materialized.drop("chg")
-      iter += 1
+    try {
+      val und = persistCut(
+        edges.select(col(src).as("u"), col(dst).as("v"))
+          .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
+          .distinct())
+      var labels = persistLabels(
+        und.select($"u".as("id")).distinct()
+          .select($"id", $"id".as("component")))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val neighborMin = und
+          .join(labels.withColumnRenamed("id", "v"), "v")
+          .groupBy($"u".as("id"))
+          .agg(min($"component").as("nmin"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select($"id",
+            least($"component", coalesce($"nmin", $"component")).as("component"),
+            ($"nmin" < $"component").as("chg"))
+        val materialized = persistLabels(next)
+        changed = materialized.where($"chg").count()
+        labels = materialized.drop("chg")
+        iter += 1
+      }
+      // the edges snapshot is only read during the loop; the returned
+      // labels read solely from their own (final) snapshot
+      runDir.foreach(dir => delete(s"$dir/ckpt-0"))
+      // stale labels are silently WRONG components — fail loudly instead
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds " +
+            s"($changed labels still changing — graph diameter exceeds the " +
+            "iteration cap); raise maxIter")
+      labels
+    } catch {
+      case e: Throwable =>
+        // nothing escapes a failed call — the run's whole subdirectory
+        // goes, honoring "only the final snapshot outlives the call"
+        runDir.foreach(delete)
+        throw e
     }
-    // the edges snapshot is only read during the loop; the returned
-    // labels read solely from their own (final) snapshot
-    if (checkpointDir.isDefined) delete(s"${checkpointDir.get}/cc-ckpt-0")
-    // stale labels are silently WRONG components — fail loudly instead
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          s"($changed labels still changing — graph diameter exceeds the " +
-          "iteration cap); raise maxIter")
-    labels
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-curation pipeline (SURVEY.md §2.9 north star):
@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  /** The 60-bit salted split hash shared by every deterministic
+    * gate/split/sample/mix in this family: first 15 hex chars of
+    * md5(col || salt) as a non-negative long — identical arithmetic
+    * on the Spark side (here) and in the oracles (hash60Sql), so a
+    * doc's fate is a pure function of (stable id, salt) on BOTH
+    * engines, independent of partitioning, retries, and row order.
+    * Change one of the pair only in lockstep with the other. */
+  private def hash60(c: Column, salt: String): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(":" + salt))
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[hash60]] over a SQL expression. */
+  private def hash60Sql(e: String, salt: String): String =
+    s"CAST('0x' || substr(md5(CAST($e AS VARCHAR) || ':$salt'), 1, 15) AS BIGINT)"
+
   /** c01 — quality-gate + 90/10 hash split + yield stats. The split
     * key is the first 15 hex chars of md5(doc_id || salt) — a 60-bit
     * value, identically computable in the DuckDB oracle (`conv` ≡
@@ -39,9 +54,7 @@ object CurationQueries {
       // boilerplate docs); both are engine-exact integer/ratio math
       val gated = d.where($"n_tok" >= 5 &&
         ($"n_uniq".cast("double") / $"n_tok") >= 0.3)
-      val h = conv(
-        substring(md5(concat($"doc_id".cast("string"), lit(":graft"))
-          .cast("binary")), 1, 15), 16, 10).cast("long")
+      val h = hash60($"doc_id", "graft")
       gated
         .withColumn("split", when(h % 10 < 9, "train").otherwise("val"))
         .groupBy($"lang", $"split")
@@ -51,15 +64,14 @@ object CurationQueries {
           round(avg($"n_uniq".cast("double") / $"n_tok"), 4).as("avg_ttr"))
         .orderBy($"lang", $"split")
     },
-    Some("""WITH d AS (
+    Some(raw"""WITH d AS (
       |  SELECT doc_id, lang,
       |         len(regexp_split_to_array(trim(text), '\s+'))                AS n_tok,
       |         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_uniq
       |  FROM documents),
       |g AS (
       |  SELECT *,
-      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15)
-      |              AS BIGINT) AS h
+      |         ${hash60Sql("doc_id", "graft")} AS h
       |  FROM d
       |  WHERE n_tok >= 5 AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.3)
       |SELECT lang,
@@ -86,9 +98,7 @@ object CurationQueries {
     (s, dir) => {
       import s.implicits._
       val k = 20
-      val h = conv(
-        substring(md5(concat($"doc_id".cast("string"), lit(":sample"))
-          .cast("binary")), 1, 15), 16, 10).cast("long")
+      val h = hash60($"doc_id", "sample")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"lang").orderBy(h.asc, $"doc_id".asc)
       Tables(s, dir, "documents")
@@ -98,10 +108,9 @@ object CurationQueries {
         .select($"lang", $"rnk", $"doc_id", $"n_chars")
         .orderBy($"lang", $"rnk")
     },
-    Some("""WITH h AS (
+    Some(raw"""WITH h AS (
       |  SELECT doc_id, lang, n_chars,
-      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15)
-      |              AS BIGINT) AS hv
+      |         ${hash60Sql("doc_id", "sample")} AS hv
       |  FROM documents),
       |r AS (
       |  SELECT lang, doc_id, n_chars,
@@ -302,6 +311,13 @@ object CurationQueries {
       // shard-INDEPENDENT by construction (offset + local cumsum =
       // exact global cumsum), so the width never changes results and
       // the oracle needs no mirror.
+      // a deliberate extra job, and a cheap one: max over ONE pruned
+      // column — at any scale this reads a single parquet column chunk
+      // per file (footer min/max stats make it near-free with
+      // aggregate pushdown), far cheaper than caching the corpus to
+      // save the second scan. The width is result-independent (bins
+      // are shard-invariant by construction), it only sizes the
+      // broadcastable offsets table.
       val maxId = Tables(s, dir, "documents")
         .agg(max($"doc_id")).head().getLong(0)
       val shardWidth = math.max(1024L, maxId / 1000000L + 1)
@@ -379,9 +395,7 @@ object CurationQueries {
       val labeled = Tables(s, dir, "documents").select($"doc_id")
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"component", $"doc_id").as("cluster"))
-      val h = conv(
-        substring(md5(concat($"cluster".cast("string"), lit(":leak"))
-          .cast("binary")), 1, 15), 16, 10).cast("long")
+      val h = hash60($"cluster", "leak")
       labeled
         .withColumn("split", when(h % 10 < 9, "train").otherwise("eval"))
         .groupBy($"split")
@@ -390,7 +404,7 @@ object CurationQueries {
           countDistinct($"cluster").as("clusters"))
         .orderBy($"split")
     },
-    Some("""WITH RECURSIVE d AS (
+    Some(raw"""WITH RECURSIVE d AS (
       |  SELECT doc_id, substr(text, 1, 20) AS bucket,
       |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
       |  FROM documents),
@@ -412,8 +426,7 @@ object CurationQueries {
       |  FROM documents LEFT JOIN labels l ON l.id = doc_id),
       |s AS (
       |  SELECT cluster,
-      |         CASE WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR) || ':leak'), 1, 15)
-      |                   AS BIGINT) % 10 < 9
+      |         CASE WHEN ${hash60Sql("cluster", "leak")} % 10 < 9
       |              THEN 'train' ELSE 'eval' END AS split
       |  FROM alld)
       |SELECT split, count(*) AS docs, count(DISTINCT cluster) AS clusters
@@ -447,9 +460,7 @@ object CurationQueries {
     "c07_corpus_mix",
     (s, dir) => {
       import s.implicits._
-      val hv = conv(
-        substring(md5(concat($"doc_id".cast("string"), lit(":mix"))
-          .cast("binary")), 1, 15), 16, 10).cast("long")
+      val hv = hash60($"doc_id", "mix")
       val thr = MixThresholds.foldLeft(lit(0L)) { case (acc, (l, _, t)) =>
         when($"lang" === l, lit(t)).otherwise(acc)
       }
@@ -467,10 +478,9 @@ object CurationQueries {
       val cases = MixThresholds
         .map { case (l, _, t) => s"WHEN '$l' THEN CAST($t AS BIGINT)" }
         .mkString(" ")
-      s"""WITH h AS (
+      raw"""WITH h AS (
          |  SELECT lang, n_chars,
-         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15)
-         |              AS BIGINT) AS hv,
+         |         ${hash60Sql("doc_id", "mix")} AS hv,
          |         CASE lang $cases ELSE 0 END AS thr
          |  FROM documents)
          |SELECT lang,

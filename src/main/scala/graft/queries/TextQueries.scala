@@ -512,13 +512,18 @@ object TextQueries {
     * from fuzzy dedup (d01/d05) — a train doc quoting 13 consecutive
     * eval tokens is contamination even at low whole-doc similarity.
     *
-    * Scale shape: benchmark/eval sets are tiny relative to the corpus,
-    * so the eval gram set BROADCASTS and the corpus-side grams are
-    * generated in a narrow typed flatMap and filtered MAP-SIDE — no
-    * shuffle ever carries a train gram; the only exchange is the final
-    * groupBy over matched (train, eval) pairs. Gram generation is
-    * JIT'd Scala (HOF transform would evaluate interpreted —
-    * HashSketch rationale). */
+    * Scale shape: a PRODUCTION eval set is a fixed-size benchmark
+    * suite (MMLU and friends — a few thousand docs regardless of
+    * corpus size), so the eval gram set BROADCASTS and the corpus-side
+    * grams are generated in a narrow typed flatMap and filtered
+    * MAP-SIDE — no shuffle ever carries a train gram; the only
+    * exchange is the final groupBy over matched (train, eval) pairs.
+    * Caveat the synthetic fixture hides: this query's doc_id % 5 eval
+    * split grows O(corpus) — fine at gate SFs, but with a genuinely
+    * corpus-sized eval side the forced hint must go (the planner then
+    * degrades to a shuffle join instead of an over-limit broadcast).
+    * Gram generation is JIT'd Scala (HOF transform would evaluate
+    * interpreted — HashSketch rationale). */
   val t11Contamination: GraftQuery = q(
     "t11_contamination",
     "D5/D3 eval-contamination screening: verbatim 13-gram overlap, broadcast eval side",

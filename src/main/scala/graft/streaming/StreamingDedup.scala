@@ -56,11 +56,18 @@ object StreamingDedup {
     * replayed batch's OWN doc ids — is never re-matched against. */
   def readIndex(spark: SparkSession, indexDir: String,
       beforeBatch: Option[Long] = None): DataFrame = {
-    def hasParquet(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      kids.exists(k => k.getName.endsWith(".parquet") || (k.isDirectory && hasParquet(k)))
-    }
-    if (hasParquet(new java.io.File(indexDir))) {
+    // probe through the Hadoop FS API, not java.io.File — the index
+    // lives on HDFS/object storage in a real deployment, and a
+    // local-only probe would silently read every such index as empty
+    // (= every duplicate declared novel)
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+          (st.isDirectory && hasParquet(st.getPath))
+      }
+    if (hasParquet(path)) {
       val all = spark.read.parquet(indexDir)
       val bounded = beforeBatch.fold(all)(b => all.where(col("batch_id") < b))
       bounded.select(indexSchema.fieldNames.map(col).toIndexedSeq: _*)
@@ -68,36 +75,44 @@ object StreamingDedup {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
   }
 
-  /** One micro-batch: returns (decisions, novelIndexEntries).
-    * Decision rows: (doc_id, dup_of nullable, jaccard nullable). */
-  def dedupBatch(batch: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
-    val spark = batch.sparkSession
+  /** Best match per batch doc against the index PLUS earlier-id
+    * members of the same batch (id order stands in for arrival order
+    * within a batch; any deterministic tie-break works, it only has
+    * to be acyclic so one of each twin-pair survives as novel). */
+  private def bestMatch(in: DataFrame, index: DataFrame): DataFrame = {
+    val spark = in.sparkSession
     import spark.implicits._
-    val in = indexed(batch, "doc_id")
-    // "seen so far" = the standing index PLUS earlier-id members of
-    // this same batch (id order stands in for arrival order within a
-    // batch; any deterministic tie-break works, it only has to be
-    // acyclic so one of each twin-pair survives as novel).
     val intra = in.select($"doc_id".as("corpus_id"), $"bucket",
       $"toks".as("ctoks"), lit(true).as("is_intra"))
     val idx = index.select($"corpus_id", $"bucket", $"toks".as("ctoks"),
       lit(false).as("is_intra"))
       .unionByName(intra)
-    val matches = in.join(idx, Seq("bucket"))
+    in.join(idx, Seq("bucket"))
       .where(!$"is_intra" || $"corpus_id" < $"doc_id")
       .select($"doc_id", $"corpus_id",
         round(size(array_intersect($"toks", $"ctoks")).cast("double")
           / size(array_union($"toks", $"ctoks")), 4).as("j"))
       .where($"j" >= 0.6)
-    val best = matches
       .groupBy($"doc_id")
       .agg(max_by(struct($"corpus_id", $"j"), struct($"j", -$"corpus_id")).as("m"))
       .select($"doc_id", $"m.corpus_id".as("dup_of"), $"m.j".as("jaccard"))
-    val decisions = in.select($"doc_id")
-      .join(best, Seq("doc_id"), "left")
-    val novel = in.join(best, Seq("doc_id"), "left_anti")
-      .select($"doc_id".as("corpus_id"), $"bucket", $"toks")
-    (decisions, novel)
+  }
+
+  private def decisionsOf(in: DataFrame, best: DataFrame): DataFrame =
+    in.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+
+  private def novelOf(in: DataFrame, best: DataFrame): DataFrame =
+    in.join(best, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("corpus_id"), col("bucket"), col("toks"))
+
+  /** One micro-batch: returns (decisions, novelIndexEntries).
+    * Decision rows: (doc_id, dup_of nullable, jaccard nullable).
+    * Pure composition for tests — the streaming path goes through
+    * processBatch, which persists the shared sub-plans. */
+  def dedupBatch(batch: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
+    val in = indexed(batch, "doc_id")
+    val best = bestMatch(in, index)
+    (decisionsOf(in, best), novelOf(in, best))
   }
 
   /** Wire a streaming (doc_id, text) source through per-batch dedup:
@@ -123,15 +138,25 @@ object StreamingDedup {
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
-    val (decisions, novel) =
-      dedupBatch(batch, readIndex(spark, indexDir, Some(batchId)))
+    // both sinks consume the same (tokenized batch, best-match) pair;
+    // persisting them runs the index join + verify ONCE, not once per
+    // write action
+    val in = indexed(batch, "doc_id").persist()
+    val best =
+      bestMatch(in, readIndex(spark, indexDir, Some(batchId))).persist()
     def writeBatch(df: DataFrame, dir: String): Unit = df
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(dir)
-    writeBatch(decisions, outDir)
-    writeBatch(novel, indexDir)
+    try {
+      writeBatch(decisionsOf(in, best), outDir)
+      writeBatch(novelOf(in, best), indexDir)
+    } finally {
+      in.unpersist()
+      best.unpersist()
+      ()
+    }
   }
 }

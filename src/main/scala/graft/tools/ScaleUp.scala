@@ -113,8 +113,25 @@ object ScaleUp {
       "o_orderkey" -> orderOff, "o_custkey" -> custOff), "orders")
     write(replicate("lineitem", "l_orderkey" -> orderOff,
       "l_partkey" -> partOff, "l_suppkey" -> suppOff), "lineitem")
-    write(replicate("events",
-      "event_id" -> eventOff, "user_id" -> userOff), "events")
+    // events also shift in TIME: copy k moves forward by k × (span+1h).
+    // Key-consistency for the time dimension — a real N× event corpus
+    // has a longer history, not N copies of the same month. Stacked
+    // time would multiply BOTH events-per-bucket and windows-per-
+    // bucket by N, turning every time-windowed join/session/window
+    // family quadratic in the replica (measured: q26 OOMs at 100×
+    // stacked; it is linear time-extended) — an artifact no real
+    // corpus shows, same reasoning as the doc marker and the
+    // embedding rotation.
+    val tsSpan = Tables(spark, src, "events")
+      .agg((unix_timestamp(max($"ts")) - unix_timestamp(min($"ts")) + 3600L)
+        .as("span")).head().getLong(0)
+    val events = (0 until copies).map { k =>
+      Tables(spark, src, "events")
+        .withColumn("event_id", $"event_id" + lit(eventOff * k))
+        .withColumn("user_id", $"user_id" + lit(userOff * k))
+        .withColumn("ts", expr(s"timestampadd(SECOND, ${tsSpan * k}, ts)"))
+    }.reduce(_ unionAll _)
+    write(events, "events")
     val vecs = Tables(spark, src, "embeddings")
       .select($"vec_id", $"embedding", $"label").as[(Long, Array[Float], Int)]
     val rotated = (0 until copies).map { k =>
