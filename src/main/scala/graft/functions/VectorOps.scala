@@ -48,4 +48,22 @@ object VectorOps {
     }
     (b1, b2)
   }
+
+  /** Nearest labeled centroid by ROUNDED cosine6 with first-wins ties
+    * (callers pass centroids sorted ascending by id, so ties resolve
+    * to the LOWEST id — identical to rank 1 of
+    * (round(sim,6) desc, cid asc) in SQL). Returns (centroid id,
+    * rounded similarity) — the k-means assignment primitive. */
+  def nearestCentroidSim(
+      v: Array[Double],
+      centroids: Array[(Long, Array[Double])]): (Long, Double) = {
+    var bi = 0; var bs = Double.NegativeInfinity
+    var p = 0
+    while (p < centroids.length) {
+      val s = cosine6(v, centroids(p)._2)
+      if (s > bs) { bi = p; bs = s }
+      p += 1
+    }
+    (centroids(bi)._1, bs)
+  }
 }

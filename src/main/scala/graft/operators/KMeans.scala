@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Distributed Lloyd's k-means over an embedding corpus — the
+  * clustering primitive behind cluster-balanced curation (c08) and
+  * sampled-k-means IVF pivot training (the production source of v04's
+  * coarse quantizer; reference similarity surface: README.md:11's
+  * grouped analytics generalized to vector space).
+  *
+  * Scale shape (the only one that survives 100 TB):
+  *  - centroids live on the DRIVER (k × dim doubles — k up to ~10⁵ is
+  *    still a few-MB broadcast) and ship to executors per iteration;
+  *  - assignment is a map-side argmax over the broadcast centroids —
+  *    ZERO shuffle, no N×k relational join materialized anywhere
+  *    (v04's scaladoc records the measured 58 s vs 4 s cost of the
+  *    crossJoin+max_by formulation at the 100× replica);
+  *  - the recompute step is one partial-aggregated shuffle per
+  *    iteration carrying at most k × numPartitions partial vectors
+  *    ([[VectorAgg.meanAggregator]] — O(dim) state, map-side combine);
+  *  - per-iteration driver state is the new centroid array only.
+  *
+  * Determinism (the oracle contract): init = the k lowest-id vectors;
+  * assignment ranks by cosine6 (rounded) with ties to the lowest
+  * centroid id; recomputed means are rounded to 8 decimals (the v03
+  * contract that absorbs summation-order effects). Every step is a
+  * pure function of the data, so a SQL engine can replay the whole
+  * fit by unrolling the iterations.
+  *
+  * Spherical k-means (cosine assignment + arithmetic-mean centroids):
+  * the text-embedding variant. Empty clusters simply drop out of the
+  * centroid set for later iterations (ids of surviving clusters are
+  * stable — centroids are keyed by id, never by array position).
+  */
+object KMeans {
+
+  /** Fit k centroids with `iters` Lloyd iterations and return the
+    * final assignment: one row per input vector —
+    * (vec_id, cluster_id, sim). `cluster_id` is the id of the seed
+    * vector that initialized the cluster; `sim` the rounded cosine to
+    * the final centroid. */
+  def fit(
+      ev: Dataset[(Long, Array[Double])],
+      k: Int,
+      iters: Int): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+
+    var centroids: Array[(Long, Array[Double])] =
+      ev.filter(_._1 < k).collect().sortBy(_._1)
+    require(centroids.nonEmpty,
+      s"k-means init found no vectors with id < $k")
+
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = ev
+        .map { case (_, v) => (VectorOps.nearestCentroidSim(v, bc.value)._1, v) }
+        .toDF("cluster_id", "v")
+      centroids = assigned
+        .groupBy($"cluster_id")
+        .agg(VectorAgg.vectorMean($"v").as("mv"))
+        .select($"cluster_id",
+          transform($"mv", x => round(x, 8)).as("cv"))
+        .as[(Long, Array[Double])]
+        .collect()
+        .sortBy(_._1)
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    ev.map { case (id, v) =>
+      val (cid, sim) = VectorOps.nearestCentroidSim(v, bc.value)
+      (id, cid, sim)
+    }.toDF("vec_id", "cluster_id", "sim")
+  }
+}

@@ -495,7 +495,50 @@ object CurationQueries {
     },
     "north-star: deterministic per-domain corpus mixing (hash-threshold sampling)")
 
+  /** c08 — cluster-balanced ("diversity") sampling: exactly m docs
+    * per k-means cluster, chosen by the c02 salted-hash order. Quota
+    * sampling stratified by SEMANTIC cluster instead of a metadata
+    * column is the standard anti-mode-collapse curation step — a
+    * uniform sample over-represents the corpus's dense regions, a
+    * cluster quota flattens them. Composition: KMeans.fit (broadcast
+    * centroids, zero-shuffle assignment) → broadcast-join docs →
+    * per-cluster window (WindowGroupLimit-pruned, as c02). The
+    * DuckDB oracle replays the FULL pipeline — both unrolled k-means
+    * iterations and the quota window. */
+  val c08ClusterSample: GraftQuery = GraftQuery(
+    "c08_cluster_balanced_sample",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .as[(Long, Array[Double])]
+      val asg = graft.operators.KMeans.fit(ev, k = 8, iters = 2)
+      val docs = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang")
+      val h = hash60($"doc_id", "diversity")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cluster_id").orderBy(h.asc, $"doc_id".asc)
+      asg.join(docs, asg("vec_id") === docs("doc_id"))
+        .withColumn("rnk", row_number().over(w))
+        .where($"rnk" <= 5)
+        .select($"cluster_id", $"rnk", $"doc_id", $"lang")
+        .orderBy($"cluster_id", $"rnk")
+    },
+    Some(raw"""WITH ${VectorQueries.kmeansCtes(k = 8, iters = 2)},
+      |j AS (
+      |  SELECT a.cid, d.doc_id, d.lang,
+      |         ${hash60Sql("d.doc_id", "diversity")} AS hv
+      |  FROM kmaf a JOIN documents d ON a.vec_id = d.doc_id),
+      |r AS (
+      |  SELECT cid, doc_id, lang,
+      |         row_number() OVER (PARTITION BY cid ORDER BY hv, doc_id) AS rnk
+      |  FROM j)
+      |SELECT cid AS cluster_id, rnk, CAST(doc_id AS BIGINT) AS doc_id, lang
+      |FROM r WHERE rnk <= 5
+      |ORDER BY cluster_id, rnk""".stripMargin),
+    "north-star: cluster-balanced diversity sampling (k-means quota)")
+
   val all: Seq[GraftQuery] = Seq(
     c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile,
-    c05SequencePacking, c06LeakageSafeSplit, c07CorpusMix)
+    c05SequencePacking, c06LeakageSafeSplit, c07CorpusMix, c08ClusterSample)
 }

@@ -423,7 +423,69 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** DuckDB cosine6 fragment over two DOUBLE[] expressions — the same
+    * rounded-similarity contract as [[cosine6]]. */
+  private def duckCos6(a: String, b: String): String =
+    s"round(list_aggregate(list_transform(list_zip($a, $b), x -> x[1] * x[2]), 'sum')" +
+      s" / (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum'))" +
+      s" * sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))), 6)"
+
+  /** The unrolled k-means CTE chain for DuckDB oracles (shared with
+    * c08's): replays [[graft.operators.KMeans.fit]] exactly — lowest-k
+    * seed init, cosine6 assignment with lowest-cid ties, round-8
+    * means. Emits CTE bodies `kme, kmc0, kma1, kmc1, …, kmaf`;
+    * `kmaf` holds the final assignment (vec_id, v, cid, sim). */
+  private[queries] def kmeansCtes(k: Int, iters: Int): String = {
+    def assign(prev: String, name: String): String =
+      s"""${name}_r AS (
+         |  SELECT e.vec_id, e.v, c.cid, ${duckCos6("e.v", "c.cv")} AS sim,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${duckCos6("e.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM kme e CROSS JOIN $prev c),
+         |$name AS (SELECT vec_id, v, cid, sim FROM ${name}_r WHERE rn = 1)""".stripMargin
+    def recompute(asg: String, name: String): String =
+      s"""${name}_x AS (
+         |  SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM $asg),
+         |$name AS (
+         |  SELECT cid, list(cval ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, round(avg(val), 8) AS cval
+         |    FROM ${name}_x GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "kmc0" else s"kmc${i - 1}"
+      assign(prev, s"kma$i") + ",\n" + recompute(s"kma$i", s"kmc$i")
+    }
+    val lastC = if (iters == 0) "kmc0" else s"kmc$iters"
+    (Seq(
+      "kme AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      s"kmc0 AS (SELECT vec_id AS cid, v AS cv FROM kme WHERE vec_id < $k)") ++
+      steps ++ Seq(assign(lastC, "kmaf"))).mkString(",\n")
+  }
+
+  /** D4 — spherical k-means (Lloyd's, [[graft.operators.KMeans]]):
+    * the clustering primitive behind diversity sampling (c08) and
+    * production IVF pivot training. K seed centroids (lowest vec_ids
+    * — no RNG), 2 iterations, cosine6 assignment, round-8 means; the
+    * oracle unrolls both iterations in SQL and replays the fit
+    * end-to-end. Plan: assignment is a broadcast-centroid map-side
+    * argmax (ZERO shuffle); each iteration shuffles only k × partition
+    * partial mean vectors ([[graft.operators.VectorAgg]]); output is
+    * the per-cluster profile (size + mean similarity to centroid). */
+  val v07KmeansCluster: GraftQuery = q(
+    "v07_kmeans_cluster",
+    "D4 spherical k-means: broadcast centroids, map-side assignment",
+    Some(s"""WITH ${kmeansCtes(k = 8, iters = 2)}
+      |SELECT cid AS cluster_id, count(*) AS n, round(avg(sim), 4) AS mean_sim
+      |FROM kmaf GROUP BY cid ORDER BY cluster_id""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
+    graft.operators.KMeans.fit(ev, k = 8, iters = 2)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n"), round(avg($"sim"), 4).as("mean_sim"))
+      .orderBy($"cluster_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
-    v05QuantizedKnn, v06FilteredKnn)
+    v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster)
 }
