@@ -173,6 +173,96 @@ object MultimodalQueries {
       |ORDER BY kind, chunk_sum""".stripMargin),
     "multimodal chunk-checksum dedup: shared leading chunks per kind")
 
+  /** m05 — content-addressed chunk store ROUND TRIP (m04 is the write
+    * side's dedup signal; this is the full store): split every payload
+    * into fixed 64-byte chunks, build the deduplicated
+    * chunk-sum → bytes store, then reassemble each payload by joining
+    * the manifest back through the store in chunk order and verify the
+    * rebuilt payload equals the original. That is the datalake media
+    * pattern: blobs live once in a CAS, documents are manifests of
+    * chunk checksums, and reads are manifest ⋈ store joins.
+    *
+    * Scale shape: the store build is one hash-shuffle on chunk_sum;
+    * the read path is an equi-join on chunk_sum plus a per-DOCUMENT
+    * regroup whose buffer is bounded by the document's own chunk
+    * count — never corpus-sized state (the t07 hygiene rule). Output:
+    * per kind — docs, round-trip successes, chunk totals, and the
+    * dedup ratio the store achieved. */
+  val m05ChunkStore: GraftQuery = GraftQuery(
+    "m05_chunk_store_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang".as("kind"), $"text",
+          length($"text").as("len"))
+        .where($"len" > 0)
+      val mf = d
+        .select($"doc_id", $"kind", $"text",
+          explode(sequence(lit(0L), ceil($"len" / 64.0).cast("long") - 1))
+            .as("pos"))
+        .select($"doc_id", $"kind", $"pos",
+          $"text".substr(($"pos" * 64 + 1).cast("int"), lit(64)).as("chunk"))
+        .withColumn("chunk_sum", md5($"chunk".cast("binary")))
+      val store = mf.groupBy($"chunk_sum").agg(min($"chunk").as("schunk"))
+      val rebuilt = mf.select($"doc_id", $"kind", $"pos", $"chunk_sum")
+        .join(store, Seq("chunk_sum"))
+        .groupBy($"doc_id", $"kind")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"pos", $"schunk"))),
+              x => x.getField("schunk")),
+            "").as("rtext"))
+      val ok = rebuilt.join(d.select($"doc_id", $"text"), Seq("doc_id"))
+        .select($"kind",
+          when($"rtext" === $"text", 1L).otherwise(0L).as("is_ok"))
+      val perKind = mf.groupBy($"kind")
+        .agg(count(lit(1)).as("total_chunks"),
+          countDistinct($"chunk_sum").as("uniq_chunks"))
+      ok.groupBy($"kind")
+        .agg(count(lit(1)).as("n_docs"), sum($"is_ok").as("n_ok"))
+        .join(perKind, Seq("kind"))
+        .withColumn("uniq_ratio",
+          round($"uniq_chunks".cast("double") / $"total_chunks", 4))
+        .orderBy($"kind")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, lang AS kind, text, length(text) AS len
+      |  FROM documents WHERE length(text) > 0),
+      |pos AS (
+      |  SELECT doc_id, kind, text,
+      |         unnest(range(0, CAST(ceil(len / 64.0) AS BIGINT))) AS pos
+      |  FROM d),
+      |manifest AS (
+      |  SELECT doc_id, kind, pos,
+      |         substr(text, CAST(pos * 64 + 1 AS INT), 64) AS chunk,
+      |         md5(substr(text, CAST(pos * 64 + 1 AS INT), 64)) AS chunk_sum
+      |  FROM pos),
+      |store AS (
+      |  SELECT chunk_sum, min(chunk) AS schunk FROM manifest GROUP BY chunk_sum),
+      |rebuilt AS (
+      |  SELECT m.doc_id, m.kind,
+      |         string_agg(s.schunk, '' ORDER BY m.pos) AS rtext
+      |  FROM manifest m JOIN store s USING (chunk_sum)
+      |  GROUP BY m.doc_id, m.kind),
+      |ok AS (
+      |  SELECT r.kind,
+      |         CASE WHEN r.rtext = d.text THEN 1 ELSE 0 END AS is_ok
+      |  FROM rebuilt r JOIN d ON r.doc_id = d.doc_id),
+      |per_kind AS (
+      |  SELECT kind, count(*) AS total_chunks,
+      |         count(DISTINCT chunk_sum) AS uniq_chunks
+      |  FROM manifest GROUP BY kind)
+      |SELECT o.kind, count(*) AS n_docs, CAST(sum(o.is_ok) AS BIGINT) AS n_ok,
+      |       p.total_chunks, p.uniq_chunks,
+      |       round(CAST(p.uniq_chunks AS DOUBLE) / p.total_chunks, 4) AS uniq_ratio
+      |FROM ok o JOIN per_kind p ON o.kind = p.kind
+      |GROUP BY o.kind, p.total_chunks, p.uniq_chunks
+      |ORDER BY o.kind""".stripMargin),
+    "multimodal: content-addressed chunk store with verified reassembly")
+
   val all: Seq[GraftQuery] = Seq(
-    m01BinaryFeatures, m02FrameSample, m03Resize, m04PayloadDedup)
+    m01BinaryFeatures, m02FrameSample, m03Resize, m04PayloadDedup,
+    m05ChunkStore)
 }

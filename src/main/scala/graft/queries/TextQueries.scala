@@ -629,8 +629,84 @@ object TextQueries {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** t13 — PII screening + redaction ([[graft.functions.PiiOps]]):
+    * emails / SSNs / phone numbers / IPv4s detected and scrubbed, the
+    * release gate of every training-data pipeline. The corpus text is
+    * digit-free, so to make the oracle exercise real matches both
+    * engines append the SAME deterministic doc_id-derived PII suffix
+    * to a sliver of docs (doc_id mod 7 selects the kind) before
+    * screening — synthetic hits, built only from testdata values,
+    * identically in SQL. Counts run on unredacted text; redaction is
+    * the fixed-order regexp_replace chain; output is the per-source
+    * screening report. Plan: one narrow map over the corpus + the
+    * tiny per-source aggregate — no shuffle carries text. The spec
+    * additionally pins detection/redaction semantics on PII fixtures.
+    */
+  val t13PiiScrub: GraftQuery = q(
+    "t13_pii_scrub",
+    "D5 PII screening + redaction (emails/SSNs/phones/IPv4)", {
+      import graft.functions.PiiOps._
+      s"""WITH aug AS (
+        |  SELECT source,
+        |         text || CASE CAST(doc_id % 7 AS INT)
+        |           WHEN 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |           WHEN 1 THEN ' ssn 123-45-6789'
+        |           WHEN 2 THEN ' call 555-867-5309'
+        |           WHEN 3 THEN ' ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+        |           ELSE '' END AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |         ${piiCountSql("t", EmailRe)} AS emails,
+        |         ${piiCountSql("t", SsnRe)} AS ssns,
+        |         ${piiCountSql("t", PhoneRe)} AS phones,
+        |         ${piiCountSql("t", Ipv4Re)} AS ips,
+        |         length(t) - length(${redactSql("t")}) AS dchars
+        |  FROM aug)
+        |SELECT source, count(*) AS docs,
+        |       count(*) FILTER (emails + ssns + phones + ips > 0) AS pii_docs,
+        |       CAST(sum(emails) AS BIGINT) AS emails,
+        |       CAST(sum(ssns) AS BIGINT) AS ssns,
+        |       CAST(sum(phones) AS BIGINT) AS phones,
+        |       CAST(sum(ips) AS BIGINT) AS ips,
+        |       CAST(sum(dchars) AS BIGINT) AS chars_redacted
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
+    }
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.PiiOps
+    val m7 = $"doc_id" % 7
+    val aug = Tables(s, dir, "documents")
+      .select($"source",
+        concat($"text",
+          when(m7 === 0, concat(lit(" mail user"),
+            $"doc_id".cast("string"), lit("@example.com")))
+            .when(m7 === 1, lit(" ssn 123-45-6789"))
+            .when(m7 === 2, lit(" call 555-867-5309"))
+            .when(m7 === 3, concat(lit(" ip 10.0.0."),
+              ($"doc_id" % 255).cast("string")))
+            .otherwise(lit(""))).as("t"))
+    val f = aug.select($"source",
+      PiiOps.piiCount($"t", PiiOps.EmailRe).as("emails"),
+      PiiOps.piiCount($"t", PiiOps.SsnRe).as("ssns"),
+      PiiOps.piiCount($"t", PiiOps.PhoneRe).as("phones"),
+      PiiOps.piiCount($"t", PiiOps.Ipv4Re).as("ips"),
+      (length($"t") - length(PiiOps.redact($"t"))).as("dchars"))
+    f.groupBy($"source")
+      .agg(
+        count(lit(1)).as("docs"),
+        count(when($"emails" + $"ssns" + $"phones" + $"ips" > 0, 1))
+          .as("pii_docs"),
+        sum($"emails").cast("long").as("emails"),
+        sum($"ssns").cast("long").as("ssns"),
+        sum($"phones").cast("long").as("phones"),
+        sum($"ips").cast("long").as("ips"),
+        sum($"dchars").cast("long").as("chars_redacted"))
+      .orderBy($"source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
-    t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks)
+    t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks, t13PiiScrub)
 }

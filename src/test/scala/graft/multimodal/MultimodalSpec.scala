@@ -52,4 +52,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out.meta.width === 64 && out.meta.height === 64)
     assert(out.meta.kind === "image")
   }
+
+  test("m05 chunk store: every document reassembles byte-identically") {
+    val df = graft.queries.MultimodalQueries.m05ChunkStore
+      .fn(spark, "/root/testdata/sf0.001")
+    val rows = df.select("kind", "n_docs", "n_ok", "total_chunks",
+      "uniq_chunks").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"kind ${r.getString(0)}: ${r.getLong(1)} docs but only " +
+          s"${r.getLong(2)} round-tripped")
+      assert(r.getLong(4) <= r.getLong(3)) // store never grows the corpus
+    }
+  }
 }
