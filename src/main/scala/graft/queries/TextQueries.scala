@@ -705,8 +705,74 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** t14 — bigram language-model perplexity scoring (the CCNet-style
+    * quality filter: score each document by an n-gram LM trained on
+    * the corpus itself, filter the high-perplexity tail). Add-one
+    * smoothed conditional probs P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V);
+    * per-doc score = mean −ln P over its bigrams, rounded 6 (absorbs
+    * summation order and the ≤1-ulp libm ln() divergence), then the
+    * per-lang report with a filtered-count at nll > 3.45.
+    *
+    * Plan: bigram expansion is a map-side slice+zip (no shuffle);
+    * counting tables are two hash aggs; scoring joins the doc bigrams
+    * to c2/c1 — all linear shuffles on n-gram keys. Stopword keys skew
+    * c1; at 100 TB the c1 join is the AQE-skew/salting candidate, or
+    * broadcast when the vocab fits (it usually does — even web-scale
+    * vocabs are ~10⁷ rows). V (vocab size) is an exact driver-side
+    * count — deterministic, mirrored in the oracle. */
+  val t14BigramLm: GraftQuery = q(
+    "t14_bigram_lm",
+    "D5 bigram LM perplexity scoring + high-ppl filter per lang",
+    raw"""WITH tk AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+      |  FROM tk WHERE len(toks) >= 2),
+      |bg AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM tk) GROUP BY w1),
+      |vv AS (SELECT count(*) AS v FROM c1),
+      |sc AS (
+      |  SELECT bg.doc_id, bg.lang,
+      |         round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + vv.v))), 6) AS nll
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+      |  GROUP BY bg.doc_id, bg.lang)
+      |SELECT lang, count(*) AS docs, round(avg(nll), 4) AS mean_nll,
+      |       count(*) FILTER (nll > 3.45) AS filtered
+      |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val tk = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", tokens($"text").as("toks"))
+    val n = size($"toks")
+    val bg = tk.where(n >= 2)
+      .select($"doc_id", $"lang",
+        explode(arrays_zip(
+          slice($"toks", lit(1), n - 1),
+          slice($"toks", lit(2), n - 1))).as("p"))
+      .select($"doc_id", $"lang",
+        $"p".getField("0").as("w1"), $"p".getField("1").as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = tk.select(explode($"toks").as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val v = c1.count() // exact vocab size, driver-side scalar
+    val sc = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy($"doc_id", $"lang")
+      .agg(round(avg(-log(($"c2" + 1.0) / ($"c1" + lit(v.toDouble)))), 6)
+        .as("nll"))
+    sc.groupBy($"lang")
+      .agg(count(lit(1)).as("docs"),
+        round(avg($"nll"), 4).as("mean_nll"),
+        count(when($"nll" > 3.45, 1)).as("filtered"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
-    t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks, t13PiiScrub)
+    t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks, t13PiiScrub,
+    t14BigramLm)
 }
