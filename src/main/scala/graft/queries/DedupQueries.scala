@@ -530,7 +530,76 @@ object DedupQueries {
       .orderBy($"incoming_id")
   }
 
+  /** d07 — dedup APPLICATION: d04 finds the near-dup clusters, this
+    * picks which document survives each one. Keeper policy = highest
+    * type-token ratio (the t02 quality signal), doc_id tie-break; the
+    * output is the per-cluster DROP LIST (dropped → keeper), i.e. the
+    * rows a curation pipeline deletes. Composition: jaccardEdges →
+    * ConnectedComponents → broadcast-joined quality → per-cluster
+    * rank-1 window. Cluster sizes are tiny (near-dup groups), so the
+    * quota window never sees corpus-scale partitions; the single
+    * corpus-wide shuffle is the label join. Quality is one int/int
+    * double division — engine-exact; the oracle replays the recursive
+    * transitive closure and the same rank. */
+  val d07KeeperSelect: GraftQuery = q(
+    "d07_keeper_select",
+    "D3 dedup application: per-cluster best-quality keeper + drop list",
+    Some(raw"""WITH RECURSIVE d AS (
+      |  SELECT doc_id, substr(text, 1, 20) AS bucket,
+      |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT CAST(a.doc_id AS BIGINT) AS u, CAST(b.doc_id AS BIGINT) AS v
+      |  FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      |und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      |reach(u, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      |  UNION
+      |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u),
+      |labels AS (
+      |  SELECT u AS id, min(r) AS component FROM reach GROUP BY u),
+      |qd AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+      |           / len(regexp_split_to_array(trim(text), '\s+')) AS quality
+      |  FROM documents),
+      |member AS (
+      |  SELECT l.component AS cluster, CAST(q.doc_id AS BIGINT) AS doc_id, q.quality,
+      |         row_number() OVER (PARTITION BY l.component
+      |                            ORDER BY q.quality DESC, q.doc_id) AS rn
+      |  FROM labels l JOIN qd q ON l.id = q.doc_id),
+      |keep AS (SELECT cluster, doc_id AS keeper FROM member WHERE rn = 1)
+      |SELECT m.cluster, m.doc_id AS dropped, k.keeper,
+      |       round(m.quality, 6) AS dropped_q
+      |FROM member m JOIN keep k USING (cluster)
+      |WHERE m.rn > 1
+      |ORDER BY cluster, dropped""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val comp = graft.operators.ConnectedComponents
+      .components(jaccardEdges(s, dir), "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("component", "cluster")
+    val toks = split(trim($"text"), "\\s+")
+    val qd = Tables(s, dir, "documents")
+      .select($"doc_id",
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("quality"))
+    val member = comp.join(qd, Seq("doc_id"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")))
+    val keep = member.where($"rn" === 1)
+      .select($"cluster", $"doc_id".as("keeper"))
+    member.where($"rn" > 1)
+      .select($"cluster", $"doc_id".as("dropped"), $"quality")
+      .join(keep, Seq("cluster"))
+      .select($"cluster", $"dropped", $"keeper",
+        round($"quality", 6).as("dropped_q"))
+      .orderBy($"cluster", $"dropped")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
-    d05IncrementalDedup, d06ShardedSimHash)
+    d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect)
 }

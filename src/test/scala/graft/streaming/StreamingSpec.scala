@@ -266,6 +266,36 @@ class StreamingSpec extends SparkSpec {
       "the same gate expression must admit identical docs in batch and stream")
   }
 
+  test("PII scrub is batch/stream identical (ingest-time redaction gate)") {
+    implicit val sql = spark.sqlContext
+    import graft.functions.PiiOps
+    def scrub(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", PiiOps.redact($"text").as("clean"),
+        (PiiOps.piiCount($"text", PiiOps.EmailRe) +
+          PiiOps.piiCount($"text", PiiOps.SsnRe) +
+          PiiOps.piiCount($"text", PiiOps.PhoneRe) +
+          PiiOps.piiCount($"text", PiiOps.Ipv4Re)).as("hits"))
+    val docs = Seq(
+      (1L, "reach me at ops@example.com or 555-867-5309"),
+      (2L, "clean text with no identifiers"),
+      (3L, "ssn 123-45-6789 from host 10.0.0.7"))
+    val batch = scrub(docs.toDF("doc_id", "text"))
+      .as[(Long, String, Int)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = scrub(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_t")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("pii_t").as[(Long, String, Int)].collect().toSet
+    assert(batch === stream,
+      "the same scrub expression must redact identically in batch and stream")
+    assert(batch.collect { case (1L, c, h) => (c, h) }.head ===
+      ("reach me at [PII] or [PII]", 2))
+    assert(batch.collect { case (3L, c, h) => (c, h) }.head ===
+      ("ssn [PII] from host [PII]", 2))
+  }
+
   test("native session_window: gap-merged sessions emit when the watermark closes them") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
