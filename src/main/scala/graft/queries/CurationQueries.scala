@@ -538,7 +538,72 @@ object CurationQueries {
       |ORDER BY cluster_id, rnk""".stripMargin),
     "north-star: cluster-balanced diversity sampling (k-means quota)")
 
+  /** c09 — QUALITY-WEIGHTED sampling: docs drawn with probability
+    * proportional to an integer quality weight, deterministically.
+    * Standard weighted reservoir sampling (Efraimidis–Spirakis) keys
+    * on u^(1/w) — a floating sampling key that would not survive the
+    * engine-parity bar. For INTEGER weights, u^(1/w) is distributed as
+    * the max of w iid uniforms, so the key becomes a hash TOURNAMENT:
+    * key(doc) = max over i ∈ 1..w of hash60(doc_id#i) — pure 60-bit
+    * integer comparisons, P(key_a beats key_b) = w_a/(w_a+w_b)
+    * pairwise, exact weighted sampling WITHOUT replacement for the
+    * top-k — reproducible across runs/engines/retries like every
+    * other sampling gate in this family (no rand(), c01 contract).
+    * Weight = 1 + ⌊4·TTR⌋ ∈ 1..5 (higher-quality docs up-weighted).
+    * Plan: replica fan-out is a bounded ≤5× map-side explode of
+    * (doc_id, i) pairs; max-key is a hash agg; the per-lang top-10
+    * window is WindowGroupLimit-pruned (c02 shape). */
+  val c09WeightedSample: GraftQuery = GraftQuery(
+    "c09_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      val toks = split(trim($"text"), "\\s+")
+      val w = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          (lit(1) + floor(lit(4.0) *
+            (size(array_distinct(toks)).cast("double") / size(toks)))
+            .cast("int")).as("w"))
+      val key = hash60(
+        concat($"doc_id".cast("string"), lit("#"), $"i".cast("string")),
+        "wsample")
+      val k = w
+        .select($"doc_id", $"lang", $"w",
+          explode(sequence(lit(1), $"w")).as("i"))
+        .select($"doc_id", $"lang", $"w", key.as("key"))
+        .groupBy($"doc_id", $"lang", $"w")
+        .agg(max($"key").as("key"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"key".desc, $"doc_id")
+      k.withColumn("rnk", row_number().over(win))
+        .where($"rnk" <= 10)
+        .select($"lang", $"rnk", $"doc_id", $"w".cast("long").as("w"))
+        .orderBy($"lang", $"rnk")
+    },
+    Some(raw"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS nu,
+      |         len(regexp_split_to_array(trim(text), '\s+')) AS nt
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, lang,
+      |         1 + CAST(floor(4.0 * (CAST(nu AS DOUBLE) / nt)) AS INT) AS w
+      |  FROM d),
+      |r AS (SELECT doc_id, lang, w, unnest(range(1, w + 1)) AS i FROM w),
+      |k AS (
+      |  SELECT doc_id, lang, w,
+      |         max(${hash60Sql("CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)", "wsample")}) AS key
+      |  FROM r GROUP BY doc_id, lang, w),
+      |rk AS (
+      |  SELECT lang, doc_id, w,
+      |         row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rnk
+      |  FROM k)
+      |SELECT lang, rnk, CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS w
+      |FROM rk WHERE rnk <= 10
+      |ORDER BY lang, rnk""".stripMargin),
+    "north-star: exact-integer weighted sampling (hash tournament, no rand)")
+
   val all: Seq[GraftQuery] = Seq(
     c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile,
-    c05SequencePacking, c06LeakageSafeSplit, c07CorpusMix, c08ClusterSample)
+    c05SequencePacking, c06LeakageSafeSplit, c07CorpusMix, c08ClusterSample,
+    c09WeightedSample)
 }

@@ -485,7 +485,95 @@ object VectorQueries {
       .orderBy($"cluster_id")
   }
 
+  /** DuckDB oracle for [[v08MmrRerank]]: the k greedy MMR steps
+    * unrolled as CTEs (step i excludes s1..s(i−1) and penalizes by the
+    * max pairwise sim to them). All scores are rounded-6 doubles
+    * combined by exact IEEE ops, so both engines rank identically. */
+  private def mmrSql(k: Int, c: Int): String = {
+    val head = Seq(
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      "qv AS (SELECT v AS q FROM e WHERE vec_id = 0)",
+      s"""cands AS (
+         |  SELECT vec_id, v, qsim FROM (
+         |    SELECT e.vec_id, e.v, ${duckCos6("e.v", "qv.q")} AS qsim,
+         |           row_number() OVER (ORDER BY ${duckCos6("e.v", "qv.q")} DESC, e.vec_id) AS rn
+         |    FROM e CROSS JOIN qv WHERE e.vec_id <> 0) WHERE rn <= $c)""".stripMargin,
+      s"pair AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${duckCos6("a.v", "b.v")} AS sim FROM cands a CROSS JOIN cands b)",
+      s"""s1 AS (
+         |  SELECT vec_id, qsim FROM (
+         |    SELECT vec_id, qsim, row_number() OVER (ORDER BY round(0.7 * qsim, 6) DESC, vec_id) AS rn
+         |    FROM cands) WHERE rn = 1)""".stripMargin)
+    val steps = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ")
+      s"""s$i AS (
+         |  SELECT vec_id, qsim FROM (
+         |    SELECT c.vec_id, c.qsim,
+         |           row_number() OVER (ORDER BY round(0.7 * c.qsim - 0.3 * (
+         |             SELECT max(p.sim) FROM pair p WHERE p.ia = c.vec_id
+         |               AND p.ib IN ($prev)), 6) DESC, c.vec_id) AS rn
+         |    FROM cands c WHERE c.vec_id NOT IN ($prev)) WHERE rn = 1)""".stripMargin
+    }
+    val union = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rnk, vec_id, qsim FROM s$i")
+      .mkString("\nUNION ALL ")
+    "WITH " + (head ++ steps).mkString(",\n") +
+      s"\nSELECT * FROM ($union) ORDER BY rnk"
+  }
+
+  /** D4 — MMR diversity re-ranking (Carbonell & Goldstein '98): the
+    * retrieval-side twin of c08's anti-mode-collapse sampling. k=5
+    * greedy selections from the top-C=20 candidates of query vector 0,
+    * score = 0.7·sim(q,c) − 0.3·max_{s∈S} sim(c,s), rounded 6, lowest
+    * vec_id ties. Plan: candidate generation is the distributed
+    * TakeOrdered top-C (never a global single-partition window); the
+    * greedy loop then runs on the DRIVER over the collected C
+    * candidates — bounded at C·dim doubles and C² similarities, the
+    * same bounded-collect contract as v04's pivot table, because MMR's
+    * sequential data dependency has no distributed formulation that
+    * beats shipping 20 rows. All pairwise sims reuse the cosine6
+    * rounding, so the unrolled SQL oracle ranks identically. */
+  val v08MmrRerank: GraftQuery = q(
+    "v08_mmr_rerank",
+    "D4 MMR diversity re-rank: bounded top-C candidates, k greedy picks",
+    Some(mmrSql(k = 5, c = 20))
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorOps
+    val e = emb(s, dir)
+    val qv = e.where($"vec_id" === 0).select($"v".as("q"))
+    val cands = e.where($"vec_id" =!= 0)
+      .crossJoin(broadcast(qv))
+      .select($"vec_id", $"v", cosine6($"v", $"q").as("qsim"))
+      .orderBy($"qsim".desc, $"vec_id")
+      .limit(20)
+      .as[(Long, Array[Double], Double)]
+      .collect()
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = cands.map(t => t._1 -> t._2).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var remaining = cands.toList
+    for (_ <- 1 to 5) {
+      val scored = remaining.map { case (id, v, qsim) =>
+        val mmr =
+          if (selected.isEmpty) round6(0.7 * qsim)
+          else {
+            val maxSim = selected.map(p => VectorOps.cosine6(v, vecs(p._1))).max
+            round6(0.7 * qsim - 0.3 * maxSim)
+          }
+        (id, qsim, mmr)
+      }
+      val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += ((best._1, best._2))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, qsim), i) => ((i + 1).toLong, id, qsim) }
+      .toDF("rnk", "vec_id", "qsim")
+      .orderBy($"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
-    v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster)
+    v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank)
 }
