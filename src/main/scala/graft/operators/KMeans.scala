@@ -51,30 +51,40 @@ object KMeans {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
 
-    var centroids: Array[(Long, Array[Double])] =
-      ev.filter(_._1 < k).collect().sortBy(_._1)
-    require(centroids.nonEmpty,
-      s"k-means init found no vectors with id < $k")
+    // iters+2 passes read the input (seed take, one assign+mean per
+    // iteration, final assignment) — cache it for the fit's lifetime
+    val cached = ev.persist()
+    try {
+      // the k LOWEST-id vectors, whatever the id domain (distributed
+      // TakeOrdered — never assumes ids are contiguous or 0-based)
+      var centroids: Array[(Long, Array[Double])] =
+        cached.toDF("id", "v").orderBy($"id").limit(k)
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+      require(centroids.nonEmpty, "k-means init found no vectors")
 
-    for (_ <- 1 to iters) {
+      for (_ <- 1 to iters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val assigned = cached
+          .map { case (_, v) => (VectorOps.nearestCentroidSim(v, bc.value)._1, v) }
+          .toDF("cluster_id", "v")
+        centroids = assigned
+          .groupBy($"cluster_id")
+          .agg(VectorAgg.vectorMean($"v").as("mv"))
+          .select($"cluster_id",
+            transform($"mv", x => round(x, 8)).as("cv"))
+          .as[(Long, Array[Double])]
+          .collect()
+          .sortBy(_._1)
+        bc.destroy() // the collect above consumed it; don't leak k×dim per iteration
+      }
+
+      // the final broadcast stays alive: the returned (lazy) DataFrame
+      // reads it when the caller executes
       val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = ev
-        .map { case (_, v) => (VectorOps.nearestCentroidSim(v, bc.value)._1, v) }
-        .toDF("cluster_id", "v")
-      centroids = assigned
-        .groupBy($"cluster_id")
-        .agg(VectorAgg.vectorMean($"v").as("mv"))
-        .select($"cluster_id",
-          transform($"mv", x => round(x, 8)).as("cv"))
-        .as[(Long, Array[Double])]
-        .collect()
-        .sortBy(_._1)
-    }
-
-    val bc = spark.sparkContext.broadcast(centroids)
-    ev.map { case (id, v) =>
-      val (cid, sim) = VectorOps.nearestCentroidSim(v, bc.value)
-      (id, cid, sim)
-    }.toDF("vec_id", "cluster_id", "sim")
+      cached.map { case (id, v) =>
+        val (cid, sim) = VectorOps.nearestCentroidSim(v, bc.value)
+        (id, cid, sim)
+      }.toDF("vec_id", "cluster_id", "sim")
+    } finally cached.unpersist()
   }
 }

@@ -557,12 +557,9 @@ object CurationQueries {
     "c09_weighted_sample",
     (s, dir) => {
       import s.implicits._
-      val toks = split(trim($"text"), "\\s+")
       val w = Tables(s, dir, "documents")
         .select($"doc_id", $"lang",
-          (lit(1) + floor(lit(4.0) *
-            (size(array_distinct(toks)).cast("double") / size(toks)))
-            .cast("int")).as("w"))
+          graft.functions.TextStats.qualityWeight($"text").as("w"))
       val key = hash60(
         concat($"doc_id".cast("string"), lit("#"), $"i".cast("string")),
         "wsample")

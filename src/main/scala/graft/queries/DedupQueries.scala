@@ -582,10 +582,9 @@ object DedupQueries {
       .components(jaccardEdges(s, dir), "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("component", "cluster")
-    val toks = split(trim($"text"), "\\s+")
     val qd = Tables(s, dir, "documents")
       .select($"doc_id",
-        (size(array_distinct(toks)).cast("double") / size(toks)).as("quality"))
+        graft.functions.TextStats.ttr($"text").as("quality"))
     val member = comp.join(qd, Seq("doc_id"))
       .withColumn("rn", row_number().over(Window
         .partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")))

@@ -208,7 +208,6 @@ object MultimodalQueries {
         .join(store, Seq("chunk_sum"))
         .groupBy($"doc_id", $"kind")
         .agg(
-          count(lit(1)).as("n_chunks"),
           array_join(
             transform(
               array_sort(collect_list(struct($"pos", $"schunk"))),

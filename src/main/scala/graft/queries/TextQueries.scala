@@ -756,12 +756,15 @@ object TextQueries {
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     val c1 = tk.select(explode($"toks").as("w1"))
       .groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val v = c1.count() // exact vocab size, driver-side scalar
+    // vocab size as a broadcast 1-row frame (the oracle's vv CTE) —
+    // keeps the whole query one lazy plan, no eager driver count job
+    val vv = c1.agg(count(lit(1)).cast("double").as("v"))
     val sc = bg
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vv))
       .groupBy($"doc_id", $"lang")
-      .agg(round(avg(-log(($"c2" + 1.0) / ($"c1" + lit(v.toDouble)))), 6)
+      .agg(round(avg(-log(($"c2" + 1.0) / ($"c1" + $"v"))), 6)
         .as("nll"))
     sc.groupBy($"lang")
       .agg(count(lit(1)).as("docs"),

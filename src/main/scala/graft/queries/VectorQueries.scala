@@ -457,7 +457,7 @@ object VectorQueries {
     val lastC = if (iters == 0) "kmc0" else s"kmc$iters"
     (Seq(
       "kme AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-      s"kmc0 AS (SELECT vec_id AS cid, v AS cv FROM kme WHERE vec_id < $k)") ++
+      s"kmc0 AS (SELECT vec_id AS cid, v AS cv FROM kme ORDER BY vec_id LIMIT $k)") ++
       steps ++ Seq(assign(lastC, "kmaf"))).mkString(",\n")
   }
 

@@ -23,12 +23,9 @@ class CurationRerankSpec extends SparkSpec {
     }
     assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 5))
     // the point of weighting: selected docs are higher-weight on
-    // average than the corpus baseline
-    val toks = split(trim($"text"), "\\s+")
+    // average than the corpus baseline (same shared weight expression)
     val corpusMeanW = graft.Tables(spark, dir, "documents")
-      .select((lit(1) + floor(lit(4.0) *
-        (size(array_distinct(toks)).cast("double") / size(toks)))
-        .cast("int")).as("w"))
+      .select(graft.functions.TextStats.qualityWeight($"text").as("w"))
       .agg(avg($"w")).as[Double].head()
     val sampleMeanW = out.agg(avg($"w")).as[Double].head()
     assert(sampleMeanW > corpusMeanW,
