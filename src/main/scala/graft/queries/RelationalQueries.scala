@@ -870,6 +870,52 @@ object RelationalQueries {
       .orderBy($"window_id")
   }
 
+  /** q27 — rolling z-score anomaly detection: each day's metric
+    * against the TRAILING 7-day window (frame excludes the current
+    * row, so an anomaly can't suppress itself), flag |z| > 1.5. The
+    * monitoring-pipeline shape: one daily pre-aggregate shuffle, then
+    * a bounded ROWS frame per group — state is 7 rows per partition
+    * key regardless of history length, so the window scales with key
+    * count, not corpus size. Daily sums are rounded before the frame
+    * (absorbs sum order); the flag compares the 6dp-rounded z so both
+    * engines gate identically; stddev_samp over the same 7 rounded
+    * doubles agrees far below either rounding. */
+  val q27RollingZscore: GraftQuery = q(
+    "q27_rolling_zscore",
+    "window frames: trailing-window z-score anomaly flags per group",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 6) AS dv
+      |  FROM events GROUP BY 1, 2),
+      |wd AS (
+      |  SELECT event_type, day, dv,
+      |         avg(dv) OVER w AS mu,
+      |         stddev_samp(dv) OVER w AS sd,
+      |         count(*) OVER w AS n
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, dv, round((dv - mu) / sd, 3) AS z
+      |FROM wd WHERE n >= 3 AND sd > 0 AND abs(round((dv - mu) / sd, 6)) > 1.5
+      |ORDER BY event_type, day""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(round(sum($"value"), 6).as("dv"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-7, -1)
+    daily
+      .select($"event_type", $"day", $"dv",
+        avg($"dv").over(w).as("mu"),
+        stddev_samp($"dv").over(w).as("sd"),
+        count(lit(1)).over(w).as("n"))
+      .where($"n" >= 3 && $"sd" > 0 &&
+        abs(round(($"dv" - $"mu") / $"sd", 6)) > 1.5)
+      .select($"event_type", $"day", $"dv",
+        round(($"dv" - $"mu") / $"sd", 3).as("z"))
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -877,5 +923,5 @@ object RelationalQueries {
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
-    q26IntervalJoin)
+    q26IntervalJoin, q27RollingZscore)
 }
