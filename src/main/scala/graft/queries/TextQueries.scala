@@ -773,9 +773,68 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** t15 — within-document repetition filter (the Gopher-rule family,
+    * Rae et al. '21): fraction of duplicate 3-grams inside each doc —
+    * high values mean boilerplate/self-repetition, a standard
+    * pre-training exclusion signal. dup_frac = 1 − distinct/total
+    * trigrams (two int counts + one division — engine-exact), flagged
+    * at > 0.01 (the corpus's p95). Everything is per-document map-side
+    * work (slice+zip trigram expansion, a per-doc count-distinct agg)
+    * followed by the tiny per-source report — no cross-doc join at
+    * all, so the operator is embarrassingly linear at any scale. */
+  val t15RepetitionFilter: GraftQuery = q(
+    "t15_repetition_filter",
+    "D5 within-doc duplicate-trigram fraction + boilerplate flag",
+    raw"""WITH tk AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i
+      |  FROM tk WHERE len(toks) >= 3),
+      |g AS (
+      |  SELECT doc_id, source,
+      |         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+      |  FROM pos),
+      |m AS (
+      |  SELECT doc_id, source, count(*) AS total,
+      |         count(DISTINCT gram) AS uniq
+      |  FROM g GROUP BY doc_id, source),
+      |f AS (
+      |  SELECT source,
+      |         round(1.0 - CAST(uniq AS DOUBLE) / total, 6) AS dupfrac
+      |  FROM m)
+      |SELECT source, count(*) AS docs,
+      |       round(avg(dupfrac), 4) AS mean_dup_frac,
+      |       count(*) FILTER (dupfrac > 0.01) AS flagged
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val tk = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", tokens($"text").as("toks"))
+    val n = size($"toks")
+    val g = tk.where(n >= 3)
+      .select($"doc_id", $"source",
+        explode(arrays_zip(
+          slice($"toks", lit(1), n - 2),
+          slice($"toks", lit(2), n - 2),
+          slice($"toks", lit(3), n - 2))).as("p"))
+      .select($"doc_id", $"source",
+        concat_ws(" ", $"p".getField("0"), $"p".getField("1"),
+          $"p".getField("2")).as("gram"))
+    val m = g.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("total"), countDistinct($"gram").as("uniq"))
+    val f = m.select($"source",
+      round(lit(1.0) - $"uniq".cast("double") / $"total", 6).as("dupfrac"))
+    f.groupBy($"source")
+      .agg(count(lit(1)).as("docs"),
+        round(avg($"dupfrac"), 4).as("mean_dup_frac"),
+        count(when($"dupfrac" > 0.01, 1)).as("flagged"))
+      .orderBy($"source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
     t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks, t13PiiScrub,
-    t14BigramLm)
+    t14BigramLm, t15RepetitionFilter)
 }
