@@ -599,8 +599,109 @@ object CurationQueries {
       |ORDER BY lang, rnk""".stripMargin),
     "north-star: exact-integer weighted sampling (hash tournament, no rand)")
 
+  /** c10 — the END-TO-END curation funnel: quality gates (c01's
+    * rule) → near-dup drop (d07's keeper policy) → leakage-safe
+    * cluster split (c06's rule), reported as stage counts — the
+    * one-page answer to "how many documents survive my pipeline and
+    * where do they go". Every stage reuses the exact shared
+    * expression its standalone query pins (gate ints, keeperDrops,
+    * cluster-hash split), so the funnel cannot drift from the parts.
+    * Plan note: components/drops appear twice in this one-shot plan
+    * (drop filter + cluster labels); a production pipeline
+    * materializes the cluster table once per snapshot — recorded
+    * here because at gate SF the recompute is cheaper than a cache
+    * round trip, at 100 TB it is not. */
+  val c10CurationFunnel: GraftQuery = GraftQuery(
+    "c10_curation_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val toks = graft.functions.TextStats.tokens($"text")
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id",
+          size(toks).as("n_tok"), size(array_distinct(toks)).as("n_uniq"))
+      val gated = d
+        .where($"n_tok" >= 5 && ($"n_uniq".cast("double") / $"n_tok") >= 0.3)
+        .select($"doc_id")
+      val drops = DedupQueries.keeperDrops(s, dir)
+        .select($"dropped".as("doc_id"))
+      val surviving = gated.join(drops, Seq("doc_id"), "left_anti")
+      val comp = graft.operators.ConnectedComponents
+        .components(DedupQueries.jaccardEdges(s, dir), "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      val labeled = surviving
+        .join(comp, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"component", $"doc_id").as("cluster"))
+      val split = labeled.withColumn("split",
+        when(hash60($"cluster", "leak") % 10 < 9, "train").otherwise("eval"))
+      def stage(no: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("docs"))
+          .select(lit(no).as("stage_no"), lit(name).as("stage"), $"docs")
+      stage(1, "total", d)
+        .union(stage(2, "gated", gated))
+        .union(stage(3, "deduped", surviving))
+        .union(stage(4, "train", split.where($"split" === "train")))
+        .union(stage(5, "eval", split.where($"split" === "eval")))
+        .orderBy($"stage_no")
+    },
+    Some(raw"""WITH RECURSIVE dd AS (
+      |  SELECT doc_id, substr(text, 1, 20) AS bucket,
+      |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT CAST(a.doc_id AS BIGINT) AS u, CAST(b.doc_id AS BIGINT) AS v
+      |  FROM dd a JOIN dd b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      |und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      |reach(u, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      |  UNION
+      |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u),
+      |labels AS (
+      |  SELECT u AS id, min(r) AS component FROM reach GROUP BY u),
+      |qd AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+      |           / len(regexp_split_to_array(trim(text), '\s+')) AS quality
+      |  FROM documents),
+      |member AS (
+      |  SELECT l.component AS cluster, CAST(q.doc_id AS BIGINT) AS doc_id,
+      |         row_number() OVER (PARTITION BY l.component
+      |                            ORDER BY q.quality DESC, q.doc_id) AS rn
+      |  FROM labels l JOIN qd q ON l.id = q.doc_id),
+      |drops AS (SELECT doc_id FROM member WHERE rn > 1),
+      |d AS (
+      |  SELECT doc_id,
+      |         len(regexp_split_to_array(trim(text), '\s+'))                AS n_tok,
+      |         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_uniq
+      |  FROM documents),
+      |gated AS (
+      |  SELECT doc_id FROM d
+      |  WHERE n_tok >= 5 AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.3),
+      |surv AS (
+      |  SELECT doc_id FROM gated
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      |lab AS (
+      |  SELECT s.doc_id,
+      |         coalesce(l.component, CAST(s.doc_id AS BIGINT)) AS cluster
+      |  FROM surv s LEFT JOIN labels l ON l.id = s.doc_id),
+      |sp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN ${hash60Sql("cluster", "leak")} % 10 < 9
+      |              THEN 'train' ELSE 'eval' END AS split
+      |  FROM lab)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_no, 'total' AS stage, count(*) AS docs FROM d
+      |  UNION ALL SELECT 2, 'gated', count(*) FROM gated
+      |  UNION ALL SELECT 3, 'deduped', count(*) FROM surv
+      |  UNION ALL SELECT 4, 'train', count(*) FROM sp WHERE split = 'train'
+      |  UNION ALL SELECT 5, 'eval', count(*) FROM sp WHERE split = 'eval')
+      |ORDER BY stage_no""".stripMargin),
+    "north-star capstone: gate → dedup-drop → leakage-safe split funnel")
+
   val all: Seq[GraftQuery] = Seq(
     c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile,
     c05SequencePacking, c06LeakageSafeSplit, c07CorpusMix, c08ClusterSample,
-    c09WeightedSample)
+    c09WeightedSample, c10CurationFunnel)
 }

@@ -578,6 +578,19 @@ object DedupQueries {
       |ORDER BY cluster, dropped""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
+    keeperDrops(s, dir)
+      .select($"cluster", $"dropped", $"keeper",
+        round($"quality", 6).as("dropped_q"))
+      .orderBy($"cluster", $"dropped")
+  }
+
+  /** The d07 drop decisions as a reusable frame —
+    * (cluster, dropped, keeper, quality) — shared by the d07 query and
+    * c10's funnel. At production scale this is the table a pipeline
+    * materializes once per corpus snapshot, not something recomputed
+    * per consumer. */
+  def keeperDrops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val comp = graft.operators.ConnectedComponents
       .components(jaccardEdges(s, dir), "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
@@ -593,9 +606,6 @@ object DedupQueries {
     member.where($"rn" > 1)
       .select($"cluster", $"doc_id".as("dropped"), $"quality")
       .join(keep, Seq("cluster"))
-      .select($"cluster", $"dropped", $"keeper",
-        round($"quality", 6).as("dropped_q"))
-      .orderBy($"cluster", $"dropped")
   }
 
   val all: Seq[GraftQuery] = Seq(
