@@ -102,4 +102,34 @@ class PropertySpec extends SparkSpec {
       if (a.nonEmpty) assert(HashSketch.jaccardSorted(a, a) === 1.0)
     }
   }
+
+  test("property: PII redaction is idempotent and marker never re-matches") {
+    // random text salted with random PII shapes: redact twice == once
+    val word = Gen.oneOf("data", "spark", "a", "x1", "user", "2024")
+    val pii = Gen.oneOf(
+      "bob@mail.com", "123-45-6789", "555-867-5309", "10.0.0.1", "")
+    val doc = for {
+      ws <- Gen.listOfN(8, word); p <- pii
+    } yield (ws :+ p).mkString(" ")
+    samples(Gen.listOfN(40, doc), 5).foreach { texts =>
+      val once = texts.toDF("t").select(PiiOps.redact($"t")).as[String].collect()
+      val twice = once.toSeq.toDF("t").select(PiiOps.redact($"t")).as[String].collect()
+      assert(twice.toSeq === once.toSeq, "redaction must be idempotent")
+    }
+  }
+
+  test("property: TTR is in (0,1] and qualityWeight in 1..5 for nonempty text") {
+    val doc = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee"))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(50, doc), 5).foreach { texts =>
+      val rows = texts.toDF("t")
+        .select(TextStats.ttr($"t").as("r"),
+          TextStats.qualityWeight($"t").as("w"))
+        .as[(Double, Int)].collect()
+      rows.foreach { case (r, w) =>
+        assert(r > 0.0 && r <= 1.0)
+        assert(w >= 1 && w <= 5)
+      }
+    }
+  }
 }
