@@ -184,4 +184,40 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("spark_partition_id") || p.contains("pid"),
       "salted pre-pass missing")
   }
+
+  test("q27: the anomaly frame is bounded ROWS, never an unbounded window") {
+    val p = plan("q27_rolling_zscore")
+    assert(p.contains("specifiedwindowframe(RowFrame, -7, -1)"),
+      s"expected the bounded trailing ROWS frame in:\n$p")
+    assert(!p.toLowerCase.contains("unboundedpreceding"),
+      s"no unbounded frame may appear (state must stay 7 rows/key):\n$p")
+  }
+
+  test("t15: repetition scoring plans no join at all (per-doc map work)") {
+    val p = plan("t15_repetition_filter")
+    assert(!p.contains("Join"),
+      s"duplicate-trigram fraction must never join across docs:\n$p")
+  }
+
+  test("t13: PII scrub shuffles only aggregate rows, never text") {
+    val p = plan("t13_pii_scrub")
+    assert(!p.contains("Join"), s"scrub is a pure map + agg:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"only the per-source aggregate may shuffle, found $hashExchanges:\n$p")
+  }
+
+  test("v08: candidate generation is TakeOrdered, not a global sort/window") {
+    val p = plan("v08_mmr_rerank")
+    assert(!p.contains("Window"),
+      s"bounded top-C must use TakeOrdered pruning, not a rank window:\n$p")
+  }
+
+  test("c08/c09 sampling windows are WindowGroupLimit-pruned") {
+    Seq("c08_cluster_balanced_sample", "c09_weighted_sample").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("WindowGroupLimit"),
+        s"$n: per-partition rank-limit pushdown missing:\n$p")
+    }
+  }
 }
