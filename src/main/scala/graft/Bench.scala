@@ -29,9 +29,19 @@ object Bench {
       try fn(spark, warmOn).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration)
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration);
+    // names are trimmed, and an unknown or empty selection fails loudly
+    // instead of silently benchmarking nothing (same guard as Verify)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map { names =>
+        require(names.nonEmpty, "SPARK_GRAFT_ONLY selected no queries")
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
+        names
+      }
+      .getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     // Two timed executions per query, report the MIN: a single-JVM

@@ -16,16 +16,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=name1,name2 restricts the dump (names are
-    // trimmed here, unlike Bench's filter) — oracle_sql.json still
-    // carries every oracle, so the compare tool works on the subset
-    // unchanged. Unknown names fail loudly: a typo that silently
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the dump (same trimmed,
+    // fail-loud contract as Bench) — oracle_sql.json still carries
+    // every oracle, so the compare tool works on the subset unchanged.
+    // Unknown or empty selections fail loudly: a typo that silently
     // dumped nothing would let compare.py print a smaller all-green
     // total that looks like a pass while verifying nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(names) =>
+        require(names.nonEmpty, "SPARK_GRAFT_ONLY selected no queries")
         val unknown = names.diff(SparkEntry.queries.keySet)
         require(unknown.isEmpty,
           s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")

@@ -6,8 +6,13 @@ import org.apache.spark.sql.functions._
 /** The shared text-quality column expressions. Several operators key
   * decisions on the type-token ratio (t02's quality report, d07's
   * keeper policy, c09's sampling weight) and each must stay
-  * byte-identical to its DuckDB oracle rendering — one definition
-  * here, not a per-site re-derivation that can silently diverge. */
+  * byte-identical to its DuckDB oracle rendering — so new call sites
+  * use these definitions (TextQueries.tokens delegates here; the few
+  * remaining inline copies in c01/jaccardEdges are pinned by their own
+  * oracle SQL strings). NULL text yields NULL from every expression
+  * here under ANSI Spark 4 semantics EXCEPT `size()` which returns -1
+  * — callers that feed possibly-null text must filter it first (c09
+  * does), or the -1 propagates where a SQL engine would yield NULL. */
 object TextStats {
 
   /** Whitespace tokenization — the engine-wide convention

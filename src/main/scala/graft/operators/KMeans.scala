@@ -51,8 +51,10 @@ object KMeans {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
 
-    // iters+2 passes read the input (seed take, one assign+mean per
-    // iteration, final assignment) — cache it for the fit's lifetime
+    // the fit itself reads the input iters+1 times (seed take + one
+    // assign+mean action per iteration) — cache across those; the
+    // RETURNED assignment frame is lazy and executes after this cache
+    // is dropped, re-reading the source once like any other query
     val cached = ev.persist()
     try {
       // the k LOWEST-id vectors, whatever the id domain (distributed

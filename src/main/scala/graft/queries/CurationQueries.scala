@@ -557,7 +557,12 @@ object CurationQueries {
     "c09_weighted_sample",
     (s, dir) => {
       import s.implicits._
+      // null text must be excluded BEFORE the weight expression:
+      // Spark's size(null) is -1 (so TTR would be (-1)/(-1) = 1.0 and
+      // w = 5) where DuckDB's len(NULL) is NULL and drops the doc —
+      // the filter pins both engines to the same universe
       val w = Tables(s, dir, "documents")
+        .where($"text".isNotNull)
         .select($"doc_id", $"lang",
           graft.functions.TextStats.qualityWeight($"text").as("w"))
       val key = hash60(
@@ -580,7 +585,7 @@ object CurationQueries {
       |  SELECT doc_id, lang,
       |         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS nu,
       |         len(regexp_split_to_array(trim(text), '\s+')) AS nt
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |w AS (
       |  SELECT doc_id, lang,
       |         1 + CAST(floor(4.0 * (CAST(nu AS DOUBLE) / nt)) AS INT) AS w

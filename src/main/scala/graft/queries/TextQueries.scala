@@ -35,7 +35,7 @@ object TextQueries {
 
   /** Whitespace tokenization shared by all queries (P-analog of the
     * reference's shared cleaning projection idiom). */
-  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+  private def tokens(c: Column): Column = graft.functions.TextStats.tokens(c)
 
   /** D5 — corpus token/char statistics per language. */
   val t01TokenStats: GraftQuery = q(
@@ -718,8 +718,9 @@ object TextQueries {
     * to c2/c1 — all linear shuffles on n-gram keys. Stopword keys skew
     * c1; at 100 TB the c1 join is the AQE-skew/salting candidate, or
     * broadcast when the vocab fits (it usually does — even web-scale
-    * vocabs are ~10⁷ rows). V (vocab size) is an exact driver-side
-    * count — deterministic, mirrored in the oracle. */
+    * vocabs are ~10⁷ rows). V (vocab size) rides along as a broadcast
+    * one-row aggregate (the oracle's vv CTE) — exact, deterministic,
+    * and part of the same lazy plan. */
   val t14BigramLm: GraftQuery = q(
     "t14_bigram_lm",
     "D5 bigram LM perplexity scoring + high-ppl filter per lang",

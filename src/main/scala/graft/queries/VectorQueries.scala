@@ -520,6 +520,20 @@ object VectorQueries {
       s"\nSELECT * FROM ($union) ORDER BY rnk"
   }
 
+  /** v08's distributed candidate stage — its own method so the plan
+    * spec can pin the TakeOrdered pruning on the DISTRIBUTED plan (the
+    * query fn collects this, so its returned frame is a local scan). */
+  private[queries] def mmrCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val qv = e.where($"vec_id" === 0).select($"v".as("q"))
+    e.where($"vec_id" =!= 0)
+      .crossJoin(broadcast(qv))
+      .select($"vec_id", $"v", cosine6($"v", $"q").as("qsim"))
+      .orderBy($"qsim".desc, $"vec_id")
+      .limit(20)
+  }
+
   /** D4 — MMR diversity re-ranking (Carbonell & Goldstein '98): the
     * retrieval-side twin of c08's anti-mode-collapse sampling. k=5
     * greedy selections from the top-C=20 candidates of query vector 0,
@@ -539,13 +553,7 @@ object VectorQueries {
   ) { (s, dir) =>
     import s.implicits._
     import graft.functions.VectorOps
-    val e = emb(s, dir)
-    val qv = e.where($"vec_id" === 0).select($"v".as("q"))
-    val cands = e.where($"vec_id" =!= 0)
-      .crossJoin(broadcast(qv))
-      .select($"vec_id", $"v", cosine6($"v", $"q").as("qsim"))
-      .orderBy($"qsim".desc, $"vec_id")
-      .limit(20)
+    val cands = mmrCandidates(s, dir)
       .as[(Long, Array[Double], Double)]
       .collect()
     def round6(x: Double): Double =
@@ -553,7 +561,7 @@ object VectorQueries {
     val vecs = cands.map(t => t._1 -> t._2).toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     var remaining = cands.toList
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to math.min(5, cands.length)) {
       val scored = remaining.map { case (id, v, qsim) =>
         val mmr =
           if (selected.isEmpty) round6(0.7 * qsim)

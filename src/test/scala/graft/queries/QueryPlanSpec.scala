@@ -208,9 +208,14 @@ class QueryPlanSpec extends SparkSpec {
   }
 
   test("v08: candidate generation is TakeOrdered, not a global sort/window") {
-    val p = plan("v08_mmr_rerank")
+    // the query fn collects the candidates (driver-side greedy), so
+    // pin the DISTRIBUTED candidate stage directly
+    val p = VectorQueries.mmrCandidates(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bounded top-C must plan as TakeOrdered pruning:\n$p")
     assert(!p.contains("Window"),
-      s"bounded top-C must use TakeOrdered pruning, not a rank window:\n$p")
+      s"no rank window may appear in the candidate stage:\n$p")
   }
 
   test("c08/c09 sampling windows are WindowGroupLimit-pruned") {
