@@ -627,12 +627,16 @@ object CurationQueries {
       val gated = d
         .where($"n_tok" >= 5 && ($"n_uniq".cast("double") / $"n_tok") >= 0.3)
         .select($"doc_id")
-      val drops = DedupQueries.keeperDrops(s, dir)
-        .select($"dropped".as("doc_id"))
-      val surviving = gated.join(drops, Seq("doc_id"), "left_anti")
+      // components is an EAGER iterative operator — run it once and
+      // feed both consumers (the drop list and the split labels)
       val comp = graft.operators.ConnectedComponents
         .components(DedupQueries.jaccardEdges(s, dir), "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
+      val drops = DedupQueries
+        .keeperDrops(s, dir,
+          Some(comp.withColumnRenamed("component", "cluster")))
+        .select($"dropped".as("doc_id"))
+      val surviving = gated.join(drops, Seq("doc_id"), "left_anti")
       val labeled = surviving
         .join(comp, Seq("doc_id"), "left")
         .select($"doc_id",

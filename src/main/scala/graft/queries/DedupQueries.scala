@@ -588,13 +588,20 @@ object DedupQueries {
     * (cluster, dropped, keeper, quality) — shared by the d07 query and
     * c10's funnel. At production scale this is the table a pipeline
     * materializes once per corpus snapshot, not something recomputed
-    * per consumer. */
-  def keeperDrops(s: SparkSession, dir: String): DataFrame = {
+    * per consumer; `precomputedComp` lets a caller that already ran
+    * the (eager, iterative) components pass its (doc_id, cluster)
+    * frame instead of running the loop a second time — exactly what
+    * c10 does. */
+  def keeperDrops(
+      s: SparkSession,
+      dir: String,
+      precomputedComp: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val comp = graft.operators.ConnectedComponents
-      .components(jaccardEdges(s, dir), "doc_a", "doc_b")
-      .withColumnRenamed("id", "doc_id")
-      .withColumnRenamed("component", "cluster")
+    val comp = precomputedComp.getOrElse(
+      graft.operators.ConnectedComponents
+        .components(jaccardEdges(s, dir), "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("component", "cluster"))
     val qd = Tables(s, dir, "documents")
       .select($"doc_id",
         graft.functions.TextStats.ttr($"text").as("quality"))

@@ -72,6 +72,43 @@ class StreamingDedupSpec extends SparkSpec {
     assert(idx === Set(7L, 9L), "the flagged twin never enters the index")
   }
 
+  test("streaming curation: scrub → gate → incremental dedup in one flow") {
+    // the c10 funnel's streaming twin: one micro-batch pipeline where
+    // the SAME shared expressions (PiiOps scrub, c01 gate ints) clean
+    // the stream before the dedup index ever sees a byte
+    implicit val sql = spark.sqlContext
+    import graft.functions.{PiiOps, TextStats}
+    val indexDir = tmp("scur-idx")
+    val outDir = tmp("scur-out")
+    val ckpt = tmp("scur-ckpt")
+    val mem = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog entirely"
+    mem.addData(
+      (1L, base + " contact bob@mail.com"),  // PII: admit scrubbed
+      (2L, "a a a a a a a a a a"),           // TTR gate drops it
+      (3L, base + " contact bob@mail.com"))  // same-batch twin of 1
+    val scrubbed = mem.toDS().toDF("doc_id", "text")
+      .select($"doc_id", PiiOps.redact($"text").as("text"))
+    val toks = TextStats.tokens($"text")
+    val gated = scrubbed
+      .where(size(toks) >= 5 &&
+        (size(array_distinct(toks)).cast("double") / size(toks)) >= 0.3)
+    val q = StreamingDedup.run(gated, indexDir, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out.keySet === Set(1L, 3L), "the junk doc never reaches dedup")
+    assert(out(1L) === None && out(3L) === Some(1L),
+      "twin collapses onto the first scrubbed copy")
+    // the index must hold the REDACTED text's tokens — no raw PII at rest
+    val idxToks = StreamingDedup.readIndex(spark, indexDir)
+      .select(explode($"toks").as("t")).as[String].collect().toSet
+    assert(!idxToks.contains("bob@mail.com"))
+    assert(idxToks.contains("[PII]"))
+  }
+
   test("replaying a micro-batch is idempotent (no duplicate rows, same decisions)") {
     val indexDir = tmp("sdedup-replay-idx")
     val outDir = tmp("sdedup-replay-out")
