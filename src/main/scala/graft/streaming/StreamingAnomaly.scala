@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming twin of q27's rolling z-score: anomaly alerts on a live
+  * metric stream. Stage 1 is a watermarked daily tumbling-window
+  * aggregate (append mode — a day emits once, when the watermark
+  * closes it); stage 2 scores each closed day against the standing
+  * per-key HISTORY table and appends it to that history — the same
+  * foreachBatch batch-table pattern as [[StreamingDedup]], because the
+  * history is a slowly-growing batch table the stream joins against,
+  * not stream-stream state.
+  *
+  * Scoring frame: the trailing 7 CALENDAR days [day−7, day−1] from
+  * the history (a RANGE frame — the batch twin q27 uses a 7-ROW
+  * frame; on a dense daily series they coincide, and the calendar
+  * variant is the join-friendly formulation a history table wants).
+  * The frame never includes the arriving day, so an anomalous day
+  * cannot suppress its own alert — q27's exclusion rule.
+  *
+  * Exactly-once: Structured Streaming replays a micro-batch whose
+  * writes landed but whose checkpoint commit did not, so both sinks
+  * write into a `batch_id=<id>` partition under dynamic partition
+  * overwrite, and the history read is bounded to batches BEFORE the
+  * current id — a replay rewrites its own partitions and scores
+  * against exactly the history the first attempt saw
+  * (StreamingDedup's contract, spec-pinned here too).
+  *
+  * Scale shape: per batch the join ships O(batch × 7) history rows on
+  * the key — never the full history; old history partitions are
+  * droppable beyond the frame horizon (retention is a partition
+  * delete, not a rewrite).
+  */
+object StreamingAnomaly {
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("day", DateType),
+    StructField("dv", DoubleType)))
+
+  /** Standing history, tolerating first-batch emptiness; bounded to
+    * batches strictly before `beforeBatch` for replay idempotence.
+    * Probes through the Hadoop FS API (object-store deployments). */
+  def readHistory(spark: SparkSession, historyDir: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+          (st.isDirectory && hasParquet(st.getPath))
+      }
+    if (hasParquet(path)) {
+      val all = spark.read.parquet(historyDir)
+      val bounded = beforeBatch.fold(all)(b => all.where(col("batch_id") < b))
+      bounded.select(historySchema.fieldNames.map(col).toIndexedSeq: _*)
+    } else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], historySchema)
+  }
+
+  /** Score one batch of closed daily rows (key, day, dv) against a
+    * history frame: z over the trailing [day−7, day−1] calendar days,
+    * alert at |z| > threshold with ≥3 supporting days. Pure
+    * composition — returns every scored row; alerts carry flag=true. */
+  def scoreBatch(batch: DataFrame, history: DataFrame,
+      threshold: Double = 1.5): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val h = history.select($"key", $"day".as("hday"), $"dv".as("hdv"))
+    val stats = batch.join(h, Seq("key"), "left")
+      .where($"hday".isNull ||
+        ($"hday" >= date_sub($"day", 7) && $"hday" < $"day"))
+      .groupBy($"key", $"day", $"dv")
+      .agg(count($"hdv").as("n"), avg($"hdv").as("mu"),
+        stddev_samp($"hdv").as("sd"))
+    stats.select($"key", $"day", $"dv", $"n",
+      when($"n" >= 3 && $"sd" > 0,
+        round(($"dv" - $"mu") / $"sd", 3)).as("z"))
+      .withColumn("flag", coalesce(abs($"z") > threshold, lit(false)))
+  }
+
+  /** The foreachBatch body (exposed for replay tests): score against
+    * the bounded history, write alerts + append the batch's rows to
+    * the history, both into batch_id partitions (idempotent replay). */
+  def processBatch(batch: DataFrame, batchId: Long,
+      historyDir: String, outDir: String,
+      threshold: Double = 1.5): Unit = {
+    val spark = batch.sparkSession
+    val in = batch.persist()
+    val scored =
+      scoreBatch(in, readHistory(spark, historyDir, Some(batchId)), threshold)
+        .persist()
+    def writeBatch(df: DataFrame, dir: String): Unit = df
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+    writeBatch(scored, outDir)
+    writeBatch(in.select(historySchema.fieldNames.map(col).toIndexedSeq: _*),
+      historyDir)
+    scored.unpersist()
+    in.unpersist()
+  }
+
+  /** Wire a streaming (ts, key, value) source end to end: watermarked
+    * daily tumbling windows (append — a day emits when closed), then
+    * per-batch scoring against the standing history. */
+  def run(events: DataFrame, historyDir: String, outDir: String,
+      checkpoint: String, watermark: String = "1 day"): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "1 day").as("w"), $"key")
+      .agg(round(sum($"value"), 6).as("dv"))
+      .select($"key", to_date($"w.start").as("day"), $"dv")
+    daily.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, historyDir, outDir)
+      }
+      .start()
+  }
+}
