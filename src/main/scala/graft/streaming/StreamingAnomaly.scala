@@ -30,9 +30,11 @@ import org.apache.spark.sql.types._
   * (StreamingDedup's contract, spec-pinned here too).
   *
   * Scale shape: per batch the join ships O(batch × 7) history rows on
-  * the key — never the full history; old history partitions are
-  * droppable beyond the frame horizon (retention is a partition
-  * delete, not a rewrite).
+  * the key — never the full history. Retention: the history is
+  * partitioned by batch_id, and the watermark guarantees closed days
+  * never reappear, so batch ids are monotone in event time — dropping
+  * the lowest batch_id partitions retires days beyond the frame
+  * horizon as a partition delete, never a rewrite.
   */
 object StreamingAnomaly {
 
