@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * history is a slowly-growing batch table the stream joins against,
   * not stream-stream state.
   *
-  * Scoring frame: the trailing 7 CALENDAR days [day−7, day−1] from
-  * the history (a RANGE frame — the batch twin q27 uses a 7-ROW
-  * frame; on a dense daily series they coincide, and the calendar
-  * variant is the join-friendly formulation a history table wants).
-  * The frame never includes the arriving day, so an anomalous day
-  * cannot suppress its own alert — q27's exclusion rule.
+  * Scoring frame: the trailing 7 CALENDAR days [day−7, day−1], drawn
+  * from the history PLUS the batch's own earlier days (a RANGE frame
+  * — the batch twin q27 uses a 7-ROW frame; on a dense daily series
+  * they coincide, and the calendar variant is the join-friendly
+  * formulation a history table wants). The frame never includes the
+  * arriving day, so an anomalous day cannot suppress its own alert —
+  * q27's exclusion rule — and the intra-batch side means a catch-up
+  * batch closing many days at once scores each against its true
+  * predecessors, not stale history.
   *
   * Exactly-once: Structured Streaming replays a micro-batch whose
   * writes landed but whose checkpoint commit did not, so both sinks
@@ -44,44 +47,43 @@ object StreamingAnomaly {
     StructField("dv", DoubleType)))
 
   /** Standing history, tolerating first-batch emptiness; bounded to
-    * batches strictly before `beforeBatch` for replay idempotence.
-    * Probes through the Hadoop FS API (object-store deployments). */
+    * batches strictly before `beforeBatch` for replay idempotence. */
   def readHistory(spark: SparkSession, historyDir: String,
-      beforeBatch: Option[Long] = None): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(historyDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(p) && fs.listStatus(p).exists { st =>
-        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
-          (st.isDirectory && hasParquet(st.getPath))
-      }
-    if (hasParquet(path)) {
-      val all = spark.read.parquet(historyDir)
-      val bounded = beforeBatch.fold(all)(b => all.where(col("batch_id") < b))
-      bounded.select(historySchema.fieldNames.map(col).toIndexedSeq: _*)
-    } else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], historySchema)
-  }
+      beforeBatch: Option[Long] = None): DataFrame =
+    BatchTables.read(spark, historyDir, historySchema, beforeBatch)
 
-  /** Score one batch of closed daily rows (key, day, dv) against a
-    * history frame: z over the trailing [day−7, day−1] calendar days,
-    * alert at |z| > threshold with ≥3 supporting days. Pure
-    * composition — returns every scored row; alerts carry flag=true. */
+  /** Score one batch of closed daily rows (key, day, dv): z over the
+    * trailing [day−7, day−1] calendar days drawn from the history AND
+    * the batch's own earlier days (a catch-up batch closing many days
+    * at once must let day 17 see days 10–16 that arrived beside it —
+    * the same intra-batch rule as StreamingDedup's self-check; without
+    * it a backlog replay would score every day against stale history).
+    * Alert at |round(z, 6)| > threshold with ≥3 supporting days —
+    * the 6dp gate is q27's, so the twins flag identically; the
+    * reported z is display-rounded to 3 like q27's output column.
+    * Returns EVERY batch row: the frame predicate lives in the join
+    * condition, so a key whose history is entirely out of frame still
+    * yields its (n=0, abstain) row instead of vanishing. */
   def scoreBatch(batch: DataFrame, history: DataFrame,
       threshold: Double = 1.5): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val h = history.select($"key", $"day".as("hday"), $"dv".as("hdv"))
-    val stats = batch.join(h, Seq("key"), "left")
-      .where($"hday".isNull ||
-        ($"hday" >= date_sub($"day", 7) && $"hday" < $"day"))
+    val candidates = history
+      .unionByName(batch.select($"key", $"day", $"dv"))
+      .select($"key".as("hkey"), $"day".as("hday"), $"dv".as("hdv"))
+    val stats = batch.join(candidates,
+        $"key" === $"hkey" &&
+          $"hday" >= date_sub($"day", 7) && $"hday" < $"day",
+        "left")
       .groupBy($"key", $"day", $"dv")
       .agg(count($"hdv").as("n"), avg($"hdv").as("mu"),
         stddev_samp($"hdv").as("sd"))
     stats.select($"key", $"day", $"dv", $"n",
       when($"n" >= 3 && $"sd" > 0,
-        round(($"dv" - $"mu") / $"sd", 3)).as("z"))
-      .withColumn("flag", coalesce(abs($"z") > threshold, lit(false)))
+        round(($"dv" - $"mu") / $"sd", 3)).as("z"),
+      coalesce(when($"n" >= 3 && $"sd" > 0,
+        abs(round(($"dv" - $"mu") / $"sd", 6)) > threshold),
+        lit(false)).as("flag"))
   }
 
   /** The foreachBatch body (exposed for replay tests): score against
@@ -92,18 +94,20 @@ object StreamingAnomaly {
       threshold: Double = 1.5): Unit = {
     val spark = batch.sparkSession
     val in = batch.persist()
-    val scored =
-      scoreBatch(in, readHistory(spark, historyDir, Some(batchId)), threshold)
-        .persist()
-    def writeBatch(df: DataFrame, dir: String): Unit = df
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(dir)
-    writeBatch(scored, outDir)
-    writeBatch(in.select(historySchema.fieldNames.map(col).toIndexedSeq: _*),
-      historyDir)
+    // prune the standing history to the batch's frame horizon BEFORE
+    // the join — the batch is materialized anyway, so the min-day
+    // scalar is free, and the join then ships O(batch × 7) history
+    // rows instead of every key's unboundedly-growing past
+    val horizon = in.agg(min(col("day"))).head()
+    val history = readHistory(spark, historyDir, Some(batchId))
+    val pruned =
+      if (horizon.isNullAt(0)) history
+      else history.where(col("day") >= date_sub(lit(horizon.getDate(0)), 7))
+    val scored = scoreBatch(in, pruned, threshold).persist()
+    BatchTables.writeBatchPartition(scored, batchId, outDir)
+    BatchTables.writeBatchPartition(
+      in.select(historySchema.fieldNames.map(col).toIndexedSeq: _*),
+      batchId, historyDir)
     scored.unpersist()
     in.unpersist()
   }
@@ -112,7 +116,8 @@ object StreamingAnomaly {
     * daily tumbling windows (append — a day emits when closed), then
     * per-batch scoring against the standing history. */
   def run(events: DataFrame, historyDir: String, outDir: String,
-      checkpoint: String, watermark: String = "1 day"): StreamingQuery = {
+      checkpoint: String, watermark: String = "1 day",
+      threshold: Double = 1.5): StreamingQuery = {
     val spark = events.sparkSession
     import spark.implicits._
     val daily = events
@@ -124,7 +129,7 @@ object StreamingAnomaly {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, historyDir, outDir)
+        processBatch(batch, batchId, historyDir, outDir, threshold)
       }
       .start()
   }

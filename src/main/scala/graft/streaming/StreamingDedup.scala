@@ -55,25 +55,8 @@ object StreamingDedup {
     * crashed attempt's already-written partition — which carries the
     * replayed batch's OWN doc ids — is never re-matched against. */
   def readIndex(spark: SparkSession, indexDir: String,
-      beforeBatch: Option[Long] = None): DataFrame = {
-    // probe through the Hadoop FS API, not java.io.File — the index
-    // lives on HDFS/object storage in a real deployment, and a
-    // local-only probe would silently read every such index as empty
-    // (= every duplicate declared novel)
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(p) && fs.listStatus(p).exists { st =>
-        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
-          (st.isDirectory && hasParquet(st.getPath))
-      }
-    if (hasParquet(path)) {
-      val all = spark.read.parquet(indexDir)
-      val bounded = beforeBatch.fold(all)(b => all.where(col("batch_id") < b))
-      bounded.select(indexSchema.fieldNames.map(col).toIndexedSeq: _*)
-    } else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
-  }
+      beforeBatch: Option[Long] = None): DataFrame =
+    BatchTables.read(spark, indexDir, indexSchema, beforeBatch)
 
   /** Best match per batch doc against the index PLUS earlier-id
     * members of the same batch (id order stands in for arrival order
@@ -144,15 +127,9 @@ object StreamingDedup {
     val in = indexed(batch, "doc_id").persist()
     val best =
       bestMatch(in, readIndex(spark, indexDir, Some(batchId))).persist()
-    def writeBatch(df: DataFrame, dir: String): Unit = df
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(dir)
     try {
-      writeBatch(decisionsOf(in, best), outDir)
-      writeBatch(novelOf(in, best), indexDir)
+      BatchTables.writeBatchPartition(decisionsOf(in, best), batchId, outDir)
+      BatchTables.writeBatchPartition(novelOf(in, best), batchId, indexDir)
     } finally {
       in.unpersist()
       best.unpersist()

@@ -44,6 +44,35 @@ class StreamingAnomalySpec extends SparkSpec {
     assert(!row.getAs[Boolean]("flag"), "a mid-range day is not anomalous")
   }
 
+  test("a key whose history is entirely out of frame still emits an abstain row") {
+    // 'k' went quiet for weeks: its history exists but none of it is
+    // inside [day-7, day-1] — the day must still be scored (n=0,
+    // no flag), not silently dropped from the output
+    val history = (1 to 5).map(i => ("k", d(f"2024-01-0$i"), 100.0))
+      .toDF("key", "day", "dv")
+    val batch = Seq(("k", d("2024-03-15"), 777.0)).toDF("key", "day", "dv")
+    val rows = StreamingAnomaly.scoreBatch(batch, history).collect()
+    assert(rows.length === 1, "every batch row must appear in the output")
+    assert(rows.head.getAs[Long]("n") === 0)
+    assert(!rows.head.getAs[Boolean]("flag"))
+  }
+
+  test("catch-up batch: same-batch days score against each other") {
+    // an outage backlog closes days 10..18 in ONE batch with empty
+    // standing history; day 17's spike must still alert because its
+    // frame is drawn from the batch's own earlier days
+    val days = (10 to 18).map { i =>
+      ("k", d(f"2024-03-$i"), if (i == 17) 400.0 else 100.0 + (i % 3))
+    }.toDF("key", "day", "dv")
+    val empty = StreamingAnomaly.readHistory(spark, tmp("anom-empty"))
+    val out = StreamingAnomaly.scoreBatch(days, empty)
+    assert(out.count() === 9, "every closed day is scored")
+    val alerts = out.where($"flag")
+      .select($"day").as[java.sql.Date].collect().toSeq
+    assert(alerts === Seq(d("2024-03-17")),
+      s"the in-batch spike must alert, got $alerts")
+  }
+
   test("processBatch replay is idempotent (decisions and history)") {
     val hDir = tmp("anom-h"); val oDir = tmp("anom-o")
     val b0 = (1 to 7).map(i => ("k", d(f"2024-03-0$i"), 100.0 + (i % 3)))
