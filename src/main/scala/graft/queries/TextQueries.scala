@@ -833,9 +833,63 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** t16 — Zipf power-law fit: least-squares slope of
+    * ln(freq) ~ ln(rank) over each language's top-100 vocabulary.
+    * Natural corpora sit near slope −1; a corpus whose slope drifts
+    * far off is synthetic, templated, or contaminated — a standard
+    * corpus-statistics sanity gate. Closed-form regression from six
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — one bounded
+    * top-k ranking (WindowGroupLimit) + a 5-row aggregate; slope and
+    * R² rounded to 4 (the ≤1-ulp libm ln() and 100-term sum-order
+    * effects sit ~1e-13, far below). Ranking ties break by token so
+    * both engines rank — and therefore ln(rank) — identically. */
+  val t16ZipfFit: GraftQuery = q(
+    "t16_zipf_fit",
+    "D5 Zipf slope + R² per lang over the top-100 vocabulary",
+    raw"""WITH tok AS (
+      |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |f AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w),
+      |r AS (
+      |  SELECT lang, c,
+      |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rnk
+      |  FROM f),
+      |t AS (SELECT lang, ln(rnk) AS x, ln(c) AS y FROM r WHERE rnk <= 100),
+      |s AS (
+      |  SELECT lang, count(*) AS n, avg(x) AS mx, avg(y) AS my,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM t GROUP BY lang)
+      |SELECT lang, n,
+      |       round((sxy - n * mx * my) / (sxx - n * mx * mx), 4) AS zipf_slope,
+      |       round(pow(sxy - n * mx * my, 2)
+      |             / ((sxx - n * mx * mx) * (syy - n * my * my)), 4) AS r2
+      |FROM s ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val tok = Tables(s, dir, "documents")
+      .select($"lang", explode(tokens($"text")).as("w"))
+    val f = tok.groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"c".desc, $"w")
+    val t = f.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 100)
+      .select($"lang", log($"rnk").as("x"), log($"c").as("y"))
+    t.groupBy($"lang")
+      .agg(count(lit(1)).as("n"), avg($"x").as("mx"), avg($"y").as("my"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"lang", $"n",
+        round(($"sxy" - $"n" * $"mx" * $"my")
+          / ($"sxx" - $"n" * $"mx" * $"mx"), 4).as("zipf_slope"),
+        round(pow($"sxy" - $"n" * $"mx" * $"my", 2)
+          / (($"sxx" - $"n" * $"mx" * $"mx")
+            * ($"syy" - $"n" * $"my" * $"my")), 4).as("r2"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
     t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks, t13PiiScrub,
-    t14BigramLm, t15RepetitionFilter)
+    t14BigramLm, t15RepetitionFilter, t16ZipfFit)
 }
