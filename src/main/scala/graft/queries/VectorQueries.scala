@@ -581,7 +581,77 @@ object VectorQueries {
       .orderBy($"rnk")
   }
 
+  /** D4 — RADIUS (threshold) retrieval: every neighbor with
+    * cosine ≥ τ, not a fixed k — the contract dedup sweeps and
+    * recall-oriented retrieval want ("give me EVERYTHING similar").
+    * Same IVF machinery as v04 (adaptive-B pivots, zero-shuffle
+    * assignment, nprobe=2 bucket equi-join candidates), with the
+    * rank-3 window replaced by the threshold filter — output size is
+    * data-driven. The oracle replicates the FULL approximate pipeline
+    * (as v04's does), so the hash gate pins the bucketing, probing,
+    * and threshold semantics end to end; brute-force exactness is the
+    * spec's recall-floor job, not the oracle's. */
+  val v09RadiusSearch: GraftQuery = q(
+    "v09_radius_search",
+    "D4 radius retrieval: IVF candidates filtered at cosine >= 0.25",
+    Some(s"""WITH e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT greatest(16, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) AS npiv
+      |  FROM e),
+      |p AS (
+      |  SELECT vec_id AS pivot_id, v AS pv FROM e
+      |  WHERE vec_id < (SELECT npiv FROM b)),
+      |scored AS (
+      |  SELECT e.vec_id, e.v, p.pivot_id, ${duckCos6("e.v", "p.pv")} AS psim
+      |  FROM e CROSS JOIN p),
+      |assigned AS (
+      |  SELECT vec_id, v, pivot_id AS bucket FROM (
+      |    SELECT vec_id, v, pivot_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY psim DESC, pivot_id) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, pivot_id AS bucket FROM (
+      |    SELECT vec_id, v, pivot_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY psim DESC, pivot_id) AS pr
+      |    FROM scored WHERE vec_id < 5) WHERE pr <= 2),
+      |cands AS (
+      |  SELECT DISTINCT q.query_id, a.vec_id, ${duckCos6("a.v", "q.qv")} AS sim
+      |  FROM assigned a JOIN probes q USING (bucket)
+      |  WHERE a.vec_id <> q.query_id)
+      |SELECT query_id, vec_id AS neighbor_id, sim
+      |FROM cands WHERE sim >= 0.25
+      |ORDER BY query_id, neighbor_id""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorOps
+    val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
+    val nPivots = math.max(16L, math.ceil(math.sqrt(ev.count() / 8.0)).toLong)
+    val pivotArr = ev.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
+    val bc = s.sparkContext.broadcast(pivotArr)
+    val assigned = ev.map { case (id, v) =>
+      (id, VectorOps.nearest2Pivots(v, bc.value)._1.toLong, v)
+    }.toDF("vec_id", "bucket", "v")
+    val probes = ev.filter(_._1 < 5)
+      .flatMap { case (id, v) =>
+        val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
+        Iterator((id, b1.toLong, v), (id, b2.toLong, v))
+      }.toDF("query_id", "bucket", "qv")
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))
+      .dropDuplicates("query_id", "vec_id")
+      .where($"sim" >= 0.25)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
-    v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank)
+    v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
+    v09RadiusSearch)
 }

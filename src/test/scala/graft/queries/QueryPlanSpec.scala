@@ -207,6 +207,28 @@ class QueryPlanSpec extends SparkSpec {
       s"only the per-source aggregate may shuffle, found $hashExchanges:\n$p")
   }
 
+  test("v09 radius search: every hit is a true hit; recall vs exact is reported") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.where($"vec_id" < 5).select($"vec_id".as("query_id"), $"v".as("qv"))
+    val exact = e.crossJoin(broadcast(q))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        VectorQueries.cosine6($"v", $"qv").as("sim"))
+      .where($"sim" >= 0.25)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val got = QueryRegistry.asMap("v09_radius_search")(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact),
+      "radius search must never report a below-threshold pair (exact re-verify)")
+    val recall = got.size.toDouble / math.max(1, exact.size)
+    info(f"radius recall vs exact at sf0.001: $recall%.2f (${got.size}/${exact.size})")
+    assert(recall >= 0.4, f"radius recall $recall%.2f < 0.4")
+  }
+
   test("v08: candidate generation is TakeOrdered, not a global sort/window") {
     // the query fn collects the candidates (driver-side greedy), so
     // pin the DISTRIBUTED candidate stage directly
