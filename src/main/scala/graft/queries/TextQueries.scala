@@ -860,9 +860,9 @@ object TextQueries {
       |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
       |  FROM t GROUP BY lang)
       |SELECT lang, n,
-      |       round((sxy - n * mx * my) / (sxx - n * mx * mx), 4) AS zipf_slope,
+      |       round((sxy - n * mx * my) / nullif(sxx - n * mx * mx, 0), 4) AS zipf_slope,
       |       round(pow(sxy - n * mx * my, 2)
-      |             / ((sxx - n * mx * mx) * (syy - n * my * my)), 4) AS r2
+      |             / nullif((sxx - n * mx * mx) * (syy - n * my * my), 0), 4) AS r2
       |FROM s ORDER BY lang""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
@@ -879,11 +879,14 @@ object TextQueries {
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
         sum($"y" * $"y").as("syy"))
       .select($"lang", $"n",
+        // 0/0 guards: a degenerate vocabulary (all counts equal, or a
+        // single distinct token) zeroes a denominator — NULL in both
+        // engines, never a Spark NaN vs DuckDB divergence
         round(($"sxy" - $"n" * $"mx" * $"my")
-          / ($"sxx" - $"n" * $"mx" * $"mx"), 4).as("zipf_slope"),
+          / nullif($"sxx" - $"n" * $"mx" * $"mx", lit(0)), 4).as("zipf_slope"),
         round(pow($"sxy" - $"n" * $"mx" * $"my", 2)
-          / (($"sxx" - $"n" * $"mx" * $"mx")
-            * ($"syy" - $"n" * $"my" * $"my")), 4).as("r2"))
+          / nullif(($"sxx" - $"n" * $"mx" * $"mx")
+            * ($"syy" - $"n" * $"my" * $"my"), lit(0)), 4).as("r2"))
       .orderBy($"lang")
   }
 

@@ -212,43 +212,7 @@ object VectorQueries {
   val v04IvfAnn: GraftQuery = q(
     "v04_lsh_ann",
     "D4 IVF-bucketed ANN: pivot assignment + nprobe candidate join",
-    Some("""WITH e AS (
-      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-      |         CAST(embedding AS DOUBLE[]) AS v
-      |  FROM embeddings),
-      |b AS (
-      |  SELECT greatest(16, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) AS npiv
-      |  FROM e),
-      |p AS (
-      |  SELECT vec_id AS pivot_id, v AS pv FROM e
-      |  WHERE vec_id < (SELECT npiv FROM b)),
-      |scored AS (
-      |  SELECT e.vec_id, e.v, p.pivot_id,
-      |         round(
-      |           list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1] * x[2]), 'sum')
-      |           / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
-      |              * sqrt(list_aggregate(list_transform(p.pv, x -> x * x), 'sum'))), 6) AS psim
-      |  FROM e CROSS JOIN p),
-      |assigned AS (
-      |  SELECT vec_id, v, pivot_id AS bucket FROM (
-      |    SELECT vec_id, v, pivot_id,
-      |           row_number() OVER (PARTITION BY vec_id
-      |                              ORDER BY psim DESC, pivot_id) AS rn
-      |    FROM scored) WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS query_id, v AS qv, pivot_id AS bucket FROM (
-      |    SELECT vec_id, v, pivot_id,
-      |           row_number() OVER (PARTITION BY vec_id
-      |                              ORDER BY psim DESC, pivot_id) AS pr
-      |    FROM scored WHERE vec_id < 5) WHERE pr <= 2),
-      |cands AS (
-      |  SELECT DISTINCT q.query_id, a.vec_id,
-      |         round(
-      |           list_aggregate(list_transform(list_zip(a.v, q.qv), x -> x[1] * x[2]), 'sum')
-      |           / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
-      |              * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))), 6) AS sim
-      |  FROM assigned a JOIN probes q USING (bucket)
-      |  WHERE a.vec_id <> q.query_id),
+    Some(s"""WITH $ivfCandidateCtes,
       |r AS (
       |  SELECT query_id, vec_id, sim,
       |         row_number() OVER (PARTITION BY query_id
@@ -258,6 +222,23 @@ object VectorQueries {
       |FROM r WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin)
   ) { (s, dir) =>
+    import s.implicits._
+    val cands = ivfCandidates(s, dir)
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    cands.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** The IVF candidate stage SHARED by v04 (top-k) and v09 (radius):
+    * adaptive-B pivots (B = max(16, ⌈√(N/8)⌉), the lowest-B vec_ids),
+    * zero-shuffle map-side assignment over the broadcast pivot array,
+    * nprobe=2 query probing, bucket equi-join candidates with exact
+    * rounded-cosine re-scoring. One definition for the Scala stage and
+    * one for its oracle CTE prefix (ending in `cands`) — a change to
+    * the quantizer applies to both consumers and both engines. */
+  private def ivfCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps
     val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
@@ -279,17 +260,43 @@ object VectorQueries {
         val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
         Iterator((id, b1.toLong, v), (id, b2.toLong, v))
       }.toDF("query_id", "bucket", "qv")
-    // candidates: bucket-local equi-join, then exact re-rank
-    val cands = assigned.join(broadcast(probes), Seq("bucket"))
+    assigned.join(broadcast(probes), Seq("bucket"))
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))
       .dropDuplicates("query_id", "vec_id")
-    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
-    cands.withColumn("rnk", row_number().over(w))
-      .where($"rnk" <= 3)
-      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"), $"sim")
-      .orderBy($"query_id", $"rnk")
   }
+
+  /** DuckDB rendering of [[ivfCandidates]] — CTEs `e..cands`. */
+  private def ivfCandidateCtes: String =
+    s"""e AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT greatest(16, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) AS npiv
+       |  FROM e),
+       |p AS (
+       |  SELECT vec_id AS pivot_id, v AS pv FROM e
+       |  WHERE vec_id < (SELECT npiv FROM b)),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, p.pivot_id, ${duckCos6("e.v", "p.pv")} AS psim
+       |  FROM e CROSS JOIN p),
+       |assigned AS (
+       |  SELECT vec_id, v, pivot_id AS bucket FROM (
+       |    SELECT vec_id, v, pivot_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY psim DESC, pivot_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, pivot_id AS bucket FROM (
+       |    SELECT vec_id, v, pivot_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY psim DESC, pivot_id) AS pr
+       |    FROM scored WHERE vec_id < 5) WHERE pr <= 2),
+       |cands AS (
+       |  SELECT DISTINCT q.query_id, a.vec_id, ${duckCos6("a.v", "q.qv")} AS sim
+       |  FROM assigned a JOIN probes q USING (bucket)
+       |  WHERE a.vec_id <> q.query_id)""".stripMargin
 
   /** D4 — int8 scalar quantization: the standard 4× memory/shuffle
     * compression for embedding corpora (at 100 TB the vector column
@@ -594,57 +601,13 @@ object VectorQueries {
   val v09RadiusSearch: GraftQuery = q(
     "v09_radius_search",
     "D4 radius retrieval: IVF candidates filtered at cosine >= 0.25",
-    Some(s"""WITH e AS (
-      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-      |         CAST(embedding AS DOUBLE[]) AS v
-      |  FROM embeddings),
-      |b AS (
-      |  SELECT greatest(16, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) AS npiv
-      |  FROM e),
-      |p AS (
-      |  SELECT vec_id AS pivot_id, v AS pv FROM e
-      |  WHERE vec_id < (SELECT npiv FROM b)),
-      |scored AS (
-      |  SELECT e.vec_id, e.v, p.pivot_id, ${duckCos6("e.v", "p.pv")} AS psim
-      |  FROM e CROSS JOIN p),
-      |assigned AS (
-      |  SELECT vec_id, v, pivot_id AS bucket FROM (
-      |    SELECT vec_id, v, pivot_id,
-      |           row_number() OVER (PARTITION BY vec_id
-      |                              ORDER BY psim DESC, pivot_id) AS rn
-      |    FROM scored) WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS query_id, v AS qv, pivot_id AS bucket FROM (
-      |    SELECT vec_id, v, pivot_id,
-      |           row_number() OVER (PARTITION BY vec_id
-      |                              ORDER BY psim DESC, pivot_id) AS pr
-      |    FROM scored WHERE vec_id < 5) WHERE pr <= 2),
-      |cands AS (
-      |  SELECT DISTINCT q.query_id, a.vec_id, ${duckCos6("a.v", "q.qv")} AS sim
-      |  FROM assigned a JOIN probes q USING (bucket)
-      |  WHERE a.vec_id <> q.query_id)
+    Some(s"""WITH $ivfCandidateCtes
       |SELECT query_id, vec_id AS neighbor_id, sim
       |FROM cands WHERE sim >= 0.25
       |ORDER BY query_id, neighbor_id""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
-    import graft.functions.VectorOps
-    val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
-    val nPivots = math.max(16L, math.ceil(math.sqrt(ev.count() / 8.0)).toLong)
-    val pivotArr = ev.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
-    val bc = s.sparkContext.broadcast(pivotArr)
-    val assigned = ev.map { case (id, v) =>
-      (id, VectorOps.nearest2Pivots(v, bc.value)._1.toLong, v)
-    }.toDF("vec_id", "bucket", "v")
-    val probes = ev.filter(_._1 < 5)
-      .flatMap { case (id, v) =>
-        val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
-        Iterator((id, b1.toLong, v), (id, b2.toLong, v))
-      }.toDF("query_id", "bucket", "qv")
-    assigned.join(broadcast(probes), Seq("bucket"))
-      .where($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))
-      .dropDuplicates("query_id", "vec_id")
+    ivfCandidates(s, dir)
       .where($"sim" >= 0.25)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"sim")
       .orderBy($"query_id", $"neighbor_id")

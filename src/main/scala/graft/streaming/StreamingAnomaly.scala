@@ -104,12 +104,16 @@ object StreamingAnomaly {
       if (horizon.isNullAt(0)) history
       else history.where(col("day") >= date_sub(lit(horizon.getDate(0)), 7))
     val scored = scoreBatch(in, pruned, threshold).persist()
-    BatchTables.writeBatchPartition(scored, batchId, outDir)
-    BatchTables.writeBatchPartition(
-      in.select(historySchema.fieldNames.map(col).toIndexedSeq: _*),
-      batchId, historyDir)
-    scored.unpersist()
-    in.unpersist()
+    try {
+      BatchTables.writeBatchPartition(scored, batchId, outDir)
+      BatchTables.writeBatchPartition(
+        in.select(historySchema.fieldNames.map(col).toIndexedSeq: _*),
+        batchId, historyDir)
+    } finally {
+      scored.unpersist()
+      in.unpersist()
+      ()
+    }
   }
 
   /** Wire a streaming (ts, key, value) source end to end: watermarked
