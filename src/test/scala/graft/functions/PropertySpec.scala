@@ -77,7 +77,8 @@ class PropertySpec extends SparkSpec {
     // partitioned. rand()-based sampling fails this (per-partition
     // RNG streams change with the layout / task retries).
     val q = graft.queries.CurationQueries.all.map(x => x.name -> x.fn).toMap
-    for (name <- Seq("c01_corpus_curation", "c02_stratified_sample")) {
+    for (name <- Seq("c01_corpus_curation", "c02_stratified_sample",
+        "c07_corpus_mix", "c09_weighted_sample")) {
       val base = q(name)(spark, "/root/testdata/sf0.001")
         .collect().map(_.toString).sorted.toSeq
       // re-run with the session forced to a different shuffle width:
