@@ -68,12 +68,36 @@ object Bench {
       }
       name -> times.minOption
     }
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // parses the JSON line out of that tail; 74+ full query names push
+    // the line past the window and the head gets truncated (observed:
+    // BENCH_r04.json parsed=null). The stdout line therefore keys each
+    // query by its STABLE id prefix ("q01_pricing_summary" -> "q01" —
+    // unique by construction across the q/t/d/c/v/m families), keeping
+    // the line well under the window; the full-name map, the failure
+    // list and the total are also written to BENCH_FULL.json beside
+    // the repo for round-over-round diffs at full fidelity.
+    def idOf(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(r => idOf(r._1)).distinct.size == results.size,
+      "query id prefixes must stay unique — a duplicate would silently drop a bench entry")
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("-1")
+      "\"" + idOf(k) + "\":" + v.map(t => f"$t%.3f").getOrElse("-1")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None) => "\"" + idOf(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    val fullQs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("-1")
+    }.mkString("{", ",", "}")
+    val fullFailed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fullFailed,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

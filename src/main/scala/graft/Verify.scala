@@ -33,11 +33,18 @@ object Verify {
         SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
+    // A query whose dump throws must NOT silently shrink the compare
+    // total (compare.py iterates output dirs, so a missing dir would
+    // just lower N/N while still printing all-green): record every
+    // failure in _failures.json, which compare.py folds in as
+    // ok=false rows, keeping the denominator honest.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage).take(300)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -55,6 +62,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val fjson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), fjson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} of ${selected.size} dumps FAILED: " +
+          failures.keys.mkString(", "))
+    }
   }
 }

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * use these definitions (TextQueries.tokens delegates here; the few
   * remaining inline copies in c01/jaccardEdges are pinned by their own
   * oracle SQL strings). NULL text yields NULL from every expression
-  * here under ANSI Spark 4 semantics EXCEPT `size()` which returns -1
-  * — callers that feed possibly-null text must filter it first (c09
-  * does), or the -1 propagates where a SQL engine would yield NULL. */
+  * here under ANSI Spark 4 semantics, `size()` included (the -1 is
+  * the LEGACY non-ANSI behavior, and nothing in this build disables
+  * ANSI) — callers that feed possibly-null text still filter it first
+  * (c09 does) as belt-and-braces so the null-row universe matches the
+  * oracle regardless of session ANSI settings. */
 object TextStats {
 
   /** Whitespace tokenization — the engine-wide convention

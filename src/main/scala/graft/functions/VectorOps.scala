@@ -18,8 +18,15 @@ object VectorOps {
 
   def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
 
-  def cosine(a: Array[Double], b: Array[Double]): Double =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm convention: 0.0, never NaN — shared with
+    * [[graft.plans.ArrayCosine]] and every oracle's
+    * `coalesce(dot / NULLIF(denom, 0), 0)` rendering, so rank-based
+    * comparisons stay engine-identical on degenerate (zero) vectors
+    * such as an empty cluster's recomputed mean. */
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val denom = norm(a) * norm(b)
+    if (denom == 0.0) 0.0 else dot(a, b) / denom
+  }
 
   /** Cosine rounded to 6 decimals — matches the relational
     * `VectorQueries.cosine6` exactly (HALF_UP on a positive scale

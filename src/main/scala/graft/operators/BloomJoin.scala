@@ -47,19 +47,34 @@ object BloomJoin {
     * `smallKey` set (no false negatives; ~fpp false positives — always
     * follow with the exact join).
     *
-    * @param expectedItems sizing hint: distinct build-side keys
+    * @param expectedItems sizing hint: distinct build-side keys. Pass
+    *                      0 (the default) to DERIVE it from the build
+    *                      side via `approx_count_distinct` (+10%
+    *                      headroom for the sketch's ~5% rsd) — one
+    *                      extra pass over the small side, which a
+    *                      caller that already knows its cardinality
+    *                      skips by passing the hint. A caller-trusted
+    *                      fixed default would silently degrade fpp
+    *                      (and the "~matching-sized shuffle" claim)
+    *                      whenever the build side outgrows it.
     * @param fpp           target false-positive probability */
   def prune(big: DataFrame, bigKey: String, small: DataFrame,
-      smallKey: String, expectedItems: Long = 1000000L,
+      smallKey: String, expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
-    require(expectedItems > 0, "expectedItems must be positive")
+    require(expectedItems >= 0,
+      "expectedItems must be positive, or 0 to derive from the build side")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(64L,
+        (small.select(approx_count_distinct(col(smallKey))).head().getLong(0)
+          * 1.1).toLong)
     // optimal bits for n items at fpp: -n·ln(p)/ln(2)²
     val numBits = math.max(64L,
-      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val agg = new BloomFilterAggregate(
       columnToExpr(xxhash64(col(smallKey))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      Literal(items), Literal(numBits)).toAggregateExpression()
     val sketch = small.select(exprToColumn(agg).as("bf"))
       .head().getAs[Array[Byte]](0)
     big.where(exprToColumn(BloomFilterMightContain(

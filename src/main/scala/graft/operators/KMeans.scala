@@ -12,8 +12,11 @@ import graft.functions.VectorOps
   * grouped analytics generalized to vector space).
   *
   * Scale shape (the only one that survives 100 TB):
-  *  - centroids live on the DRIVER (k × dim doubles — k up to ~10⁵ is
-  *    still a few-MB broadcast) and ship to executors per iteration;
+  *  - centroids live on the DRIVER (k × dim × 8 bytes — ~5 MB at
+  *    k = 10⁴, dim 64; the budget is dim-dependent, so at dim 768 the
+  *    same 5 MB buys only k ≈ 800, and k beyond ~10⁴·(64/dim) should
+  *    move to a two-level quantizer rather than a bigger broadcast)
+  *    and ship to executors per iteration;
   *  - assignment is a map-side argmax over the broadcast centroids —
   *    ZERO shuffle, no N×k relational join materialized anywhere
   *    (v04's scaladoc records the measured 58 s vs 4 s cost of the

@@ -22,7 +22,14 @@ import org.apache.spark.sql.graftbridge.{columnToExpr, exprToColumn}
   * formulation the DuckDB oracles mirror — swapping it in changes no
   * hashes.
   *
-  * Zero-norm inputs yield NaN (0/0), matching the composed form. A
+  * Zero-norm inputs yield 0.0 by convention (NOT the composed form's
+  * NaN 0/0): a NaN similarity is unordered in the JVM (`NaN > x` is
+  * false, so typed argmaxes skip it) but sorts FIRST under DuckDB's
+  * `ORDER BY sim DESC`, so any rank-based oracle would diverge on
+  * degenerate (zero) vectors. The 0.0 convention is shared by every
+  * oracle rendering (`coalesce(dot / NULLIF(norm·norm, 0), 0)`) and
+  * by [[graft.functions.VectorOps.cosine]], keeping both engines
+  * ordered identically even on zero-norm recomputed centroids. A
   * null array on either side yields null via the binary null
   * contract. Mismatched lengths throw (one int compare per row):
   * truncating to min(length) would silently compute a cosine whose
@@ -60,7 +67,8 @@ case class ArrayCosine(left: Expression, right: Expression)
       s1 += xi * yi; s2 += xi * xi; s3 += yi * yi
       i += 1
     }
-    s1 / (math.sqrt(s2) * math.sqrt(s3))
+    val denom = math.sqrt(s2) * math.sqrt(s3)
+    if (denom == 0.0) 0.0 else s1 / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -85,7 +93,8 @@ case class ArrayCosine(left: Expression, right: Expression)
          |  double $yi = $b.getDouble($i);
          |  $s1 += $xi * $yi; $s2 += $xi * $xi; $s3 += $yi * $yi;
          |}
-         |${ev.value} = $s1 / (java.lang.Math.sqrt($s2) * java.lang.Math.sqrt($s3));
+         |double ${s1}_d = java.lang.Math.sqrt($s2) * java.lang.Math.sqrt($s3);
+         |${ev.value} = ${s1}_d == 0.0 ? 0.0 : $s1 / ${s1}_d;
        """.stripMargin
     })
 

@@ -181,10 +181,10 @@ object CurationQueries {
       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
       |vsim AS (
       |  SELECT vec_id AS doc_id,
-      |         round(
+      |         round(coalesce(
       |           list_aggregate(list_transform(list_zip(e.v, qv.q), x -> x[1] * x[2]), 'sum')
-      |           / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
-      |              * sqrt(list_aggregate(list_transform(qv.q, x -> x * x), 'sum'))), 6) AS sim
+      |           / NULLIF(sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(qv.q, x -> x * x), 'sum')), 0), 0), 6) AS sim
       |  FROM e CROSS JOIN qv WHERE e.vec_id <> 0),
       |vrank AS (
       |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vrnk
@@ -557,10 +557,13 @@ object CurationQueries {
     "c09_weighted_sample",
     (s, dir) => {
       import s.implicits._
-      // null text must be excluded BEFORE the weight expression:
-      // Spark's size(null) is -1 (so TTR would be (-1)/(-1) = 1.0 and
-      // w = 5) where DuckDB's len(NULL) is NULL and drops the doc —
-      // the filter pins both engines to the same universe
+      // null text is excluded BEFORE the weight expression as
+      // belt-and-braces: under ANSI (this build's default) Spark's
+      // size(null) is NULL like DuckDB's len(NULL), but a session
+      // with spark.sql.ansi.enabled=false would revert size(null)
+      // to the legacy -1 (TTR = (-1)/(-1) = 1.0, w = 5) and silently
+      // widen the universe — the filter pins both engines to the
+      // same rows under either setting
       val w = Tables(s, dir, "documents")
         .where($"text".isNotNull)
         .select($"doc_id", $"lang",

@@ -347,10 +347,10 @@ object DedupQueries {
       |  WHERE vec_id < (SELECT npiv FROM b)),
       |scored AS (
       |  SELECT e.vec_id, e.v, p.pivot_id,
-      |         round(
+      |         round(coalesce(
       |           list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1] * x[2]), 'sum')
-      |           / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
-      |              * sqrt(list_aggregate(list_transform(p.pv, x -> x * x), 'sum'))), 6) AS psim
+      |           / NULLIF(sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(p.pv, x -> x * x), 'sum')), 0), 0), 6) AS psim
       |  FROM e CROSS JOIN p),
       |ranked AS (
       |  SELECT vec_id, v, pivot_id,
@@ -364,10 +364,10 @@ object DedupQueries {
       |    ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
       |pairs AS (
       |  SELECT a.vec_id, b.vec_id AS other_id,
-      |         round(
+      |         round(coalesce(
       |           list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
-      |           / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
-      |              * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS sim
+      |           / NULLIF(sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum')), 0), 0), 6) AS sim
       |  FROM assigned a JOIN assigned b USING (cell1, cell2)
       |  WHERE a.vec_id <> b.vec_id),
       |r AS (

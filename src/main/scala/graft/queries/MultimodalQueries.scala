@@ -175,7 +175,11 @@ object MultimodalQueries {
 
   /** m05 — content-addressed chunk store ROUND TRIP (m04 is the write
     * side's dedup signal; this is the full store): split every payload
-    * into fixed 64-byte chunks, build the deduplicated
+    * into fixed 64-CHARACTER chunks (substr/length are character-based
+    * in both engines; over this ASCII corpus chars = bytes, but a
+    * multi-byte corpus would make the chunks variable byte length —
+    * chunk on the binary column if byte-fixed chunks are the
+    * contract), build the deduplicated
     * chunk-sum → bytes store, then reassemble each payload by joining
     * the manifest back through the store in chunk order and verify the
     * rebuilt payload equals the original. That is the datalake media

@@ -822,9 +822,11 @@ object RelationalQueries {
       .select($"o_orderkey", $"o_orderpriority")
     val lineitem = Tables(s, dir, "lineitem")
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    // no expectedItems hint: BloomJoin derives the sketch size from
+    // the build side itself (approx_count_distinct), so the target
+    // fpp holds whatever the price gate's selectivity turns out to be
     graft.operators.BloomJoin
-      .prune(lineitem, "l_orderkey", bigOrders, "o_orderkey",
-        expectedItems = 1000000L)
+      .prune(lineitem, "l_orderkey", bigOrders, "o_orderkey")
       .join(bigOrders, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority".as("priority"))
       .agg(count(lit(1)).as("line_cnt"),

@@ -72,10 +72,10 @@ object VectorQueries {
       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
       |sims AS (
       |  SELECT q.query_id, e.vec_id,
-      |         round(
+      |         round(coalesce(
       |           list_aggregate(list_transform(list_zip(e.v, q.qv), x -> x[1] * x[2]), 'sum')
-      |           / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
-      |              * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))), 6) AS sim
+      |           / NULLIF(sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum')), 0), 0), 6) AS sim
       |  FROM e CROSS JOIN q
       |  WHERE e.vec_id <> q.query_id),
       |r AS (
@@ -161,10 +161,10 @@ object VectorQueries {
       |  SELECT label, list(cval ORDER BY pos) AS cv
       |  FROM c GROUP BY label)
       |SELECT a.label AS label_a, b.label AS label_b,
-      |       round(
+      |       round(coalesce(
       |         list_aggregate(list_transform(list_zip(a.cv, b.cv), x -> x[1] * x[2]), 'sum')
-      |         / (sqrt(list_aggregate(list_transform(a.cv, x -> x * x), 'sum'))
-      |            * sqrt(list_aggregate(list_transform(b.cv, x -> x * x), 'sum'))), 4) AS sim
+      |         / NULLIF(sqrt(list_aggregate(list_transform(a.cv, x -> x * x), 'sum'))
+      |            * sqrt(list_aggregate(list_transform(b.cv, x -> x * x), 'sum')), 0), 0), 4) AS sim
       |FROM v a JOIN v b ON a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin)
   ) { (s, dir) =>
@@ -178,8 +178,9 @@ object VectorQueries {
     a.join(b, $"label_a" < $"label_b")
       .select(
         $"label_a", $"label_b",
-        round(
-          dot($"cv_a", $"cv_b") / (l2norm($"cv_a") * l2norm($"cv_b")), 4).as("sim"))
+        // fused cosine (identical fold order) for the zero-norm → 0
+        // guard the oracle's NULLIF rendering shares
+        round(graft.plans.ArrayCosine.fastCosine($"cv_a", $"cv_b"), 4).as("sim"))
       .orderBy($"label_a", $"label_b")
   }
 
@@ -330,10 +331,10 @@ object VectorQueries {
       |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
       |           / (sqrt(list_aggregate(list_transform(qz.v, x -> x * x), 'sum'))
       |              * sqrt(list_aggregate(list_transform(qs.qv, x -> x * x), 'sum'))), 6) AS qsim,
-      |         round(
+      |         round(coalesce(
       |           list_aggregate(list_transform(list_zip(qz.v, qs.qv), x -> x[1] * x[2]), 'sum')
-      |           / (sqrt(list_aggregate(list_transform(qz.v, x -> x * x), 'sum'))
-      |              * sqrt(list_aggregate(list_transform(qs.qv, x -> x * x), 'sum'))), 6) AS esim
+      |           / NULLIF(sqrt(list_aggregate(list_transform(qz.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(qs.qv, x -> x * x), 'sum')), 0), 0), 6) AS esim
       |  FROM qz CROSS JOIN qs
       |  WHERE qz.vec_id <> qs.query_id),
       |r AS (
@@ -397,10 +398,10 @@ object VectorQueries {
       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
       |sims AS (
       |  SELECT q.query_id, corpus.vec_id,
-      |         round(
+      |         round(coalesce(
       |           list_aggregate(list_transform(list_zip(corpus.v, q.qv), x -> x[1] * x[2]), 'sum')
-      |           / (sqrt(list_aggregate(list_transform(corpus.v, x -> x * x), 'sum'))
-      |              * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))), 6) AS sim
+      |           / NULLIF(sqrt(list_aggregate(list_transform(corpus.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum')), 0), 0), 6) AS sim
       |  FROM corpus CROSS JOIN q
       |  WHERE corpus.vec_id <> q.query_id),
       |r AS (
@@ -431,11 +432,14 @@ object VectorQueries {
   }
 
   /** DuckDB cosine6 fragment over two DOUBLE[] expressions — the same
-    * rounded-similarity contract as [[cosine6]]. */
+    * rounded-similarity contract as [[cosine6]], including the
+    * zero-norm → 0 convention (NULLIF turns a zero denominator into
+    * NULL, coalesce maps it to 0 — matching the JVM guard instead of
+    * a NaN that DuckDB would sort FIRST under ORDER BY sim DESC). */
   private def duckCos6(a: String, b: String): String =
-    s"round(list_aggregate(list_transform(list_zip($a, $b), x -> x[1] * x[2]), 'sum')" +
-      s" / (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum'))" +
-      s" * sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))), 6)"
+    s"round(coalesce(list_aggregate(list_transform(list_zip($a, $b), x -> x[1] * x[2]), 'sum')" +
+      s" / NULLIF(sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum'))" +
+      s" * sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum')), 0), 0), 6)"
 
   /** The unrolled k-means CTE chain for DuckDB oracles (shared with
     * c08's): replays [[graft.operators.KMeans.fit]] exactly — lowest-k

@@ -23,6 +23,18 @@ class RangeAndBloomSpec extends SparkSpec {
     assert(composed === Set(3L, 500L, 999L))
   }
 
+  test("bloom prune: derived sizing holds fpp when the build side is large") {
+    // No expectedItems hint: the sketch must size itself off the build
+    // side. 20k distinct build keys vs a disjoint 20k-key probe side —
+    // an undersized (fixed-hint) filter would saturate and pass nearly
+    // everything; correctly derived bits keep the observed fp rate at
+    // the ~1% target (3% asserted for headroom).
+    val big = (100000L to 119999L).toDF("k") // disjoint from build keys
+    val small = (1L to 20000L).toDF("sk")
+    val kept = BloomJoin.prune(big, "k", small, "sk").count()
+    assert(kept <= 600, s"observed $kept/20000 false positives (>3%)")
+  }
+
   test("bloom prune: empty build side drops everything (inner-join semantics)") {
     val big = (1L to 50L).toDF("k")
     val small = Seq.empty[Long].toDF("sk")

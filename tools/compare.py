@@ -19,6 +19,15 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
+# Verify records dump-time exceptions here; fold them in as failures so
+# a query that crashed cannot silently shrink the N/N denominator. A
+# failed dump wins over any stale/partial parquet dir of the same name.
+fail_path = os.path.join(out_dir, "_failures.json")
+dump_failed = json.load(open(fail_path)) if os.path.exists(fail_path) else {}
+for name, msg in dump_failed.items():
+    if name not in skip:
+        results[name] = {"check": "dump_failed", "ok": False, "err": msg}
+skip = skip | set(dump_failed)
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d) or name in skip:
