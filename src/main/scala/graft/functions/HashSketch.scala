@@ -15,14 +15,15 @@ package graft.functions
   *
   * Two hash families live here, chosen by what the output must be
   * comparable against:
-  *  - MinHash (d01) values are internal-only (candidates are
-  *    exact-verified, so the final answer is hash-free): FNV-1a over
-  *    UTF-8 bytes + splitmix64 finalizing per function index —
-  *    64-bit wrapping arithmetic, fastest option.
-  *  - SimHash (d02) and winnowing (t07) values ARE the output, so the
-  *    DuckDB oracle must reproduce them exactly: mod-P polynomial
-  *    hashes ([[polyHash]]/[[diffuse]]) whose every intermediate fits
-  *    a BIGINT — identical integer sequences on both engines.
+  *  - FNV-1a + splitmix64 (64-bit wrapping, fastest): used where
+  *    values never cross the engine boundary — d01's VERIFY hash sets
+  *    ([[hashSet]], exact-Jaccard-equivalent modulo collisions).
+  *  - mod-P polynomial hashes ([[polyHash]]/[[diffuse]]) whose every
+  *    intermediate fits a BIGINT: used wherever the DuckDB oracle must
+  *    recompute the values — SimHash signatures (d02), winnowing
+  *    fingerprints (t07), and since round 5 the d01 MINHASH BANDING
+  *    ([[minhashModP]]/[[bandKeyModP]]) too, so the oracle can replay
+  *    the banded candidate join instead of quadratic all-pairs SQL.
   */
 object HashSketch {
 
@@ -66,7 +67,9 @@ object HashSketch {
 
   /** n min-hashes over the shingle set: min_i over shingles of
     * mix(base(shingle) + i * GOLDEN). One string hash per shingle,
-    * n cheap long mixes per (shingle, i). */
+    * n cheap long mixes per (shingle, i). (Kept for comparison specs;
+    * d01 moved to [[minhashModP]] so its ORACLE can recompute the
+    * banding — 64-bit wrapping arithmetic is not SQL-expressible.) */
   def minhash(shingles: Array[String], n: Int): Array[Long] = {
     val mins = Array.fill(n)(Long.MaxValue)
     var s = 0
@@ -81,6 +84,56 @@ object HashSketch {
       s += 1
     }
     mins
+  }
+
+  /** n min-hashes in the ORACLE-MIRRORABLE mod-[[P]] affine family:
+    * h_i(x) = diffuse((x·A_i + B_i) mod P) over
+    * x = diffuse(polyHash(shingle)), with
+    * A_i = 1 + (diffuse((i+1)·1000003 mod P) mod (P−1)) ∈ [1, P−1]
+    * (never 0 — a zero multiplier would collapse h_i to a constant)
+    * and B_i = diffuse(A_i). Every intermediate fits a BIGINT
+    * (x·A_i < P² < 2⁶³), so DuckDB recomputes the identical minima —
+    * which is what lets d01's oracle replay the BANDED candidate
+    * generation instead of quadratic all-pairs SQL. Affine maps mod a
+    * prime are a classic universal family, so per-index minima remain
+    * valid MinHash estimators. */
+  def minhashModP(shingles: Array[String], n: Int): Array[Long] = {
+    val as = new Array[Long](n)
+    val bs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val a = 1 + diffuse((i + 1) * 1000003L % P) % (P - 1)
+      as(i) = a
+      bs(i) = diffuse(a)
+      i += 1
+    }
+    val mins = Array.fill(n)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val x = diffuse(polyHash(shingles(s)))
+      var j = 0
+      while (j < n) {
+        val h = diffuse((x * as(j) + bs(j)) % P)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      s += 1
+    }
+    mins
+  }
+
+  /** mod-[[P]] band key over a signature slice: left fold
+    * (k·131 + m) mod P from 0 — identical to DuckDB's
+    * `list_reduce(list(m ORDER BY i), (k, m) -> (k*131 + m) % P)`
+    * (which seeds from the first element; equal because
+    * 0·131 + m₁ = m₁). Key collisions only ADD candidates, which the
+    * exact verify filters — and both engines compute the same keys, so
+    * candidates match exactly either way. */
+  def bandKeyModP(mins: Array[Long], from: Int, until: Int): Long = {
+    var k = 0L
+    var i = from
+    while (i < until) { k = (k * 131 + mins(i)) % P; i += 1 }
+    k
   }
 
   /** Modulus shared by every ORACLE-MIRRORABLE hash below. All values

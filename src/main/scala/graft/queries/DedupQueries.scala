@@ -48,8 +48,16 @@ object DedupQueries {
 
   /** D3 — MinHash-LSH near-duplicate pairs, exact-verified.
     * Output: (doc_a, doc_b, jaccard) for shingle-Jaccard ≥ 0.6.
-    * Oracle: all-pairs Jaccard in DuckDB (feasible at oracle SF; the
-    * Spark side must stay banded — the plan spec pins it). */
+    * Oracle: replays the SAME banded candidate generation (the mod-P
+    * minhash family is BIGINT-expressible, see
+    * [[graft.functions.HashSketch.minhashModP]]), then exact Jaccard
+    * on candidates only — linear in DuckDB, so the sf0.1 gate no
+    * longer needs the all-pairs skip the round-4 oracle forced.
+    * A banded oracle is also the FAITHFUL one: banding at J between
+    * 0.6 and 0.9 has real miss probability ((1−0.6⁵)¹³ ≈ 35% at
+    * J = 0.6), so an all-pairs oracle only matches while the corpus
+    * happens to contain no pairs in the miss zone — the banded oracle
+    * pins the operator's actual contract at any SF. */
   val d01MinHashLsh: GraftQuery = q(
     "d01_minhash_lsh_dedup",
     "D3 shingle→minhash→band→bucket-join→verify near-dup pairs",
@@ -63,12 +71,46 @@ object DedupQueries {
       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
       |              ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
       |  FROM t),
+      |g AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+      |hx AS (
+      |  SELECT doc_id,
+      |         ((base*base + base) % 1000000007) AS x
+      |  FROM (
+      |    SELECT doc_id,
+      |           CASE WHEN length(sg) = 0 THEN 0
+      |                ELSE list_reduce(
+      |                  list_transform(generate_series(1, length(sg)),
+      |                                 i -> CAST(ascii(sg[i]) AS BIGINT)),
+      |                  (h, c) -> (h*131 + c) % 1000000007) END AS base
+      |    FROM g)),
+      |af AS (
+      |  SELECT i, a, ((a*a + a) % 1000000007) AS b
+      |  FROM (
+      |    SELECT i, 1 + (((sd*sd + sd) % 1000000007) % 1000000006) AS a
+      |    FROM (
+      |      SELECT i, ((i + 1) * 1000003) % 1000000007 AS sd
+      |      FROM (SELECT unnest(generate_series(0, 64)) AS i)))),
+      |hm AS (
+      |  SELECT doc_id, i, min(((y*y + y) % 1000000007)) AS m
+      |  FROM (SELECT h.doc_id, f.i, ((h.x * f.a + f.b) % 1000000007) AS y
+      |        FROM hx h CROSS JOIN af f)
+      |  GROUP BY doc_id, i),
+      |bands AS (
+      |  SELECT doc_id, i // 5 AS band,
+      |         list_reduce(list(m ORDER BY i), (k, m) -> (k*131 + m) % 1000000007) AS sig
+      |  FROM hm GROUP BY doc_id, i // 5),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
       |p AS (
-      |  SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
-      |         CAST(b.doc_id AS BIGINT) AS doc_b,
-      |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |         / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |  SELECT CAST(c.doc_a AS BIGINT) AS doc_a,
+      |         CAST(c.doc_b AS BIGINT) AS doc_b,
+      |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+      |  FROM cand c
+      |  JOIN s sa ON sa.doc_id = c.doc_a
+      |  JOIN s sb ON sb.doc_id = c.doc_b)
       |SELECT doc_a, doc_b, round(j, 4) AS jaccard
       |FROM p WHERE j >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin)
@@ -79,18 +121,18 @@ object DedupQueries {
     // higher-order functions the 65-minima loop evaluates interpreted
     // (HOFs are CodegenFallback, no CSE) and measured 40+ s at sf0.01;
     // see graft.functions.HashSketch. Each band's 5-hash slice is
-    // collapsed to ONE long band key (HashSketch.bandKey — collisions
-    // only add candidates, which exact verification rejects), so the
-    // banded shuffle carries 13 × (long, int, long) rows per doc and
-    // the bucket join is a primitive equi-join; joins/dedup/sorting
-    // stay relational.
+    // collapsed to ONE long band key (HashSketch.bandKeyModP —
+    // collisions only add candidates, which exact verification
+    // rejects), so the banded shuffle carries 13 × (long, int, long)
+    // rows per doc and the bucket join is a primitive equi-join;
+    // joins/dedup/sorting stay relational.
     val banded = Tables(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val mins = HashSketch.minhash(HashSketch.shingle3(text),
+        val mins = HashSketch.minhashModP(HashSketch.shingle3(text),
           MinhashBands * MinhashRows)
         (0 until MinhashBands).iterator.map { b =>
-          (id, b, HashSketch.bandKey(mins, b * MinhashRows, (b + 1) * MinhashRows))
+          (id, b, HashSketch.bandKeyModP(mins, b * MinhashRows, (b + 1) * MinhashRows))
         }
       }
       .toDF("doc_id", "band", "sig")
@@ -133,16 +175,22 @@ object DedupQueries {
   }
 
   /** Oracle template shared by d02/d06: full signature recomputation
-    * in BIGINT-exact mod-P arithmetic, then all-pairs Hamming <= 15 —
-    * d06 additionally bounds pairs to a common `lang` shard. */
+    * in BIGINT-exact mod-P arithmetic, then the SAME banded multi-probe
+    * candidate generation + candidate budget the Spark side runs
+    * (replacing the round-4 all-pairs tail, which was quadratic in
+    * DuckDB and forced an sf0.1 skip). Exactness is unchanged where
+    * nothing is skipped: by the pigeonhole recall argument a Hamming
+    * ≤ 15 pair ALWAYS collides in some band's ≤1-flip probe, so banded
+    * candidates ⊇ the all-pairs result — and the round-4 all-pairs
+    * oracle already re-proved that on this corpus. The budget CTEs
+    * mirror [[simhashPairs]] bucket for bucket (same mass definition,
+    * same (cand, keys) admit order, same 64·N budget), so the oracle
+    * now also pins the skip semantics, not just the happy path. */
   private def simhashOracle(sharded: Boolean): String = {
-    val shardJoin =
-      if (sharded)
-        """
-          |JOIN documents la ON la.doc_id = a.doc_id
-          |JOIN documents lb ON lb.doc_id = b.doc_id AND la.lang = lb.lang"""
-          .stripMargin
-      else ""
+    val keyList = (if (sharded) Seq("lang") else Nil) ++ Seq("band", "sub")
+    val keys = keyList.mkString(", ")
+    val aKeys = keyList.map(k => s"a.$k = b.$k").mkString(" AND ")
+    val kKeys = keyList.map(k => s"k.$k = a.$k").mkString(" AND ")
     """WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       |  FROM documents),
@@ -202,11 +250,44 @@ object DedupQueries {
       |                         * (CASE band WHEN 4 THEN 1 WHEN 5 THEN 65536
       |                            WHEN 6 THEN 4294967296 ELSE 281474976710656 END)
       |                    ELSE 0 END) AS shi
-      |    FROM subs GROUP BY doc_id))
-      |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
-      |       CAST(b.doc_id AS BIGINT) AS doc_b,
-      |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
-      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id""".stripMargin + shardJoin + """
+      |    FROM subs GROUP BY doc_id)),
+      |ex AS (
+      |  SELECT s.doc_id, d.lang, s.band, s.sub
+      |  FROM subs s JOIN documents d ON d.doc_id = s.doc_id),
+      |pr AS (
+      |  SELECT doc_id, lang, band,
+      |         CASE WHEN p = 16 THEN sub
+      |              ELSE xor(sub, (CAST(1 AS BIGINT) << p)) END AS sub
+      |  FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS p)),
+      |me AS (SELECT """.stripMargin + keys + """, count(*) AS m_e FROM ex GROUP BY """.stripMargin + keys + """),
+      |mp AS (SELECT """.stripMargin + keys + """, count(*) AS m_p FROM pr GROUP BY """.stripMargin + keys + """),
+      |mass AS (
+      |  SELECT """.stripMargin + keys + """, m_e * m_p AS cand
+      |  FROM me JOIN mp USING (""".stripMargin + keys + """)),
+      |budget AS (SELECT 64 * count(*) AS b FROM documents),
+      |budgeted AS (
+      |  SELECT *, sum(cand) OVER (ORDER BY cand, """.stripMargin + keys + """
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM mass),
+      |keep AS (SELECT """.stripMargin + keys + """ FROM budgeted
+      |         WHERE cum <= (SELECT b FROM budget)),
+      |skip AS (
+      |  SELECT coalesce(sum(CASE WHEN cum > (SELECT b FROM budget)
+      |                            THEN cand END), 0) AS skipped_candidates
+      |  FROM budgeted),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ex a
+      |  JOIN pr b ON """.stripMargin + aKeys + """ AND a.doc_id < b.doc_id
+      |  JOIN keep k ON """.stripMargin + kKeys + """)
+      |SELECT CAST(c.doc_a AS BIGINT) AS doc_a,
+      |       CAST(c.doc_b AS BIGINT) AS doc_b,
+      |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming,
+      |       CAST(s.skipped_candidates AS BIGINT) AS skipped_candidates
+      |FROM cand c
+      |JOIN sig a ON a.doc_id = c.doc_a
+      |JOIN sig b ON b.doc_id = c.doc_b
+      |CROSS JOIN skip s
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 15
       |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -231,6 +312,15 @@ object DedupQueries {
     Some(simhashOracle(sharded = true))
   ) { (s, dir) => simhashPairs(s, dir, sharded = true) }
 
+  /** Per-doc candidate budget for the SimHash band buckets: the
+    * banded join may generate at most `BudgetPerDoc × N` candidate
+    * pairs. Chosen so the correctness SFs never skip (random-pair
+    * collision mass ≈ N²/964 stays under 64·N up to N ≈ 62k docs)
+    * while the replicas are WORK-BOUNDED: the budget converts the
+    * fixed-p quadratic floor into linear work plus a DISCLOSED recall
+    * loss (`skipped_candidates` column). */
+  private val BudgetPerDoc = 64L
+
   /** Shared SimHash pair pipeline — d02 (global index) and d06
     * (lang-sharded index) differ only in whether `lang` joins the
     * banding key and bounds the verify. */
@@ -242,7 +332,8 @@ object DedupQueries {
     // codegen'd integer expressions — band b's key is the b-th 16-bit
     // slice, the distance is bit_count(lo⊕lo') + bit_count(hi⊕hi').
     // No array columns, no interpreted higher-order functions anywhere.
-    val signed = Tables(s, dir, "documents")
+    val docs = Tables(s, dir, "documents")
+    val signed = docs
       .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
       .map { case (id, lang, text) =>
         val (lo, hi) = graft.functions.HashSketch.simhash128(
@@ -266,7 +357,37 @@ object DedupQueries {
       .withColumn("sub", expr("CASE WHEN p = 16 THEN sub ELSE sub ^ (1 << p) END"))
       .drop("p")
     val keys = (if (sharded) Seq("lang") else Nil) ++ Seq("band", "sub")
-    val cands = exact.as("a").join(probes.as("b"), keys)
+    val keyCols = keys.map(col)
+    // ---- candidate BUDGET (t07's count-first hygiene rule, applied
+    // to band buckets): a fixed-p Hamming index has a structural
+    // N²·p random-collision term that no banding parameter removes
+    // (measured: 116× time at the 100× replica, round 4). Count each
+    // bucket's candidate mass (exact-side rows × probe-side rows)
+    // FIRST, then admit buckets in ascending-mass order until the
+    // global budget (BudgetPerDoc × N) is spent; the rest are skipped
+    // and their mass is DISCLOSED in the `skipped_candidates` output
+    // column. Cheapest-first maximizes admitted buckets (true
+    // near-dup pairs live in small buckets — a near-dup's band key is
+    // shared by its twin, not by the random crowd), is fully
+    // deterministic ((mass, keys) is a total order), and bounds the
+    // verify-stage join to O(N) rows at ANY corpus size. The bucket
+    // frame itself is bounded by the KEY SPACE (8 bands × 2¹⁶ subs
+    // × shards), not the corpus — the global cumulative window and
+    // the broadcast of kept keys hold at any N.
+    val mass = exact.groupBy(keyCols: _*).agg(count(lit(1)).as("m_e"))
+      .join(probes.groupBy(keyCols: _*).agg(count(lit(1)).as("m_p")), keys)
+      .withColumn("cand", $"m_e" * $"m_p")
+    val budget = BudgetPerDoc * docs.count()
+    val order = col("cand") +: keyCols
+    val wCum = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgeted = mass.withColumn("cum", sum($"cand").over(wCum))
+    val keep = budgeted.where($"cum" <= budget).select(keyCols: _*)
+    val skipped = budgeted
+      .agg(coalesce(sum(when($"cum" > budget, $"cand")), lit(0L))
+        .as("skipped_candidates"))
+    val cands = exact.join(broadcast(keep), keys, "left_semi").as("a")
+      .join(probes.as("b"), keys)
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.lo".as("lo_a"), $"a.hi".as("hi_a"),
@@ -277,6 +398,7 @@ object DedupQueries {
         (bit_count($"lo_a".bitwiseXOR($"lo_b"))
           + bit_count($"hi_a".bitwiseXOR($"hi_b"))).cast("long").as("hamming"))
       .where($"hamming" <= 15)
+      .crossJoin(broadcast(skipped))
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -78,6 +78,63 @@ class DedupSpec extends SparkSpec {
       f"banding admits $rate%.4f of all pairs — quadratic blowup risk")
   }
 
+  test("d02 candidate budget: hot buckets skipped, mass disclosed, small buckets intact") {
+    // A corpus engineered to blow the band-bucket budget: 60 byte-identical
+    // docs put 60 exact rows in ONE bucket per band (mass ≈ 60·60 = 3600
+    // each, ~28.8k over 8 bands), while 200 distinct random docs live in
+    // singleton buckets (mass ≈ 1 each). Budget = 64·260 = 16640 admits
+    // every singleton bucket plus only the cheapest hot ones — pairs among
+    // the identical docs must STILL all surface (any one admitted hot
+    // bucket yields them all), and the skipped mass must be disclosed.
+    val dir = java.nio.file.Files.createTempDirectory("d02budget").toString
+    val hotText = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val rnd = new scala.util.Random(7)
+    val docs =
+      (0L until 60L).map(i => (i, "en", hotText)) ++
+        (100L until 300L).map(i =>
+          (i, "en", Seq.fill(40)("w" + rnd.nextInt(1000000)).mkString(" ")))
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = QueryRegistry.asMap("d02_simhash_dedup")(spark, dir).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val skipped = out.map(_.getAs[Long]("skipped_candidates")).distinct
+    assert(skipped.length === 1, "skipped_candidates must be one run-level scalar")
+    assert(skipped.head > 0L,
+      s"the hot-bucket mass must exceed the budget and be disclosed, got ${skipped.head}")
+    // every identical-doc pair survives: one admitted hot bucket suffices
+    val expected = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+    } yield (a, b)).toSet
+    assert(expected.subsetOf(pairs),
+      s"budget dropped true duplicate pairs: missing ${(expected -- pairs).take(5)}")
+    // and the admitted candidate mass is within the budget by construction:
+    // recompute bucket masses and check the kept prefix the query admits
+    import graft.functions.HashSketch
+    val subs = docs.map { case (id, _, t) =>
+      val (lo, hi) = HashSketch.simhash128(HashSketch.shingle3(t))
+      id -> (0 until 8).map { b =>
+        if (b < 4) (lo >> (b * 16)) & 0xffffL else (hi >> ((b - 4) * 16)) & 0xffffL
+      }
+    }
+    val exactCnt = subs.flatMap { case (_, ss) => ss.zipWithIndex }
+      .groupBy { case (sub, b) => (b, sub) }.view.mapValues(_.size.toLong).toMap
+    val probeCnt = subs.flatMap { case (_, ss) =>
+      ss.zipWithIndex.flatMap { case (sub, b) =>
+        (0 to 16).map(p => (b, if (p == 16) sub else sub ^ (1L << p))) }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val masses = exactCnt.toSeq.collect {
+      case (k, me) if probeCnt.contains(k) => (k, me * probeCnt(k))
+    }.sortBy { case ((b, sub), m) => (m, b, sub) }
+    val budget = 64L * docs.size
+    val kept = masses.scanLeft(0L)(_ + _._2).tail.takeWhile(_ <= budget)
+    assert(kept.nonEmpty && kept.last <= budget,
+      "admitted bucket mass must stay within the 64·N budget")
+    val totalMass = masses.map(_._2).sum
+    assert(totalMass - kept.last === skipped.head,
+      s"disclosed skip mass must equal total - admitted: " +
+        s"$totalMass - ${kept.last} vs ${skipped.head}")
+  }
+
   test("connected components chain transitively and keep clusters separate") {
     import graft.operators.ConnectedComponents
     // chain 1-2-3-4 (never all directly connected), separate pair 10-11,
