@@ -40,6 +40,53 @@ import graft.functions.VectorOps
   */
 object KMeans {
 
+  /** The trained centroid ARRAY alone — (seed id, round-8 mean),
+    * sorted ascending by id: the IVF pivot-training entry point
+    * (v04/v09/d03 seed their coarse quantizers here). Same loop as
+    * [[fit]]; callers that need per-vector assignments use fit, which
+    * delegates here. */
+  def centroids(
+      ev: Dataset[(Long, Array[Double])],
+      k: Int,
+      iters: Int): Array[(Long, Array[Double])] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+
+    // the fit itself reads the input iters+1 times (seed take + one
+    // assign+mean action per iteration) — cache across those; any
+    // frame the CALLER builds over the result is lazy and executes
+    // after this cache is dropped, re-reading the source once like
+    // any other query
+    val cached = ev.persist()
+    try {
+      // the k LOWEST-id vectors, whatever the id domain (distributed
+      // TakeOrdered — never assumes ids are contiguous or 0-based)
+      var cs: Array[(Long, Array[Double])] =
+        cached.toDF("id", "v").orderBy($"id").limit(k)
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+      require(cs.nonEmpty, "k-means init found no vectors")
+
+      for (_ <- 1 to iters) {
+        val bc = spark.sparkContext.broadcast(cs)
+        val assigned = cached
+          .map { case (_, v) => (VectorOps.nearestCentroidSim(v, bc.value)._1, v) }
+          .toDF("cluster_id", "v")
+        cs = assigned
+          .groupBy($"cluster_id")
+          .agg(VectorAgg.vectorMean($"v").as("mv"))
+          .select($"cluster_id",
+            transform($"mv", x => round(x, 8)).as("cv"))
+          .as[(Long, Array[Double])]
+          .collect()
+          .sortBy(_._1)
+        bc.destroy() // the collect above consumed it; don't leak k×dim per iteration
+      }
+      cs
+    } finally cached.unpersist()
+  }
+
   /** Fit k centroids with `iters` Lloyd iterations and return the
     * final assignment: one row per input vector —
     * (vec_id, cluster_id, sim). `cluster_id` is the id of the seed
@@ -51,45 +98,13 @@ object KMeans {
       iters: Int): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
-    require(k > 0, s"k must be positive, got $k")
-    require(iters >= 0, s"iters must be >= 0, got $iters")
-
-    // the fit itself reads the input iters+1 times (seed take + one
-    // assign+mean action per iteration) — cache across those; the
-    // RETURNED assignment frame is lazy and executes after this cache
-    // is dropped, re-reading the source once like any other query
-    val cached = ev.persist()
-    try {
-      // the k LOWEST-id vectors, whatever the id domain (distributed
-      // TakeOrdered — never assumes ids are contiguous or 0-based)
-      var centroids: Array[(Long, Array[Double])] =
-        cached.toDF("id", "v").orderBy($"id").limit(k)
-          .as[(Long, Array[Double])].collect().sortBy(_._1)
-      require(centroids.nonEmpty, "k-means init found no vectors")
-
-      for (_ <- 1 to iters) {
-        val bc = spark.sparkContext.broadcast(centroids)
-        val assigned = cached
-          .map { case (_, v) => (VectorOps.nearestCentroidSim(v, bc.value)._1, v) }
-          .toDF("cluster_id", "v")
-        centroids = assigned
-          .groupBy($"cluster_id")
-          .agg(VectorAgg.vectorMean($"v").as("mv"))
-          .select($"cluster_id",
-            transform($"mv", x => round(x, 8)).as("cv"))
-          .as[(Long, Array[Double])]
-          .collect()
-          .sortBy(_._1)
-        bc.destroy() // the collect above consumed it; don't leak k×dim per iteration
-      }
-
-      // the final broadcast stays alive: the returned (lazy) DataFrame
-      // reads it when the caller executes
-      val bc = spark.sparkContext.broadcast(centroids)
-      cached.map { case (id, v) =>
-        val (cid, sim) = VectorOps.nearestCentroidSim(v, bc.value)
-        (id, cid, sim)
-      }.toDF("vec_id", "cluster_id", "sim")
-    } finally cached.unpersist()
+    val cs = centroids(ev, k, iters)
+    // the final broadcast stays alive: the returned (lazy) DataFrame
+    // reads it when the caller executes
+    val bc = spark.sparkContext.broadcast(cs)
+    ev.map { case (id, v) =>
+      val (cid, sim) = VectorOps.nearestCentroidSim(v, bc.value)
+      (id, cid, sim)
+    }.toDF("vec_id", "cluster_id", "sim")
   }
 }

@@ -457,16 +457,11 @@ object DedupQueries {
   val d03EmbeddingNearDup: GraftQuery = q(
     "d03_embedding_near_dup",
     "D3 embedding-cosine near-dup via IVF buckets",
-    Some("""WITH e AS (
+    Some(s"""WITH e AS (
       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
       |         CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings),
-      |b AS (
-      |  SELECT greatest(16, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) AS npiv
-      |  FROM e),
-      |p AS (
-      |  SELECT vec_id AS pivot_id, v AS pv FROM e
-      |  WHERE vec_id < (SELECT npiv FROM b)),
+      |${VectorQueries.trainedPivotCtes(VectorQueries.IvfTrainIters)},
       |scored AS (
       |  SELECT e.vec_id, e.v, p.pivot_id,
       |         round(coalesce(
@@ -506,15 +501,19 @@ object DedupQueries {
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    // adaptive pivot count: B = max(16, ceil(sqrt(N/8))) keeps cells
-    // ~8 vectors so the within-cell pair join stays ~8·N as N grows;
-    // deterministic integer function of the exact count, mirrored in
-    // the oracle so both engines pick identical pivots
-    val n = e.count()
-    val nPivots = math.max(16L, math.ceil(math.sqrt(n / 8.0)).toLong)
-    // pivot table is bounded (B ≪ N rows) — collect + broadcast,
-    // exactly what a sampled-k-means coarse quantizer does at scale
-    val pivotArr = e.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
+    // adaptive pivot count: B = min(cap, max(16, ceil(sqrt(N/8))))
+    // keeps cells ~8 vectors so the within-cell pair join stays ~8·N
+    // as N grows (the broadcast cap + second cell level take over past
+    // it — see VectorQueries.adaptiveB); deterministic integer
+    // function of the exact count, mirrored in the oracle so both
+    // engines pick identical pivots
+    val nPivots = VectorQueries.adaptiveB(e.count())
+    // pivots are KMeans-TRAINED from the lowest-B seeds (2 Lloyd
+    // iterations, round-8 means — deterministic, oracle-replayed);
+    // the trained table stays a bounded collect + broadcast
+    val pivotArr = graft.operators.KMeans
+      .centroids(e, nPivots.toInt, VectorQueries.IvfTrainIters)
+      .map(_._2)
     val bc = s.sparkContext.broadcast(pivotArr)
     // two-level cell assignment: one narrow JIT'd map, no shuffle
     val assigned = e.map { case (id, v) =>

@@ -30,6 +30,19 @@ object VectorQueries {
   private def q(name: String, doc: String, oracle: Option[String])(fn: QFn) =
     GraftQuery(name, fn, oracle, doc)
 
+  // NOTE: these constants MUST be declared before any oracle `val`
+  // that bakes them into its SQL string (object vals initialize in
+  // declaration order — a forward reference reads 0 and silently
+  // builds an empty-pivot oracle).
+  /** Hard pivot-count ceiling — see [[adaptiveB]]. */
+  private[queries] val MaxPivots = 65536L
+  /** Lloyd iterations for IVF pivot TRAINING (v04/v09/d03): enough to
+    * move the seeds toward real density centers (the recall-improves
+    * spec pins the effect); each extra iteration is one broadcast +
+    * one k×partitions partial-mean shuffle, and the oracle unrolls the
+    * same count in SQL. */
+  private[queries] val IvfTrainIters = 2
+
   /** Double-precision dot product of two array<double> columns —
     * native codegen'd Catalyst expression (see
     * [[graft.plans.ArrayDotProduct]]); bit-identical to the
@@ -185,8 +198,9 @@ object VectorQueries {
   }
 
   /** D4 — IVF-style bucketed ANN (the 100-TB scale path for v01).
-    * Coarse quantizer: B deterministic pivots (the first B corpus
-    * vectors by vec_id — no RNG, fully reproducible); every vector is
+    * Coarse quantizer: B deterministic pivots, KMEANS-TRAINED from the
+    * lowest-B seed vectors (2 Lloyd iterations — no RNG, fully
+    * reproducible, oracle-replayed); every vector is
     * assigned to its nearest pivot by a TYPED map-side argmax over the
     * broadcast pivot array (VectorOps.nearest2Pivots — JIT'd Scala,
     * zero shuffle; the earlier relational crossJoin+max_by formulation
@@ -197,14 +211,15 @@ object VectorQueries {
     * bucket equi-join (no cartesian product / nested-loop anywhere),
     * then re-ranked with exact cosine.
     *
-    * At 100 TB: pivots come from a sampled k-means (still a tiny
-    * broadcast table); assignment stays a narrow map; the candidate
-    * join shuffles only the probed buckets ≈ nProbe/nPivots of the
-    * corpus. The pivot count is the latency knob and is TURNED
-    * automatically like d03's: B = max(16, ⌈√(N/8)⌉), so per-query
-    * candidates ≈ nProbe·N/B stay sub-linear as the corpus grows; B
-    * is a deterministic function of the exact count, mirrored in the
-    * oracle (N ≤ 2048 ⇒ B = 16 — gate results unchanged).
+    * At 100 TB: pivots train on a sample instead of the full corpus
+    * (still a tiny broadcast table); assignment stays a narrow map;
+    * the candidate join shuffles only the probed buckets ≈
+    * nProbe/nPivots of the corpus. The pivot count is the latency
+    * knob and is TURNED automatically like d03's: B = min(cap,
+    * max(16, ⌈√(N/8)⌉)) — see [[adaptiveB]] for the broadcast-ceiling
+    * cap — so per-query candidates ≈ nProbe·N/B stay sub-linear as
+    * the corpus grows; B is a deterministic function of the exact
+    * count, mirrored in the oracle (N ≤ 2048 ⇒ B = 16).
     * Every stage is deterministic (fixed pivots, rounded
     * sims, id tie-breaks), so the DuckDB oracle replicates the FULL
     * approximate pipeline — bucketing, probing, candidate join,
@@ -232,21 +247,47 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Adaptive pivot count with a hard broadcast ceiling:
+    * B = min(MaxPivots, max(16, ⌈√(N/8)⌉)). The √(N/8) rule keeps
+    * per-bucket candidates sub-linear as the corpus grows, but alone
+    * it makes the pivot broadcast itself grow — at N = 10¹² it is
+    * ~354k pivots ≈ 180 MB of doubles at dim 64 (and dim-proportional
+    * beyond). MaxPivots = 65536 caps the broadcast at ~33 MB for
+    * dim 64; past the cap (N > 3.4×10¹⁰, ~34 billion vectors) the
+    * scale path is the SECOND quantizer level d03 already ships —
+    * (nearest, second-nearest) cells square the effective bucket
+    * count (65536² cells) without another pivot byte. Mirrored as
+    * `least(65536, greatest(16, …))` in every IVF oracle so both
+    * engines pick identical pivots at every N. */
+  private[queries] def adaptiveB(n: Long): Long =
+    math.min(MaxPivots, math.max(16L, math.ceil(math.sqrt(n / 8.0)).toLong))
+
   /** The IVF candidate stage SHARED by v04 (top-k) and v09 (radius):
-    * adaptive-B pivots (B = max(16, ⌈√(N/8)⌉), the lowest-B vec_ids),
-    * zero-shuffle map-side assignment over the broadcast pivot array,
-    * nprobe=2 query probing, bucket equi-join candidates with exact
-    * rounded-cosine re-scoring. One definition for the Scala stage and
-    * one for its oracle CTE prefix (ending in `cands`) — a change to
-    * the quantizer applies to both consumers and both engines. */
-  private def ivfCandidates(s: SparkSession, dir: String): DataFrame = {
+    * adaptive-B pivots TRAINED with [[graft.operators.KMeans]] (2
+    * Lloyd iterations over the lowest-B seed vectors — the "sampled
+    * k-means coarse quantizer" the scaladoc always promised, now real;
+    * `trainedPivots = false` keeps the raw lowest-B seeding for the
+    * recall-comparison spec), zero-shuffle map-side assignment over
+    * the broadcast pivot array, nprobe=2 query probing, bucket
+    * equi-join candidates with exact rounded-cosine re-scoring. One
+    * definition for the Scala stage and one for its oracle CTE prefix
+    * (ending in `cands`) — a change to the quantizer applies to both
+    * consumers and both engines. */
+  private[queries] def ivfCandidates(s: SparkSession, dir: String,
+      trainedPivots: Boolean = true): DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps
     val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
-    val nPivots = math.max(16L, math.ceil(math.sqrt(ev.count() / 8.0)).toLong)
-    // pivot table is bounded (B ≪ N) — collect + broadcast, exactly
-    // what a sampled-k-means coarse quantizer does at scale
-    val pivotArr = ev.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
+    val nPivots = adaptiveB(ev.count())
+    // pivot table is bounded (B ≪ N, hard-capped at MaxPivots) —
+    // collect + broadcast; training reads the corpus iters+1 times
+    // (at 100 TB you fit on a sample instead — the contract is only
+    // that pivots are a deterministic bounded array)
+    val pivotArr =
+      if (trainedPivots)
+        graft.operators.KMeans.centroids(ev, nPivots.toInt, IvfTrainIters)
+          .map(_._2)
+      else ev.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
     val bc = s.sparkContext.broadcast(pivotArr)
     // nearest pivot per corpus vector: typed map-side argmax over the
     // broadcast pivots (rounded cosine6, ties toward the lowest
@@ -267,18 +308,54 @@ object VectorQueries {
       .dropDuplicates("query_id", "vec_id")
   }
 
+  /** DuckDB rendering of the TRAINED pivot table, assuming a CTE `e`
+    * (vec_id, v) is in scope: adaptive-capped B, lowest-B seed init,
+    * `iters` unrolled Lloyd iterations (cosine6 rank-1 assignment,
+    * round-8 means — the [[graft.operators.KMeans.centroids]] replay,
+    * same contract v07's oracle already proves), then pivots keyed by
+    * POSITION in cid order (matching the broadcast array index the
+    * typed argmax returns). Shared by v04/v09's `ivfCandidateCtes`
+    * and d03's two-level oracle. */
+  private[queries] def trainedPivotCtes(iters: Int): String = {
+    def assign(prev: String, i: Int): String =
+      s"""ivfa${i}_r AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${duckCos6("e.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN $prev c),
+         |ivfa$i AS (SELECT vec_id, v, cid FROM ivfa${i}_r WHERE rn = 1)""".stripMargin
+    def recompute(i: Int): String =
+      s"""ivfc${i}_x AS (
+         |  SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM ivfa$i),
+         |ivfc$i AS (
+         |  SELECT cid, list(cval ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, round(avg(val), 8) AS cval
+         |    FROM ivfc${i}_x GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      assign(if (i == 1) "ivfc0" else s"ivfc${i - 1}", i) + ",\n" + recompute(i)
+    }
+    (Seq(
+      s"""b AS (
+         |  SELECT least($MaxPivots, greatest(16,
+         |           CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT))) AS npiv
+         |  FROM e)""".stripMargin,
+      """ivfc0 AS (
+        |  SELECT vec_id AS cid, v AS cv FROM (
+        |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        |  WHERE rn <= (SELECT npiv FROM b))""".stripMargin) ++
+      steps ++ Seq(
+      s"""p AS (
+         |  SELECT row_number() OVER (ORDER BY cid) - 1 AS pivot_id, cv AS pv
+         |  FROM ivfc$iters)""".stripMargin)).mkString(",\n")
+  }
+
   /** DuckDB rendering of [[ivfCandidates]] — CTEs `e..cands`. */
   private def ivfCandidateCtes: String =
     s"""e AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |         CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |b AS (
-       |  SELECT greatest(16, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) AS npiv
-       |  FROM e),
-       |p AS (
-       |  SELECT vec_id AS pivot_id, v AS pv FROM e
-       |  WHERE vec_id < (SELECT npiv FROM b)),
+       |${trainedPivotCtes(IvfTrainIters)},
        |scored AS (
        |  SELECT e.vec_id, e.v, p.pivot_id, ${duckCos6("e.v", "p.pv")} AS psim
        |  FROM e CROSS JOIN p),
