@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * batches in, iterator of batches out; here `Dataset.mapPartitions`
   * with case-class encoders, which is Spark's typed batch boundary).
   *
-  * The actual codec step is a STUB by design — no image/audio
-  * libraries exist in this environment — implemented as a
-  * deterministic byte-statistics featurizer, clearly marked below.
-  * Everything around it (schema, binary handling, batch shape,
-  * partitioning, metadata propagation) is real and tested; swapping
-  * `stubDecode` for a JNI/ImageIO decoder changes no plumbing.
+  * Codec status: IMAGES decode for real — `javax.imageio` ships in
+  * the JDK (PNG/BMP/GIF/JPEG), so no external jars are needed even in
+  * a zero-egress environment; kind == "image" payloads are decoded to
+  * pixels, featurized as a deterministic integer-luma histogram, and
+  * resized with nearest-neighbor resampling + PNG re-encode.
+  * Audio/video decode remains the documented STUB (the JDK carries no
+  * codec for them): a deterministic byte-statistics featurizer,
+  * clearly marked below. An undecodable "image" payload falls back to
+  * the stub rather than failing the task — a corrupt blob in a 100 TB
+  * corpus must never kill the job.
   *
   * 100 TB notes: media rows are large (MBs) — the partitioning unit
   * must be rows-per-task, not bytes-per-split; callers repartition by
@@ -35,11 +39,11 @@ object Multimodal {
   case class MediaFeatures(mediaId: Long, kind: String, features: Array[Float])
   case class Frame(mediaId: Long, frameIdx: Int, payload: Array[Byte])
 
-  /** ======= STUB CODEC =======
+  /** ======= STUB CODEC (audio/video only since round 5) =======
     * Deterministic stand-in for a real decoder: a 16-bin byte-value
-    * histogram, L1-normalized. A real implementation would decode
-    * pixels/samples here; the signature and batch shape are the
-    * production ones. */
+    * histogram, L1-normalized. Images take the REAL [[readImage]]
+    * path; this remains the audio/video featurizer (no JDK codec) and
+    * the corrupt-image fallback. */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     var i = 0
@@ -51,13 +55,54 @@ object Multimodal {
     bins.map(_ / n)
   }
 
+  /** ======= REAL IMAGE CODEC (JDK-native javax.imageio) ======= */
+
+  /** Decode an image payload (PNG/BMP/GIF/JPEG — whatever the JDK's
+    * registered readers accept). None for undecodable bytes: the
+    * caller falls back to the stub instead of failing the task. */
+  def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** 16-bin PIXEL-luminance histogram, L1-normalized — the real-image
+    * analog of [[stubDecode]]'s byte histogram. Luma is the integer
+    * Rec.601 weighting ((299·R + 587·G + 114·B) / 1000): pure int
+    * math, so the features are bit-deterministic across JVMs. */
+  def imageHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val bins = new Array[Float](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        bins(luma >>> 4) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(1, img.getWidth * img.getHeight).toFloat
+    bins.map(_ / n)
+  }
+
+  /** Kind-dispatched decode: real pixels for decodable images, the
+    * documented stub for everything else (and for corrupt image
+    * bytes). */
+  def decode(kind: String, payload: Array[Byte]): Array[Float] =
+    if (kind == "image")
+      readImage(payload).map(imageHistogram).getOrElse(stubDecode(payload))
+    else stubDecode(payload)
+
   /** Feature extraction over a typed media Dataset — partition-batch
     * iterator in/out (mapInPandas analog). The iterator is streamed:
     * constant memory per task regardless of partition size. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map(r => MediaFeatures(r.mediaId, r.meta.kind, stubDecode(r.payload)))
+      rows.map(r =>
+        MediaFeatures(r.mediaId, r.meta.kind, decode(r.meta.kind, r.payload)))
     }
   }
 
@@ -77,14 +122,42 @@ object Multimodal {
     }
   }
 
-  /** "Resize" stub: truncate-or-zero-pad the payload to targetBytes
-    * and update metadata — exercises metadata propagation through a
-    * transform (a real impl would re-encode). */
+  /** Nearest-neighbor image resize + PNG re-encode — deterministic
+    * (manual integer-index resampling, no Graphics2D interpolation
+    * whose rendering hints can vary). None for undecodable bytes. */
+  def resizeImage(payload: Array[Byte], targetW: Int,
+      targetH: Int): Option[Array[Byte]] =
+    readImage(payload).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < targetH) {
+        var x = 0
+        while (x < targetW) {
+          out.setRGB(x, y,
+            img.getRGB(x * img.getWidth / targetW, y * img.getHeight / targetH))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Resize: REAL pixel resampling + PNG re-encode for decodable
+    * "image" payloads; the byte-level truncate-or-zero-pad contract
+    * (to targetBytes) for every other kind and for corrupt image
+    * bytes — both paths update metadata, exercising its propagation
+    * through a transform. */
   def resizeTo(media: Dataset[MediaRow], targetBytes: Int,
       targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      val out = java.util.Arrays.copyOf(r.payload, targetBytes)
+      val out =
+        (if (r.meta.kind == "image") resizeImage(r.payload, targetW, targetH)
+         else None)
+          .getOrElse(java.util.Arrays.copyOf(r.payload, targetBytes))
       r.copy(meta = r.meta.copy(width = targetW, height = targetH), payload = out)
     }
   }

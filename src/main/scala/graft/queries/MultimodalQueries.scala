@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * the binary payloads are the documents' UTF-8 bytes — a genuine
   * opaque binary column exercising the same plumbing (binary schema,
   * typed Dataset boundary, partition-batch decode, 1:N frame fan-out)
-  * that image/audio blobs would. The codec itself is the documented
-  * deterministic stub in [[Multimodal.stubDecode]].
+  * that image/audio blobs would. These text-byte payloads take the
+  * deterministic stub featurizer ([[Multimodal.stubDecode]], kind ≠
+  * "image"), which the DuckDB oracles mirror from character codes;
+  * actual images decode for REAL through the JDK-native ImageIO path
+  * ([[Multimodal.decode]]/[[Multimodal.resizeImage]]), pinned by
+  * MultimodalSpec on generated PNG fixtures.
   */
 object MultimodalQueries {
   private type QFn = (SparkSession, String) => DataFrame

@@ -53,6 +53,58 @@ class MultimodalSpec extends SparkSpec {
     assert(out.meta.kind === "image")
   }
 
+  /** Deterministic 8×8 quadrant PNG: TL black, TR white, BL red,
+    * BR green — encoded with the JDK's own ImageIO writer. */
+  private def quadrantPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val c =
+        if (x < 4 && y < 4) 0x000000
+        else if (x >= 4 && y < 4) 0xffffff
+        else if (x < 4) 0xff0000
+        else 0x00ff00
+      img.setRGB(x, y, c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image decode is REAL: PNG pixels drive the luminance histogram") {
+    // quadrants: black → luma 0 (bin 0), white → 255 (bin 15),
+    // red → 299·255/1000 = 76 (bin 4), green → 587·255/1000 = 149
+    // (bin 9); 16 pixels each of 64 ⇒ 0.25 per bin
+    val png = quadrantPng()
+    val out = extractFeatures(Seq(media(1, "image", png)).toDS()).head()
+    val f = out.features
+    assert(f(0) === 0.25f && f(15) === 0.25f && f(4) === 0.25f && f(9) === 0.25f,
+      s"pixel histogram wrong: ${f.toSeq}")
+    assert(f.sum === 1.0f)
+    // and it is NOT the byte-histogram stub over the encoded PNG
+    assert(f.toSeq !== stubDecode(png).toSeq,
+      "features match the byte stub — the image was never decoded")
+  }
+
+  test("corrupt image bytes fall back to the stub instead of failing the task") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val out = extractFeatures(Seq(media(2, "image", junk)).toDS()).head()
+    assert(out.features.toSeq === stubDecode(junk).toSeq)
+  }
+
+  test("image resize is REAL: nearest-neighbor pixels survive the PNG round trip") {
+    val out = resizeTo(Seq(media(3, "image", quadrantPng())).toDS(),
+      targetBytes = 9999, targetW = 2, targetH = 2).head()
+    assert(out.meta.width === 2 && out.meta.height === 2)
+    val img = readImage(out.payload).get
+    assert(img.getWidth === 2 && img.getHeight === 2)
+    // NN sampling hits (0,0), (4,0), (0,4), (4,4) — the quadrant colors
+    assert((img.getRGB(0, 0) & 0xffffff) === 0x000000)
+    assert((img.getRGB(1, 0) & 0xffffff) === 0xffffff)
+    assert((img.getRGB(0, 1) & 0xffffff) === 0xff0000)
+    assert((img.getRGB(1, 1) & 0xffffff) === 0x00ff00)
+  }
+
   test("m05 chunk store: every document reassembles byte-identically") {
     val df = graft.queries.MultimodalQueries.m05ChunkStore
       .fn(spark, "/root/testdata/sf0.001")
