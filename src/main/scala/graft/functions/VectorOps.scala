@@ -56,6 +56,35 @@ object VectorOps {
     (b1, b2)
   }
 
+  /** Squared L2 distance between `b` and the window of `a` starting
+    * at `off`, in integer MICRO-UNITS: floor(Σ(a−b)²·10⁶ + 0.5). The
+    * double fold is sequential (identical on both engines), and the
+    * micro-int result makes every downstream SUM order-free and
+    * exact — the v10 PQ contract (a sum of rounded DOUBLES would be
+    * order-dependent in a SQL aggregate; a sum of BIGINTs is not). */
+  def l2sqMicro(a: Array[Double], off: Int, b: Array[Double]): Long = {
+    var s = 0.0
+    var i = 0
+    while (i < b.length) { val d = a(off + i) - b(i); s += d * d; i += 1 }
+    math.floor(s * 1e6 + 0.5).toLong
+  }
+
+  /** Index of the nearest codebook entry for the subvector of `a` at
+    * `off` (micro-unit L2, strict `<` ⇒ first wins ⇒ lowest code id
+    * when entries are sorted by code — the SQL rank-1 tie order). */
+  def nearestCodeIdx(a: Array[Double], off: Int,
+      codebook: Array[(Int, Array[Double])]): Int = {
+    var best = 0
+    var bd = Long.MaxValue
+    var c = 0
+    while (c < codebook.length) {
+      val d = l2sqMicro(a, off, codebook(c)._2)
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Nearest labeled centroid by ROUNDED cosine6 with first-wins ties
     * (callers pass centroids sorted ascending by id, so ties resolve
     * to the LOWEST id — identical to rank 1 of

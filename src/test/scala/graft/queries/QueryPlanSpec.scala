@@ -139,6 +139,37 @@ class QueryPlanSpec extends SparkSpec {
     assert(recall >= 0.4, f"trained-pivot recall $recall%.2f < 0.4")
   }
 
+  test("v10 PQ: broadcast-only plan; ADC shortlist + refine finds true neighbors") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // plan shape: encoding + ADC are broadcast-codebook map work, and
+    // the refine stage fetches raw vectors through a BROADCAST join of
+    // the Q×C shortlist — no shuffled join anywhere
+    val p = plan("v10_pq_adc_knn")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"PQ must not shuffle-join the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the refine fetch must broadcast the bounded shortlist:\n$p")
+    // quality: top-3 by 8-BYTE codes vs exact-L2 top-3 on raw vectors
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.where($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv"))
+    val l2 = aggregate(zip_with($"v", $"qv", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"d", $"vec_id")
+    val exact = e.crossJoin(broadcast(q)).where($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", l2.as("d"))
+      .withColumn("rnk", row_number().over(w)).where($"rnk" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = QueryRegistry.asMap("v10_pq_adc_knn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(f"PQ ADC recall vs exact L2 top-3: $recall%.2f")
+    assert(recall >= 0.4, f"PQ recall $recall%.2f < 0.4")
+  }
+
   test("adaptiveB: broadcast ceiling holds at any corpus size") {
     // √(N/8) alone grows the pivot broadcast unboundedly (~180 MB of
     // dim-64 doubles at N = 10¹²); the cap pins it
