@@ -44,6 +44,12 @@ object Bench {
       .getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    // id prefixes key the stdout JSON line (see below) — check
+    // uniqueness BEFORE the timing loop so a collision fails in
+    // milliseconds instead of discarding a fully-measured run
+    def idOf(name: String): String = name.takeWhile(_ != '_')
+    require(selected.map(s => idOf(s._1)).distinct.size == selected.size,
+      "query id prefixes must stay unique — a duplicate would silently drop a bench entry")
     // Two timed executions per query, report the MIN: a single-JVM
     // local bench sees multi-second GC / system-noise spikes on
     // individual queries (observed: the same query 0.7 s on one run,
@@ -77,9 +83,6 @@ object Bench {
     // the line well under the window; the full-name map, the failure
     // list and the total are also written to BENCH_FULL.json beside
     // the repo for round-over-round diffs at full fidelity.
-    def idOf(name: String): String = name.takeWhile(_ != '_')
-    require(results.map(r => idOf(r._1)).distinct.size == results.size,
-      "query id prefixes must stay unique — a duplicate would silently drop a bench entry")
     val qs = results.map { case (k, v) =>
       "\"" + idOf(k) + "\":" + v.map(t => f"$t%.3f").getOrElse("-1")
     }.mkString("{", ",", "}")

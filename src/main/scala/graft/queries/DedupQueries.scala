@@ -31,8 +31,21 @@ object DedupQueries {
   private def q(name: String, doc: String, oracle: Option[String])(fn: QFn) =
     GraftQuery(name, fn, oracle, doc)
 
+  // NOTE: constants the oracle strings bake into their SQL MUST be
+  // declared before the first consuming `val` (object vals initialize
+  // in declaration order; a forward reference reads 0 and silently
+  // builds a degenerate oracle — caught twice by the gate this round).
   private val MinhashBands = 13
   private val MinhashRows = 5 // 65 hash functions total
+
+  /** Per-doc candidate budget for the SimHash band buckets: the
+    * banded join may generate at most `BudgetPerDoc × N` candidate
+    * pairs. Chosen so the correctness SFs never skip (random-pair
+    * collision mass ≈ N²/964 stays under 64·N up to N ≈ 62k docs)
+    * while the replicas are WORK-BOUNDED: the budget converts the
+    * fixed-p quadratic floor into linear work plus a DISCLOSED recall
+    * loss (`skipped_candidates` column). */
+  private val BudgetPerDoc = 64L
 
   /** Distinct 3-token shingles of a text column (guarded for short
     * docs: <3 tokens degrades to the whole-doc string). */
@@ -61,8 +74,8 @@ object DedupQueries {
   val d01MinHashLsh: GraftQuery = q(
     "d01_minhash_lsh_dedup",
     "D3 shingle→minhash→band→bucket-join→verify near-dup pairs",
-    Some("""WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       |  FROM documents),
       |s AS (
       |  SELECT doc_id,
@@ -89,16 +102,16 @@ object DedupQueries {
       |    SELECT i, 1 + (((sd*sd + sd) % 1000000007) % 1000000006) AS a
       |    FROM (
       |      SELECT i, ((i + 1) * 1000003) % 1000000007 AS sd
-      |      FROM (SELECT unnest(generate_series(0, 64)) AS i)))),
+      |      FROM (SELECT unnest(generate_series(0, ${MinhashBands * MinhashRows - 1})) AS i)))),
       |hm AS (
       |  SELECT doc_id, i, min(((y*y + y) % 1000000007)) AS m
       |  FROM (SELECT h.doc_id, f.i, ((h.x * f.a + f.b) % 1000000007) AS y
       |        FROM hx h CROSS JOIN af f)
       |  GROUP BY doc_id, i),
       |bands AS (
-      |  SELECT doc_id, i // 5 AS band,
+      |  SELECT doc_id, i // $MinhashRows AS band,
       |         list_reduce(list(m ORDER BY i), (k, m) -> (k*131 + m) % 1000000007) AS sig
-      |  FROM hm GROUP BY doc_id, i // 5),
+      |  FROM hm GROUP BY doc_id, i // $MinhashRows),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
@@ -264,7 +277,7 @@ object DedupQueries {
       |mass AS (
       |  SELECT """.stripMargin + keys + """, m_e * m_p AS cand
       |  FROM me JOIN mp USING (""".stripMargin + keys + """)),
-      |budget AS (SELECT 64 * count(*) AS b FROM documents),
+      |budget AS (SELECT """.stripMargin + BudgetPerDoc + """ * count(*) AS b FROM documents),
       |budgeted AS (
       |  SELECT *, sum(cand) OVER (ORDER BY cand, """.stripMargin + keys + """
       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -312,15 +325,6 @@ object DedupQueries {
     Some(simhashOracle(sharded = true))
   ) { (s, dir) => simhashPairs(s, dir, sharded = true) }
 
-  /** Per-doc candidate budget for the SimHash band buckets: the
-    * banded join may generate at most `BudgetPerDoc × N` candidate
-    * pairs. Chosen so the correctness SFs never skip (random-pair
-    * collision mass ≈ N²/964 stays under 64·N up to N ≈ 62k docs)
-    * while the replicas are WORK-BOUNDED: the budget converts the
-    * fixed-p quadratic floor into linear work plus a DISCLOSED recall
-    * loss (`skipped_candidates` column). */
-  private val BudgetPerDoc = 64L
-
   /** Shared SimHash pair pipeline — d02 (global index) and d06
     * (lang-sharded index) differ only in whether `lang` joins the
     * banding key and bounds the verify. */
@@ -333,6 +337,14 @@ object DedupQueries {
     // slice, the distance is bit_count(lo⊕lo') + bit_count(hi⊕hi').
     // No array columns, no interpreted higher-order functions anywhere.
     val docs = Tables(s, dir, "documents")
+    // persist the sketching stage: the budget machinery makes the
+    // typed simhash lineage feed FOUR consumers (m_e and m_p bucket
+    // counts + both candidate-join sides), and unlike d01's banded
+    // self-join these are four DIFFERENT exchanges, so nothing is
+    // ReusedExchange-shared — uncached, the dominant sketch cost would
+    // run 4×. The cache is N primitive rows (two longs + lang) and is
+    // LRU-evictable; it materializes on first execution and is shared
+    // by every consumer of the returned (lazy) frame.
     val signed = docs
       .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
       .map { case (id, lang, text) =>
@@ -341,6 +353,7 @@ object DedupQueries {
         (id, lang, lo, hi)
       }
       .toDF("doc_id", "lang", "lo", "hi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = signed
       .select($"doc_id", $"lang", $"lo", $"hi",
         explode(sequence(lit(0), lit(7))).as("band"))

@@ -791,9 +791,9 @@ object VectorQueries {
 
   /** D4 — PRODUCT QUANTIZATION + ADC scan (Jégou et al., TPAMI'11 —
     * the standard billion-scale ANN compression): split each dim-64
-    * vector into M=8 subvectors, train a K=16-entry codebook per
-    * subspace (one Lloyd iteration from the lowest-id seeds — the
-    * v07/v04 determinism contract, per-subspace), encode every vector
+    * vector into M=16 subvectors of 4 dims, train a K=32-entry
+    * codebook per subspace (one Lloyd iteration from the lowest-id
+    * seeds — the v07/v04 determinism contract), encode every vector
     * as M one-byte codes (32× smaller than raw doubles; v05's int8 is
     * only 4×), answer queries by Asymmetric Distance Computation
     * (approx L2²(q, x) = Σ_m L2²(q_m, codebook_m[code_m(x)])) into a
@@ -824,12 +824,16 @@ object VectorQueries {
     * correctness gate, v05's pattern. */
   val v10PqAdcKnn: GraftQuery = q(
     "v10_pq_adc_knn",
-    "D4 product quantization: per-subspace codebooks + ADC scan (64x compression)",
+    "D4 product quantization: per-subspace codebooks + ADC scan (32x compression) + exact refine",
     Some(pqSql)
   ) { (s, dir) =>
     import s.implicits._
     import graft.functions.VectorOps
+    // persist across the five consumers (seed collect, training pass,
+    // query collect, ADC scan, refine fetch) — the KMeans
+    // cache-across-actions rule; primitive rows, LRU-evictable
     val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed codebooks: the K lowest-id vectors' subvectors, code id =
     // seed rank (bounded TakeOrdered collect, the v04 pivot contract)
     val seeds = ev.toDF("id", "v").orderBy($"id").limit(PqK)
@@ -839,9 +843,9 @@ object VectorQueries {
     val seedCb: Array[Array[(Int, Array[Double])]] =
       Array.tabulate(PqM)(m => seeds.zipWithIndex.map { case (v, c) => (c, slice(v, m)) })
     val bcSeed = s.sparkContext.broadcast(seedCb)
-    // ONE Lloyd iteration for all 8 subspaces in one corpus pass:
+    // ONE Lloyd iteration for all M subspaces in one corpus pass:
     // map-side assignment over the broadcast seeds, then a single
-    // (m, code)-keyed partial-mean shuffle (VectorAgg — 8·16·partitions
+    // (m, code)-keyed partial-mean shuffle (VectorAgg — M·K·partitions
     // partial rows, never the corpus)
     val trained = ev.flatMap { case (_, v) =>
       (0 until PqM).iterator.map { m =>

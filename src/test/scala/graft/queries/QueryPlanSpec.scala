@@ -151,7 +151,8 @@ class QueryPlanSpec extends SparkSpec {
       s"PQ must not shuffle-join the corpus:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the refine fetch must broadcast the bounded shortlist:\n$p")
-    // quality: top-3 by 8-BYTE codes vs exact-L2 top-3 on raw vectors
+    // quality: top-3 via 16-byte codes (+ exact refine) vs exact-L2
+    // top-3 on the raw 512-byte vectors
     val e = graft.Tables(spark, sf, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val q = e.where($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv"))
