@@ -511,9 +511,12 @@ object DedupQueries {
   ) { (s, dir) =>
     import s.implicits._
     import graft.functions.VectorOps
+    // persist across the count/train/assign consumers (the KMeans
+    // cache-across-actions rule; primitive rows, LRU-evictable)
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adaptive pivot count: B = min(cap, max(16, ceil(sqrt(N/8))))
     // keeps cells ~8 vectors so the within-cell pair join stays ~8·N
     // as N grows (the broadcast cap + second cell level take over past

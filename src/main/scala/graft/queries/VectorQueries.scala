@@ -277,7 +277,10 @@ object VectorQueries {
       trainedPivots: Boolean = true): DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps
+    // persist across the count/train/assign/probe consumers (the
+    // KMeans cache-across-actions rule; primitive rows, LRU-evictable)
     val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPivots = adaptiveB(ev.count())
     // pivot table is bounded (B ≪ N, hard-capped at MaxPivots) —
     // collect + broadcast; training reads the corpus iters+1 times
