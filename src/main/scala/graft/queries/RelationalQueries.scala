@@ -918,6 +918,59 @@ object RelationalQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** q28 — Z-ORDER layout audit ([[graft.operators.ZOrder]], the
+    * lakehouse OPTIMIZE ZORDER primitive): quantize (l_partkey,
+    * l_suppkey) to 16 bits each, interleave to the Morton z-value,
+    * and report per-z-bucket row counts and BOTH dims' min/max — the
+    * multidimensional-locality property itself under the correctness
+    * gate (every bucket's ranges are narrow in BOTH columns, which is
+    * what lets a box predicate prune files; a 1-dim sort narrows only
+    * its own column). ZOrderSpec additionally measures the payoff:
+    * a z-laid-out parquet dir serves a box filter from FEWER FILES
+    * than the natural layout. Quantization, interleaving, and
+    * bucketing are generated from ONE fragment shared with the oracle
+    * — pure BIGINT bit math, engine-exact. The global min/max pair is
+    * the one bounded scalar round-trip (the c04 contract). */
+  val q28ZorderLayout: GraftQuery = {
+    import graft.operators.ZOrder
+    val zD = ZOrder.interleaveSql(
+      ZOrder.quantizeSql("l_partkey", "b.mnx", "b.mxx", "//"),
+      ZOrder.quantizeSql("l_suppkey", "b.mny", "b.mxy", "//"))
+    q(
+      "q28_zorder_layout",
+      "Z-order (Morton) layout: interleaved-bit buckets keep BOTH dims' ranges narrow",
+      s"""WITH b AS (
+        |  SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+        |         min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT ($zD) >> 26 AS zbucket, l_partkey, l_suppkey
+        |  FROM lineitem CROSS JOIN b)
+        |SELECT zbucket, count(*) AS rows_in_bucket,
+        |       CAST(min(l_partkey) AS BIGINT) AS part_min,
+        |       CAST(max(l_partkey) AS BIGINT) AS part_max,
+        |       CAST(min(l_suppkey) AS BIGINT) AS supp_min,
+        |       CAST(max(l_suppkey) AS BIGINT) AS supp_max
+        |FROM z GROUP BY zbucket
+        |ORDER BY zbucket""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_partkey", $"l_suppkey")
+      val r = li.agg(
+        min($"l_partkey"), max($"l_partkey"),
+        min($"l_suppkey"), max($"l_suppkey")).head()
+      val zc = ZOrder.zValue(
+        "l_partkey", r.getLong(0), r.getLong(1),
+        "l_suppkey", r.getLong(2), r.getLong(3))
+      li.withColumn("zbucket", shiftright(zc, 26))
+        .groupBy($"zbucket")
+        .agg(count(lit(1)).as("rows_in_bucket"),
+          min($"l_partkey").as("part_min"), max($"l_partkey").as("part_max"),
+          min($"l_suppkey").as("supp_min"), max($"l_suppkey").as("supp_max"))
+        .orderBy($"zbucket")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -925,5 +978,5 @@ object RelationalQueries {
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
-    q26IntervalJoin, q27RollingZscore)
+    q26IntervalJoin, q27RollingZscore, q28ZorderLayout)
 }
