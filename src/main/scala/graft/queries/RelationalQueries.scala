@@ -971,6 +971,53 @@ object RelationalQueries {
     }
   }
 
+  /** q29 — bucketed co-located fact–fact join
+    * ([[graft.operators.Bucketing]]): lineitem and orders are first
+    * laid out as bucketed tables on the orderkey (same murmur3 bucket
+    * function, same count), then joined — Catalyst sees matching
+    * `HashPartitioning` from BOTH scans and plans a sort-merge join
+    * with ZERO exchanges under it (BucketedJoinSpec pins this). This
+    * is the write-once/join-forever primitive for the reference's
+    * daily `TransformTaxiTrips.py:93-113` batch: at 100 TB the layout
+    * write is paid once and every subsequent run's dominant shuffle
+    * disappears. Results are layout-independent, so the oracle is the
+    * plain join. */
+  val q29BucketedJoin: GraftQuery = q(
+    "q29_bucketed_join",
+    "bucketed co-located join: persisted co-partitioning, zero-exchange SMJ",
+    """SELECT o_orderpriority AS priority,
+      |       count(*) AS line_cnt,
+      |       round(sum(l_quantity), 2) AS total_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity >= 30
+      |GROUP BY o_orderpriority
+      |ORDER BY priority""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Bucketing
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
+    val li = Bucketing.writeBucketed(
+      Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice"),
+      "l_orderkey", 16, s"graft_li_$tag", s"$base/lineitem")
+    val ord = Bucketing.writeBucketed(
+      Tables(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+      "o_orderkey", 16, s"graft_ord_$tag", s"$base/orders")
+    // the merge hint keeps the planner off the broadcast path the
+    // small test SFs would otherwise take (two 50-TB fact sides can
+    // only sort-merge) so the zero-exchange bucketed plan is the one
+    // exercised — and pinned by BucketedJoinSpec — at every scale
+    li.where($"l_quantity" >= 30).hint("merge")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("line_cnt"),
+        round(sum($"l_quantity"), 2).as("total_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"))
+      .orderBy($"priority")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -978,5 +1025,5 @@ object RelationalQueries {
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
-    q26IntervalJoin, q27RollingZscore, q28ZorderLayout)
+    q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin)
 }
