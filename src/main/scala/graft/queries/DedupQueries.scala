@@ -752,7 +752,59 @@ object DedupQueries {
       .join(keep, Seq("cluster"))
   }
 
+  /** d08 — latest-crawl-wins snapshot upsert
+    * ([[graft.operators.SnapshotMerge]]): the corpus (version 1) merged
+    * with a deterministic recrawl delta — every 7th doc recrawled as
+    * version 2 with uppercased text, every 13th doc id spawning a NEW
+    * doc above the id range — then summarized per (lang, source). The
+    * recrawl marker (text = upper(text)) and the version sum prove the
+    * window kept exactly the right row per key; union + one per-key
+    * window (2-row partitions) is the whole cost. Oracle replays the
+    * identical union + ROW_NUMBER in DuckDB. */
+  val d08SnapshotUpsert: GraftQuery = q(
+    "d08_snapshot_upsert",
+    "CDC latest-writer-wins merge: base + recrawl delta -> one row per key",
+    Some("""WITH base AS (
+      |  SELECT doc_id, text, lang, source, 1 AS version, 0 AS origin
+      |  FROM documents),
+      |delta AS (
+      |  SELECT doc_id, upper(text) AS text, lang, source, 2 AS version, 1 AS origin
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text, lang, 'recrawl' AS source, 1 AS version, 1 AS origin
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |merged AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY version DESC, origin DESC) AS rn
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
+      |SELECT lang, source, count(*) AS docs,
+      |       CAST(sum(version) AS BIGINT) AS version_sum,
+      |       CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS upper_docs
+      |FROM merged WHERE rn = 1
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source")
+    val base = docs.withColumn("version", lit(1))
+    val delta = docs.where($"doc_id" % 7 === 0)
+      .withColumn("text", upper($"text"))
+      .withColumn("version", lit(2))
+      .unionByName(docs.where($"doc_id" % 13 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000000L)
+        .withColumn("source", lit("recrawl"))
+        .withColumn("version", lit(1)))
+    graft.operators.SnapshotMerge.latestWins(base, delta, "doc_id", "version")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("docs"),
+        sum($"version").as("version_sum"),
+        sum(when($"text" === upper($"text"), 1).otherwise(0)).as("upper_docs"))
+      .orderBy($"lang", $"source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
-    d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect)
+    d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
+    d08SnapshotUpsert)
 }
