@@ -890,9 +890,74 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** t17 — corpus-level boilerplate segment removal (C4/RefinedWeb
+    * line-dedup, adapted to the flat token streams of `documents`:
+    * the "line" is a fixed non-overlapping 3-token segment). Exact
+    * SUB-document dedup — the family member t04 (whole-doc) and t12
+    * (chunking, no dedup) don't cover: count each segment's distinct
+    * docs corpus-wide, mark segments seen in ≥ 2 docs as boilerplate,
+    * and emit per doc the kept/dropped mass plus an md5 of the
+    * reassembled (position-ordered) cleaned text — reassembly is the
+    * part that keeps this an edit, not just a filter report.
+    *
+    * Scale: explode to (doc_id, pos, segment) — tokens/3 rows, narrower
+    * than the t07 winnowing explode — one hash agg on segment, one
+    * shuffle join back, one per-doc agg whose collect buffer is bounded
+    * by document length (t12 pins docs at ≤ ~1k tokens ⇒ ≤ ~350
+    * segments). The segment-frequency table is the reusable artifact: a
+    * real pipeline computes it once per crawl and anti-joins every
+    * shard against it. */
+  val t17BoilerplateRemoval: GraftQuery = q(
+    "t17_boilerplate_removal",
+    "corpus-wide exact segment dedup: flag+strip 3-token segments seen in >=2 docs",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, toks,
+      |         unnest(generate_series(0, (len(toks) + 2) // 3 - 1)) AS pos
+      |  FROM t),
+      |segs AS (
+      |  SELECT doc_id, pos,
+      |         array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS seg
+      |  FROM ex),
+      |counts AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg),
+      |f AS (SELECT s.doc_id, s.pos, s.seg, c.n_docs
+      |      FROM segs s JOIN counts c USING (seg))
+      |SELECT doc_id,
+      |       count(*) AS n_segments,
+      |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS boiler_segments,
+      |       md5(coalesce(string_agg(CASE WHEN n_docs < 2 THEN seg END,
+      |                               ' ' ORDER BY pos), '')) AS kept_md5
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val toks = tokens($"text")
+    val segs = Tables(s, dir, "documents")
+      .select($"doc_id",
+        posexplode(transform(
+          // ceil(n/3) segments: (n+2) div 3 — int division on both
+          // engines (Column `/` is double division, hence the expr)
+          sequence(lit(0), expr("(size(split(trim(text), '\\\\s+')) + 2) div 3 - 1")),
+          i => array_join(slice(toks, i * 3 + 1, lit(3)), " "))).as(Seq("pos", "seg")))
+    val counts = segs.groupBy($"seg")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    segs.join(counts, "seg")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when($"n_docs" >= 2, 1).otherwise(0)).as("boiler_segments"),
+        md5(array_join(transform(
+          array_sort(collect_list(when($"n_docs" < 2, struct($"pos", $"seg")))),
+          _.getField("seg")), " ")).as("kept_md5"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
     t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks, t13PiiScrub,
-    t14BigramLm, t15RepetitionFilter, t16ZipfFit)
+    t14BigramLm, t15RepetitionFilter, t16ZipfFit, t17BoilerplateRemoval)
 }
