@@ -340,4 +340,37 @@ class QueryPlanSpec extends SparkSpec {
         s"$n: per-partition rank-limit pushdown missing:\n$p")
     }
   }
+
+  test("q28: the z-value audit scans only the two layout columns") {
+    val p = plan("q28_zorder_layout")
+    // column pruning must reach the scan — the z bit math needs only
+    // (l_partkey, l_suppkey); reading more at 100 TB is reading TBs
+    // of dead columns
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_partkey") && read.contains("l_suppkey"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"),
+      s"q28 must prune to the two layout columns:\n$read")
+    assert(!p.contains("Window"), "q28 is agg-only; no window may appear")
+  }
+
+  test("d08: merge is union + ONE per-key window, never a join") {
+    val p = plan("d08_snapshot_upsert")
+    assert(p.contains("Union"), s"merge must be union-based:\n$p")
+    assert("Window\\b".r.findAllIn(p).size >= 1 && p.contains("row_number"))
+    // a full-outer-join merge would build hash tables of BOTH sides;
+    // the union+window shape is the whole point of SnapshotMerge
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      s"d08 must not plan any join:\n$p")
+    assert(p.contains("partitionBy") || !p.contains("No Partition Defined"),
+      "the merge window must be keyed, never global")
+  }
+
+  test("t17: segment dedup joins on the segment key; no window anywhere") {
+    val p = plan("t17_boilerplate_removal")
+    assert(p.contains("Join"), s"segment-frequency join missing:\n$p")
+    assert(p.contains("seg"), "join/agg must key on the segment column")
+    assert(!p.contains("Window"),
+      "t17 is explode+agg+join+agg; a window would mean a global sort crept in")
+  }
 }
