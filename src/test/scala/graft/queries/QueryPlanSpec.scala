@@ -367,10 +367,17 @@ class QueryPlanSpec extends SparkSpec {
   }
 
   test("t17: segment dedup joins on the segment key; no window anywhere") {
-    val p = plan("t17_boilerplate_removal")
+    val df = QueryRegistry.asMap("t17_boilerplate_removal")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("Join"), s"segment-frequency join missing:\n$p")
     assert(p.contains("seg"), "join/agg must key on the segment column")
     assert(!p.contains("Window"),
       "t17 is explode+agg+join+agg; a window would mean a global sort crept in")
+    // the segment-frequency table is vocabulary-bounded (tiny next to
+    // the exploded segs), so AQE must turn the join-back into a
+    // broadcast — the corpus-sized side never shuffles for the join
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the segment-frequency side:\n$p")
   }
 }
