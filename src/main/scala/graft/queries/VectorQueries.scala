@@ -914,8 +914,43 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** v11 — hard-negative mining, the contrastive-training data-prep
+    * op (the training loop wants, per anchor, candidates that are
+    * SIMILAR but not duplicates — a cosine band, not a top-k): reuse
+    * [[ivfCandidates]]' shared IVF stage, keep candidates with sim in
+    * [0.25, 0.60), rank per query (rounded-sim desc, id tie-break —
+    * engine-independent order) and emit the top 10. Same banded
+    * candidate generation as v04/v09 ⇒ the oracle shares their CTEs;
+    * the band's upper edge is what distinguishes this from v04 (whose
+    * top-k IS the near-dup mass the negative set must exclude).
+    * The rank window rides the IVF-bounded candidate set — never the
+    * corpus. */
+  val v11HardNegatives: GraftQuery = q(
+    "v11_hard_negative_mining",
+    "D4 contrastive-training prep: per-query top-k in a cosine band (similar, not dup)",
+    Some(s"""WITH $ivfCandidateCtes,
+      |band AS (
+      |  SELECT query_id, vec_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM cands WHERE sim >= 0.25 AND sim < 0.60)
+      |SELECT query_id, rnk, vec_id AS negative_id, sim
+      |FROM band WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    ivfCandidates(s, dir)
+      .where($"sim" >= 0.25 && $"sim" < 0.60)
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 10)
+      .select($"query_id", $"rnk", $"vec_id".as("negative_id"), $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
-    v09RadiusSearch, v10PqAdcKnn)
+    v09RadiusSearch, v10PqAdcKnn, v11HardNegatives)
 }
