@@ -38,7 +38,7 @@ class ZOrderSpec extends SparkSpec {
     val r = li.agg(min($"l_partkey"), max($"l_partkey"),
       min($"l_suppkey"), max($"l_suppkey")).head()
     val (mnx, mxx, mny, mxy) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val dir = tmpDir("zorder")
     ZOrder.layoutBy(li,
       ZOrder.zValue("l_partkey", mnx, mxx, "l_suppkey", mny, mxy), files = 16)
       .write.parquet(s"$dir/zordered")

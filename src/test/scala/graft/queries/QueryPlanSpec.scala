@@ -362,8 +362,13 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
       && !p.contains("BroadcastHashJoin"),
       s"d08 must not plan any join:\n$p")
-    assert(p.contains("partitionBy") || !p.contains("No Partition Defined"),
-      "the merge window must be keyed, never global")
+    // WindowExec renders as `Window [exprs], [partition spec], [order spec]`
+    // — the partition spec must carry the merge key, or the whole corpus
+    // funnels through one reducer (the c05 round-3 failure mode)
+    val wline = p.linesIterator.find(_.contains("Window ")).getOrElse(
+      fail(s"no Window node in d08 plan:\n$p"))
+    assert(wline.contains("doc_id#"),
+      s"the merge window must partition by the key, never global:\n$wline")
   }
 
   test("t17: segment dedup joins on the segment key; no window anywhere") {
