@@ -903,8 +903,11 @@ object TextQueries {
     * Scale: explode to (doc_id, pos, segment) — tokens/3 rows, narrower
     * than the t07 winnowing explode — one hash agg on segment, one
     * shuffle join back, one per-doc agg whose collect buffer is bounded
-    * by document length (t12 pins docs at ≤ ~1k tokens ⇒ ≤ ~350
-    * segments). The segment-frequency table is the reusable artifact: a
+    * by document length — the testdata corpus tops out at 100 tokens
+    * (≤ 34 segments/doc); a corpus with pathological multi-MB docs
+    * should bound the buffer explicitly by chunking first (t12's
+    * operator is exactly that pre-pass). The segment-frequency table
+    * is the reusable artifact: a
     * real pipeline computes it once per crawl and anti-joins every
     * shard against it. */
   val t17BoilerplateRemoval: GraftQuery = q(
