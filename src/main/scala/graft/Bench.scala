@@ -72,6 +72,12 @@ object Bench {
           None
         }
       }
+      // a few queries persist() a multi-consumer stage; CacheManager is
+      // plan-keyed, so rep 2 reuses rep 1's cache (intended — min-of-2
+      // measures the warm plan), but WITHOUT this drop the 80-query
+      // session accumulates every query's cached stage (spilled
+      // MEMORY_AND_DISK blocks are not LRU-evicted) until spark.stop()
+      spark.catalog.clearCache()
       name -> times.minOption
     }
     // The driver captures only the LAST ~2000 chars of stdout and
@@ -96,7 +102,15 @@ object Bench {
       .mkString("[", ",", "]")
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fullFailed,"sf":"$sfDir"}"""
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // Default the full-fidelity dump AWAY from the repo root: a
+    // sf0.001 smoke or SPARK_GRAFT_ONLY subset run must never clobber
+    // the round-final sf0.1 artifact (that exact hygiene failure
+    // happened once in round 5). Writing the repo-root BENCH_FULL.json
+    // now requires the explicit env override.
+    val defaultFull = "/tmp/graft-bench/BENCH_FULL_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".json"
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", defaultFull)
+    new java.io.File(fullPath).getAbsoluteFile.getParentFile.mkdirs()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")

@@ -46,6 +46,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures += name -> String.valueOf(e.getMessage).take(300)
       }
+      // drop any multi-consumer stage the query persist()ed: spilled
+      // MEMORY_AND_DISK blocks are not LRU-evicted, so an 80-query
+      // session would otherwise accumulate caches until spark.stop()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,8 +58,12 @@ object KMeans {
     // assign+mean action per iteration) — cache across those; any
     // frame the CALLER builds over the result is lazy and executes
     // after this cache is dropped, re-reading the source once like
-    // any other query
-    val cached = ev.persist()
+    // any other query. Only persist (and later unpersist) if the
+    // CALLER hasn't already: Spark's CacheManager is plan-keyed, so
+    // unpersisting here would silently drop a caller's own cache of
+    // the same Dataset out from under its post-training consumers.
+    val ownsCache = ev.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (ownsCache) ev.persist() else ev
     try {
       // the k LOWEST-id vectors, whatever the id domain (distributed
       // TakeOrdered — never assumes ids are contiguous or 0-based)
@@ -84,7 +88,7 @@ object KMeans {
         bc.destroy() // the collect above consumed it; don't leak k×dim per iteration
       }
       cs
-    } finally cached.unpersist()
+    } finally if (ownsCache) cached.unpersist()
   }
 
   /** Fit k centroids with `iters` Lloyd iterations and return the

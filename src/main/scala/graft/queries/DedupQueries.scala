@@ -342,9 +342,12 @@ object DedupQueries {
     // counts + both candidate-join sides), and unlike d01's banded
     // self-join these are four DIFFERENT exchanges, so nothing is
     // ReusedExchange-shared — uncached, the dominant sketch cost would
-    // run 4×. The cache is N primitive rows (two longs + lang) and is
-    // LRU-evictable; it materializes on first execution and is shared
-    // by every consumer of the returned (lazy) frame.
+    // run 4×. The cache is N primitive rows (two longs + lang); it
+    // materializes on first execution, is shared by every consumer of
+    // the returned (lazy) frame, and is RETAINED for the session (the
+    // in-memory part is LRU-evictable but disk-spilled blocks are not)
+    // — the Verify/Bench harnesses clearCache() between queries, and a
+    // long-lived service embedding this operator should do the same.
     val signed = docs
       .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
       .map { case (id, lang, text) =>
