@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DetHash, VectorOps}
+
+/** Persisted, sample-trained ANN index artifacts — the
+  * train-once / probe-many split of a production vector pipeline.
+  *
+  * Round-5 shape (what this replaces): every execution of the IVF/PQ
+  * consumers (v04/v09/v11/d03/v10) re-counted the corpus, re-trained
+  * its pivots or codebooks with full-corpus Lloyd passes, and
+  * re-broadcast them — correct and linear, but at 100 TB those
+  * training scans dominate the query, and the reference's own daily
+  * cadence (`TransformTaxiTrips.py:23-28`; `AreasLoc.py` builds
+  * once, the daily jobs read) says index artifacts persist between
+  * runs. This object gives each artifact exactly that lifecycle:
+  *
+  *  - **Train on a deterministic sample** — the c02 no-rand()
+  *    discipline ([[DetHash.hash60]](vec_id, "ivf") % [[SampleMod]]
+  *    = 0, a pure function of the stable id), so the artifact is a
+  *    reproducible function of the data and the DuckDB oracles replay
+  *    the identical training set. Lloyd passes now scan N/SampleMod
+  *    rows instead of N; at 100 TB the mod would be chosen to cap the
+  *    sample at ~10⁶ vectors (any fixed sample bounds training cost;
+  *    the knob trades quantizer quality, not correctness, because
+  *    assignment of the FULL corpus to the trained quantizer is
+  *    unchanged).
+  *  - **Persist once** — parquet under [[root]] (env `GRAFT_INDEX_DIR`;
+  *    a real deployment would put this beside the data it indexes),
+  *    keyed by a FINGERPRINT of the source table's file metadata
+  *    (name/size/mtime), so a rewritten corpus can never be served by
+  *    a stale quantizer — the staleness guard costs a directory
+  *    listing, not a data scan.
+  *  - **Load everywhere else** — the query path reads the bounded
+  *    artifact (B ≤ [[MaxPivots]] pivots ≈ 33 MB at dim 64; M·K PQ
+  *    centroids ≈ kilobytes), collects, and broadcasts. No count
+  *    scan, no training pass: a warm v04 execution touches the corpus
+  *    exactly twice (assignment + probe).
+  *
+  * Training is deterministic (fixed seeds = lowest-id sample vectors,
+  * rounded means, id tie-breaks), so warm and cold executions return
+  * bit-identical arrays — IndexStoreSpec pins load-equals-train and
+  * proves the load path is really taken by tampering the artifact.
+  */
+object IndexStore {
+
+  /** Artifact root — override with the GRAFT_INDEX_DIR env var (or
+    * the graft.index.dir system property, which tests use to isolate
+    * their artifacts). */
+  def root: String = sys.props.get("graft.index.dir")
+    .orElse(sys.env.get("GRAFT_INDEX_DIR"))
+    .getOrElse("/tmp/graft-index")
+
+  /** Training-sample modulus: vec_id joins the training sample iff
+    * hash60(vec_id, [[SampleSalt]]) % SampleMod == 0 (~25%). Mirrored
+    * verbatim in every IVF/PQ oracle. */
+  val SampleMod = 4L
+  val SampleSalt = "ivf"
+
+  /** Hard pivot-count ceiling (the v04 broadcast-budget contract —
+    * see the scaladoc at [[adaptiveB]]). */
+  val MaxPivots = 65536L
+
+  /** Adaptive pivot count with a hard broadcast ceiling:
+    * B = min(MaxPivots, max(16, ⌈√(N/8)⌉)). √(N/8) keeps per-bucket
+    * candidates sub-linear as the corpus grows; the cap bounds the
+    * pivot broadcast at ~33 MB of dim-64 doubles — past it
+    * (N > 3.4×10¹⁰) the scale path is d03's second quantizer level,
+    * which squares the cell count without another pivot byte.
+    * Mirrored as `least(65536, greatest(16, …))` in every IVF oracle. */
+  def adaptiveB(n: Long): Long =
+    math.min(MaxPivots, math.max(16L, math.ceil(math.sqrt(n / 8.0)).toLong))
+
+  /** The embeddings corpus as a typed (vec_id, vector) Dataset. */
+  private def corpus(s: SparkSession, dir: String): Dataset[(Long, Array[Double])] = {
+    import s.implicits._
+    graft.Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+  }
+
+  /** The deterministic training sample of the corpus. */
+  private def sampleOf(ev: Dataset[(Long, Array[Double])]): Dataset[(Long, Array[Double])] = {
+    import ev.sparkSession.implicits._
+    ev.toDF("vec_id", "v")
+      .where(DetHash.hash60(col("vec_id"), SampleSalt) % SampleMod === 0)
+      .as[(Long, Array[Double])]
+  }
+
+  /** Staleness fingerprint of `dir/table.parquet`: md5 over the sorted
+    * (name, size, mtime) list of its files — a metadata-only listing,
+    * never a data scan. A rewritten corpus gets a fresh key (and a
+    * fresh artifact); replicas at different paths with identical bytes
+    * but different mtimes simply train their own copy. */
+  private[operators] def fingerprint(dir: String, table: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).toIndexedSeq.flatMap(walk)
+      else Seq(f)
+    val desc = walk(new java.io.File(s"$dir/$table.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def artifactReady(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").isFile
+
+  /** Artifact directory for the IVF pivots of `dir`'s embeddings. */
+  def ivfPivotPath(dir: String): String =
+    s"$root/${fingerprint(dir, "embeddings")}/ivf_pivots"
+
+  /** IVF coarse-quantizer pivots for `dir`'s embeddings corpus:
+    * load the persisted artifact if present, else train on the
+    * deterministic sample (B = adaptiveB(full N); KMeans seeds = the
+    * B lowest-id SAMPLE vectors, `iters` Lloyd passes over the sample
+    * only) and persist. Returns the pivot array indexed by pivot_id
+    * (= rank of the surviving centroid's seed id — the broadcast
+    * index [[VectorOps.nearest2Pivots]] assignment uses). */
+  def ivfPivots(s: SparkSession, dir: String, iters: Int): Array[Array[Double]] = {
+    import s.implicits._
+    val path = ivfPivotPath(dir)
+    if (artifactReady(path)) {
+      // warm path: B rows (hard-capped), bounded collect — no corpus scan
+      s.read.parquet(path).select($"pivot_id", $"pv")
+        .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+    } else {
+      val ev = corpus(s, dir)
+      // full-corpus COUNT sets B (the √(N/8) rule needs the true N —
+      // one column-pruned scan, cold path only); training then reads
+      // only the sample (KMeans persists it across its iters+1 passes)
+      val b = adaptiveB(ev.count())
+      val pivots = KMeans.centroids(sampleOf(ev), b.toInt, iters).map(_._2)
+      s.createDataset(pivots.toIndexedSeq.zipWithIndex
+          .map { case (pv, i) => (i.toLong, pv) })
+        .toDF("pivot_id", "pv")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      pivots
+    }
+  }
+
+  /** Artifact directory for the PQ codebooks of `dir`'s embeddings. */
+  def pqCodebookPath(dir: String, m: Int, sub: Int, k: Int): String =
+    s"$root/${fingerprint(dir, "embeddings")}/pq_codebooks_${m}x${sub}k$k"
+
+  /** Product-quantization codebooks: per-subspace (m of `m`, width
+    * `sub`) k-entry centroid tables, load-or-train-and-persist.
+    * Training (cold path only) = seeds from the `k` lowest-id SAMPLE
+    * vectors' subvectors, ONE Lloyd pass over the sample (micro-unit
+    * L2 assignment, round-8 means — the established replay contract).
+    * Returned as, per subspace, the (code, centroid) array sorted by
+    * code — codes that lose every sample vector drop out, exactly as
+    * in the oracle's GROUP BY. */
+  def pqCodebooks(s: SparkSession, dir: String, m: Int, sub: Int,
+      k: Int): Array[Array[(Int, Array[Double])]] = {
+    import s.implicits._
+    val path = pqCodebookPath(dir, m, sub, k)
+    val rows: Seq[(Int, Int, Array[Double])] =
+      if (artifactReady(path)) {
+        // warm path: ≤ m·k rows — kilobytes, no corpus scan
+        s.read.parquet(path).select($"m", $"code", $"cv")
+          .as[(Int, Int, Array[Double])].collect().toIndexedSeq
+      } else {
+        val sample = sampleOf(corpus(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          def slice(v: Array[Double], i: Int): Array[Double] =
+            java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub)
+          val seeds = sample.toDF("id", "v").orderBy($"id").limit(k)
+            .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+          val seedCb: Array[Array[(Int, Array[Double])]] =
+            Array.tabulate(m)(i =>
+              seeds.zipWithIndex.map { case (v, c) => (c, slice(v, i)) })
+          val bcSeed = s.sparkContext.broadcast(seedCb)
+          // ONE Lloyd pass for all m subspaces in one sample scan:
+          // map-side assignment over the broadcast seeds, then a single
+          // (m, code)-keyed partial-mean shuffle (VectorAgg)
+          val trained = sample.flatMap { case (_, v) =>
+            (0 until m).iterator.map { i =>
+              (i, bcSeed.value(i)(
+                VectorOps.nearestCodeIdx(v, i * sub, bcSeed.value(i)))._1,
+                slice(v, i))
+            }
+          }.toDF("m", "code", "sv")
+            .groupBy($"m", $"code")
+            .agg(VectorAgg.vectorMean($"sv").as("mv"))
+            .select($"m", $"code", transform($"mv", x => round(x, 8)).as("cv"))
+            .as[(Int, Int, Array[Double])].collect().toIndexedSeq
+          bcSeed.destroy()
+          s.createDataset(trained).toDF("m", "code", "cv")
+            .coalesce(1).write.mode("overwrite").parquet(path)
+          trained
+        } finally sample.unpersist()
+      }
+    val byM = rows.groupBy(_._1)
+    Array.tabulate(m)(i => byM(i).map(r => (r._2, r._3)).sortBy(_._1).toArray)
+  }
+
+  /** DuckDB CTE rendering of the training sample, assuming a CTE `e`
+    * (vec_id, v) is in scope — emits `es`. Shared by every IVF/PQ
+    * oracle so the sample rule lives in exactly one string. */
+  def sampleCte: String =
+    s"""es AS (
+       |  SELECT vec_id, v FROM e
+       |  WHERE ${DetHash.hash60Sql("vec_id", SampleSalt)} % $SampleMod = 0)""".stripMargin
+}

@@ -23,19 +23,16 @@ import org.apache.spark.sql.functions._
 object CurationQueries {
 
   /** The 60-bit salted split hash shared by every deterministic
-    * gate/split/sample/mix in this family: first 15 hex chars of
-    * md5(col || salt) as a non-negative long — identical arithmetic
-    * on the Spark side (here) and in the oracles (hash60Sql), so a
-    * doc's fate is a pure function of (stable id, salt) on BOTH
-    * engines, independent of partitioning, retries, and row order.
-    * Change one of the pair only in lockstep with the other. */
+    * gate/split/sample/mix in this family — now the library-wide
+    * [[graft.functions.DetHash]] (the IndexStore training samples use
+    * the same discipline); kept as local aliases so every call site in
+    * this file reads unchanged. */
   private def hash60(c: Column, salt: String): Column =
-    conv(substring(md5(concat(c.cast("string"), lit(":" + salt))
-      .cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.DetHash.hash60(c, salt)
 
   /** DuckDB rendering of [[hash60]] over a SQL expression. */
   private def hash60Sql(e: String, salt: String): String =
-    s"CAST('0x' || substr(md5(CAST($e AS VARCHAR) || ':$salt'), 1, 15) AS BIGINT)"
+    graft.functions.DetHash.hash60Sql(e, salt)
 
   /** c01 — quality-gate + 90/10 hash split + yield stats. The split
     * key is the first 15 hex chars of md5(doc_id || salt) — a 60-bit

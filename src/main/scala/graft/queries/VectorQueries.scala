@@ -35,7 +35,7 @@ object VectorQueries {
   // declaration order — a forward reference reads 0 and silently
   // builds an empty-pivot oracle).
   /** Hard pivot-count ceiling — see [[adaptiveB]]. */
-  private[queries] val MaxPivots = 65536L
+  private[queries] val MaxPivots = graft.operators.IndexStore.MaxPivots
   /** Lloyd iterations for IVF pivot TRAINING (v04/v09/d03): enough to
     * move the seeds toward real density centers (the recall-improves
     * spec pins the effect); each extra iteration is one broadcast +
@@ -247,50 +247,45 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
-  /** Adaptive pivot count with a hard broadcast ceiling:
-    * B = min(MaxPivots, max(16, ⌈√(N/8)⌉)). The √(N/8) rule keeps
-    * per-bucket candidates sub-linear as the corpus grows, but alone
-    * it makes the pivot broadcast itself grow — at N = 10¹² it is
-    * ~354k pivots ≈ 180 MB of doubles at dim 64 (and dim-proportional
-    * beyond). MaxPivots = 65536 caps the broadcast at ~33 MB for
-    * dim 64; past the cap (N > 3.4×10¹⁰, ~34 billion vectors) the
-    * scale path is the SECOND quantizer level d03 already ships —
-    * (nearest, second-nearest) cells square the effective bucket
-    * count (65536² cells) without another pivot byte. Mirrored as
+  /** Adaptive pivot count with a hard broadcast ceiling — the rule
+    * lives with the artifact lifecycle now; see
+    * [[graft.operators.IndexStore.adaptiveB]] for the full scaladoc
+    * (√(N/8) keeps candidates sub-linear; MaxPivots = 65536 caps the
+    * broadcast at ~33 MB; past the cap d03's second quantizer level
+    * squares the cell count without another pivot byte). Mirrored as
     * `least(65536, greatest(16, …))` in every IVF oracle so both
     * engines pick identical pivots at every N. */
   private[queries] def adaptiveB(n: Long): Long =
-    math.min(MaxPivots, math.max(16L, math.ceil(math.sqrt(n / 8.0)).toLong))
+    graft.operators.IndexStore.adaptiveB(n)
 
-  /** The IVF candidate stage SHARED by v04 (top-k) and v09 (radius):
-    * adaptive-B pivots TRAINED with [[graft.operators.KMeans]] (2
-    * Lloyd iterations over the lowest-B seed vectors — the "sampled
-    * k-means coarse quantizer" the scaladoc always promised, now real;
-    * `trainedPivots = false` keeps the raw lowest-B seeding for the
-    * recall-comparison spec), zero-shuffle map-side assignment over
-    * the broadcast pivot array, nprobe=2 query probing, bucket
-    * equi-join candidates with exact rounded-cosine re-scoring. One
-    * definition for the Scala stage and one for its oracle CTE prefix
-    * (ending in `cands`) — a change to the quantizer applies to both
-    * consumers and both engines. */
+  /** The IVF candidate stage SHARED by v04 (top-k), v09 (radius),
+    * v11 (hard negatives) and v12 (IVFADC): adaptive-B pivots from
+    * [[graft.operators.IndexStore.ivfPivots]] — SAMPLE-trained
+    * (hash-deterministic 25% sample, 2 Lloyd iterations), persisted
+    * once, LOADED by every subsequent execution, so the warm query
+    * path touches the corpus exactly twice (assignment + probes) with
+    * zero count/training scans. `trainedPivots = false` keeps the raw
+    * lowest-B seeding for the recall-comparison spec. Assignment is a
+    * zero-shuffle map-side argmax over the broadcast pivot array;
+    * candidates come ONLY from the nprobe=2 bucket equi-join, exact
+    * rounded-cosine re-scored. One definition for the Scala stage and
+    * one for its oracle CTE prefix (ending in `cands`) — a change to
+    * the quantizer applies to both consumers and both engines. */
   private[queries] def ivfCandidates(s: SparkSession, dir: String,
       trainedPivots: Boolean = true): DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps
-    // persist across the count/train/assign/probe consumers (the
-    // KMeans cache-across-actions rule; primitive rows, LRU-evictable)
     val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPivots = adaptiveB(ev.count())
     // pivot table is bounded (B ≪ N, hard-capped at MaxPivots) —
-    // collect + broadcast; training reads the corpus iters+1 times
-    // (at 100 TB you fit on a sample instead — the contract is only
-    // that pivots are a deterministic bounded array)
+    // load-or-train via the artifact store; the spec-only raw-seed
+    // path keeps its inline bounded collect
     val pivotArr =
       if (trainedPivots)
-        graft.operators.KMeans.centroids(ev, nPivots.toInt, IvfTrainIters)
-          .map(_._2)
-      else ev.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
+        graft.operators.IndexStore.ivfPivots(s, dir, IvfTrainIters)
+      else {
+        val nPivots = adaptiveB(ev.count())
+        ev.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
+      }
     val bc = s.sparkContext.broadcast(pivotArr)
     // nearest pivot per corpus vector: typed map-side argmax over the
     // broadcast pivots (rounded cosine6, ties toward the lowest
@@ -312,20 +307,23 @@ object VectorQueries {
   }
 
   /** DuckDB rendering of the TRAINED pivot table, assuming a CTE `e`
-    * (vec_id, v) is in scope: adaptive-capped B, lowest-B seed init,
-    * `iters` unrolled Lloyd iterations (cosine6 rank-1 assignment,
-    * round-8 means — the [[graft.operators.KMeans.centroids]] replay,
-    * same contract v07's oracle already proves), then pivots keyed by
+    * (vec_id, v) is in scope: the
+    * [[graft.operators.IndexStore.ivfPivots]] replay — adaptive-capped
+    * B from the FULL count, then training entirely on the
+    * deterministic hash sample `es` (lowest-B sample-id seed init,
+    * `iters` unrolled Lloyd iterations with cosine6 rank-1 assignment
+    * and round-8 means — the [[graft.operators.KMeans.centroids]]
+    * contract v07's oracle already proves), then pivots keyed by
     * POSITION in cid order (matching the broadcast array index the
-    * typed argmax returns). Shared by v04/v09's `ivfCandidateCtes`
-    * and d03's two-level oracle. */
+    * typed argmax returns). Shared by v04/v09/v11/v12's CTEs and
+    * d03's two-level oracle. */
   private[queries] def trainedPivotCtes(iters: Int): String = {
     def assign(prev: String, i: Int): String =
       s"""ivfa${i}_r AS (
          |  SELECT e.vec_id, e.v, c.cid,
          |         row_number() OVER (PARTITION BY e.vec_id
          |                            ORDER BY ${duckCos6("e.v", "c.cv")} DESC, c.cid) AS rn
-         |  FROM e CROSS JOIN $prev c),
+         |  FROM es e CROSS JOIN $prev c),
          |ivfa$i AS (SELECT vec_id, v, cid FROM ivfa${i}_r WHERE rn = 1)""".stripMargin
     def recompute(i: Int): String =
       s"""ivfc${i}_x AS (
@@ -338,13 +336,14 @@ object VectorQueries {
       assign(if (i == 1) "ivfc0" else s"ivfc${i - 1}", i) + ",\n" + recompute(i)
     }
     (Seq(
+      graft.operators.IndexStore.sampleCte,
       s"""b AS (
          |  SELECT least($MaxPivots, greatest(16,
          |           CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT))) AS npiv
          |  FROM e)""".stripMargin,
       """ivfc0 AS (
         |  SELECT vec_id AS cid, v AS cv FROM (
-        |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM es)
         |  WHERE rn <= (SELECT npiv FROM b))""".stripMargin) ++
       steps ++ Seq(
       s"""p AS (
@@ -723,29 +722,33 @@ object VectorQueries {
     s"CAST(floor(list_aggregate(list_transform(list_zip($a, $b), " +
       s"y -> (y[1]-y[2])*(y[1]-y[2])), 'sum') * 1000000 + 0.5) AS BIGINT)"
 
-  /** Oracle for [[v10PqAdcKnn]]: replays codebook training (seed =
-    * the K lowest-id vectors' subvectors, one Lloyd iteration with
-    * micro-L2 assignment and round-8 means), encoding, and the ADC
-    * scan — all distances in integer micro-units. */
+  /** Oracle for [[v10PqAdcKnn]]: replays the
+    * [[graft.operators.IndexStore.pqCodebooks]] training (seeds = the
+    * K lowest-id SAMPLE vectors' subvectors, one Lloyd iteration over
+    * the sample with micro-L2 assignment and round-8 means), then
+    * full-corpus encoding and the ADC scan — all distances in integer
+    * micro-units. */
   private def pqSql: String =
     s"""WITH e AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |         CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
+       |${graft.operators.IndexStore.sampleCte},
        |sub AS (
        |  SELECT vec_id, m, v[m*$PqSub+1 : m*$PqSub+$PqSub] AS sv
        |  FROM e CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+       |ssub AS (SELECT sub.* FROM sub JOIN es USING (vec_id)),
        |seeds AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
-       |  FROM e ORDER BY vec_id LIMIT $PqK),
+       |  FROM es ORDER BY vec_id LIMIT $PqK),
        |scb AS (SELECT s.m, d.code, s.sv AS cv
-       |        FROM sub s JOIN seeds d USING (vec_id)),
+       |        FROM ssub s JOIN seeds d USING (vec_id)),
        |a0 AS (
        |  SELECT vec_id, m, code, sv FROM (
        |    SELECT s.vec_id, s.m, c.code, s.sv,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
        |                              ORDER BY ${duckL2Micro("s.sv", "c.cv")}, c.code) AS rn
-       |    FROM sub s JOIN scb c USING (m)) WHERE rn = 1),
+       |    FROM ssub s JOIN scb c USING (m)) WHERE rn = 1),
        |cbx AS (SELECT m, code, generate_subscripts(sv, 1) AS pos, unnest(sv) AS val
        |        FROM a0),
        |cb AS (
@@ -795,8 +798,10 @@ object VectorQueries {
   /** D4 — PRODUCT QUANTIZATION + ADC scan (Jégou et al., TPAMI'11 —
     * the standard billion-scale ANN compression): split each dim-64
     * vector into M=16 subvectors of 4 dims, train a K=32-entry
-    * codebook per subspace (one Lloyd iteration from the lowest-id
-    * seeds — the v07/v04 determinism contract), encode every vector
+    * codebook per subspace (a persisted SAMPLE-trained IndexStore
+    * artifact since round 6: one Lloyd iteration from the lowest-id
+    * sample seeds — the v07/v04 determinism contract — trained once,
+    * loaded by every later execution), encode every vector
     * as M one-byte codes (32× smaller than raw doubles; v05's int8 is
     * only 4×), answer queries by Asymmetric Distance Computation
     * (approx L2²(q, x) = Σ_m L2²(q_m, codebook_m[code_m(x)])) into a
@@ -832,38 +837,13 @@ object VectorQueries {
   ) { (s, dir) =>
     import s.implicits._
     import graft.functions.VectorOps
-    // persist across the five consumers (seed collect, training pass,
-    // query collect, ADC scan, refine fetch) — the KMeans
-    // cache-across-actions rule; primitive rows, LRU-evictable
     val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed codebooks: the K lowest-id vectors' subvectors, code id =
-    // seed rank (bounded TakeOrdered collect, the v04 pivot contract)
-    val seeds = ev.toDF("id", "v").orderBy($"id").limit(PqK)
-      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
-    def slice(v: Array[Double], m: Int): Array[Double] =
-      java.util.Arrays.copyOfRange(v, m * PqSub, (m + 1) * PqSub)
-    val seedCb: Array[Array[(Int, Array[Double])]] =
-      Array.tabulate(PqM)(m => seeds.zipWithIndex.map { case (v, c) => (c, slice(v, m)) })
-    val bcSeed = s.sparkContext.broadcast(seedCb)
-    // ONE Lloyd iteration for all M subspaces in one corpus pass:
-    // map-side assignment over the broadcast seeds, then a single
-    // (m, code)-keyed partial-mean shuffle (VectorAgg — M·K·partitions
-    // partial rows, never the corpus)
-    val trained = ev.flatMap { case (_, v) =>
-      (0 until PqM).iterator.map { m =>
-        (m, bcSeed.value(m)(VectorOps.nearestCodeIdx(v, m * PqSub, bcSeed.value(m)))._1,
-          slice(v, m))
-      }
-    }.toDF("m", "code", "sv")
-      .groupBy($"m", $"code")
-      .agg(graft.operators.VectorAgg.vectorMean($"sv").as("mv"))
-      .select($"m", $"code", transform($"mv", x => round(x, 8)).as("cv"))
-      .as[(Int, Int, Array[Double])].collect()
-    val cb: Array[Array[(Int, Array[Double])]] = {
-      val byM = trained.groupBy(_._1)
-      Array.tabulate(PqM)(m => byM(m).map(r => (r._2, r._3)).sortBy(_._1))
-    }
+    // codebooks are a persisted, SAMPLE-trained artifact now
+    // (IndexStore: seeds = the K lowest-id sample vectors' subvectors,
+    // one Lloyd pass over the sample, parquet'd once) — the warm query
+    // path loads ≤ M·K kilobyte rows and touches the corpus only for
+    // the ADC scan + refine fetch below
+    val cb = graft.operators.IndexStore.pqCodebooks(s, dir, PqM, PqSub, PqK)
     val bcCb = s.sparkContext.broadcast(cb)
     val queries = ev.filter(_._1 < 5).collect().sortBy(_._1)
     val bcQ = s.sparkContext.broadcast(queries)

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.QueryRegistry
+
+/** The train-once / probe-many contract of the persisted index
+  * artifacts: cold training and warm loading must return bit-identical
+  * quantizers (and therefore identical query results), the load path
+  * must REALLY be taken (proved by tampering the artifact), and the
+  * fingerprint must invalidate on any rewrite of the source table. */
+class IndexStoreSpec extends SparkSpec {
+  // = VectorQueries.IvfTrainIters (private[queries]); a drift would
+  // surface as a cold-vs-artifact mismatch in the v04 identity test
+  private val IvfIters = 2
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Run `body` against an isolated artifact root. */
+  private def withRoot[A](body: String => A): A = {
+    val dir = tmpDir("graft-index-spec")
+    sys.props("graft.index.dir") = dir
+    try body(dir)
+    finally sys.props.remove("graft.index.dir")
+  }
+
+  test("ivf pivots: warm load returns the identical trained array") {
+    withRoot { _ =>
+      val cold = IndexStore.ivfPivots(spark, sf, IvfIters)
+      assert(new java.io.File(IndexStore.ivfPivotPath(sf), "_SUCCESS").isFile,
+        "cold training must persist the artifact")
+      val warm = IndexStore.ivfPivots(spark, sf, IvfIters)
+      assert(cold.length === warm.length)
+      cold.zip(warm).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), "pivot arrays must be bit-identical")
+      }
+    }
+  }
+
+  test("ivf pivots: the warm path really loads (tampered artifact is served)") {
+    withRoot { _ =>
+      IndexStore.ivfPivots(spark, sf, IvfIters)
+      // overwrite the artifact with a recognizable fake; a loader that
+      // silently retrained would return the real pivots instead
+      val s2 = spark
+      import s2.implicits._
+      val fake = Seq((0L, Array.fill(64)(1.5)), (1L, Array.fill(64)(-2.5)))
+      spark.createDataset(fake).toDF("pivot_id", "pv")
+        .coalesce(1).write.mode("overwrite").parquet(IndexStore.ivfPivotPath(sf))
+      val got = IndexStore.ivfPivots(spark, sf, IvfIters)
+      assert(got.length === 2)
+      assert(got(0).forall(_ === 1.5) && got(1).forall(_ === -2.5),
+        "warm call must serve the persisted artifact, not retrain")
+    }
+  }
+
+  test("pq codebooks: warm load returns the identical trained tables") {
+    withRoot { _ =>
+      val cold = IndexStore.pqCodebooks(spark, sf, 16, 4, 32)
+      val warm = IndexStore.pqCodebooks(spark, sf, 16, 4, 32)
+      assert(cold.length === warm.length)
+      cold.zip(warm).foreach { case (cm, wm) =>
+        assert(cm.map(_._1).toSeq === wm.map(_._1).toSeq, "code ids must match")
+        cm.zip(wm).foreach { case ((_, a), (_, b)) =>
+          assert(java.util.Arrays.equals(a, b), "centroids must be bit-identical")
+        }
+      }
+    }
+  }
+
+  test("v04 results are identical cold (train) and warm (load)") {
+    withRoot { _ =>
+      val q = QueryRegistry.asMap("v04_lsh_ann")
+      val cold = q(spark, sf).collect().map(_.toString).sorted
+      val warm = q(spark, sf).collect().map(_.toString).sorted
+      assert(cold.toSeq === warm.toSeq,
+        "assignment/probing must be identical through the persisted artifact")
+    }
+  }
+
+  test("fingerprint: a rewritten source table invalidates the artifact key") {
+    val dir = tmpDir("idx-fp")
+    val f = new java.io.File(dir, "embeddings.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    val fp1 = IndexStore.fingerprint(dir, "embeddings")
+    // same bytes, newer mtime — a rewrite the metadata fingerprint
+    // must catch without scanning data
+    assert(f.setLastModified(f.lastModified() + 73000))
+    val fp2 = IndexStore.fingerprint(dir, "embeddings")
+    assert(fp1 !== fp2, "fingerprint must change when file metadata changes")
+  }
+}

@@ -91,17 +91,19 @@ class QueryPlanSpec extends SparkSpec {
 
   test("v04 trained pivots: quantization improves over the lowest-id seeds; recall floor holds") {
     // What Lloyd training GUARANTEES (and the spec pins) is the
-    // k-means objective: mean cosine of each vector to its assigned
-    // pivot is monotone non-decreasing per iteration from the seed
-    // assignment — trained pivots quantize at least as tightly as the
-    // raw lowest-id seeds they grew from. Top-3 recall on 15 exact
-    // pairs at N = 500 is NOT monotone in pivot quality (measured:
-    // 0.80 trained vs 1.00 seeded here — at this scale nProbe=2 over
-    // B=16 buckets is the binding constraint and tiny-sample noise
+    // k-means objective ON THE TRAINING SET: mean cosine of each
+    // sample vector to its assigned pivot is monotone non-decreasing
+    // per iteration from the seed assignment — trained pivots quantize
+    // the sample at least as tightly as the raw lowest-id sample seeds
+    // they grew from (full-corpus objective is measured and reported
+    // but carries no per-iteration guarantee once training reads only
+    // the sample). Top-3 recall on 15 exact pairs at N = 500 is NOT
+    // monotone in pivot quality (at this scale nProbe=2 over B=16
+    // buckets is the binding constraint and tiny-sample noise
     // dominates), so recall keeps its FLOOR assertion while the
     // deterministic objective improvement carries the trained-vs-seed
     // comparison.
-    import graft.functions.VectorOps
+    import graft.functions.{DetHash, VectorOps}
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val spark2 = spark
@@ -109,22 +111,31 @@ class QueryPlanSpec extends SparkSpec {
     val ev = graft.Tables(spark, sf, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
+    val sample = ev.toDF("vec_id", "v")
+      .where(DetHash.hash60(col("vec_id"), graft.operators.IndexStore.SampleSalt)
+        % graft.operators.IndexStore.SampleMod === 0)
+      .as[(Long, Array[Double])]
     val n = ev.count()
     val k = VectorQueries.adaptiveB(n).toInt
-    val seeded = ev.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
-    val trained = graft.operators.KMeans
-      .centroids(ev, k, VectorQueries.IvfTrainIters).map(_._2)
-    def objective(pivots: Array[Array[Double]]): Double = {
+    val sampleIds = sample.map(_._1).collect().sorted.take(k).toSet
+    val seeded = sample.filter(r => sampleIds.contains(r._1))
+      .collect().sortBy(_._1).map(_._2)
+    val trained = graft.operators.IndexStore
+      .ivfPivots(spark, sf, VectorQueries.IvfTrainIters)
+    def objective(on: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+        pivots: Array[Array[Double]]): Double = {
       val bc = spark.sparkContext.broadcast(pivots)
-      val total = ev.map { case (_, v) =>
+      val total = on.map { case (_, v) =>
         VectorOps.cosine6(v, bc.value(VectorOps.nearest2Pivots(v, bc.value)._1))
       }.reduce(_ + _)
-      total / n
+      total / on.count()
     }
-    val (objT, objS) = (objective(trained), objective(seeded))
-    info(f"mean assigned-pivot cosine: trained=$objT%.4f vs seeded=$objS%.4f")
+    val (objT, objS) = (objective(sample, trained), objective(sample, seeded))
+    val objFull = objective(ev, trained)
+    info(f"mean assigned-pivot cosine on sample: trained=$objT%.4f vs seeded=$objS%.4f" +
+      f" (full corpus, trained: $objFull%.4f)")
     assert(objT >= objS - 1e-9,
-      f"Lloyd training must not worsen the quantization objective: $objT%.4f < $objS%.4f")
+      f"Lloyd training must not worsen the sample quantization objective: $objT%.4f < $objS%.4f")
     // and the ANN recall floor still holds with trained pivots
     val exact = QueryRegistry.asMap("v01_knn_bruteforce")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
