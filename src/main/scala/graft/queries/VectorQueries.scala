@@ -295,7 +295,10 @@ object VectorQueries {
     }.toDF("vec_id", "bucket", "v")
     // query probes: the nProbe=2 nearest buckets per query vector
     // (= nearest2Pivots, same ordering as the oracle's pr <= 2)
-    val probes = ev.filter(_._1 < 5)
+    // Column filter (not a typed lambda) so the vec_id < 5 predicate
+    // PUSHES DOWN to the parquet scan — the probe side reads 5 rows,
+    // not the corpus
+    val probes = ev.where(col("vec_id") < 5).as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
         val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
         Iterator((id, b1.toLong, v), (id, b2.toLong, v))
@@ -351,8 +354,11 @@ object VectorQueries {
          |  FROM ivfc$iters)""".stripMargin)).mkString(",\n")
   }
 
-  /** DuckDB rendering of [[ivfCandidates]] — CTEs `e..cands`. */
-  private def ivfCandidateCtes: String =
+  /** DuckDB rendering of the IVF assignment stage — CTEs
+    * `e..assigned,probes` (bucket per corpus vector, nprobe=2 probe
+    * buckets per query vector). Shared by [[ivfCandidateCtes]] and
+    * v12's IVFADC oracle. */
+  private def ivfAssignCtes: String =
     s"""e AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |         CAST(embedding AS DOUBLE[]) AS v
@@ -372,7 +378,11 @@ object VectorQueries {
        |    SELECT vec_id, v, pivot_id,
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY psim DESC, pivot_id) AS pr
-       |    FROM scored WHERE vec_id < 5) WHERE pr <= 2),
+       |    FROM scored WHERE vec_id < 5) WHERE pr <= 2)""".stripMargin
+
+  /** DuckDB rendering of [[ivfCandidates]] — CTEs `e..cands`. */
+  private def ivfCandidateCtes: String =
+    s"""$ivfAssignCtes,
        |cands AS (
        |  SELECT DISTINCT q.query_id, a.vec_id, ${duckCos6("a.v", "q.qv")} AS sim
        |  FROM assigned a JOIN probes q USING (bucket)
@@ -728,13 +738,11 @@ object VectorQueries {
     * the sample with micro-L2 assignment and round-8 means), then
     * full-corpus encoding and the ADC scan — all distances in integer
     * micro-units. */
-  private def pqSql: String =
-    s"""WITH e AS (
-       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-       |         CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings),
-       |${graft.operators.IndexStore.sampleCte},
-       |sub AS (
+  /** DuckDB rendering of the PQ codebook training + full-corpus
+    * encoding — CTEs `sub..enc,qsub` (assumes `e` and the sample `es`
+    * are in scope). Shared by [[pqSql]] and v12's IVFADC oracle. */
+  private def pqTrainCtes: String =
+    s"""sub AS (
        |  SELECT vec_id, m, v[m*$PqSub+1 : m*$PqSub+$PqSub] AS sv
        |  FROM e CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
        |ssub AS (SELECT sub.* FROM sub JOIN es USING (vec_id)),
@@ -762,7 +770,15 @@ object VectorQueries {
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
        |                              ORDER BY ${duckL2Micro("s.sv", "c.cv")}, c.code) AS rn
        |    FROM sub s JOIN cb c USING (m)) WHERE rn = 1),
-       |qsub AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id < 5),
+       |qsub AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id < 5)""".stripMargin
+
+  private def pqSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${graft.operators.IndexStore.sampleCte},
+       |$pqTrainCtes,
        |adist AS (
        |  SELECT q.query_id, x.vec_id,
        |         CAST(sum(${duckL2Micro("q.qsv", "c.cv")}) AS BIGINT) AS ad
@@ -845,7 +861,9 @@ object VectorQueries {
     // the ADC scan + refine fetch below
     val cb = graft.operators.IndexStore.pqCodebooks(s, dir, PqM, PqSub, PqK)
     val bcCb = s.sparkContext.broadcast(cb)
-    val queries = ev.filter(_._1 < 5).collect().sortBy(_._1)
+    // pushed-down Column filter: the query fetch reads 5 rows
+    val queries = ev.where(col("vec_id") < 5).as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
     val bcQ = s.sparkContext.broadcast(queries)
     // encode + ADC in one zero-shuffle corpus pass: ONLY codes and the
     // broadcast codebooks are touched — never a raw corpus vector
@@ -929,8 +947,148 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Oracle for [[v12IvfAdcKnn]]: the IVF assignment/probing CTEs and
+    * the PQ training/encoding CTEs composed — ADC distances are summed
+    * ONLY for candidates whose bucket is probed by the query, the
+    * per-query scanned mass is disclosed, and the exact refine re-ranks
+    * the shortlist. */
+  private def ivfadcSql: String =
+    s"""WITH $ivfAssignCtes,
+       |$pqTrainCtes,
+       |adist AS (
+       |  SELECT q.query_id, x.vec_id,
+       |         CAST(sum(${duckL2Micro("q.qsv", "c.cv")}) AS BIGINT) AS ad
+       |  FROM enc x
+       |  JOIN assigned ax ON ax.vec_id = x.vec_id
+       |  JOIN probes pb ON pb.bucket = ax.bucket
+       |  JOIN cb c ON c.m = x.m AND c.code = x.code
+       |  JOIN qsub q ON q.query_id = pb.query_id AND q.m = x.m
+       |  WHERE x.vec_id <> pb.query_id
+       |  GROUP BY q.query_id, x.vec_id),
+       |scnt AS (
+       |  SELECT query_id, count(*) AS scanned FROM adist GROUP BY query_id),
+       |edist AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id,
+       |         ${duckL2Micro("q.v", "x.v")} AS ed
+       |  FROM e q JOIN e x ON q.vec_id < 5 AND x.vec_id <> q.vec_id),
+       |shortlist AS (
+       |  SELECT query_id, vec_id, ad, ed FROM (
+       |    SELECT a.query_id, a.vec_id, a.ad, e2.ed,
+       |           row_number() OVER (PARTITION BY a.query_id
+       |                              ORDER BY a.ad, a.vec_id) AS arnk
+       |    FROM adist a JOIN edist e2
+       |      ON a.query_id = e2.query_id AND a.vec_id = e2.vec_id)
+       |  WHERE arnk <= $PqShortlist),
+       |r AS (
+       |  SELECT query_id, vec_id, ad, ed,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY ed, vec_id) AS rnk
+       |  FROM shortlist)
+       |SELECT r.query_id, r.rnk, r.vec_id AS neighbor_id,
+       |       CAST(r.ed AS DOUBLE) / 1000000 AS dist,
+       |       CAST(r.ad AS DOUBLE) / 1000000 AS adist,
+       |       s.scanned
+       |FROM r JOIN scnt s USING (query_id)
+       |WHERE r.rnk <= 3
+       |ORDER BY r.query_id, r.rnk""".stripMargin
+
+  /** D4/D14 — IVFADC (Jégou et al., TPAMI'11 — THE billion-scale ANN
+    * shape): v10's ADC scan composed with v04's IVF partitioning, both
+    * quantizers loaded from their persisted [[graft.operators
+    * .IndexStore]] artifacts. v10 scores ALL N codes per query — an
+    * O(N) scan that no compression saves at corpus scale; here a query
+    * ADC-scores only its nprobe=2 IVF cells ≈ nprobe/B of the corpus
+    * (the inverted-list restriction), then the exact refine re-ranks
+    * the C=20 shortlist from raw vectors exactly as v10 does.
+    *
+    * Plan shape: the scan side is the PERSISTED encoded inverted
+    * index ([[graft.operators.IndexStore.ivfadcIndex]] — one build
+    * pass, then (vec_id, bucket, 16 codes) at rest, partitioned by
+    * bucket), and probe buckets are computed DRIVER-side from the 5
+    * collected query vectors (bounded — Q×nprobe pairs), so the
+    * candidate read IS parquet partition pruning: `bucket IN (probed)`
+    * touches ≈ nprobe/B of the index files and 16 code bytes per row,
+    * never a raw vector (the refine fetch broadcast-joins the Q×C
+    * shortlist into the one raw-corpus scan, the v10 contract,
+    * plan-pinned along with the partition filter). The per-query
+    * `scanned` output column DISCLOSES the candidate mass the
+    * restriction admitted — the recall trade an IVF-restricted scan
+    * makes vs v10's exhaustive one, under the correctness gate. */
+  val v12IvfAdcKnn: GraftQuery = q(
+    "v12_ivfadc_knn",
+    "D4 IVFADC: PQ ADC scan restricted to nprobe IVF cells + exact refine (scanned mass disclosed)",
+    Some(ivfadcSql)
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorOps
+    val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
+    val piv = graft.operators.IndexStore.ivfPivots(s, dir, IvfTrainIters)
+    val cb = graft.operators.IndexStore.pqCodebooks(s, dir, PqM, PqSub, PqK)
+    val bcCb = s.sparkContext.broadcast(cb)
+    // queries are bounded (5 vectors) — collect once, derive the probe
+    // plan driver-side: bucket -> querying ids (Q×nprobe entries)
+    // pushed-down Column filter: the query fetch reads 5 rows
+    val queries = ev.where(col("vec_id") < 5).as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    val qMap = s.sparkContext.broadcast(queries.toMap)
+    val probeMap: Map[Long, Seq[Long]] = queries
+      .flatMap { case (qid, qv) =>
+        val (b1, b2) = VectorOps.nearest2Pivots(qv, piv)
+        Seq((b1.toLong, qid), (b2.toLong, qid))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val bcProbe = s.sparkContext.broadcast(probeMap)
+    // the scan side is the encoded index AT REST: `bucket IN (probed)`
+    // is a partition filter (reads nprobe/B of the files, 16 bytes of
+    // codes per row), and the ADC sum is a map over the broadcast
+    // codebooks — the inverted-list scan, zero shuffle
+    val probedBuckets = probeMap.keys.toSeq.sorted
+    val scored = graft.operators.IndexStore
+      .ivfadcIndex(s, dir, IvfTrainIters, PqM, PqSub, PqK)
+      .where($"bucket".isin(probedBuckets: _*))
+      .as[(Long, Long, Array[Int])]
+      .flatMap { case (id, bucket, codes) =>
+        bcProbe.value.getOrElse(bucket, Nil).iterator.filter(_ != id).map { qid =>
+          val qv = qMap.value(qid)
+          var ad = 0L
+          var m = 0
+          while (m < PqM) {
+            ad += VectorOps.l2sqMicro(qv, m * PqSub, bcCb.value(m)(codes(m))._2)
+            m += 1
+          }
+          (qid, id, ad)
+        }
+      }.toDF("query_id", "vec_id", "ad")
+    val scnt = scored.groupBy($"query_id").agg(count(lit(1)).as("scanned"))
+    val wA = Window.partitionBy($"query_id").orderBy($"ad", $"vec_id")
+    val shortlist = scored.withColumn("arnk", row_number().over(wA))
+      .where($"arnk" <= PqShortlist)
+      .select($"query_id", $"vec_id", $"ad")
+    // REFINE: fetch raw vectors for the Q×C shortlist only (broadcast
+    // join into the corpus scan) and re-rank by exact micro-L2
+    val refined = ev.toDF("vec_id", "v")
+      .join(broadcast(shortlist), "vec_id")
+      .select($"query_id", $"vec_id", $"ad", $"v")
+      .as[(Long, Long, Long, Array[Double])]
+      .map { case (qid, id, ad, v) =>
+        val qv = qMap.value(qid)
+        var se = 0.0
+        var i = 0
+        while (i < qv.length) { val d = qv(i) - v(i); se += d * d; i += 1 }
+        (qid, id, ad, math.floor(se * 1e6 + 0.5).toLong)
+      }.toDF("query_id", "vec_id", "ad", "ed")
+    val w = Window.partitionBy($"query_id").orderBy($"ed", $"vec_id")
+    refined.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .join(broadcast(scnt), "query_id")
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"),
+        ($"ed".cast("double") / 1e6).as("dist"),
+        ($"ad".cast("double") / 1e6).as("adist"),
+        $"scanned")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
-    v09RadiusSearch, v10PqAdcKnn, v11HardNegatives)
+    v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn)
 }

@@ -182,6 +182,49 @@ class QueryPlanSpec extends SparkSpec {
     assert(recall >= 0.4, f"PQ recall $recall%.2f < 0.4")
   }
 
+  test("v12 IVFADC: bucket-pruned scan (scanned ≪ N), no shuffle join; recall reported") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // plan: like v10, candidate generation is broadcast-artifact map
+    // work and the refine/scanned joins broadcast bounded frames —
+    // no shuffled join anywhere
+    val p = plan("v12_ivfadc_knn")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"IVFADC must not shuffle-join the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the refine fetch must broadcast the bounded shortlist:\n$p")
+    // the candidate read is parquet PARTITION PRUNING over the
+    // persisted encoded index: bucket IN (probed cells)
+    assert(p.contains("PartitionFilters: [bucket#") && p.contains(" IN ("),
+      s"the index scan must carry the probed-bucket partition filter:\n$p")
+    val rows = QueryRegistry.asMap("v12_ivfadc_knn")(spark, sf).collect()
+    val n = graft.Tables(spark, sf, "embeddings").count()
+    // the POINT of the IVF restriction: each query ADC-scores only its
+    // nprobe=2 cells, never the corpus (v10 scans all N−1)
+    val maxScanned = rows.map(_.getAs[Long]("scanned")).max
+    info(s"max per-query ADC-scanned candidates: $maxScanned of ${n - 1}")
+    assert(maxScanned < n - 1,
+      s"IVF restriction must prune the ADC scan: scanned $maxScanned of N=$n")
+    // recall vs exact-L2 top-3 (the restriction trades recall for the
+    // pruned scan; the floor pins it doesn't collapse)
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.where($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv"))
+    val l2 = aggregate(zip_with($"v", $"qv", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"d", $"vec_id")
+    val exact = e.crossJoin(broadcast(q)).where($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", l2.as("d"))
+      .withColumn("rnk", row_number().over(w)).where($"rnk" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"IVFADC recall vs exact L2 top-3: $recall%.2f")
+    assert(recall >= 0.4, f"IVFADC recall $recall%.2f < 0.4")
+  }
+
   test("adaptiveB: broadcast ceiling holds at any corpus size") {
     // √(N/8) alone grows the pivot broadcast unboundedly (~180 MB of
     // dim-64 doubles at N = 10¹²); the cap pins it
