@@ -59,8 +59,13 @@ object DedupQueries {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** D3 — MinHash-LSH near-duplicate pairs, exact-verified.
-    * Output: (doc_a, doc_b, jaccard) for shingle-Jaccard ≥ 0.6.
+  /** D3 — MinHash-LSH near-duplicate pairs, exact-verified, with the
+    * d02/d06 candidate budget applied to the band buckets (round-6):
+    * bucket mass is counted first, buckets admit cheapest-first within
+    * 64·N, and the skipped mass is disclosed in the
+    * `skipped_candidates` output column (zero at the gate SFs).
+    * Output: (doc_a, doc_b, jaccard, skipped_candidates) for
+    * shingle-Jaccard ≥ 0.6.
     * Oracle: replays the SAME banded candidate generation (the mod-P
     * minhash family is BIGINT-expressible, see
     * [[graft.functions.HashSketch.minhashModP]]), then exact Jaccard
@@ -112,9 +117,24 @@ object DedupQueries {
       |  SELECT doc_id, i // $MinhashRows AS band,
       |         list_reduce(list(m ORDER BY i), (k, m) -> (k*131 + m) % 1000000007) AS sig
       |  FROM hm GROUP BY doc_id, i // $MinhashRows),
+      |bm AS (SELECT band, sig, count(*) AS c FROM bands GROUP BY band, sig),
+      |mass AS (SELECT band, sig, (c * (c - 1)) // 2 AS cand FROM bm),
+      |budget AS (SELECT $BudgetPerDoc * count(*) AS b FROM documents),
+      |budgeted AS (
+      |  SELECT *, sum(cand) OVER (ORDER BY cand, band, sig
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM mass),
+      |keep AS (SELECT band, sig FROM budgeted
+      |         WHERE cum <= (SELECT b FROM budget)),
+      |skip AS (
+      |  SELECT coalesce(sum(CASE WHEN cum > (SELECT b FROM budget)
+      |                            THEN cand END), 0) AS skipped_candidates
+      |  FROM budgeted),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      |  FROM bands a
+      |  JOIN keep k ON k.band = a.band AND k.sig = a.sig
+      |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
       |  WHERE a.doc_id < b.doc_id),
       |p AS (
       |  SELECT CAST(c.doc_a AS BIGINT) AS doc_a,
@@ -124,8 +144,9 @@ object DedupQueries {
       |  FROM cand c
       |  JOIN s sa ON sa.doc_id = c.doc_a
       |  JOIN s sb ON sb.doc_id = c.doc_b)
-      |SELECT doc_a, doc_b, round(j, 4) AS jaccard
-      |FROM p WHERE j >= 0.6
+      |SELECT doc_a, doc_b, round(j, 4) AS jaccard,
+      |       CAST(sk.skipped_candidates AS BIGINT) AS skipped_candidates
+      |FROM p CROSS JOIN skip sk WHERE j >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
@@ -149,8 +170,40 @@ object DedupQueries {
         }
       }
       .toDF("doc_id", "band", "sig")
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band", "sig"))
+    // NOT persisted, deliberately (unlike d02's `signed`): the budget
+    // machinery makes this frame feed four exchanges, but at 100×
+    // (65 M rows) an executor-cache materialization competes with the
+    // joins' execution memory and measured 37 s vs 9.6 s for the
+    // pipelined recompute — the sketch is codegen'd typed Scala and
+    // recomputing it map-side is cheaper than caching a corpus-wide
+    // frame. At 100 TB the banded frame is a persisted PARQUET
+    // artifact (the IndexStore discipline), not an executor cache.
+    // ---- candidate BUDGET (the d02/d06 discipline via the shared
+    // [[graft.operators.CandidateBudget]]): a band signature shared by
+    // k docs yields k(k−1)/2 candidate pairs — boilerplate-heavy
+    // shingle skew makes that a structural quadratic on real corpora
+    // even where LSH theory promises small buckets. Count bucket mass
+    // FIRST, admit cheapest-first within 64·N, DISCLOSE the skipped
+    // mass in the `skipped_candidates` output column. Unlike d02's
+    // key-space-bounded buckets, mod-P signatures make d01's bucket
+    // count corpus-bound and singleton-dominated — so only POSITIVE-
+    // mass buckets (collision buckets: one row per duplicate group or
+    // band collision, never per member) enter the global window, and
+    // the prune is a left_anti on the HOT TAIL (`skippedKeys`), not a
+    // semi-join on the unbounded keep set; a zero- or one-member
+    // bucket neither consumes budget nor yields a self-join pair, so
+    // the semantics (and the oracle's cum <= b over all buckets) are
+    // unchanged.
+    val mass = banded.groupBy($"band", $"sig").agg(count(lit(1)).as("c"))
+      .select($"band", $"sig", expr("(c * (c - 1)) div 2").as("cand"))
+      .where($"cand" > 0)
+    val budget = BudgetPerDoc * Tables(s, dir, "documents").count()
+    val adm =
+      graft.operators.CandidateBudget.admit(mass, Seq("band", "sig"), budget)
+    val skipped = adm.skippedMass
+    val kept = banded.join(adm.skippedKeys, Seq("band", "sig"), "left_anti")
+    val candidates = kept.as("a")
+      .join(kept.as("b"), Seq("band", "sig"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -184,6 +237,7 @@ object DedupQueries {
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("j"))
       .where($"j" >= 0.6)
       .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
+      .crossJoin(broadcast(skipped))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -394,14 +448,8 @@ object DedupQueries {
       .join(probes.groupBy(keyCols: _*).agg(count(lit(1)).as("m_p")), keys)
       .withColumn("cand", $"m_e" * $"m_p")
     val budget = BudgetPerDoc * docs.count()
-    val order = col("cand") +: keyCols
-    val wCum = Window.orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budgeted = mass.withColumn("cum", sum($"cand").over(wCum))
-    val keep = budgeted.where($"cum" <= budget).select(keyCols: _*)
-    val skipped = budgeted
-      .agg(coalesce(sum(when($"cum" > budget, $"cand")), lit(0L))
-        .as("skipped_candidates"))
+    val adm = graft.operators.CandidateBudget.admit(mass, keys, budget)
+    val (keep, skipped) = (adm.keep, adm.skippedMass)
     val cands = exact.join(broadcast(keep), keys, "left_semi").as("a")
       .join(probes.as("b"), keys)
       .where($"a.doc_id" < $"b.doc_id")

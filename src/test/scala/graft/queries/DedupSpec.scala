@@ -135,6 +135,54 @@ class DedupSpec extends SparkSpec {
         s"$totalMass - ${kept.last} vs ${skipped.head}")
   }
 
+  test("d01 candidate budget: hot MinHash buckets skipped, dup pairs intact, mass disclosed") {
+    // d02's skew corpus, aimed at the MinHash band buckets: 60
+    // byte-identical docs share ALL 13 band signatures (13 hot buckets
+    // of mass 60·59/2 = 1770 ≈ 23k total), 200 random docs live in
+    // singleton buckets (mass 0). Budget = 64·260 = 16640 admits every
+    // cheap bucket plus only the cheapest hot ones — any ONE admitted
+    // hot bucket yields every identical-doc pair, so recall of true
+    // dups survives while the skipped mass is disclosed.
+    val dir = java.nio.file.Files.createTempDirectory("d01budget").toString
+    val hotText = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val rnd = new scala.util.Random(11)
+    val docs =
+      (0L until 60L).map(i => (i, "en", hotText)) ++
+        (100L until 300L).map(i =>
+          (i, "en", Seq.fill(40)("w" + rnd.nextInt(1000000)).mkString(" ")))
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = QueryRegistry.asMap("d01_minhash_lsh_dedup")(spark, dir).collect()
+    val skipped = out.map(_.getAs[Long]("skipped_candidates")).distinct
+    assert(skipped.length === 1, "skipped_candidates must be one run-level scalar")
+    assert(skipped.head > 0L,
+      s"hot-bucket mass must exceed the budget and be disclosed, got ${skipped.head}")
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+    } yield (a, b)).toSet
+    assert(expected.subsetOf(pairs),
+      s"budget dropped true duplicate pairs: missing ${(expected -- pairs).take(5)}")
+    // the admitted mass respects the budget: recompute band-bucket
+    // masses independently and check the cheapest-first prefix
+    import graft.functions.HashSketch
+    val sigs = docs.map { case (id, _, t) =>
+      val mins = HashSketch.minhashModP(HashSketch.shingle3(t), 13 * 5)
+      id -> (0 until 13).map(b => (b, HashSketch.bandKeyModP(mins, b * 5, (b + 1) * 5)))
+    }
+    val bucketCnt = sigs.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val masses = bucketCnt.toSeq
+      .map { case (k, c) => (k, c * (c - 1) / 2) }
+      .sortBy { case ((b, sig), m) => (m, b, sig) }
+    val budget = 64L * docs.size
+    val keptPrefix = masses.scanLeft(0L)(_ + _._2).tail.takeWhile(_ <= budget)
+    val totalMass = masses.map(_._2).sum
+    assert(totalMass - keptPrefix.last === skipped.head,
+      s"disclosed skip mass must equal total - admitted: " +
+        s"$totalMass - ${keptPrefix.last} vs ${skipped.head}")
+  }
+
   test("connected components chain transitively and keep clusters separate") {
     import graft.operators.ConnectedComponents
     // chain 1-2-3-4 (never all directly connected), separate pair 10-11,
