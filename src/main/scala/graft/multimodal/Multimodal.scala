@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   * a zero-egress environment; kind == "image" payloads are decoded to
   * pixels, featurized as a deterministic integer-luma histogram, and
   * resized with nearest-neighbor resampling + PNG re-encode.
-  * Audio/video decode remains the documented STUB (the JDK carries no
-  * codec for them): a deterministic byte-statistics featurizer,
-  * clearly marked below. An undecodable "image" payload falls back to
-  * the stub rather than failing the task — a corrupt blob in a 100 TB
-  * corpus must never kill the job.
+  * AUDIO decodes for real too (round 6) — `javax.sound.sampled` is
+  * likewise JDK-native for WAV/AIFF/AU PCM containers; kind == "audio"
+  * payloads are decoded to 16-bit samples and featurized as per-window
+  * RMS + zero-crossing rate (integer accumulation, so the features are
+  * bit-deterministic across JVMs). Only VIDEO remains the documented
+  * STUB (the JDK carries no video codec): a deterministic
+  * byte-statistics featurizer, clearly marked below. An undecodable
+  * "image"/"audio" payload falls back to the stub rather than failing
+  * the task — a corrupt blob in a 100 TB corpus must never kill the
+  * job.
   *
   * 100 TB notes: media rows are large (MBs) — the partitioning unit
   * must be rows-per-task, not bytes-per-split; callers repartition by
@@ -39,11 +44,11 @@ object Multimodal {
   case class MediaFeatures(mediaId: Long, kind: String, features: Array[Float])
   case class Frame(mediaId: Long, frameIdx: Int, payload: Array[Byte])
 
-  /** ======= STUB CODEC (audio/video only since round 5) =======
+  /** ======= STUB CODEC (video only since round 6) =======
     * Deterministic stand-in for a real decoder: a 16-bin byte-value
     * histogram, L1-normalized. Images take the REAL [[readImage]]
-    * path; this remains the audio/video featurizer (no JDK codec) and
-    * the corrupt-image fallback. */
+    * path and audio the REAL [[readAudio]] path; this remains the
+    * video featurizer (no JDK codec) and the corrupt-blob fallback. */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     var i = 0
@@ -87,13 +92,97 @@ object Multimodal {
     bins.map(_ / n)
   }
 
-  /** Kind-dispatched decode: real pixels for decodable images, the
-    * documented stub for everything else (and for corrupt image
-    * bytes). */
+  /** ======= REAL AUDIO CODEC (JDK-native javax.sound.sampled) ======= */
+
+  /** Decode an audio payload (WAV/AIFF/AU — the JDK's registered
+    * readers) to mono 16-bit samples. Whatever the container's
+    * encoding (8/16-bit, u-law, big/little endian), the stream is
+    * first converted to signed 16-bit PCM at the source rate, then
+    * channels are mixed to mono by integer average — all int math, so
+    * the samples are bit-deterministic. None for undecodable bytes:
+    * the caller falls back to the stub instead of failing the task. */
+  def readAudio(payload: Array[Byte]): Option[Array[Short]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val ch = target.getChannels
+          val frames = bytes.length / (2 * ch)
+          val mono = new Array[Short](frames)
+          var f = 0
+          while (f < frames) {
+            var acc = 0
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2
+              acc += ((bytes(o + 1) << 8) | (bytes(o) & 0xff))
+              c += 1
+            }
+            mono(f) = (acc / ch).toShort
+            f += 1
+          }
+          Some(mono)
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Per-window RMS + zero-crossing-rate features over decoded
+    * samples: 8 equal windows × (rms, zcr) = the same 16-float shape
+    * as the histograms. Accumulation is integer (Long sum of squares,
+    * int crossing count); the only float ops are one correctly-rounded
+    * sqrt and two divisions per window, so features are
+    * bit-deterministic across JVMs. RMS is normalized to [0,1] by the
+    * 16-bit full scale; ZCR is crossings per sample pair. */
+  def audioFeatures(samples: Array[Short], nWindows: Int = 8): Array[Float] = {
+    val feats = new Array[Float](2 * nWindows)
+    val n = samples.length
+    if (n == 0) return feats
+    var w = 0
+    while (w < nWindows) {
+      val start = (n.toLong * w / nWindows).toInt
+      val end = (n.toLong * (w + 1) / nWindows).toInt
+      var sumSq = 0L
+      var crossings = 0
+      var i = start
+      while (i < end) {
+        val s = samples(i).toLong
+        sumSq += s * s
+        if (i > start &&
+          ((samples(i - 1) < 0 && samples(i) >= 0) ||
+            (samples(i - 1) >= 0 && samples(i) < 0))) crossings += 1
+        i += 1
+      }
+      val len = end - start
+      if (len > 0) {
+        feats(2 * w) =
+          (math.sqrt(sumSq.toDouble / len) / 32768.0).toFloat
+        feats(2 * w + 1) =
+          if (len > 1) crossings.toFloat / (len - 1) else 0f
+      }
+      w += 1
+    }
+    feats
+  }
+
+  /** Kind-dispatched decode: real pixels for decodable images, real
+    * samples for decodable audio, the documented stub for video (and
+    * for corrupt image/audio bytes). */
   def decode(kind: String, payload: Array[Byte]): Array[Float] =
-    if (kind == "image")
-      readImage(payload).map(imageHistogram).getOrElse(stubDecode(payload))
-    else stubDecode(payload)
+    kind match {
+      case "image" =>
+        readImage(payload).map(imageHistogram).getOrElse(stubDecode(payload))
+      case "audio" =>
+        readAudio(payload).map(audioFeatures(_)).getOrElse(stubDecode(payload))
+      case _ => stubDecode(payload)
+    }
 
   /** Feature extraction over a typed media Dataset — partition-batch
     * iterator in/out (mapInPandas analog). The iterator is streamed:

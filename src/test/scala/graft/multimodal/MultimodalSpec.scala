@@ -105,6 +105,63 @@ class MultimodalSpec extends SparkSpec {
     assert((img.getRGB(1, 1) & 0xffffff) === 0x00ff00)
   }
 
+  /** Deterministic 8 kHz 16-bit mono WAV: a square wave flipping sign
+    * every 8 samples at ±16384 — encoded with the JDK's own
+    * javax.sound.sampled writer. 8000 samples ⇒ each of the 8 feature
+    * windows holds 1000 samples starting on a flip boundary
+    * (1000 = 8·125), so RMS and ZCR are exact: RMS = 16384/32768 = 0.5
+    * and crossings = |{i ∈ (0,1000) : 8 | i}| = 124 per window. */
+  private def squareWav(): Array[Byte] = {
+    val samples = Array.tabulate[Short](8000)(i =>
+      if ((i / 8) % 2 == 0) 16384 else -16384)
+    wavBytes(samples, channels = 1)
+  }
+
+  /** Interleaved 16-bit little-endian samples → WAV container bytes. */
+  private def wavBytes(interleaved: Array[Short], channels: Int): Array[Byte] = {
+    val bytes = new Array[Byte](interleaved.length * 2)
+    for (i <- interleaved.indices) {
+      bytes(2 * i) = (interleaved(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((interleaved(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt,
+      interleaved.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio decode is REAL: WAV samples drive RMS + zero-crossing features") {
+    val wav = squareWav()
+    val out = extractFeatures(Seq(media(7, "audio", wav)).toDS()).head()
+    val f = out.features
+    assert(f.length === 16)
+    for (w <- 0 until 8) {
+      assert(f(2 * w) === 0.5f, s"window $w RMS: ${f(2 * w)}")
+      assert(f(2 * w + 1) === 124f / 999f, s"window $w ZCR: ${f(2 * w + 1)}")
+    }
+    // and it is NOT the byte-histogram stub over the WAV container
+    assert(f.toSeq !== stubDecode(wav).toSeq,
+      "features match the byte stub — the audio was never decoded")
+  }
+
+  test("readAudio mixes stereo to mono by integer average") {
+    // stereo frames L=1000, R=3001 → mono (1000+3001)/2 = 2000 (int div)
+    val interleaved = Array.fill(100)(Seq[Short](1000, 3001)).flatten
+    val mono = readAudio(wavBytes(interleaved, channels = 2)).get
+    assert(mono.length === 100)
+    assert(mono.forall(_ === 2000.toShort), s"head: ${mono.take(4).toSeq}")
+  }
+
+  test("corrupt audio bytes fall back to the stub instead of failing the task") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 13).toByte)
+    val out = extractFeatures(Seq(media(8, "audio", junk)).toDS()).head()
+    assert(out.features.toSeq === stubDecode(junk).toSeq)
+  }
+
   test("m05 chunk store: every document reassembles byte-identically") {
     val df = graft.queries.MultimodalQueries.m05ChunkStore
       .fn(spark, "/root/testdata/sf0.001")
