@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   *
   * Shape: `unionByName` (no join — a full-outer join would build hash
   * tables of both sides; union + window needs only one hash shuffle on
-  * the key) then `row_number` over (key; version desc, origin desc)
-  * keeping rank 1. Origin breaks exact-version ties toward the delta,
-  * making the merge deterministic even on replayed deltas — an
-  * idempotence requirement, same as StreamingDedup's batch_id
-  * discipline.
+  * the key) then `row_number` over (key; version desc, origin desc,
+  * row-hash desc) keeping rank 1. Origin breaks exact-version ties
+  * toward the delta and the row hash totalizes the rest, making the
+  * merge deterministic even on replayed deltas — an idempotence
+  * requirement, same as StreamingDedup's batch_id discipline. Deletes
+  * ([[applyCdc]]) are tombstone rows that COMPETE in the same window
+  * and drop the key when they win.
   *
   * The per-key window is 2–3 rows wide (base row + delta rows for that
   * key), so WindowExec state is trivially bounded; with a
@@ -37,12 +39,49 @@ object SnapshotMerge {
       key: String, version: String): DataFrame = {
     val tagged = base.withColumn("__origin", lit(0))
       .unionByName(delta.withColumn("__origin", lit(1)))
-    tagged
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(key))
-          .orderBy(col(version).desc, col("__origin").desc)))
+    resolve(tagged, key, version).drop("__rn", "__origin")
+  }
+
+  /** CDC merge WITH tombstones: delta rows carry an `op` column
+    * (`"upsert"` | `"delete"`); base rows are implicit upserts. The
+    * winner per key is resolved exactly as [[latestWins]] — deletes
+    * COMPETE in the window rather than being applied as a separate
+    * pass — and keys whose winning row is a tombstone drop out of the
+    * snapshot. That one rule gives correct ordering for the whole op
+    * algebra: a tombstone above the live version deletes, a re-upsert
+    * above the tombstone reinserts, a stale delete below the live
+    * version is a no-op, and replaying the same delta is idempotent
+    * because resolution is deterministic. Output schema = base schema
+    * (`op` is delta-only). */
+  def applyCdc(base: DataFrame, delta: DataFrame,
+      key: String, version: String, op: String = "op"): DataFrame = {
+    val tagged = base.withColumn(op, lit("upsert"))
+      .withColumn("__origin", lit(0))
+      .unionByName(delta.withColumn("__origin", lit(1)))
+    resolve(tagged, key, version)
+      .where(col(op) =!= "delete")
+      .drop("__rn", "__origin", op)
+  }
+
+  /** Shared resolution window: rank 1 over (version desc, origin
+    * desc, row-hash desc). The trailing `xxhash64` over the payload
+    * columns totalizes the order, so even two DISTINCT delta rows
+    * sharing (key, version) — which (version, origin) alone leaves
+    * unspecified — resolve to one deterministic winner, independent of
+    * partitioning or input order (exact-duplicate replays tie on the
+    * hash harmlessly: the tied rows are identical). Deterministic up
+    * to 64-bit hash collisions BETWEEN DISTINCT SAME-KEY-AND-VERSION
+    * rows; callers needing exactness there should pass one row per
+    * (key, version) per side. */
+  private def resolve(tagged: DataFrame, key: String,
+      version: String): DataFrame = {
+    val payload = tagged.columns
+      .filter(c => c != key && !c.startsWith("__")).map(col)
+    tagged.withColumn("__rn", row_number().over(
+      Window.partitionBy(col(key))
+        .orderBy(col(version).desc, col("__origin").desc,
+          xxhash64(payload: _*).desc)))
       .where(col("__rn") === 1)
-      .drop("__rn", "__origin")
   }
 
   /** The partition values of `base` a merge of `delta` would touch —

@@ -795,27 +795,44 @@ object DedupQueries {
       .join(keep, Seq("cluster"))
   }
 
-  /** d08 — latest-crawl-wins snapshot upsert
-    * ([[graft.operators.SnapshotMerge]]): the corpus (version 1) merged
-    * with a deterministic recrawl delta — every 7th doc recrawled as
-    * version 2 with uppercased text, every 13th doc id spawning a NEW
-    * doc above the id range — then summarized per (lang, source). The
-    * recrawl marker (text = upper(text)) and the version sum prove the
-    * window kept exactly the right row per key; union + one per-key
-    * window (2-row partitions) is the whole cost. Oracle replays the
-    * identical union + ROW_NUMBER in DuckDB. */
+  /** d08 — latest-crawl-wins CDC merge WITH tombstones
+    * ([[graft.operators.SnapshotMerge.applyCdc]]): the corpus
+    * (version 1) merged with a deterministic CDC delta — every 7th doc
+    * recrawled as version 2 with uppercased text, every 13th doc id
+    * spawning a NEW doc above the id range, every 11th doc TOMBSTONED
+    * at version 3 (outranking its recrawl), and every 22nd doc
+    * REINSERTED at version 4 above its own tombstone — then summarized
+    * per (lang, source). The recrawl marker (text = upper(text)), the
+    * version sum, and the delete/reinsert counts prove the window kept
+    * exactly the right row per key across the full op algebra
+    * (upsert < delete < re-upsert); union + one per-key window (≤5-row
+    * partitions) is the whole cost. Oracle replays the identical union
+    * + ROW_NUMBER + tombstone filter in DuckDB (no hash tie-break
+    * needed: every key's versions are distinct per side by
+    * construction). */
   val d08SnapshotUpsert: GraftQuery = q(
     "d08_snapshot_upsert",
-    "CDC latest-writer-wins merge: base + recrawl delta -> one row per key",
+    "CDC merge with tombstones: base + upsert/delete/reinsert delta -> one row per live key",
     Some("""WITH base AS (
-      |  SELECT doc_id, text, lang, source, 1 AS version, 0 AS origin
+      |  SELECT doc_id, text, lang, source, 1 AS version, 0 AS origin,
+      |         'upsert' AS op
       |  FROM documents),
       |delta AS (
-      |  SELECT doc_id, upper(text) AS text, lang, source, 2 AS version, 1 AS origin
+      |  SELECT doc_id, upper(text) AS text, lang, source, 2 AS version,
+      |         1 AS origin, 'upsert' AS op
       |  FROM documents WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000000, text, lang, 'recrawl' AS source, 1 AS version, 1 AS origin
-      |  FROM documents WHERE doc_id % 13 = 0),
+      |  SELECT doc_id + 1000000000, text, lang, 'recrawl' AS source,
+      |         1 AS version, 1 AS origin, 'upsert' AS op
+      |  FROM documents WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, 3 AS version, 1 AS origin,
+      |         'delete' AS op
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, 'reinsert' AS source, 4 AS version,
+      |         1 AS origin, 'upsert' AS op
+      |  FROM documents WHERE doc_id % 22 = 0),
       |merged AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
       |                               ORDER BY version DESC, origin DESC) AS rn
@@ -823,7 +840,7 @@ object DedupQueries {
       |SELECT lang, source, count(*) AS docs,
       |       CAST(sum(version) AS BIGINT) AS version_sum,
       |       CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS upper_docs
-      |FROM merged WHERE rn = 1
+      |FROM merged WHERE rn = 1 AND op <> 'delete'
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin)
   ) { (s, dir) =>
@@ -834,11 +851,20 @@ object DedupQueries {
     val delta = docs.where($"doc_id" % 7 === 0)
       .withColumn("text", upper($"text"))
       .withColumn("version", lit(2))
+      .withColumn("op", lit("upsert"))
       .unionByName(docs.where($"doc_id" % 13 === 0)
         .withColumn("doc_id", $"doc_id" + 1000000000L)
         .withColumn("source", lit("recrawl"))
-        .withColumn("version", lit(1)))
-    graft.operators.SnapshotMerge.latestWins(base, delta, "doc_id", "version")
+        .withColumn("version", lit(1))
+        .withColumn("op", lit("upsert")))
+      .unionByName(docs.where($"doc_id" % 11 === 0)
+        .withColumn("version", lit(3))
+        .withColumn("op", lit("delete")))
+      .unionByName(docs.where($"doc_id" % 22 === 0)
+        .withColumn("source", lit("reinsert"))
+        .withColumn("version", lit(4))
+        .withColumn("op", lit("upsert")))
+    graft.operators.SnapshotMerge.applyCdc(base, delta, "doc_id", "version")
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("docs"),
         sum($"version").as("version_sum"),
