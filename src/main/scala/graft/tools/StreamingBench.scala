@@ -24,13 +24,19 @@ import graft.streaming.StreamingJob
   * {"metric":"streaming_rows_per_sec","value":R,"rows":N,
   *  "wall_sec":W,"batches":B,"batch_ms":{"p50":…,"max":…}}
   *
-  * Usage: runMain graft.tools.StreamingBench [rows] [chunks]
+  * Usage: runMain graft.tools.StreamingBench [rows] [chunks] [maxFilesPerTrigger]
+  * Sweeping maxFilesPerTrigger (batch size = rows/chunks ×
+  * maxFilesPerTrigger) separates per-ROW cost (parse/clean/enrich,
+  * scales with input) from per-BATCH cost (trigger planning + sink
+  * file commit, constant) — the trend BENCH_SCALE's `streaming.runs`
+  * records.
   */
 object StreamingBench {
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 400000L
     val chunks = if (args.length > 1) args(1).toInt else 10
+    val maxFiles = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,7 +91,7 @@ object StreamingBench {
         "area_centroid_longitude", "the_geom")
 
     val source = spark.readStream
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", maxFiles)
       .text(s"$work/feed")
       .select($"value")
     val enriched = StreamingJob.enrich(
@@ -113,7 +119,9 @@ object StreamingBench {
     println(
       f"""{"metric":"streaming_rows_per_sec","value":${rows / wall}%.0f,""" +
         f""""rows":$rows,"out_rows":$outRows,"wall_sec":$wall%.2f,""" +
-        f""""batches":${progress.length},"batch_ms":{"p50":$p50,"max":$mx}}""")
+        f""""batches":${progress.length},"chunks":$chunks,""" +
+        f""""max_files_per_trigger":$maxFiles,""" +
+        f""""batch_ms":{"p50":$p50,"max":$mx}}""")
     spark.stop()
   }
 }
