@@ -220,25 +220,59 @@ object IndexStore {
     * at the gate SFs B ≤ 160 and the per-bucket layout is exact. */
   def ivfadcIndex(s: SparkSession, dir: String, iters: Int, m: Int, sub: Int,
       k: Int): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
     val path = ivfadcIndexPath(dir, iters, m, sub, k)
-    if (!artifactReady(path)) {
-      val piv = ivfPivots(s, dir, iters)
-      val cb = pqCodebooks(s, dir, m, sub, k)
-      val bcP = s.sparkContext.broadcast(piv)
-      val bcC = s.sparkContext.broadcast(cb)
-      corpus(s, dir).map { case (id, v) =>
-        val bucket = VectorOps.nearest2Pivots(v, bcP.value)._1.toLong
-        val codes = Array.tabulate(m)(i =>
-          VectorOps.nearestCodeIdx(v, i * sub, bcC.value(i)))
-        (id, bucket, codes)
-      }.toDF("vec_id", "bucket", "codes")
+    if (!artifactReady(path))
+      encodeWith(s, dir, corpus(s, dir), iters, m, sub, k)
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    }
     // partition-column types are inferred on read — normalize
     s.read.parquet(path)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("bucket").cast("long").as("bucket"), col("codes"))
+  }
+
+  /** Assign + encode `vecs` under `dir`'s (frozen) quantizer
+    * artifacts — the one map pass shared by the index build and
+    * [[appendToIndex]]. */
+  private[operators] def encodeWith(s: SparkSession, dir: String,
+      vecs: Dataset[(Long, Array[Double])], iters: Int, m: Int, sub: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val bcP = s.sparkContext.broadcast(ivfPivots(s, dir, iters))
+    val bcC = s.sparkContext.broadcast(pqCodebooks(s, dir, m, sub, k))
+    vecs.map { case (id, v) =>
+      val bucket = VectorOps.nearest2Pivots(v, bcP.value)._1.toLong
+      val codes = Array.tabulate(m)(i =>
+        VectorOps.nearestCodeIdx(v, i * sub, bcC.value(i)))
+      (id, bucket, codes)
+    }.toDF("vec_id", "bucket", "codes")
+  }
+
+  /** INCREMENTAL index maintenance — the daily-embedding-ingest leg:
+    * encode a new batch under the EXISTING (frozen) pivots and
+    * codebooks and append it into the partitioned index, touching
+    * only the bucket partitions the batch lands in. No retraining, no
+    * corpus re-scan — O(batch) work, the [[Bucketing.appendBucketed]]
+    * discipline applied to the vector index.
+    *
+    * Contract: frozen quantizers mean the composed index is
+    * bit-identical to a full re-encode of (corpus ∪ batches) under
+    * the same artifacts (IndexStoreSpec pins this), so probe-side
+    * correctness is unaffected; what CAN drift is quantizer QUALITY
+    * (cell balance / code error) if the batch distribution shifts —
+    * production cadence is append daily, retrain on a schedule (which
+    * rewrites the artifact under a fresh corpus fingerprint). Replay
+    * idempotence is the CALLER's job (ship each batch exactly once —
+    * the StreamingDedup batch_id discipline); this method appends
+    * blindly, like any file sink. The index must already exist
+    * (build-before-append). */
+  def appendToIndex(s: SparkSession, dir: String,
+      batch: Dataset[(Long, Array[Double])], iters: Int, m: Int, sub: Int,
+      k: Int): Unit = {
+    val path = ivfadcIndexPath(dir, iters, m, sub, k)
+    require(artifactReady(path),
+      s"ivfadc index at $path must be built before appending")
+    encodeWith(s, dir, batch, iters, m, sub, k)
+      .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
   /** DuckDB CTE rendering of the training sample, assuming a CTE `e`

@@ -76,6 +76,66 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex: incremental batch composes bit-identically with a full re-encode") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      // build the index for the standing corpus
+      IndexStore.ivfadcIndex(spark, sf, IvfIters, 16, 4, 32)
+      val idxPath = IndexStore.ivfadcIndexPath(sf, IvfIters, 16, 4, 32)
+      val filesPerBucket = new java.io.File(idxPath).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+      // day 2: 40 NEW vectors (re-keyed corpus vectors — same
+      // distribution, ids above the range)
+      val batch = graft.Tables(spark, sf, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .as[(Long, Array[Double])]
+        .filter(_._1 < 40).map { case (id, v) => (id + 1000000000L, v) }
+      IndexStore.appendToIndex(spark, sf, batch, IvfIters, 16, 4, 32)
+
+      // composed index == one-shot encode of the same union under the
+      // SAME frozen artifacts
+      val composed = IndexStore.ivfadcIndex(spark, sf, IvfIters, 16, 4, 32)
+        .select($"vec_id", $"bucket", $"codes".cast("array<int>"))
+        .as[(Long, Long, Array[Int])].collect()
+        .map(r => (r._1, r._2, r._3.toSeq)).sortBy(_._1)
+      val full = IndexStore.encodeWith(spark, sf,
+        graft.Tables(spark, sf, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+          .as[(Long, Array[Double])].unionAll(batch), IvfIters, 16, 4, 32)
+        .as[(Long, Long, Array[Int])].collect()
+        .map(r => (r._1, r._2, r._3.toSeq)).sortBy(_._1)
+      assert(composed.toSeq === full.toSeq,
+        "frozen-quantizer append must equal the full re-encode")
+
+      // O(batch) write surface: only the buckets the batch landed in
+      // gained files
+      val touched = composed.filter(_._1 >= 1000000000L).map(_._2).toSet
+      new java.io.File(idxPath).listFiles()
+        .filter(_.getName.startsWith("bucket=")).foreach { d =>
+          val b = d.getName.stripPrefix("bucket=").toLong
+          val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+          if (!touched.contains(b))
+            assert(n === filesPerBucket(d.getName),
+              s"untouched bucket $b must gain no files")
+        }
+    }
+  }
+
+  test("appendToIndex refuses to append before the index exists") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val batch = Seq((1L, Array.fill(64)(0.5))).toDS()
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.appendToIndex(spark, sf, batch, IvfIters, 16, 4, 32)
+      }
+      assert(e.getMessage.contains("must be built before appending"))
+    }
+  }
+
   test("fingerprint: a rewritten source table invalidates the artifact key") {
     val dir = tmpDir("idx-fp")
     val f = new java.io.File(dir, "embeddings.parquet")
