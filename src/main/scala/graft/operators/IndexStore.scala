@@ -275,6 +275,49 @@ object IndexStore {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Artifact directory for the MinHash band-signature index of
+    * `dir`'s documents. */
+  def minhashBandsPath(dir: String, bands: Int, rows: Int): String =
+    s"$root/${fingerprint(dir, "documents")}/minhash_bands_${bands}x$rows"
+
+  /** Persisted MinHash band-signature index — the dedup family's
+    * IndexStore artifact. d01's banded frame feeds THREE exchanges per
+    * execution (bucket-mass count + both self-join sides), and the
+    * sketch (shingling + 65 mod-P minima per doc) is the CPU-dominant
+    * stage; recomputing it per consumer tripled that cost, while an
+    * executor-cache materialization measured 3× WORSE at the 100×
+    * replica (competes with join execution memory — see d01's
+    * scaladoc). The production shape is the same train-once/probe-many
+    * split as the vector artifacts: sketch the corpus ONCE per corpus
+    * lifetime, persist the (doc_id, band, sig) rows as parquet keyed
+    * by the documents fingerprint, and let every execution (and every
+    * consumer within one) read the columnar primitives back. The
+    * signatures are pure deterministic functions of the text
+    * ([[graft.functions.HashSketch.minhashModP]]), so oracle parity is
+    * untouched — the DuckDB side recomputes them in SQL as before.
+    * Incremental corpora compose exactly like [[appendToIndex]]:
+    * sketch only the new batch and append (signatures are per-doc,
+    * there is no quantizer to freeze or drift). */
+  def minhashBands(s: SparkSession, dir: String, bands: Int,
+      rows: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val path = minhashBandsPath(dir, bands, rows)
+    if (!artifactReady(path)) {
+      graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val mins = graft.functions.HashSketch.minhashModP(
+            graft.functions.HashSketch.shingle3(text), bands * rows)
+          (0 until bands).iterator.map { b =>
+            (id, b, graft.functions.HashSketch
+              .bandKeyModP(mins, b * rows, (b + 1) * rows))
+          }
+        }.toDF("doc_id", "band", "sig")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** DuckDB CTE rendering of the training sample, assuming a CTE `e`
     * (vec_id, v) is in scope — emits `es`. Shared by every IVF/PQ
     * oracle so the sample rule lives in exactly one string. */

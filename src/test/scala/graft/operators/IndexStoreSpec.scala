@@ -136,6 +136,35 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("minhash band index: cold build and warm load serve identical signatures") {
+    withRoot { _ =>
+      val cold = IndexStore.minhashBands(spark, sf, 13, 5)
+        .collect().map(_.toString).sorted
+      assert(new java.io.File(IndexStore.minhashBandsPath(sf, 13, 5),
+        "_SUCCESS").isFile, "cold build must persist the artifact")
+      val warm = IndexStore.minhashBands(spark, sf, 13, 5)
+        .collect().map(_.toString).sorted
+      assert(cold.toSeq === warm.toSeq)
+      assert(cold.nonEmpty)
+      // the warm path really loads: tamper and observe
+      val s2 = spark
+      import s2.implicits._
+      Seq((42L, 0, 7L)).toDF("doc_id", "band", "sig")
+        .write.mode("overwrite").parquet(IndexStore.minhashBandsPath(sf, 13, 5))
+      assert(IndexStore.minhashBands(spark, sf, 13, 5).count() === 1L,
+        "warm call must serve the persisted artifact, not re-sketch")
+    }
+  }
+
+  test("d01 results are identical cold (sketch) and warm (load)") {
+    withRoot { _ =>
+      val q = QueryRegistry.asMap("d01_minhash_lsh_dedup")
+      val cold = q(spark, sf).collect().map(_.toString).sorted
+      val warm = q(spark, sf).collect().map(_.toString).sorted
+      assert(cold.toSeq === warm.toSeq)
+    }
+  }
+
   test("fingerprint: a rewritten source table invalidates the artifact key") {
     val dir = tmpDir("idx-fp")
     val f = new java.io.File(dir, "embeddings.parquet")
