@@ -788,55 +788,14 @@ object DedupQueries {
       .join(keep, Seq("cluster"))
   }
 
-  /** d08 — latest-crawl-wins CDC merge WITH tombstones
-    * ([[graft.operators.SnapshotMerge.applyCdc]]): the corpus
-    * (version 1) merged with a deterministic CDC delta — every 7th doc
-    * recrawled as version 2 with uppercased text, every 13th doc id
-    * spawning a NEW doc above the id range, every 11th doc TOMBSTONED
-    * at version 3 (outranking its recrawl), and every 22nd doc
-    * REINSERTED at version 4 above its own tombstone — then summarized
-    * per (lang, source). The recrawl marker (text = upper(text)), the
-    * version sum, and the delete/reinsert counts prove the window kept
-    * exactly the right row per key across the full op algebra
-    * (upsert < delete < re-upsert); union + one per-key window (≤5-row
-    * partitions) is the whole cost. Oracle replays the identical union
-    * + ROW_NUMBER + tombstone filter in DuckDB (no hash tie-break
-    * needed: every key's versions are distinct per side by
-    * construction). */
-  val d08SnapshotUpsert: GraftQuery = q(
-    "d08_snapshot_upsert",
-    "CDC merge with tombstones: base + upsert/delete/reinsert delta -> one row per live key",
-    Some("""WITH base AS (
-      |  SELECT doc_id, text, lang, source, 1 AS version, 0 AS origin,
-      |         'upsert' AS op
-      |  FROM documents),
-      |delta AS (
-      |  SELECT doc_id, upper(text) AS text, lang, source, 2 AS version,
-      |         1 AS origin, 'upsert' AS op
-      |  FROM documents WHERE doc_id % 7 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 1000000000, text, lang, 'recrawl' AS source,
-      |         1 AS version, 1 AS origin, 'upsert' AS op
-      |  FROM documents WHERE doc_id % 13 = 0
-      |  UNION ALL
-      |  SELECT doc_id, text, lang, source, 3 AS version, 1 AS origin,
-      |         'delete' AS op
-      |  FROM documents WHERE doc_id % 11 = 0
-      |  UNION ALL
-      |  SELECT doc_id, text, lang, 'reinsert' AS source, 4 AS version,
-      |         1 AS origin, 'upsert' AS op
-      |  FROM documents WHERE doc_id % 22 = 0),
-      |merged AS (
-      |  SELECT *, row_number() OVER (PARTITION BY doc_id
-      |                               ORDER BY version DESC, origin DESC) AS rn
-      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
-      |SELECT lang, source, count(*) AS docs,
-      |       CAST(sum(version) AS BIGINT) AS version_sum,
-      |       CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS upper_docs
-      |FROM merged WHERE rn = 1 AND op <> 'delete'
-      |GROUP BY lang, source
-      |ORDER BY lang, source""".stripMargin)
-  ) { (s, dir) =>
+  /** The deterministic CDC scenario d08 and d09 share: the corpus as
+    * the version-1 base, plus a delta exercising the full op algebra —
+    * every 7th doc recrawled (version 2, uppercased text), every 13th
+    * id spawning a NEW doc above the id range, every 11th doc
+    * tombstoned at version 3, every 22nd reinserted at version 4 above
+    * its own tombstone. Returns (base, delta); delta carries the `op`
+    * column [[graft.operators.SnapshotMerge.applyCdc]] resolves. */
+  private def cdcScenario(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
       .select($"doc_id", $"text", $"lang", $"source")
@@ -857,6 +816,68 @@ object DedupQueries {
         .withColumn("source", lit("reinsert"))
         .withColumn("version", lit(4))
         .withColumn("op", lit("upsert")))
+    (base, delta)
+  }
+
+  /** The (lang, source) rollup both CDC queries report: live docs, the
+    * version sum (proves which version won per key), and the
+    * recrawl-marker count (text = upper(text)). DuckDB replays the
+    * FULL union + ROW_NUMBER + tombstone-filter recompute — for d08
+    * that mirrors the Spark window; for d09 it is the ground truth the
+    * incremental path must reproduce bit-for-bit. */
+  private val CdcRollupOracle: String = """WITH base AS (
+    |  SELECT doc_id, text, lang, source, 1 AS version, 0 AS origin,
+    |         'upsert' AS op
+    |  FROM documents),
+    |delta AS (
+    |  SELECT doc_id, upper(text) AS text, lang, source, 2 AS version,
+    |         1 AS origin, 'upsert' AS op
+    |  FROM documents WHERE doc_id % 7 = 0
+    |  UNION ALL
+    |  SELECT doc_id + 1000000000, text, lang, 'recrawl' AS source,
+    |         1 AS version, 1 AS origin, 'upsert' AS op
+    |  FROM documents WHERE doc_id % 13 = 0
+    |  UNION ALL
+    |  SELECT doc_id, text, lang, source, 3 AS version, 1 AS origin,
+    |         'delete' AS op
+    |  FROM documents WHERE doc_id % 11 = 0
+    |  UNION ALL
+    |  SELECT doc_id, text, lang, 'reinsert' AS source, 4 AS version,
+    |         1 AS origin, 'upsert' AS op
+    |  FROM documents WHERE doc_id % 22 = 0),
+    |merged AS (
+    |  SELECT *, row_number() OVER (PARTITION BY doc_id
+    |                               ORDER BY version DESC, origin DESC) AS rn
+    |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
+    |SELECT lang, source, count(*) AS docs,
+    |       CAST(sum(version) AS BIGINT) AS version_sum,
+    |       CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS upper_docs
+    |FROM merged WHERE rn = 1 AND op <> 'delete'
+    |GROUP BY lang, source
+    |ORDER BY lang, source""".stripMargin
+
+  /** d08 — latest-crawl-wins CDC merge WITH tombstones
+    * ([[graft.operators.SnapshotMerge.applyCdc]]): the corpus
+    * (version 1) merged with a deterministic CDC delta — every 7th doc
+    * recrawled as version 2 with uppercased text, every 13th doc id
+    * spawning a NEW doc above the id range, every 11th doc TOMBSTONED
+    * at version 3 (outranking its recrawl), and every 22nd doc
+    * REINSERTED at version 4 above its own tombstone — then summarized
+    * per (lang, source). The recrawl marker (text = upper(text)), the
+    * version sum, and the delete/reinsert counts prove the window kept
+    * exactly the right row per key across the full op algebra
+    * (upsert < delete < re-upsert); union + one per-key window (≤5-row
+    * partitions) is the whole cost. Oracle replays the identical union
+    * + ROW_NUMBER + tombstone filter in DuckDB (no hash tie-break
+    * needed: every key's versions are distinct per side by
+    * construction). */
+  val d08SnapshotUpsert: GraftQuery = q(
+    "d08_snapshot_upsert",
+    "CDC merge with tombstones: base + upsert/delete/reinsert delta -> one row per live key",
+    Some(CdcRollupOracle)
+  ) { (s, dir) =>
+    import s.implicits._
+    val (base, delta) = cdcScenario(s, dir)
     graft.operators.SnapshotMerge.applyCdc(base, delta, "doc_id", "version")
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("docs"),
@@ -865,8 +886,46 @@ object DedupQueries {
       .orderBy($"lang", $"source")
   }
 
+  /** d09 — incremental view maintenance
+    * ([[graft.operators.IncrementalRollup.maintain]]): the SAME CDC
+    * scenario and the SAME (lang, source) rollup as d08, produced by
+    * the retract/add path instead of re-aggregating the corpus — the
+    * materialized-view discipline the reference's rebuild-everything
+    * `TransformTaxiTrips.py:23-28` daily job is missing. The stored
+    * rollup enters as pre-aggregated group rows; the delta's touched
+    * keys broadcast into a left-semi that retracts exactly the rows the
+    * CDC replaces (sign −1) and the post-CDC winners re-enter at +1, so
+    * the maintenance shuffle is O(groups + touched), never O(corpus).
+    * The oracle is deliberately the FULL recompute: "incremental ≡ full
+    * recompute" is the view-maintenance correctness contract, and the
+    * hash gate checks it bit-for-bit. (The in-query build of the base
+    * rollup stands in for reading the stored artifact; the
+    * IncrementalRollupSpec and BENCH_SCALE measure the amortized
+    * maintain-only path.) */
+  val d09IncrementalRollup: GraftQuery = q(
+    "d09_incremental_rollup",
+    "D17 incremental rollup maintenance: retract/add under the CDC delta == full recompute",
+    Some(CdcRollupOracle)
+  ) { (s, dir) =>
+    import s.implicits._
+    val (base, delta) = cdcScenario(s, dir)
+    val oldRollup = base.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("docs"),
+        sum($"version").as("version_sum"),
+        sum(when($"text" === upper($"text"), 1).otherwise(0)).as("upper_docs"))
+    graft.operators.IncrementalRollup.maintain(
+      oldRollup, base, delta, key = "doc_id", version = "version",
+      groupCols = Seq("lang", "source"),
+      contribs = Seq(
+        "docs" -> lit(1L),
+        "version_sum" -> col("version").cast("long"),
+        "upper_docs" -> when(col("text") === upper(col("text")), 1L).otherwise(0L)),
+      liveCount = "docs")
+      .orderBy($"lang", $"source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
     d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
-    d08SnapshotUpsert)
+    d08SnapshotUpsert, d09IncrementalRollup)
 }

@@ -1087,8 +1087,75 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** D4 — recall@10 evaluation: the index-health monitor a production
+    * ANN deployment runs continuously (recall against exact ground
+    * truth is THE quality metric of Jégou-style systems; at 100 TB you
+    * run it on a sampled query set after every index rebuild, and a
+    * recall drop is how you detect a bad training sample or stale
+    * artifacts before users do). Exact top-10 per query = v01's
+    * broadcast-queries single corpus scan; approximate top-10 = the
+    * SAME persisted-pivot IVF candidate stage v04/v09/v11/v12 serve
+    * from ([[ivfCandidates]]), so the number measured is the recall of
+    * the index actually deployed, not a re-derivation. The left join
+    * is on the bounded Q×k frames (50 rows a side), so the whole
+    * comparison costs two scans and a window — the corpus is never
+    * joined against itself. Oracle replays both rankings (exact CTE +
+    * the shared trained-pivot candidate CTEs) and the same left join. */
+  val v13RecallEval: GraftQuery = q(
+    "v13_recall_eval",
+    "D4 ANN index health: recall@10 of the deployed IVF stage vs exact ground truth",
+    Some(s"""WITH $ivfCandidateCtes,
+      |xs AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         ${duckCos6("e.v", "q.qv")} AS sim
+      |  FROM e CROSS JOIN
+      |       (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5) q
+      |  WHERE e.vec_id <> q.query_id),
+      |xr AS (
+      |  SELECT query_id, vec_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM xs),
+      |ar AS (
+      |  SELECT query_id, vec_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM cands)
+      |SELECT CAST(x.query_id AS BIGINT) AS query_id,
+      |       count(a.vec_id)            AS hits,
+      |       round(count(a.vec_id) / 10.0, 4) AS recall
+      |FROM (SELECT query_id, vec_id FROM xr WHERE rnk <= 10) x
+      |LEFT JOIN (SELECT query_id, vec_id FROM ar WHERE rnk <= 10) a
+      |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+      |GROUP BY x.query_id
+      |ORDER BY query_id""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val e = emb(s, dir)
+    val qs = e.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val exact = e.crossJoin(broadcast(qs))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 10)
+      .select($"query_id", $"vec_id")
+    val approx = ivfCandidates(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 10)
+      .select($"query_id".as("a_query_id"), $"vec_id".as("a_vec_id"))
+    exact.join(broadcast(approx),
+        $"query_id" === $"a_query_id" && $"vec_id" === $"a_vec_id", "left")
+      .groupBy($"query_id")
+      .agg(count($"a_vec_id").as("hits"),
+        round(count($"a_vec_id") / lit(10.0), 4).as("recall"))
+      .orderBy($"query_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
-    v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn)
+    v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn,
+    v13RecallEval)
 }
