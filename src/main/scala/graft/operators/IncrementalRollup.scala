@@ -17,24 +17,32 @@ import org.apache.spark.sql.functions._
   *
   *   1. touched keys = the delta's key set (small by construction —
   *      broadcast);
-  *   2. RETRACT: the touched keys' current base rows, semi-joined out
-  *      of the base with that broadcast (the only corpus scan, and a
+  *   2. the touched keys' current base rows, semi-joined out of the
+  *      base with that broadcast (the ONLY corpus scan, and a
   *      scan-side-filtered one: the pushed broadcast hash leaves
-  *      untouched rows at the reader), contribute each additive metric
-  *      with sign −1;
-  *   3. ADD: the post-CDC winners for those keys
-  *      ([[SnapshotMerge.applyCdc]] over touched-base ∪ delta — a
-  *      window over O(delta) rows) contribute with sign +1;
+  *      untouched rows at the reader), union with the delta into ONE
+  *      [[SnapshotMerge]] resolution window over O(touched) rows;
+  *   3. each ranked row emits its retract/add contributions in the
+  *      same pass (an `explode` over the two sign cases, so the window
+  *      output is consumed exactly once — no second base scan): a base
+  *      row the CDC displaced emits every additive metric at sign −1,
+  *      a winning delta row emits at +1, a base row still winning and
+  *      any losing/tombstone delta row emit nothing (net 0);
   *   4. MERGE: old rollup rows enter as ready-made group contributions
-  *      and a final groupBy sums the three streams. Groups the delta
-  *      never touched pass through with their stored values; a group
-  *      whose live-row count reaches 0 is dropped.
+  *      and a final groupBy sums both streams. Groups the delta never
+  *      touched pass through with their stored values; a group whose
+  *      live-row count reaches 0 is dropped.
   *
-  * Shuffle cost: one hash shuffle of O(|rollup| + |touched|) rows —
-  * group-cardinality plus delta-cardinality, never corpus-cardinality.
-  * The result is bit-equal to a full recompute (the d09 oracle IS the
-  * full recompute), which is the entire point of view maintenance:
-  * same answer, delta-sized work.
+  * Cost: ONE base scan (broadcast-filtered at the reader), one
+  * O(touched) resolution window, and one hash shuffle of
+  * O(|rollup| + |touched|) rows — group-cardinality plus
+  * delta-cardinality, never corpus-cardinality. A full recompute pays
+  * the same base scan PLUS the corpus-wide O(N) resolution-window
+  * shuffle. The result is bit-equal to that recompute (the d09 oracle
+  * IS the full recompute), which is the entire point of view
+  * maintenance: same answer, delta-sized work. Resolution reuses
+  * [[SnapshotMerge.ranked]], so winner selection — including the
+  * row-hash tie-break — cannot drift from [[SnapshotMerge.applyCdc]].
   *
   * Only RETRACTABLE aggregates qualify: count / sum / any linear
   * metric expressible as a per-row contribution. countDistinct and
@@ -74,18 +82,31 @@ object IncrementalRollup {
       s"liveCount '$liveCount' must name one of the contribs")
     val touched = broadcast(delta.select(col(key)).distinct())
     val touchedBase = base.join(touched, Seq(key), "left_semi")
-    val winners = SnapshotMerge.applyCdc(touchedBase, delta, key, version, op)
-    def signed(df: DataFrame, sign: Int): DataFrame =
-      df.select(groupCols.map(col) ++
-        contribs.map { case (n, c) => (c * lit(sign.toLong)).as(n) }: _*)
+    val tagged = touchedBase.withColumn(op, lit("upsert"))
+      .withColumn("__origin", lit(0))
+      .unionByName(delta.withColumn("__origin", lit(1)))
+    val ranked = SnapshotMerge.ranked(tagged, key, version)
+    val wins = col("__rn") === 1 && col(op) =!= "delete"
+    // one pass over the ranked frame: a displaced base row retracts
+    // (−1), a winning delta row adds (+1), everything else nets 0 and
+    // emits nothing (when() without otherwise is null; explode keeps
+    // the nulls, the filter drops them)
+    val signedRows = ranked.select(
+      groupCols.map(col) ++
+        contribs.map { case (n, c) => c.as(s"__c_$n") } :+
+        explode(array(
+          when(col("__origin") === 0 && !wins, lit(-1L)),
+          when(col("__origin") === 1 && wins, lit(1L)))).as("__sign"): _*)
+      .where(col("__sign").isNotNull)
+    val deltas = signedRows.select(groupCols.map(col) ++
+      contribs.map { case (n, _) => (col(s"__c_$n") * col("__sign")).as(n) }: _*)
     // old rollup rows are already per-group sums — they union in as
     // one pre-aggregated contribution row per group
     val carried = oldRollup.select(
       groupCols.map(col) ++ contribs.map { case (n, _) => col(n) }: _*)
     val aggCols = contribs.map { case (n, _) => sum(col(n)).as(n) }
     carried
-      .unionByName(signed(touchedBase, -1))
-      .unionByName(signed(winners, 1))
+      .unionByName(deltas)
       .groupBy(groupCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
       .where(col(liveCount) > 0)

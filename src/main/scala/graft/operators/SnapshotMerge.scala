@@ -74,6 +74,15 @@ object SnapshotMerge {
     * rows; callers needing exactness there should pass one row per
     * (key, version) per side. */
   private def resolve(tagged: DataFrame, key: String,
+      version: String): DataFrame =
+    ranked(tagged, key, version).where(col("__rn") === 1)
+
+  /** The resolution window WITHOUT the rank-1 filter — every competing
+    * row with its `__rn`. [[IncrementalRollup]] consumes this: it needs
+    * the losers too (a displaced base row is a retraction), under
+    * exactly the same ordering, so winner selection cannot drift
+    * between the snapshot path and the rollup-maintenance path. */
+  private[operators] def ranked(tagged: DataFrame, key: String,
       version: String): DataFrame = {
     val payload = tagged.columns
       .filter(c => c != key && !c.startsWith("__")).map(col)
@@ -81,7 +90,6 @@ object SnapshotMerge {
       Window.partitionBy(col(key))
         .orderBy(col(version).desc, col("__origin").desc,
           xxhash64(payload: _*).desc)))
-      .where(col("__rn") === 1)
   }
 
   /** The partition values of `base` a merge of `delta` would touch —
