@@ -102,4 +102,26 @@ object SnapshotMerge {
     base.select(partitionCol.as("__part"), col(key))
       .join(broadcast(delta.select(col(key)).distinct()), Seq(key), "left_semi")
       .select(col("__part")).distinct()
+
+  /** `base` restricted to the partitions a merge of `delta` touches —
+    * the scan-side consumer of [[touchedPartitionValues]], and the step
+    * that breaks the full-scan floor [[IncrementalRollup]] otherwise
+    * sits on (a broadcast-hash ROW filter cannot skip parquet row
+    * groups; a partition-value predicate can). Two passes: a discovery
+    * scan over only the (partitionCol, key) projection — columnar, a
+    * few % of corpus bytes at 100 TB — then the collected values
+    * return as an `isInCollection` predicate the reader turns into
+    * partition pruning, so the full-width scan reads only
+    * delta-adjacent partitions. The collect is bounded by the
+    * PARTITION-VALUE count (days / sources — thousands), never corpus
+    * rows. Correct for maintenance because every base row of a touched
+    * key lives, by definition of the discovery join, in a touched
+    * partition; an empty delta prunes to an empty base, which
+    * maintenance handles (nothing to retract). */
+  def pruneToTouchedPartitions(base: DataFrame, delta: DataFrame,
+      key: String, partitionCol: String): DataFrame = {
+    val parts = touchedPartitionValues(base, delta, key, col(partitionCol))
+      .collect().map(_.get(0))
+    base.where(col(partitionCol).isInCollection(parts))
+  }
 }

@@ -44,7 +44,17 @@ object IvmBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (base, fullDelta) = graft.queries.DedupQueries.cdcScenario(spark, dir)
+    // The oracle scenario derives base AND delta as views over
+    // documents.parquet — fine for a stateless correctness query,
+    // wrong for timing maintenance, where every reference re-scans the
+    // corpus. Deployment shape: the snapshot and the CDC delta are
+    // data on disk. Materialize both once, untimed.
+    val (baseView, deltaView) = graft.queries.DedupQueries.cdcScenario(spark, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("ivm-bench")
+    baseView.write.mode("overwrite").parquet(s"$scratch/base")
+    deltaView.write.mode("overwrite").parquet(s"$scratch/delta")
+    val base = spark.read.parquet(s"$scratch/base")
+    val fullDelta = spark.read.parquet(s"$scratch/delta")
     val contribs = Seq(
       "docs" -> lit(1L),
       "version_sum" -> col("version").cast("long"),
@@ -87,6 +97,41 @@ object IvmBench {
       val touched = delta.select(col("doc_id")).distinct().count()
       println(f"""{"metric":"ivm_maintain_sec","value":$maint%.3f,"full_recompute_sec":$full%.3f,"speedup":${full / maint}%.2f,"delta_mod":$mod,"docs":$docs,"touched":$touched,"groups":$groups,"sf":"$dir"}""")
     }
+
+    // ---- partitioned-base variant: the 100-TB layout. Both unpruned
+    // paths above are floored by the same full-width base scan (a
+    // broadcast-hash ROW filter cannot skip parquet row groups). With
+    // the base laid out in 64 hash-"day" partitions and a
+    // partition-local delta (corrections landing in 4 recent days —
+    // the realistic CDC skew), pruneToTouchedPartitions turns the
+    // maintain-side scan into 4/64 of the corpus plus a 2-column
+    // discovery projection, while the recompute still reads it all.
+    val day = pmod(xxhash64(col("doc_id")), lit(64))
+    val partDir = java.nio.file.Files
+      .createTempDirectory("ivm-part").resolve("base").toString
+    // repartition by the layout key first: without it every input task
+    // writes into every day directory (32 x 64 ~0.5 MB files whose
+    // listing/task overhead swamps the pruning win being measured —
+    // and the same small-files discipline a real daily writer needs)
+    base.withColumn("day", day).repartition(64, col("day")).write
+      .mode("overwrite").partitionBy("day").parquet(partDir)
+    val partBase = spark.read.parquet(partDir)
+    val localDelta = fullDelta.where(day < 4)
+    val pReps = (1 to 2).map { _ =>
+      val f = time(noop(rollupOf(
+        SnapshotMerge.applyCdc(partBase.drop("day"), localDelta, "doc_id", "version"))))
+      val m = time {
+        val pruned = SnapshotMerge
+          .pruneToTouchedPartitions(partBase, localDelta, "doc_id", "day")
+        noop(IncrementalRollup.maintain(stored, pruned.drop("day"), localDelta,
+          "doc_id", "version", Seq("lang", "source"), contribs, liveCount = "docs"))
+      }
+      (f, m)
+    }
+    val pFull = pReps.map(_._1).min
+    val pMaint = pReps.map(_._2).min
+    val pTouched = localDelta.select(col("doc_id")).distinct().count()
+    println(f"""{"metric":"ivm_maintain_partitioned_sec","value":$pMaint%.3f,"full_recompute_sec":$pFull%.3f,"speedup":${pFull / pMaint}%.2f,"partitions_touched":4,"partitions_total":64,"docs":$docs,"touched":$pTouched,"groups":$groups,"sf":"$dir"}""")
     spark.stop()
   }
 }

@@ -68,4 +68,40 @@ class SnapshotMergeSpec extends SparkSpec {
       .as[String].collect().sorted
     assert(touched.toSeq == Seq("2024-02"))
   }
+
+  test("pruneToTouchedPartitions: reader-level pruning, maintenance-equal result") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("prune-base").resolve("t").toString
+    Seq((1L, "a", 10, 1, "2024-01"), (2L, "a", 20, 1, "2024-01"),
+      (3L, "b", 30, 1, "2024-02"), (4L, "b", 40, 1, "2024-03"))
+      .toDF("k", "g", "x", "version", "month")
+      .write.partitionBy("month").parquet(dir)
+    val base = spark.read.parquet(dir)
+    val delta = Seq((3L, "b", 35, 2, "upsert"))
+      .toDF("k", "g", "x", "version", "op")
+
+    val pruned = SnapshotMerge.pruneToTouchedPartitions(base, delta, "k", "month")
+    // the predicate must land as a PARTITION filter (reader skips
+    // directories), not a post-scan row filter
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-02"), scan)
+    assert(pruned.select($"month").distinct().as[String].collect().toSeq
+      == Seq("2024-02"))
+
+    // maintenance over the pruned base equals the full recompute:
+    // untouched partitions' rows are exactly the untouched-group /
+    // still-winning cases that net 0 anyway
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"g").agg(count(lit(1)).as("n"), sum($"x").cast("long").as("total"))
+    val maintained = IncrementalRollup.maintain(
+      rollup(base), pruned.drop("month"), delta, "k", "version",
+      Seq("g"), Seq("n" -> lit(1L), "total" -> $"x".cast("long")),
+      liveCount = "n")
+      .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+    val recomputed = rollup(
+      SnapshotMerge.applyCdc(base.drop("month"), delta, "k", "version"))
+      .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+    assert(maintained === recomputed)
+    assert(maintained === Seq(("a", 2L, 30L), ("b", 2L, 75L)))
+  }
 }
