@@ -36,7 +36,7 @@ object RecallSweep {
   /** Top-k pivot ids by (cosine6 desc, pivot_id asc) — the nearest-k
     * generalization of [[VectorOps.nearest2Pivots]] (k=2 agrees with
     * it elementwise: same rounded similarity, same first-wins ties). */
-  private def nearestKPivots(v: Array[Double],
+  private[graft] def nearestKPivots(v: Array[Double],
       pivots: Array[Array[Double]], k: Int): Array[Int] = {
     val sims = Array.tabulate(pivots.length)(p => (VectorOps.cosine6(v, pivots(p)), p))
     sims.sortBy { case (s, p) => (-s, p) }.take(k).map(_._2)
