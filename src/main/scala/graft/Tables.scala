@@ -35,9 +35,26 @@ object Tables {
     // rebuild only when the file actually stored NANOS (read as long);
     // derived datasets (e.g. tools.ScaleUp output) store TIMESTAMP
     // directly and must pass through untouched
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    val rebuilt =
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      else df
+    normalizeNtz(rebuilt)
+  }
+
+  /** Driver testdata has also shipped TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ.
+    * The engine (and every DuckDB oracle, which reads the same files
+    * as naive timestamps) is built against session-UTC TIMESTAMP —
+    * under the harness's `spark.sql.session.timeZone=UTC` the cast is
+    * wall-clock- and microsecond-value-preserving, so oracle parity is
+    * untouched; it only restores the instant-typed column the
+    * time-arithmetic operators (`unix_micros`, watermarks) require. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, d.col(c).cast(TimestampType)))
   }
 }
