@@ -318,6 +318,58 @@ object IndexStore {
     s.read.parquet(path)
   }
 
+  /** Artifact directory for the BM25 inverted index of `dir`'s
+    * documents. */
+  def bm25PostingsPath(dir: String): String =
+    s"$root/${fingerprint(dir, "documents")}/bm25_postings"
+  def bm25StatsPath(dir: String): String =
+    s"$root/${fingerprint(dir, "documents")}/bm25_stats"
+
+  /** Persisted BM25 inverted index — the lexical-retrieval member of
+    * the train-once / probe-many family. One tokenize pass over the
+    * corpus builds the classic posting list (term, doc_id, tf) with
+    * the document length DENORMALIZED onto every posting (the standard
+    * trick that lets scoring run without a doc-table join), plus a
+    * one-row stats artifact (N docs, Σdl) for the idf / length-norm
+    * constants. Postings are RANGE-partitioned and sorted by term, so
+    * every file (and every row group inside it) covers a contiguous
+    * term range — a query's `term IN (…)` predicate prunes at BOTH
+    * granularities via parquet min/max stats, and the warm query path
+    * reads ≈ the query terms' posting lists, never the corpus. That is
+    * the inverted-index access pattern expressed as columnar layout +
+    * pushdown instead of a bespoke index structure: at 100 TB the
+    * posting table shards by term range across the cluster and a
+    * k-term query touches k posting runs. Incremental corpora: per-doc
+    * postings append like [[minhashBands]]; the stats row and df
+    * counts must be re-aggregated (cheap — one pass over the appended
+    * batch plus a counter merge), disclosed rather than hidden.
+    * Tokenization is [[graft.functions.TextStats.tokens]] — the same
+    * `\s+`-on-trimmed-text rule every text query and oracle uses. */
+  def bm25Postings(s: SparkSession, dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val pPath = bm25PostingsPath(dir)
+    val sPath = bm25StatsPath(dir)
+    if (!(artifactReady(pPath) && artifactReady(sPath))) {
+      val tk = graft.Tables(s, dir, "documents")
+        .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dl = tk.select($"doc_id", size($"toks").as("dl"))
+        tk.select($"doc_id", explode($"toks").as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          .join(dl, "doc_id")
+          .select($"term", $"doc_id", $"tf", $"dl")
+          .repartitionByRange(8, $"term", $"doc_id")
+          .sortWithinPartitions($"term", $"doc_id")
+          .write.mode("overwrite").parquet(pPath)
+        dl.agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
+          .coalesce(1).write.mode("overwrite").parquet(sPath)
+      } finally tk.unpersist()
+    }
+    (s.read.parquet(pPath), s.read.parquet(sPath))
+  }
+
   /** DuckDB CTE rendering of the training sample, assuming a CTE `e`
     * (vec_id, v) is in scope — emits `es`. Shared by every IVF/PQ
     * oracle so the sample rule lives in exactly one string. */

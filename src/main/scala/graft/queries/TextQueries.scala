@@ -958,9 +958,89 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The t18 query-term set — a constant of the operator (a real
+    * system takes them per request; the gate needs one deterministic
+    * instance). */
+  private[queries] val Bm25Terms = Seq("data", "query", "model", "vector")
+
+  /** t18 — BM25 ranked retrieval SERVED FROM the persisted inverted
+    * index ([[graft.operators.IndexStore.bm25Postings]]) — the lexical
+    * half of a production retrieval stack (the c03 RRF fusion's
+    * missing leg: c03 ranks by 3-term TF-IDF recomputed from raw text
+    * every run; this is index-backed Robertson/Spärck-Jones BM25,
+    * k1 = 1.2, b = 0.75). The warm path never touches `documents`:
+    * it reads the term-range-sorted posting table with a
+    * `term IN (…)` predicate (file- and row-group-pruned — the plan
+    * pin asserts pushdown and zero documents-table scans), broadcasts
+    * the per-term df counts and the one-row corpus stats, scores each
+    * posting map-side, and one hash-agg per doc_id sums the ≤|terms|
+    * partial scores — shuffle mass = matched postings, not corpus
+    * rows. idf = ln(1 + (N − df + ½)/(df + ½)) ≥ 0 (the +1 form, so
+    * common terms can't go negative); length norm uses
+    * dl·N/Σdl ≡ dl/avgdl with integer numerators for cross-engine
+    * exactness; the final per-doc sum is ≤ 4 addends under round-6,
+    * the c03 contract. */
+  val t18Bm25Search: GraftQuery = q(
+    "t18_bm25_index_search",
+    "D5/D6 BM25 top-k retrieval from the persisted term-sorted inverted index",
+    raw"""WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+      |st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+      |post AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(toks) AS term FROM tk)
+      |  WHERE term IN ('data', 'query', 'model', 'vector')
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      |sc AS (
+      |  SELECT p.doc_id,
+      |         round(sum(
+      |           ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+      |             * (p.tf * 2.2)
+      |             / (p.tf + 1.2 * (0.25 + (0.75 * (l.dl * st.n))
+      |                                      / CAST(st.sdl AS DOUBLE)))), 6)
+      |           AS score,
+      |         count(*) AS terms_hit
+      |  FROM post p
+      |  JOIN df d USING (term)
+      |  JOIN dl l USING (doc_id)
+      |  CROSS JOIN st
+      |  GROUP BY p.doc_id)
+      |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+      |       CAST(doc_id AS BIGINT) AS doc_id, score,
+      |       CAST(terms_hit AS BIGINT) AS terms_hit
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val (postAll, stats) = graft.operators.IndexStore.bm25Postings(s, dir)
+    // the pruned posting read: IN-list pushes to the parquet scan, and
+    // the term-range-sorted layout turns it into file/row-group skips
+    val post = postAll.where($"term".isin(Bm25Terms: _*))
+    val df = post.groupBy($"term").agg(count(lit(1)).as("df"))
+    val sc = post
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy($"doc_id")
+      .agg(
+        round(sum(
+          log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5))
+            * ($"tf" * 2.2)
+            / ($"tf" + lit(1.2) * (lit(0.25) + (lit(0.75) * ($"dl" * $"n"))
+                                            / $"sdl".cast("double")))), 6)
+          .as("score"),
+        count(lit(1)).as("terms_hit"))
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    sc.orderBy($"score".desc, $"doc_id").limit(10)
+      .withColumn("rnk", row_number().over(w))
+      .select($"rnk", $"doc_id", $"score", $"terms_hit")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
     t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks, t13PiiScrub,
-    t14BigramLm, t15RepetitionFilter, t16ZipfFit, t17BoilerplateRemoval)
+    t14BigramLm, t15RepetitionFilter, t16ZipfFit, t17BoilerplateRemoval,
+    t18Bm25Search)
 }

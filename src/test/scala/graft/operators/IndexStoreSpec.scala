@@ -165,6 +165,54 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("bm25: warm t18 serves the posting index — pushed IN filter, no documents scan") {
+    withRoot { _ =>
+      val q = QueryRegistry.asMap("t18_bm25_index_search")
+      val cold = q(spark, sf).collect().map(_.toString).sorted
+      // warm execution: plan must read ONLY index artifacts
+      val warm = q(spark, sf)
+      // executedPlan.toString elides long paths — read scan locations
+      // from the optimized logical plan instead
+      val paths = warm.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+      assert(!paths.exists(_.contains("documents.parquet")),
+        s"warm BM25 must never scan the documents table: $paths")
+      assert(paths.exists(_.contains("bm25_postings"))
+          && paths.exists(_.contains("bm25_stats")),
+        s"warm BM25 must read the persisted posting + stats artifacts: $paths")
+      assert(warm.queryExecution.executedPlan.toString
+          .contains("PushedFilters: [In(term"),
+        "the term IN-list must push down to the posting scan")
+      assert(warm.collect().map(_.toString).sorted.toSeq === cold.toSeq,
+        "cold (build) and warm (load) executions must agree")
+    }
+  }
+
+  test("bm25: posting files cover disjoint term ranges (file-skip layout)") {
+    withRoot { _ =>
+      import org.apache.spark.sql.functions._
+      IndexStore.bm25Postings(spark, sf) // build
+      val ranges = spark.read.parquet(IndexStore.bm25PostingsPath(sf))
+        .groupBy(input_file_name().as("f"))
+        .agg(min("term").as("lo"), max("term").as("hi"))
+        .collect().map(r => (r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      assert(ranges.length > 1, "range layout should produce multiple files")
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2,
+            s"file term ranges must not interleave: [$hi1] vs [$lo2]")
+        case _ =>
+      }
+    }
+  }
+
   test("fingerprint: a rewritten source table invalidates the artifact key") {
     val dir = tmpDir("idx-fp")
     val f = new java.io.File(dir, "embeddings.parquet")
