@@ -1018,6 +1018,41 @@ object RelationalQueries {
       .orderBy($"priority")
   }
 
+  /** q30 — file-level min/max manifest data skipping
+    * ([[graft.operators.MinMaxManifest]]): a 3-day time-range
+    * aggregate answered by consulting a kilobyte manifest to prune the
+    * file list BEFORE any data IO, then scanning only the surviving
+    * time-clustered files (with the row predicate re-applied for the
+    * boundary files). The metadata layer q28's Z-order lacks: q28
+    * skips row groups INSIDE files the scan still opens; this skips
+    * whole files from stats, the Iceberg/Delta scan-planning shape.
+    * The oracle aggregates the raw events table under the same
+    * predicate — content equality IS the correctness claim (the
+    * layout rewrite must lose and invent nothing); the skip rate is
+    * pinned by MinMaxManifestSpec, not smuggled into the output. */
+  val q30ManifestSkip: GraftQuery = q(
+    "q30_manifest_fileskip",
+    "file-level min/max stats manifest: prune the scan file list from metadata",
+    """SELECT event_type,
+      |       count(*) AS n,
+      |       round(sum(value), 2) AS value_sum,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val (ev, _, _) = graft.operators.MinMaxManifest.prunedEvents(
+      s, dir, "2024-01-10 00:00:00", "2024-01-13 00:00:00")
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("value_sum"),
+        countDistinct($"user_id").as("users"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1025,5 +1060,6 @@ object RelationalQueries {
     q13CurrencyParse, q14JsonExtract, q15SemiAntiJoin, q16RunningWindow,
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
-    q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin)
+    q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
+    q30ManifestSkip)
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The data-skipping contract of the min/max file manifest: the
+  * manifest really describes the layout, the pruned read really drops
+  * files, and — the part that makes skipping safe — the pruned result
+  * is byte-equal to the full scan under the same predicate. */
+class MinMaxManifestSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val lo = "2024-01-10 00:00:00"
+  private val hi = "2024-01-13 00:00:00"
+
+  private def withRoot[A](body: => A): A = {
+    val dir = tmpDir("graft-manifest-spec")
+    sys.props("graft.index.dir") = dir
+    try body
+    finally sys.props.remove("graft.index.dir")
+  }
+
+  test("manifest has one row per layout file, covering every row") {
+    withRoot {
+      MinMaxManifest.ensure(spark, sf)
+      val files = spark.read.parquet(MinMaxManifest.layoutPath(sf))
+        .select(input_file_name()).distinct().count()
+      val manifest = spark.read.parquet(MinMaxManifest.manifestPath(sf))
+      assert(manifest.count() === files)
+      val total = manifest.agg(sum("rows")).head().getLong(0)
+      assert(total === graft.Tables(spark, sf, "events").count(),
+        "manifest row counts must cover the whole table")
+    }
+  }
+
+  test("time-range read prunes files and matches the full scan exactly") {
+    withRoot {
+      val (pruned, kept, totalFiles) =
+        MinMaxManifest.prunedEvents(spark, sf, lo, hi)
+      // a 3-of-30-day predicate over a 16-file time-clustered layout
+      // must drop most files — this is the operator's reason to exist
+      assert(kept < totalFiles,
+        s"pruning kept $kept of $totalFiles files — no skipping happened")
+      assert(kept <= totalFiles / 2,
+        s"a 10% time slice should prune at least half the files ($kept/$totalFiles)")
+      val full = graft.Tables(spark, sf, "events")
+        .where(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+      assert(pruned.count() === full.count())
+      val a = pruned.select("event_id").collect().map(_.getLong(0)).sorted
+      val b = full.select("event_id").collect().map(_.getLong(0)).sorted
+      assert(a.toSeq === b.toSeq,
+        "pruned read must return exactly the full scan's rows")
+    }
+  }
+
+  test("the pruned plan scans only kept layout files, never the raw table") {
+    withRoot {
+      val (pruned, kept, _) = MinMaxManifest.prunedEvents(spark, sf, lo, hi)
+      val scanned = pruned.select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      assert(scanned.length <= kept)
+      assert(scanned.forall(_.contains("events_by_ts")),
+        s"pruned read must serve the clustered layout: ${scanned.toSeq}")
+      assert(!scanned.exists(_.contains("events.parquet")),
+        "pruned read must not fall back to the raw events table")
+    }
+  }
+}
