@@ -709,8 +709,46 @@ object CurationQueries {
       |ORDER BY stage_no""".stripMargin),
     "north-star capstone: gate → dedup-drop → leakage-safe split funnel")
 
+  /** c11 — deterministic shard export
+    * ([[graft.operators.ShardExport]]): the writer leg of the
+    * pipeline — the corpus lands as [[graft.operators.ShardExport.NumShards]]
+    * hash-assigned shard directories, each internally sorted by the
+    * salted hash (reproducible pseudo-random training order WITHOUT a
+    * global sort). The registered query reads the WRITTEN layout back
+    * and emits each shard's manifest — doc/token mass for balance
+    * auditing, the hash range, and the hash-order head doc (min_by) —
+    * so the gate checks the on-disk artifact, not the plan that
+    * intended it; the oracle replays assignment + manifest from the
+    * raw documents table. */
+  val c11ShardExport: GraftQuery = GraftQuery(
+    "c11_shard_export",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.ShardExport.ensure(s, dir)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("docs"),
+          sum($"toks").as("tokens"),
+          min($"h").as("min_hash"),
+          max($"h").as("max_hash"),
+          min_by($"doc_id", $"h").as("first_doc"))
+        .orderBy($"shard")
+    },
+    Some(raw"""WITH x AS (
+      |  SELECT doc_id,
+      |         len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+      |         ${hash60Sql("doc_id", "shard")} AS h
+      |  FROM documents)
+      |SELECT h % 8 AS shard,
+      |       count(*) AS docs,
+      |       CAST(sum(toks) AS BIGINT) AS tokens,
+      |       min(h) AS min_hash,
+      |       max(h) AS max_hash,
+      |       arg_min(doc_id, h) AS first_doc
+      |FROM x GROUP BY 1 ORDER BY shard""".stripMargin),
+    "training-export shard writer: hash-sharded layout + per-shard manifest")
+
   val all: Seq[GraftQuery] = Seq(
     c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile,
     c05SequencePacking, c06LeakageSafeSplit, c07CorpusMix, c08ClusterSample,
-    c09WeightedSample, c10CurationFunnel)
+    c09WeightedSample, c10CurationFunnel, c11ShardExport)
 }
