@@ -927,8 +927,115 @@ object DedupQueries {
       .orderBy($"lang", $"source")
   }
 
+  /** d10 — SemDeDup-style semantic dedup POLICY (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): d03 answers "which vectors are
+    * near-dups"; this answers "which copy do we KEEP". The paper's
+    * rule: cluster the corpus, and within each cluster drop
+    * τ-similar vectors, keeping the member LEAST similar to the
+    * cluster centroid (retaining the informative outliers, not the
+    * archetype). Realized over the SAME deployed artifacts as
+    * d03/v04: two-level IVF cell = the cluster, persisted
+    * sample-trained pivots = the centroids, so the policy layer adds
+    * ZERO training or assignment scans. A vector is removed iff some
+    * τ-similar cellmate has strictly lower (centroid-sim, vec_id) —
+    * a pure pairwise EXISTS over the d03-shaped within-cell pair
+    * join, no iterative resolution (the lexicographic order makes
+    * the greedy rule deterministic and engine-replayable; the global
+    * minimum of each cell is never removed = every cell keeps ≥ 1).
+    * τ = 0.25 exercises the policy on the isotropic synthetic
+    * embeddings (within-cell sims top out at ~0.45 here); real
+    * embedding corpora run τ ≈ 0.95+ — a caller knob, not a
+    * structural constant. Scale = d03's argument verbatim: adaptive
+    * B keeps cells ~8 vectors and the pair join ~8·N; output is one
+    * row per multi-member cell (counts + keeper evidence). */
+  val d10SemanticDedup: GraftQuery = q(
+    "d10_semantic_dedup",
+    "D3 SemDeDup policy: τ-similar cellmates drop, keeper = least-centroid-like",
+    Some(s"""WITH e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |${VectorQueries.trainedPivotCtes(VectorQueries.IvfTrainIters)},
+      |scored AS (
+      |  SELECT e.vec_id, e.v, p.pivot_id,
+      |         ${VectorQueries.duckCos6("e.v", "p.pv")} AS psim
+      |  FROM e CROSS JOIN p),
+      |ranked AS (
+      |  SELECT vec_id, v, pivot_id, psim,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY psim DESC, pivot_id) AS rn
+      |  FROM scored),
+      |assigned AS (
+      |  SELECT r1.vec_id, r1.v,
+      |         r1.pivot_id AS cell1, r2.pivot_id AS cell2,
+      |         r1.psim AS simc
+      |  FROM ranked r1 JOIN ranked r2
+      |    ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
+      |removed AS (
+      |  SELECT DISTINCT a.vec_id
+      |  FROM assigned a JOIN assigned b USING (cell1, cell2)
+      |  WHERE a.vec_id <> b.vec_id
+      |    AND ${VectorQueries.duckCos6("a.v", "b.v")} >= 0.25
+      |    AND (b.simc < a.simc
+      |         OR (b.simc = a.simc AND b.vec_id < a.vec_id))),
+      |cells AS (
+      |  SELECT a.cell1, a.cell2, a.vec_id, a.simc,
+      |         CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS rm,
+      |         row_number() OVER (PARTITION BY a.cell1, a.cell2
+      |                            ORDER BY a.simc, a.vec_id) AS krn
+      |  FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id)
+      |SELECT cell1, cell2,
+      |       count(*) AS n_vecs,
+      |       CAST(sum(rm) AS BIGINT) AS n_removed,
+      |       max(CASE WHEN krn = 1 THEN vec_id END) AS keeper_id,
+      |       max(CASE WHEN krn = 1 THEN simc END) AS keeper_simc
+      |FROM cells
+      |GROUP BY cell1, cell2
+      |HAVING count(*) >= 2
+      |ORDER BY cell1, cell2""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorOps
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val pivotArr = graft.operators.IndexStore
+      .ivfPivots(s, dir, VectorQueries.IvfTrainIters)
+    val bc = s.sparkContext.broadcast(pivotArr)
+    // cell + centroid-sim in ONE map pass over the broadcast pivots
+    val assigned = e.map { case (id, v) =>
+      val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
+      (id, b1.toLong, b2.toLong, VectorOps.cosine6(v, bc.value(b1)), v)
+    }.toDF("vec_id", "cell1", "cell2", "simc", "v")
+    // τ-similar within-cell pairs where the OTHER member wins the
+    // keeper order — the d03 equi-join shape + the SemDeDup rule
+    val removed = assigned.as("a").join(assigned.as("b"), Seq("cell1", "cell2"))
+      .where($"a.vec_id" =!= $"b.vec_id")
+      .where($"b.simc" < $"a.simc" ||
+        ($"b.simc" === $"a.simc" && $"b.vec_id" < $"a.vec_id"))
+      .select($"a.vec_id", $"a.v", $"b.v".as("ov"))
+      .as[(Long, Array[Double], Array[Double])]
+      .flatMap { case (id, v, ov) =>
+        if (VectorOps.cosine6(v, ov) >= 0.25) Iterator.single(id)
+        else Iterator.empty
+      }.toDF("vec_id").distinct()
+    val flagged = assigned.drop("v")
+      .join(removed.withColumn("rm", lit(1L)), Seq("vec_id"), "left")
+      .na.fill(0L, Seq("rm"))
+    val w = Window.partitionBy($"cell1", $"cell2")
+      .orderBy($"simc", $"vec_id")
+    flagged.withColumn("krn", row_number().over(w))
+      .groupBy($"cell1", $"cell2")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"rm").as("n_removed"),
+        max(when($"krn" === 1, $"vec_id")).as("keeper_id"),
+        max(when($"krn" === 1, $"simc")).as("keeper_simc"))
+      .where($"n_vecs" >= 2)
+      .orderBy($"cell1", $"cell2")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
     d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
-    d08SnapshotUpsert, d09IncrementalRollup)
+    d08SnapshotUpsert, d09IncrementalRollup, d10SemanticDedup)
 }

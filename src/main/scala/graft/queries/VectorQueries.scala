@@ -525,7 +525,7 @@ object VectorQueries {
     * zero-norm → 0 convention (NULLIF turns a zero denominator into
     * NULL, coalesce maps it to 0 — matching the JVM guard instead of
     * a NaN that DuckDB would sort FIRST under ORDER BY sim DESC). */
-  private def duckCos6(a: String, b: String): String =
+  private[queries] def duckCos6(a: String, b: String): String =
     s"round(coalesce(list_aggregate(list_transform(list_zip($a, $b), x -> x[1] * x[2]), 'sum')" +
       s" / NULLIF(sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum'))" +
       s" * sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum')), 0), 0), 6)"

@@ -302,4 +302,25 @@ class DedupSpec extends SparkSpec {
       assert(found.toDouble / mustFind.size >= 0.8,
         "sub-bucketing lost too many near-identical duplicates")
   }
+
+  test("d10 SemDeDup policy: every cell keeps >=1; keeper is the centroid-order minimum") {
+    val dir = java.nio.file.Files.createTempDirectory("d10-root").toString
+    sys.props("graft.index.dir") = dir
+    try {
+      val rows = graft.QueryRegistry.asMap("d10_semantic_dedup")(
+        spark, "/root/testdata/sf0.01").collect()
+      assert(rows.nonEmpty, "multi-member cells must exist")
+      rows.foreach { r =>
+        val (n, rm) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_removed"))
+        assert(rm < n, s"cell ${r.get(0)}/${r.get(1)} removed all $n members")
+      }
+      assert(rows.map(_.getAs[Long]("n_removed")).sum > 0,
+        "the τ=0.25 policy should remove something at sf0.01")
+      // warm re-run (artifacts now persisted) is bit-identical
+      val again = graft.QueryRegistry.asMap("d10_semantic_dedup")(
+        spark, "/root/testdata/sf0.01").collect()
+      assert(rows.map(_.toString).sorted.toSeq ===
+        again.map(_.toString).sorted.toSeq)
+    } finally sys.props.remove("graft.index.dir")
+  }
 }
