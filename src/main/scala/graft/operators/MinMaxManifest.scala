@@ -62,6 +62,45 @@ object MinMaxManifest {
     }
   }
 
+  /** INCREMENTAL manifest maintenance — the streaming-ingest leg (the
+    * [[IndexStore.appendToIndex]] discipline applied to scan
+    * planning): a micro-batch appends its rows into the layout, and
+    * the manifest gains rows for ONLY the files that batch created —
+    * identified by a metadata-only listing diff, then stat'd with one
+    * O(batch) scan of just those files. Per-file stats are immutable
+    * once written (the Iceberg manifest property), so old manifest
+    * rows are never touched and a reader's prune stays correct at
+    * every point between appends. Batch files are range-clustered on
+    * ts within the batch; a streaming source's event-time progression
+    * keeps cross-batch ranges narrow too, so skipping stays selective
+    * without compaction (and compaction = re-running [[ensure]] into
+    * a fresh layout). Replay idempotence is the CALLER's job (ship
+    * each batch exactly once — the foreachBatch batch_id discipline
+    * StreamingDedup uses); this appends blindly, like any file sink.
+    * The base layout must exist (build-before-append). */
+  def appendBatch(s: SparkSession, dir: String, batch: DataFrame,
+      batchFiles: Int = 2): Unit = {
+    val lp = layoutPath(dir)
+    val mp = manifestPath(dir)
+    require(ready(lp) && ready(mp),
+      s"manifest layout at $lp must be built before appending")
+    def listParts(): Set[String] =
+      new java.io.File(lp).listFiles().toIndexedSeq
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+    val before = listParts()
+    batch.repartitionByRange(batchFiles, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("append").parquet(lp)
+    val fresh = (listParts() -- before).toIndexedSeq.sorted.map(n => s"$lp/$n")
+    if (fresh.nonEmpty)
+      s.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("path"))
+        .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+          count(lit(1)).as("rows"))
+        .coalesce(1).write.mode("append").parquet(mp)
+  }
+
   /** The pruned read: consult ONLY the manifest (bounded collect — one
     * row per file) to pick the files whose [min_ts, max_ts] intersects
     * [lo, hi), then scan just those, re-applying the row predicate for

@@ -54,6 +54,54 @@ class MinMaxManifestSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch: manifest gains rows for exactly the new files; pruning stays exact") {
+    withRoot {
+      import spark.implicits._
+      MinMaxManifest.ensure(spark, sf)
+      val baseManifest = spark.read.parquet(MinMaxManifest.manifestPath(sf)).count()
+      // two "micro-batches" beyond the base table's time range, the
+      // streaming foreachBatch shape (batch_id idempotence is the
+      // caller's contract, as in StreamingDedup)
+      def batch(day: Int, n: Int) = (0 until n).map { i =>
+        (100000L + day * 1000 + i,
+          java.sql.Timestamp.valueOf(f"2024-02-$day%02d 01:00:${i % 60}%02d"),
+          7L, "append", 1.5, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      MinMaxManifest.appendBatch(spark, sf, batch(1, 40))
+      MinMaxManifest.appendBatch(spark, sf, batch(2, 40))
+      val manifest = spark.read.parquet(MinMaxManifest.manifestPath(sf))
+      val files = spark.read.parquet(MinMaxManifest.layoutPath(sf))
+        .select(input_file_name()).distinct().count()
+      assert(manifest.count() === files,
+        "manifest must track every layout file after appends")
+      assert(manifest.count() > baseManifest, "appends must add manifest rows")
+      // prune a window that covers ONLY the appended days
+      val (pruned, kept, total) = MinMaxManifest.prunedEvents(
+        spark, sf, "2024-02-01 00:00:00", "2024-02-03 00:00:00")
+      assert(pruned.count() === 80L, "append window must return the appended rows")
+      assert(kept < total.toInt,
+        "the base files must be skipped for an append-only window")
+      // and the original base window is untouched by the appends
+      val (basePruned, _, _) = MinMaxManifest.prunedEvents(spark, sf, lo, hi)
+      val full = graft.Tables(spark, sf, "events")
+        .where(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+      assert(basePruned.count() === full.count())
+    }
+  }
+
+  test("appendBatch refuses to append before the layout exists") {
+    withRoot {
+      import spark.implicits._
+      val b = Seq((1L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        1L, "x", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      intercept[IllegalArgumentException] {
+        MinMaxManifest.appendBatch(spark, sf, b)
+      }
+    }
+  }
+
   test("the pruned plan scans only kept layout files, never the raw table") {
     withRoot {
       val (pruned, kept, _) = MinMaxManifest.prunedEvents(spark, sf, lo, hi)
