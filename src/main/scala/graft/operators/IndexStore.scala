@@ -275,6 +275,49 @@ object IndexStore {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Artifact directory for the IVF-FLAT assignment table of `dir`'s
+    * embeddings. */
+  def ivfFlatPath(dir: String, iters: Int): String =
+    s"$root/${fingerprint(dir, "embeddings")}/ivf_flat_i$iters"
+
+  /** The persisted IVF-FLAT index — the classic inverted file with
+    * full vectors (the non-compressed sibling of [[ivfadcIndex]]):
+    * one row per corpus vector carrying its two-level cell assignment
+    * (nearest and second-nearest pivot), its similarity to the
+    * nearest pivot, and the raw vector. Why it exists: the assignment
+    * is an N×B cosine pass (the broadcast-argmax map), and BEFORE
+    * this artifact every execution of the cell-join family recomputed
+    * it per DATAFRAME REFERENCE — d10's three self-references cost
+    * three full assignment passes, 72 s warm at the 1000× replica
+    * (2 M vectors × B=500). Persisting the assignment makes it what
+    * it is in a production IVF system: built once per corpus
+    * lifetime under the frozen pivots, then every consumer (d03 pair
+    * join, d10 policy, v04/v09/v11 candidate generation) reads a
+    * columnar table instead of redoing quantizer math. Values are
+    * identical by construction (the build runs the same
+    * [[graft.functions.VectorOps.nearest2Pivots]] map the inline path
+    * ran), so every oracle replays unchanged; IndexStoreSpec pins
+    * cold-vs-warm query identity. Incremental corpora: new batches
+    * assign under the frozen pivots and append, the
+    * [[appendToIndex]] contract. At extreme B a production layout
+    * would additionally partition by cell range for probe-side
+    * pruning ([[ivfadcIndex]]'s note); the full-scan consumers here
+    * don't need it. */
+  def ivfFlat(s: SparkSession, dir: String,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val path = ivfFlatPath(dir, iters)
+    if (!artifactReady(path)) {
+      val bcP = s.sparkContext.broadcast(ivfPivots(s, dir, iters))
+      corpus(s, dir).map { case (id, v) =>
+        val (b1, b2) = VectorOps.nearest2Pivots(v, bcP.value)
+        (id, b1.toLong, b2.toLong, VectorOps.cosine6(v, bcP.value(b1)), v)
+      }.toDF("vec_id", "cell1", "cell2", "simc", "v")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Artifact directory for the MinHash band-signature index of
     * `dir`'s documents. */
   def minhashBandsPath(dir: String, bands: Int, rows: Int): String =

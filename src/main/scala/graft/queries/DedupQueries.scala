@@ -555,23 +555,16 @@ object DedupQueries {
   ) { (s, dir) =>
     import s.implicits._
     import graft.functions.VectorOps
-    val e = Tables(s, dir, "embeddings")
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-    // pivots are the SAME persisted sample-trained artifact the v04
-    // IVF family loads (adaptive B = min(cap, max(16, ceil(sqrt(N/8))))
-    // keeps cells ~8 vectors so the within-cell pair join stays ~8·N;
-    // see IndexStore.adaptiveB for the broadcast cap + second-level
-    // story) — train-once/probe-many: the warm d03 execution does no
-    // count or training scan, and v04/v09/v11/d03 share one artifact
-    val pivotArr = graft.operators.IndexStore
-      .ivfPivots(s, dir, VectorQueries.IvfTrainIters)
-    val bc = s.sparkContext.broadcast(pivotArr)
-    // two-level cell assignment: one narrow JIT'd map, no shuffle
-    val assigned = e.map { case (id, v) =>
-      val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
-      (id, b1, b2, v)
-    }.toDF("vec_id", "cell1", "cell2", "v")
+    // the two-level cell assignment is READ from the persisted
+    // IVF-flat artifact (one N×B assignment pass per corpus lifetime;
+    // before round 6 every self-join side recomputed it — see
+    // IndexStore.ivfFlat); adaptive B = min(cap, max(16,
+    // ceil(sqrt(N/8)))) keeps cells ~8 vectors so the within-cell
+    // pair join stays ~8·N, and v04/v09/v11/d03/d10 share the
+    // artifact chain (pivots → flat assignment)
+    val assigned = graft.operators.IndexStore
+      .ivfFlat(s, dir, VectorQueries.IvfTrainIters)
+      .select($"vec_id", $"cell1", $"cell2", $"v")
     // within-cell pairs: relational equi-join on BOTH cell levels,
     // typed cosine re-rank
     val pairs = assigned.as("a").join(assigned.as("b"), Seq("cell1", "cell2"))
@@ -996,17 +989,12 @@ object DedupQueries {
   ) { (s, dir) =>
     import s.implicits._
     import graft.functions.VectorOps
-    val e = Tables(s, dir, "embeddings")
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-    val pivotArr = graft.operators.IndexStore
-      .ivfPivots(s, dir, VectorQueries.IvfTrainIters)
-    val bc = s.sparkContext.broadcast(pivotArr)
-    // cell + centroid-sim in ONE map pass over the broadcast pivots
-    val assigned = e.map { case (id, v) =>
-      val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
-      (id, b1.toLong, b2.toLong, VectorOps.cosine6(v, bc.value(b1)), v)
-    }.toDF("vec_id", "cell1", "cell2", "simc", "v")
+    // cells, centroid-sims, and vectors all come from the persisted
+    // IVF-flat artifact — the policy's three references to `assigned`
+    // are three columnar reads, never three N×B assignment passes
+    // (72.2 s → 5.3 s warm at the 1000× replica; IndexStore.ivfFlat)
+    val assigned = graft.operators.IndexStore
+      .ivfFlat(s, dir, VectorQueries.IvfTrainIters)
     // τ-similar within-cell pairs where the OTHER member wins the
     // keeper order — the d03 equi-join shape + the SemDeDup rule
     val removed = assigned.as("a").join(assigned.as("b"), Seq("cell1", "cell2"))

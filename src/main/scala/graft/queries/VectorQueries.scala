@@ -287,12 +287,20 @@ object VectorQueries {
         ev.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
       }
     val bc = s.sparkContext.broadcast(pivotArr)
-    // nearest pivot per corpus vector: typed map-side argmax over the
-    // broadcast pivots (rounded cosine6, ties toward the lowest
-    // pivot_id — identical ordering to the oracle's rank-1 row)
-    val assigned = ev.map { case (id, v) =>
-      (id, VectorOps.nearest2Pivots(v, bc.value)._1.toLong, v)
-    }.toDF("vec_id", "bucket", "v")
+    // nearest pivot per corpus vector: on the trained path this is a
+    // READ of the persisted IVF-flat assignment (one N×B argmax pass
+    // per corpus lifetime — IndexStore.ivfFlat; values identical to
+    // the inline map by construction), so a warm query's corpus cost
+    // is a columnar scan, not quantizer math. The spec-only raw-seed
+    // path keeps the inline typed argmax (rounded cosine6, ties
+    // toward the lowest pivot_id — the oracle's rank-1 ordering).
+    val assigned =
+      if (trainedPivots)
+        graft.operators.IndexStore.ivfFlat(s, dir, IvfTrainIters)
+          .select($"vec_id", $"cell1".as("bucket"), $"v")
+      else ev.map { case (id, v) =>
+        (id, VectorOps.nearest2Pivots(v, bc.value)._1.toLong, v)
+      }.toDF("vec_id", "bucket", "v")
     // query probes: the nProbe=2 nearest buckets per query vector
     // (= nearest2Pivots, same ordering as the oracle's pr <= 2)
     // Column filter (not a typed lambda) so the vec_id < 5 predicate
