@@ -165,6 +165,27 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("ivf-flat: warm load serves the persisted assignment (tampered artifact is served)") {
+    withRoot { _ =>
+      val cold = IndexStore.ivfFlat(spark, sf, IvfIters)
+        .collect().map(_.toString).sorted
+      assert(cold.nonEmpty)
+      assert(new java.io.File(IndexStore.ivfFlatPath(sf, IvfIters),
+        "_SUCCESS").isFile, "cold build must persist the artifact")
+      val warm = IndexStore.ivfFlat(spark, sf, IvfIters)
+        .collect().map(_.toString).sorted
+      assert(cold.toSeq === warm.toSeq, "warm read must equal the cold build")
+      // tamper: a loader that silently re-assigned would return N rows
+      val s2 = spark
+      import s2.implicits._
+      Seq((42L, 0L, 1L, 0.5, Array(1.0, 2.0)))
+        .toDF("vec_id", "cell1", "cell2", "simc", "v")
+        .write.mode("overwrite").parquet(IndexStore.ivfFlatPath(sf, IvfIters))
+      assert(IndexStore.ivfFlat(spark, sf, IvfIters).count() === 1L,
+        "warm call must serve the persisted artifact, not re-assign")
+    }
+  }
+
   test("bm25: warm t18 serves the posting index — pushed IN filter, no documents scan") {
     withRoot { _ =>
       val q = QueryRegistry.asMap("t18_bm25_index_search")
