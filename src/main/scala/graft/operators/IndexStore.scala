@@ -106,7 +106,9 @@ object IndexStore {
       .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  private def artifactReady(path: String): Boolean =
+  /** The one artifact-readiness rule (shared by every persisted
+    * layout in this package — MinMaxManifest, ShardExport). */
+  private[operators] def artifactReady(path: String): Boolean =
     new java.io.File(path, "_SUCCESS").isFile
 
   /** Artifact directory for the IVF pivots of `dir`'s embeddings. */

@@ -42,8 +42,7 @@ object MinMaxManifest {
   def manifestPath(dir: String): String =
     s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/events_by_ts_manifest"
 
-  private def ready(path: String): Boolean =
-    new java.io.File(path, "_SUCCESS").isFile
+  private def ready(path: String): Boolean = IndexStore.artifactReady(path)
 
   /** Build the time-clustered layout + its manifest if absent. */
   def ensure(s: SparkSession, dir: String): Unit = {
@@ -70,7 +69,12 @@ object MinMaxManifest {
     * O(batch) scan of just those files. Per-file stats are immutable
     * once written (the Iceberg manifest property), so old manifest
     * rows are never touched and a reader's prune stays correct at
-    * every point between appends. Batch files are range-clustered on
+    * every point between appends. The two writes (data files, then
+    * manifest rows) are not atomic; a crash between them is repaired
+    * by [[healedEntries]] on the next read — the listing diff finds
+    * unmanifested files and stats exactly those back in, so a torn
+    * append can delay a file's stats but never hide its rows. Batch
+    * files are range-clustered on
     * ts within the batch; a streaming source's event-time progression
     * keeps cross-batch ranges narrow too, so skipping stays selective
     * without compaction (and compaction = re-running [[ensure]] into
@@ -101,25 +105,61 @@ object MinMaxManifest {
         .coalesce(1).write.mode("append").parquet(mp)
   }
 
+  /** Manifest rows, SELF-HEALED against a torn append: if a crash
+    * landed data files without their manifest rows (the two
+    * non-atomic writes in [[appendBatch]]), the metadata-only listing
+    * diff detects them here and stats exactly the missing files back
+    * into the manifest before any read uses it — so the "prune never
+    * hides a file" invariant holds across failures, at the cost of
+    * one directory listing per read (the same price the staleness
+    * fingerprint already pays). */
+  private def healedEntries(s: SparkSession, dir: String) = {
+    val lp = layoutPath(dir)
+    val mp = manifestPath(dir)
+    val listed = new java.io.File(lp).listFiles().toIndexedSeq
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => s"file://${f.getAbsolutePath}").toSet
+    val entries = s.read.parquet(mp)
+      .select("path", "min_ts", "max_ts").collect()
+    val known = entries.map(_.getString(0)).toSet
+    val missing = (listed -- known).toIndexedSeq.sorted
+    if (missing.nonEmpty) {
+      s.read.parquet(missing: _*)
+        .groupBy(input_file_name().as("path"))
+        .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+          count(lit(1)).as("rows"))
+        .coalesce(1).write.mode("append").parquet(mp)
+      s.read.parquet(mp).select("path", "min_ts", "max_ts").collect()
+    } else entries
+  }
+
   /** The pruned read: consult ONLY the manifest (bounded collect — one
     * row per file) to pick the files whose [min_ts, max_ts] intersects
     * [lo, hi), then scan just those, re-applying the row predicate for
     * the boundary files. Returns (dataframe, files kept, files total)
-    * so callers and specs can see the skip rate. */
+    * so callers and specs can see the skip rate. A window matching no
+    * files returns an EMPTY frame (a `false` filter over the layout —
+    * metadata-only), preserving equivalence with the full scan it
+    * replaces. Bound strings parse as UTC wall clock — the SAME
+    * convention `lit(ts).cast("timestamp")` uses under the harness's
+    * UTC session timezone — so file pruning and the row predicate
+    * agree on any JVM default timezone. */
   def prunedEvents(s: SparkSession, dir: String, lo: String,
       hi: String): (DataFrame, Int, Int) = {
     ensure(s, dir)
-    val loTs = java.sql.Timestamp.valueOf(lo)
-    val hiTs = java.sql.Timestamp.valueOf(hi)
-    val entries = s.read.parquet(manifestPath(dir))
-      .select("path", "min_ts", "max_ts").collect()
+    def utc(t: String): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC))
+    val (loTs, hiTs) = (utc(lo), utc(hi))
+    val entries = healedEntries(s, dir)
     val kept = entries.filter { r =>
       !r.getTimestamp(2).before(loTs) && r.getTimestamp(1).before(hiTs)
     }.map(_.getString(0))
-    require(kept.nonEmpty, s"no files intersect [$lo, $hi)")
-    val df = s.read.parquet(kept.toIndexedSeq: _*)
-      .where(col("ts") >= lit(lo).cast("timestamp") &&
-        col("ts") < lit(hi).cast("timestamp"))
+    val rowPred = col("ts") >= lit(lo).cast("timestamp") &&
+      col("ts") < lit(hi).cast("timestamp")
+    val df =
+      if (kept.isEmpty) s.read.parquet(layoutPath(dir)).where(lit(false))
+      else s.read.parquet(kept.toIndexedSeq: _*).where(rowPred)
     (df, kept.length, entries.length)
   }
 }

@@ -44,20 +44,21 @@ object ShardExport {
   def path(dir: String): String =
     s"${IndexStore.root}/${IndexStore.fingerprint(dir, "documents")}/shards$NumShards"
 
-  private def ready(p: String): Boolean =
-    new java.io.File(p, "_SUCCESS").isFile
-
   /** Build the shard layout if absent; return it re-read (shard as a
     * normalized long — partition columns come back type-inferred). */
   def ensure(s: SparkSession, dir: String): DataFrame = {
     val p = path(dir)
-    if (!ready(p)) {
+    if (!IndexStore.artifactReady(p)) {
       graft.Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           size(graft.functions.TextStats.tokens(col("text"))).as("toks"),
           DetHash.hash60(col("doc_id"), Salt).as("h"))
         .withColumn("shard", col("h") % NumShards)
-        .repartition(NumShards, col("shard"))
+        // RANGE partition on the shard id: hash-partitioning 8
+        // distinct values into 8 partitions strands ~1/e of the tasks
+        // empty and doubles up others; range boundaries give one
+        // shard per task (and so one file per shard dir)
+        .repartitionByRange(NumShards, col("shard"))
         // leading sort key = the partition column: the dynamic-
         // partition writer needs shard-clustered input and would
         // otherwise inject its own (unstable) sort, destroying the

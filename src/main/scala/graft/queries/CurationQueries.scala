@@ -736,9 +736,9 @@ object CurationQueries {
     Some(raw"""WITH x AS (
       |  SELECT doc_id,
       |         len(regexp_split_to_array(trim(text), '\s+')) AS toks,
-      |         ${hash60Sql("doc_id", "shard")} AS h
+      |         ${hash60Sql("doc_id", graft.operators.ShardExport.Salt)} AS h
       |  FROM documents)
-      |SELECT h % 8 AS shard,
+      |SELECT h % ${graft.operators.ShardExport.NumShards} AS shard,
       |       count(*) AS docs,
       |       CAST(sum(toks) AS BIGINT) AS tokens,
       |       min(h) AS min_hash,

@@ -991,7 +991,7 @@ object TextQueries {
       |post AS (
       |  SELECT doc_id, term, count(*) AS tf FROM (
       |    SELECT doc_id, unnest(toks) AS term FROM tk)
-      |  WHERE term IN ('data', 'query', 'model', 'vector')
+      |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
       |  GROUP BY doc_id, term),
       |df AS (SELECT term, count(*) AS df FROM post GROUP BY term),
       |sc AS (
@@ -1035,6 +1035,7 @@ object TextQueries {
     sc.orderBy($"score".desc, $"doc_id").limit(10)
       .withColumn("rnk", row_number().over(w))
       .select($"rnk", $"doc_id", $"score", $"terms_hit")
+      .orderBy($"rnk")
   }
 
   val all: Seq[GraftQuery] = Seq(

@@ -90,6 +90,40 @@ class MinMaxManifestSpec extends SparkSpec {
     }
   }
 
+  test("a torn append (data files without manifest rows) heals on the next read") {
+    withRoot {
+      import spark.implicits._
+      MinMaxManifest.ensure(spark, sf)
+      // simulate the crash window: data lands in the layout but the
+      // manifest append never ran (bypass appendBatch's second write)
+      Seq((999999L, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"),
+        9L, "torn", 2.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append")
+        .parquet(MinMaxManifest.layoutPath(sf))
+      val (pruned, kept, _) = MinMaxManifest.prunedEvents(
+        spark, sf, "2024-03-01 00:00:00", "2024-03-02 00:00:00")
+      assert(kept >= 1, "the healed manifest must surface the torn file")
+      assert(pruned.count() === 1L,
+        "rows from a torn append must become visible after healing")
+      // and the manifest now records the file durably
+      val m = spark.read.parquet(MinMaxManifest.manifestPath(sf))
+      val files = spark.read.parquet(MinMaxManifest.layoutPath(sf))
+        .select(input_file_name()).distinct().count()
+      assert(m.count() === files)
+    }
+  }
+
+  test("a window matching no files returns an empty frame, not an error") {
+    withRoot {
+      val (pruned, kept, total) = MinMaxManifest.prunedEvents(
+        spark, sf, "2030-01-01 00:00:00", "2030-01-02 00:00:00")
+      assert(kept === 0 && total > 0)
+      assert(pruned.count() === 0L,
+        "an out-of-range window is an empty result, matching the full scan")
+    }
+  }
+
   test("appendBatch refuses to append before the layout exists") {
     withRoot {
       import spark.implicits._
