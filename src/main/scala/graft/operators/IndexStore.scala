@@ -277,6 +277,53 @@ object IndexStore {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** INCREMENTAL BM25 maintenance — the daily-crawl leg of the
+    * lexical index, completing the append family ([[appendToIndex]],
+    * [[minhashBands]]' noted composition): tokenize ONLY the new
+    * batch, append its postings into the term-sorted table, and fold
+    * its (doc count, token mass) into the one-row stats artifact (a
+    * read of one row + an O(batch) aggregate — df counts need no
+    * maintenance because queries derive them from the pruned posting
+    * scan itself). Appended posting files are term-sorted WITHIN the
+    * batch, so the IN-list still prunes at file/row-group granularity
+    * per batch file; what degrades is file COUNT per term (one run
+    * per batch), restored by compaction = re-running the build.
+    * Contract: appending batches B1..Bn yields bit-identical query
+    * results to rebuilding over corpus ∪ B1..Bn (postings are per-doc
+    * rows, stats are distributive sums — IndexStoreSpec pins it);
+    * replay idempotence is the caller's batch_id discipline, as with
+    * every append path here. */
+  def bm25Append(s: SparkSession, dir: String,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    import s.implicits._
+    val pPath = bm25PostingsPath(dir)
+    val sPath = bm25StatsPath(dir)
+    require(artifactReady(pPath) && artifactReady(sPath),
+      s"bm25 index at $pPath must be built before appending")
+    val tk = batch
+      .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tk.select($"doc_id", size($"toks").as("dl"))
+      tk.select($"doc_id", explode($"toks").as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .select($"term", $"doc_id", $"tf", $"dl")
+        .repartitionByRange(2, $"term", $"doc_id")
+        .sortWithinPartitions($"term", $"doc_id")
+        .write.mode("append").parquet(pPath)
+      val (bn, bsdl) = dl.agg(count(lit(1)), sum($"dl"))
+        .as[(Long, Long)].head()
+      val (n0, sdl0) = s.read.parquet(sPath)
+        .select($"n", $"sdl").as[(Long, Long)].head()
+      // overwrite via a temp column-identical frame; the 1-row write
+      // is atomic enough under the _SUCCESS marker (a torn overwrite
+      // leaves no marker and the next build re-creates stats)
+      s.createDataset(Seq((n0 + bn, sdl0 + bsdl))).toDF("n", "sdl")
+        .coalesce(1).write.mode("overwrite").parquet(sPath)
+    } finally tk.unpersist()
+  }
+
   /** Artifact directory for the IVF-FLAT assignment table of `dir`'s
     * embeddings. */
   def ivfFlatPath(dir: String, iters: Int): String =

@@ -234,6 +234,46 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("bm25Append: appended batches compose bit-identically with a full rebuild") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val base = (0L until 40L).map(i => (i, s"alpha beta gamma doc$i"))
+      val batch = (40L until 60L).map(i => (i, s"beta delta doc$i extra words"))
+      def mkDir(rows: Seq[(Long, String)]): String = {
+        val d = tmpDir("bm25-append")
+        rows.toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+        d
+      }
+      val dirA = mkDir(base)          // base corpus, then append
+      val dirB = mkDir(base ++ batch) // the equivalent full corpus
+      IndexStore.bm25Postings(spark, dirA)
+      IndexStore.bm25Append(spark, dirA, batch.toDF("doc_id", "text"))
+      val (pA, sA) = IndexStore.bm25Postings(spark, dirA)
+      val (pB, sB) = IndexStore.bm25Postings(spark, dirB)
+      assert(pA.collect().map(_.toString).sorted.toSeq ===
+        pB.collect().map(_.toString).sorted.toSeq,
+        "appended posting multiset must equal the full rebuild's")
+      assert(sA.collect().map(_.toString).toSeq ===
+        sB.collect().map(_.toString).toSeq,
+        "folded stats must equal the full rebuild's")
+    }
+  }
+
+  test("bm25Append refuses to append before the index exists") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val d = tmpDir("bm25-append-no-idx")
+      Seq((1L, "a b c")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      intercept[IllegalArgumentException] {
+        IndexStore.bm25Append(spark, d, Seq((2L, "d e")).toDF("doc_id", "text"))
+      }
+    }
+  }
+
   test("fingerprint: a rewritten source table invalidates the artifact key") {
     val dir = tmpDir("idx-fp")
     val f = new java.io.File(dir, "embeddings.parquet")
