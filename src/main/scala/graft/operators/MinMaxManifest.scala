@@ -105,14 +105,65 @@ object MinMaxManifest {
         .coalesce(1).write.mode("append").parquet(mp)
   }
 
-  /** Manifest rows, SELF-HEALED against a torn append: if a crash
-    * landed data files without their manifest rows (the two
-    * non-atomic writes in [[appendBatch]]), the metadata-only listing
-    * diff detects them here and stats exactly the missing files back
-    * into the manifest before any read uses it — so the "prune never
-    * hides a file" invariant holds across failures, at the cost of
-    * one directory listing per read (the same price the staleness
-    * fingerprint already pays). */
+  /** COMPACTION: re-cluster the CURRENT layout contents (base rows
+    * plus every appended batch — [[ensure]] must not be used for
+    * this: it rebuilds from the source table and would drop appended
+    * rows) into a fresh [[NumFiles]]-file time-range layout with a
+    * fresh manifest. Restores skip selectivity after many small-batch
+    * appends widened per-file ranges and multiplied file count. The
+    * rewrite stages into a sibling directory and swaps by rename, so
+    * a crash mid-compaction leaves the old layout intact (the swap is
+    * two local renames; on an object store this is the
+    * pointer-file/metadata-commit step every table format performs). */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val lp = layoutPath(dir)
+    val mp = manifestPath(dir)
+    require(ready(lp) && ready(mp), s"nothing to compact at $lp")
+    val stagedL = lp + ".compacting"
+    val stagedM = mp + ".compacting"
+    s.read.parquet(lp)
+      .repartitionByRange(NumFiles, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(stagedL)
+    s.read.parquet(stagedL)
+      .groupBy(input_file_name().as("p0"))
+      .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+        count(lit(1)).as("rows"))
+      // the manifest must name the files at their POST-swap (live)
+      // location, not the staging path it read them from
+      .select(regexp_replace(col("p0"),
+        java.util.regex.Pattern.quote(stagedL), lp).as("path"),
+        col("min_ts"), col("max_ts"), col("rows"))
+      .coalesce(1).write.mode("overwrite").parquet(stagedM)
+    def swap(live: String, staged: String): Unit = {
+      val old = new java.io.File(live + ".old")
+      def delete(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(delete)
+        f.delete(); ()
+      }
+      if (old.exists()) delete(old)
+      require(new java.io.File(live).renameTo(old), s"swap-out of $live failed")
+      require(new java.io.File(staged).renameTo(new java.io.File(live)),
+        s"swap-in of $staged failed")
+      delete(old)
+    }
+    // manifest first: a crash between the two swaps leaves a manifest
+    // whose paths point at the staged layout names — healedEntries'
+    // listing diff re-stats the live files on the next read
+    swap(mp, stagedM)
+    swap(lp, stagedL)
+  }
+
+  /** Manifest rows, SELF-HEALED against a torn write: a crash can
+    * leave data files without manifest rows ([[appendBatch]]'s two
+    * non-atomic writes) or manifest rows naming files that no longer
+    * exist ([[compact]]'s window between its two swaps). The
+    * metadata-only listing diff detects both here — missing files are
+    * stat'd back in (one O(new-files) scan), vanished-file rows are
+    * dropped — before any read uses the manifest, so "prune never
+    * hides a file, and never names a ghost" holds across failures at
+    * the cost of one directory listing per read (the price the
+    * staleness fingerprint already pays). */
   private def healedEntries(s: SparkSession, dir: String) = {
     val lp = layoutPath(dir)
     val mp = manifestPath(dir)
@@ -120,17 +171,33 @@ object MinMaxManifest {
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .map(f => s"file://${f.getAbsolutePath}").toSet
     val entries = s.read.parquet(mp)
-      .select("path", "min_ts", "max_ts").collect()
+      .select("path", "min_ts", "max_ts", "rows").collect()
     val known = entries.map(_.getString(0)).toSet
     val missing = (listed -- known).toIndexedSeq.sorted
-    if (missing.nonEmpty) {
-      s.read.parquet(missing: _*)
-        .groupBy(input_file_name().as("path"))
-        .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
-          count(lit(1)).as("rows"))
-        .coalesce(1).write.mode("append").parquet(mp)
-      s.read.parquet(mp).select("path", "min_ts", "max_ts").collect()
-    } else entries
+    val stale = known -- listed
+    if (missing.isEmpty && stale.isEmpty)
+      entries.map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+    else {
+      val keptRows = entries.filter(r => listed.contains(r.getString(0)))
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      val freshRows =
+        if (missing.isEmpty) Array.empty[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        else {
+          import s.implicits._
+          s.read.parquet(missing: _*)
+            .groupBy(input_file_name().as("path"))
+            .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+              count(lit(1)).as("rows"))
+            .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+            .collect()
+        }
+      val healed = keptRows ++ freshRows
+      import s.implicits._
+      s.createDataset(healed.toIndexedSeq)
+        .toDF("path", "min_ts", "max_ts", "rows")
+        .coalesce(1).write.mode("overwrite").parquet(mp)
+      healed.map(r => (r._1, r._2, r._3))
+    }
   }
 
   /** The pruned read: consult ONLY the manifest (bounded collect — one
@@ -152,9 +219,9 @@ object MinMaxManifest {
         .toInstant(java.time.ZoneOffset.UTC))
     val (loTs, hiTs) = (utc(lo), utc(hi))
     val entries = healedEntries(s, dir)
-    val kept = entries.filter { r =>
-      !r.getTimestamp(2).before(loTs) && r.getTimestamp(1).before(hiTs)
-    }.map(_.getString(0))
+    val kept = entries.filter { case (_, minTs, maxTs) =>
+      !maxTs.before(loTs) && minTs.before(hiTs)
+    }.map(_._1)
     val rowPred = col("ts") >= lit(lo).cast("timestamp") &&
       col("ts") < lit(hi).cast("timestamp")
     val df =

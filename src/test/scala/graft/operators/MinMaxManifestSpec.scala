@@ -124,6 +124,37 @@ class MinMaxManifestSpec extends SparkSpec {
     }
   }
 
+  test("compact: appended batches fold back into the base file count, no rows lost") {
+    withRoot {
+      import spark.implicits._
+      MinMaxManifest.ensure(spark, sf)
+      def batch(day: Int) = (0 until 30).map { i =>
+        (200000L + day * 1000 + i,
+          java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:${i % 60}%02d"),
+          3L, "compacted", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      MinMaxManifest.appendBatch(spark, sf, batch(10))
+      MinMaxManifest.appendBatch(spark, sf, batch(11))
+      val beforeRows = spark.read.parquet(MinMaxManifest.layoutPath(sf)).count()
+      val beforeFiles = spark.read.parquet(MinMaxManifest.manifestPath(sf)).count()
+      MinMaxManifest.compact(spark, sf)
+      val layout = spark.read.parquet(MinMaxManifest.layoutPath(sf))
+      assert(layout.count() === beforeRows,
+        "compaction must preserve every row, including appended batches")
+      val manifest = spark.read.parquet(MinMaxManifest.manifestPath(sf))
+      assert(manifest.count() === MinMaxManifest.NumFiles.toLong,
+        "compaction must restore the target file count")
+      assert(manifest.count() < beforeFiles,
+        "compaction should reduce the appended file count")
+      // manifest paths are live (post-swap), and pruning still works:
+      // the appended 2024-02 rows are found through the fresh layout
+      val (pruned, kept, total) = MinMaxManifest.prunedEvents(
+        spark, sf, "2024-02-10 00:00:00", "2024-02-12 00:00:00")
+      assert(pruned.count() === 60L)
+      assert(kept < total.toInt, "compacted layout must still skip files")
+    }
+  }
+
   test("appendBatch refuses to append before the layout exists") {
     withRoot {
       import spark.implicits._
