@@ -1161,9 +1161,79 @@ object VectorQueries {
       .orderBy($"query_id")
   }
 
+  /** v14 — chunk-level MaxSim document retrieval (the late-interaction
+    * long-document trick, ColBERT-style reduced to one query vector:
+    * long docs embed as CHUNKS, and a document's score is the MAX of
+    * its chunks' similarities — one on-topic passage ranks the doc,
+    * where v03-style mean-pooling would dilute it). Chunk→doc mapping
+    * here is the synthetic `vec_id div 4` (4 chunks/doc — the gate
+    * corpus has no native mapping; a real pipeline carries doc_id on
+    * the chunk row, exactly t12's chunker output). Shape: the chunk
+    * scoring is v01's broadcast map-side pass, then ONE hash agg per
+    * (query, doc) — max(sim) + min_by(chunk) both distributive, so
+    * partial aggregation collapses chunks map-side and shuffle mass
+    * is docs, not chunks; top-10 docs per query via the bounded rank
+    * window. At 100 TB this composes with the IVF stage exactly like
+    * v11 (probe cells first, then per-doc max) — registered here in
+    * its exact form, the oracle-checkable baseline. */
+  val v14ChunkMaxSim: GraftQuery = q(
+    "v14_chunk_maxsim",
+    "D4 late-interaction retrieval: doc score = max chunk cosine, argmax chunk reported",
+    Some(s"""WITH e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+      |chunks AS (
+      |  SELECT q.query_id, e.vec_id // 4 AS doc_id, e.vec_id AS chunk_id,
+      |         ${duckCos6("e.v", "q.qv")} AS sim
+      |  FROM e CROSS JOIN qs q
+      |  WHERE e.vec_id // 4 <> q.query_id // 4),
+      |docs0 AS (
+      |  SELECT query_id, doc_id, max(sim) AS maxsim, count(*) AS n_chunks
+      |  FROM chunks GROUP BY query_id, doc_id),
+      |docs AS (
+      |  SELECT d.query_id, d.doc_id, d.maxsim,
+      |         min(c.chunk_id) AS best_chunk, d.n_chunks
+      |  FROM docs0 d JOIN chunks c
+      |    ON c.query_id = d.query_id AND c.doc_id = d.doc_id
+      |   AND c.sim = d.maxsim
+      |  GROUP BY d.query_id, d.doc_id, d.maxsim, d.n_chunks),
+      |r AS (
+      |  SELECT query_id, doc_id, maxsim, best_chunk, n_chunks,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY maxsim DESC, doc_id) AS rnk
+      |  FROM docs)
+      |SELECT query_id, rnk, doc_id, maxsim,
+      |       CAST(best_chunk AS BIGINT) AS best_chunk,
+      |       CAST(n_chunks AS BIGINT) AS n_chunks
+      |FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val e = emb(s, dir)
+    val qs = e.where($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val scored = e.crossJoin(broadcast(qs))
+      .select(expr("vec_id div 4").as("doc_id"),
+        $"vec_id".as("chunk_id"), $"query_id",
+        cosine6($"v", $"qv").as("sim"))
+      .where($"doc_id" =!= expr("query_id div 4"))
+    val docs = scored.groupBy($"query_id", $"doc_id")
+      .agg(max($"sim").as("maxsim"),
+        min_by($"chunk_id", struct(-$"sim", $"chunk_id")).as("best_chunk"),
+        count(lit(1)).as("n_chunks"))
+    val w = Window.partitionBy($"query_id").orderBy($"maxsim".desc, $"doc_id")
+    docs.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 10)
+      .select($"query_id", $"rnk", $"doc_id", $"maxsim",
+        $"best_chunk", $"n_chunks")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
     v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn,
-    v13RecallEval)
+    v13RecallEval, v14ChunkMaxSim)
 }

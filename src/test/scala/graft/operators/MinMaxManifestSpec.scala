@@ -155,6 +155,37 @@ class MinMaxManifestSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch composes with Structured Streaming foreachBatch end to end") {
+    withRoot {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col => c}
+      val s2 = spark
+      import s2.implicits._
+      MinMaxManifest.ensure(spark, sf)
+      implicit val sq = spark.sqlContext
+      val src = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      val q = src.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          MinMaxManifest.appendBatch(spark, sf, b)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      src.addData((500000L, java.sql.Timestamp.valueOf("2024-04-01 10:00:00"),
+        1L, "stream", 1.0, "{}"))
+      src.addData((500001L, java.sql.Timestamp.valueOf("2024-04-02 10:00:00"),
+        2L, "stream", 2.0, "{}"))
+      q.awaitTermination(60000)
+      val (pruned, kept, total) = MinMaxManifest.prunedEvents(
+        spark, sf, "2024-04-01 00:00:00", "2024-04-03 00:00:00")
+      assert(pruned.count() === 2L,
+        "rows written through the streaming sink must be prunable-readable")
+      assert(kept < total.toInt, "base files must be skipped for the stream window")
+      assert(pruned.where(c("event_type") === "stream").count() === 2L)
+    }
+  }
+
   test("appendBatch refuses to append before the layout exists") {
     withRoot {
       import spark.implicits._
