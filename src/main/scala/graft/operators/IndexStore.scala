@@ -443,11 +443,27 @@ object IndexStore {
     val pPath = bm25PostingsPath(dir)
     val sPath = bm25StatsPath(dir)
     if (!(artifactReady(pPath) && artifactReady(sPath))) {
-      val tk = graft.Tables(s, dir, "documents")
-        .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // The (doc_id, term) aggregate's group count ≈ distinct terms ×
+      // docs — at the 1000× replica (5 M docs) the session's 32
+      // shuffle partitions put ~5 M groups on each reducer and the
+      // hash aggregate OOM-retried its way through. The BUILD (one
+      // per corpus lifetime) scopes the shuffle width up for its own
+      // jobs and restores the caller's setting after; on a real
+      // cluster this is just "size the build's reducers to the
+      // corpus, not to the query default".
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(savedParts.toInt, 256).toString)
       try {
-        val dl = tk.select($"doc_id", size($"toks").as("dl"))
+        // NO persist of the tokenized corpus: caching 5 M docs'
+        // token arrays is gigabytes of deserialized heap (it
+        // hard-OOM'd the 8 GB driver at the 1000× replica), while
+        // re-tokenizing per consumer is cheap JIT'd column work —
+        // the d01 lesson (its persist measured 3× slower than
+        // pipelined recompute) applied here
+        def tk = graft.Tables(s, dir, "documents")
+          .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
+        def dl = tk.select($"doc_id", size($"toks").as("dl"))
         tk.select($"doc_id", explode($"toks").as("term"))
           .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
           .join(dl, "doc_id")
@@ -457,7 +473,9 @@ object IndexStore {
           .write.mode("overwrite").parquet(pPath)
         dl.agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
           .coalesce(1).write.mode("overwrite").parquet(sPath)
-      } finally tk.unpersist()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
     }
     (s.read.parquet(pPath), s.read.parquet(sPath))
   }
