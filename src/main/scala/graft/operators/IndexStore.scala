@@ -89,18 +89,33 @@ object IndexStore {
       .as[(Long, Array[Double])]
   }
 
+  /** The filesystem a path lives on, resolved through the Hadoop
+    * FileSystem API — identical behavior on local paths, and the same
+    * code serves HDFS / S3A / any configured scheme, which is where a
+    * 100-TB deployment's artifacts actually live (the r6 advice: a
+    * `java.io.File` walk is dead off the local disk). Metadata ops
+    * only ever go through this — never a data scan. */
+  private[operators] def fsOf(path: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
+
   /** Staleness fingerprint of `dir/table.parquet`: md5 over the sorted
     * (name, size, mtime) list of its files — a metadata-only listing,
     * never a data scan. A rewritten corpus gets a fresh key (and a
     * fresh artifact); replicas at different paths with identical bytes
     * but different mtimes simply train their own copy. */
   private[operators] def fingerprint(dir: String, table: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toIndexedSeq.flatMap(walk)
-      else Seq(f)
-    val desc = walk(new java.io.File(s"$dir/$table.parquet"))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    import org.apache.hadoop.fs.FileStatus
+    val (fs, root) = fsOf(s"$dir/$table.parquet")
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+          .toIndexedSeq.flatMap(walk)
+      else Seq(st)
+    val desc = walk(fs.getFileStatus(root))
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -108,8 +123,12 @@ object IndexStore {
 
   /** The one artifact-readiness rule (shared by every persisted
     * layout in this package — MinMaxManifest, ShardExport). */
-  private[operators] def artifactReady(path: String): Boolean =
-    new java.io.File(path, "_SUCCESS").isFile
+  private[operators] def artifactReady(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    try fs.getFileStatus(marker).isFile
+    catch { case _: java.io.FileNotFoundException => false }
+  }
 
   /** Artifact directory for the IVF pivots of `dir`'s embeddings. */
   def ivfPivotPath(dir: String): String =
@@ -292,7 +311,20 @@ object IndexStore {
     * results to rebuilding over corpus ∪ B1..Bn (postings are per-doc
     * rows, stats are distributive sums — IndexStoreSpec pins it);
     * replay idempotence is the caller's batch_id discipline, as with
-    * every append path here. */
+    * every append path here.
+    *
+    * Crash safety (the r6 advice closed): the stats artifact is now
+    * APPEND-ONLY — the build writes the first (n, sdl) partial row and
+    * every batch appends its own, summed at read by [[bm25Stats]]
+    * (distributive, rows immutable once written — the MinMaxManifest
+    * discipline). There is no read-modify-write to tear and no window
+    * in which previously-appended mass can be lost: a crash between
+    * the postings append and the stats append leaves scoring constants
+    * stale by exactly the in-flight batch (bounded, self-describing —
+    * the next successful append does not compound it), and a torn
+    * stats job that destroys the marker is repaired by
+    * [[bm25Postings]]' rederive-from-postings path instead of a lossy
+    * rebuild from `documents`. */
   def bm25Append(s: SparkSession, dir: String,
       batch: org.apache.spark.sql.DataFrame): Unit = {
     import s.implicits._
@@ -314,13 +346,9 @@ object IndexStore {
         .write.mode("append").parquet(pPath)
       val (bn, bsdl) = dl.agg(count(lit(1)), sum($"dl"))
         .as[(Long, Long)].head()
-      val (n0, sdl0) = s.read.parquet(sPath)
-        .select($"n", $"sdl").as[(Long, Long)].head()
-      // overwrite via a temp column-identical frame; the 1-row write
-      // is atomic enough under the _SUCCESS marker (a torn overwrite
-      // leaves no marker and the next build re-creates stats)
-      s.createDataset(Seq((n0 + bn, sdl0 + bsdl))).toDF("n", "sdl")
-        .coalesce(1).write.mode("overwrite").parquet(sPath)
+      // append THIS batch's partial row only — never read-modify-write
+      s.createDataset(Seq((bn, bsdl))).toDF("n", "sdl")
+        .coalesce(1).write.mode("append").parquet(sPath)
     } finally tk.unpersist()
   }
 
@@ -439,46 +467,76 @@ object IndexStore {
     * `\s+`-on-trimmed-text rule every text query and oracle uses. */
   def bm25Postings(s: SparkSession, dir: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
-    import s.implicits._
     val pPath = bm25PostingsPath(dir)
     val sPath = bm25StatsPath(dir)
-    if (!(artifactReady(pPath) && artifactReady(sPath))) {
+    if (!artifactReady(pPath)) {
       // The (doc_id, term) aggregate's group count ≈ distinct terms ×
       // docs — at the 1000× replica (5 M docs) the session's 32
       // shuffle partitions put ~5 M groups on each reducer and the
       // hash aggregate OOM-retried its way through. The BUILD (one
-      // per corpus lifetime) scopes the shuffle width up for its own
-      // jobs and restores the caller's setting after; on a real
-      // cluster this is just "size the build's reducers to the
-      // corpus, not to the query default".
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(savedParts.toInt, 256).toString)
-      try {
-        // NO persist of the tokenized corpus: caching 5 M docs'
-        // token arrays is gigabytes of deserialized heap (it
-        // hard-OOM'd the 8 GB driver at the 1000× replica), while
-        // re-tokenizing per consumer is cheap JIT'd column work —
-        // the d01 lesson (its persist measured 3× slower than
-        // pipelined recompute) applied here
-        def tk = graft.Tables(s, dir, "documents")
-          .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
-        def dl = tk.select($"doc_id", size($"toks").as("dl"))
-        tk.select($"doc_id", explode($"toks").as("term"))
-          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-          .join(dl, "doc_id")
-          .select($"term", $"doc_id", $"tf", $"dl")
-          .repartitionByRange(8, $"term", $"doc_id")
-          .sortWithinPartitions($"term", $"doc_id")
-          .write.mode("overwrite").parquet(pPath)
-        dl.agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
-          .coalesce(1).write.mode("overwrite").parquet(sPath)
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      }
+      // per corpus lifetime) runs its jobs on a CLONED session
+      // (shared SparkContext and executors, PRIVATE SQLConf) with the
+      // shuffle width sized to the corpus, so a query planning
+      // concurrently on the caller's session never sees the widened
+      // setting — the r6 advice closed (the previous save/restore of
+      // the shared conf was a mid-build race). On a real cluster this
+      // is just "size the build's reducers to the corpus, not to the
+      // query default".
+      val bs = s.newSession()
+      // newSession starts from the STATIC conf — carry over the two
+      // runtime settings the build's semantics depend on
+      bs.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone"))
+      bs.conf.set("spark.sql.ansi.enabled", s.conf.get("spark.sql.ansi.enabled"))
+      bs.conf.set("spark.sql.shuffle.partitions",
+        math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 256).toString)
+      import bs.implicits._
+      // NO persist of the tokenized corpus: caching 5 M docs'
+      // token arrays is gigabytes of deserialized heap (it
+      // hard-OOM'd the 8 GB driver at the 1000× replica), while
+      // re-tokenizing per consumer is cheap JIT'd column work —
+      // the d01 lesson (its persist measured 3× slower than
+      // pipelined recompute) applied here
+      def tk = graft.Tables(bs, dir, "documents")
+        .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
+      def dl = tk.select($"doc_id", size($"toks").as("dl"))
+      tk.select($"doc_id", explode($"toks").as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .select($"term", $"doc_id", $"tf", $"dl")
+        .repartitionByRange(8, $"term", $"doc_id")
+        .sortWithinPartitions($"term", $"doc_id")
+        .write.mode("overwrite").parquet(pPath)
+      dl.agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
+        .coalesce(1).write.mode("overwrite").parquet(sPath)
+    } else if (!artifactReady(sPath)) {
+      // postings intact but the stats marker is gone (a torn stats
+      // job): RE-DERIVE stats from the existing postings instead of
+      // rebuilding from `documents` — a rebuild would silently discard
+      // every previously appended batch's postings (the r6 advice's
+      // lossy-recovery finding). dl is denormalized onto every
+      // posting, so one per-doc max + one sum reproduces (n, Σdl)
+      // exactly for every doc with ≥1 token; zero-token docs carry no
+      // postings and drop out of the rederived n — a disclosed,
+      // bounded discrepancy (they contribute 0 to every score's tf
+      // side) vs the alternative of losing appended postings wholesale.
+      s.read.parquet(pPath)
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+        .coalesce(1).write.mode("overwrite").parquet(sPath)
     }
-    (s.read.parquet(pPath), s.read.parquet(sPath))
+    (s.read.parquet(pPath), bm25Stats(s, dir))
   }
+
+  /** The BM25 scoring constants (N docs, Σdl) as a ONE-ROW frame:
+    * the sum of the append-only per-batch partial rows the build and
+    * [[bm25Append]] write — a bounded aggregate over one tiny file
+    * per batch, summed at read so the artifact itself is immutable
+    * once written (no read-modify-write to tear). */
+  def bm25Stats(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(bm25StatsPath(dir))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sdl")).cast("long").as("sdl"))
 
   /** DuckDB CTE rendering of the training sample, assuming a CTE `e`
     * (vec_id, v) is in scope — emits `es`. Shared by every IVF/PQ

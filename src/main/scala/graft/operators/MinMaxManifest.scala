@@ -114,13 +114,29 @@ object MinMaxManifest {
     * rewrite stages into a sibling directory and swaps by rename, so
     * a crash mid-compaction leaves the old layout intact (the swap is
     * two local renames; on an object store this is the
-    * pointer-file/metadata-commit step every table format performs). */
-  def compact(s: SparkSession, dir: String): Unit = {
+    * pointer-file/metadata-commit step every table format performs).
+    *
+    * Concurrency contract: the WRITER MUST BE QUIESCED during
+    * compaction — a batch appended between the rewrite's read and the
+    * directory swap would be silently renamed away with the old
+    * layout (the r6 advice). This is the same single-writer rule
+    * every table format's compaction holds (Iceberg/Delta take a
+    * commit-level conflict check); here it is ENFORCED rather than
+    * assumed: the file set is re-listed immediately before the swap
+    * and the compaction FAILS LOUDLY (old layout untouched, staging
+    * dirs removed) if any file appeared or vanished since the read. */
+  def compact(s: SparkSession, dir: String,
+      onStagedForTest: () => Unit = () => ()): Unit = {
     val lp = layoutPath(dir)
     val mp = manifestPath(dir)
     require(ready(lp) && ready(mp), s"nothing to compact at $lp")
     val stagedL = lp + ".compacting"
     val stagedM = mp + ".compacting"
+    def listParts(): Set[String] =
+      new java.io.File(lp).listFiles().toIndexedSeq
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+    val readSet = listParts()
     s.read.parquet(lp)
       .repartitionByRange(NumFiles, col("ts"))
       .sortWithinPartitions(col("ts"))
@@ -135,12 +151,31 @@ object MinMaxManifest {
         java.util.regex.Pattern.quote(stagedL), lp).as("path"),
         col("min_ts"), col("max_ts"), col("rows"))
       .coalesce(1).write.mode("overwrite").parquet(stagedM)
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(delete)
+      f.delete(); ()
+    }
+    // the concurrent-appender guard: any file that appeared since the
+    // rewrite's read would be dropped by the swap — fail before
+    // touching the live layout, leaving it (with the straggler batch)
+    // fully intact; the caller quiesces the writer and re-runs.
+    // (onStagedForTest is the spec's injection point for a racing
+    // append — the window is real but sub-second, untestable without
+    // a seam.)
+    onStagedForTest()
+    val nowSet = listParts()
+    if (nowSet != readSet) {
+      delete(new java.io.File(stagedL))
+      delete(new java.io.File(stagedM))
+      val appeared = (nowSet -- readSet).toSeq.sorted
+      val vanished = (readSet -- nowSet).toSeq.sorted
+      throw new IllegalStateException(
+        s"concurrent write detected during compaction of $lp — " +
+          s"appeared: $appeared, vanished: $vanished; quiesce the " +
+          "writer and re-run compact()")
+    }
     def swap(live: String, staged: String): Unit = {
       val old = new java.io.File(live + ".old")
-      def delete(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(delete)
-        f.delete(); ()
-      }
       if (old.exists()) delete(old)
       require(new java.io.File(live).renameTo(old), s"swap-out of $live failed")
       require(new java.io.File(staged).renameTo(new java.io.File(live)),
@@ -222,8 +257,14 @@ object MinMaxManifest {
     val kept = entries.filter { case (_, minTs, maxTs) =>
       !maxTs.before(loTs) && minTs.before(hiTs)
     }.map(_._1)
-    val rowPred = col("ts") >= lit(lo).cast("timestamp") &&
-      col("ts") < lit(hi).cast("timestamp")
+    // the row predicate is built from the SAME utc()-parsed instants
+    // as the file-pruning bounds (lit on java.sql.Timestamp is an
+    // instant literal, not a session-timezone string parse), so both
+    // layers share one clock on ANY session timezone — a
+    // lit(str).cast("timestamp") here would parse under the session
+    // zone and disagree with the prune at every boundary file (r6
+    // advice closed)
+    val rowPred = col("ts") >= lit(loTs) && col("ts") < lit(hiTs)
     val df =
       if (kept.isEmpty) s.read.parquet(layoutPath(dir)).where(lit(false))
       else s.read.parquet(kept.toIndexedSeq: _*).where(rowPred)

@@ -261,6 +261,61 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("bm25: a torn stats job rederives from postings — appended batches survive") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val d = tmpDir("bm25-torn-stats")
+      (0L until 30L).map(i => (i, s"alpha beta doc$i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      IndexStore.bm25Postings(spark, d)
+      val batch = (30L until 45L).map(i => (i, s"gamma delta doc$i"))
+      IndexStore.bm25Append(spark, d, batch.toDF("doc_id", "text"))
+      val (p0, s0) = IndexStore.bm25Postings(spark, d)
+      val postingsBefore = p0.collect().map(_.toString).sorted.toSeq
+      val statsBefore = s0.as[(Long, Long)].head()
+      assert(statsBefore._1 === 45L, "stats partials must sum to the full corpus")
+      // the crash: the stats artifact loses its marker (torn job)
+      assert(new java.io.File(IndexStore.bm25StatsPath(d), "_SUCCESS").delete())
+      val (p1, s1) = IndexStore.bm25Postings(spark, d)
+      assert(p1.collect().map(_.toString).sorted.toSeq === postingsBefore,
+        "recovery must NOT rebuild postings — appended batches would be lost")
+      // every doc here has ≥1 token, so the rederived stats are exact
+      assert(s1.as[(Long, Long)].head() === statsBefore,
+        "stats rederived from postings must equal the pre-crash sums")
+    }
+  }
+
+  test("bm25 cold build never widens the caller session's shuffle setting") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val d = tmpDir("bm25-conf-scope")
+      (0L until 50L).map(i => (i, s"one two three doc$i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val orig = spark.conf.get("spark.sql.shuffle.partitions")
+      // observe the CALLER session's conf at every job boundary during
+      // the build — the r5/r6 save/restore approach mutated it
+      // mid-build, which this listener would have caught
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          seen.add(spark.conf.get("spark.sql.shuffle.partitions"))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        IndexStore.bm25Postings(spark, d) // cold build
+        Thread.sleep(200) // let the listener bus drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === orig)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.nonEmpty, "the build must have run jobs")
+      assert(seen.asScala.forall(_ == orig),
+        s"caller conf was mutated mid-build: ${seen.asScala.toSet}")
+    }
+  }
+
   test("bm25Append refuses to append before the index exists") {
     withRoot { _ =>
       val s2 = spark

@@ -198,6 +198,60 @@ class MinMaxManifestSpec extends SparkSpec {
     }
   }
 
+  test("compact fails loudly on a concurrent append, losing nothing") {
+    withRoot {
+      import spark.implicits._
+      MinMaxManifest.ensure(spark, sf)
+      def batch(id: Long, day: Int) = Seq(
+        (id, java.sql.Timestamp.valueOf(f"2024-05-$day%02d 12:00:00"),
+          5L, "race", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      MinMaxManifest.appendBatch(spark, sf, batch(700000L, 1))
+      val rowsBefore = spark.read.parquet(MinMaxManifest.layoutPath(sf)).count()
+      // a batch lands AFTER the rewrite read its input, BEFORE the
+      // swap — exactly the window the r6 advice flagged as silent loss
+      val e = intercept[IllegalStateException] {
+        MinMaxManifest.compact(spark, sf, onStagedForTest =
+          () => MinMaxManifest.appendBatch(spark, sf, batch(700001L, 2)))
+      }
+      assert(e.getMessage.contains("concurrent write detected"))
+      // NOTHING lost: base + both batches all present, old layout live
+      val layout = spark.read.parquet(MinMaxManifest.layoutPath(sf))
+      assert(layout.count() === rowsBefore + 1,
+        "the aborted compaction must leave base rows and BOTH batches intact")
+      assert(layout.where(col("event_id") === 700001L).count() === 1L,
+        "the racing batch's rows must survive the aborted compaction")
+      // quiesced re-run succeeds and folds everything in
+      MinMaxManifest.compact(spark, sf)
+      assert(spark.read.parquet(MinMaxManifest.layoutPath(sf)).count()
+        === rowsBefore + 1)
+    }
+  }
+
+  test("pruning and the row predicate agree on a non-UTC session timezone") {
+    withRoot {
+      val saved = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        val (pruned, kept, total) = MinMaxManifest.prunedEvents(spark, sf, lo, hi)
+        assert(kept < total, "pruning must still drop files")
+        // ground truth: the UTC-instant window over the raw table —
+        // built from the same Timestamp instants prunedEvents uses,
+        // independent of the session zone
+        def utc(t: String) = java.sql.Timestamp.from(
+          java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC))
+        val full = graft.Tables(spark, sf, "events")
+          .where(col("ts") >= lit(utc(lo)) && col("ts") < lit(utc(hi)))
+        assert(pruned.count() === full.count(),
+          "boundary-file rows must not shift with the session timezone")
+        val a = pruned.select("event_id").collect().map(_.getLong(0)).sorted
+        val b = full.select("event_id").collect().map(_.getLong(0)).sorted
+        assert(a.toSeq === b.toSeq)
+      } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    }
+  }
+
   test("the pruned plan scans only kept layout files, never the raw table") {
     withRoot {
       val (pruned, kept, _) = MinMaxManifest.prunedEvents(spark, sf, lo, hi)
