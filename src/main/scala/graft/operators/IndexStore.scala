@@ -353,9 +353,11 @@ object IndexStore {
   }
 
   /** Artifact directory for the IVF-FLAT assignment table of `dir`'s
-    * embeddings. */
+    * embeddings (the `c` suffix versions the CELL-PARTITIONED layout
+    * introduced in round 7 — an old flat-directory artifact under the
+    * same fingerprint must not be mistaken for it). */
   def ivfFlatPath(dir: String, iters: Int): String =
-    s"$root/${fingerprint(dir, "embeddings")}/ivf_flat_i$iters"
+    s"$root/${fingerprint(dir, "embeddings")}/ivf_flat_i${iters}c"
 
   /** The persisted IVF-FLAT index — the classic inverted file with
     * full vectors (the non-compressed sibling of [[ivfadcIndex]]):
@@ -376,10 +378,19 @@ object IndexStore {
     * ran), so every oracle replays unchanged; IndexStoreSpec pins
     * cold-vs-warm query identity. Incremental corpora: new batches
     * assign under the frozen pivots and append, the
-    * [[appendToIndex]] contract. At extreme B a production layout
-    * would additionally partition by cell range for probe-side
-    * pruning ([[ivfadcIndex]]'s note); the full-scan consumers here
-    * don't need it. */
+    * [[appendToIndex]] contract.
+    *
+    * LAYOUT (round 7): PARTITIONED BY `cell1`, like [[ivfadcIndex]]'s
+    * bucket layout — a probe-side consumer's `cell1 IN (probed)`
+    * restriction becomes reader-level PARTITION PRUNING (reads
+    * ≈ nprobe/B of the artifact files) instead of a full-artifact
+    * scan + join-side discard; the full-scan consumers (d03/d10 pair
+    * joins) read every partition exactly as before. The build
+    * `repartition(cell1)`s before the write so each cell's rows land
+    * in one task → ~1 file per cell (without it every write task
+    * touches every cell directory — B×tasks small files). At B near
+    * [[MaxPivots]] one directory per cell inherits [[ivfadcIndex]]'s
+    * documented cell-RANGE grouping mitigation. */
   def ivfFlat(s: SparkSession, dir: String,
       iters: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -390,9 +401,14 @@ object IndexStore {
         val (b1, b2) = VectorOps.nearest2Pivots(v, bcP.value)
         (id, b1.toLong, b2.toLong, VectorOps.cosine6(v, bcP.value(b1)), v)
       }.toDF("vec_id", "cell1", "cell2", "simc", "v")
-        .write.mode("overwrite").parquet(path)
+        .repartition(col("cell1"))
+        .write.mode("overwrite").partitionBy("cell1").parquet(path)
     }
+    // partition-column type is inferred on read (int) — normalize back
+    // to the long the inline build produced, restoring column order
     s.read.parquet(path)
+      .select(col("vec_id"), col("cell1").cast("long").as("cell1"),
+        col("cell2"), col("simc"), col("v"))
   }
 
   /** Artifact directory for the MinHash band-signature index of

@@ -287,30 +287,40 @@ object VectorQueries {
         ev.filter(_._1 < nPivots).collect().sortBy(_._1).map(_._2)
       }
     val bc = s.sparkContext.broadcast(pivotArr)
+    // query probes: the nProbe=2 nearest buckets per query vector
+    // (= nearest2Pivots, same ordering as the oracle's pr <= 2),
+    // computed DRIVER-side from the 5 collected query vectors (the
+    // v12 discipline — bounded: Q×nprobe pairs) so the probed-bucket
+    // set exists at PLAN time and can prune the artifact read below.
+    // The pushed-down Column filter means the query fetch reads 5
+    // rows, not the corpus.
+    val queries = ev.where(col("vec_id") < 5).as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    val probePairs = queries.flatMap { case (id, qv) =>
+      val (b1, b2) = VectorOps.nearest2Pivots(qv, pivotArr)
+      Seq((id, b1.toLong, qv), (id, b2.toLong, qv))
+    }.toIndexedSeq
+    val probes = s.createDataset(probePairs).toDF("query_id", "bucket", "qv")
+    val probedBuckets = probePairs.map(_._2).distinct.sorted
     // nearest pivot per corpus vector: on the trained path this is a
     // READ of the persisted IVF-flat assignment (one N×B argmax pass
     // per corpus lifetime — IndexStore.ivfFlat; values identical to
-    // the inline map by construction), so a warm query's corpus cost
-    // is a columnar scan, not quantizer math. The spec-only raw-seed
-    // path keeps the inline typed argmax (rounded cosine6, ties
-    // toward the lowest pivot_id — the oracle's rank-1 ordering).
+    // the inline map by construction) RESTRICTED to the probed cells —
+    // the artifact is partitioned by cell1, so the IN-list is a
+    // reader-level PARTITION filter and a warm query's corpus cost is
+    // ≈ nprobe/B of the index files (plan-pinned), not a full columnar
+    // scan. Semantics are untouched: the bucket equi-join below admits
+    // exactly these cells anyway. The spec-only raw-seed path keeps
+    // the inline typed argmax (rounded cosine6, ties toward the
+    // lowest pivot_id — the oracle's rank-1 ordering).
     val assigned =
       if (trainedPivots)
         graft.operators.IndexStore.ivfFlat(s, dir, IvfTrainIters)
+          .where($"cell1".isin(probedBuckets: _*))
           .select($"vec_id", $"cell1".as("bucket"), $"v")
       else ev.map { case (id, v) =>
         (id, VectorOps.nearest2Pivots(v, bc.value)._1.toLong, v)
       }.toDF("vec_id", "bucket", "v")
-    // query probes: the nProbe=2 nearest buckets per query vector
-    // (= nearest2Pivots, same ordering as the oracle's pr <= 2)
-    // Column filter (not a typed lambda) so the vec_id < 5 predicate
-    // PUSHES DOWN to the parquet scan — the probe side reads 5 rows,
-    // not the corpus
-    val probes = ev.where(col("vec_id") < 5).as[(Long, Array[Double])]
-      .flatMap { case (id, v) =>
-        val (b1, b2) = VectorOps.nearest2Pivots(v, bc.value)
-        Iterator((id, b1.toLong, v), (id, b2.toLong, v))
-      }.toDF("query_id", "bucket", "qv")
     assigned.join(broadcast(probes), Seq("bucket"))
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))

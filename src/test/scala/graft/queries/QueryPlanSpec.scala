@@ -225,6 +225,17 @@ class QueryPlanSpec extends SparkSpec {
     assert(recall >= 0.4, f"IVFADC recall $recall%.2f < 0.4")
   }
 
+  test("v04: the ivf-flat artifact scan is pruned to the probed cells") {
+    // the cell1-partitioned artifact (r7) turns the probe restriction
+    // into reader-level partition pruning — the warm candidate stage
+    // reads ≈ nprobe/B of the index files, not the whole assignment
+    val p = plan("v04_lsh_ann")
+    assert(p.contains("PartitionFilters: [cell1#") && p.contains(" IN ("),
+      s"the ivf-flat scan must carry the probed-cell partition filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate generation must stay a broadcast equi-join on bucket:\n$p")
+  }
+
   test("adaptiveB: broadcast ceiling holds at any corpus size") {
     // √(N/8) alone grows the pivot broadcast unboundedly (~180 MB of
     // dim-64 doubles at N = 10¹²); the cap pins it
