@@ -747,8 +747,83 @@ object CurationQueries {
       |FROM x GROUP BY 1 ORDER BY shard""".stripMargin),
     "training-export shard writer: hash-sharded layout + per-shard manifest")
 
+  /** c12 — hybrid retrieval SERVED FROM THE PERSISTED INDEXES (the
+    * warm-path counterpart of c03, closing r6's top ask): the lexical
+    * leg is BM25 over the term-pruned posting artifact
+    * ([[graft.queries.TextQueries.bm25Scores]] — the t18 stage: the
+    * `term IN` read touches ≈ the matched posting runs, never the
+    * documents table) and the vector leg is the persisted-pivot IVF
+    * candidate stage ([[graft.queries.VectorQueries.ivfCandidates]] —
+    * partition-pruned flat-index read, ≈ nprobe/B of the files, never
+    * a full-corpus cosine pass), fused by the same Reciprocal Rank
+    * Fusion c03 pins (Σ 1/(60+rank), round-6). c03 remains registered
+    * as the from-raw-text baseline; this is what the reference's
+    * dashboard cadence (`README.md:11-12` — repeated interactive
+    * queries over standing data) actually runs at 100 TB: every
+    * per-request cost is bounded by matched postings + probed cells,
+    * both index reads, with the corpus-linear work done once at build
+    * time. The oracle replays BOTH legs from raw tables (tokenize →
+    * BM25; sample-train → assign → probe) — the indexes are the
+    * engine's shortcut, never the truth's. Both rankings are bounded
+    * top-20 lists, the fusion a tiny full-outer join; the global
+    * windows ride above LIMITs (≤20 rows — the established
+    * scale-safe pattern). */
+  val c12IndexedHybrid: GraftQuery = GraftQuery(
+    "c12_indexed_hybrid_rrf",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wV = Window.orderBy($"sim".desc, $"doc_id")
+      val vecRank = VectorQueries.ivfCandidates(s, dir)
+        .where($"query_id" === 0)
+        .select($"vec_id".as("doc_id"), $"sim")
+        .orderBy($"sim".desc, $"doc_id").limit(20)
+        .withColumn("vrnk", row_number().over(wV))
+        .select($"doc_id", $"vrnk")
+      val wL = Window.orderBy($"score".desc, $"doc_id")
+      val lexRank = TextQueries.bm25Scores(s, dir)
+        .orderBy($"score".desc, $"doc_id").limit(20)
+        .withColumn("lrnk", row_number().over(wL))
+        .select($"doc_id", $"lrnk")
+      val wF = Window.orderBy($"rrf".desc, $"doc_id")
+      vecRank.join(lexRank, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          round(
+            coalesce(lit(1.0) / (lit(60.0) + $"vrnk"), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60.0) + $"lrnk"), lit(0.0)),
+            6).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id").limit(10)
+        .withColumn("rnk", row_number().over(wF))
+        .select($"rnk", $"doc_id", $"rrf")
+    },
+    Some(s"""WITH ${VectorQueries.ivfCandidateCtes},
+      |${TextQueries.bm25Ctes},
+      |vrank AS (
+      |  SELECT doc_id, vrnk FROM (
+      |    SELECT vec_id AS doc_id,
+      |           row_number() OVER (ORDER BY sim DESC, vec_id) AS vrnk
+      |    FROM cands WHERE query_id = 0)
+      |  WHERE vrnk <= 20),
+      |lrank AS (
+      |  SELECT doc_id, lrnk FROM (
+      |    SELECT doc_id,
+      |           row_number() OVER (ORDER BY score DESC, doc_id) AS lrnk
+      |    FROM sc)
+      |  WHERE lrnk <= 20),
+      |fused AS (
+      |  SELECT coalesce(vrank.doc_id, lrank.doc_id) AS doc_id,
+      |         round(coalesce(1.0 / (60.0 + vrnk), 0.0)
+      |             + coalesce(1.0 / (60.0 + lrnk), 0.0), 6) AS rrf
+      |  FROM vrank FULL OUTER JOIN lrank ON vrank.doc_id = lrank.doc_id)
+      |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk,
+      |       CAST(doc_id AS BIGINT) AS doc_id, rrf
+      |FROM fused
+      |ORDER BY rrf DESC, doc_id
+      |LIMIT 10""".stripMargin),
+    "north-star warm path: hybrid RRF served from the persisted BM25 + IVF indexes")
+
   val all: Seq[GraftQuery] = Seq(
     c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile,
     c05SequencePacking, c06LeakageSafeSplit, c07CorpusMix, c08ClusterSample,
-    c09WeightedSample, c10CurationFunnel, c11ShardExport)
+    c09WeightedSample, c10CurationFunnel, c11ShardExport, c12IndexedHybrid)
 }

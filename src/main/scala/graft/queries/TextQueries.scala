@@ -963,27 +963,39 @@ object TextQueries {
     * instance). */
   private[queries] val Bm25Terms = Seq("data", "query", "model", "vector")
 
-  /** t18 — BM25 ranked retrieval SERVED FROM the persisted inverted
-    * index ([[graft.operators.IndexStore.bm25Postings]]) — the lexical
-    * half of a production retrieval stack (the c03 RRF fusion's
-    * missing leg: c03 ranks by 3-term TF-IDF recomputed from raw text
-    * every run; this is index-backed Robertson/Spärck-Jones BM25,
-    * k1 = 1.2, b = 0.75). The warm path never touches `documents`:
-    * it reads the term-range-sorted posting table with a
-    * `term IN (…)` predicate (file- and row-group-pruned — the plan
-    * pin asserts pushdown and zero documents-table scans), broadcasts
-    * the per-term df counts and the one-row corpus stats, scores each
-    * posting map-side, and one hash-agg per doc_id sums the ≤|terms|
-    * partial scores — shuffle mass = matched postings, not corpus
-    * rows. idf = ln(1 + (N − df + ½)/(df + ½)) ≥ 0 (the +1 form, so
-    * common terms can't go negative); length norm uses
-    * dl·N/Σdl ≡ dl/avgdl with integer numerators for cross-engine
-    * exactness; the final per-doc sum is ≤ 4 addends under round-6,
-    * the c03 contract. */
-  val t18Bm25Search: GraftQuery = q(
-    "t18_bm25_index_search",
-    "D5/D6 BM25 top-k retrieval from the persisted term-sorted inverted index",
-    raw"""WITH tk AS (
+  /** The index-served BM25 scoring stage shared by t18 (standalone
+    * ranking) and c12 (the lexical leg of indexed hybrid retrieval):
+    * pruned posting read → broadcast df + stats → one per-doc hash
+    * agg. Returns (doc_id, score, terms_hit); see [[t18Bm25Search]]
+    * for the full plan rationale. */
+  private[queries] def bm25Scores(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (postAll, stats) = graft.operators.IndexStore.bm25Postings(s, dir)
+    // the pruned posting read: IN-list pushes to the parquet scan, and
+    // the term-range-sorted layout turns it into file/row-group skips
+    val post = postAll.where($"term".isin(Bm25Terms: _*))
+    val df = post.groupBy($"term").agg(count(lit(1)).as("df"))
+    post
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy($"doc_id")
+      .agg(
+        round(sum(
+          log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5))
+            * ($"tf" * 2.2)
+            / ($"tf" + lit(1.2) * (lit(0.25) + (lit(0.75) * ($"dl" * $"n"))
+                                            / $"sdl".cast("double")))), 6)
+          .as("score"),
+        count(lit(1)).as("terms_hit"))
+  }
+
+  /** DuckDB rendering of [[bm25Scores]] — CTEs `tk..sc` replaying
+    * tokenize → postings → df → BM25 (the oracle always recomputes
+    * from `documents`; the index is the ENGINE's shortcut, not the
+    * truth's). Shared by t18's oracle and c12's. */
+  private[queries] def bm25Ctes: String =
+    raw"""tk AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       |  FROM documents),
       |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
@@ -1007,30 +1019,36 @@ object TextQueries {
       |  JOIN df d USING (term)
       |  JOIN dl l USING (doc_id)
       |  CROSS JOIN st
-      |  GROUP BY p.doc_id)
+      |  GROUP BY p.doc_id)""".stripMargin
+
+  /** t18 — BM25 ranked retrieval SERVED FROM the persisted inverted
+    * index ([[graft.operators.IndexStore.bm25Postings]]) — the lexical
+    * half of a production retrieval stack (the c03 RRF fusion's
+    * missing leg: c03 ranks by 3-term TF-IDF recomputed from raw text
+    * every run; this is index-backed Robertson/Spärck-Jones BM25,
+    * k1 = 1.2, b = 0.75). The warm path never touches `documents`:
+    * it reads the term-range-sorted posting table with a
+    * `term IN (…)` predicate (file- and row-group-pruned — the plan
+    * pin asserts pushdown and zero documents-table scans), broadcasts
+    * the per-term df counts and the one-row corpus stats, scores each
+    * posting map-side, and one hash-agg per doc_id sums the ≤|terms|
+    * partial scores — shuffle mass = matched postings, not corpus
+    * rows. idf = ln(1 + (N − df + ½)/(df + ½)) ≥ 0 (the +1 form, so
+    * common terms can't go negative); length norm uses
+    * dl·N/Σdl ≡ dl/avgdl with integer numerators for cross-engine
+    * exactness; the final per-doc sum is ≤ 4 addends under round-6,
+    * the c03 contract. */
+  val t18Bm25Search: GraftQuery = q(
+    "t18_bm25_index_search",
+    "D5/D6 BM25 top-k retrieval from the persisted term-sorted inverted index",
+    s"""WITH $bm25Ctes
       |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
       |       CAST(doc_id AS BIGINT) AS doc_id, score,
       |       CAST(terms_hit AS BIGINT) AS terms_hit
       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
-    val (postAll, stats) = graft.operators.IndexStore.bm25Postings(s, dir)
-    // the pruned posting read: IN-list pushes to the parquet scan, and
-    // the term-range-sorted layout turns it into file/row-group skips
-    val post = postAll.where($"term".isin(Bm25Terms: _*))
-    val df = post.groupBy($"term").agg(count(lit(1)).as("df"))
-    val sc = post
-      .join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .groupBy($"doc_id")
-      .agg(
-        round(sum(
-          log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5))
-            * ($"tf" * 2.2)
-            / ($"tf" + lit(1.2) * (lit(0.25) + (lit(0.75) * ($"dl" * $"n"))
-                                            / $"sdl".cast("double")))), 6)
-          .as("score"),
-        count(lit(1)).as("terms_hit"))
+    val sc = bm25Scores(s, dir)
     val w = Window.orderBy($"score".desc, $"doc_id")
     sc.orderBy($"score".desc, $"doc_id").limit(10)
       .withColumn("rnk", row_number().over(w))

@@ -398,8 +398,10 @@ object VectorQueries {
        |                              ORDER BY psim DESC, pivot_id) AS pr
        |    FROM scored WHERE vec_id < 5) WHERE pr <= 2)""".stripMargin
 
-  /** DuckDB rendering of [[ivfCandidates]] — CTEs `e..cands`. */
-  private def ivfCandidateCtes: String =
+  /** DuckDB rendering of [[ivfCandidates]] — CTEs `e..cands`.
+    * `private[queries]` so c12's oracle can compose the vector leg
+    * from the same replay. */
+  private[queries] def ivfCandidateCtes: String =
     s"""$ivfAssignCtes,
        |cands AS (
        |  SELECT DISTINCT q.query_id, a.vec_id, ${duckCos6("a.v", "q.qv")} AS sim

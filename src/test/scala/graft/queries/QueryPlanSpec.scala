@@ -236,6 +236,31 @@ class QueryPlanSpec extends SparkSpec {
       s"candidate generation must stay a broadcast equi-join on bucket:\n$p")
   }
 
+  test("c12 warm hybrid: both legs read persisted indexes, never the documents table") {
+    // run once so the artifacts exist, then inspect the warm plan
+    QueryRegistry.asMap("c12_indexed_hybrid_rrf")(spark, sf).collect()
+    val warm = QueryRegistry.asMap("c12_indexed_hybrid_rrf")(spark, sf)
+    val paths = warm.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(!paths.exists(_.contains("documents.parquet")),
+      s"warm hybrid retrieval must never scan the documents table: $paths")
+    assert(paths.exists(_.contains("bm25_postings")),
+      s"the lexical leg must read the posting artifact: $paths")
+    assert(paths.exists(_.contains("ivf_flat")),
+      s"the vector leg must read the flat-index artifact: $paths")
+    // the only raw-table touch is the bounded query-vector fetch
+    // (vec_id < 5, pushed down) — and the flat-index read is pruned
+    val p = warm.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cell1#"),
+      s"the vector leg's index read must stay partition-pruned:\n$p")
+  }
+
   test("adaptiveB: broadcast ceiling holds at any corpus size") {
     // √(N/8) alone grows the pivot broadcast unboundedly (~180 MB of
     // dim-64 doubles at N = 10¹²); the cap pins it
