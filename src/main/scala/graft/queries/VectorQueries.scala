@@ -1243,9 +1243,103 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** v15 — IVF-PRUNED chunk MaxSim (v14 composed with the IVF probe
+    * stage, closing the r6 ask — v14's own scaladoc promised exactly
+    * this composition): instead of broadcast-scoring EVERY chunk
+    * (v14's exhaustive O(N·Q) pass), each query MaxSims only the
+    * chunks living in its nprobe=2 probed cells, read PARTITION-PRUNED
+    * from the cell-partitioned flat index ([[graft.operators
+    * .IndexStore.ivfFlat]] — ≈ nprobe/B of the files, the v12
+    * discipline). Probe cells are computed driver-side from the 3
+    * collected query vectors (bounded, Q×nprobe pairs); admitted
+    * chunks equi-join the broadcast probe list, one distributive
+    * (max, min_by, count) agg per (query, doc) collapses chunks
+    * map-side, and the per-query `scanned` column DISCLOSES the
+    * admitted chunk mass — the recall trade the restriction makes vs
+    * exhaustive v14, under the correctness gate (a doc ranks only if
+    * one of its chunks shares a probed cell; that IS the
+    * late-interaction ANN contract at 100 TB). v14 stays registered
+    * as the exact baseline. Oracle replays pivots → assignment →
+    * 3-query probes → restricted MaxSim from raw tables. */
+  val v15IvfChunkMaxSim: GraftQuery = q(
+    "v15_ivf_chunk_maxsim",
+    "D4 late-interaction retrieval restricted to probed IVF cells (scanned mass disclosed)",
+    Some(s"""WITH $ivfAssignCtes,
+      |probes3 AS (
+      |  SELECT vec_id AS query_id, v AS qv, pivot_id AS bucket FROM (
+      |    SELECT vec_id, v, pivot_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY psim DESC, pivot_id) AS pr
+      |    FROM scored WHERE vec_id < 3) WHERE pr <= 2),
+      |chunks AS (
+      |  SELECT q.query_id, a.vec_id // 4 AS doc_id, a.vec_id AS chunk_id,
+      |         ${duckCos6("a.v", "q.qv")} AS sim
+      |  FROM assigned a JOIN probes3 q USING (bucket)
+      |  WHERE a.vec_id // 4 <> q.query_id // 4),
+      |scnt AS (
+      |  SELECT query_id, count(*) AS scanned FROM chunks GROUP BY query_id),
+      |docs0 AS (
+      |  SELECT query_id, doc_id, max(sim) AS maxsim, count(*) AS n_chunks
+      |  FROM chunks GROUP BY query_id, doc_id),
+      |docs AS (
+      |  SELECT d.query_id, d.doc_id, d.maxsim,
+      |         min(c.chunk_id) AS best_chunk, d.n_chunks
+      |  FROM docs0 d JOIN chunks c
+      |    ON c.query_id = d.query_id AND c.doc_id = d.doc_id
+      |   AND c.sim = d.maxsim
+      |  GROUP BY d.query_id, d.doc_id, d.maxsim, d.n_chunks),
+      |r AS (
+      |  SELECT query_id, doc_id, maxsim, best_chunk, n_chunks,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY maxsim DESC, doc_id) AS rnk
+      |  FROM docs)
+      |SELECT r.query_id, r.rnk, r.doc_id, r.maxsim,
+      |       CAST(r.best_chunk AS BIGINT) AS best_chunk,
+      |       CAST(r.n_chunks AS BIGINT) AS n_chunks,
+      |       s.scanned
+      |FROM r JOIN scnt s USING (query_id)
+      |WHERE r.rnk <= 10
+      |ORDER BY r.query_id, r.rnk""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorOps
+    val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
+    val pivotArr = graft.operators.IndexStore.ivfPivots(s, dir, IvfTrainIters)
+    // 3 query vectors, collected once; probe cells driver-side so the
+    // restriction exists at PLAN time (partition filter on the index)
+    val queries = ev.where(col("vec_id") < 3).as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    val probePairs = queries.flatMap { case (id, qv) =>
+      val (b1, b2) = VectorOps.nearest2Pivots(qv, pivotArr)
+      Seq((id, b1.toLong, qv), (id, b2.toLong, qv))
+    }.toIndexedSeq
+    val probes = s.createDataset(probePairs).toDF("query_id", "bucket", "qv")
+    val probedBuckets = probePairs.map(_._2).distinct.sorted
+    val chunks = graft.operators.IndexStore.ivfFlat(s, dir, IvfTrainIters)
+      .where($"cell1".isin(probedBuckets: _*))
+      .select($"vec_id", $"cell1".as("bucket"), $"v")
+      .join(broadcast(probes), Seq("bucket"))
+      .select(expr("vec_id div 4").as("doc_id"),
+        $"vec_id".as("chunk_id"), $"query_id",
+        cosine6($"v", $"qv").as("sim"))
+      .where($"doc_id" =!= expr("query_id div 4"))
+    val scnt = chunks.groupBy($"query_id").agg(count(lit(1)).as("scanned"))
+    val docs = chunks.groupBy($"query_id", $"doc_id")
+      .agg(max($"sim").as("maxsim"),
+        min_by($"chunk_id", struct(-$"sim", $"chunk_id")).as("best_chunk"),
+        count(lit(1)).as("n_chunks"))
+    val w = Window.partitionBy($"query_id").orderBy($"maxsim".desc, $"doc_id")
+    docs.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 10)
+      .join(broadcast(scnt), "query_id")
+      .select($"query_id", $"rnk", $"doc_id", $"maxsim",
+        $"best_chunk", $"n_chunks", $"scanned")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
     v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn,
-    v13RecallEval, v14ChunkMaxSim)
+    v13RecallEval, v14ChunkMaxSim, v15IvfChunkMaxSim)
 }

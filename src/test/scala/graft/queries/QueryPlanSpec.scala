@@ -261,6 +261,28 @@ class QueryPlanSpec extends SparkSpec {
       s"the vector leg's index read must stay partition-pruned:\n$p")
   }
 
+  test("v15: the chunk scan is pruned to probed cells; scanned ≪ total chunks") {
+    val p = plan("v15_ivf_chunk_maxsim")
+    assert(p.contains("PartitionFilters: [cell1#") && p.contains(" IN ("),
+      s"the chunk read must carry the probed-cell partition filter:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"chunk admission must stay a broadcast equi-join:\n$p")
+    val rows = QueryRegistry.asMap("v15_ivf_chunk_maxsim")(spark, sf).collect()
+    val n = graft.Tables(spark, sf, "embeddings").count()
+    val maxScanned = rows.map(_.getAs[Long]("scanned")).max
+    info(s"max per-query admitted chunks: $maxScanned of ${n}")
+    assert(maxScanned < n,
+      s"IVF restriction must prune the chunk scan: scanned $maxScanned of N=$n")
+    // the restricted top-10 must stay close to exhaustive v14's: the
+    // probed cells are where the high-sim chunks live by construction
+    val exact = QueryRegistry.asMap("v14_chunk_maxsim")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"v15 doc recall vs exhaustive v14 top-10: $recall%.2f")
+    assert(recall >= 0.4, f"IVF-restricted MaxSim recall $recall%.2f < 0.4")
+  }
+
   test("adaptiveB: broadcast ceiling holds at any corpus size") {
     // √(N/8) alone grows the pivot broadcast unboundedly (~180 MB of
     // dim-64 doubles at N = 10¹²); the cap pins it
