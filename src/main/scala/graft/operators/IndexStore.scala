@@ -544,6 +544,65 @@ object IndexStore {
     (s.read.parquet(pPath), bm25Stats(s, dir))
   }
 
+  /** TARGETED BM25 compaction (the r6 ask): [[bm25Append]] degrades
+    * the layout one batch at a time — extra posting files per term
+    * range (the IN-list prune keeps working but touches one run per
+    * batch) and one stats partial per batch. Compaction restores the
+    * built shape by REWRITING ONLY THE INDEX: read the posting table
+    * back, re-range-partition/sort by (term, doc_id), and swap via
+    * the staged-rename discipline [[MinMaxManifest.compact]]
+    * established — the `documents` table is never touched and nothing
+    * is re-tokenized (the previous story, "compaction = re-running
+    * the build", was a full-corpus tokenize pass). Cost is one
+    * read+shuffle+write of the posting table itself — ≈ the matched
+    * posting mass, typically ≪ the corpus. The stats partials fold
+    * into one row the same way. Crash safety: each swap is
+    * stage-then-rename (a crash leaves either the old or the new
+    * layout fully live); postings swap first, so a crash between the
+    * two swaps leaves compacted postings + uncompacted partials —
+    * sums unchanged, results identical. Single-writer contract as
+    * everywhere in this family, ENFORCED like MinMaxManifest: the
+    * file set is re-listed before the swap and compaction aborts
+    * (staging removed, live layout untouched) if an append raced it. */
+  def bm25Compact(s: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val pPath = bm25PostingsPath(dir)
+    val sPath = bm25StatsPath(dir)
+    require(artifactReady(pPath) && artifactReady(sPath),
+      s"bm25 index at $pPath must exist before compacting")
+    val stagedP = pPath + ".compacting"
+    val stagedS = sPath + ".compacting"
+    val (fs, _) = fsOf(pPath)
+    def parts(p: String): Set[String] =
+      fs.listStatus(new Path(p)).map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    val readSet = parts(pPath)
+    s.read.parquet(pPath)
+      .repartitionByRange(8, col("term"), col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(stagedP)
+    bm25Stats(s, dir).coalesce(1).write.mode("overwrite").parquet(stagedS)
+    val nowSet = parts(pPath)
+    if (nowSet != readSet) {
+      fs.delete(new Path(stagedP), true)
+      fs.delete(new Path(stagedS), true)
+      throw new IllegalStateException(
+        s"concurrent write detected during bm25 compaction of $pPath — " +
+          "quiesce the appender and re-run bm25Compact()")
+    }
+    def swap(live: String, staged: String): Unit = {
+      val old = new Path(live + ".old")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(new Path(live), old), s"swap-out of $live failed")
+      require(fs.rename(new Path(staged), new Path(live)),
+        s"swap-in of $staged failed")
+      fs.delete(old, true)
+      ()
+    }
+    swap(pPath, stagedP)
+    swap(sPath, stagedS)
+  }
+
   /** The BM25 scoring constants (N docs, Σdl) as a ONE-ROW frame:
     * the sum of the append-only per-batch partial rows the build and
     * [[bm25Append]] write — a bounded aggregate over one tiny file

@@ -316,6 +316,74 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("bm25Compact: restores file count after appends, results bit-identical, no retokenize") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val d = tmpDir("bm25-compact")
+      (0L until 40L).map(i => (i, s"alpha beta gamma doc$i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      IndexStore.bm25Postings(spark, d)
+      def postFiles(): Int = new java.io.File(IndexStore.bm25PostingsPath(d))
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      val builtFiles = postFiles()
+      (0 until 3).foreach { b =>
+        IndexStore.bm25Append(spark, d,
+          (100L + b * 10 until 110L + b * 10).map(i => (i, s"beta delta doc$i"))
+            .toDF("doc_id", "text"))
+      }
+      assert(postFiles() > builtFiles, "appends must have multiplied posting files")
+      val (pBefore, sBefore) = IndexStore.bm25Postings(spark, d)
+      val postingsBefore = pBefore.collect().map(_.toString).sorted.toSeq
+      val statsBefore = sBefore.as[(Long, Long)].head()
+      // the documents table must NOT be read: compaction rewrites only
+      // the index — detect any scan of it via a listener on file reads
+      val docsPath = s"$d/documents.parquet"
+      val scannedDocs = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+          val ps = qe.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case fsr: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fsr.location.rootPaths.map(_.toString)
+                case _ => Seq.empty
+              }
+          }.flatten
+          if (ps.exists(_.contains(docsPath))) scannedDocs.set(true)
+        }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        IndexStore.bm25Compact(spark, d)
+        Thread.sleep(300) // let the listener bus drain
+      } finally spark.listenerManager.unregister(listener)
+      assert(!scannedDocs.get(), "compaction must never retokenize the documents table")
+      assert(postFiles() <= builtFiles,
+        s"compaction must restore the built file count (${postFiles()} vs $builtFiles)")
+      val (pAfter, sAfter) = IndexStore.bm25Postings(spark, d)
+      assert(pAfter.collect().map(_.toString).sorted.toSeq === postingsBefore,
+        "compacted posting multiset must be bit-identical")
+      assert(sAfter.as[(Long, Long)].head() === statsBefore,
+        "compacted stats must be bit-identical")
+      // the range layout is restored: files cover disjoint term ranges
+      import org.apache.spark.sql.functions._
+      val ranges = spark.read.parquet(IndexStore.bm25PostingsPath(d))
+        .groupBy(input_file_name().as("f"))
+        .agg(min("term").as("lo"), max("term").as("hi"))
+        .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"compacted file ranges must not interleave: [$hi1] vs [$lo2]")
+        case _ =>
+      }
+    }
+  }
+
   test("bm25Append refuses to append before the index exists") {
     withRoot { _ =>
       val s2 = spark
