@@ -44,12 +44,20 @@ import org.apache.spark.sql.functions._
   * [[SnapshotMerge.ranked]], so winner selection — including the
   * row-hash tie-break — cannot drift from [[SnapshotMerge.applyCdc]].
   *
-  * Only RETRACTABLE aggregates qualify: count / sum / any linear
-  * metric expressible as a per-row contribution. countDistinct and
-  * min/max need auxiliary state under deletes (per-group value counts)
-  * and are deliberately out of scope — A4/A6's HLL sketch variant is
-  * the mergeable-but-not-retractable alternative documented in
-  * `TransformJob`.
+  * DIRECTLY retractable aggregates are count / sum / any linear metric
+  * expressible as a per-row contribution. countDistinct needs one
+  * level of auxiliary state under deletes — the classic per-(group,
+  * value) live-row count table — which [[maintainDistinct]] provides
+  * by running THIS SAME retract/add machinery at (group, value) grain:
+  * a value's count reaching 0 evicts its row, and the distinct count
+  * is then simply the aux table's per-group row count
+  * ([[distinctView]]). The aux table is itself the maintained
+  * artifact: O(Σ distinct values per group) rows — above rollup
+  * cardinality, far below corpus cardinality — and the maintenance
+  * shuffle stays O(aux + touched). min/max under deletes remain out of
+  * scope (they need a per-group value HEAP, not a count); A4/A6's HLL
+  * sketch variant is the mergeable-but-not-retractable alternative
+  * documented in `TransformJob`.
   */
 object IncrementalRollup {
 
@@ -111,4 +119,47 @@ object IncrementalRollup {
       .agg(aggCols.head, aggCols.tail: _*)
       .where(col(liveCount) > 0)
   }
+
+  /** The countDistinct auxiliary state: live-row count per
+    * (group, value) cell of `snapshot`. Build ONCE per view lifetime
+    * (one corpus aggregate), then hand every maintenance round's
+    * result back in as the next `oldAux`. */
+  def buildDistinctAux(snapshot: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    snapshot.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Maintain the countDistinct aux table under CDC `delta` — the
+    * [[maintain]] machinery applied at (group, value) grain, so every
+    * property it pins carries over: bit-equality with a full rebuild
+    * of the aux over the post-CDC snapshot, O(aux + touched) shuffle,
+    * broadcast-left-semi base scan, and — the part plain retract/add
+    * cannot do — DELETE-TO-ZERO EVICTION: when the CDC removes the
+    * last row carrying a value, its cell's count hits 0 and the
+    * `liveCount` filter drops the row, so the value stops counting
+    * (the failure mode that makes naive countDistinct maintenance
+    * wrong under deletes). Returns the new aux; derive the visible
+    * rollup with [[distinctView]]. */
+  def maintainDistinct(
+      oldAux: DataFrame,
+      base: DataFrame,
+      delta: DataFrame,
+      key: String,
+      version: String,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    maintain(oldAux, base, delta, key, version, groupCols :+ valueCol,
+      Seq("cnt" -> lit(1L)), liveCount = "cnt")
+
+  /** The visible countDistinct rollup derived from the aux table: one
+    * O(aux) aggregate — distinct values = live aux rows per group,
+    * live rows = Σ cnt. Cheap relative to maintenance (aux ≪ corpus);
+    * a deployment that needs THIS step incremental too would maintain
+    * the derived table with [[maintain]] over aux appear/evict
+    * events. */
+  def distinctView(aux: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    aux.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(s"distinct_$valueCol"),
+        sum(col("cnt")).cast("long").as("live_rows"))
 }

@@ -821,7 +821,7 @@ object DedupQueries {
     * FULL union + ROW_NUMBER + tombstone-filter recompute — for d08
     * that mirrors the Spark window; for d09 it is the ground truth the
     * incremental path must reproduce bit-for-bit. */
-  private val CdcRollupOracle: String = """WITH base AS (
+  private val CdcMergedCtes: String = """base AS (
     |  SELECT doc_id, text, lang, source, 1 AS version, 0 AS origin,
     |         'upsert' AS op
     |  FROM documents),
@@ -844,7 +844,9 @@ object DedupQueries {
     |merged AS (
     |  SELECT *, row_number() OVER (PARTITION BY doc_id
     |                               ORDER BY version DESC, origin DESC) AS rn
-    |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
+    |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))""".stripMargin
+
+  private val CdcRollupOracle: String = s"""WITH $CdcMergedCtes
     |SELECT lang, source, count(*) AS docs,
     |       CAST(sum(version) AS BIGINT) AS version_sum,
     |       CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS upper_docs
@@ -918,6 +920,49 @@ object DedupQueries {
         "upper_docs" -> when(col("text") === upper(col("text")), 1L).otherwise(0L)),
       liveCount = "docs")
       .orderBy($"lang", $"source")
+  }
+
+  /** d11 — countDistinct VIEW MAINTENANCE under CDC deletes
+    * ([[graft.operators.IncrementalRollup.maintainDistinct]], closing
+    * r6's ask #4): d09 maintains ADDITIVE rollups; the reference's own
+    * `taxis` measure (`TransformTaxiTrips.py:106-113`, the A4/A6
+    * countDistinct quirk) is NOT additive — a delete must stop
+    * counting a value only when its LAST carrier row dies, which plain
+    * retract/add cannot know. The standard fix is one level of
+    * auxiliary state: a per-(group, value) live-row count table,
+    * maintained by the SAME d09 retract/add machinery at finer grain
+    * (same broadcast-semi base scan, same O(aux + touched) shuffle),
+    * with delete-to-zero EVICTION falling out of the liveCount filter;
+    * the visible rollup — distinct sources and live docs per lang —
+    * is then one O(aux) count of surviving cells. Same CDC scenario as
+    * d08/d09 (the delta recrawls, spawns, tombstones, and reinserts —
+    * the reinserted 'reinsert' source VALUES appear, and doc deletes
+    * shrink counts without evicting still-carried values). The oracle
+    * is the full recompute with a real count(DISTINCT) over the
+    * post-CDC snapshot — "incremental ≡ full recompute", the d09
+    * contract, extended to the non-additive aggregate. */
+  val d11DistinctIvm: GraftQuery = q(
+    "d11_distinct_ivm",
+    "D21 countDistinct IVM: per-(group,value) aux counts + delete-to-zero eviction == full recompute",
+    Some(s"""WITH $CdcMergedCtes
+      |SELECT lang, count(DISTINCT source) AS distinct_source,
+      |       count(*) AS live_rows
+      |FROM merged WHERE rn = 1 AND op <> 'delete'
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val (base, delta) = cdcScenario(s, dir)
+    // the stored aux stands in for reading the persisted artifact,
+    // exactly as d09's in-query base rollup does
+    val oldAux = graft.operators.IncrementalRollup
+      .buildDistinctAux(base, Seq("lang"), "source")
+    val aux = graft.operators.IncrementalRollup.maintainDistinct(
+      oldAux, base, delta, key = "doc_id", version = "version",
+      groupCols = Seq("lang"), valueCol = "source")
+    graft.operators.IncrementalRollup
+      .distinctView(aux, Seq("lang"), "source")
+      .orderBy($"lang")
   }
 
   /** d10 — SemDeDup-style semantic dedup POLICY (Abbas et al. 2023,
@@ -1025,5 +1070,6 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
     d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
-    d08SnapshotUpsert, d09IncrementalRollup, d10SemanticDedup)
+    d08SnapshotUpsert, d09IncrementalRollup, d10SemanticDedup,
+    d11DistinctIvm)
 }

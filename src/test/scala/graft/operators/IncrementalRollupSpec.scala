@@ -68,6 +68,44 @@ class IncrementalRollupSpec extends SparkSpec {
       ("a", 2L, 31L), ("b", 2L, 70L), ("c", 1L, 50L)))
   }
 
+  test("countDistinct aux: delete-to-zero evicts the value; survivors keep it") {
+    // group g carries value v via TWO rows and value w via ONE;
+    // deleting one v-carrier must NOT change distinct, deleting the
+    // last must
+    val b = Seq(
+      (1L, "g", "v", 1), (2L, "g", "v", 1), (3L, "g", "w", 1),
+      (4L, "h", "v", 1))
+      .toDF("k", "grp", "value", "version")
+    val aux0 = IncrementalRollup.buildDistinctAux(b, Seq("grp"), "value")
+    def view(aux: DataFrame): Seq[(String, Long, Long)] =
+      IncrementalRollup.distinctView(aux, Seq("grp"), "value")
+        .orderBy(col("grp")).as[(String, Long, Long)].collect().toSeq
+    assert(view(aux0) === Seq(("g", 2L, 3L), ("h", 1L, 1L)))
+    // round 1: delete ONE of g's two v-carriers — v still counted
+    val d1 = Seq((1L, "g", "v", 2, "delete")).toDF("k", "grp", "value", "version", "op")
+    val aux1 = IncrementalRollup.maintainDistinct(
+      aux0, b, d1, "k", "version", Seq("grp"), "value")
+    assert(view(aux1) === Seq(("g", 2L, 2L), ("h", 1L, 1L)),
+      "a value with surviving carriers must keep counting")
+    // round 2: delete the LAST v-carrier in g — v evicts, distinct drops
+    val s1 = SnapshotMerge.applyCdc(b, d1, "k", "version")
+    val d2 = Seq((2L, "g", "v", 3, "delete")).toDF("k", "grp", "value", "version", "op")
+    val aux2 = IncrementalRollup.maintainDistinct(
+      aux1, s1, d2, "k", "version", Seq("grp"), "value")
+    assert(view(aux2) === Seq(("g", 1L, 1L), ("h", 1L, 1L)),
+      "deleting the last carrier must evict the value from the distinct count")
+    assert(aux2.where(col("grp") === "g" && col("value") === "v").count() === 0L,
+      "the zero-count aux cell must be physically dropped")
+    // and the maintained aux equals a full rebuild of the post-CDC aux
+    val s2 = SnapshotMerge.applyCdc(s1, d2, "k", "version")
+    val rebuilt = IncrementalRollup.buildDistinctAux(s2, Seq("grp"), "value")
+      .orderBy(col("grp"), col("value")).collect().map(_.toString).toSeq
+    val maintainedAux = aux2.orderBy(col("grp"), col("value"))
+      .collect().map(_.toString).toSeq
+    assert(maintainedAux === rebuilt,
+      "maintained aux must be bit-equal to the full rebuild")
+  }
+
   test("the base retract scan is a broadcast left-semi on the delta keyset") {
     val plan = maintained().queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), plan)
