@@ -33,6 +33,17 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("d12 prefix-filtered join is EXACTLY the all-pairs result (lossless)") {
+    // the property that distinguishes d12 from the banded family:
+    // prefix filtering admits a superset of the τ-pairs, verification
+    // trims it to exactly the all-pairs join — no misses, no extras
+    val expected = exactPairs.filter(_._2 >= 0.9).keySet
+    val got = QueryRegistry.asMap("d12_prefix_setsim_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "calibration: fixture must contain J>=0.9 pairs")
+    assert(got === expected)
+  }
+
   test("d02 SimHash hamming<=15 pairs are all true near-duplicates") {
     val got = QueryRegistry.asMap("d02_simhash_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
