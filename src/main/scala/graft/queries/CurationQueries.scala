@@ -822,8 +822,111 @@ object CurationQueries {
       |LIMIT 10""".stripMargin),
     "north-star warm path: hybrid RRF served from the persisted BM25 + IVF indexes")
 
+  /** c13 — DSIR-style importance resampling (the published
+    * data-selection recipe: score every raw document by a hashed
+    * n-gram bag LM ratio p_target/p_raw, then Gumbel-top-k resample
+    * with probability ∝ the importance weight — selection that tracks
+    * the target distribution WITHOUT collapsing onto only the most
+    * target-like docs). Target here = the `lang = 'en'` slice; raw =
+    * the whole corpus; features = unigrams hashed into B = 8192
+    * buckets by the library's md5 [[hash60]] (at 100 TB the vocab is
+    * unbounded — hashing fixes the stats table at B rows regardless).
+    *
+    * Engine parity is the design driver, same bar as c09's
+    * no-float-keys tournament:
+    *  - the per-bucket log ratio is computed with ONE ln over an
+    *    integer-exact rational ((ct+1)(Tr+B)) / ((cr+1)(Tt+B))
+    *    (both products < 2^53, so the double inputs are identical on
+    *    both engines), then FIXED-POINTED to round(1e6·ln) — a BIGINT;
+    *  - a doc's score is Σ n_b·lr_b over its bucket counts — an exact
+    *    integer sum, associative, immune to partial-agg order (a raw
+    *    double Σ would differ between engines/retries);
+    *  - the Gumbel noise uses the deterministic hash-uniform
+    *    u = (hash60(doc_id)+0.5)/2^60 (no rand(): task retries and
+    *    engine replays draw identical noise).
+    *
+    * Plan at 100 TB: bucket stats are two B-row hash aggs; the ratio
+    * table broadcasts (8192 rows); the only wide shuffle carries
+    * (doc_id, bucket, n) partial counts; the global top-k is
+    * TakeOrdered (per-partition heaps, no global sort), and the
+    * display rank window rides AFTER the limit (≤100 rows). */
+  val c13DsirResample: GraftQuery = GraftQuery(
+    "c13_dsir_resample",
+    (s, dir) => {
+      import s.implicits._
+      val B = 8192
+      val toks = Tables(s, dir, "documents")
+        .where($"text".isNotNull)
+        .select($"doc_id", $"lang",
+          explode(split(trim($"text"), "\\s+")).as("tok"))
+        .withColumn("b", hash60($"tok", "dsir") % B)
+      val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+      val tgt = toks.where($"lang" === "en")
+        .groupBy($"b").agg(count(lit(1)).as("ct"))
+      val tot = toks.agg(
+        count(lit(1)).as("tr"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"))
+      // one ln over an integer-exact rational, fixed-pointed to 1e-6
+      val lr = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tot))
+        .select($"b",
+          round(lit(1e6) * log(
+            (($"ct" + 1) * ($"tr" + B)).cast("double") /
+              (($"cr" + 1) * ($"tt" + B)).cast("double")))
+            .cast("long").as("lr"))
+      val docBucket = toks.groupBy($"doc_id", $"lang", $"b")
+        .agg(count(lit(1)).as("n"))
+      val scored = docBucket.join(broadcast(lr), "b")
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"n" * $"lr").as("score_fp"))
+      // Gumbel-top-k: key = logw + Gumbel(0,1), noise from the
+      // deterministic hash uniform — exact 2^60 divisor literal
+      val u = (hash60($"doc_id", "dsirg").cast("double") + 0.5) /
+        lit(1.152921504606846976e18)
+      val keyed = scored.withColumn("key",
+        $"score_fp".cast("double") / 1e6 - log(-log(u)))
+      val top = keyed.orderBy($"key".desc, $"doc_id").limit(100)
+      top.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"key".desc, $"doc_id")))
+        .select($"rnk", $"doc_id", $"lang", $"score_fp")
+        .orderBy($"rnk")
+    },
+    Some(raw"""WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         ${hash60Sql("unnest(regexp_split_to_array(trim(text), '\\s+'))", "dsir")} % 8192 AS b
+      |  FROM documents WHERE text IS NOT NULL),
+      |raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY 1),
+      |tgt AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT count(*) AS tr,
+      |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt
+      |        FROM tok),
+      |lr AS (
+      |  SELECT r.b,
+      |         CAST(round(1e6 * ln(
+      |           CAST((coalesce(t.ct, 0) + 1) * (tot.tr + 8192) AS DOUBLE)
+      |           / CAST((r.cr + 1) * (tot.tt + 8192) AS DOUBLE))) AS BIGINT) AS lr
+      |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
+      |db AS (SELECT doc_id, lang, b, count(*) AS n FROM tok GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT d.doc_id, d.lang, sum(d.n * l.lr) AS score_fp
+      |  FROM db d JOIN lr l USING (b) GROUP BY 1, 2),
+      |g AS (
+      |  SELECT doc_id, lang, score_fp,
+      |         CAST(score_fp AS DOUBLE) / 1e6
+      |         - ln(-ln((${hash60Sql("doc_id", "dsirg")} + 0.5)
+      |                  / 1152921504606846976.0)) AS key
+      |  FROM sc),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rnk FROM g)
+      |SELECT rnk, CAST(doc_id AS BIGINT) AS doc_id, lang,
+      |       CAST(score_fp AS BIGINT) AS score_fp
+      |FROM rk WHERE rnk <= 100
+      |ORDER BY rnk""".stripMargin),
+    "north-star: DSIR hashed-ngram importance resampling (fixed-point LM ratio, Gumbel top-k)")
+
   val all: Seq[GraftQuery] = Seq(
     c01CorpusCuration, c02StratifiedSample, c03HybridRrf, c04Profile,
     c05SequencePacking, c06LeakageSafeSplit, c07CorpusMix, c08ClusterSample,
-    c09WeightedSample, c10CurationFunnel, c11ShardExport, c12IndexedHybrid)
+    c09WeightedSample, c10CurationFunnel, c11ShardExport, c12IndexedHybrid,
+    c13DsirResample)
 }

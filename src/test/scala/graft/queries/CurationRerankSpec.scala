@@ -58,4 +58,30 @@ class CurationRerankSpec extends SparkSpec {
     assert(mmrSim < topSim,
       "MMR's selection should be less self-similar than plain top-k")
   }
+
+  test("c13: DSIR resample enriches the target slice but still explores") {
+    val out = CurationQueries.c13DsirResample.fn(spark, dir).collect()
+    assert(out.length == 100)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 100))
+    // importance sampling must pull the selection TOWARD the target
+    // (en) distribution...
+    val docs = graft.Tables(spark, dir, "documents")
+    val corpusEn = docs.where($"lang" === "en").count().toDouble / docs.count()
+    val sampleEn = out.count(_.getString(2) == "en") / 100.0
+    info(f"en share: corpus $corpusEn%.2f -> sample $sampleEn%.2f")
+    assert(sampleEn > corpusEn,
+      f"resample en share $sampleEn%.2f should exceed corpus $corpusEn%.2f")
+    // ...but the Gumbel noise must RESAMPLE, not just take the top
+    // 100 scores — the published DSIR property that preserves
+    // diversity (a pure argmax selection would collapse onto the most
+    // target-like docs)
+    assert(sampleEn < 1.0, "Gumbel resampling should admit non-target docs")
+    val scores = out.map(_.getLong(3))
+    val deterministicTop = CurationQueries.c13DsirResample.fn(spark, dir)
+    assert(scores.min < deterministicTop.agg(max($"score_fp"))
+      .head().getLong(0), "selection must not be a pure score argmax")
+    // determinism: the no-rand() discipline — a replay is bit-identical
+    val replay = CurationQueries.c13DsirResample.fn(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == replay.map(_.toString).toSeq)
+  }
 }
