@@ -37,28 +37,47 @@ object MinMaxManifest {
 
   val NumFiles = 16
 
-  def layoutPath(dir: String): String =
-    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/events_by_ts"
-  def manifestPath(dir: String): String =
-    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/events_by_ts_manifest"
+  def layoutPath(dir: String, table: String = "events_by_ts"): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/$table"
+  def manifestPath(dir: String, table: String = "events_by_ts"): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/${table}_manifest"
+
+  /** The SNAPSHOT LOG — the table-format versioning layer above the
+    * stats manifest (Iceberg's snapshot → manifest-list chain, reduced
+    * to one append-only parquet table of (snap_id, path) rows): the
+    * layout build is snapshot 0, each [[appendBatch]] adds its files
+    * under the next id, and a reader AS OF snapshot s sees exactly the
+    * files logged with snap_id ≤ s. Data files are immutable once
+    * written, so time travel costs NOTHING extra at read time — the
+    * historical file set plus the same min/max prune. */
+  def snapshotsPath(dir: String, table: String = "events_by_ts"): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/${table}_snapshots"
 
   private def ready(path: String): Boolean = IndexStore.artifactReady(path)
 
   /** Build the time-clustered layout + its manifest if absent. */
-  def ensure(s: SparkSession, dir: String): Unit = {
-    val lp = layoutPath(dir)
-    val mp = manifestPath(dir)
-    if (!(ready(lp) && ready(mp))) {
-      graft.Tables(s, dir, "events")
-        .repartitionByRange(NumFiles, col("ts"))
-        .sortWithinPartitions(col("ts"))
-        .write.mode("overwrite").parquet(lp)
-      s.read.parquet(lp)
-        .groupBy(input_file_name().as("path"))
-        .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
-          count(lit(1)).as("rows"))
-        .coalesce(1).write.mode("overwrite").parquet(mp)
-    }
+  def ensure(s: SparkSession, dir: String): Unit =
+    if (!(ready(layoutPath(dir)) && ready(manifestPath(dir))))
+      ensureFrom(s, dir, graft.Tables(s, dir, "events"))
+
+  /** Build a time-clustered layout + manifest + snapshot-0 log from an
+    * arbitrary events-shaped frame (the [[ensure]] worker, and the
+    * base step of a versioned history). Overwrites any partial state. */
+  def ensureFrom(s: SparkSession, dir: String, base: DataFrame,
+      table: String = "events_by_ts"): Unit = {
+    val lp = layoutPath(dir, table)
+    val mp = manifestPath(dir, table)
+    base
+      .repartitionByRange(NumFiles, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(lp)
+    s.read.parquet(lp)
+      .groupBy(input_file_name().as("path"))
+      .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+        count(lit(1)).as("rows"))
+      .coalesce(1).write.mode("overwrite").parquet(mp)
+    s.read.parquet(mp).select(lit(0L).as("snap_id"), col("path"))
+      .coalesce(1).write.mode("overwrite").parquet(snapshotsPath(dir, table))
   }
 
   /** INCREMENTAL manifest maintenance — the streaming-ingest leg (the
@@ -83,9 +102,9 @@ object MinMaxManifest {
     * StreamingDedup uses); this appends blindly, like any file sink.
     * The base layout must exist (build-before-append). */
   def appendBatch(s: SparkSession, dir: String, batch: DataFrame,
-      batchFiles: Int = 2): Unit = {
-    val lp = layoutPath(dir)
-    val mp = manifestPath(dir)
+      batchFiles: Int = 2, table: String = "events_by_ts"): Unit = {
+    val lp = layoutPath(dir, table)
+    val mp = manifestPath(dir, table)
     require(ready(lp) && ready(mp),
       s"manifest layout at $lp must be built before appending")
     def listParts(): Set[String] =
@@ -97,12 +116,25 @@ object MinMaxManifest {
       .sortWithinPartitions(col("ts"))
       .write.mode("append").parquet(lp)
     val fresh = (listParts() -- before).toIndexedSeq.sorted.map(n => s"$lp/$n")
-    if (fresh.nonEmpty)
-      s.read.parquet(fresh: _*)
+    if (fresh.nonEmpty) {
+      val stats = s.read.parquet(fresh: _*)
         .groupBy(input_file_name().as("path"))
         .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
           count(lit(1)).as("rows"))
-        .coalesce(1).write.mode("append").parquet(mp)
+      stats.coalesce(1).write.mode("append").parquet(mp)
+      // snapshot-log leg (skipped for legacy layouts built before the
+      // log existed — [[asOfEvents]] backfills those on first use):
+      // this batch's files belong to the NEXT snapshot id. The
+      // data→manifest→log write order means a crash can leave a batch
+      // statted but unlogged; the as-of read self-heals by logging
+      // manifest-known unlogged files under a fresh repair snapshot.
+      val sp = snapshotsPath(dir, table)
+      if (ready(sp)) {
+        val next = s.read.parquet(sp).agg(max("snap_id")).head().getLong(0) + 1L
+        stats.select(lit(next).as("snap_id"), col("path"))
+          .coalesce(1).write.mode("append").parquet(sp)
+      }
+    }
   }
 
   /** COMPACTION: re-cluster the CURRENT layout contents (base rows
@@ -187,6 +219,15 @@ object MinMaxManifest {
     // listing diff re-stats the live files on the next read
     swap(mp, stagedM)
     swap(lp, stagedL)
+    // compaction rewrites every data file, so it EXPIRES time-travel
+    // history (the Iceberg analog: rewrite-data-files + an immediate
+    // expire-snapshots): the log restarts at snapshot 0 = the
+    // compacted file set. Callers needing history across compaction
+    // must snapshot-export first.
+    val sp = snapshotsPath(dir)
+    if (ready(sp))
+      s.read.parquet(mp).select(lit(0L).as("snap_id"), col("path"))
+        .coalesce(1).write.mode("overwrite").parquet(sp)
   }
 
   /** Manifest rows, SELF-HEALED against a torn write: a crash can
@@ -199,9 +240,10 @@ object MinMaxManifest {
     * hides a file, and never names a ghost" holds across failures at
     * the cost of one directory listing per read (the price the
     * staleness fingerprint already pays). */
-  private def healedEntries(s: SparkSession, dir: String) = {
-    val lp = layoutPath(dir)
-    val mp = manifestPath(dir)
+  private def healedEntries(s: SparkSession, dir: String,
+      table: String = "events_by_ts") = {
+    val lp = layoutPath(dir, table)
+    val mp = manifestPath(dir, table)
     val listed = new java.io.File(lp).listFiles().toIndexedSeq
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .map(f => s"file://${f.getAbsolutePath}").toSet
@@ -246,12 +288,15 @@ object MinMaxManifest {
     * convention `lit(ts).cast("timestamp")` uses under the harness's
     * UTC session timezone — so file pruning and the row predicate
     * agree on any JVM default timezone. */
+  /** UTC wall-clock parse shared by every bound in this object (see
+    * [[prunedEvents]]' timezone note). */
+  def utc(t: String): java.sql.Timestamp = java.sql.Timestamp.from(
+    java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
+
   def prunedEvents(s: SparkSession, dir: String, lo: String,
       hi: String): (DataFrame, Int, Int) = {
     ensure(s, dir)
-    def utc(t: String): java.sql.Timestamp = java.sql.Timestamp.from(
-      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC))
     val (loTs, hiTs) = (utc(lo), utc(hi))
     val entries = healedEntries(s, dir)
     val kept = entries.filter { case (_, minTs, maxTs) =>
@@ -269,5 +314,77 @@ object MinMaxManifest {
       if (kept.isEmpty) s.read.parquet(layoutPath(dir)).where(lit(false))
       else s.read.parquet(kept.toIndexedSeq: _*).where(rowPred)
     (df, kept.length, entries.length)
+  }
+
+  /** TIME-TRAVEL read — the layout AS OF snapshot `snapId`, composed
+    * with the min/max prune: file list = (files logged with snap_id ≤
+    * snapId) ∩ (files whose [min_ts, max_ts] intersects [lo, hi)) —
+    * the full Iceberg read shape (snapshot → file set → stats prune)
+    * at zero extra read cost, because data files are immutable and the
+    * log is kilobytes. Returns (frame, files kept, files in snapshot).
+    *
+    * Self-healing, same discipline as [[healedEntries]]: a legacy
+    * layout without a log gets snapshot 0 = its current manifest; a
+    * crash between [[appendBatch]]'s manifest and log writes leaves
+    * statted-but-unlogged files, which are logged here under a fresh
+    * REPAIR snapshot id (max+1) — as-of results for every EXISTING
+    * snapshot are immutable under repair, which is the property that
+    * makes time travel trustworthy. */
+  def asOfEvents(s: SparkSession, dir: String, snapId: Long, lo: String,
+      hi: String, table: String = "events_by_ts"): (DataFrame, Int, Int) = {
+    val sp = snapshotsPath(dir, table)
+    val entries = healedEntries(s, dir, table)
+    if (!ready(sp))
+      s.createDataFrame(
+        s.sparkContext.parallelize(entries.map(e => (0L, e._1)).toIndexedSeq, 1))
+        .toDF("snap_id", "path")
+        .coalesce(1).write.mode("overwrite").parquet(sp)
+    val logged = s.read.parquet(sp)
+      .select("snap_id", "path").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val unlogged = entries.map(_._1).toSet -- logged.map(_._2).toSet
+    val repaired =
+      if (unlogged.isEmpty) logged
+      else {
+        val next = logged.map(_._1).max + 1L
+        val rows = unlogged.toIndexedSeq.sorted.map(p => (next, p))
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1))
+          .toDF("snap_id", "path")
+          .coalesce(1).write.mode("append").parquet(sp)
+        logged ++ rows
+      }
+    val inSnap = repaired.filter(_._1 <= snapId).map(_._2).toSet
+    val (loTs, hiTs) = (utc(lo), utc(hi))
+    val kept = entries.filter { case (p, minTs, maxTs) =>
+      inSnap.contains(p) && !maxTs.before(loTs) && minTs.before(hiTs)
+    }.map(_._1)
+    val rowPred = col("ts") >= lit(loTs) && col("ts") < lit(hiTs)
+    val df =
+      if (kept.isEmpty) s.read.parquet(layoutPath(dir, table)).where(lit(false))
+      else s.read.parquet(kept.toIndexedSeq: _*).where(rowPred)
+    (df, kept.length, inSnap.size)
+  }
+
+  /** Idempotent versioned-history builder: base frame as snapshot 0,
+    * then each batch as snapshots 1..N — the deterministic fixture a
+    * registered time-travel query replays (build once per corpus
+    * lifetime; a replay sees the completed history and does nothing).
+    * A partial build (crash between batches) is detected by the
+    * max-snapshot check and rebuilt from scratch — correct because the
+    * inputs are deterministic frames of the immutable source table. */
+  def ensureHistory(s: SparkSession, dir: String, table: String,
+      base: DataFrame, batches: Seq[DataFrame]): Unit = {
+    val complete =
+      ready(layoutPath(dir, table)) && ready(manifestPath(dir, table)) &&
+        ready(snapshotsPath(dir, table)) &&
+        // >= not ==: a history that legitimately grew beyond the
+        // fixture (later appends / repair snapshots) is complete too —
+        // rebuilding would destroy it
+        s.read.parquet(snapshotsPath(dir, table))
+          .agg(max("snap_id")).head().getLong(0) >= batches.length.toLong
+    if (!complete) {
+      ensureFrom(s, dir, base, table)
+      batches.foreach(b => appendBatch(s, dir, b, table = table))
+    }
   }
 }

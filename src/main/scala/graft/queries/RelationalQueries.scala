@@ -1053,6 +1053,55 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q31 — SNAPSHOT TIME TRAVEL over the versioned manifest layout
+    * ([[graft.operators.MinMaxManifest.asOfEvents]]): a deterministic
+    * three-snapshot history (base build + two appends, split on event
+    * time — built once per corpus lifetime into its own `events_tt`
+    * layout so q30's unversioned layout is untouched) read back AS OF
+    * each snapshot. Correctness claim: the as-of file set reproduces
+    * each historical table state EXACTLY — the oracle recomputes every
+    * snapshot's aggregate from the raw events table under the
+    * corresponding ingestion predicate, so a file logged into the
+    * wrong snapshot, lost by the append, or leaked from the future
+    * breaks the hash. At 100 TB the as-of read plans from kilobytes of
+    * log + manifest metadata — same cost as the latest-snapshot read
+    * (immutable data files are the whole trick). */
+  val q31TimeTravel: GraftQuery = q(
+    "q31_time_travel",
+    "snapshot-versioned layout: as-of reads replay historical table states",
+    """SELECT CAST(0 AS BIGINT) AS snap_id, count(*) AS n,
+      |       round(sum(value), 2) AS value_sum,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM events WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), count(*), round(sum(value), 2),
+      |       CAST(count(DISTINCT user_id) AS BIGINT)
+      |FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), round(sum(value), 2),
+      |       CAST(count(DISTINCT user_id) AS BIGINT)
+      |FROM events
+      |ORDER BY snap_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val M = graft.operators.MinMaxManifest
+    val ev = graft.Tables(s, dir, "events")
+    val (b1, b2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    M.ensureHistory(s, dir, "events_tt",
+      ev.where($"ts" < lit(M.utc(b1))),
+      Seq(
+        ev.where($"ts" >= lit(M.utc(b1)) && $"ts" < lit(M.utc(b2))),
+        ev.where($"ts" >= lit(M.utc(b2)))))
+    (0L to 2L).map { snap =>
+      val (f, _, _) = M.asOfEvents(s, dir, snap,
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00", "events_tt")
+      f.agg(count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("value_sum"),
+        countDistinct($"user_id").as("users"))
+        .select(lit(snap).as("snap_id"), $"n", $"value_sum", $"users")
+    }.reduce(_ union _).orderBy($"snap_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1061,5 +1110,5 @@ object RelationalQueries {
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
-    q30ManifestSkip)
+    q30ManifestSkip, q31TimeTravel)
 }

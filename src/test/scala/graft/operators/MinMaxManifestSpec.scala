@@ -264,4 +264,89 @@ class MinMaxManifestSpec extends SparkSpec {
         "pruned read must not fall back to the raw events table")
     }
   }
+
+  private val fullLo = "2024-01-01 00:00:00"
+  private val fullHi = "2024-03-01 00:00:00"
+
+  test("time travel: as-of reads replay each historical state exactly") {
+    withRoot {
+      import spark.implicits._
+      val M = MinMaxManifest
+      val ev = graft.Tables(spark, sf, "events")
+      val (b1, b2) = (M.utc("2024-01-11 00:00:00"), M.utc("2024-01-21 00:00:00"))
+      M.ensureHistory(spark, sf, "tt",
+        ev.where(col("ts") < lit(b1)),
+        Seq(ev.where(col("ts") >= lit(b1) && col("ts") < lit(b2)),
+          ev.where(col("ts") >= lit(b2))))
+      def ids(snap: Long): Seq[Long] =
+        M.asOfEvents(spark, sf, snap, fullLo, fullHi, "tt")._1
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      def exp(pred: org.apache.spark.sql.Column): Seq[Long] =
+        ev.where(pred).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids(0L) === exp(col("ts") < lit(b1)))
+      assert(ids(1L) === exp(col("ts") < lit(b2)))
+      assert(ids(2L) === exp(lit(true)))
+      // snapshot immutability under LATE-ARRIVING data: an append whose
+      // EVENT time predates b1 must land in a NEW snapshot, not leak
+      // into history — time travel versions by ingestion order
+      val late = Seq((999999L,
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 1L, "late", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      M.appendBatch(spark, sf, late, table = "tt")
+      assert(ids(0L) === exp(col("ts") < lit(b1)),
+        "a late append must not rewrite historical snapshots")
+      assert(ids(1L) === exp(col("ts") < lit(b2)))
+      assert(ids(3L).contains(999999L), "the new snapshot must see the append")
+      // idempotent replay: ensureHistory sees the completed history...
+      // (max snap is now 3, not batches.length=2 — still "complete
+      // or beyond", must not rebuild and drop the extra snapshot)
+      val (_, _, filesInSnap3) = M.asOfEvents(spark, sf, 3L, fullLo, fullHi, "tt")
+      assert(filesInSnap3 > 0)
+    }
+  }
+
+  test("time travel: a statted-but-unlogged file heals into a repair snapshot") {
+    withRoot {
+      import spark.implicits._
+      val M = MinMaxManifest
+      val ev = graft.Tables(spark, sf, "events")
+      M.ensureHistory(spark, sf, "torn", ev, Seq.empty)
+      val before = M.asOfEvents(spark, sf, 0L, fullLo, fullHi, "torn")._1.count()
+      // simulate appendBatch crashing after the DATA write: the file
+      // exists in the layout but neither manifest nor log knows it
+      Seq((888888L, java.sql.Timestamp.valueOf("2024-02-15 12:00:00"),
+        2L, "torn", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(M.layoutPath(sf, "torn"))
+      // snapshot 0 is immutable through the repair...
+      val snap0 = M.asOfEvents(spark, sf, 0L, fullLo, fullHi, "torn")._1
+      assert(snap0.where(col("event_id") === 888888L).count() === 0L)
+      assert(snap0.count() === before)
+      // ...and the healed file is readable under the repair snapshot
+      val repaired = M.asOfEvents(spark, sf, 1L, fullLo, fullHi, "torn")._1
+      assert(repaired.where(col("event_id") === 888888L).count() === 1L)
+    }
+  }
+
+  test("time travel: compaction expires history and restarts the log at snapshot 0") {
+    withRoot {
+      import spark.implicits._
+      val M = MinMaxManifest
+      M.ensure(spark, sf)
+      val batch = (0 until 20).map { i =>
+        (300000L + i, java.sql.Timestamp.valueOf(f"2024-02-20 10:00:${i % 60}%02d"),
+          5L, "exp", 2.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      M.appendBatch(spark, sf, batch)
+      val totalRows = spark.read.parquet(M.layoutPath(sf)).count()
+      M.compact(spark, sf)
+      val log = spark.read.parquet(M.snapshotsPath(sf))
+      assert(log.agg(max("snap_id")).head().getLong(0) === 0L,
+        "compaction must restart the snapshot log")
+      assert(log.count() === M.NumFiles.toLong)
+      val (asOf0, _, _) = M.asOfEvents(spark, sf, 0L, fullLo, fullHi)
+      assert(asOf0.count() === totalRows,
+        "post-compaction snapshot 0 is the full compacted contents")
+    }
+  }
 }
