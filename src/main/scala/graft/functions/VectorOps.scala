@@ -35,6 +35,19 @@ object VectorOps {
     BigDecimal(cosine(a, b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble
 
+  /** Sign-bit binarization of a ≤64-dim vector into two 32-bit words
+    * (lo = dims 0–31, hi = dims 32–63; bit set iff the coordinate is
+    * strictly positive). Two BIGINT words rather than one 64-bit
+    * word so the SQL oracle can build the same value without touching
+    * the sign bit (1::BIGINT << 63 would go negative). The comparison
+    * `> 0` involves no arithmetic, so the bits are engine-exact. */
+  def signBits(a: Array[Double]): (Long, Long) = {
+    var lo = 0L; var hi = 0L; var i = 0
+    while (i < a.length && i < 32) { if (a(i) > 0) lo |= (1L << i); i += 1 }
+    while (i < a.length && i < 64) { if (a(i) > 0) hi |= (1L << (i - 32)); i += 1 }
+    (lo, hi)
+  }
+
   /** The two nearest pivots (by ROUNDED cosine6 — the engine's
     * cross-engine-deterministic similarity — with first-wins ties →
     * lowest index): the IVF sub-bucketing cell key. (nearest,

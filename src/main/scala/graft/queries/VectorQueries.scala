@@ -1337,9 +1337,111 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** D4 — BINARY-SIGNATURE (sign-bit) Hamming ANN with exact re-rank:
+    * the classic binary-hashing baseline (Charikar's SimHash family
+    * applied to the identity projection — sign of each coordinate).
+    * Each 64-dim vector compresses 16× into two 32-bit words; the
+    * candidate stage is INTEGER-ONLY (xor + popcount per (query,
+    * vector) pair — whole-stage-codegen bit ops, no float math, no
+    * branching), the per-query Hamming top-C (C = 50) bounds the
+    * refine stage, and exact cosine re-ranks the survivors to k = 10.
+    *
+    * Scale shape vs v01: the corpus-wide work drops from 64 FMAs to
+    * one 128-bit xor/popcount per pair, and the signature table is
+    * 20 bytes/row — at 10⁹ vectors that is 20 GB of scan vs 512 GB of
+    * raw floats, before composing with the IVF partition prune (v12)
+    * for the sublinear path. Sign bits need no training and append
+    * with O(batch) cost — the quantizer-drift concern (v13) does not
+    * exist for this family. Recall is data-dependent (sign bits are a
+    * coarse 1-bit/dim quantizer); VectorSpec measures it against the
+    * exact v01 answer rather than assuming it. */
+  val v16HammingAnn: GraftQuery = q(
+    "v16_hamming_ann",
+    "D4 sign-bit binary signatures: Hamming candidate scan + exact cosine re-rank",
+    Some("""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sig AS (
+      |  SELECT vec_id,
+      |         list_aggregate(list_transform(generate_series(1, 32),
+      |           i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END),
+      |           'sum') AS slo,
+      |         list_aggregate(list_transform(generate_series(33, 64),
+      |           i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END),
+      |           'sum') AS shi
+      |  FROM e),
+      |q AS (SELECT vec_id AS query_id, slo AS qlo, shi AS qhi
+      |      FROM sig WHERE vec_id < 5),
+      |ham AS (
+      |  SELECT q.query_id, s.vec_id,
+      |         bit_count(xor(s.slo, q.qlo)) + bit_count(xor(s.shi, q.qhi)) AS hamming
+      |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.query_id),
+      |cand AS (
+      |  SELECT query_id, vec_id, hamming,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY hamming, vec_id) AS crn
+      |  FROM ham),
+      |ref AS (
+      |  SELECT c.query_id, c.vec_id, c.hamming,
+      |         round(coalesce(
+      |           list_aggregate(list_transform(list_zip(e.v, qe.v), x -> x[1] * x[2]), 'sum')
+      |           / NULLIF(sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+      |              * sqrt(list_aggregate(list_transform(qe.v, x -> x * x), 'sum')), 0), 0), 6) AS sim
+      |  FROM cand c
+      |  JOIN e ON e.vec_id = c.vec_id
+      |  JOIN e qe ON qe.vec_id = c.query_id
+      |  WHERE c.crn <= 50),
+      |r AS (
+      |  SELECT query_id, vec_id, hamming, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM ref)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, rnk,
+      |       CAST(vec_id AS BIGINT) AS neighbor_id,
+      |       CAST(hamming AS BIGINT) AS hamming, sim
+      |FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorOps
+    val e = emb(s, dir)
+    // signature build is JIT-compiled typed Scala (the d12/HashSketch
+    // lesson: a 64-lambda Catalyst HOF evaluates interpreted); 20
+    // bytes out per vector
+    val sigs = e.select($"vec_id", $"v").as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val (lo, hi) = VectorOps.signBits(v); (id, lo, hi) }
+      .toDF("vec_id", "slo", "shi")
+    val qsig = sigs.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"slo".as("qlo"), $"shi".as("qhi"))
+    val ham = sigs.crossJoin(broadcast(qsig))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (bit_count($"slo".bitwiseXOR($"qlo")) +
+          bit_count($"shi".bitwiseXOR($"qhi"))).cast("long").as("hamming"))
+    val cw = Window.partitionBy($"query_id").orderBy($"hamming", $"vec_id")
+    // candidates are (query_id, vec_id, int) triples — vectors are NOT
+    // carried through the top-C shuffle; the refine re-reads them via
+    // a broadcast join into one bounded corpus probe (the v12 shape)
+    val cand = ham.withColumn("crn", row_number().over(cw))
+      .where($"crn" <= 50)
+      .select($"query_id", $"vec_id", $"hamming")
+    val qv = e.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val ref = e.join(broadcast(cand), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select($"query_id", $"vec_id", $"hamming",
+        cosine6($"v", $"qv").as("sim"))
+    val rw = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    ref.withColumn("rnk", row_number().over(rw))
+      .where($"rnk" <= 10)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"),
+        $"hamming", $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
     v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn,
-    v13RecallEval, v14ChunkMaxSim, v15IvfChunkMaxSim)
+    v13RecallEval, v14ChunkMaxSim, v15IvfChunkMaxSim, v16HammingAnn)
 }

@@ -434,6 +434,28 @@ class QueryPlanSpec extends SparkSpec {
     assert(recall >= 0.4, f"radius recall $recall%.2f < 0.4")
   }
 
+  test("v16 Hamming ANN: measured recall vs exact top-10, integer candidate stage") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.where($"vec_id" < 5).select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val exact = e.crossJoin(broadcast(q))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        VectorQueries.cosine6($"v", $"qv").as("sim"))
+      .withColumn("rnk", row_number().over(w)).where($"rnk" <= 10)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val got = QueryRegistry.asMap("v16_hamming_ann")(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"sign-bit Hamming recall@10 vs exact: $recall%.2f")
+    assert(recall >= 0.4, f"Hamming recall $recall%.2f < 0.4")
+  }
+
   test("v08: candidate generation is TakeOrdered, not a global sort/window") {
     // the query fn collects the candidates (driver-side greedy), so
     // pin the DISTRIBUTED candidate stage directly
