@@ -1172,9 +1172,111 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Duplicated-substring span parameters (d13): gram width (tokens),
+    * minimum reported span (tokens), and the per-gram document-
+    * frequency cap that drops boilerplate grams from pairing. */
+  private val SpanGram = 8
+  private val SpanMin = 20
+  private val SpanMaxDf = 32
+
+  /** D3 — EXACT duplicated-SUBSTRING spans across documents (the
+    * published "deduplicating training data" recipe: near-dup
+    * detection tells you two docs are similar; span detection tells
+    * you WHICH token ranges are copied, so a pipeline can surgically
+    * remove the duplicated text instead of dropping whole documents).
+    * t07's winnowing SAMPLES fingerprints (shared-fp evidence, no
+    * positions); this reports every maximal duplicated run with exact
+    * positions and lengths.
+    *
+    * Algorithm (the suffix-array-free k-gram form): token 8-grams with
+    * positions → 60-bit md5 gram key (exact up to md5 collision —
+    * the standard Rabin-fingerprint contract; ~10⁻¹¹ at sf0.1) →
+    * inverted-index self-join per gram (df-capped at 32 docs: grams in
+    * more docs are boilerplate, t17's territory, and would explode the
+    * posting pair mass quadratically) → matches on the same DIAGONAL
+    * (pos_a − pos_b) merge into maximal runs via the classic
+    * pos − row_number island trick → spans ≥ 20 tokens reported.
+    *
+    * Scale: the shuffle carries (doc, pos, 60-bit key) triples; pair
+    * mass per gram is ≤ C(32,2); the island window partitions by
+    * (pair, diag) — bounded by the shorter document. At 100 TB this is
+    * exactly the published MinHash-then-verify decomposition with the
+    * span stage replacing verify. */
+  val d13SubstringSpans: GraftQuery = q(
+    "d13_substring_spans",
+    "D3 exact cross-doc duplicated token spans with positions (k-gram diagonals)",
+    Some(raw"""WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(1, len(toks) - ${SpanGram - 2})) AS p, toks
+      |  FROM tk WHERE len(toks) >= $SpanGram),
+      |g AS (
+      |  SELECT doc_id, p,
+      |         ${graft.functions.DetHash.hash60Sql(
+                  s"array_to_string(toks[p:p+${SpanGram - 1}], ' ')", "span")} AS gh
+      |  FROM pos),
+      |df AS (SELECT gh, count(DISTINCT doc_id) AS d FROM g GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+      |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      |  JOIN df ON df.gh = a.gh
+      |  WHERE df.d <= $SpanMaxDf),
+      |runs AS (
+      |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+      |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+      |                                 ORDER BY pa) AS island
+      |  FROM pairs),
+      |spans AS (
+      |  SELECT doc_a, doc_b, diag, island,
+      |         min(pa) AS start_a, count(*) + ${SpanGram - 1} AS span_toks
+      |  FROM runs GROUP BY 1, 2, 3, 4)
+      |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+      |       CAST(start_a AS BIGINT) AS start_a,
+      |       CAST(start_a - diag AS BIGINT) AS start_b,
+      |       CAST(span_toks AS BIGINT) AS span_toks
+      |FROM spans WHERE span_toks >= $SpanMin
+      |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    // gram expansion is JIT-compiled typed Scala (the d12 lesson); the
+    // gram STRING dies inside this projection — only (doc, pos, 60-bit
+    // key) ever reaches a shuffle
+    val grams = Tables(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+")
+        if (toks.length < SpanGram) Iterator.empty
+        else (0 to toks.length - SpanGram).iterator.map { i =>
+          (id, (i + 1).toLong, toks.slice(i, i + SpanGram).mkString(" ")) }
+      }.toDF("doc_id", "p", "gram")
+      .select($"doc_id", $"p",
+        graft.functions.DetHash.hash60($"gram", "span").as("gh"))
+    val df = grams.groupBy($"gh")
+      .agg(countDistinct($"doc_id").as("d"))
+      .where($"d" <= SpanMaxDf)
+      .select($"gh")
+    val kept = grams.join(df, "gh")
+    val pairs = kept.select($"gh", $"doc_id".as("doc_a"), $"p".as("pa"))
+      .join(kept.select($"gh", $"doc_id".as("doc_b"), $"p".as("pb")), "gh")
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"pa", $"pb")
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
+    pairs
+      .withColumn("diag", $"pa" - $"pb")
+      .withColumn("island", $"pa" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"island")
+      .agg(min($"pa").as("start_a"),
+        (count(lit(1)) + (SpanGram - 1)).as("span_toks"))
+      .where($"span_toks" >= SpanMin)
+      .select($"doc_a", $"doc_b", $"start_a",
+        ($"start_a" - $"diag").as("start_b"), $"span_toks")
+      .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
     d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
     d08SnapshotUpsert, d09IncrementalRollup, d10SemanticDedup,
-    d11DistinctIvm, d12PrefixSetSim)
+    d11DistinctIvm, d12PrefixSetSim, d13SubstringSpans)
 }

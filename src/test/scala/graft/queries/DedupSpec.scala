@@ -44,6 +44,27 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("d13 reported spans are verbatim duplicates and maximal") {
+    val spans = QueryRegistry.asMap("d13_substring_spans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty, "fixture must contain duplicated spans")
+    val toks = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+") }.toMap
+    spans.foreach { case (a, b, sa, sb, n) =>
+      val (ta, tb) = (toks(a), toks(b))
+      val (ia, ib) = (sa.toInt - 1, sb.toInt - 1) // spans are 1-based
+      assert(ta.slice(ia, ia + n.toInt).sameElements(tb.slice(ib, ib + n.toInt)),
+        s"span ($a,$b,$sa,$sb,$n) is not a verbatim duplicate")
+      // maximality: the span cannot extend by one token on either side
+      val leftExtends = ia > 0 && ib > 0 && ta(ia - 1) == tb(ib - 1)
+      val rightExtends = ia + n < ta.length && ib + n < tb.length &&
+        ta(ia + n.toInt) == tb(ib + n.toInt)
+      assert(!leftExtends && !rightExtends,
+        s"span ($a,$b,$sa,$sb,$n) is not maximal")
+    }
+  }
+
   test("d02 SimHash hamming<=15 pairs are all true near-duplicates") {
     val got = QueryRegistry.asMap("d02_simhash_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
