@@ -63,6 +63,45 @@ object SnapshotMerge {
       .drop("__rn", "__origin", op)
   }
 
+  /** SCD TYPE-2 history build — the warehouse primitive [[applyCdc]]
+    * deliberately throws away: instead of keeping only each key's
+    * WINNING row, keep every version as an INTERVAL row
+    * (valid_from = its version, valid_to = the key's next version,
+    * NULL = open) with `alive` (false for tombstones) and
+    * `is_current` flags. The history table answers row-level time
+    * travel — "the dimension as of version v" is the rows with
+    * valid_from ≤ v < valid_to and alive — and as-of joins of facts
+    * against it are interval joins ([[IntervalJoin]]'s territory).
+    *
+    * Resolution per (key, version) uses the SAME origin-wins rule as
+    * [[resolve]] so the SCD2 view can never disagree with the
+    * snapshot view: the as-of state at the maximum version is exactly
+    * [[applyCdc]]'s output (spec-pinned). Callers should pass one row
+    * per (key, version) per side — same caveat as [[resolve]], minus
+    * the hash tie-break so an SQL oracle can replay the build.
+    *
+    * Cost: one union + TWO windows over the same (key)-partitioned
+    * sort (per-version dedup, then lead) — at 100 TB the per-key
+    * partitions are the version-chain length (bounded small), and the
+    * output is append-friendly: a new delta only closes currently-open
+    * intervals of touched keys and adds its own. */
+  def scd2Intervals(base: DataFrame, delta: DataFrame,
+      key: String, version: String, op: String = "op"): DataFrame = {
+    val tagged = base.withColumn(op, lit("upsert"))
+      .withColumn("__origin", lit(0))
+      .unionByName(delta.withColumn("__origin", lit(1)))
+    val perVersion = tagged.withColumn("__vrn", row_number().over(
+      Window.partitionBy(col(key), col(version))
+        .orderBy(col("__origin").desc)))
+      .where(col("__vrn") === 1)
+    val chain = Window.partitionBy(col(key)).orderBy(col(version))
+    perVersion
+      .withColumn("valid_to", lead(col(version), 1).over(chain))
+      .withColumn("alive", col(op) =!= "delete")
+      .withColumn("is_current", col("valid_to").isNull && col(op) =!= "delete")
+      .drop("__vrn", "__origin", op)
+  }
+
   /** Shared resolution window: rank 1 over (version desc, origin
     * desc, row-hash desc). The trailing `xxhash64` over the payload
     * columns totalizes the order, so even two DISTINCT delta rows

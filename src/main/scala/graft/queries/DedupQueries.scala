@@ -1274,9 +1274,69 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
   }
 
+  /** d14 — SCD TYPE-2 history build + row-level time travel
+    * ([[graft.operators.SnapshotMerge.scd2Intervals]]): the same CDC
+    * scenario as d08/d09/d11, kept as the FULL interval history
+    * instead of only the winning snapshot — every (key, version) state
+    * becomes a [valid_from, valid_to) row with tombstone-aware
+    * liveness, the classic warehouse dimension-history primitive. The
+    * registered query reads the dimension AS OF every version 1..4
+    * (valid_from ≤ v < valid_to, alive) and reports the d08-style
+    * per-state audit — so the oracle proves each historical state is
+    * reconstructed exactly, including the delete-then-reinsert key
+    * whose interval chain closes and reopens. Row-level complement of
+    * q31's file-level snapshots: q31 answers "the TABLE as of ingest
+    * state s", d14 answers "each KEY's attribute state as of version
+    * v" from one history table.
+    *
+    * Plan: union + two (key)-partitioned windows (per-version dedup +
+    * lead) — version chains are bounded (≤5 here), so partitions never
+    * skew; the as-of expansion is a 4-row broadcast nested-loop
+    * (bounded side, the v01 pattern) feeding one small aggregate. */
+  val d14Scd2History: GraftQuery = q(
+    "d14_scd2_history",
+    "D17 SCD2 interval history: every version an interval row, as-of states exact",
+    Some(s"""WITH $CdcMergedCtes,
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+      |pv AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id, version
+      |                               ORDER BY origin DESC) AS vrn
+      |  FROM u),
+      |iv AS (
+      |  SELECT doc_id, lang, source, version, op,
+      |         lead(version) OVER (PARTITION BY doc_id
+      |                             ORDER BY version) AS valid_to
+      |  FROM pv WHERE vrn = 1),
+      |vs AS (SELECT unnest([1, 2, 3, 4]) AS as_of),
+      |live AS (
+      |  SELECT v.as_of, i.version, i.source
+      |  FROM iv i JOIN vs v ON i.version <= v.as_of
+      |                     AND (i.valid_to IS NULL OR i.valid_to > v.as_of)
+      |  WHERE i.op <> 'delete')
+      |SELECT as_of, count(*) AS live_docs,
+      |       CAST(sum(version) AS BIGINT) AS version_sum,
+      |       CAST(sum(CASE WHEN source = 'recrawl' THEN 1 ELSE 0 END) AS BIGINT) AS recrawl_docs
+      |FROM live GROUP BY 1
+      |ORDER BY as_of""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val (base, delta) = cdcScenario(s, dir)
+    val iv = graft.operators.SnapshotMerge
+      .scd2Intervals(base, delta, "doc_id", "version")
+    val versions = (1 to 4).toDF("as_of")
+    iv.join(broadcast(versions),
+        $"version" <= $"as_of" && ($"valid_to".isNull || $"valid_to" > $"as_of"))
+      .where($"alive")
+      .groupBy($"as_of")
+      .agg(count(lit(1)).as("live_docs"),
+        sum($"version").cast("long").as("version_sum"),
+        sum(when($"source" === "recrawl", 1L).otherwise(0L)).as("recrawl_docs"))
+      .orderBy($"as_of")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
     d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
     d08SnapshotUpsert, d09IncrementalRollup, d10SemanticDedup,
-    d11DistinctIvm, d12PrefixSetSim, d13SubstringSpans)
+    d11DistinctIvm, d12PrefixSetSim, d13SubstringSpans, d14Scd2History)
 }

@@ -46,6 +46,44 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(replay.toSeq === out.toSeq)
   }
 
+  test("scd2Intervals: well-formed chains; as-of max version == applyCdc snapshot") {
+    val base = Seq((1L, "a", 1), (2L, "a", 1), (3L, "a", 1))
+      .toDF("k", "v", "version")
+    val delta = Seq(
+      (1L, "b", 2, "upsert"),   // plain attribute change
+      (2L, "x", 2, "delete"),   // close the chain
+      (2L, "c", 3, "upsert"),   // reopen (reinsert above tombstone)
+      (4L, "d", 2, "upsert"))   // key born in the delta
+      .toDF("k", "v", "version", "op")
+    val iv = SnapshotMerge.scd2Intervals(base, delta, "k", "version")
+      .select($"k", $"v", $"version", $"valid_to", $"alive", $"is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getBoolean(4), r.getBoolean(5)))
+    // chain shape: per key, intervals tile the version axis — each
+    // valid_to equals the next valid_from, exactly one open interval
+    iv.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3),
+          s"key $k: interval [${a._3}, ${a._4}) not closed by ${b._3}")
+        case _ =>
+      }
+      assert(sorted.count(_._4.isEmpty) === 1, s"key $k: exactly one open interval")
+      assert(sorted.init.forall(!_._6), s"key $k: only the last interval may be current")
+    }
+    // the reinserted key's history: alive, dead, alive
+    val k2 = iv.filter(_._1 == 2L).sortBy(_._3).map(_._5).toSeq
+    assert(k2 === Seq(true, false, true), s"key 2 liveness chain was $k2")
+    // as-of the max version, the SCD2 view must reproduce the snapshot
+    val maxV = 3
+    val asOf = iv.filter(r => r._3 <= maxV && r._4.forall(_ > maxV) && r._5)
+      .map(r => (r._1, r._2, r._3)).sortBy(_._1).toSeq
+    val snap = SnapshotMerge.applyCdc(base, delta, "k", "version")
+      .orderBy($"k").as[(Long, String, Int)].collect().toSeq
+    assert(asOf === snap,
+      "SCD2 as-of(max) must equal the applyCdc snapshot")
+  }
+
   test("resolution is deterministic for distinct rows sharing (key, version)") {
     // (version, origin) alone leaves this winner unspecified; the
     // row-hash tie-break must pick the same row regardless of input
