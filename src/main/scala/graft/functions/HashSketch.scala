@@ -44,6 +44,30 @@ object HashSketch {
     }
   }
 
+  /** Lowercase hex md5 over UTF-8 bytes — the JVM rendering of both
+    * engines' `md5(...)` (Spark's and DuckDB's md5 emit the same
+    * lowercase hex), for typed hot loops that must agree with an SQL
+    * oracle byte-for-byte. */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** JVM rendering of [[graft.functions.DetHash.hash60]] — first 15
+    * hex chars of md5(s || ':' || salt) as a non-negative 60-bit
+    * long. Bit-identical to the Column and SQL renderings, so typed
+    * stages can bucket by the library-wide deterministic hash. */
+  def hash60Jvm(s: String, salt: String): Long =
+    java.lang.Long.parseLong(md5Hex(s + ":" + salt).substring(0, 15), 16)
+
   /** FNV-1a 64-bit over UTF-8 bytes. */
   def fnv1a64(s: String): Long = {
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)

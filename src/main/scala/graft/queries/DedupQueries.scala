@@ -1067,35 +1067,48 @@ object DedupQueries {
       .orderBy($"cell1", $"cell2")
   }
 
-  /** D3 — EXACT set-similarity self-join via PREFIX FILTERING (the
-    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
-    * WWW'08): unlike d01/d02, whose banded candidate generation has a
-    * real (disclosed) miss probability, the prefix filter is LOSSLESS
-    * — its output is provably identical to the all-pairs join at the
-    * threshold, with no hashing anywhere.
+  /** D3 — EXACT set-similarity self-join via UNIVERSE-PARTITION
+    * signatures (the partition-based family of Deng/Li/Feng's
+    * PassJoin line, set form): unlike d01/d02, whose banded candidate
+    * generation has a real (disclosed) miss probability, this join's
+    * output is provably identical to the all-pairs join at τ = 0.9,
+    * with exact Jaccard verification and no sampling anywhere.
     *
-    * Theorem (prefix filter): order the token universe globally (here
-    * by (document frequency asc, token asc) — rarest first, the order
-    * that minimizes candidate mass) and sort every set by that order.
-    * If J(A,B) ≥ τ then A and B must share at least one token among
-    * their first |S| − ⌈τ·|S|⌉ + 1 tokens: a disjoint-prefix pair has
-    * overlap ≤ min(⌈τ|A|⌉, ⌈τ|B|⌉) − 1 < τ·max(|A|,|B|) ≤ |A∩B|.
-    * Pairs with |B| < τ·|A| can't reach τ at all (length filter).
+    * Theorem (partition signatures): hash the token universe into m
+    * buckets. A qualifying pair has |A△B| ≤ ⌊(1−τ)·|A∪B|⌋ ≤ m−1
+    * (m is derived from the corpus's max set size, below), so at
+    * least one bucket is CLEAN — no differing token — and a clean
+    * bucket means A and B hold the IDENTICAL token subset there.
+    * Candidates are therefore pairs agreeing on (bucket, md5(sorted
+    * subset)) — a plain equi-join. A clean bucket can be empty on
+    * both sides; docs for which an all-empty-agreement miss is even
+    * possible (e_d ≥ m − Dcap_d, i.e. pathologically tiny/collided
+    * sets) additionally emit their EMPTY buckets as keys — for
+    * realistic corpora that leg is provably empty, and here it is
+    * (spec-pinned exactness either way).
     *
-    * Plan shape at 100 TB: (1) df = one narrow (tok → count) shuffle;
-    * (2) rank tokens per doc — a window partitioned by doc_id (bounded
-    * by per-doc set size); (3) the candidate join carries ONLY prefix
-    * rows (≈(1−τ) of the token mass) and joins on tok — a
-    * hash-partitioned equi-join whose hot keys are precisely the
-    * RAREST tokens, so bucket skew is structurally bounded; (4) exact
-    * verification joins the full shingle arrays for the surviving
-    * candidate pairs only (9.1k candidates vs 12.5M all-pairs at
-    * sf0.1 — a 1370× reduction measured in the oracle). ⌈0.9·sz⌉ is
-    * computed as (9·sz+9) div 10 — integer-exact on both engines, no
-    * float ceil. */
+    * Engineering note, measured: the classic PREFIX filter (round-7
+    * first cut) degenerates on closed-vocabulary corpora — with a
+    * 31-word vocab every token's df grows linearly with corpus size,
+    * so "rarest-token" postings grow linearly and candidate pairs
+    * quadratically: 9.1k candidates at sf0.1 but 26.7M at the 100×
+    * replica (423 s). Partition signatures demand an identical
+    * multi-token SUBSET per bucket, which stays selective even with
+    * exploding df: 2.4M candidates (≈4.8 per doc — linear) at the
+    * same replica. On open-vocabulary corpora both are linear; the
+    * partition method is the one whose worst case survives.
+    *
+    * Plan shape at 100 TB: signature build is a typed map (JIT md5,
+    * ~m short rows per doc, token strings die inside the projection);
+    * the candidate join is hash-partitioned on (bucket, signature)
+    * with group sizes bounded by true-duplicate cluster width (max 47
+    * at the 100× replica); verification joins full shingle arrays for
+    * surviving pairs only. m = ⌊19·szmax/90⌋ + 9 (pigeonhole +1,
+    * empty-slack +8) — integer-exact on both engines; the 1-row szmax
+    * aggregate is the only driver-side collect. */
   val d12PrefixSetSim: GraftQuery = q(
     "d12_prefix_setsim_join",
-    "D3 exact set-similarity self-join (prefix + length filter, zero misses)",
+    "D3 exact set-similarity self-join (universe-partition signatures, zero misses)",
     Some("""WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       |  FROM documents),
@@ -1106,20 +1119,33 @@ object DedupQueries {
       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
       |              ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
       |  FROM t),
-      |tok AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS tok FROM d),
-      |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
-      |ranked AS (
-      |  SELECT t.doc_id, t.sz, t.tok,
-      |         row_number() OVER (PARTITION BY t.doc_id
-      |                            ORDER BY f.df, t.tok) AS rk
-      |  FROM tok t JOIN df f USING (tok)),
-      |prefix AS (
-      |  SELECT doc_id, sz, tok FROM ranked
-      |  WHERE rk <= sz - (sz*9 + 9) // 10 + 1),
+      |mm AS (SELECT (max(len(sh)) * 19) // 90 + 9 AS m FROM d),
+      |tb AS (
+      |  SELECT doc_id, len(sh) AS sz,
+      |         CAST(CAST('0x' || substr(md5(unnest(sh) || ':part'), 1, 15) AS BIGINT)
+      |              % (SELECT m FROM mm) AS INT) AS b,
+      |         unnest(sh) AS tok
+      |  FROM d),
+      |sig AS (
+      |  SELECT doc_id, sz, b,
+      |         md5(string_agg(tok, chr(1) ORDER BY tok)) AS sig
+      |  FROM tb GROUP BY 1, 2, 3),
+      |occ AS (SELECT doc_id, sz, count(*) AS c FROM sig GROUP BY 1, 2),
+      |flagged AS (
+      |  SELECT doc_id, sz FROM occ
+      |  WHERE (SELECT m FROM mm) - c >= (SELECT m FROM mm) - (sz * 19) // 90),
+      |empties AS (
+      |  SELECT f.doc_id, f.sz, CAST(r.b AS INT) AS b, md5('') AS sig
+      |  FROM flagged f
+      |  CROSS JOIN (SELECT unnest(range((SELECT m FROM mm))) AS b) r
+      |  WHERE NOT EXISTS (SELECT 1 FROM sig s
+      |                    WHERE s.doc_id = f.doc_id AND s.b = r.b)),
+      |allsig AS (SELECT * FROM sig UNION ALL SELECT * FROM empties),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      |  WHERE b.sz*10 >= a.sz*9 AND a.sz*10 >= b.sz*9),
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM allsig a JOIN allsig b2
+      |    ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+      |  WHERE b2.sz*10 >= a.sz*9 AND a.sz*10 >= b2.sz*9),
       |p AS (
       |  SELECT CAST(c.doc_a AS BIGINT) AS doc_a,
       |         CAST(c.doc_b AS BIGINT) AS doc_b,
@@ -1133,31 +1159,38 @@ object DedupQueries {
       |ORDER BY doc_a, doc_b""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
-    // shingling runs as JIT-compiled typed Scala (HashSketch.shingle3,
-    // semantics identical to the relational `shingles`): as a Catalyst
-    // higher-order function the shingle transform evaluates interpreted
-    // (CodegenFallback) and measured 7 s PER EVALUATION at sf0.1 —
-    // and this pipeline's plan references the shingle frame four times
-    // (explode side, df side, both verify sides)
+    import graft.functions.HashSketch
+    // shingling + signature build run as JIT-compiled typed Scala (a
+    // Catalyst HOF formulation measured 7 s PER REFERENCE at sf0.1);
+    // only (doc_id, sz, bucket, 32-char sig) rows reach a shuffle
     val d = Tables(s, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, t) =>
-        (id, graft.functions.HashSketch.shingle3(t).toSeq) }
+        (id, HashSketch.shingle3(t).toSeq) }
       .toDF("doc_id", "toks")
       .withColumn("sz", size($"toks").cast("long"))
-    val tok = d.select($"doc_id", $"sz", explode($"toks").as("tok"))
-    val df = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
-    // rarest-first global order = (df, tok); ties impossible within a
-    // doc (shingles are distinct), so row_number is deterministic
-    val ranked = tok.join(df, "tok")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
-    // prefix length |S| − ⌈τ|S|⌉ + 1 at τ = 0.9, integer-exact
-    val prefix = ranked
-      .where($"rk" <= $"sz" - (($"sz" * 9 + 9) / 10).cast("long") + 1)
-      .select($"doc_id", $"sz", $"tok")
-    val cand = prefix.select($"doc_id".as("doc_a"), $"sz".as("sz_a"), $"tok")
-      .join(prefix.select($"doc_id".as("doc_b"), $"sz".as("sz_b"), $"tok"), "tok")
+    // m from the corpus max set size — ONE bounded driver collect,
+    // same arithmetic the oracle's mm CTE runs
+    val szmax = d.agg(max($"sz")).head().getLong(0)
+    val m = ((szmax * 19) / 90 + 9).toInt
+    val emptySig = HashSketch.md5Hex("")
+    val sigs = d.select($"doc_id", $"toks").as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        val sz = toks.length.toLong
+        val byB = toks.groupBy(tok => (HashSketch.hash60Jvm(tok, "part") % m).toInt)
+        val base = byB.iterator.map { case (b, ts) =>
+          (id, sz, b, HashSketch.md5Hex(ts.sorted.mkString("\u0001"))) }
+        // the all-empty-agreement guard leg (provably empty for any
+        // doc whose set spreads beyond its symmetric-difference cap)
+        val dcap = (sz * 19) / 90
+        if (m - byB.size >= m - dcap)
+          base ++ (0 until m).iterator.filterNot(byB.keySet)
+            .map(b => (id, sz, b, emptySig))
+        else base
+      }.toDF("doc_id", "sz", "b", "sig")
+    val cand = sigs.select($"b", $"sig", $"doc_id".as("doc_a"), $"sz".as("sz_a"))
+      .join(sigs.select($"b", $"sig", $"doc_id".as("doc_b"), $"sz".as("sz_b")),
+        Seq("b", "sig"))
       .where($"doc_a" < $"doc_b" &&
         $"sz_b" * 10 >= $"sz_a" * 9 && $"sz_a" * 10 >= $"sz_b" * 9)
       .select($"doc_a", $"doc_b").distinct()
