@@ -434,6 +434,18 @@ class QueryPlanSpec extends SparkSpec {
     assert(recall >= 0.4, f"radius recall $recall%.2f < 0.4")
   }
 
+  test("c13: Gumbel top-k selection plans as TakeOrdered, not a global sort") {
+    val p = QueryRegistry.asMap("c13_dsir_resample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the 100-doc selection must be a bounded heap top-k:\n${p.take(2000)}")
+    // the display-rank window must ride ABOVE the limit (≤100 rows),
+    // so at most one Window node and no Sort below an Exchange-wide
+    // frame — the t09/t10 discipline
+    assert(p.sliding("Window".length).count(_ == "Window") <= 2,
+      "only the bounded post-limit rank window may appear")
+  }
+
   test("v16 Hamming ANN: measured recall vs exact top-10, integer candidate stage") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
