@@ -69,6 +69,20 @@ object VectorOps {
     (b1, b2)
   }
 
+  /** nProbe=2 probe rows for a bounded, sorted query set under
+    * `pivots` — the driver-side probe contract shared by the IVF
+    * candidate stage (v04 family), the IVF-pruned chunk MaxSim (v15)
+    * and the retrain guard's recall probe: ONE place owns the nprobe
+    * count and the [[nearest2Pivots]] tie ordering, so the serving
+    * stages and the monitor can never silently diverge. Returns
+    * (query_id, bucket, query_vector) rows, two per query. */
+  def probePairs2(queries: Seq[(Long, Array[Double])],
+      pivots: Array[Array[Double]]): IndexedSeq[(Long, Long, Array[Double])] =
+    queries.flatMap { case (id, qv) =>
+      val (b1, b2) = nearest2Pivots(qv, pivots)
+      Seq((id, b1.toLong, qv), (id, b2.toLong, qv))
+    }.toIndexedSeq
+
   /** Squared L2 distance between `b` and the window of `a` starting
     * at `off`, in integer MICRO-UNITS: floor(Σ(a−b)²·10⁶ + 0.5). The
     * double fold is sequential (identical on both engines), and the

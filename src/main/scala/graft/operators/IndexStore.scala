@@ -98,7 +98,24 @@ object IndexStore {
   private[operators] def fsOf(path: String): (org.apache.hadoop.fs.FileSystem,
       org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    // resolve through the session's Hadoop configuration when one is
+    // live — S3A credentials / fs.defaultFS / endpoints arrive as
+    // spark.hadoop.* session properties, which a bare
+    // `new Configuration()` (classpath XML only) never sees (review
+    // catch); the bare fallback keeps non-session tooling working
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Recursive artifact delete — the retrain guard's force-rebuild
+    * step. Safe because every artifact build is deterministic from
+    * the source table. */
+  private[operators] def removeArtifact(path: String): Unit = {
+    val (fs, p) = fsOf(path)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** Staleness fingerprint of `dir/table.parquet`: md5 over the sorted
@@ -576,14 +593,21 @@ object IndexStore {
     def parts(p: String): Set[String] =
       fs.listStatus(new Path(p)).map(_.getPath.getName)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    // snapshot BOTH artifact listings before the rewrite: an append
+    // writes postings THEN its stats partial, so a race can land a
+    // stats row while only the postings set is watched — the swap
+    // would then destroy that batch's (n, sdl) mass permanently
+    // (review catch). Guarding both listings makes every overlap
+    // abort losslessly; only the sub-second check→swap window
+    // remains, as in MinMaxManifest.compact.
     val readSet = parts(pPath)
+    val readStats = parts(sPath)
     s.read.parquet(pPath)
       .repartitionByRange(8, col("term"), col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(stagedP)
     bm25Stats(s, dir).coalesce(1).write.mode("overwrite").parquet(stagedS)
-    val nowSet = parts(pPath)
-    if (nowSet != readSet) {
+    if (parts(pPath) != readSet || parts(sPath) != readStats) {
       fs.delete(new Path(stagedP), true)
       fs.delete(new Path(stagedS), true)
       throw new IllegalStateException(

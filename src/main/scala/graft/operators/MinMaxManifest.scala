@@ -55,6 +55,23 @@ object MinMaxManifest {
 
   private def ready(path: String): Boolean = IndexStore.artifactReady(path)
 
+  /** Metadata ops share [[IndexStore.fsOf]] (session Hadoop conf →
+    * works on HDFS/S3A, not just local disk — the same port the
+    * artifact store got; review catch: this file had kept
+    * `java.io.File` walks). */
+  private def listParts(lp: String): Set[String] = {
+    val (fs, p) = IndexStore.fsOf(lp)
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+  }
+
+  /** Scheme-independent identity of a file path string: manifest rows
+    * carry `input_file_name()` renderings ("file:///…"), Hadoop
+    * listings render "file:/…" — comparisons go through the URI path
+    * so the two spellings can never desynchronize a heal. */
+  private def pathKey(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
   /** Build the time-clustered layout + its manifest if absent. */
   def ensure(s: SparkSession, dir: String): Unit =
     if (!(ready(layoutPath(dir)) && ready(manifestPath(dir))))
@@ -107,15 +124,11 @@ object MinMaxManifest {
     val mp = manifestPath(dir, table)
     require(ready(lp) && ready(mp),
       s"manifest layout at $lp must be built before appending")
-    def listParts(): Set[String] =
-      new java.io.File(lp).listFiles().toIndexedSeq
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .map(_.getName).toSet
-    val before = listParts()
+    val before = listParts(lp)
     batch.repartitionByRange(batchFiles, col("ts"))
       .sortWithinPartitions(col("ts"))
       .write.mode("append").parquet(lp)
-    val fresh = (listParts() -- before).toIndexedSeq.sorted.map(n => s"$lp/$n")
+    val fresh = (listParts(lp) -- before).toIndexedSeq.sorted.map(n => s"$lp/$n")
     if (fresh.nonEmpty) {
       val stats = s.read.parquet(fresh: _*)
         .groupBy(input_file_name().as("path"))
@@ -164,11 +177,8 @@ object MinMaxManifest {
     require(ready(lp) && ready(mp), s"nothing to compact at $lp")
     val stagedL = lp + ".compacting"
     val stagedM = mp + ".compacting"
-    def listParts(): Set[String] =
-      new java.io.File(lp).listFiles().toIndexedSeq
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .map(_.getName).toSet
-    val readSet = listParts()
+    val (cfs, _) = IndexStore.fsOf(lp)
+    val readSet = listParts(lp)
     s.read.parquet(lp)
       .repartitionByRange(NumFiles, col("ts"))
       .sortWithinPartitions(col("ts"))
@@ -183,10 +193,8 @@ object MinMaxManifest {
         java.util.regex.Pattern.quote(stagedL), lp).as("path"),
         col("min_ts"), col("max_ts"), col("rows"))
       .coalesce(1).write.mode("overwrite").parquet(stagedM)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(delete)
-      f.delete(); ()
-    }
+    import org.apache.hadoop.fs.Path
+    def delete(p: String): Unit = { cfs.delete(new Path(p), true); () }
     // the concurrent-appender guard: any file that appeared since the
     // rewrite's read would be dropped by the swap — fail before
     // touching the live layout, leaving it (with the straggler batch)
@@ -195,10 +203,10 @@ object MinMaxManifest {
     // append — the window is real but sub-second, untestable without
     // a seam.)
     onStagedForTest()
-    val nowSet = listParts()
+    val nowSet = listParts(lp)
     if (nowSet != readSet) {
-      delete(new java.io.File(stagedL))
-      delete(new java.io.File(stagedM))
+      delete(stagedL)
+      delete(stagedM)
       val appeared = (nowSet -- readSet).toSeq.sorted
       val vanished = (readSet -- nowSet).toSeq.sorted
       throw new IllegalStateException(
@@ -207,12 +215,12 @@ object MinMaxManifest {
           "writer and re-run compact()")
     }
     def swap(live: String, staged: String): Unit = {
-      val old = new java.io.File(live + ".old")
-      if (old.exists()) delete(old)
-      require(new java.io.File(live).renameTo(old), s"swap-out of $live failed")
-      require(new java.io.File(staged).renameTo(new java.io.File(live)),
+      val old = new Path(live + ".old")
+      if (cfs.exists(old)) delete(live + ".old")
+      require(cfs.rename(new Path(live), old), s"swap-out of $live failed")
+      require(cfs.rename(new Path(staged), new Path(live)),
         s"swap-in of $staged failed")
-      delete(old)
+      delete(live + ".old")
     }
     // manifest first: a crash between the two swaps leaves a manifest
     // whose paths point at the staged layout names — healedEntries'
@@ -244,18 +252,24 @@ object MinMaxManifest {
       table: String = "events_by_ts") = {
     val lp = layoutPath(dir, table)
     val mp = manifestPath(dir, table)
-    val listed = new java.io.File(lp).listFiles().toIndexedSeq
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(f => s"file://${f.getAbsolutePath}").toSet
+    val (hfs, hlp) = IndexStore.fsOf(lp)
+    // comparisons run on scheme-independent pathKey: the manifest
+    // stores input_file_name() URIs, the FS listing its own rendering
+    val listedByKey = hfs.listStatus(hlp).toIndexedSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .map(p => p.toUri.getPath -> p.toString).toMap
     val entries = s.read.parquet(mp)
       .select("path", "min_ts", "max_ts", "rows").collect()
-    val known = entries.map(_.getString(0)).toSet
-    val missing = (listed -- known).toIndexedSeq.sorted
-    val stale = known -- listed
+    val knownKeys = entries.map(r => pathKey(r.getString(0))).toSet
+    val missing = (listedByKey.keySet -- knownKeys).toIndexedSeq.sorted
+      .map(listedByKey)
+    val stale = knownKeys -- listedByKey.keySet
     if (missing.isEmpty && stale.isEmpty)
       entries.map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
     else {
-      val keptRows = entries.filter(r => listed.contains(r.getString(0)))
+      val keptRows = entries
+        .filter(r => listedByKey.contains(pathKey(r.getString(0))))
         .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
       val freshRows =
         if (missing.isEmpty) Array.empty[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
@@ -339,24 +353,41 @@ object MinMaxManifest {
         s.sparkContext.parallelize(entries.map(e => (0L, e._1)).toIndexedSeq, 1))
         .toDF("snap_id", "path")
         .coalesce(1).write.mode("overwrite").parquet(sp)
-    val logged = s.read.parquet(sp)
+    val logged0 = s.read.parquet(sp)
       .select("snap_id", "path").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val unlogged = entries.map(_._1).toSet -- logged.map(_._2).toSet
+    val liveKeys = entries.map(e => pathKey(e._1)).toSet
+    // DEAD log references mean a compaction swapped the data+manifest
+    // but crashed before its history-expiry log reset: every
+    // historical snapshot would otherwise silently read as empty
+    // (kept = live ∩ dead = ∅ — review catch). Complete the expiry
+    // the crashed compaction started: snapshot 0 = the live manifest.
+    val logged =
+      if (logged0.forall(l => liveKeys.contains(pathKey(l._2)))) logged0
+      else {
+        val rows = entries.map(e => (0L, e._1)).toIndexedSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1))
+          .toDF("snap_id", "path")
+          .coalesce(1).write.mode("overwrite").parquet(sp)
+        rows.toArray
+      }
+    val unlogged = liveKeys -- logged.map(l => pathKey(l._2)).toSet
     val repaired =
       if (unlogged.isEmpty) logged
       else {
         val next = logged.map(_._1).max + 1L
-        val rows = unlogged.toIndexedSeq.sorted.map(p => (next, p))
+        val rows = entries.map(_._1)
+          .filter(p => unlogged.contains(pathKey(p)))
+          .toIndexedSeq.sorted.map(p => (next, p))
         s.createDataFrame(s.sparkContext.parallelize(rows, 1))
           .toDF("snap_id", "path")
           .coalesce(1).write.mode("append").parquet(sp)
         logged ++ rows
       }
-    val inSnap = repaired.filter(_._1 <= snapId).map(_._2).toSet
+    val inSnap = repaired.filter(_._1 <= snapId).map(l => pathKey(l._2)).toSet
     val (loTs, hiTs) = (utc(lo), utc(hi))
     val kept = entries.filter { case (p, minTs, maxTs) =>
-      inSnap.contains(p) && !maxTs.before(loTs) && minTs.before(hiTs)
+      inSnap.contains(pathKey(p)) && !maxTs.before(loTs) && minTs.before(hiTs)
     }.map(_._1)
     val rowPred = col("ts") >= lit(loTs) && col("ts") < lit(hiTs)
     val df =

@@ -59,10 +59,7 @@ object RetrainTrigger {
     val queries = ev.filter(t => qSet.contains(t._1)).collect().sortBy(_._1)
     require(queries.nonEmpty, "no query vectors found for the given ids")
     val bc = s.sparkContext.broadcast(pivots)
-    val probePairs = queries.flatMap { case (id, qv) =>
-      val (b1, b2) = VectorOps.nearest2Pivots(qv, pivots)
-      Seq((id, b1.toLong, qv), (id, b2.toLong, qv))
-    }.toIndexedSeq
+    val probePairs = VectorOps.probePairs2(queries.toIndexedSeq, pivots)
     val probes = s.createDataset(probePairs).toDF("query_id", "bucket", "qv")
     val assigned = ev.map { case (id, v) =>
       (id, VectorOps.nearest2Pivots(v, bc.value)._1.toLong, v)
@@ -103,6 +100,18 @@ object RetrainTrigger {
       loadPivots(s, deployedPivotPath), queryIds, k)
     if (oldRecall >= tau) (oldRecall, false, oldRecall)
     else {
+      // FORCE the rebuild: when the deployed path IS the current
+      // fingerprint's (the scheduled-monitoring shape), the
+      // load-if-present builders would silently hand back the decayed
+      // artifacts and report retrained=true without rebuilding
+      // anything (review catch). Deleting first is safe — every build
+      // is deterministic from the source table. Retraining sees the
+      // corpus AS THE SOURCE TABLE STANDS: an operator whose appends
+      // went only through appendToIndex must fold them into the table
+      // (the standard batches-land-in-the-table lifecycle) for the
+      // fresh quantizers to learn the drifted region.
+      IndexStore.removeArtifact(IndexStore.ivfPivotPath(dir))
+      IndexStore.removeArtifact(IndexStore.ivfFlatPath(dir, iters))
       val fresh = IndexStore.ivfPivots(s, dir, iters)
       IndexStore.ivfFlat(s, dir, iters) // materialize the assignment too
       (oldRecall, true, recallUnderPivots(s, dir, fresh, queryIds, k))

@@ -1092,9 +1092,16 @@ object RelationalQueries {
       Seq(
         ev.where($"ts" >= lit(M.utc(b1)) && $"ts" < lit(M.utc(b2))),
         ev.where($"ts" >= lit(M.utc(b2)))))
+    // the as-of read window must COVER the corpus, whatever its time
+    // span — a ScaleUp replica extends events ~10 months per decade,
+    // and a bounded literal here would silently prune the extension
+    // out of snapshots 1..2 while the oracle still counts it (review
+    // catch). Unbounded sentinels keep the query about SNAPSHOT
+    // membership; the stats-prune composition has its own window
+    // tests in MinMaxManifestSpec.
     (0L to 2L).map { snap =>
       val (f, _, _) = M.asOfEvents(s, dir, snap,
-        "2024-01-01 00:00:00", "2024-02-01 00:00:00", "events_tt")
+        "1970-01-01 00:00:00", "2200-01-01 00:00:00", "events_tt")
       f.agg(count(lit(1)).as("n"),
         round(sum($"value"), 2).as("value_sum"),
         countDistinct($"user_id").as("users"))

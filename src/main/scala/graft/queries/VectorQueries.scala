@@ -296,10 +296,7 @@ object VectorQueries {
     // rows, not the corpus.
     val queries = ev.where(col("vec_id") < 5).as[(Long, Array[Double])]
       .collect().sortBy(_._1)
-    val probePairs = queries.flatMap { case (id, qv) =>
-      val (b1, b2) = VectorOps.nearest2Pivots(qv, pivotArr)
-      Seq((id, b1.toLong, qv), (id, b2.toLong, qv))
-    }.toIndexedSeq
+    val probePairs = VectorOps.probePairs2(queries.toIndexedSeq, pivotArr)
     val probes = s.createDataset(probePairs).toDF("query_id", "bucket", "qv")
     val probedBuckets = probePairs.map(_._2).distinct.sorted
     // nearest pivot per corpus vector: on the trained path this is a
@@ -1309,10 +1306,7 @@ object VectorQueries {
     // restriction exists at PLAN time (partition filter on the index)
     val queries = ev.where(col("vec_id") < 3).as[(Long, Array[Double])]
       .collect().sortBy(_._1)
-    val probePairs = queries.flatMap { case (id, qv) =>
-      val (b1, b2) = VectorOps.nearest2Pivots(qv, pivotArr)
-      Seq((id, b1.toLong, qv), (id, b2.toLong, qv))
-    }.toIndexedSeq
+    val probePairs = VectorOps.probePairs2(queries.toIndexedSeq, pivotArr)
     val probes = s.createDataset(probePairs).toDF("query_id", "bucket", "qv")
     val probedBuckets = probePairs.map(_._2).distinct.sorted
     val chunks = graft.operators.IndexStore.ivfFlat(s, dir, IvfTrainIters)
@@ -1358,7 +1352,7 @@ object VectorQueries {
   val v16HammingAnn: GraftQuery = q(
     "v16_hamming_ann",
     "D4 sign-bit binary signatures: Hamming candidate scan + exact cosine re-rank",
-    Some("""WITH e AS (
+    Some(s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |sig AS (
       |  SELECT vec_id,
@@ -1382,10 +1376,7 @@ object VectorQueries {
       |  FROM ham),
       |ref AS (
       |  SELECT c.query_id, c.vec_id, c.hamming,
-      |         round(coalesce(
-      |           list_aggregate(list_transform(list_zip(e.v, qe.v), x -> x[1] * x[2]), 'sum')
-      |           / NULLIF(sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
-      |              * sqrt(list_aggregate(list_transform(qe.v, x -> x * x), 'sum')), 0), 0), 6) AS sim
+      |         ${duckCos6("e.v", "qe.v")} AS sim
       |  FROM cand c
       |  JOIN e ON e.vec_id = c.vec_id
       |  JOIN e qe ON qe.vec_id = c.query_id

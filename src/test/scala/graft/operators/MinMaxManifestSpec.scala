@@ -328,6 +328,36 @@ class MinMaxManifestSpec extends SparkSpec {
     }
   }
 
+  test("time travel: a compaction that crashed before its log reset heals, never reads empty") {
+    withRoot {
+      import spark.implicits._
+      val M = MinMaxManifest
+      M.ensure(spark, sf)
+      val batch = (0 until 10).map { i =>
+        (400000L + i, java.sql.Timestamp.valueOf(f"2024-02-25 10:00:${i % 60}%02d"),
+          6L, "crash", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      M.appendBatch(spark, sf, batch)
+      val totalRows = spark.read.parquet(M.layoutPath(sf)).count()
+      // capture the pre-compaction log, compact, then put the OLD log
+      // back — exactly the state a crash between compact()'s swaps and
+      // its log reset leaves: every logged path now names a dead file
+      val oldLog = spark.read.parquet(M.snapshotsPath(sf)).collect()
+      M.compact(spark, sf)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(oldLog.toIndexedSeq, 1),
+          spark.read.parquet(M.snapshotsPath(sf)).schema)
+        .coalesce(1).write.mode("overwrite").parquet(M.snapshotsPath(sf))
+      // the dead references must complete the crashed expiry (log
+      // reset to snapshot 0 = live manifest), NOT silently read empty
+      val (asOf0, kept, _) = M.asOfEvents(spark, sf, 0L, fullLo, fullHi)
+      assert(kept > 0, "historical read must not silently turn empty")
+      assert(asOf0.count() === totalRows)
+      assert(spark.read.parquet(M.snapshotsPath(sf))
+        .agg(max("snap_id")).head().getLong(0) === 0L)
+    }
+  }
+
   test("time travel: compaction expires history and restarts the log at snapshot 0") {
     withRoot {
       import spark.implicits._
