@@ -251,6 +251,105 @@ object Multimodal {
     }
   }
 
+  /** ======= PERCEPTUAL HASH (average-hash / aHash) =======
+    * The published image-near-dup signature (the LAION-style dedup
+    * family's cheapest member): downsample to an 8×8 grid of block
+    * means, emit one bit per block — mean above the global mean — and
+    * compare hashes by Hamming distance. All integer arithmetic
+    * (block sums + one cross-multiplied comparison), so the hash is
+    * bit-deterministic across JVMs and replayable in SQL. */
+
+  /** 64-bit average-hash of a decoded image, returned as FOUR 16-bit
+    * words (bit b = by·8+bx lives in word b/16 at position b%16) —
+    * the v16 sign-word layout, ready for banded Hamming blocking.
+    * Block bounds use the integer-partition rule (exact for any
+    * dims); the mean comparison cross-multiplies so unequal block
+    * sizes stay integer-exact: bit ⇔ bsum·W·H > total·blockPixels.
+    * Grayscale rasters are read as RAW samples (getRGB would run the
+    * gray→sRGB color transform and distort values); color images take
+    * the integer Rec.601 luma. */
+  def aHashWords(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val gray: (Int, Int) => Int =
+      if (raster.getNumBands == 1) (x, y) => raster.getSample(x, y, 0)
+      else (x, y) => {
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+      }
+    val bsum = new Array[Long](64)
+    val bpx = new Array[Long](64)
+    var total = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val b = by * 8 + bx
+        var y = h * by / 8
+        while (y < h * (by + 1) / 8) {
+          var x = w * bx / 8
+          while (x < w * (bx + 1) / 8) {
+            bsum(b) += gray(x, y)
+            bpx(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        total += bsum(b)
+        bx += 1
+      }
+      by += 1
+    }
+    val words = new Array[Int](4)
+    var b = 0
+    while (b < 64) {
+      if (bsum(b) * w * h > total * bpx(b))
+        words(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    words
+  }
+
+  /** Deterministic synthetic grayscale image, encoded as a REAL PNG
+    * through ImageIO — the m06 fixture generator. The pixel field is
+    * a seed-MULTIPLIED mod-p mix (v = ((x·131 + y·197 + x·y·31 + 7) ·
+    * m) mod p mod 256, m = (seed·1000003 + 12345) mod p): the seed
+    * must enter multiplicatively, because any seed-ADDITIVE formula
+    * makes every pair of images differ by a constant brightness
+    * shift, which aHash (mean-relative by construction) maps to the
+    * SAME hash — the first prototype of this fixture collided half
+    * the corpus that way. `perturbed` re-renders the field with a
+    * sparse +16 brightness bump (~28 of 1024 pixels) — a planted
+    * near-duplicate whose hash lands within a few bits of its base.
+    * Mirrored verbatim in the m06 oracle. */
+  def synthPixel(seed: Long, x: Int, y: Int, perturbed: Boolean): Int = {
+    val P = 1000000007L
+    val m = (seed * 1000003L + 12345L) % P
+    val v0 = ((((x * 131L + y * 197L + x.toLong * y * 31L + 7L) * m) % P) % 256L).toInt
+    if (perturbed && (x * 31 + y) % 37 == 0) (v0 + 16) % 256 else v0
+  }
+
+  def synthGrayPng(seed: Long, perturbed: Boolean, w: Int = 32,
+      h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, synthPixel(seed, x, y, perturbed))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** DataFrame-side entry: build a typed media Dataset from any frame
     * with (id long, kind string, payload binary) — e.g. documents.text
     * cast to binary in the registered demo query. Rows are

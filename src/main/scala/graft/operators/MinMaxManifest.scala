@@ -309,10 +309,13 @@ object MinMaxManifest {
       .toInstant(java.time.ZoneOffset.UTC))
 
   def prunedEvents(s: SparkSession, dir: String, lo: String,
-      hi: String): (DataFrame, Int, Int) = {
-    ensure(s, dir)
+      hi: String, table: String = "events_by_ts"): (DataFrame, Int, Int) = {
+    // only the default table auto-builds from the raw events source;
+    // derived layouts (time travel's events_tt, DeletionVectors'
+    // events_dv) are built by their owners and must exist already
+    if (table == "events_by_ts") ensure(s, dir)
     val (loTs, hiTs) = (utc(lo), utc(hi))
-    val entries = healedEntries(s, dir)
+    val entries = healedEntries(s, dir, table)
     val kept = entries.filter { case (_, minTs, maxTs) =>
       !maxTs.before(loTs) && minTs.before(hiTs)
     }.map(_._1)
@@ -325,7 +328,7 @@ object MinMaxManifest {
     // advice closed)
     val rowPred = col("ts") >= lit(loTs) && col("ts") < lit(hiTs)
     val df =
-      if (kept.isEmpty) s.read.parquet(layoutPath(dir)).where(lit(false))
+      if (kept.isEmpty) s.read.parquet(layoutPath(dir, table)).where(lit(false))
       else s.read.parquet(kept.toIndexedSeq: _*).where(rowPred)
     (df, kept.length, entries.length)
   }

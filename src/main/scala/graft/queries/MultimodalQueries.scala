@@ -269,7 +269,120 @@ object MultimodalQueries {
       |ORDER BY o.kind""".stripMargin),
     "multimodal: content-addressed chunk store with verified reassembly")
 
+  /** m06 — PERCEPTUAL-HASH image near-dup (average-hash + banded
+    * Hamming blocking): the first multimodal operator whose dedup
+    * signal comes from DECODED PIXELS, not payload bytes — m04/m05
+    * only catch bit-identical media; aHash catches re-encodes and
+    * small edits. The pipeline is the real thing end to end: every
+    * doc renders a deterministic 32×32 grayscale field ENCODED AS A
+    * REAL PNG ([[Multimodal.synthGrayPng]]), the operator treats the
+    * payload as opaque bytes, decodes through ImageIO
+    * ([[Multimodal.readImage]] — a genuine codec in the hot path),
+    * computes the 64-bit average-hash as four 16-bit words
+    * ([[Multimodal.aHashWords]]), and mines near-dups with the v16
+    * shape: band-equality candidate join → exact Hamming ≤ 6 verify.
+    * Docs ≡ 1 (mod 7) re-render their predecessor's image with a
+    * sparse brightness bump — the planted near-dups. The oracle
+    * replays pixels/hash/banding from the generation formula
+    * (grayscale PNG is lossless, so decoded samples ≡ the formula —
+    * pinned by MultimodalSpec), making the codec path hash-gated.
+    *
+    * Scale: hashes are 8 bytes/image — the candidate stage never
+    * touches pixels again; the band join is an equi-join on 16-bit
+    * words, quadratic only within a band bucket (collision mass
+    * ~N²/2¹⁶ per band — at larger corpora widen bands or add a
+    * [[graft.operators.CandidateBudget]], the disclosed-skip d01
+    * discipline). Decode cost is one pass, embarrassingly parallel,
+    * bounded per task by asMedia's rows-per-partition contract. */
+  val m06PerceptualHash: GraftQuery = GraftQuery(
+    "m06_phash_near_dup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val media = docs.map { id =>
+        val seed = if (id % 7 == 1) id - 1 else id
+        Multimodal.MediaRow(id,
+          Multimodal.MediaMeta("image", "png", 32, 32, 0, 0),
+          Multimodal.synthGrayPng(seed, perturbed = id % 7 == 1))
+      }
+      val words = media.mapPartitions { rows =>
+        rows.map { r =>
+          // corrupt-blob discipline: an undecodable payload hashes to
+          // the zero words instead of failing the task (all-zero is a
+          // legal hash; a 100-TB corpus must survive bad bytes)
+          val ws = Multimodal.readImage(r.payload)
+            .map(Multimodal.aHashWords).getOrElse(new Array[Int](4))
+          (r.mediaId, ws(0), ws(1), ws(2), ws(3))
+        }
+      }.toDF("doc_id", "w0", "w1", "w2", "w3")
+      val bands = words.select($"doc_id",
+        posexplode(array($"w0", $"w1", $"w2", $"w3")).as(Seq("band", "w")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.w") === col("b.w") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(words.as("wa"), $"doc_a" === col("wa.doc_id"))
+        .join(words.as("wb"), $"doc_b" === col("wb.doc_id"))
+        .select($"doc_a", $"doc_b",
+          (bit_count(col("wa.w0").bitwiseXOR(col("wb.w0"))) +
+            bit_count(col("wa.w1").bitwiseXOR(col("wb.w1"))) +
+            bit_count(col("wa.w2").bitwiseXOR(col("wb.w2"))) +
+            bit_count(col("wa.w3").bitwiseXOR(col("wb.w3"))))
+            .cast("long").as("hamming"))
+        .where($"hamming" <= 6)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+      |         doc_id % 7 = 1 AS pert,
+      |         x.x AS x, y.y AS y
+      |  FROM d CROSS JOIN (SELECT unnest(range(32)) AS x) x
+      |         CROSS JOIN (SELECT unnest(range(32)) AS y) y),
+      |g0 AS (
+      |  SELECT doc_id, pert, x, y,
+      |         (((x*131 + y*197 + x*y*31 + 7)
+      |            * ((seed*1000003 + 12345) % 1000000007))
+      |           % 1000000007) % 256 AS v0
+      |  FROM px),
+      |g AS (
+      |  SELECT doc_id, x, y,
+      |         CASE WHEN pert AND (x*31 + y) % 37 = 0
+      |              THEN (v0 + 16) % 256 ELSE v0 END AS v
+      |  FROM g0),
+      |blocks AS (
+      |  SELECT doc_id, y//4 AS by, x//4 AS bx, sum(v) AS bsum
+      |  FROM g GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY 1),
+      |bits AS (
+      |  SELECT b.doc_id, (b.by*8 + b.bx) AS bit,
+      |         CASE WHEN b.bsum*64 > t.total THEN 1 ELSE 0 END AS s
+      |  FROM blocks b JOIN tot t USING (doc_id)),
+      |words AS (
+      |  SELECT doc_id, bit//16 AS band,
+      |         CAST(sum(s * (1 << (bit % 16))) AS BIGINT) AS w
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM words a JOIN words b
+      |    ON a.band = b.band AND a.w = b.w AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         CAST(sum(bit_count(xor(wa.w, wb.w))) AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN words wa ON wa.doc_id = c.doc_a
+      |  JOIN words wb ON wb.doc_id = c.doc_b AND wb.band = wa.band
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM ham
+      |WHERE hamming <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin),
+    "multimodal: aHash perceptual near-dup over REAL PNG decode (v16-shape banding)")
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryFeatures, m02FrameSample, m03Resize, m04PayloadDedup,
-    m05ChunkStore)
+    m05ChunkStore, m06PerceptualHash)
 }

@@ -1109,6 +1109,54 @@ object RelationalQueries {
     }.reduce(_ union _).orderBy($"snap_id")
   }
 
+  /** q32 — DELETION VECTORS ([[graft.operators.DeletionVectors]]):
+    * merge-on-read row deletes over the immutable q30-style file
+    * layout. The fixture records an EQUALITY tombstone set (every
+    * user_id ≡ 0 mod 97 — the GDPR erasure write: key rows only, no
+    * data scan) and a POSITION-delete pass (cheap click events —
+    * `_metadata.file_path`/`row_index` coordinates of the matched
+    * rows), then the registered read anti-joins both against the
+    * layout scan. Correctness claim: merge-on-read ≡ filtering the
+    * raw table by the same predicates — a tombstone that misses,
+    * double-counts, or leaks a row breaks the hash. Both delete
+    * applications are result-idempotent (re-runs find the rows
+    * already invisible), so warm executions replay bit-identically.
+    * The vacuum leg (touched-file-only rewrite, redo-journal crash
+    * safety, snapshot expiry) is pinned by DeletionVectorsSpec — its
+    * result is by construction the same frame, so the oracle would
+    * not distinguish it. At 100 TB: deletes cost tombstone-sized
+    * writes, reads cost two deleted-row-sized anti-joins, and the
+    * rewrite is deferred to vacuum, bounded by the touched files. */
+  val q32DeletionVectors: GraftQuery = q(
+    "q32_deletion_vectors",
+    "merge-on-read deletion vectors: position + equality tombstones, GDPR vacuum",
+    """SELECT event_type, count(*) AS n,
+      |       round(sum(value), 2) AS value_sum,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM events
+      |WHERE NOT (user_id % 97 = 0)
+      |  AND NOT (event_type = 'click' AND value < 5.0)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val DV = graft.operators.DeletionVectors
+    DV.ensure(s, dir)
+    // guard the equality write on artifact absence so re-runs don't
+    // grow the tombstone table (deleteWhere needs no guard — a second
+    // pass finds its rows already invisible and appends nothing)
+    if (!DV.eqDeletesRecorded(dir))
+      DV.deleteKeys(s, dir,
+        Tables(s, dir, "events").select($"user_id").where($"user_id" % 97 === 0))
+    DV.deleteWhere(s, dir, $"event_type" === "click" && $"value" < 5.0)
+    DV.readMerged(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("value_sum"),
+        countDistinct($"user_id").as("users"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1117,5 +1165,5 @@ object RelationalQueries {
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
-    q30ManifestSkip, q31TimeTravel)
+    q30ManifestSkip, q31TimeTravel, q32DeletionVectors)
 }

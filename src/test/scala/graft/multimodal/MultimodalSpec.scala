@@ -162,6 +162,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out.features.toSeq === stubDecode(junk).toSeq)
   }
 
+  test("aHash fixture: PNG round-trip returns the formula's raw gray samples") {
+    // grayscale PNG is lossless AND readImage must not color-convert
+    // (getRGB on a gray raster would run the gray→sRGB transform and
+    // silently distort every pixel — the raster-sample path is load-
+    // bearing for the m06 oracle's pixel replay)
+    for (seed <- Seq(0L, 7L, 123L); pert <- Seq(false, true)) {
+      val img = readImage(synthGrayPng(seed, pert)).get
+      assert(img.getWidth === 32 && img.getHeight === 32)
+      for (y <- 0 until 32; x <- 0 until 32)
+        assert(img.getRaster.getSample(x, y, 0) === synthPixel(seed, x, y, pert),
+          s"pixel ($x,$y) of seed=$seed pert=$pert diverged from the formula")
+    }
+  }
+
+  test("aHash: perturbed re-render lands within a few bits; distinct seeds far apart") {
+    def hash(seed: Long, pert: Boolean) =
+      aHashWords(readImage(synthGrayPng(seed, pert)).get)
+    def hamming(a: Array[Int], b: Array[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    for (seed <- Seq(14L, 21L, 98L)) {
+      val d = hamming(hash(seed, pert = false), hash(seed, pert = true))
+      assert(d <= 6, s"planted near-dup of seed $seed at Hamming $d > 6")
+    }
+    val far = hamming(hash(3L, pert = false), hash(4L, pert = false))
+    assert(far > 6, s"unrelated seeds at Hamming $far — fixture degenerate")
+  }
+
+  test("aHash handles non-multiple-of-8 dims with exact cross-multiplied bits") {
+    // 33×17: unequal integer blocks — the cross-multiplied mean rule
+    // must still emit a well-defined 64-bit hash deterministically
+    val png = synthGrayPng(5L, perturbed = false, w = 33, h = 17)
+    val h1 = aHashWords(readImage(png).get)
+    val h2 = aHashWords(readImage(png).get)
+    assert(h1.toSeq === h2.toSeq)
+    assert(h1.exists(_ != 0), "hash of a textured image cannot be all-zero")
+    assert(h1.forall(w => w >= 0 && w <= 0xffff), "words must be 16-bit")
+  }
+
+  test("m06: banded candidates find exactly the verified planted near-dups") {
+    val df = graft.queries.MultimodalQueries.m06PerceptualHash
+      .fn(spark, "/root/testdata/sf0.001")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "the sf0.001 corpus plants ~7 near-dup pairs")
+    rows.foreach { case (a, b, ham) =>
+      assert(ham <= 6)
+      assert(a < b)
+      assert(b === a + 1,
+        s"pair ($a,$b) is not a planted predecessor pair — " +
+          "random collisions must be verified away at this corpus size")
+    }
+    val planted = rows.count { case (a, b, _) => b == a + 1 && b % 7 == 1 }
+    assert(planted === rows.length)
+  }
+
   test("m05 chunk store: every document reassembles byte-identically") {
     val df = graft.queries.MultimodalQueries.m05ChunkStore
       .fn(spark, "/root/testdata/sf0.001")
