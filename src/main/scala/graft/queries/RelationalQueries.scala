@@ -1157,6 +1157,52 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q33 — SCHEMA EVOLUTION ([[graft.operators.SchemaEvolution]]):
+    * one table, three writer schemas — gen 0 original, gen 1 ADDs
+    * `channel`, gen 2 ADDs `score` and DROPs `props` — unified by the
+    * reader (parquet schema union: absent columns are NULL per file)
+    * with `props` renamed to `attributes` through a read-time name
+    * mapping, never a rewrite. The aggregate is chosen to break if
+    * any unification rule breaks: pre-add rows must group under the
+    * NULL channel ('legacy'), `scored`/`with_attrs` count exactly the
+    * generations that physically carry each column, and the rename
+    * must surface old files' `props` bytes under the new name.
+    * Oracle: replays the generation split from the raw events table
+    * with CASE on the same boundaries. At 100 TB: unification is
+    * plan-time metadata + per-file projection — zero extra IO; a
+    * table format amortizes even the schema-union listing by pinning
+    * the schema in table metadata. */
+  val q33SchemaEvolution: GraftQuery = q(
+    "q33_schema_evolution",
+    "schema evolution: add/drop/rename unified at read across 3 writer generations",
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |         CASE WHEN ts >= TIMESTAMP '${graft.operators.SchemaEvolution.Gen1Start}'
+      |              THEN 'ch' || CAST(user_id % 3 AS VARCHAR) END AS channel,
+      |         CASE WHEN ts >= TIMESTAMP '${graft.operators.SchemaEvolution.Gen2Start}'
+      |              THEN CAST(floor(value * 100) AS BIGINT) END AS score,
+      |         CASE WHEN ts < TIMESTAMP '${graft.operators.SchemaEvolution.Gen2Start}'
+      |              THEN props END AS attributes
+      |  FROM events)
+      |SELECT coalesce(channel, 'legacy') AS channel,
+      |       count(*) AS n,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |       count(score) AS scored,
+      |       CAST(coalesce(sum(score), 0) AS BIGINT) AS score_sum,
+      |       count(attributes) AS with_attrs
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.SchemaEvolution.readUnified(s, dir)
+      .groupBy(coalesce($"channel", lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("users"),
+        count($"score").as("scored"),
+        coalesce(sum($"score"), lit(0L)).cast("long").as("score_sum"),
+        count($"attributes").as("with_attrs"))
+      .orderBy($"channel")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1165,5 +1211,5 @@ object RelationalQueries {
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
-    q30ManifestSkip, q31TimeTravel, q32DeletionVectors)
+    q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution)
 }

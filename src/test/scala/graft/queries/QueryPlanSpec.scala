@@ -531,4 +531,35 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"AQE should broadcast the segment-frequency side:\n$p")
   }
+
+  test("q32: merged read = one layout scan + two anti-joins with tombstones built") {
+    val p = plan("q32_deletion_vectors")
+    // both tombstone tables are deleted-row-sized → size-based
+    // planning must BUILD them (broadcast at this SF), never the
+    // corpus side; and merge-on-read must never join the layout to
+    // itself
+    val antiJoins = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(antiJoins === 2,
+      s"merge-on-read must be exactly two broadcast anti-joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the merged read:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("m06: candidate generation is a hash equi-join on band words, never pixels") {
+    val df = QueryRegistry.asMap("m06_phash_near_dup")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the band self-join and the two hash join-backs are all hash
+    // equi-joins over 8-byte hash words — decoded pixels exist only
+    // inside the one mapPartitions decode pass
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"m06 candidates must come from band equality, not all-pairs:\n$p")
+    assert(p.contains("SerializeFromObject"),
+      "the typed decode boundary must appear exactly around mapPartitions")
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)".r
+      .findAllIn(p).nonEmpty, s"band join missing:\n$p")
+  }
 }
