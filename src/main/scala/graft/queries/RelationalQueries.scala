@@ -1203,6 +1203,74 @@ object RelationalQueries {
       .orderBy($"channel")
   }
 
+  /** q34 — MERGEABLE SKETCH ROLLUP ([[graft.operators.SketchRollup]]):
+    * a 10-day distinct-users question answered from the persisted
+    * daily HLL register table by register-wise MAX merge + estimate —
+    * the Druid/datasketches dashboard pattern (COUNT(DISTINCT) does
+    * not decompose across days; HLL registers do, which is what buys
+    * the scan-free arbitrary-window rollup at 100 TB). The registers
+    * are engine-exact (md5-derived hash, integer leading-zero rho,
+    * INTEGER harmonic denominator — see the operator scaladoc), so
+    * the oracle replays the FULL estimate pipeline, not just the
+    * exact count; merging daily sketches ≡ sketching the window
+    * directly (max associativity), which is how the oracle gets away
+    * with the direct form while SketchRollupSpec pins the daily-merge
+    * equivalence register by register. `exact_users` rides along so
+    * the output discloses the approximation honestly. */
+  val q34SketchRollup: GraftQuery = q(
+    "q34_sketch_rollup",
+    "mergeable HLL sketch rollup: window distinct-users from daily register tables",
+    """WITH w AS (
+      |  SELECT event_type, user_id FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-18 00:00:00'),
+      |h AS (
+      |  SELECT event_type,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 15)
+      |              AS BIGINT) AS h
+      |  FROM w),
+      |regs AS (
+      |  SELECT event_type, h % 512 AS reg,
+      |         max(CASE WHEN h // 512 = 0 THEN 52
+      |                  ELSE 52 - length(bin(h // 512)) END) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT event_type, count(*) AS regs_hit,
+      |         CAST(sum(CAST(pow(2, 52 - rho) AS BIGINT)) AS BIGINT) AS z_obs
+      |  FROM regs GROUP BY 1),
+      |est AS (
+      |  SELECT event_type, regs_hit, 512 - regs_hit AS zeros,
+      |         z_obs + (512 - regs_hit) * 4503599627370496 AS z_int
+      |  FROM agg),
+      |fin AS (
+      |  SELECT event_type, regs_hit, zeros,
+      |         (0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 512))
+      |           * 512 * 512 * 4503599627370496::DOUBLE
+      |           / CAST(z_int AS DOUBLE) AS raw
+      |  FROM est),
+      |ex AS (
+      |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      |  FROM w GROUP BY 1)
+      |SELECT f.event_type, CAST(f.regs_hit AS BIGINT) AS regs_hit,
+      |       round(CASE WHEN f.raw <= 1280 AND f.zeros > 0
+      |                  THEN 512 * ln(512::DOUBLE / f.zeros)
+      |                  ELSE f.raw END, 2) AS est_users,
+      |       e.exact_users
+      |FROM fin f JOIN ex e USING (event_type)
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SR = graft.operators.SketchRollup
+    val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-18 00:00:00")
+    val est = SR.estimate(SR.mergedRegisters(s, dir, lo, hi))
+    val exact = Tables(s, dir, "events")
+      .where($"ts" >= lit(graft.operators.MinMaxManifest.utc(lo)) &&
+        $"ts" < lit(graft.operators.MinMaxManifest.utc(hi)))
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    est.join(exact, Seq("event_type")).orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1211,5 +1279,6 @@ object RelationalQueries {
     q17FromJsonFlatten, q18Rollup, q19AsofJoin, q20SetOps, q21Pivot,
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
-    q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution)
+    q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
+    q34SketchRollup)
 }
