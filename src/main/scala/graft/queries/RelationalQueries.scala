@@ -1271,6 +1271,97 @@ object RelationalQueries {
     est.join(exact, Seq("event_type")).orderBy($"event_type")
   }
 
+  /** q35 — DATA-QUALITY CONSTRAINT VALIDATION
+    * ([[graft.operators.ConstraintCheck]]): a Deequ-shape suite —
+    * completeness, key uniqueness, domain containment, range mass,
+    * table size — compiled into ONE aggregation pass over events
+    * (k constraints ≠ k scans; the report explodes out of the single
+    * metrics row), plus a cross-table referential-integrity leg
+    * (lineitem→orders orphans) that is a genuine anti-join job. The
+    * suite deliberately contains a FAILING check (user_id uniqueness
+    * — events repeat users by design): a validation fixture that can
+    * only pass would prove nothing. Oracle: every metric replayed as
+    * a scalar SQL aggregate, unioned into the same report shape —
+    * fractions are count/count double divisions, engine-exact. */
+  val q35QualityChecks: GraftQuery = q(
+    "q35_quality_checks",
+    "single-pass Deequ-style constraint suite + referential-integrity report",
+    """SELECT 'complete' AS check_name, 'props' AS col,
+      |       round(CAST(count(props) AS DOUBLE) / count(*), 6) AS metric,
+      |       CASE WHEN CAST(count(props) AS DOUBLE) / count(*) >= 1.0
+      |            THEN 1 ELSE 0 END AS passed
+      |FROM events
+      |UNION ALL
+      |SELECT 'complete', 'user_id',
+      |       round(CAST(count(user_id) AS DOUBLE) / count(*), 6),
+      |       CASE WHEN CAST(count(user_id) AS DOUBLE) / count(*) >= 1.0
+      |            THEN 1 ELSE 0 END
+      |FROM events
+      |UNION ALL
+      |SELECT 'domain', 'event_type',
+      |       round(CAST(count(CASE WHEN event_type IN
+      |               ('click','view','purchase','signup','error') THEN 1 END)
+      |             AS DOUBLE) / count(*), 6),
+      |       CASE WHEN count(CASE WHEN event_type IN
+      |               ('click','view','purchase','signup','error') THEN 1 END)
+      |            = count(*) THEN 1 ELSE 0 END
+      |FROM events
+      |UNION ALL
+      |SELECT 'range', 'value',
+      |       round(CAST(count(CASE WHEN value >= 0 AND value < 1000 THEN 1 END)
+      |             AS DOUBLE) / count(*), 6),
+      |       CASE WHEN count(CASE WHEN value >= 0 AND value < 1000 THEN 1 END)
+      |            = count(*) THEN 1 ELSE 0 END
+      |FROM events
+      |UNION ALL
+      |SELECT 'ri_orphans', 'l_orderkey',
+      |       round(CAST((SELECT count(*) FROM lineitem l
+      |                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                                     WHERE o.o_orderkey = l.l_orderkey))
+      |             AS DOUBLE), 6),
+      |       CASE WHEN (SELECT count(*) FROM lineitem l
+      |                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                                    WHERE o.o_orderkey = l.l_orderkey)) = 0
+      |            THEN 1 ELSE 0 END
+      |UNION ALL
+      |SELECT 'size', 'events', round(CAST(count(*) AS DOUBLE), 6),
+      |       CASE WHEN count(*) >= 5000 THEN 1 ELSE 0 END
+      |FROM events
+      |UNION ALL
+      |SELECT 'unique', 'event_id',
+      |       round(CAST(count(DISTINCT event_id) AS DOUBLE) / count(*), 6),
+      |       CASE WHEN count(DISTINCT event_id) = count(*) THEN 1 ELSE 0 END
+      |FROM events
+      |UNION ALL
+      |SELECT 'unique', 'user_id',
+      |       round(CAST(count(DISTINCT user_id) AS DOUBLE) / count(*), 6),
+      |       CASE WHEN count(DISTINCT user_id) = count(*) THEN 1 ELSE 0 END
+      |FROM events
+      |ORDER BY check_name, col""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val CC = graft.operators.ConstraintCheck
+    val ev = Tables(s, dir, "events")
+    val suite = Seq(
+      CC.Constraint("complete", "props", CC.completeness("props"), _ >= 1.0),
+      CC.Constraint("complete", "user_id", CC.completeness("user_id"), _ >= 1.0),
+      CC.Constraint("domain", "event_type",
+        CC.containedIn("event_type",
+          Seq("click", "view", "purchase", "signup", "error")), _ >= 1.0),
+      CC.Constraint("range", "value", CC.inRange("value", 0, 1000), _ >= 1.0),
+      CC.Constraint("size", "events",
+        count(lit(1)).cast("double"), _ >= 5000.0),
+      CC.Constraint("unique", "event_id", CC.uniqueness("event_id"), _ >= 1.0),
+      CC.Constraint("unique", "user_id", CC.uniqueness("user_id"), _ >= 1.0))
+    val report = CC.run(ev, suite)
+    val ri = CC.referentialIntegrity(
+      Tables(s, dir, "lineitem"), "l_orderkey",
+      Tables(s, dir, "orders"), "o_orderkey", "ri_orphans")
+    report.union(ri)
+      .withColumnRenamed("check", "check_name")
+      .orderBy($"check_name", $"col")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1280,5 +1371,5 @@ object RelationalQueries {
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
     q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
-    q34SketchRollup)
+    q34SketchRollup, q35QualityChecks)
 }
