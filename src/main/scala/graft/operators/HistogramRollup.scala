@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable HISTOGRAM rollup — [[SketchRollup]]'s quantile sibling:
+  * percentiles, like COUNT(DISTINCT), do not decompose across rollup
+  * cells (you cannot combine two days' p95s), but fixed-bin INTEGER
+  * histograms do — counts add. Persist one tiny per-(day, group)
+  * histogram, answer any day-range percentile question by SUM-merging
+  * bins and walking the merged cumulative counts — kilobytes of bin
+  * IO instead of a corpus sort (the classic monitoring-store design:
+  * Prometheus histogram_quantile, Druid fixed-bucket histograms —
+  * both public patterns).
+  *
+  * Everything before the final interpolation is INTEGER-exact and
+  * order-independent (bin = clamp(floor(value/W)), counts, sums,
+  * cumulative sums, target rank k = ⌈p·n⌉ computed as
+  * (p_num·n + p_den − 1) DIV p_den — never a float p·n whose ceil
+  * could straddle an ulp); the interpolation itself is one double
+  * multiply-divide on integers, identical in both engines, so the
+  * DuckDB oracle replays the FULL estimate. Estimate error is
+  * bounded by the bin width by construction (spec-pinned against the
+  * exact sorted percentile).
+  *
+  * The merge is also the late-data story: a straggler day's bins ADD
+  * in (sum, not max, so replays are NOT idempotent — exactly-once
+  * per batch is the caller's contract here, the same foreachBatch
+  * batch-id discipline the manifest append uses; HLL's max tolerance
+  * is the price difference between the two sketches). */
+object HistogramRollup {
+
+  val BinWidth = 5.0
+  val NumBins = 100 // [0, 500) in 5.0-wide bins + one overflow bin
+
+  def histPath(dir: String): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/hist_daily"
+
+  private def binOf(v: org.apache.spark.sql.Column) =
+    least(floor(v / BinWidth).cast("long"), lit(NumBins.toLong))
+
+  /** Build the per-(day, event_type, bin) count table once. */
+  def ensure(s: SparkSession, dir: String): Unit = {
+    val path = histPath(dir)
+    if (IndexStore.artifactReady(path)) return
+    graft.Tables(s, dir, "events")
+      .select(date_trunc("DAY", col("ts")).as("day"),
+        col("event_type"), binOf(col("value")).as("bin"))
+      .groupBy("day", "event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** SUM-merge the daily histograms over [lo, hi). */
+  def mergedBins(s: SparkSession, dir: String, lo: String,
+      hi: String): DataFrame = {
+    ensure(s, dir)
+    s.read.parquet(histPath(dir))
+      .where(col("day") >= lit(MinMaxManifest.utc(lo)) &&
+        col("day") < lit(MinMaxManifest.utc(hi)))
+      .groupBy("event_type", "bin")
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Percentile estimates from merged bins: for each p (as an exact
+    * rational pNum/100), target rank k = ⌈p·n⌉, pick the first bin
+    * whose cumulative count reaches k, interpolate linearly inside
+    * it. The per-group frame is ≤ NumBins+1 rows, so the window walk
+    * is metadata-sized however big the corpus. */
+  def percentiles(merged: DataFrame, pNums: Seq[Int]): DataFrame = {
+    val grp = Window.partitionBy("event_type")
+    val w = Window.partitionBy("event_type").orderBy("bin")
+    val withCum = merged
+      .withColumn("n", sum("cnt").over(grp))
+      .withColumn("cum", sum("cnt").over(w))
+    val ests = pNums.map { p =>
+      // integer ⌈p·n/100⌉: floor((pn+99)/100.0) equals BIGINT DIV for
+      // pn+99 < 2^52 (the exact rational is never within an ulp of an
+      // integer unless it IS one) — the DuckDB oracle uses `//`
+      val k = floor((lit(p.toLong) * col("n") + lit(99L)) / 100.0).cast("long")
+      val interp = col("bin") * BinWidth +
+        lit(BinWidth) * (k - (col("cum") - col("cnt"))).cast("double") /
+          col("cnt").cast("double")
+      // argmin-by-bin of qualifying rows: struct min orders by the
+      // leading bin field; non-qualifying rows are null and ignored
+      min(when(col("cum") >= k, struct(col("bin"), round(interp, 4).as("e"))))
+        .getField("e").as(s"p$p")
+    }
+    val nCol = max(col("n")).as("n")
+    withCum.groupBy("event_type")
+      .agg(ests.head, (ests.tail :+ nCol): _*)
+  }
+}

@@ -1362,6 +1362,60 @@ object RelationalQueries {
       .orderBy($"check_name", $"col")
   }
 
+  /** q36 — MERGEABLE HISTOGRAM QUANTILES
+    * ([[graft.operators.HistogramRollup]]): q34's percentile sibling
+    * — per-day fixed-bin INTEGER histograms merge by SUM into any
+    * window, and p50/p95/p99 come from walking the merged cumulative
+    * counts (≤101 rows per group) with integer target ranks and one
+    * double interpolation — the Prometheus/Druid fixed-bucket
+    * pattern, scan-free at query time. The oracle replays the whole
+    * estimate (integer bins/ranks, identical interpolation
+    * arithmetic); the bin-width error bound vs the exact sorted
+    * percentile is HistogramRollupSpec's job. */
+  val q36HistogramQuantiles: GraftQuery = q(
+    "q36_histogram_quantiles",
+    "mergeable fixed-bin histograms: window p50/p95/p99 from daily bin tables",
+    """WITH w AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-18 00:00:00'),
+      |b AS (
+      |  SELECT event_type,
+      |         least(CAST(floor(value / 5.0) AS BIGINT), 100) AS bin,
+      |         count(*) AS cnt
+      |  FROM w GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bin, cnt,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      |  FROM b),
+      |est AS (
+      |  SELECT event_type, max(n) AS n,
+      |         min_by(round(bin * 5.0
+      |             + 5.0 * CAST((50*n + 99) // 100 - (cum - cnt) AS DOUBLE)
+      |               / CAST(cnt AS DOUBLE), 4), bin)
+      |           FILTER (cum >= (50*n + 99) // 100) AS p50,
+      |         min_by(round(bin * 5.0
+      |             + 5.0 * CAST((95*n + 99) // 100 - (cum - cnt) AS DOUBLE)
+      |               / CAST(cnt AS DOUBLE), 4), bin)
+      |           FILTER (cum >= (95*n + 99) // 100) AS p95,
+      |         min_by(round(bin * 5.0
+      |             + 5.0 * CAST((99*n + 99) // 100 - (cum - cnt) AS DOUBLE)
+      |               / CAST(cnt AS DOUBLE), 4), bin)
+      |           FILTER (cum >= (99*n + 99) // 100) AS p99
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, p50, p95, p99, n
+      |FROM est ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val HR = graft.operators.HistogramRollup
+    HR.percentiles(
+        HR.mergedBins(s, dir, "2024-01-08 00:00:00", "2024-01-18 00:00:00"),
+        Seq(50, 95, 99))
+      .select($"event_type", $"p50", $"p95", $"p99", $"n")
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1371,5 +1425,5 @@ object RelationalQueries {
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
     q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
-    q34SketchRollup, q35QualityChecks)
+    q34SketchRollup, q35QualityChecks, q36HistogramQuantiles)
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The mergeable-histogram contract: daily SUM-merge equals the
+  * window-direct histogram bin-for-bin, estimates land within one bin
+  * width of the exact sorted percentile, and the persisted table is
+  * bin-bounded. */
+class HistogramRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val HR = HistogramRollup
+  private val (lo, hi) = ("2024-01-05 00:00:00", "2024-01-25 00:00:00")
+
+  private def withRoot[A](body: => A): A = {
+    val dir = tmpDir("graft-hist-spec")
+    sys.props("graft.index.dir") = dir
+    try body
+    finally { sys.props.remove("graft.index.dir"); () }
+  }
+
+  private def windowEvents = graft.Tables(spark, sf, "events")
+    .where(col("ts") >= lit(MinMaxManifest.utc(lo)) &&
+      col("ts") < lit(MinMaxManifest.utc(hi)))
+
+  test("daily SUM-merge equals the window-direct histogram bin-for-bin") {
+    withRoot {
+      val merged = HR.mergedBins(spark, sf, lo, hi)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val direct = windowEvents
+        .select(col("event_type"),
+          least(floor(col("value") / HR.BinWidth).cast("long"),
+            lit(HR.NumBins.toLong)).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(merged === direct)
+    }
+  }
+
+  test("estimates land within one bin width of the exact percentile") {
+    withRoot {
+      val est = HR.percentiles(HR.mergedBins(spark, sf, lo, hi), Seq(50, 95, 99))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val byType = windowEvents.select("event_type", "value")
+        .collect().groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+      assert(est.keySet === byType.keySet)
+      byType.foreach { case (t, vs) =>
+        def exact(p: Int) = vs(math.min(vs.length - 1,
+          math.max(0, (p * vs.length + 99) / 100 - 1)))
+        val (p50, p95, p99) = est(t)
+        Seq(50 -> p50, 95 -> p95, 99 -> p99).foreach { case (p, e) =>
+          assert(math.abs(e - exact(p)) <= HR.BinWidth,
+            s"$t p$p: estimate $e vs exact ${exact(p)} beyond one bin width")
+        }
+      }
+    }
+  }
+
+  test("late-day bins ADD in: merging a split history equals the whole") {
+    withRoot {
+      HR.ensure(spark, sf)
+      val all = spark.read.parquet(HR.histPath(sf))
+        .where(col("day") >= lit(MinMaxManifest.utc(lo)) &&
+          col("day") < lit(MinMaxManifest.utc(hi)))
+      val mid = MinMaxManifest.utc("2024-01-15 00:00:00")
+      val recombined = all.where(col("day") < lit(mid))
+        .union(all.where(col("day") >= lit(mid)))
+        .groupBy("event_type", "bin").agg(sum("cnt").as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val whole = HR.mergedBins(spark, sf, lo, hi)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(recombined === whole)
+    }
+  }
+
+  test("the persisted table is bounded by days × groups × bins") {
+    withRoot {
+      HR.ensure(spark, sf)
+      val t = spark.read.parquet(HR.histPath(sf))
+      val days = t.select("day").distinct().count()
+      val types = t.select("event_type").distinct().count()
+      assert(t.count() <= days * types * (HR.NumBins + 1))
+      assert(t.where(col("bin") < 0 || col("bin") > HR.NumBins).count() === 0L)
+    }
+  }
+}
