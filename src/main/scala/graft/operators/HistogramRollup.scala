@@ -52,6 +52,22 @@ object HistogramRollup {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** INCREMENTAL maintenance: a micro-batch appends its own bin
+    * counts; the read-side SUM folds duplicates of any (day, group,
+    * bin) key, so late days and intra-day micro-batches both just
+    * add. NOT replay-idempotent (counts add — see the object
+    * scaladoc's exactly-once contract; the spec pins the
+    * double-count on purpose so the contract is visible). */
+  def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    require(IndexStore.artifactReady(histPath(dir)),
+      "histogram table must be built before appending")
+    batch.select(date_trunc("DAY", col("ts")).as("day"),
+        col("event_type"), binOf(col("value")).as("bin"))
+      .groupBy("day", "event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("append").parquet(histPath(dir))
+  }
+
   /** SUM-merge the daily histograms over [lo, hi). */
   def mergedBins(s: SparkSession, dir: String, lo: String,
       hi: String): DataFrame = {

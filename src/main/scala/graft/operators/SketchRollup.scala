@@ -74,6 +74,27 @@ object SketchRollup {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** INCREMENTAL maintenance — the streaming-ingest leg: a
+    * micro-batch appends its own (day, group, reg, rho) rows; the
+    * read-side MAX-merge folds duplicates of any key, so appends
+    * never rewrite stored rows AND replaying a batch is harmless
+    * (max is idempotent — the property that lets this sink run
+    * at-least-once, unlike [[HistogramRollup.appendBatch]]'s
+    * exactly-once contract). O(batch) work, one tiny file. */
+  def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    require(IndexStore.artifactReady(sketchPath(dir)),
+      "sketch table must be built before appending")
+    val h = graft.functions.DetHash.hash60(col("user_id"), Salt)
+    batch.select(
+        date_trunc("DAY", col("ts")).as("day"),
+        col("event_type"),
+        h.bitwiseAND(lit(511L)).as("reg"),
+        rho(shiftright(h, P)).as("rho"))
+      .groupBy(col("day"), col("event_type"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+      .coalesce(1).write.mode("append").parquet(sketchPath(dir))
+  }
+
   /** Register-wise MAX merge of the daily sketches in [lo, hi) —
     * the associative op that makes the rollup answer any window. */
   def mergedRegisters(s: SparkSession, dir: String, lo: String,

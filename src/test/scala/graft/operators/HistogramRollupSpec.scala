@@ -77,6 +77,27 @@ class HistogramRollupSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch adds counts; replay double-counts — the documented contract") {
+    withRoot {
+      HR.ensure(spark, sf)
+      val widerHi = "2024-02-10 00:00:00"
+      def batch = (0 until 30).map { i =>
+        (910000L + i, java.sql.Timestamp.valueOf(f"2024-02-06 01:00:${i % 60}%02d"),
+          7L, "append", 12.5, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      HR.appendBatch(spark, sf, batch)
+      def cntOf() = HR.mergedBins(spark, sf, lo, widerHi)
+        .where(col("event_type") === "append").agg(sum("cnt")).head().getLong(0)
+      assert(cntOf() === 30L, "appended day must merge in by sum")
+      // replaying the batch DOUBLE-COUNTS — sum-merge is deliberately
+      // not idempotent; exactly-once-per-batch is the caller contract
+      // (vs SketchRollup's max-merge at-least-once tolerance)
+      HR.appendBatch(spark, sf, batch)
+      assert(cntOf() === 60L,
+        "the non-idempotence contract must be real and visible")
+    }
+  }
+
   test("the persisted table is bounded by days × groups × bins") {
     withRoot {
       HR.ensure(spark, sf)

@@ -81,6 +81,29 @@ class SketchRollupSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch merges by max: new day counted, replay harmless") {
+    withRoot {
+      SR.ensure(spark, sf)
+      val widerHi = "2024-02-10 00:00:00"
+      def batch = (0 until 40).map { i =>
+        (900000L + i, java.sql.Timestamp.valueOf(f"2024-02-05 01:00:${i % 60}%02d"),
+          100000L + i, "append", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      SR.appendBatch(spark, sf, batch)
+      val est1 = SR.estimate(SR.mergedRegisters(spark, sf, lo, widerHi))
+        .where(col("event_type") === "append").head()
+      // 40 brand-new users → linear counting should land very close
+      assert(math.abs(est1.getDouble(2) - 40.0) <= 5.0,
+        s"appended day estimate ${est1.getDouble(2)} far from 40")
+      // at-least-once tolerance: replaying the same batch is a no-op
+      SR.appendBatch(spark, sf, batch)
+      val est2 = SR.estimate(SR.mergedRegisters(spark, sf, lo, widerHi))
+        .where(col("event_type") === "append").head()
+      assert(est2.getDouble(2) === est1.getDouble(2),
+        "max-merge must make replays harmless")
+    }
+  }
+
   test("the persisted daily table is register-bounded, never row-scaled") {
     withRoot {
       SR.ensure(spark, sf)
