@@ -331,6 +331,22 @@ object Multimodal {
     if (perturbed && (x * 31 + y) % 37 == 0) (v0 + 16) % 256 else v0
   }
 
+  /** The hash-table stage of the perceptual-dedup pipeline (m06):
+    * decode each payload, aHash to four 16-bit words. Undecodable
+    * payloads are EXCLUDED, never defaulted — a shared fallback hash
+    * would report every pair of corrupt blobs as a Hamming-0
+    * duplicate of each other (review catch); surviving a bad blob
+    * means excluding it from comparison, not fabricating pixels. */
+  def aHashTable(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readImage(r.payload).map(aHashWords)
+          .map(ws => (r.mediaId, ws(0), ws(1), ws(2), ws(3)))
+      }
+    }.toDF("doc_id", "w0", "w1", "w2", "w3")
+  }
+
   def synthGrayPng(seed: Long, perturbed: Boolean, w: Int = 32,
       h: Int = 32): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(

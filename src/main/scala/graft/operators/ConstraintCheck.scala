@@ -72,9 +72,12 @@ object ConstraintCheck {
     * arrives via the join strategy Catalyst picks for its size. */
   def referentialIntegrity(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String, check: String): DataFrame = {
-    val orphans = child.select(col(childKey))
-      .join(parent.select(col(parentKey)),
-        col(childKey) === col(parentKey), "left_anti")
+    // both sides rename to private keys before the join: with
+    // same-named child/parent key columns (the surrogate-key norm),
+    // unqualified col(key) would be AMBIGUOUS_REFERENCE (review catch)
+    val orphans = child.select(col(childKey).as("_ck"))
+      .join(parent.select(col(parentKey).as("_pk")),
+        col("_ck") === col("_pk"), "left_anti")
       .agg(count(lit(1)).cast("double").as("_m"))
     orphans.select(
       lit(check).as("check"),

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   * could straddle an ulp); the interpolation itself is one double
   * multiply-divide on integers, identical in both engines, so the
   * DuckDB oracle replays the FULL estimate. Estimate error is
-  * bounded by the bin width by construction (spec-pinned against the
-  * exact sorted percentile).
+  * bounded by the bin width by construction ON THE BOUNDED DOMAIN
+  * [0, NumBins·BinWidth) — spec-pinned against the exact sorted
+  * percentile; a percentile landing in the overflow bin is reported
+  * as that bin's lower edge (a "≥ edge" answer, the honest best a
+  * fixed-bucket histogram can give out of range).
   *
   * The merge is also the late-data story: a straggler day's bins ADD
   * in (sum, not max, so replays are NOT idempotent — exactly-once
@@ -37,8 +40,12 @@ object HistogramRollup {
   def histPath(dir: String): String =
     s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/hist_daily"
 
+  /** Clamped both ways: negatives land in bin 0, values ≥
+    * NumBins·BinWidth in the overflow bin (review catch — an
+    * unclamped negative bin would violate the table invariant). */
   private def binOf(v: org.apache.spark.sql.Column) =
-    least(floor(v / BinWidth).cast("long"), lit(NumBins.toLong))
+    greatest(lit(0L),
+      least(floor(v / BinWidth).cast("long"), lit(NumBins.toLong)))
 
   /** Build the per-(day, event_type, bin) count table once. */
   def ensure(s: SparkSession, dir: String): Unit = {
@@ -95,9 +102,16 @@ object HistogramRollup {
       // pn+99 < 2^52 (the exact rational is never within an ulp of an
       // integer unless it IS one) — the DuckDB oracle uses `//`
       val k = floor((lit(p.toLong) * col("n") + lit(99L)) / 100.0).cast("long")
-      val interp = col("bin") * BinWidth +
-        lit(BinWidth) * (k - (col("cum") - col("cnt"))).cast("double") /
-          col("cnt").cast("double")
+      // the overflow bin has no upper edge, so linear interpolation
+      // inside it is meaningless — report its lower edge and let the
+      // caller read "≥ edge" (review catch: the bin-width error bound
+      // holds only on the bounded domain [0, NumBins·W), which the
+      // spec asserts on in-domain fixtures)
+      val interp = when(col("bin") === NumBins.toLong,
+        lit(NumBins * BinWidth))
+        .otherwise(col("bin") * BinWidth +
+          lit(BinWidth) * (k - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double"))
       // argmin-by-bin of qualifying rows: struct min orders by the
       // leading bin field; non-qualifying rows are null and ignored
       min(when(col("cum") >= k, struct(col("bin"), round(interp, 4).as("e"))))

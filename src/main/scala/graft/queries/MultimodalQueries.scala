@@ -305,16 +305,11 @@ object MultimodalQueries {
           Multimodal.MediaMeta("image", "png", 32, 32, 0, 0),
           Multimodal.synthGrayPng(seed, perturbed = id % 7 == 1))
       }
-      val words = media.mapPartitions { rows =>
-        rows.map { r =>
-          // corrupt-blob discipline: an undecodable payload hashes to
-          // the zero words instead of failing the task (all-zero is a
-          // legal hash; a 100-TB corpus must survive bad bytes)
-          val ws = Multimodal.readImage(r.payload)
-            .map(Multimodal.aHashWords).getOrElse(new Array[Int](4))
-          (r.mediaId, ws(0), ws(1), ws(2), ws(3))
-        }
-      }.toDF("doc_id", "w0", "w1", "w2", "w3")
+      // the 8-byte-per-image hash table is persisted: it feeds four
+      // join sides below, and without the pin the dominant decode
+      // pass would re-execute per consumer (review catch); corrupt
+      // payloads are excluded inside aHashTable — see its scaladoc
+      val words = Multimodal.aHashTable(media).persist()
       val bands = words.select($"doc_id",
         posexplode(array($"w0", $"w1", $"w2", $"w3")).as(Seq("band", "w")))
       val cand = bands.as("a")

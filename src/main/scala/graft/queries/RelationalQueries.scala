@@ -1381,7 +1381,8 @@ object RelationalQueries {
       |    AND ts <  TIMESTAMP '2024-01-18 00:00:00'),
       |b AS (
       |  SELECT event_type,
-      |         least(CAST(floor(value / 5.0) AS BIGINT), 100) AS bin,
+      |         greatest(CAST(0 AS BIGINT),
+      |                  least(CAST(floor(value / 5.0) AS BIGINT), 100)) AS bin,
       |         count(*) AS cnt
       |  FROM w GROUP BY 1, 2),
       |c AS (
@@ -1391,17 +1392,20 @@ object RelationalQueries {
       |  FROM b),
       |est AS (
       |  SELECT event_type, max(n) AS n,
-      |         min_by(round(bin * 5.0
+      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
+      |             ELSE bin * 5.0
       |             + 5.0 * CAST((50*n + 99) // 100 - (cum - cnt) AS DOUBLE)
-      |               / CAST(cnt AS DOUBLE), 4), bin)
+      |               / CAST(cnt AS DOUBLE) END, 4), bin)
       |           FILTER (cum >= (50*n + 99) // 100) AS p50,
-      |         min_by(round(bin * 5.0
+      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
+      |             ELSE bin * 5.0
       |             + 5.0 * CAST((95*n + 99) // 100 - (cum - cnt) AS DOUBLE)
-      |               / CAST(cnt AS DOUBLE), 4), bin)
+      |               / CAST(cnt AS DOUBLE) END, 4), bin)
       |           FILTER (cum >= (95*n + 99) // 100) AS p95,
-      |         min_by(round(bin * 5.0
+      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
+      |             ELSE bin * 5.0
       |             + 5.0 * CAST((99*n + 99) // 100 - (cum - cnt) AS DOUBLE)
-      |               / CAST(cnt AS DOUBLE), 4), bin)
+      |               / CAST(cnt AS DOUBLE) END, 4), bin)
       |           FILTER (cum >= (99*n + 99) // 100) AS p99
       |  FROM c GROUP BY event_type)
       |SELECT event_type, p50, p95, p99, n

@@ -200,6 +200,20 @@ class MultimodalSpec extends SparkSpec {
     assert(h1.forall(w => w >= 0 && w <= 0xffff), "words must be 16-bit")
   }
 
+  test("aHashTable excludes corrupt payloads instead of hashing them alike") {
+    val junk1 = Array[Byte](1, 2, 3)
+    val junk2 = Array[Byte](9, 9, 9, 9)
+    val rows = Seq(
+      media(1L, "image", synthGrayPng(1L, perturbed = false)),
+      media(2L, "image", junk1),
+      media(3L, "image", junk2)).toDS()
+    val table = aHashTable(rows)
+    val ids = table.select("doc_id").collect().map(_.getLong(0)).sorted
+    // a defaulted zero-hash would make docs 2 and 3 a Hamming-0
+    // "duplicate" pair of two unrelated corrupt blobs
+    assert(ids.toSeq === Seq(1L), "corrupt payloads must be excluded, not defaulted")
+  }
+
   test("m06: banded candidates find exactly the verified planted near-dups") {
     val df = graft.queries.MultimodalQueries.m06PerceptualHash
       .fn(spark, "/root/testdata/sf0.001")

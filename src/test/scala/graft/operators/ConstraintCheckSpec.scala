@@ -59,6 +59,15 @@ class ConstraintCheckSpec extends SparkSpec {
     assert(bad.getDouble(2) === 2.0 && bad.getLong(3) === 0L)
   }
 
+  test("referential integrity works with SAME-NAMED key columns") {
+    // the surrogate-key norm: both sides call the key "id" — an
+    // unqualified col("id") join would be AMBIGUOUS_REFERENCE
+    val parent = Seq(1L, 2L).toDF("id")
+    val child = Seq(1L, 7L).toDF("id")
+    val r = CC.referentialIntegrity(child, "id", parent, "id", "ri").head()
+    assert(r.getDouble(2) === 1.0 && r.getLong(3) === 0L)
+  }
+
   test("q35 report: every check appears once; the planted failure is user_id uniqueness") {
     val df = graft.queries.RelationalQueries.q35QualityChecks
       .fn(spark, "/root/testdata/sf0.001")

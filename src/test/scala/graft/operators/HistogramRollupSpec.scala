@@ -98,6 +98,20 @@ class HistogramRollupSpec extends SparkSpec {
     }
   }
 
+  test("overflow bin reports its lower edge; no interpolation out of domain") {
+    // a group whose p99 lands in the unbounded overflow bin must
+    // answer "≥ 500", not a fabricated interpolation (review catch)
+    val merged = Seq(
+      ("hot", 0L, 90L),   // 90 in-domain rows
+      ("hot", 100L, 10L)  // 10 overflow rows ≥ 500
+    ).toDF("event_type", "bin", "cnt")
+    val est = HR.percentiles(merged, Seq(50, 99)).head()
+    assert(est.getDouble(2) === HR.NumBins * HR.BinWidth,
+      s"p99 in the overflow bin must report the edge, got ${est.getDouble(2)}")
+    assert(est.getDouble(1) < HR.BinWidth * 2,
+      "in-domain p50 must still interpolate normally")
+  }
+
   test("the persisted table is bounded by days × groups × bins") {
     withRoot {
       HR.ensure(spark, sf)
