@@ -366,6 +366,101 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** ======= AUDIO FINGERPRINT (banded energy signature) =======
+    * The audio face of the perceptual-dedup family (m07): decode the
+    * payload through the REAL `javax.sound.sampled` path
+    * ([[readAudio]]), reduce to an 8-window INTEGER energy signature
+    * (per-window Σ|sample| — pure long accumulation, replayable in
+    * SQL), and mine near-dups with minhash-style banding over EXACT
+    * half-signatures: a re-render whose distortion is confined to a
+    * few windows still matches the untouched half exactly, while an
+    * unrelated clip would need four 22-bit-entropy window sums to
+    * collide at once. Chromaprint et al. use spectral landmarks; the
+    * plumbing (decode → windowed integer reduce → banded join →
+    * verify) is the same shape, codec-real end to end. */
+
+  /** Per-window Σ|sample| signature over decoded samples — integer
+    * bounds identical to [[audioFeatures]]'s windows. */
+  def energySignature(samples: Array[Short], nWindows: Int = 8): Array[Long] = {
+    val sig = new Array[Long](nWindows)
+    val n = samples.length
+    var w = 0
+    while (w < nWindows) {
+      val start = (n.toLong * w / nWindows).toInt
+      val end = (n.toLong * (w + 1) / nWindows).toInt
+      var i = start
+      while (i < end) {
+        sig(w) += math.abs(samples(i).toInt).toLong
+        i += 1
+      }
+      w += 1
+    }
+    sig
+  }
+
+  /** 16-bit mono PCM WAV container around raw samples — a REAL
+    * encode through `javax.sound.sampled.AudioSystem.write`, so the
+    * m07 fixture exercises the genuine codec round trip. */
+  def pcmWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic PCM clip — the m07 fixture generator
+    * (the audio analog of [[synthPixel]], same seed-MULTIPLIED mod-p
+    * discipline so distinct clips share no affine structure).
+    * `perturbed` re-renders with a +50 bump on every 17th sample of
+    * window 2 only (N=2048 ⇒ samples 512..767) — a localized
+    * distortion that moves one window's energy and leaves the other
+    * band's half-signature bit-identical. Mirrored in the m07
+    * oracle. */
+  def synthSample(seed: Long, i: Int, perturbed: Boolean): Short = {
+    val P = 1000000007L
+    val m = (seed * 1000003L + 12345L) % P
+    val u = (((i * 131L + 7L) * m) % P) % 65536L
+    val u2 =
+      if (perturbed && i >= 512 && i < 768 && i % 17 == 0) (u + 50L) % 65536L
+      else u
+    (u2 - 32768L).toShort
+  }
+
+  def synthClipWav(seed: Long, perturbed: Boolean, n: Int = 2048): Array[Byte] = {
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = synthSample(seed, i, perturbed)
+      i += 1
+    }
+    pcmWav(samples)
+  }
+
+  /** The signature-table stage of m07: decode → 8-window integer
+    * energy signature. Undecodable payloads are EXCLUDED (the
+    * [[aHashTable]] discipline — a defaulted signature would pair up
+    * unrelated corrupt blobs). */
+  def energyTable(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readAudio(r.payload).map(energySignature(_))
+          .map(s => (r.mediaId, s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7)))
+      }
+    }.toDF("doc_id", "e0", "e1", "e2", "e3", "e4", "e5", "e6", "e7")
+  }
+
   /** DataFrame-side entry: build a typed media Dataset from any frame
     * with (id long, kind string, payload binary) — e.g. documents.text
     * cast to binary in the registered demo query. Rows are

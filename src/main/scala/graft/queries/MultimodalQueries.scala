@@ -377,7 +377,109 @@ object MultimodalQueries {
       |ORDER BY doc_a, doc_b""".stripMargin),
     "multimodal: aHash perceptual near-dup over REAL PNG decode (v16-shape banding)")
 
+  /** m07 — AUDIO-FINGERPRINT near-dup (the second decoded-pixel...
+    * decoded-SAMPLE modality, completing the pattern m06 set): every
+    * doc renders a deterministic 2048-sample PCM clip encoded as a
+    * REAL WAV ([[Multimodal.synthClipWav]] →
+    * `javax.sound.sampled.AudioSystem.write`), the operator decodes
+    * the opaque bytes through the genuine codec
+    * ([[Multimodal.readAudio]]), reduces to an 8-window integer
+    * energy signature, and mines near-dups minhash-style: two bands
+    * of four EXACT window sums each — a re-render whose distortion
+    * is confined to one window (the planted docs ≡ 2 mod 5 perturb
+    * window 2 only) matches the untouched band exactly, while an
+    * unrelated clip would need four ~22-bit window sums to collide
+    * simultaneously. Verify = integer L1 over the full signature ≤
+    * 20000 (the planted distortion moves ≤ 15 samples by ≤ 50 —
+    * ~750 absolute — while unrelated clips differ by ~10⁶). Oracle
+    * replays samples/signature/bands from the generation formula
+    * (PCM WAV round-trips bit-exactly — spec-pinned). Scale: the
+    * signature is 64 B/clip; decode is the one heavy pass, bounded
+    * per task; the band join is an equi-join on 4-sum composite
+    * keys. */
+  val m07AudioFingerprint: GraftQuery = GraftQuery(
+    "m07_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val media = docs.map { id =>
+        val seed = if (id % 5 == 2) id - 1 else id
+        Multimodal.MediaRow(id,
+          Multimodal.MediaMeta("audio", "wav", 0, 0, 8000, 256),
+          Multimodal.synthClipWav(seed, perturbed = id % 5 == 2))
+      }
+      val sig = Multimodal.energyTable(media).persist()
+      val bands = sig.select($"doc_id",
+        posexplode(array(
+          concat_ws(":", $"e0", $"e1", $"e2", $"e3"),
+          concat_ws(":", $"e4", $"e5", $"e6", $"e7"))).as(Seq("band", "key")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.as("sa"), $"doc_a" === col("sa.doc_id"))
+        .join(sig.as("sb"), $"doc_b" === col("sb.doc_id"))
+        .select($"doc_a", $"doc_b",
+          (0 to 7).map(i =>
+            abs(col(s"sa.e$i") - col(s"sb.e$i"))).reduce(_ + _).as("l1"))
+        .where($"l1" <= 20000L)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 5 = 2 THEN doc_id - 1 ELSE doc_id END AS seed,
+      |         doc_id % 5 = 2 AS pert
+      |  FROM documents),
+      |smp AS (
+      |  SELECT d.doc_id, x.i,
+      |         CASE WHEN d.pert AND x.i >= 512 AND x.i < 768 AND x.i % 17 = 0
+      |              THEN ((((x.i*131 + 7)
+      |                      * ((d.seed*1000003 + 12345) % 1000000007))
+      |                     % 1000000007) % 65536 + 50) % 65536
+      |              ELSE (((x.i*131 + 7)
+      |                     * ((d.seed*1000003 + 12345) % 1000000007))
+      |                    % 1000000007) % 65536 END AS u
+      |  FROM d CROSS JOIN (SELECT unnest(range(2048)) AS i) x),
+      |win AS (
+      |  SELECT doc_id, i // 256 AS w, sum(abs(u - 32768)) AS s
+      |  FROM smp GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |         max(CASE WHEN w = 0 THEN s END) AS e0,
+      |         max(CASE WHEN w = 1 THEN s END) AS e1,
+      |         max(CASE WHEN w = 2 THEN s END) AS e2,
+      |         max(CASE WHEN w = 3 THEN s END) AS e3,
+      |         max(CASE WHEN w = 4 THEN s END) AS e4,
+      |         max(CASE WHEN w = 5 THEN s END) AS e5,
+      |         max(CASE WHEN w = 6 THEN s END) AS e6,
+      |         max(CASE WHEN w = 7 THEN s END) AS e7
+      |  FROM win GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band,
+      |         concat_ws(':', e0, e1, e2, e3) AS key FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, 1, concat_ws(':', e4, e5, e6, e7) FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         abs(sa.e0-sb.e0) + abs(sa.e1-sb.e1) + abs(sa.e2-sb.e2)
+      |         + abs(sa.e3-sb.e3) + abs(sa.e4-sb.e4) + abs(sa.e5-sb.e5)
+      |         + abs(sa.e6-sb.e6) + abs(sa.e7-sb.e7) AS l1
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, CAST(l1 AS BIGINT) AS l1 FROM ham
+      |WHERE l1 <= 20000
+      |ORDER BY doc_a, doc_b""".stripMargin),
+    "multimodal: banded audio energy-fingerprint near-dup over REAL WAV decode")
+
   val all: Seq[GraftQuery] = Seq(
     m01BinaryFeatures, m02FrameSample, m03Resize, m04PayloadDedup,
-    m05ChunkStore, m06PerceptualHash)
+    m05ChunkStore, m06PerceptualHash, m07AudioFingerprint)
 }

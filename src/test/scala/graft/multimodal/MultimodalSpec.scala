@@ -230,6 +230,57 @@ class MultimodalSpec extends SparkSpec {
     assert(planted === rows.length)
   }
 
+  test("m07 fixture: WAV round-trip returns the formula's exact PCM samples") {
+    for (seed <- Seq(0L, 6L, 41L); pert <- Seq(false, true)) {
+      val decoded = readAudio(synthClipWav(seed, pert)).get
+      assert(decoded.length === 2048)
+      var i = 0
+      while (i < 2048) {
+        assert(decoded(i) === synthSample(seed, i, pert),
+          s"sample $i of seed=$seed pert=$pert diverged")
+        i += 1
+      }
+    }
+  }
+
+  test("m07: perturbation moves only window 2's energy; the other band matches exactly") {
+    def sig(seed: Long, pert: Boolean) =
+      energySignature(readAudio(synthClipWav(seed, pert)).get)
+    for (seed <- Seq(1L, 6L, 96L)) {
+      val base = sig(seed, pert = false)
+      val dup = sig(seed, pert = true)
+      assert((0 to 7).filter(w => base(w) != dup(w)) === Seq(2),
+        "distortion must be confined to window 2")
+      assert(math.abs(base(2) - dup(2)) <= 20000L,
+        "the planted distortion must stay under the verify threshold")
+    }
+    // unrelated seeds: no band (4 consecutive sums) matches
+    val a = sig(3L, pert = false)
+    val b = sig(4L, pert = false)
+    assert(a.take(4).toSeq !== b.take(4).toSeq)
+    assert(a.drop(4).toSeq !== b.drop(4).toSeq)
+  }
+
+  test("energyTable excludes undecodable payloads") {
+    val rows = Seq(
+      media(1L, "audio", synthClipWav(1L, perturbed = false)),
+      media(2L, "audio", Array[Byte](1, 2, 3))).toDS()
+    val ids = energyTable(rows).select("doc_id").collect().map(_.getLong(0))
+    assert(ids.toSeq === Seq(1L))
+  }
+
+  test("m07: banded candidates find exactly the verified planted near-dups") {
+    val df = graft.queries.MultimodalQueries.m07AudioFingerprint
+      .fn(spark, "/root/testdata/sf0.001")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, l1) =>
+      assert(l1 <= 20000L && a < b)
+      assert(b === a + 1 && b % 5 == 2,
+        s"pair ($a,$b) is not a planted predecessor pair")
+    }
+  }
+
   test("m05 chunk store: every document reassembles byte-identically") {
     val df = graft.queries.MultimodalQueries.m05ChunkStore
       .fn(spark, "/root/testdata/sf0.001")
