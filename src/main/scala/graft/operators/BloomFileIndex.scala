@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level BLOOM index — the third leg of the data-skipping triad
+  * and the one the other two can't cover: partition pruning needs a
+  * directory scheme, min/max stats ([[MinMaxManifest]]) need the
+  * column CLUSTERED (an unclustered column's per-file [min,max]
+  * spans everything and prunes nothing) — but a point lookup on an
+  * unclustered unique key (find event 4217 in a month of files) can
+  * only skip files through per-file membership summaries. That is
+  * exactly what parquet column bloom filters and Delta's file-level
+  * blooms are (public features; the idea, not the formats).
+  *
+  * Representation: k=4 hash-derived bit positions per value in an
+  * m = 2^17 space, stored as DISTINCT (path, bit) rows — row-prunable
+  * (`bit IN (...)` pushes down on the bit-sorted layout) and
+  * SQL-replayable, which is what lets the oracle recompute the probe
+  * verdicts. A packed long[] bitmap per file is the production
+  * compression of the same structure (~8× smaller) and changes no
+  * semantics; per-file cardinality caps rows at min(n·k, m).
+  * Bloom property preserved end to end: a file the index skips
+  * CANNOT contain the probe (no false negatives — spec-pinned by
+  * exhaustive lookup equality), a false-positive file merely gets
+  * scanned and filtered (~0.1% at the gate's n/m).
+  *
+  * The probe path is metadata-only until the final scan: qualifying
+  * files = the (path, bit) rows hit by the probe's k bits, grouped
+  * by path, HAVING all k present — kilobytes of index IO, then a
+  * scan of only the surviving files with the row predicate
+  * re-applied. */
+object BloomFileIndex {
+
+  val K = 4
+  val MBits = 1 << 17
+  private val Salts = (0 until K).map(i => s"bloom$i")
+
+  def indexPath(dir: String): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/bloom_event_id"
+
+  /** The k bit positions of a value (hash60 mod m per salt). */
+  private def bitsOf(v: Column): Seq[Column] =
+    Salts.map(s => (graft.functions.DetHash.hash60(v, s) % MBits).cast("int"))
+
+  /** JVM-side replica for driver-side probe computation. */
+  def probeBits(v: Long): Seq[Int] =
+    Salts.map(s =>
+      (graft.functions.HashSketch.hash60Jvm(v.toString, s) % MBits).toInt)
+
+  /** Build the per-file bit table over the time-clustered layout's
+    * event_id column (one scan; distinct collapses to ≤ min(n·k, m)
+    * rows per file), bit-sorted so probe reads prune row groups. */
+  def ensure(s: SparkSession, dir: String): Unit = {
+    val path = indexPath(dir)
+    if (IndexStore.artifactReady(path)) return
+    MinMaxManifest.ensure(s, dir)
+    val layout = s.read.parquet(MinMaxManifest.layoutPath(dir))
+    layout.select(input_file_name().as("path"), col("event_id"))
+      .select(col("path"), explode(array(bitsOf(col("event_id")): _*)).as("bit"))
+      .distinct()
+      .repartitionByRange(4, col("bit"))
+      .sortWithinPartitions("bit", "path")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Files that may contain `id`: the k probe bits are computed
+    * driver-side (k tiny integers), and a file qualifies iff ALL k
+    * (path, bit) rows exist. Returns (qualifying paths, total files
+    * indexed) so callers and specs see the skip rate. */
+  def candidateFiles(s: SparkSession, dir: String, id: Long): (Seq[String], Long) = {
+    ensure(s, dir)
+    val idx = s.read.parquet(indexPath(dir))
+    val bits = probeBits(id)
+    val hits = idx.where(col("bit").isin(bits.map(Integer.valueOf): _*))
+      .groupBy("path")
+      .agg(countDistinct("bit").as("k"))
+      .where(col("k") === K.toLong)
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    val total = idx.select("path").distinct().count()
+    (hits, total)
+  }
+
+  /** The indexed point lookup: consult the bloom table, scan ONLY
+    * the qualifying files, re-apply the row predicate. */
+  def lookup(s: SparkSession, dir: String, id: Long): DataFrame = {
+    val (files, _) = candidateFiles(s, dir, id)
+    if (files.isEmpty)
+      s.read.parquet(MinMaxManifest.layoutPath(dir)).where(lit(false))
+    else
+      s.read.parquet(files: _*).where(col("event_id") === id)
+  }
+}

@@ -1420,6 +1420,44 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q37 — FILE-LEVEL BLOOM INDEX
+    * ([[graft.operators.BloomFileIndex]]): needle-in-haystack point
+    * lookups on event_id — a column the time-clustered layout does
+    * NOT cluster, so q30's min/max stats prune nothing for it; the
+    * per-file bloom table is the only skipping layer that works
+    * (partition prune / stats / bloom — the complete triad). Seven
+    * deterministic probe ids (min + j·span/7, derivable in both
+    * engines without a fixture list) are looked up through the index:
+    * probe bits computed driver-side, qualifying files = the HAVING-
+    * all-k-bits paths, then a scan of only those files with the row
+    * predicate re-applied. Correctness claim = no false negatives: a
+    * skipped file must not have held a probe row, so the output
+    * equals the raw-table IN-list join the oracle runs. Skip rate
+    * and packed-bitmap compression are spec/scaladoc territory. */
+  val q37BloomIndex: GraftQuery = q(
+    "q37_bloom_point_lookup",
+    "file-level bloom index: point lookups on an unclustered key skip files",
+    """WITH mm AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+      |p AS (
+      |  SELECT lo + j * ((hi - lo) // 7) AS pid
+      |  FROM mm CROSS JOIN (SELECT unnest(range(7)) AS j))
+      |SELECT e.event_id, e.event_type, e.user_id,
+      |       CAST(floor(e.value * 100) AS BIGINT) AS value_fp
+      |FROM events e JOIN p ON e.event_id = p.pid
+      |ORDER BY e.event_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val B = graft.operators.BloomFileIndex
+    val mm = Tables(s, dir, "events")
+      .agg(min($"event_id"), max($"event_id")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val probes = (0 until 7).map(j => lo + j * ((hi - lo) / 7))
+    probes.map(B.lookup(s, dir, _)).reduce(_ union _)
+      .select($"event_id", $"event_type", $"user_id",
+        floor($"value" * 100).cast("long").as("value_fp"))
+      .orderBy($"event_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1429,5 +1467,5 @@ object RelationalQueries {
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
     q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
-    q34SketchRollup, q35QualityChecks, q36HistogramQuantiles)
+    q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex)
 }

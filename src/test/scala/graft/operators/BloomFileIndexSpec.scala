@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The bloom-skipping contract: no false negatives (every present id
+  * is found through the index), real file skipping on an UNCLUSTERED
+  * unique key (where min/max stats cannot prune), bounded index
+  * size, and empty-handed lookups for absent ids. */
+class BloomFileIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val B = BloomFileIndex
+
+  private def withRoot[A](body: => A): A = {
+    val dir = tmpDir("graft-bloom-spec")
+    sys.props("graft.index.dir") = dir
+    try body
+    finally { sys.props.remove("graft.index.dir"); () }
+  }
+
+  test("no false negatives: every sampled present id is found via the index") {
+    withRoot {
+      val ids = graft.Tables(spark, sf, "events")
+        .select("event_id").collect().map(_.getLong(0))
+      // every 37th id — a broad sample without a full-corpus loop
+      ids.grouped(37).map(_.head).foreach { id =>
+        val found = B.lookup(spark, sf, id)
+          .select("event_id").collect().map(_.getLong(0))
+        assert(found.toSeq === Seq(id), s"id $id lost by the index path")
+      }
+    }
+  }
+
+  test("point lookups skip most files — the unclustered-key gap stats can't cover") {
+    withRoot {
+      val ids = graft.Tables(spark, sf, "events")
+        .select("event_id").limit(40).collect().map(_.getLong(0))
+      val rates = ids.map { id =>
+        val (kept, total) = B.candidateFiles(spark, sf, id)
+        assert(kept.nonEmpty && total === 16L)
+        kept.length.toDouble / total
+      }
+      // one id lives in exactly one file; with FPR ~0.1% the average
+      // candidate set must stay near 1 of 16
+      assert(rates.sum / rates.length <= 0.2,
+        s"bloom index barely skips: mean keep rate ${rates.sum / rates.length}")
+    }
+  }
+
+  test("absent ids return empty frames without scanning everything") {
+    withRoot {
+      val (kept, total) = B.candidateFiles(spark, sf, 999999999L)
+      assert(kept.length < total,
+        "an absent id must not qualify every file")
+      assert(B.lookup(spark, sf, 999999999L).count() === 0L)
+    }
+  }
+
+  test("index size is bounded by min(n*k, m) rows per file") {
+    withRoot {
+      B.ensure(spark, sf)
+      val idx = spark.read.parquet(B.indexPath(sf))
+      val bitRows = idx.groupBy("path").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // per-ACTUAL-file bound (range partitions are uneven): rows in
+      // that file × K, capped by the bit-space size
+      val layout = spark.read.parquet(MinMaxManifest.layoutPath(sf))
+        .groupBy(input_file_name().as("path")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      bitRows.foreach { case (p, c) =>
+        val n = layout(p)
+        assert(c <= math.min(n * B.K, B.MBits.toLong),
+          s"file $p: $c bit rows exceed min(${n * B.K}, ${B.MBits})")
+      }
+      assert(idx.where(col("bit") < 0 || col("bit") >= B.MBits).count() === 0L)
+    }
+  }
+}
