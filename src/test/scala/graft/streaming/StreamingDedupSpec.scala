@@ -131,6 +131,45 @@ class StreamingDedupSpec extends SparkSpec {
     assert(idx === Seq(1L, 3L), "replay must not duplicate index entries")
   }
 
+  test("built-in watermarked exact dedup: within-watermark replays drop, expired keys readmit") {
+    // the Spark-native leg of the streaming-dedup family
+    // (dropDuplicatesWithinWatermark, Spark 3.5+): exact key dedup
+    // with state BOUNDED by the watermark — the API a pipeline uses
+    // when at-least-once sources replay records and corpus-scale
+    // standing state (StreamingDedup's banded index) is overkill.
+    // The flip side of bounded state is a bounded guarantee: a
+    // replay arriving after its key's state expired is readmitted —
+    // asserted below, because that contract is the reason the
+    // operator scales.
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val deduped = mem.toDS().toDF("event_id", "ts", "payload")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t(0), "first"), (1L, t(1), "dup-same-batch"), (2L, t(2), "b"))
+      q.processAllAvailable()
+      mem.addData((1L, t(3), "dup-cross-batch"), (3L, t(4), "c"))
+      q.processAllAvailable()
+      // push event time far ahead: the watermark passes 1's state
+      // expiry (seen@t3 + 10 min), so the very-late replay below is
+      // READMITTED — the documented within-watermark-only guarantee
+      mem.addData((9L, t(40), "advance"))
+      q.processAllAvailable()
+      mem.addData((1L, t(35), "after-expiry"))
+      q.processAllAvailable()
+      val out = spark.table("wm_dedup").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(out === Set(
+        (1L, "first"), (2L, "b"), (3L, "c"), (9L, "advance"),
+        (1L, "after-expiry")),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("per-batch logic matches the batch (d05-shape) formulation") {
     // same decision on the same data when run as one batch join —
     // batch/stream parity for the dedup family
