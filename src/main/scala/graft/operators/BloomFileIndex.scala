@@ -83,11 +83,32 @@ object BloomFileIndex {
 
   /** The indexed point lookup: consult the bloom table, scan ONLY
     * the qualifying files, re-apply the row predicate. */
-  def lookup(s: SparkSession, dir: String, id: Long): DataFrame = {
-    val (files, _) = candidateFiles(s, dir, id)
+  def lookup(s: SparkSession, dir: String, id: Long): DataFrame =
+    lookupAll(s, dir, Seq(id))
+
+  /** Batched lookups — ONE index consultation and ONE data scan for
+    * the whole probe set (a per-id loop would cost 2 jobs per probe;
+    * a dashboard's k lookups should cost what one costs). The union
+    * of each probe's qualifying files is scanned once under the
+    * combined IN-list predicate — equivalent row-for-row to the
+    * per-id scans because the row predicate re-applies. */
+  def lookupAll(s: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
+    ensure(s, dir)
+    val idx = s.read.parquet(indexPath(dir))
+    val byId = ids.map(id => id -> probeBits(id)).toMap
+    val allBits = byId.values.flatten.toSeq.distinct
+    // one small job: every (path, bit) row any probe touches
+    val hitRows = idx.where(col("bit").isin(allBits.map(Integer.valueOf): _*))
+      .select("path", "bit").distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val bitsByPath = hitRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val files = bitsByPath.collect {
+      case (p, bits) if byId.values.exists(_.forall(bits.contains)) => p
+    }.toSeq.sorted
     if (files.isEmpty)
       s.read.parquet(MinMaxManifest.layoutPath(dir)).where(lit(false))
     else
-      s.read.parquet(files: _*).where(col("event_id") === id)
+      s.read.parquet(files: _*)
+        .where(col("event_id").isin(ids.map(java.lang.Long.valueOf): _*))
   }
 }

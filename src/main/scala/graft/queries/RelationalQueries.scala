@@ -1452,7 +1452,7 @@ object RelationalQueries {
       .agg(min($"event_id"), max($"event_id")).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val probes = (0 until 7).map(j => lo + j * ((hi - lo) / 7))
-    probes.map(B.lookup(s, dir, _)).reduce(_ union _)
+    B.lookupAll(s, dir, probes)
       .select($"event_id", $"event_type", $"user_id",
         floor($"value" * 100).cast("long").as("value_fp"))
       .orderBy($"event_id")

@@ -48,6 +48,20 @@ class BloomFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("batched lookupAll equals the per-id loop row-for-row") {
+    withRoot {
+      val ids = graft.Tables(spark, sf, "events")
+        .select("event_id").limit(9).collect().map(_.getLong(0)).toSeq
+      val batched = B.lookupAll(spark, sf, ids)
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      val looped = ids.flatMap(id =>
+        B.lookup(spark, sf, id).select("event_id").collect().map(_.getLong(0)))
+        .sorted
+      assert(batched.toSeq === looped)
+      assert(batched.toSeq === ids.sorted)
+    }
+  }
+
   test("absent ids return empty frames without scanning everything") {
     withRoot {
       val (kept, total) = B.candidateFiles(spark, sf, 999999999L)
