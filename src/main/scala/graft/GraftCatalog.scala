@@ -27,4 +27,23 @@ object GraftCatalog {
     }
     plans.GraftExtensions.register(spark)
   }
+
+  /** Register the persisted ROLLUP layers as views too (building each
+    * on first use): the daily HLL register table, the daily histogram
+    * table, and the file-stats manifest — the dashboard-facing face
+    * of the scan-free operators, so a SQL client can merge sketches
+    * or plan a pruned read without the DataFrame API. Views are lazy;
+    * the one-time artifact builds amortize across every dashboard
+    * session on the corpus. */
+  def registerRollups(spark: SparkSession, sfDir: String): Unit = {
+    operators.SketchRollup.ensure(spark, sfDir)
+    spark.read.parquet(operators.SketchRollup.sketchPath(sfDir))
+      .createOrReplaceTempView("hll_daily")
+    operators.HistogramRollup.ensure(spark, sfDir)
+    spark.read.parquet(operators.HistogramRollup.histPath(sfDir))
+      .createOrReplaceTempView("hist_daily")
+    operators.MinMaxManifest.ensure(spark, sfDir)
+    spark.read.parquet(operators.MinMaxManifest.manifestPath(sfDir))
+      .createOrReplaceTempView("file_stats")
+  }
 }

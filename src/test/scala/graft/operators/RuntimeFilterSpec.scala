@@ -49,6 +49,28 @@ class RuntimeFilterSpec extends SparkSpec {
       s"filter must push through the temp view to the scan:\n$plan")
   }
 
+  test("GraftCatalog: rollup layers queryable through plain spark.sql") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-roll").toString
+    sys.props("graft.index.dir") = root
+    try {
+      graft.GraftCatalog.registerRollups(spark, sf)
+      // a dashboard merging the HLL sketch over a window, pure SQL —
+      // register-wise max is all it needs from the view
+      val regs = spark.sql("""
+        SELECT event_type, count(*) AS regs
+        FROM (SELECT event_type, reg, max(rho)
+              FROM hll_daily GROUP BY event_type, reg)
+        GROUP BY event_type""").collect()
+      assert(regs.nonEmpty && regs.forall(_.getLong(1) > 0))
+      val bins = spark.sql(
+        "SELECT sum(cnt) FROM hist_daily").head().getLong(0)
+      assert(bins === graft.Tables(spark, sf, "events").count(),
+        "histogram counts must cover the whole table")
+      val files = spark.sql("SELECT count(*) FROM file_stats").head().getLong(0)
+      assert(files > 0)
+    } finally { sys.props.remove("graft.index.dir"); () }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
