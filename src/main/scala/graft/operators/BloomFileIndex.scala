@@ -71,11 +71,15 @@ object BloomFileIndex {
   def candidateFiles(s: SparkSession, dir: String, id: Long): (Seq[String], Long) = {
     ensure(s, dir)
     val idx = s.read.parquet(indexPath(dir))
-    val bits = probeBits(id)
+    // the required count is this probe's DISTINCT bit count, not K:
+    // a probe whose own k hash bits collide (~1 in 22k ids) would
+    // otherwise disqualify every file — a false negative, the one
+    // error class a bloom index must never make
+    val bits = probeBits(id).distinct
     val hits = idx.where(col("bit").isin(bits.map(Integer.valueOf): _*))
       .groupBy("path")
       .agg(countDistinct("bit").as("k"))
-      .where(col("k") === K.toLong)
+      .where(col("k") === bits.length.toLong)
       .select("path").collect().map(_.getString(0)).toSeq.sorted
     val total = idx.select("path").distinct().count()
     (hits, total)
@@ -94,17 +98,28 @@ object BloomFileIndex {
     * per-id scans because the row predicate re-applies. */
   def lookupAll(s: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
     ensure(s, dir)
+    import s.implicits._
     val idx = s.read.parquet(indexPath(dir))
-    val byId = ids.map(id => id -> probeBits(id)).toMap
-    val allBits = byId.values.flatten.toSeq.distinct
-    // one small job: every (path, bit) row any probe touches
-    val hitRows = idx.where(col("bit").isin(allBits.map(Integer.valueOf): _*))
-      .select("path", "bit").distinct()
-      .collect().map(r => (r.getString(0), r.getInt(1)))
-    val bitsByPath = hitRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-    val files = bitsByPath.collect {
-      case (p, bits) if byId.values.exists(_.forall(bits.contains)) => p
-    }.toSeq.sorted
+    // per-probe DISTINCT bits, with the per-probe required count
+    // riding along (see candidateFiles — requiring the constant K
+    // would false-negative any probe whose own hash bits collide)
+    val probePairs = ids.flatMap { id =>
+      val bits = probeBits(id).distinct
+      bits.map(b => (id, b, bits.length))
+    }
+    val allBits = probePairs.map(_._2).distinct
+    // the HAVING-all-bits verdict stays IN the plan (a probes×bits
+    // broadcast join + per-(path, probe) distinct count); only the
+    // qualifying PATHS come back to the driver — at 10⁶ files the
+    // hit (path, bit) rows would not
+    val probeDf = probePairs.toDF("pid", "bit", "need")
+    val files = idx
+      .where(col("bit").isin(allBits.map(Integer.valueOf): _*))
+      .join(broadcast(probeDf), Seq("bit"))
+      .groupBy("path", "pid", "need").agg(countDistinct("bit").as("k"))
+      .where(col("k") === col("need"))
+      .select("path").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
     if (files.isEmpty)
       s.read.parquet(MinMaxManifest.layoutPath(dir)).where(lit(false))
     else

@@ -71,6 +71,26 @@ class BloomFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("a probe whose own hash bits collide still resolves (no constant-K false negative)") {
+    // ~1 in 22k ids has two of its four salted bits equal; requiring
+    // a constant K distinct bits would disqualify every file for such
+    // an id — find a real one and prove the batched path stays sound
+    val colliding = (0L to 200000L).find(id =>
+      B.probeBits(id).distinct.size < B.K)
+    assert(colliding.nonEmpty, "no colliding id below 200k — widen the search")
+    withRoot {
+      val present = graft.Tables(spark, sf, "events")
+        .select("event_id").limit(1).head().getLong(0)
+      val got = B.lookupAll(spark, sf, Seq(colliding.get, present))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val expected = graft.Tables(spark, sf, "events")
+        .where(col("event_id").isin(colliding.get, present))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected,
+        s"colliding probe ${colliding.get} distorted the lookup")
+    }
+  }
+
   test("index size is bounded by min(n*k, m) rows per file") {
     withRoot {
       B.ensure(spark, sf)
