@@ -86,6 +86,46 @@ object HistogramRollup {
       .agg(sum("cnt").as("cnt"))
   }
 
+  /** CDC DELETE maintenance — the property that separates the two
+    * sketch algebras: SUM-merge is INVERTIBLE, so a delete batch
+    * maintains the rollup as NEGATIVE bin counts (the D21 retract
+    * discipline at bin grain, O(deleted) work, never a rebuild),
+    * while [[SketchRollup]]'s max-merge provably cannot delete (a
+    * register's max carries no memory of who set it — its delete
+    * story is rebuild-under-fingerprint, D22's retrain path). The
+    * deltas live in their OWN overwrite-mode table so replaying the
+    * same delete set is idempotent and the base rollup (q36's
+    * surface) is never mutated; [[mergedBinsWithDeltas]] folds them
+    * in for maintained readers. */
+  def cdcDeltaPath(dir: String): String = histPath(dir) + "_cdc_deltas"
+
+  def applyDeletes(s: SparkSession, dir: String, deleted: DataFrame): Unit = {
+    ensure(s, dir)
+    deleted.select(date_trunc("DAY", col("ts")).as("day"),
+        col("event_type"), binOf(col("value")).as("bin"))
+      .groupBy("day", "event_type", "bin")
+      .agg((-count(lit(1))).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(cdcDeltaPath(dir))
+  }
+
+  /** Merged bins with the CDC retractions folded in (net counts ≥ 0
+    * when deletes are a subset of prior inserts — the CDC contract). */
+  def mergedBinsWithDeltas(s: SparkSession, dir: String, lo: String,
+      hi: String): DataFrame = {
+    val base = mergedBins(s, dir, lo, hi)
+    if (!IndexStore.artifactReady(cdcDeltaPath(dir))) base
+    else {
+      val deltas = s.read.parquet(cdcDeltaPath(dir))
+        .where(col("day") >= lit(MinMaxManifest.utc(lo)) &&
+          col("day") < lit(MinMaxManifest.utc(hi)))
+        .select("event_type", "bin", "cnt")
+      base.union(deltas)
+        .groupBy("event_type", "bin")
+        .agg(sum("cnt").as("cnt"))
+        .where(col("cnt") > 0)
+    }
+  }
+
   /** Percentile estimates from merged bins: for each p (as an exact
     * rational pNum/100), target rank k = ⌈p·n⌉, pick the first bin
     * whose cumulative count reaches k, interpolate linearly inside

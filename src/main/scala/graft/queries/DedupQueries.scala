@@ -1367,9 +1367,79 @@ object DedupQueries {
       .orderBy($"as_of")
   }
 
+  /** d15 — CDC DELETE maintenance of the HISTOGRAM rollup
+    * ([[graft.operators.HistogramRollup.applyDeletes]]): the D21
+    * retract discipline applied at SKETCH grain. A GDPR-style delete
+    * batch (every user ≡ 0 mod 41) maintains the daily bin tables as
+    * NEGATIVE counts — O(deleted) work, the base rollup untouched —
+    * and the maintained percentile read folds the retractions in.
+    * The algebra is the point: SUM-merge sketches are invertible
+    * under deletes; [[graft.operators.SketchRollup]]'s max-merge HLL
+    * provably is not (a register max carries no memory of who set
+    * it), which is why its delete story is rebuild-under-fingerprint.
+    * The oracle full-recomputes the q36 percentile pipeline over the
+    * post-delete table, so the hash gate checks "maintained ≡
+    * recomputed" exactly; the delta table is overwrite-mode, making
+    * warm replays bit-identical. */
+  val d15HistogramCdc: GraftQuery = q(
+    "d15_histogram_cdc",
+    "CDC delete maintenance of the mergeable histogram: retract bins, never rebuild",
+    Some("""WITH w AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-18 00:00:00'
+      |    AND NOT (user_id % 41 = 0)),
+      |b AS (
+      |  SELECT event_type,
+      |         greatest(CAST(0 AS BIGINT),
+      |                  least(CAST(floor(value / 5.0) AS BIGINT), 100)) AS bin,
+      |         count(*) AS cnt
+      |  FROM w GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bin, cnt,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      |  FROM b),
+      |est AS (
+      |  SELECT event_type, max(n) AS n,
+      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
+      |             ELSE bin * 5.0
+      |             + 5.0 * CAST((50*n + 99) // 100 - (cum - cnt) AS DOUBLE)
+      |               / CAST(cnt AS DOUBLE) END, 4), bin)
+      |           FILTER (cum >= (50*n + 99) // 100) AS p50,
+      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
+      |             ELSE bin * 5.0
+      |             + 5.0 * CAST((95*n + 99) // 100 - (cum - cnt) AS DOUBLE)
+      |               / CAST(cnt AS DOUBLE) END, 4), bin)
+      |           FILTER (cum >= (95*n + 99) // 100) AS p95,
+      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
+      |             ELSE bin * 5.0
+      |             + 5.0 * CAST((99*n + 99) // 100 - (cum - cnt) AS DOUBLE)
+      |               / CAST(cnt AS DOUBLE) END, 4), bin)
+      |           FILTER (cum >= (99*n + 99) // 100) AS p99
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, p50, p95, p99, n
+      |FROM est ORDER BY event_type""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val HR = graft.operators.HistogramRollup
+    val ev = Tables(s, dir, "events")
+    // the delete batch: O(deleted) rows, retracted into the delta
+    // table (overwrite-mode → replay-idempotent)
+    HR.applyDeletes(s, dir, ev.where($"user_id" % 41 === 0))
+    HR.percentiles(
+        HR.mergedBinsWithDeltas(s, dir,
+          "2024-01-08 00:00:00", "2024-01-18 00:00:00"),
+        Seq(50, 95, 99))
+      .where($"n" > 0)
+      .select($"event_type", $"p50", $"p95", $"p99", $"n")
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
     d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
     d08SnapshotUpsert, d09IncrementalRollup, d10SemanticDedup,
-    d11DistinctIvm, d12PrefixSetSim, d13SubstringSpans, d14Scd2History)
+    d11DistinctIvm, d12PrefixSetSim, d13SubstringSpans, d14Scd2History,
+    d15HistogramCdc)
 }

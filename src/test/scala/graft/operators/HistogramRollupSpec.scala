@@ -112,6 +112,29 @@ class HistogramRollupSpec extends SparkSpec {
       "in-domain p50 must still interpolate normally")
   }
 
+  test("CDC deletes maintain bins exactly: maintained ≡ recomputed, replay idempotent") {
+    withRoot {
+      val deleted = windowEvents.where(col("user_id") % 3 === 0)
+      HR.applyDeletes(spark, sf, graft.Tables(spark, sf, "events")
+        .where(col("user_id") % 3 === 0))
+      def maintained() = HR.mergedBinsWithDeltas(spark, sf, lo, hi)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val recomputed = windowEvents.where(!(col("user_id") % 3 === 0))
+        .select(col("event_type"),
+          greatest(lit(0L), least(floor(col("value") / HR.BinWidth).cast("long"),
+            lit(HR.NumBins.toLong))).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(maintained() === recomputed,
+        "retracted bins must equal the full recompute bin-for-bin")
+      assert(deleted.count() > 0)
+      // replaying the same delete set (overwrite-mode deltas) is a no-op
+      HR.applyDeletes(spark, sf, graft.Tables(spark, sf, "events")
+        .where(col("user_id") % 3 === 0))
+      assert(maintained() === recomputed, "replay must be idempotent")
+    }
+  }
+
   test("the persisted table is bounded by days × groups × bins") {
     withRoot {
       HR.ensure(spark, sf)
