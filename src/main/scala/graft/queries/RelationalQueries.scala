@@ -1458,6 +1458,64 @@ object RelationalQueries {
       .orderBy($"event_id")
   }
 
+  /** q38 — WRITE-AUDIT-PUBLISH ingestion gate
+    * ([[graft.operators.WriteAuditPublish]]): the composition the
+    * table-format stack exists for — a GOOD batch (clean rows)
+    * stages, passes the [[graft.operators.ConstraintCheck]] suite,
+    * and publishes as the next snapshot; a BAD batch (user_id nulled
+    * on every third row — a broken upstream extractor) stages, FAILS
+    * completeness, and is rejected without ever touching the
+    * manifest, the snapshot log, or any reader's view. The
+    * registered read aggregates the published table: its hash
+    * matching the oracle (raw events BEFORE the bad batch's window)
+    * IS the proof the gate held — one leaked bad-batch row breaks
+    * it. Both flows run once per corpus lifetime (snapshot-guarded);
+    * warm executions read the settled table. */
+  val q38WriteAuditPublish: GraftQuery = q(
+    "q38_write_audit_publish",
+    "write-audit-publish: constraint-gated ingestion; rejected batches stay invisible",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |       round(sum(value), 2) AS value_sum
+      |FROM events
+      |WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val W = graft.operators.WriteAuditPublish
+    val M = graft.operators.MinMaxManifest
+    val CC = graft.operators.ConstraintCheck
+    val ev = Tables(s, dir, "events")
+    val (b1, b2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    if (!W.tableReady(dir))
+      M.ensureFrom(s, dir, ev.where($"ts" < lit(M.utc(b1))), W.Table)
+    val maxSnap = s.read.parquet(M.snapshotsPath(dir, W.Table))
+      .agg(max("snap_id")).head().getLong(0)
+    if (maxSnap < 1L) {
+      val suite = Seq(
+        CC.Constraint("complete", "user_id", CC.completeness("user_id"), _ >= 1.0),
+        CC.Constraint("range", "value", CC.inRange("value", 0, 1000), _ >= 1.0))
+      // good batch: the next ingestion window, clean
+      W.stageAndPublish(s, dir,
+        ev.where($"ts" >= lit(M.utc(b1)) && $"ts" < lit(M.utc(b2))),
+        suite, "good")
+      // bad batch: a broken extractor nulled a third of the keys —
+      // must stage, fail, and stay invisible
+      W.stageAndPublish(s, dir,
+        ev.where($"ts" >= lit(M.utc(b2)))
+          .withColumn("user_id",
+            when($"event_id" % 3 === 0, lit(null)).otherwise($"user_id")),
+        suite, "bad")
+    }
+    s.read.parquet(M.layoutPath(dir, W.Table))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("users"),
+        round(sum($"value"), 2).as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1467,5 +1525,6 @@ object RelationalQueries {
     q22Sessionize, q23GapFill, q24Decorrelated, q25BloomJoin,
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
     q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
-    q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex)
+    q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
+    q38WriteAuditPublish)
 }

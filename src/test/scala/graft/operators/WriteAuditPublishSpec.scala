@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The WAP gate contract: passing batches publish as the next
+  * snapshot, failing batches never become visible anywhere (latest
+  * read, time travel, manifest), the audit log records both
+  * verdicts, and an orphan staging dir is discarded on recover. */
+class WriteAuditPublishSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val W = WriteAuditPublish
+  private val M = MinMaxManifest
+  private val CC = ConstraintCheck
+
+  private def withRoot[A](body: => A): A = {
+    val dir = tmpDir("graft-wap-spec")
+    sys.props("graft.index.dir") = dir
+    try body
+    finally { sys.props.remove("graft.index.dir"); () }
+  }
+
+  private val suite = Seq(
+    CC.Constraint("complete", "user_id", CC.completeness("user_id"), _ >= 1.0))
+
+  private def ev = graft.Tables(spark, sf, "events")
+  private def b1 = M.utc("2024-01-11 00:00:00")
+  private def b2 = M.utc("2024-01-21 00:00:00")
+
+  private def setupBase(): Unit =
+    M.ensureFrom(spark, sf, ev.where(col("ts") < lit(b1)), W.Table)
+
+  test("a clean batch publishes; a dirty batch is rejected and invisible") {
+    withRoot {
+      setupBase()
+      val baseCount = spark.read.parquet(M.layoutPath(sf, W.Table)).count()
+      val good = ev.where(col("ts") >= lit(b1) && col("ts") < lit(b2))
+      val r1 = W.stageAndPublish(spark, sf, good, suite, "good").head()
+      assert(r1.getAs[Long]("published") === 1L, "clean batch must publish")
+      val afterGood = spark.read.parquet(M.layoutPath(sf, W.Table)).count()
+      assert(afterGood === baseCount + good.count())
+      val bad = ev.where(col("ts") >= lit(b2))
+        .withColumn("user_id",
+          when(col("event_id") % 2 === 0, lit(null)).otherwise(col("user_id")))
+      val r2 = W.stageAndPublish(spark, sf, bad, suite, "bad").head()
+      assert(r2.getAs[Long]("published") === 0L, "dirty batch must be rejected")
+      // invisible to the latest read...
+      assert(spark.read.parquet(M.layoutPath(sf, W.Table)).count() === afterGood)
+      // ...to the manifest...
+      val manifestRows = spark.read.parquet(M.manifestPath(sf, W.Table))
+        .agg(sum("rows")).head().getLong(0)
+      assert(manifestRows === afterGood)
+      // ...and to time travel at EVERY snapshot
+      val maxSnap = spark.read.parquet(M.snapshotsPath(sf, W.Table))
+        .agg(max("snap_id")).head().getLong(0)
+      assert(maxSnap === 1L, "rejection must not mint a snapshot")
+      val (asOf1, _, _) = M.asOfEvents(spark, sf, 1L,
+        "1970-01-01 00:00:00", "2200-01-01 00:00:00", W.Table)
+      assert(asOf1.where(col("user_id").isNull).count() === 0L)
+      // staging cleaned either way
+      assert(!IndexStore.artifactReady(W.stagingPath(sf)))
+      // the audit log carries both verdicts
+      val log = spark.read.parquet(W.auditLogPath(sf))
+        .select("batch", "published").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(log === Map("good" -> 1L, "bad" -> 0L))
+    }
+  }
+
+  test("an orphan staging dir (crash before the decision) is discarded by recover") {
+    withRoot {
+      setupBase()
+      ev.limit(5).write.mode("overwrite").parquet(W.stagingPath(sf))
+      W.recover(sf)
+      val (fs, p) = IndexStore.fsOf(W.stagingPath(sf))
+      assert(!fs.exists(p))
+      // and the table is untouched
+      assert(spark.read.parquet(M.layoutPath(sf, W.Table)).count() ===
+        ev.where(col("ts") < lit(b1)).count())
+    }
+  }
+}
