@@ -1516,6 +1516,40 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q39 — PARTITION EVOLUTION
+    * ([[graft.operators.PartitionEvolution]]): the table's partition
+    * spec changed mid-life (month dirs → day dirs) without rewriting
+    * history — each generation reads under its OWN spec with
+    * directory-level pruning (the Iceberg per-file-spec semantics;
+    * a naive single mergeSchema read of the root would see two
+    * disjoint partition columns and prune NEITHER). The window
+    * spans the spec boundary, so both legs contribute and the
+    * boundary partitions' row re-filtering is exercised; the oracle
+    * is the plain filtered aggregate — layout and spec changes must
+    * be invisible to results. Pruning itself is plan-pinned in
+    * PartitionEvolutionSpec. */
+  val q39PartitionEvolution: GraftQuery = q(
+    "q39_partition_evolution",
+    "partition evolution: month-spec history + day-spec present, pruned per spec",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |       round(sum(value), 2) AS value_sum
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val (merged, _, _) = graft.operators.PartitionEvolution.read(
+      s, dir, "2024-01-10 00:00:00", "2024-01-22 00:00:00")
+    merged.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("users"),
+        round(sum($"value"), 2).as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1526,5 +1560,5 @@ object RelationalQueries {
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
     q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
     q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
-    q38WriteAuditPublish)
+    q38WriteAuditPublish, q39PartitionEvolution)
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The partition-evolution contract: each spec generation prunes at
+  * the DIRECTORY level under its own transform, boundary partitions
+  * re-filter rows exactly, and the evolved read equals the raw-table
+  * filter — layout changes invisible to results. */
+class PartitionEvolutionSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val PE = PartitionEvolution
+
+  private def withRoot[A](body: => A): A = {
+    val dir = tmpDir("graft-pev-spec")
+    sys.props("graft.index.dir") = dir
+    try body
+    finally { sys.props.remove("graft.index.dir"); () }
+  }
+
+  private def events = graft.Tables(spark, sf, "events")
+  private def rawWindow(lo: String, hi: String) = events.where(
+    col("ts") >= lit(MinMaxManifest.utc(lo)) &&
+      col("ts") < lit(MinMaxManifest.utc(hi)))
+
+  test("evolved read equals the raw filter across the spec boundary") {
+    withRoot {
+      val (lo, hi) = ("2024-01-10 00:00:00", "2024-01-22 00:00:00")
+      val (merged, leg0, leg1) = PE.read(spark, sf, lo, hi)
+      assert(leg0.count() > 0 && leg1.count() > 0,
+        "the window must exercise both spec generations")
+      val a = merged.select("event_id").collect().map(_.getLong(0)).sorted
+      val b = rawWindow(lo, hi).select("event_id").collect().map(_.getLong(0)).sorted
+      assert(a.toSeq === b.toSeq)
+    }
+  }
+
+  test("the day-spec leg prunes directories; both legs carry PartitionFilters") {
+    withRoot {
+      // a 2-day window entirely inside the day-spec generation
+      val (lo, hi) = ("2024-01-18 00:00:00", "2024-01-20 00:00:00")
+      val (_, leg0, leg1) = PE.read(spark, sf, lo, hi)
+      val p1 = leg1.queryExecution.executedPlan.toString
+      assert(p1.contains("PartitionFilters: [") && p1.contains("pday"),
+        s"day leg must prune on the partition value:\n$p1")
+      val p0 = leg0.queryExecution.executedPlan.toString
+      assert(p0.contains("PartitionFilters: [") && p0.contains("pmonth"),
+        s"month leg must prune on its own value:\n$p0")
+      // directory-level skip is real: the 2-day window reads only
+      // its days' files out of ~16 day partitions
+      val touched = leg1.select(input_file_name()).distinct().count()
+      val total = spark.read.parquet(
+          s"${PE.rootPath(sf)}/spec1")
+        .select(input_file_name()).distinct().count()
+      assert(touched < total / 3,
+        s"2 of ~16 day partitions should read far fewer files ($touched/$total)")
+      assert(leg1.count() === rawWindow(lo, hi).count())
+    }
+  }
+
+  test("a window before the spec change reads the month leg only") {
+    withRoot {
+      val (lo, hi) = ("2024-01-02 00:00:00", "2024-01-05 00:00:00")
+      val (merged, _, leg1) = PE.read(spark, sf, lo, hi)
+      assert(leg1.count() === 0L, "day-spec data starts at the boundary")
+      assert(merged.count() === rawWindow(lo, hi).count())
+    }
+  }
+}
