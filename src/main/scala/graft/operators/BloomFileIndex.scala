@@ -36,8 +36,29 @@ object BloomFileIndex {
   val MBits = 1 << 17
   private val Salts = (0 until K).map(i => s"bloom$i")
 
-  def indexPath(dir: String): String =
-    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/bloom_event_id"
+  /** The index is keyed on the LAYOUT's current file set, not just
+    * the source table: the layout legitimately changes under
+    * [[MinMaxManifest.appendBatch]]/[[MinMaxManifest.compact]], and
+    * an index built against the old file set would false-negative
+    * appended rows and name renamed-away paths (review catch — a
+    * source-only fingerprint can't see layout mutations). A changed
+    * layout therefore resolves to a fresh path and rebuilds. */
+  private def layoutFp(s: SparkSession, dir: String): String = {
+    MinMaxManifest.ensure(s, dir)
+    val (fs, p) = IndexStore.fsOf(MinMaxManifest.layoutPath(dir))
+    val desc = fs.listStatus(p)
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
+  def indexPath(s: SparkSession, dir: String): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/" +
+      s"bloom_event_id_${layoutFp(s, dir)}"
 
   /** The k bit positions of a value (hash60 mod m per salt). */
   private def bitsOf(v: Column): Seq[Column] =
@@ -50,11 +71,11 @@ object BloomFileIndex {
 
   /** Build the per-file bit table over the time-clustered layout's
     * event_id column (one scan; distinct collapses to ≤ min(n·k, m)
-    * rows per file), bit-sorted so probe reads prune row groups. */
-  def ensure(s: SparkSession, dir: String): Unit = {
-    val path = indexPath(dir)
-    if (IndexStore.artifactReady(path)) return
-    MinMaxManifest.ensure(s, dir)
+    * rows per file), bit-sorted so probe reads prune row groups.
+    * Returns the (layout-fingerprinted) index path it ensured. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val path = indexPath(s, dir)
+    if (IndexStore.artifactReady(path)) return path
     val layout = s.read.parquet(MinMaxManifest.layoutPath(dir))
     layout.select(input_file_name().as("path"), col("event_id"))
       .select(col("path"), explode(array(bitsOf(col("event_id")): _*)).as("bit"))
@@ -62,15 +83,26 @@ object BloomFileIndex {
       .repartitionByRange(4, col("bit"))
       .sortWithinPartitions("bit", "path")
       .write.mode("overwrite").parquet(path)
+    path
   }
 
   /** Files that may contain `id`: the k probe bits are computed
     * driver-side (k tiny integers), and a file qualifies iff ALL k
     * (path, bit) rows exist. Returns (qualifying paths, total files
     * indexed) so callers and specs see the skip rate. */
+  /** Per-index-build memo of the layout's file count: the total is a
+    * property of the build, not the probe — recomputing it with a
+    * full-index distinct per call charged every lookup a redundant
+    * scan (review catch). */
+  private val totalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def totalFiles(s: SparkSession, path: String): Long =
+    totalCache.computeIfAbsent(path, _ =>
+      s.read.parquet(path).select("path").distinct().count())
+
   def candidateFiles(s: SparkSession, dir: String, id: Long): (Seq[String], Long) = {
-    ensure(s, dir)
-    val idx = s.read.parquet(indexPath(dir))
+    val path = ensure(s, dir)
+    val idx = s.read.parquet(path)
     // the required count is this probe's DISTINCT bit count, not K:
     // a probe whose own k hash bits collide (~1 in 22k ids) would
     // otherwise disqualify every file — a false negative, the one
@@ -81,8 +113,7 @@ object BloomFileIndex {
       .agg(countDistinct("bit").as("k"))
       .where(col("k") === bits.length.toLong)
       .select("path").collect().map(_.getString(0)).toSeq.sorted
-    val total = idx.select("path").distinct().count()
-    (hits, total)
+    (hits, totalFiles(s, path))
   }
 
   /** The indexed point lookup: consult the bloom table, scan ONLY
@@ -97,9 +128,8 @@ object BloomFileIndex {
     * combined IN-list predicate — equivalent row-for-row to the
     * per-id scans because the row predicate re-applies. */
   def lookupAll(s: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
-    ensure(s, dir)
     import s.implicits._
-    val idx = s.read.parquet(indexPath(dir))
+    val idx = s.read.parquet(ensure(s, dir))
     // per-probe DISTINCT bits, with the per-probe required count
     // riding along (see candidateFiles — requiring the constant K
     // would false-negative any probe whose own hash bits collide)

@@ -92,20 +92,25 @@ object HistogramRollup {
     * discipline at bin grain, O(deleted) work, never a rebuild),
     * while [[SketchRollup]]'s max-merge provably cannot delete (a
     * register's max carries no memory of who set it — its delete
-    * story is rebuild-under-fingerprint, D22's retrain path). The
-    * deltas live in their OWN overwrite-mode table so replaying the
-    * same delete set is idempotent and the base rollup (q36's
-    * surface) is never mutated; [[mergedBinsWithDeltas]] folds them
-    * in for maintained readers. */
+    * story is rebuild-under-fingerprint, D22's retrain path). Each
+    * delete BATCH retracts into its own `batch=<tag>` partition of
+    * the delta table — overwrite scoped to that partition, so
+    * replaying a batch is idempotent while SEQUENTIAL batches
+    * accumulate (a review catch: a table-wide overwrite silently
+    * discarded every earlier batch's retractions); the base rollup
+    * (q36's surface) is never mutated. [[mergedBinsWithDeltas]]
+    * folds every batch in for maintained readers. */
   def cdcDeltaPath(dir: String): String = histPath(dir) + "_cdc_deltas"
 
-  def applyDeletes(s: SparkSession, dir: String, deleted: DataFrame): Unit = {
+  def applyDeletes(s: SparkSession, dir: String, deleted: DataFrame,
+      batchTag: String = "batch0"): Unit = {
     ensure(s, dir)
     deleted.select(date_trunc("DAY", col("ts")).as("day"),
         col("event_type"), binOf(col("value")).as("bin"))
       .groupBy("day", "event_type", "bin")
       .agg((-count(lit(1))).as("cnt"))
-      .coalesce(1).write.mode("overwrite").parquet(cdcDeltaPath(dir))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${cdcDeltaPath(dir)}/batch=$batchTag")
   }
 
   /** Merged bins with the CDC retractions folded in (net counts ≥ 0
@@ -113,7 +118,12 @@ object HistogramRollup {
   def mergedBinsWithDeltas(s: SparkSession, dir: String, lo: String,
       hi: String): DataFrame = {
     val base = mergedBins(s, dir, lo, hi)
-    if (!IndexStore.artifactReady(cdcDeltaPath(dir))) base
+    // readiness = the delta root exists with ≥1 committed batch
+    // partition (the _SUCCESS markers live per batch dir)
+    val (fs, dp) = IndexStore.fsOf(cdcDeltaPath(dir))
+    val hasDeltas = fs.exists(dp) && fs.listStatus(dp).exists(st =>
+      st.isDirectory && IndexStore.artifactReady(st.getPath.toString))
+    if (!hasDeltas) base
     else {
       val deltas = s.read.parquet(cdcDeltaPath(dir))
         .where(col("day") >= lit(MinMaxManifest.utc(lo)) &&

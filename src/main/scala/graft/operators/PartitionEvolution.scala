@@ -73,15 +73,25 @@ object PartitionEvolution {
     // value — lexicographic order matches time order for these
     // zero-padded formats, and an inclusive month/day containing the
     // bound must survive (its rows re-filter), so the upper bound is
-    // the bound instant's own partition value, inclusive
-    val leg0 = s.read.parquet(gen0(dir))
-      .where(col("pmonth") >= fmtM.format(loTs) &&
-        col("pmonth") <= fmtM.format(hiTs) && rowPred)
-      .drop("pmonth")
-    val leg1 = s.read.parquet(gen1(dir))
-      .where(col("pday") >= fmtD.format(loTs) &&
-        col("pday") <= fmtD.format(hiTs) && rowPred)
-      .drop("pday")
+    // the bound instant's own partition value, inclusive. A leg whose
+    // GENERATION lies wholly outside the window is skipped entirely
+    // (review catch: a post-boundary window otherwise still opened
+    // the whole boundary month of history and row-filtered it to
+    // zero — at the operator's own 100-TB framing, a month of 100×
+    // data read for nothing).
+    val cut = MinMaxManifest.utc(SpecChange)
+    val leg0 =
+      if (!loTs.before(cut)) s.read.parquet(gen0(dir)).drop("pmonth").where(lit(false))
+      else s.read.parquet(gen0(dir))
+        .where(col("pmonth") >= fmtM.format(loTs) &&
+          col("pmonth") <= fmtM.format(hiTs) && rowPred)
+        .drop("pmonth")
+    val leg1 =
+      if (!cut.before(hiTs)) s.read.parquet(gen1(dir)).drop("pday").where(lit(false))
+      else s.read.parquet(gen1(dir))
+        .where(col("pday") >= fmtD.format(loTs) &&
+          col("pday") <= fmtD.format(hiTs) && rowPred)
+        .drop("pday")
     (leg0.union(leg1), leg0, leg1)
   }
 }

@@ -21,4 +21,14 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run `body` against a fresh, isolated artifact root (the
+    * graft.index.dir system property every IndexStore-derived layout
+    * keys on). One shared helper — suites each re-defining it is
+    * global-mutable-state drift waiting to happen. */
+  def withIndexRoot[A](prefix: String)(body: => A): A = {
+    sys.props("graft.index.dir") = tmpDir(prefix)
+    try body
+    finally { sys.props.remove("graft.index.dir"); () }
+  }
 }

@@ -12,15 +12,8 @@ class BloomFileIndexSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private val B = BloomFileIndex
 
-  private def withRoot[A](body: => A): A = {
-    val dir = tmpDir("graft-bloom-spec")
-    sys.props("graft.index.dir") = dir
-    try body
-    finally { sys.props.remove("graft.index.dir"); () }
-  }
-
   test("no false negatives: every sampled present id is found via the index") {
-    withRoot {
+    withIndexRoot("graft-bloom-spec") {
       val ids = graft.Tables(spark, sf, "events")
         .select("event_id").collect().map(_.getLong(0))
       // every 37th id — a broad sample without a full-corpus loop
@@ -33,7 +26,7 @@ class BloomFileIndexSpec extends SparkSpec {
   }
 
   test("point lookups skip most files — the unclustered-key gap stats can't cover") {
-    withRoot {
+    withIndexRoot("graft-bloom-spec") {
       val ids = graft.Tables(spark, sf, "events")
         .select("event_id").limit(40).collect().map(_.getLong(0))
       val rates = ids.map { id =>
@@ -49,7 +42,7 @@ class BloomFileIndexSpec extends SparkSpec {
   }
 
   test("batched lookupAll equals the per-id loop row-for-row") {
-    withRoot {
+    withIndexRoot("graft-bloom-spec") {
       val ids = graft.Tables(spark, sf, "events")
         .select("event_id").limit(9).collect().map(_.getLong(0)).toSeq
       val batched = B.lookupAll(spark, sf, ids)
@@ -63,7 +56,7 @@ class BloomFileIndexSpec extends SparkSpec {
   }
 
   test("absent ids return empty frames without scanning everything") {
-    withRoot {
+    withIndexRoot("graft-bloom-spec") {
       val (kept, total) = B.candidateFiles(spark, sf, 999999999L)
       assert(kept.length < total,
         "an absent id must not qualify every file")
@@ -78,7 +71,7 @@ class BloomFileIndexSpec extends SparkSpec {
     val colliding = (0L to 200000L).find(id =>
       B.probeBits(id).distinct.size < B.K)
     assert(colliding.nonEmpty, "no colliding id below 200k — widen the search")
-    withRoot {
+    withIndexRoot("graft-bloom-spec") {
       val present = graft.Tables(spark, sf, "events")
         .select("event_id").limit(1).head().getLong(0)
       val got = B.lookupAll(spark, sf, Seq(colliding.get, present))
@@ -91,10 +84,31 @@ class BloomFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("a layout append invalidates the index: appended ids stay findable") {
+    withIndexRoot("graft-bloom-spec") {
+      val p1 = B.ensure(spark, sf)
+      // append a batch through the manifest layer (the layout's
+      // advertised incremental path) — the index must key on the new
+      // file set and rebuild, or the appended id would silently
+      // false-negative (review catch: a source-only fingerprint
+      // cannot see layout mutations)
+      import spark.implicits._
+      val batch = Seq((7777777L,
+        java.sql.Timestamp.valueOf("2024-02-03 01:00:00"), 7L, "append", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      MinMaxManifest.appendBatch(spark, sf, batch)
+      val p2 = B.ensure(spark, sf)
+      assert(p2 !== p1, "a mutated layout must resolve to a fresh index")
+      val found = B.lookup(spark, sf, 7777777L)
+        .select("event_id").collect().map(_.getLong(0))
+      assert(found.toSeq === Seq(7777777L),
+        "the appended id must be findable through the rebuilt index")
+    }
+  }
+
   test("index size is bounded by min(n*k, m) rows per file") {
-    withRoot {
-      B.ensure(spark, sf)
-      val idx = spark.read.parquet(B.indexPath(sf))
+    withIndexRoot("graft-bloom-spec") {
+      val idx = spark.read.parquet(B.ensure(spark, sf))
       val bitRows = idx.groupBy("path").agg(count(lit(1)).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // per-ACTUAL-file bound (range partitions are uneven): rows in

@@ -13,13 +13,6 @@ class DeletionVectorsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private val DV = DeletionVectors
 
-  private def withRoot[A](body: => A): A = {
-    val dir = tmpDir("graft-dv-spec")
-    sys.props("graft.index.dir") = dir
-    try body
-    finally { sys.props.remove("graft.index.dir"); () }
-  }
-
   private def events = graft.Tables(spark, sf, "events")
 
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
@@ -33,7 +26,7 @@ class DeletionVectorsSpec extends SparkSpec {
   }
 
   test("merge-on-read equals the raw-table filter for both delete kinds") {
-    withRoot {
+    withIndexRoot("graft-dv-spec") {
       DV.ensure(spark, sf)
       DV.deleteKeys(spark, sf,
         events.select(col("user_id")).where(col("user_id") % 97 === 0))
@@ -48,7 +41,7 @@ class DeletionVectorsSpec extends SparkSpec {
   }
 
   test("position-delete recording is result-idempotent") {
-    withRoot {
+    withIndexRoot("graft-dv-spec") {
       DV.ensure(spark, sf)
       val first = DV.deleteWhere(spark, sf, col("event_type") === "error")
       val second = DV.deleteWhere(spark, sf, col("event_type") === "error")
@@ -61,7 +54,7 @@ class DeletionVectorsSpec extends SparkSpec {
   }
 
   test("vacuum rewrites only the touched files and clears tombstones") {
-    withRoot {
+    withIndexRoot("graft-dv-spec") {
       DV.ensure(spark, sf)
       val before = layoutFiles()
       // a time-localized delete touches 1-2 of the 16 time-clustered
@@ -92,7 +85,7 @@ class DeletionVectorsSpec extends SparkSpec {
   }
 
   test("a crash at the commit point is redone to completion on recover") {
-    withRoot {
+    withIndexRoot("graft-dv-spec") {
       DV.ensure(spark, sf)
       DV.deleteKeys(spark, sf,
         events.select(col("user_id")).where(col("user_id") === 3))
@@ -114,7 +107,7 @@ class DeletionVectorsSpec extends SparkSpec {
   }
 
   test("a crash before the journal discards staging; tombstones stay authoritative") {
-    withRoot {
+    withIndexRoot("graft-dv-spec") {
       DV.ensure(spark, sf)
       DV.deleteKeys(spark, sf,
         events.select(col("user_id")).where(col("user_id") === 5))
@@ -131,7 +124,7 @@ class DeletionVectorsSpec extends SparkSpec {
   }
 
   test("vacuum expires snapshot history — purged rows unreachable via time travel") {
-    withRoot {
+    withIndexRoot("graft-dv-spec") {
       DV.ensure(spark, sf)
       DV.deleteKeys(spark, sf,
         events.select(col("user_id")).where(col("user_id") === 7))
@@ -147,7 +140,7 @@ class DeletionVectorsSpec extends SparkSpec {
   }
 
   test("stats-pruned reads over the vacuumed layout stay exact") {
-    withRoot {
+    withIndexRoot("graft-dv-spec") {
       DV.ensure(spark, sf)
       DV.deleteWhere(spark, sf, col("event_type") === "view")
       DV.vacuum(spark, sf)

@@ -14,19 +14,12 @@ class HistogramRollupSpec extends SparkSpec {
   private val HR = HistogramRollup
   private val (lo, hi) = ("2024-01-05 00:00:00", "2024-01-25 00:00:00")
 
-  private def withRoot[A](body: => A): A = {
-    val dir = tmpDir("graft-hist-spec")
-    sys.props("graft.index.dir") = dir
-    try body
-    finally { sys.props.remove("graft.index.dir"); () }
-  }
-
   private def windowEvents = graft.Tables(spark, sf, "events")
     .where(col("ts") >= lit(MinMaxManifest.utc(lo)) &&
       col("ts") < lit(MinMaxManifest.utc(hi)))
 
   test("daily SUM-merge equals the window-direct histogram bin-for-bin") {
-    withRoot {
+    withIndexRoot("graft-hist-spec") {
       val merged = HR.mergedBins(spark, sf, lo, hi)
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
       val direct = windowEvents
@@ -40,7 +33,7 @@ class HistogramRollupSpec extends SparkSpec {
   }
 
   test("estimates land within one bin width of the exact percentile") {
-    withRoot {
+    withIndexRoot("graft-hist-spec") {
       val est = HR.percentiles(HR.mergedBins(spark, sf, lo, hi), Seq(50, 95, 99))
         .collect().map(r => r.getString(0) ->
           (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
@@ -61,7 +54,7 @@ class HistogramRollupSpec extends SparkSpec {
   }
 
   test("late-day bins ADD in: merging a split history equals the whole") {
-    withRoot {
+    withIndexRoot("graft-hist-spec") {
       HR.ensure(spark, sf)
       val all = spark.read.parquet(HR.histPath(sf))
         .where(col("day") >= lit(MinMaxManifest.utc(lo)) &&
@@ -78,7 +71,7 @@ class HistogramRollupSpec extends SparkSpec {
   }
 
   test("appendBatch adds counts; replay double-counts — the documented contract") {
-    withRoot {
+    withIndexRoot("graft-hist-spec") {
       HR.ensure(spark, sf)
       val widerHi = "2024-02-10 00:00:00"
       def batch = (0 until 30).map { i =>
@@ -113,7 +106,7 @@ class HistogramRollupSpec extends SparkSpec {
   }
 
   test("CDC deletes maintain bins exactly: maintained ≡ recomputed, replay idempotent") {
-    withRoot {
+    withIndexRoot("graft-hist-spec") {
       val deleted = windowEvents.where(col("user_id") % 3 === 0)
       HR.applyDeletes(spark, sf, graft.Tables(spark, sf, "events")
         .where(col("user_id") % 3 === 0))
@@ -132,11 +125,25 @@ class HistogramRollupSpec extends SparkSpec {
       HR.applyDeletes(spark, sf, graft.Tables(spark, sf, "events")
         .where(col("user_id") % 3 === 0))
       assert(maintained() === recomputed, "replay must be idempotent")
+      // a SECOND, different batch ACCUMULATES — a table-wide
+      // overwrite would silently discard the first batch's
+      // retractions (review catch)
+      HR.applyDeletes(spark, sf, graft.Tables(spark, sf, "events")
+        .where(col("user_id") % 3 === 1), batchTag = "batch1")
+      val recomputed2 = windowEvents
+        .where(col("user_id") % 3 === 2)
+        .select(col("event_type"),
+          greatest(lit(0L), least(floor(col("value") / HR.BinWidth).cast("long"),
+            lit(HR.NumBins.toLong))).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(maintained() === recomputed2,
+        "sequential delete batches must both stay retracted")
     }
   }
 
   test("the persisted table is bounded by days × groups × bins") {
-    withRoot {
+    withIndexRoot("graft-hist-spec") {
       HR.ensure(spark, sf)
       val t = spark.read.parquet(HR.histPath(sf))
       val days = t.select("day").distinct().count()

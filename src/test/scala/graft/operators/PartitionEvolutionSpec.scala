@@ -12,20 +12,13 @@ class PartitionEvolutionSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private val PE = PartitionEvolution
 
-  private def withRoot[A](body: => A): A = {
-    val dir = tmpDir("graft-pev-spec")
-    sys.props("graft.index.dir") = dir
-    try body
-    finally { sys.props.remove("graft.index.dir"); () }
-  }
-
   private def events = graft.Tables(spark, sf, "events")
   private def rawWindow(lo: String, hi: String) = events.where(
     col("ts") >= lit(MinMaxManifest.utc(lo)) &&
       col("ts") < lit(MinMaxManifest.utc(hi)))
 
   test("evolved read equals the raw filter across the spec boundary") {
-    withRoot {
+    withIndexRoot("graft-pev-spec") {
       val (lo, hi) = ("2024-01-10 00:00:00", "2024-01-22 00:00:00")
       val (merged, leg0, leg1) = PE.read(spark, sf, lo, hi)
       assert(leg0.count() > 0 && leg1.count() > 0,
@@ -36,10 +29,9 @@ class PartitionEvolutionSpec extends SparkSpec {
     }
   }
 
-  test("the day-spec leg prunes directories; both legs carry PartitionFilters") {
-    withRoot {
-      // a 2-day window entirely inside the day-spec generation
-      val (lo, hi) = ("2024-01-18 00:00:00", "2024-01-20 00:00:00")
+  test("both legs carry PartitionFilters on a boundary-spanning window") {
+    withIndexRoot("graft-pev-spec") {
+      val (lo, hi) = ("2024-01-14 00:00:00", "2024-01-20 00:00:00")
       val (_, leg0, leg1) = PE.read(spark, sf, lo, hi)
       val p1 = leg1.queryExecution.executedPlan.toString
       assert(p1.contains("PartitionFilters: [") && p1.contains("pday"),
@@ -47,6 +39,18 @@ class PartitionEvolutionSpec extends SparkSpec {
       val p0 = leg0.queryExecution.executedPlan.toString
       assert(p0.contains("PartitionFilters: [") && p0.contains("pmonth"),
         s"month leg must prune on its own value:\n$p0")
+    }
+  }
+
+  test("a post-boundary window skips the month generation entirely and prunes days") {
+    withIndexRoot("graft-pev-spec") {
+      // a 2-day window entirely inside the day-spec generation: the
+      // month leg must not open a single history file (review catch —
+      // the month-range predicate alone kept the whole boundary month)
+      val (lo, hi) = ("2024-01-18 00:00:00", "2024-01-20 00:00:00")
+      val (merged, leg0, leg1) = PE.read(spark, sf, lo, hi)
+      assert(leg0.select(input_file_name()).distinct().count() === 0L,
+        "month-spec history must not be read for a post-boundary window")
       // directory-level skip is real: the 2-day window reads only
       // its days' files out of ~16 day partitions
       val touched = leg1.select(input_file_name()).distinct().count()
@@ -55,12 +59,12 @@ class PartitionEvolutionSpec extends SparkSpec {
         .select(input_file_name()).distinct().count()
       assert(touched < total / 3,
         s"2 of ~16 day partitions should read far fewer files ($touched/$total)")
-      assert(leg1.count() === rawWindow(lo, hi).count())
+      assert(merged.count() === rawWindow(lo, hi).count())
     }
   }
 
   test("a window before the spec change reads the month leg only") {
-    withRoot {
+    withIndexRoot("graft-pev-spec") {
       val (lo, hi) = ("2024-01-02 00:00:00", "2024-01-05 00:00:00")
       val (merged, _, leg1) = PE.read(spark, sf, lo, hi)
       assert(leg1.count() === 0L, "day-spec data starts at the boundary")

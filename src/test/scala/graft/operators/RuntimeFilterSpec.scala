@@ -50,9 +50,7 @@ class RuntimeFilterSpec extends SparkSpec {
   }
 
   test("GraftCatalog: rollup layers queryable through plain spark.sql") {
-    val root = java.nio.file.Files.createTempDirectory("graft-cat-roll").toString
-    sys.props("graft.index.dir") = root
-    try {
+    withIndexRoot("graft-cat-roll") {
       graft.GraftCatalog.registerRollups(spark, sf)
       // a dashboard merging the HLL sketch over a window, pure SQL —
       // register-wise max is all it needs from the view
@@ -68,7 +66,7 @@ class RuntimeFilterSpec extends SparkSpec {
         "histogram counts must cover the whole table")
       val files = spark.sql("SELECT count(*) FROM file_stats").head().getLong(0)
       assert(files > 0)
-    } finally { sys.props.remove("graft.index.dir"); () }
+    }
   }
 
   test("AQE splits a skewed join partition at runtime (skew=true)") {

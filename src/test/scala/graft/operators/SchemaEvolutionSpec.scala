@@ -15,15 +15,8 @@ class SchemaEvolutionSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private val SE = SchemaEvolution
 
-  private def withRoot[A](body: => A): A = {
-    val dir = tmpDir("graft-sev-spec")
-    sys.props("graft.index.dir") = dir
-    try body
-    finally { sys.props.remove("graft.index.dir"); () }
-  }
-
   test("unified read: one stable schema; per-generation null contract holds") {
-    withRoot {
+    withIndexRoot("graft-sev-spec") {
       val u = SE.readUnified(spark, sf)
       assert(u.columns.toSeq === Seq("event_id", "ts", "user_id", "event_type",
         "value", "attributes", "channel", "score", "gen"))
@@ -48,7 +41,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   }
 
   test("rename mapping surfaces old files' props bytes under the new name") {
-    withRoot {
+    withIndexRoot("graft-sev-spec") {
       val u = SE.readUnified(spark, sf)
       val ev = graft.Tables(spark, sf, "events")
       val old = u.where($"gen" < 2).select($"event_id", $"attributes")
@@ -60,7 +53,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   }
 
   test("unified row set equals the source table; no rows lost or invented") {
-    withRoot {
+    withIndexRoot("graft-sev-spec") {
       val u = SE.readUnified(spark, sf)
       val ev = graft.Tables(spark, sf, "events")
       assert(u.count() === ev.count())
@@ -71,7 +64,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   }
 
   test("filters on an added column stay correct across pre-add files") {
-    withRoot {
+    withIndexRoot("graft-sev-spec") {
       val u = SE.readUnified(spark, sf)
       // pre-add rows have channel NULL — a channel predicate must
       // exclude them (SQL null semantics), never error or leak
@@ -85,7 +78,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   }
 
   test("unification is metadata-only: no join/window in the unified plan") {
-    withRoot {
+    withIndexRoot("graft-sev-spec") {
       val p = SE.readUnified(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("Join") && !p.contains("Window"),
         s"schema union must not plan data-combining operators:\n$p")

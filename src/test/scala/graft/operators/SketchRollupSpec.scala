@@ -15,19 +15,12 @@ class SketchRollupSpec extends SparkSpec {
   private val SR = SketchRollup
   private val (lo, hi) = ("2024-01-05 00:00:00", "2024-01-25 00:00:00")
 
-  private def withRoot[A](body: => A): A = {
-    val dir = tmpDir("graft-hll-spec")
-    sys.props("graft.index.dir") = dir
-    try body
-    finally { sys.props.remove("graft.index.dir"); () }
-  }
-
   private def regsOf(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Int] =
     df.select("event_type", "reg", "rho").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
 
   test("daily-merge registers equal window-direct registers exactly") {
-    withRoot {
+    withIndexRoot("graft-hll-spec") {
       val merged = regsOf(SR.mergedRegisters(spark, sf, lo, hi))
       // window-direct: compute registers straight off the raw rows
       val ev = graft.Tables(spark, sf, "events")
@@ -49,7 +42,7 @@ class SketchRollupSpec extends SparkSpec {
   }
 
   test("merge is idempotent and order-insensitive: double-merging changes nothing") {
-    withRoot {
+    withIndexRoot("graft-hll-spec") {
       val m1 = SR.mergedRegisters(spark, sf, lo, hi)
       // merging the merge with itself (replayed late data) = itself
       val m2 = m1.union(m1).groupBy("event_type", "reg")
@@ -61,7 +54,7 @@ class SketchRollupSpec extends SparkSpec {
   }
 
   test("estimate tracks exact distinct within the HLL error envelope") {
-    withRoot {
+    withIndexRoot("graft-hll-spec") {
       val est = SR.estimate(SR.mergedRegisters(spark, sf, lo, hi))
         .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
       val exact = graft.Tables(spark, sf, "events")
@@ -82,7 +75,7 @@ class SketchRollupSpec extends SparkSpec {
   }
 
   test("appendBatch merges by max: new day counted, replay harmless") {
-    withRoot {
+    withIndexRoot("graft-hll-spec") {
       SR.ensure(spark, sf)
       val widerHi = "2024-02-10 00:00:00"
       def batch = (0 until 40).map { i =>
@@ -105,7 +98,7 @@ class SketchRollupSpec extends SparkSpec {
   }
 
   test("the persisted daily table is register-bounded, never row-scaled") {
-    withRoot {
+    withIndexRoot("graft-hll-spec") {
       SR.ensure(spark, sf)
       val t = spark.read.parquet(SR.sketchPath(sf))
       val days = t.select("day").distinct().count()

@@ -15,13 +15,6 @@ class WriteAuditPublishSpec extends SparkSpec {
   private val M = MinMaxManifest
   private val CC = ConstraintCheck
 
-  private def withRoot[A](body: => A): A = {
-    val dir = tmpDir("graft-wap-spec")
-    sys.props("graft.index.dir") = dir
-    try body
-    finally { sys.props.remove("graft.index.dir"); () }
-  }
-
   private val suite = Seq(
     CC.Constraint("complete", "user_id", CC.completeness("user_id"), _ >= 1.0))
 
@@ -33,7 +26,7 @@ class WriteAuditPublishSpec extends SparkSpec {
     M.ensureFrom(spark, sf, ev.where(col("ts") < lit(b1)), W.Table)
 
   test("a clean batch publishes; a dirty batch is rejected and invisible") {
-    withRoot {
+    withIndexRoot("graft-wap-spec") {
       setupBase()
       val baseCount = spark.read.parquet(M.layoutPath(sf, W.Table)).count()
       val good = ev.where(col("ts") >= lit(b1) && col("ts") < lit(b2))
@@ -70,15 +63,59 @@ class WriteAuditPublishSpec extends SparkSpec {
   }
 
   test("an orphan staging dir (crash before the decision) is discarded by recover") {
-    withRoot {
+    withIndexRoot("graft-wap-spec") {
       setupBase()
       ev.limit(5).write.mode("overwrite").parquet(W.stagingPath(sf))
-      W.recover(sf)
+      W.recover(spark, sf)
       val (fs, p) = IndexStore.fsOf(W.stagingPath(sf))
       assert(!fs.exists(p))
       // and the table is untouched
       assert(spark.read.parquet(M.layoutPath(sf, W.Table)).count() ===
         ev.where(col("ts") < lit(b1)).count())
+    }
+  }
+
+  test("crash after the intent, before the data append: recovery publishes ONCE") {
+    withIndexRoot("graft-wap-spec") {
+      setupBase()
+      val good = ev.where(col("ts") >= lit(b1) && col("ts") < lit(b2))
+      val boom = intercept[RuntimeException] {
+        W.stageAndPublish(spark, sf, good, suite, "g1",
+          onIntentForTest = () => throw new RuntimeException("crash"))
+      }
+      assert(boom.getMessage === "crash")
+      W.recover(spark, sf)
+      val base = ev.where(col("ts") < lit(b1)).count()
+      assert(spark.read.parquet(M.layoutPath(sf, W.Table)).count() ===
+        base + good.count(), "recovery must complete the publish exactly once")
+      // and a SECOND recovery (or the next flow's entry recover) is a no-op
+      W.recover(spark, sf)
+      assert(spark.read.parquet(M.layoutPath(sf, W.Table)).count() ===
+        base + good.count(), "recovery must be idempotent")
+    }
+  }
+
+  test("crash after the data landed, before cleanup: recovery does NOT re-publish") {
+    withIndexRoot("graft-wap-spec") {
+      setupBase()
+      import spark.implicits._
+      val beforeParts = spark.read.parquet(M.layoutPath(sf, W.Table))
+        .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+        .collect().map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+          .getName).toSet
+      val good = ev.where(col("ts") >= lit(b1) && col("ts") < lit(b2))
+      W.stageAndPublish(spark, sf, good, suite, "g2")
+      val published = spark.read.parquet(M.layoutPath(sf, W.Table)).count()
+      // reconstruct the crash state: intent (with the PRE-publish
+      // listing) and staging both still present
+      spark.createDataset((beforeParts + "").toIndexedSeq.map(p => ("g2", p)))
+        .toDF("batch", "path")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${IndexStore.root}/${graft.operators.IndexStore.fingerprint(sf, "events")}/${W.Table}_publish_intent")
+      good.write.mode("overwrite").parquet(W.stagingPath(sf))
+      W.recover(spark, sf)
+      assert(spark.read.parquet(M.layoutPath(sf, W.Table)).count() === published,
+        "recovery must detect the landed publish and not duplicate it")
     }
   }
 }
