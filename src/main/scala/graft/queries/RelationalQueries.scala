@@ -1550,6 +1550,35 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q40 — GOVERNED VIEW ([[graft.operators.Governance]]): row-level
+    * security + column masking as a catalog view — the "analyst"
+    * principal sees documents with restricted sources row-filtered
+    * out, raw `text` ABSENT from the schema (selecting it fails at
+    * analysis), and a `text_sha` digest standing in (joinable,
+    * distinct-able, unreadable). The query runs THROUGH `spark.sql`
+    * over the registered view — the SQL surface is the enforcement
+    * boundary being exercised. Oracle replays the policy inline
+    * (filter + md5) over the raw table; a leaked restricted row or a
+    * mis-masked digest breaks the hash. Governance is a lazy
+    * projection+filter — zero copies, predicates push through to the
+    * scan (GovernanceSpec pins both). */
+  val q40GovernedView: GraftQuery = q(
+    "q40_governed_view",
+    "governed catalog view: row policy + column mask, queried through plain SQL",
+    """SELECT lang, count(*) AS docs,
+      |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE NOT (CAST(substr(source, 4) AS INT) % 4 = 0)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Governance.registerAnalystView(s, dir)
+    s.sql("""SELECT lang, count(*) AS docs,
+      count(DISTINCT text_sha) AS distinct_texts,
+      sum(n_chars) AS chars
+      FROM documents_analyst GROUP BY lang ORDER BY lang""")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1560,5 +1589,5 @@ object RelationalQueries {
     q26IntervalJoin, q27RollingZscore, q28ZorderLayout, q29BucketedJoin,
     q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
     q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
-    q38WriteAuditPublish, q39PartitionEvolution)
+    q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView)
 }
