@@ -1430,9 +1430,50 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** v17 — ANN UNDER GDPR DELETES
+    * ([[graft.operators.AnnDeletes]]): the q32 deletion-vector idea
+    * at the vector layer. A delete batch (every vec_id ≡ 3 mod 23)
+    * tombstones merge-on-read; search anti-joins the tombstones at
+    * the candidate/refine boundary, so an erased vector can never be
+    * RETURNED even though the immutable IVF artifacts still hold its
+    * codes — physical purge rides the next quantizer retrain (the
+    * D22 lifecycle) instead of a retrain-per-erasure. Same candidate
+    * stage and ranking as v04; the oracle replays the shared CTEs
+    * with the deletion predicate applied to candidates — a single
+    * surfaced tombstoned neighbor breaks the hash. Replay-idempotent
+    * per batch tag, cumulative across batches (spec-pinned). */
+  val v17AnnDeletes: GraftQuery = q(
+    "v17_ann_deletes",
+    "GDPR vector deletes: merge-on-read tombstones at the ANN candidate boundary",
+    Some(s"""WITH $ivfCandidateCtes,
+      |live AS (SELECT * FROM cands WHERE NOT (vec_id % 23 = 3)),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM live)
+      |SELECT query_id, rnk, vec_id AS neighbor_id, sim
+      |FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val AD = graft.operators.AnnDeletes
+    // the GDPR batch — overwrite scoped to its tag, so re-runs replay
+    // bit-identically and other batches (none here) would accumulate
+    AD.deleteVectors(s, dir,
+      emb(s, dir).select($"vec_id").where($"vec_id" % 23 === 3), "gdpr23")
+    val live = AD.filterDeleted(s, dir, ivfCandidates(s, dir))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    live.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
     v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn,
-    v13RecallEval, v14ChunkMaxSim, v15IvfChunkMaxSim, v16HammingAnn)
+    v13RecallEval, v14ChunkMaxSim, v15IvfChunkMaxSim, v16HammingAnn,
+    v17AnnDeletes)
 }
