@@ -369,6 +369,28 @@ object IndexStore {
     } finally tk.unpersist()
   }
 
+  /** Public artifact path for a derived table over `dir/table` —
+    * the generic face of the per-corpus artifact discipline, for
+    * consumers outside this package (the perceptual-hash tables).
+    * `leaf` must carry its own version suffix when the builder's
+    * definition can change (the SchemaEvolution.FixtureVersion
+    * lesson). */
+  def derivedTablePath(dir: String, table: String, leaf: String): String =
+    s"$root/${fingerprint(dir, table)}/$leaf"
+
+  /** Load-or-build for a derived table artifact: build once per
+    * corpus lifetime (fingerprint-keyed path), read thereafter —
+    * the lifecycle every index here follows, offered generically so
+    * one-shot derived tables (perceptual hashes, audio signatures)
+    * don't re-run their heavy pass per execution. */
+  def cachedTable(s: org.apache.spark.sql.SparkSession, path: String,
+      parts: Int = 1)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    if (!artifactReady(path))
+      build.coalesce(parts).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Artifact directory for the IVF-FLAT assignment table of `dir`'s
     * embeddings (the `c` suffix versions the CELL-PARTITIONED layout
     * introduced in round 7 — an old flat-directory artifact under the
