@@ -548,18 +548,34 @@ class QueryPlanSpec extends SparkSpec {
   }
 
   test("m06: candidate generation is a hash equi-join on band words, never pixels") {
-    val df = QueryRegistry.asMap("m06_phash_near_dup")(spark, sf)
-    df.collect() // finalize the adaptive plan
-    val p = df.queryExecution.executedPlan.toString
-    // the band self-join and the two hash join-backs are all hash
-    // equi-joins over 8-byte hash words — decoded pixels exist only
-    // inside the one mapPartitions decode pass
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"m06 candidates must come from band equality, not all-pairs:\n$p")
-    assert(p.contains("SerializeFromObject"),
-      "the typed decode boundary must appear exactly around mapPartitions")
-    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)".r
-      .findAllIn(p).nonEmpty, s"band join missing:\n$p")
+    // the registered query's plan is ALWAYS the artifact-read shape:
+    // cachedTable builds the hash table eagerly (its own job) and
+    // returns the parquet read, so decoded pixels never appear in
+    // the query plan at all — that IS the once-per-corpus-lifetime
+    // claim, pinned here; the decode boundary itself is pinned on
+    // the builder stage's own plan below
+    withIndexRoot("graft-m06-plan") {
+      val df = QueryRegistry.asMap("m06_phash_near_dup")(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      // the band self-join and the two hash join-backs are all hash
+      // equi-joins over 8-byte hash words
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"m06 candidates must come from band equality, not all-pairs:\n$p")
+      assert(!p.contains("SerializeFromObject"),
+        s"the query plan must read the persisted hash table, not decode:\n$p")
+      assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)".r
+        .findAllIn(p).nonEmpty, s"band join missing:\n$p")
+    }
+    // the builder stage is where the typed decode boundary lives
+    import spark.implicits._
+    val media = Seq(graft.multimodal.Multimodal.MediaRow(1L,
+      graft.multimodal.Multimodal.MediaMeta("image", "png", 32, 32, 0, 0),
+      graft.multimodal.Multimodal.synthGrayPng(1L, perturbed = false))).toDS()
+    val bp = graft.multimodal.Multimodal.aHashTable(media)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("SerializeFromObject"),
+      s"the builder must carry the mapPartitions decode boundary:\n$bp")
   }
 }
