@@ -136,11 +136,28 @@ object HistogramRollup {
     }
   }
 
+  /** Per-bin width scaled to 1e4: 5.0 → 50000. The whole percentile
+    * estimate is emitted at this scale as a BIGINT so NO float op
+    * (and no engine-dependent rounding tie-break) ever touches the
+    * hash-compared value. */
+  val BinWidthE4 = 50000L
+
   /** Percentile estimates from merged bins: for each p (as an exact
     * rational pNum/100), target rank k = ⌈p·n⌉, pick the first bin
     * whose cumulative count reaches k, interpolate linearly inside
     * it. The per-group frame is ≤ NumBins+1 rows, so the window walk
-    * is metadata-sized however big the corpus. */
+    * is metadata-sized however big the corpus.
+    *
+    * INTEGER-EXACT END-TO-END: the estimate is a 1e4-scaled BIGINT
+    * `pXX_e4 = 50000·bin + (50000·(k − cum + cnt)) DIV cnt` with
+    * floor semantics in BOTH engines (Spark `DIV` ≡ DuckDB `//` on
+    * BIGINTs). Round 7's `round(interp, 4)` double landed on exactly
+    * representable 4-decimal ties (34.21875-shaped, common when cnt
+    * has a 2^k divisor) where Spark's BigDecimal HALF_UP and a
+    * DuckDB version's tie-break can disagree — the only red rows in
+    * CORRECTNESS_r07. Integer floor division has no tie to break.
+    * Callers wanting the pretty double divide by 1e4 OUTSIDE the
+    * hash gate. */
   def percentiles(merged: DataFrame, pNums: Seq[Int]): DataFrame = {
     val grp = Window.partitionBy("event_type")
     val w = Window.partitionBy("event_type").orderBy("bin")
@@ -148,24 +165,21 @@ object HistogramRollup {
       .withColumn("n", sum("cnt").over(grp))
       .withColumn("cum", sum("cnt").over(w))
     val ests = pNums.map { p =>
-      // integer ⌈p·n/100⌉: floor((pn+99)/100.0) equals BIGINT DIV for
-      // pn+99 < 2^52 (the exact rational is never within an ulp of an
-      // integer unless it IS one) — the DuckDB oracle uses `//`
-      val k = floor((lit(p.toLong) * col("n") + lit(99L)) / 100.0).cast("long")
+      // integer ⌈p·n/100⌉ via BIGINT DIV — exact at any n, no float
+      val kSql = s"(${p}L * n + 99L) DIV 100L"
       // the overflow bin has no upper edge, so linear interpolation
       // inside it is meaningless — report its lower edge and let the
       // caller read "≥ edge" (review catch: the bin-width error bound
       // holds only on the bounded domain [0, NumBins·W), which the
       // spec asserts on in-domain fixtures)
-      val interp = when(col("bin") === NumBins.toLong,
-        lit(NumBins * BinWidth))
-        .otherwise(col("bin") * BinWidth +
-          lit(BinWidth) * (k - (col("cum") - col("cnt"))).cast("double") /
-            col("cnt").cast("double"))
+      val e4 = expr(
+        s"""CASE WHEN bin = ${NumBins}L THEN ${NumBins * BinWidthE4}L
+           |ELSE ${BinWidthE4}L * bin
+           |  + ($BinWidthE4 * ($kSql - (cum - cnt))) DIV cnt END""".stripMargin)
       // argmin-by-bin of qualifying rows: struct min orders by the
       // leading bin field; non-qualifying rows are null and ignored
-      min(when(col("cum") >= k, struct(col("bin"), round(interp, 4).as("e"))))
-        .getField("e").as(s"p$p")
+      min(when(col("cum") >= expr(kSql), struct(col("bin"), e4.as("e"))))
+        .getField("e").as(s"p${p}_e4")
     }
     val nCol = max(col("n")).as("n")
     withCum.groupBy("event_type")

@@ -1402,23 +1402,23 @@ object DedupQueries {
       |  FROM b),
       |est AS (
       |  SELECT event_type, max(n) AS n,
-      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
-      |             ELSE bin * 5.0
-      |             + 5.0 * CAST((50*n + 99) // 100 - (cum - cnt) AS DOUBLE)
-      |               / CAST(cnt AS DOUBLE) END, 4), bin)
-      |           FILTER (cum >= (50*n + 99) // 100) AS p50,
-      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
-      |             ELSE bin * 5.0
-      |             + 5.0 * CAST((95*n + 99) // 100 - (cum - cnt) AS DOUBLE)
-      |               / CAST(cnt AS DOUBLE) END, 4), bin)
-      |           FILTER (cum >= (95*n + 99) // 100) AS p95,
-      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
-      |             ELSE bin * 5.0
-      |             + 5.0 * CAST((99*n + 99) // 100 - (cum - cnt) AS DOUBLE)
-      |               / CAST(cnt AS DOUBLE) END, 4), bin)
-      |           FILTER (cum >= (99*n + 99) // 100) AS p99
+      |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
+      |             ELSE 50000 * bin
+      |             + (50000 * ((50*n + 99) // 100 - (cum - cnt))) // cnt
+      |             END AS BIGINT), bin)
+      |           FILTER (cum >= (50*n + 99) // 100) AS p50_e4,
+      |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
+      |             ELSE 50000 * bin
+      |             + (50000 * ((95*n + 99) // 100 - (cum - cnt))) // cnt
+      |             END AS BIGINT), bin)
+      |           FILTER (cum >= (95*n + 99) // 100) AS p95_e4,
+      |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
+      |             ELSE 50000 * bin
+      |             + (50000 * ((99*n + 99) // 100 - (cum - cnt))) // cnt
+      |             END AS BIGINT), bin)
+      |           FILTER (cum >= (99*n + 99) // 100) AS p99_e4
       |  FROM c GROUP BY event_type)
-      |SELECT event_type, p50, p95, p99, n
+      |SELECT event_type, p50_e4, p95_e4, p99_e4, n
       |FROM est ORDER BY event_type""".stripMargin)
   ) { (s, dir) =>
     import s.implicits._
@@ -1432,7 +1432,7 @@ object DedupQueries {
           "2024-01-08 00:00:00", "2024-01-18 00:00:00"),
         Seq(50, 95, 99))
       .where($"n" > 0)
-      .select($"event_type", $"p50", $"p95", $"p99", $"n")
+      .select($"event_type", $"p50_e4", $"p95_e4", $"p99_e4", $"n")
       .orderBy($"event_type")
   }
 

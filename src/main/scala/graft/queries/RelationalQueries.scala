@@ -1366,12 +1366,15 @@ object RelationalQueries {
     * ([[graft.operators.HistogramRollup]]): q34's percentile sibling
     * — per-day fixed-bin INTEGER histograms merge by SUM into any
     * window, and p50/p95/p99 come from walking the merged cumulative
-    * counts (≤101 rows per group) with integer target ranks and one
-    * double interpolation — the Prometheus/Druid fixed-bucket
-    * pattern, scan-free at query time. The oracle replays the whole
-    * estimate (integer bins/ranks, identical interpolation
-    * arithmetic); the bin-width error bound vs the exact sorted
-    * percentile is HistogramRollupSpec's job. */
+    * counts (≤101 rows per group) with integer target ranks — the
+    * Prometheus/Druid fixed-bucket pattern, scan-free at query time.
+    * The estimate is a 1e4-scaled BIGINT (`p50_e4` = 10⁴ × the
+    * percentile) computed with pure integer floor division in BOTH
+    * engines (Spark `DIV` ≡ DuckDB `//`) — round 7's `round(x, 4)`
+    * double landed on exactly representable 4-decimal ties where
+    * engines' tie-breaks can disagree; integers have no tie to
+    * break. The bin-width error bound vs the exact sorted percentile
+    * is HistogramRollupSpec's job. */
   val q36HistogramQuantiles: GraftQuery = q(
     "q36_histogram_quantiles",
     "mergeable fixed-bin histograms: window p50/p95/p99 from daily bin tables",
@@ -1392,23 +1395,23 @@ object RelationalQueries {
       |  FROM b),
       |est AS (
       |  SELECT event_type, max(n) AS n,
-      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
-      |             ELSE bin * 5.0
-      |             + 5.0 * CAST((50*n + 99) // 100 - (cum - cnt) AS DOUBLE)
-      |               / CAST(cnt AS DOUBLE) END, 4), bin)
-      |           FILTER (cum >= (50*n + 99) // 100) AS p50,
-      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
-      |             ELSE bin * 5.0
-      |             + 5.0 * CAST((95*n + 99) // 100 - (cum - cnt) AS DOUBLE)
-      |               / CAST(cnt AS DOUBLE) END, 4), bin)
-      |           FILTER (cum >= (95*n + 99) // 100) AS p95,
-      |         min_by(round(CASE WHEN bin = 100 THEN 500::DOUBLE
-      |             ELSE bin * 5.0
-      |             + 5.0 * CAST((99*n + 99) // 100 - (cum - cnt) AS DOUBLE)
-      |               / CAST(cnt AS DOUBLE) END, 4), bin)
-      |           FILTER (cum >= (99*n + 99) // 100) AS p99
+      |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
+      |             ELSE 50000 * bin
+      |             + (50000 * ((50*n + 99) // 100 - (cum - cnt))) // cnt
+      |             END AS BIGINT), bin)
+      |           FILTER (cum >= (50*n + 99) // 100) AS p50_e4,
+      |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
+      |             ELSE 50000 * bin
+      |             + (50000 * ((95*n + 99) // 100 - (cum - cnt))) // cnt
+      |             END AS BIGINT), bin)
+      |           FILTER (cum >= (95*n + 99) // 100) AS p95_e4,
+      |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
+      |             ELSE 50000 * bin
+      |             + (50000 * ((99*n + 99) // 100 - (cum - cnt))) // cnt
+      |             END AS BIGINT), bin)
+      |           FILTER (cum >= (99*n + 99) // 100) AS p99_e4
       |  FROM c GROUP BY event_type)
-      |SELECT event_type, p50, p95, p99, n
+      |SELECT event_type, p50_e4, p95_e4, p99_e4, n
       |FROM est ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
@@ -1416,7 +1419,7 @@ object RelationalQueries {
     HR.percentiles(
         HR.mergedBins(s, dir, "2024-01-08 00:00:00", "2024-01-18 00:00:00"),
         Seq(50, 95, 99))
-      .select($"event_type", $"p50", $"p95", $"p99", $"n")
+      .select($"event_type", $"p50_e4", $"p95_e4", $"p99_e4", $"n")
       .orderBy($"event_type")
   }
 

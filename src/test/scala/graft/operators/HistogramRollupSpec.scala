@@ -36,7 +36,7 @@ class HistogramRollupSpec extends SparkSpec {
     withIndexRoot("graft-hist-spec") {
       val est = HR.percentiles(HR.mergedBins(spark, sf, lo, hi), Seq(50, 95, 99))
         .collect().map(r => r.getString(0) ->
-          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+          (r.getLong(1) / 1e4, r.getLong(2) / 1e4, r.getLong(3) / 1e4)).toMap
       val byType = windowEvents.select("event_type", "value")
         .collect().groupBy(_.getString(0))
         .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
@@ -99,10 +99,25 @@ class HistogramRollupSpec extends SparkSpec {
       ("hot", 100L, 10L)  // 10 overflow rows ≥ 500
     ).toDF("event_type", "bin", "cnt")
     val est = HR.percentiles(merged, Seq(50, 99)).head()
-    assert(est.getDouble(2) === HR.NumBins * HR.BinWidth,
-      s"p99 in the overflow bin must report the edge, got ${est.getDouble(2)}")
-    assert(est.getDouble(1) < HR.BinWidth * 2,
+    assert(est.getLong(2) === (HR.NumBins * HR.BinWidthE4),
+      s"p99 in the overflow bin must report the edge, got ${est.getLong(2)}")
+    assert(est.getLong(1) < HR.BinWidthE4 * 2,
       "in-domain p50 must still interpolate normally")
+  }
+
+  test("binary-tie fixture (cnt=32): the e4 estimate is an exact integer, no rounding") {
+    // round 7's red rows: round(interp, 4) on a cnt with a 2^k
+    // divisor lands on an EXACTLY representable 4-decimal tie
+    // (34.21875) whose HALF_UP/engine tie-break differs between
+    // Spark and a DuckDB version. The integer-exact path has no tie:
+    // bin=6, cnt=32, p=84 → k = ⌈84·32/100⌉ = 27, offset
+    // 50000·27 DIV 32 = 42187 (the old double was 34.21875 — the
+    // exact tie shape), so p84_e4 = 300000 + 42187 = 342187, floor'd
+    // identically by Spark DIV and DuckDB // forever.
+    val merged = Seq(("tie", 6L, 32L)).toDF("event_type", "bin", "cnt")
+    val est = HR.percentiles(merged, Seq(84)).head()
+    assert(est.getLong(1) === 342187L,
+      s"expected the floor'd e4 integer 342187, got ${est.getLong(1)}")
   }
 
   test("CDC deletes maintain bins exactly: maintained ≡ recomputed, replay idempotent") {
