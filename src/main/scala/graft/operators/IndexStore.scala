@@ -330,42 +330,43 @@ object IndexStore {
     * replay idempotence is the caller's batch_id discipline, as with
     * every append path here.
     *
-    * Crash safety (the r6 advice closed): the stats artifact is now
-    * APPEND-ONLY — the build writes the first (n, sdl) partial row and
-    * every batch appends its own, summed at read by [[bm25Stats]]
-    * (distributive, rows immutable once written — the MinMaxManifest
-    * discipline). There is no read-modify-write to tear and no window
-    * in which previously-appended mass can be lost: a crash between
-    * the postings append and the stats append leaves scoring constants
-    * stale by exactly the in-flight batch (bounded, self-describing —
-    * the next successful append does not compound it), and a torn
-    * stats job that destroys the marker is repaired by
-    * [[bm25Postings]]' rederive-from-postings path instead of a lossy
-    * rebuild from `documents`. */
+    * Crash safety (the r6 advice + r7 verdict closed): each batch —
+    * including the base build — lands in its OWN `batch=<tag>` dir on
+    * BOTH sides with its own _SUCCESS marker, postings first, stats
+    * second. Readers serve only postings-ready batches and sum only
+    * their stats rows, and [[bm25Recover]] (run on every read)
+    * rederives any missing stats batch from its own postings — so a
+    * crash in EITHER window (mid-postings: the torn batch is
+    * invisible until its tag is replayed; between postings and stats:
+    * recovery restores exact N/Σdl for exactly the served postings)
+    * never loses an appended batch and never serves constants
+    * inconsistent with the postings. Replaying a tag overwrites only
+    * its own dirs — idempotent; omitting the tag auto-numbers
+    * sequentially (single-writer contract, as everywhere in this
+    * family). */
   def bm25Append(s: SparkSession, dir: String,
-      batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch: org.apache.spark.sql.DataFrame, batchTag: String = null): Unit = {
     import s.implicits._
     val pPath = bm25PostingsPath(dir)
     val sPath = bm25StatsPath(dir)
-    require(artifactReady(pPath) && artifactReady(sPath),
+    require(artifactReady(s"$pPath/$Bm25BaseTag"),
       s"bm25 index at $pPath must be built before appending")
+    val tag = Option(batchTag).map("batch=" + _)
+      .getOrElse(s"batch=b${"%04d".format(bm25ReadyBatches(pPath).size)}")
     val tk = batch
       .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dl = tk.select($"doc_id", size($"toks").as("dl"))
-      tk.select($"doc_id", explode($"toks").as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        .join(dl, "doc_id")
-        .select($"term", $"doc_id", $"tf", $"dl")
-        .repartitionByRange(2, $"term", $"doc_id")
-        .sortWithinPartitions($"term", $"doc_id")
-        .write.mode("append").parquet(pPath)
-      val (bn, bsdl) = dl.agg(count(lit(1)), sum($"dl"))
-        .as[(Long, Long)].head()
-      // append THIS batch's partial row only — never read-modify-write
-      s.createDataset(Seq((bn, bsdl))).toDF("n", "sdl")
-        .coalesce(1).write.mode("append").parquet(sPath)
+      writeBm25PostingsBatch(
+        tk.select($"doc_id", explode($"toks").as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          .join(dl, "doc_id")
+          .select($"term", $"doc_id", $"tf", $"dl"),
+        pPath, tag, parts = 2)
+      // THIS batch's stats row into its own dir — never read-modify-write
+      dl.agg(count(lit(1)).as("n"), sum($"dl").cast("long").as("sdl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$sPath/$tag")
     } finally tk.unpersist()
   }
 
@@ -493,12 +494,70 @@ object IndexStore {
     s.read.parquet(path)
   }
 
-  /** Artifact directory for the BM25 inverted index of `dir`'s
-    * documents. */
+  /** Artifact directories for the BM25 inverted index of `dir`'s
+    * documents. The `_b` suffix versions the round-8 BATCH-DIR layout
+    * (`batch=<tag>` subdirectories with per-batch _SUCCESS markers on
+    * BOTH the postings and stats sides) — an old flat-directory
+    * artifact under the same fingerprint must not be misread as it
+    * (the SchemaEvolution.FixtureVersion discipline). */
   def bm25PostingsPath(dir: String): String =
-    s"$root/${fingerprint(dir, "documents")}/bm25_postings"
+    s"$root/${fingerprint(dir, "documents")}/bm25_postings_b"
   def bm25StatsPath(dir: String): String =
-    s"$root/${fingerprint(dir, "documents")}/bm25_stats"
+    s"$root/${fingerprint(dir, "documents")}/bm25_stats_b"
+
+  /** The base-build batch tag. */
+  private val Bm25BaseTag = "batch=base"
+
+  /** List the `batch=` subdirectories of a BM25 artifact root whose
+    * own _SUCCESS marker is present — the only batches a reader may
+    * see. A torn batch (crash mid-write: part files, no marker) is
+    * invisible until replayed or repaired, never half-read (the
+    * AnnDeletes ready-partition rule applied here). */
+  private def bm25ReadyBatches(path: String): Seq[String] = {
+    val (fs, p) = fsOf(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .filter(t => artifactReady(s"$path/$t"))
+      .sorted.toIndexedSeq
+  }
+
+  /** Write one batch's postings under its own `batch=` dir —
+    * range-partitioned and sorted by (term, doc_id) within the batch,
+    * so the IN-list prune works at file/row-group granularity per
+    * batch file. Overwrite-scoped to the batch dir, so replaying a
+    * tag is idempotent. */
+  private def writeBm25PostingsBatch(df: org.apache.spark.sql.DataFrame,
+      pPath: String, tag: String, parts: Int): Unit =
+    df.repartitionByRange(parts, col("term"), col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$pPath/$tag")
+
+  /** Derive one batch's (n, Σdl) stats row from ITS OWN postings —
+    * exact because dl is denormalized onto every posting (docs with
+    * ≥1 token; zero-token docs carry no postings and contribute 0 to
+    * every score, the disclosed bounded discrepancy). This is both
+    * the repair path for a batch whose stats write was lost AND the
+    * invariant that makes the postings side the single source of
+    * truth. */
+  private def rederiveBm25Stats(s: SparkSession, pPath: String,
+      sPath: String, tag: String): Unit =
+    s.read.parquet(s"$pPath/$tag")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$sPath/$tag")
+
+  /** Make every postings-ready batch stats-ready: any batch whose
+    * postings committed but whose stats row is missing or torn (the
+    * crash window between the two appends) gets its stats rederived
+    * from its own postings — so after recovery the served N/Σdl are
+    * EXACT for exactly the postings being served, and no appended
+    * batch is ever lost or double-counted. Idempotent; runs on every
+    * read for the price of a directory listing. */
+  private def bm25Recover(s: SparkSession, pPath: String, sPath: String): Unit =
+    bm25ReadyBatches(pPath)
+      .filterNot(t => artifactReady(s"$sPath/$t"))
+      .foreach(t => rederiveBm25Stats(s, pPath, sPath, t))
 
   /** Persisted BM25 inverted index — the lexical-retrieval member of
     * the train-once / probe-many family. One tokenize pass over the
@@ -524,7 +583,7 @@ object IndexStore {
       org.apache.spark.sql.DataFrame) = {
     val pPath = bm25PostingsPath(dir)
     val sPath = bm25StatsPath(dir)
-    if (!artifactReady(pPath)) {
+    if (!artifactReady(s"$pPath/$Bm25BaseTag")) {
       // The (doc_id, term) aggregate's group count ≈ distinct terms ×
       // docs — at the 1000× replica (5 M docs) the session's 32
       // shuffle partitions put ~5 M groups on each reducer and the
@@ -555,32 +614,24 @@ object IndexStore {
       def tk = graft.Tables(bs, dir, "documents")
         .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
       def dl = tk.select($"doc_id", size($"toks").as("dl"))
-      tk.select($"doc_id", explode($"toks").as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        .join(dl, "doc_id")
-        .select($"term", $"doc_id", $"tf", $"dl")
-        .repartitionByRange(8, $"term", $"doc_id")
-        .sortWithinPartitions($"term", $"doc_id")
-        .write.mode("overwrite").parquet(pPath)
-      dl.agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
-        .coalesce(1).write.mode("overwrite").parquet(sPath)
-    } else if (!artifactReady(sPath)) {
-      // postings intact but the stats marker is gone (a torn stats
-      // job): RE-DERIVE stats from the existing postings instead of
-      // rebuilding from `documents` — a rebuild would silently discard
-      // every previously appended batch's postings (the r6 advice's
-      // lossy-recovery finding). dl is denormalized onto every
-      // posting, so one per-doc max + one sum reproduces (n, Σdl)
-      // exactly for every doc with ≥1 token; zero-token docs carry no
-      // postings and drop out of the rederived n — a disclosed,
-      // bounded discrepancy (they contribute 0 to every score's tf
-      // side) vs the alternative of losing appended postings wholesale.
-      s.read.parquet(pPath)
-        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-        .coalesce(1).write.mode("overwrite").parquet(sPath)
+      writeBm25PostingsBatch(
+        tk.select($"doc_id", explode($"toks").as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          .join(dl, "doc_id")
+          .select($"term", $"doc_id", $"tf", $"dl"),
+        pPath, Bm25BaseTag, parts = 8)
+      dl.agg(count(lit(1)).as("n"), sum($"dl").cast("long").as("sdl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$sPath/$Bm25BaseTag")
     }
-    (s.read.parquet(pPath), bm25Stats(s, dir))
+    // repair any batch whose stats write was lost (crash between the
+    // postings append and the stats append, or a torn stats job) —
+    // rederived from that batch's OWN postings, so the served N/Σdl
+    // are exact for exactly the postings being served and no appended
+    // batch is ever discarded (the r6 advice's lossy-recovery finding,
+    // closed per batch)
+    bm25Recover(s, pPath, sPath)
+    val ready = bm25ReadyBatches(pPath)
+    (s.read.parquet(ready.map(t => s"$pPath/$t"): _*), bm25Stats(s, dir))
   }
 
   /** TARGETED BM25 compaction (the r6 ask): [[bm25Append]] degrades
@@ -607,29 +658,38 @@ object IndexStore {
     import org.apache.hadoop.fs.Path
     val pPath = bm25PostingsPath(dir)
     val sPath = bm25StatsPath(dir)
-    require(artifactReady(pPath) && artifactReady(sPath),
+    require(artifactReady(s"$pPath/$Bm25BaseTag"),
       s"bm25 index at $pPath must exist before compacting")
+    bm25Recover(s, pPath, sPath)
     val stagedP = pPath + ".compacting"
     val stagedS = sPath + ".compacting"
     val (fs, _) = fsOf(pPath)
-    def parts(p: String): Set[String] =
-      fs.listStatus(new Path(p)).map(_.getPath.getName)
-        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
-    // snapshot BOTH artifact listings before the rewrite: an append
-    // writes postings THEN its stats partial, so a race can land a
-    // stats row while only the postings set is watched — the swap
-    // would then destroy that batch's (n, sdl) mass permanently
-    // (review catch). Guarding both listings makes every overlap
-    // abort losslessly; only the sub-second check→swap window
-    // remains, as in MinMaxManifest.compact.
-    val readSet = parts(pPath)
-    val readStats = parts(sPath)
-    s.read.parquet(pPath)
-      .repartitionByRange(8, col("term"), col("doc_id"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").parquet(stagedP)
-    bm25Stats(s, dir).coalesce(1).write.mode("overwrite").parquet(stagedS)
-    if (parts(pPath) != readSet || parts(sPath) != readStats) {
+    // snapshot BOTH artifact trees (batch dirs AND their files) before
+    // the rewrite: an append writes postings THEN its stats row, so a
+    // race can land either side while only the other is watched — the
+    // swap would then destroy that batch's mass permanently (review
+    // catch). Guarding both recursive listings makes every overlap
+    // abort losslessly; only the sub-second check→swap window remains,
+    // as in MinMaxManifest.compact.
+    def snapshot(p: String): Set[String] = {
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toIndexedSeq.flatMap(walk)
+        else Seq(st.getPath.toString)
+      val root = new Path(p)
+      if (fs.exists(root)) walk(fs.getFileStatus(root)).toSet else Set.empty
+    }
+    val readP = snapshot(pPath)
+    val readS = snapshot(sPath)
+    val ready = bm25ReadyBatches(pPath)
+    // fold every committed batch into a single fresh base batch —
+    // postings re-range-partitioned/sorted, stats partials summed
+    writeBm25PostingsBatch(
+      s.read.parquet(ready.map(t => s"$pPath/$t"): _*),
+      stagedP, Bm25BaseTag, parts = 8)
+    bm25Stats(s, dir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stagedS/$Bm25BaseTag")
+    if (snapshot(pPath) != readP || snapshot(sPath) != readS) {
       fs.delete(new Path(stagedP), true)
       fs.delete(new Path(stagedS), true)
       throw new IllegalStateException(
@@ -650,14 +710,19 @@ object IndexStore {
   }
 
   /** The BM25 scoring constants (N docs, Σdl) as a ONE-ROW frame:
-    * the sum of the append-only per-batch partial rows the build and
-    * [[bm25Append]] write — a bounded aggregate over one tiny file
-    * per batch, summed at read so the artifact itself is immutable
-    * once written (no read-modify-write to tear). */
-  def bm25Stats(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    s.read.parquet(bm25StatsPath(dir))
+    * the sum of the per-batch partial rows over exactly the batches
+    * whose POSTINGS are served (the visibility rule lives on the
+    * postings side; [[bm25Recover]] guarantees every served batch has
+    * a stats row) — a bounded aggregate over one tiny file per batch,
+    * each immutable once written (no read-modify-write to tear). */
+  def bm25Stats(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val pPath = bm25PostingsPath(dir)
+    val sPath = bm25StatsPath(dir)
+    bm25Recover(s, pPath, sPath)
+    s.read.parquet(bm25ReadyBatches(pPath).map(t => s"$sPath/$t"): _*)
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("sdl")).cast("long").as("sdl"))
+  }
 
   /** DuckDB CTE rendering of the training sample, assuming a CTE `e`
     * (vec_id, v) is in scope — emits `es`. Shared by every IVF/PQ

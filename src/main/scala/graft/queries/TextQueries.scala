@@ -968,7 +968,7 @@ object TextQueries {
     * pruned posting read → broadcast df + stats → one per-doc hash
     * agg. Returns (doc_id, score, terms_hit); see [[t18Bm25Search]]
     * for the full plan rationale. */
-  private[queries] def bm25Scores(s: SparkSession,
+  private[graft] def bm25Scores(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val (postAll, stats) = graft.operators.IndexStore.bm25Postings(s, dir)

@@ -275,14 +275,56 @@ class IndexStoreSpec extends SparkSpec {
       val postingsBefore = p0.collect().map(_.toString).sorted.toSeq
       val statsBefore = s0.as[(Long, Long)].head()
       assert(statsBefore._1 === 45L, "stats partials must sum to the full corpus")
-      // the crash: the stats artifact loses its marker (torn job)
-      assert(new java.io.File(IndexStore.bm25StatsPath(d), "_SUCCESS").delete())
+      // the crash: the BASE batch's stats dir loses its marker (torn job)
+      assert(new java.io.File(
+        s"${IndexStore.bm25StatsPath(d)}/batch=base", "_SUCCESS").delete())
       val (p1, s1) = IndexStore.bm25Postings(spark, d)
       assert(p1.collect().map(_.toString).sorted.toSeq === postingsBefore,
         "recovery must NOT rebuild postings — appended batches would be lost")
       // every doc here has ≥1 token, so the rederived stats are exact
       assert(s1.as[(Long, Long)].head() === statsBefore,
         "stats rederived from postings must equal the pre-crash sums")
+    }
+  }
+
+  test("bm25Append: a crash between the postings and stats writes loses nothing") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val base = (0L until 40L).map(i => (i, s"alpha beta gamma doc$i"))
+      val b1 = (40L until 55L).map(i => (i, s"beta delta doc$i"))
+      val b2 = (55L until 70L).map(i => (i, s"gamma epsilon doc$i"))
+      def mkDir(rows: Seq[(Long, String)], name: String): String = {
+        val d = tmpDir(name)
+        rows.toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+        d
+      }
+      val dirA = mkDir(base, "bm25-crash-a")
+      val dirB = mkDir(base ++ b1 ++ b2, "bm25-crash-b")
+      IndexStore.bm25Postings(spark, dirA)
+      IndexStore.bm25Append(spark, dirA, b1.toDF("doc_id", "text"), "b1")
+      IndexStore.bm25Append(spark, dirA, b2.toDF("doc_id", "text"), "b2")
+      // the crash window: batch b2's postings committed, its stats
+      // write never ran — simulate by erasing b2's stats dir outright
+      val s2dir = new java.io.File(s"${IndexStore.bm25StatsPath(dirA)}/batch=b2")
+      s2dir.listFiles().foreach(_.delete()); assert(s2dir.delete())
+      // recovery: the served index must carry ALL appended batches
+      // with N/Σdl EXACTLY matching the served postings — bit-equal to
+      // a fresh build over the full corpus
+      val (pA, sA) = IndexStore.bm25Postings(spark, dirA)
+      val (pB, sB) = IndexStore.bm25Postings(spark, dirB)
+      assert(pA.collect().map(_.toString).sorted.toSeq ===
+        pB.collect().map(_.toString).sorted.toSeq,
+        "every appended batch's postings must survive the crash")
+      assert(sA.as[(Long, Long)].head() === sB.as[(Long, Long)].head(),
+        "recovered N/Σdl must equal the full rebuild's — not stale by the torn batch")
+      // and the query surface agrees: warm t18-style scores are
+      // identical over both indexes
+      def scores(dir: String) = graft.queries.TextQueries
+        .bm25Scores(spark, dir).collect().map(_.toString).sorted.toSeq
+      assert(scores(dirA) === scores(dirB),
+        "BM25 scores after crash recovery must equal the full rebuild's")
     }
   }
 
@@ -324,8 +366,12 @@ class IndexStoreSpec extends SparkSpec {
       (0L until 40L).map(i => (i, s"alpha beta gamma doc$i")).toDF("doc_id", "text")
         .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
       IndexStore.bm25Postings(spark, d)
-      def postFiles(): Int = new java.io.File(IndexStore.bm25PostingsPath(d))
-        .listFiles().count(_.getName.endsWith(".parquet"))
+      def postFiles(): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(IndexStore.bm25PostingsPath(d)))
+          .count(_.getName.endsWith(".parquet"))
+      }
       val builtFiles = postFiles()
       (0 until 3).foreach { b =>
         IndexStore.bm25Append(spark, d,
