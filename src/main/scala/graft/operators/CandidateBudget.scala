@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * crowd), and (mass, key…) is a total order so the admitted set is
   * fully deterministic.
   *
-  * Scale: the cumulative window is GLOBAL but runs over bucket-mass
-  * rows, whose count is bounded by the KEY SPACE (bands × signature
-  * domain), not the corpus; the admitted keyset is broadcast into a
-  * left-semi prune by the caller.
+  * Scale: the cumulative sum is computed as a TWO-PASS
+  * range-partitioned prefix sum (see [[admit]]) — no task ever sees
+  * more than its range slice of the bucket-mass rows, so the
+  * admission scales with the bucket list (corpus-bound for d01's
+  * mod-P signatures) instead of funneling it through one window
+  * task; the admitted keyset is broadcast into a left-semi prune by
+  * the caller.
   */
 object CandidateBudget {
 
@@ -46,23 +49,58 @@ object CandidateBudget {
   /** Admit buckets of `mass` (key columns ++ a `cand` mass column)
     * cheapest-first within `budget`.
     *
-    * The cumulative window is a GLOBAL total order — one task sees
-    * every input row. That is sound while the input is bounded (d02:
-    * key space; d01: positive-mass buckets ≈ the corpus's duplicate
-    * groups + band collisions, each contributing 1 row per band, not
-    * its members); at a corpus where even THAT list outgrows a task,
-    * the exact same semantics come from a two-pass range-partitioned
-    * prefix sum (per-partition totals collected — one row per
-    * partition — then per-partition windows with broadcast offsets),
-    * noted here as the swap-in rather than built, because the window
-    * input at every measured scale is thousands of rows. */
+    * The cumulative sum over the (cand, keys…) total order is a
+    * TWO-PASS RANGE-PARTITIONED PREFIX SUM — the distributed shape of
+    * a running total, replacing round 7's global unpartitioned window
+    * (a single task funnel once the bucket list is corpus-bound, as
+    * d01's mod-P signatures make it):
+    *
+    *  1. range-partition the mass rows by the total order, so
+    *     partition i holds a contiguous order slice, and capture the
+    *     partition id as a column;
+    *  2. collect the PER-PARTITION mass totals (one row per
+    *     partition — bounded by the shuffle width, never the data),
+    *     turn them into exclusive prefix offsets on the driver, and
+    *     broadcast-join them back;
+    *  3. run the cumulative window PER PARTITION ID — every window
+    *     task sees only its slice — and add the slice's offset.
+    *
+    * cum values are bit-identical to the global window's because
+    * (cand, keys…) is a total order (mass rows are groupBy results,
+    * so no composite key repeats — no tie can straddle a range
+    * boundary ambiguously), and range recompute is deterministic, so
+    * the lazily-consumed keep/skip frames agree across re-evaluation.
+    * CandidateBudgetSpec pins admissions bit-equal to a single-task
+    * reference; QueryPlanSpec pins that d01/d02/d06 plans carry no
+    * empty-partitionSpec window. */
   def admit(mass: DataFrame, keys: Seq[String],
       budget: Long): Admission = {
+    val s = mass.sparkSession
     val keyCols = keys.map(col)
     val order = col("cand") +: keyCols
-    val wCum = Window.orderBy(order: _*)
+    // EXPLICIT partition count: an N-less repartitionByRange is an
+    // AQE-coalescible exchange, and a different coalesce decision
+    // between the totals job and the window job would shift
+    // spark_partition_id and mis-key the offsets; REPARTITION_BY_NUM
+    // is exempt from coalescing, and range sampling is deterministic,
+    // so every re-evaluation sees identical pids
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val ranged = mass.repartitionByRange(nParts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    // pass 1: per-partition totals → exclusive prefix offsets (driver
+    // side, ≤ one row per shuffle partition)
+    val totals = ranged.groupBy(col("_pid")).agg(sum(col("cand")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, t)) => (pid, acc + t)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    // pass 2: per-partition running sums under broadcast offsets
+    val wCum = Window.partitionBy(col("_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budgeted = mass.withColumn("cum", sum(col("cand")).over(wCum))
+    val budgeted = ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("cum", col("_off") + sum(col("cand")).over(wCum))
     val keep = budgeted.where(col("cum") <= budget).select(keyCols: _*)
     val skippedKeys = budgeted.where(col("cum") > budget).select(keyCols: _*)
     val skippedMass = budgeted

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The distributed-admission contract: the two-pass range-partitioned
+  * prefix sum in [[CandidateBudget.admit]] must be BIT-IDENTICAL to
+  * the single-task global running sum it replaced (same keep set,
+  * same skipped keys, same skipped mass, at any budget), and its plan
+  * must carry no empty-partitionSpec window — the single-task funnel
+  * the rewrite exists to remove. */
+class CandidateBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed deterministic fixture: 500 buckets, masses 1..97 (knuth
+  // multiplicative scatter), ASCII keys so Spark / local string
+  // orderings agree
+  private def fixture = (0 until 500).map { i =>
+    (i % 7, f"sig$i%04d", (i * 2654435761L) % 97 + 1)
+  }.toDF("band", "sig", "cand")
+
+  /** The single-task reference: global (cand, band, sig) order,
+    * running sum on the driver. */
+  private def reference(budget: Long): (Set[(Int, String)], Set[(Int, String)], Long) = {
+    val rows = fixture.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (b, s, c) => (c, b, s) }
+    var cum = 0L
+    var skippedMass = 0L
+    val keep = Set.newBuilder[(Int, String)]
+    val skip = Set.newBuilder[(Int, String)]
+    rows.foreach { case (b, s, c) =>
+      cum += c
+      if (cum <= budget) keep += ((b, s))
+      else { skip += ((b, s)); skippedMass += c }
+    }
+    (keep.result(), skip.result(), skippedMass)
+  }
+
+  private def admitted(budget: Long): (Set[(Int, String)], Set[(Int, String)], Long) = {
+    val adm = CandidateBudget.admit(fixture, Seq("band", "sig"), budget)
+    (adm.keep.collect().map(r => (r.getInt(0), r.getString(1))).toSet,
+      adm.skippedKeys.collect().map(r => (r.getInt(0), r.getString(1))).toSet,
+      adm.skippedMass.head().getLong(0))
+  }
+
+  test("admissions are bit-identical to the single-task global window at every budget") {
+    val total = fixture.agg(sum($"cand")).head().getLong(0)
+    // budgets straddling nothing / a mid cut / everything
+    Seq(0L, 1L, total / 10, total / 2, total - 1, total, total + 100).foreach { b =>
+      val (k1, s1, m1) = admitted(b)
+      val (k2, s2, m2) = reference(b)
+      assert(k1 === k2, s"keep set diverged at budget $b")
+      assert(s1 === s2, s"skipped keyset diverged at budget $b")
+      assert(m1 === m2, s"skipped mass diverged at budget $b")
+      assert(k1.size + s1.size === 500, s"keys must partition at budget $b")
+    }
+  }
+
+  test("re-evaluation of the lazy admission frames is stable") {
+    // keep/skip frames recompute the range shuffle per action — the
+    // deterministic-sampling + explicit-N contract says every
+    // evaluation sees identical partition ids and offsets
+    val adm = CandidateBudget.admit(fixture, Seq("band", "sig"), 5000L)
+    val first = adm.keep.collect().map(_.toString).sorted.toSeq
+    val second = adm.keep.collect().map(_.toString).sorted.toSeq
+    assert(first === second, "lazy re-evaluation must not shift admissions")
+  }
+
+  test("no empty-partitionSpec window: every window task sees only its range slice") {
+    val adm = CandidateBudget.admit(fixture, Seq("band", "sig"), 5000L)
+    adm.keep.collect() // finalize the adaptive plan
+    val p = adm.keep.queryExecution.executedPlan.toString
+    val wlines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(wlines.nonEmpty, s"the cumulative window must exist:\n$p")
+    wlines.foreach(l => assert(l.contains("_pid#"),
+      s"the cumulative window must partition by the range slice id:\n$l"))
+    // the offsets arrive by broadcast, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-partition offsets must broadcast-join back:\n$p")
+  }
+}

@@ -578,4 +578,25 @@ class QueryPlanSpec extends SparkSpec {
     assert(bp.contains("SerializeFromObject"),
       s"the builder must carry the mapPartitions decode boundary:\n$bp")
   }
+
+  test("d01/d02/d06: the candidate-budget window is range-sliced, never global") {
+    // the r7 scale caveat, closed: CandidateBudget.admit's cumulative
+    // sum was a GLOBAL unpartitioned window (one task sees every
+    // positive-mass bucket row — corpus-bound for d01's mod-P
+    // signatures); it is now a two-pass range-partitioned prefix sum,
+    // so EVERY window in these plans must carry a partition spec (the
+    // _pid range-slice id)
+    withIndexRoot("graft-budget-plan") {
+      Seq("d01_minhash_lsh_dedup", "d02_simhash_dedup",
+          "d06_sharded_simhash").foreach { name =>
+        val df = QueryRegistry.asMap(name)(spark, sf)
+        df.collect() // finalize the adaptive plan
+        val p = df.queryExecution.executedPlan.toString
+        val wlines = p.linesIterator.filter(_.contains("Window ")).toSeq
+        assert(wlines.nonEmpty, s"$name lost its admission window:\n$p")
+        wlines.foreach(l => assert(l.contains("_pid#"),
+          s"$name plans a window not partitioned by the range slice:\n$l"))
+      }
+    }
+  }
 }
