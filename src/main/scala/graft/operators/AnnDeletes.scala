@@ -35,13 +35,18 @@ object AnnDeletes {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${tombstonePath(dir)}/batch=$batchTag")
 
-  /** All tombstoned vec_ids (empty frame when none recorded). */
+  /** All tombstoned vec_ids (empty frame when none recorded). Reads
+    * ONLY the `batch=` partitions that individually carry a _SUCCESS
+    * marker — a batch torn by a crash during task-commit must not
+    * surface phantom tombstones that hide live vectors (the r7 advice:
+    * gating on "≥1 ready batch" then reading the whole root did
+    * exactly that). */
   def tombstones(s: SparkSession, dir: String): DataFrame = {
-    val (fs, p) = IndexStore.fsOf(tombstonePath(dir))
-    val has = fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isDirectory && IndexStore.artifactReady(st.getPath.toString))
-    if (!has) s.range(0).select(col("id").as("vec_id"))
-    else s.read.parquet(tombstonePath(dir)).select("vec_id").distinct()
+    val root = tombstonePath(dir)
+    val ready = IndexStore.readyBatches(root)
+    if (ready.isEmpty) s.range(0).select(col("id").as("vec_id"))
+    else s.read.parquet(ready.map(t => s"$root/$t"): _*)
+      .select("vec_id").distinct()
   }
 
   /** The merge-on-read boundary: drop tombstoned vectors from a

@@ -118,14 +118,16 @@ object HistogramRollup {
   def mergedBinsWithDeltas(s: SparkSession, dir: String, lo: String,
       hi: String): DataFrame = {
     val base = mergedBins(s, dir, lo, hi)
-    // readiness = the delta root exists with ≥1 committed batch
-    // partition (the _SUCCESS markers live per batch dir)
-    val (fs, dp) = IndexStore.fsOf(cdcDeltaPath(dir))
-    val hasDeltas = fs.exists(dp) && fs.listStatus(dp).exists(st =>
-      st.isDirectory && IndexStore.artifactReady(st.getPath.toString))
-    if (!hasDeltas) base
+    // read ONLY the committed batch partitions (each carries its own
+    // _SUCCESS) — a delta batch torn mid-commit must contribute
+    // nothing until its replay completes it, not a partial retraction
+    // (the r7 advice: gating on "≥1 ready batch" then reading the
+    // whole root surfaced exactly such partials)
+    val ready = IndexStore.readyBatches(cdcDeltaPath(dir))
+    if (ready.isEmpty) base
     else {
-      val deltas = s.read.parquet(cdcDeltaPath(dir))
+      val deltas = s.read
+        .parquet(ready.map(t => s"${cdcDeltaPath(dir)}/$t"): _*)
         .where(col("day") >= lit(MinMaxManifest.utc(lo)) &&
           col("day") < lit(MinMaxManifest.utc(hi)))
         .select("event_type", "bin", "cnt")

@@ -352,7 +352,7 @@ object IndexStore {
     require(artifactReady(s"$pPath/$Bm25BaseTag"),
       s"bm25 index at $pPath must be built before appending")
     val tag = Option(batchTag).map("batch=" + _)
-      .getOrElse(s"batch=b${"%04d".format(bm25ReadyBatches(pPath).size)}")
+      .getOrElse(s"batch=b${"%04d".format(readyBatches(pPath).size)}")
     val tk = batch
       .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -513,7 +513,7 @@ object IndexStore {
     * see. A torn batch (crash mid-write: part files, no marker) is
     * invisible until replayed or repaired, never half-read (the
     * AnnDeletes ready-partition rule applied here). */
-  private def bm25ReadyBatches(path: String): Seq[String] = {
+  private[operators] def readyBatches(path: String): Seq[String] = {
     val (fs, p) = fsOf(path)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
@@ -555,7 +555,7 @@ object IndexStore {
     * batch is ever lost or double-counted. Idempotent; runs on every
     * read for the price of a directory listing. */
   private def bm25Recover(s: SparkSession, pPath: String, sPath: String): Unit =
-    bm25ReadyBatches(pPath)
+    readyBatches(pPath)
       .filterNot(t => artifactReady(s"$sPath/$t"))
       .foreach(t => rederiveBm25Stats(s, pPath, sPath, t))
 
@@ -630,7 +630,7 @@ object IndexStore {
     // batch is ever discarded (the r6 advice's lossy-recovery finding,
     // closed per batch)
     bm25Recover(s, pPath, sPath)
-    val ready = bm25ReadyBatches(pPath)
+    val ready = readyBatches(pPath)
     (s.read.parquet(ready.map(t => s"$pPath/$t"): _*), bm25Stats(s, dir))
   }
 
@@ -681,7 +681,7 @@ object IndexStore {
     }
     val readP = snapshot(pPath)
     val readS = snapshot(sPath)
-    val ready = bm25ReadyBatches(pPath)
+    val ready = readyBatches(pPath)
     // fold every committed batch into a single fresh base batch —
     // postings re-range-partitioned/sorted, stats partials summed
     writeBm25PostingsBatch(
@@ -719,7 +719,7 @@ object IndexStore {
     val pPath = bm25PostingsPath(dir)
     val sPath = bm25StatsPath(dir)
     bm25Recover(s, pPath, sPath)
-    s.read.parquet(bm25ReadyBatches(pPath).map(t => s"$sPath/$t"): _*)
+    s.read.parquet(readyBatches(pPath).map(t => s"$sPath/$t"): _*)
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("sdl")).cast("long").as("sdl"))
   }

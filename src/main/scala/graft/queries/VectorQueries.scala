@@ -867,7 +867,17 @@ object VectorQueries {
     "v10_pq_adc_knn",
     "D4 product quantization: per-subspace codebooks + ADC scan (32x compression) + exact refine",
     Some(pqSql)
-  ) { (s, dir) =>
+  ) { (s, dir) => pqAdcTopK(s, dir, tombstoned = false) }
+
+  /** The v10 pipeline with the OPT-IN tombstone boundary: when
+    * `tombstoned`, [[graft.operators.AnnDeletes.filterDeleted]]
+    * anti-joins the ADC-scored candidates before the shortlist — an
+    * erased vector can neither be returned nor occupy a shortlist
+    * slot. Non-opted callers (v10 itself) plan bit-identically to
+    * round 7 (the v04-untouched contract, extended to every ANN
+    * path). */
+  private def pqAdcTopK(s: SparkSession, dir: String,
+      tombstoned: Boolean): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps
     val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
@@ -899,8 +909,10 @@ object VectorQueries {
         (qid, id, ad)
       }
     }.toDF("query_id", "vec_id", "ad")
+    val live = if (tombstoned)
+      graft.operators.AnnDeletes.filterDeleted(s, dir, scored) else scored
     val wA = Window.partitionBy($"query_id").orderBy($"ad", $"vec_id")
-    val shortlist = scored.withColumn("arnk", row_number().over(wA))
+    val shortlist = live.withColumn("arnk", row_number().over(wA))
       .where($"arnk" <= PqShortlist)
       .select($"query_id", $"vec_id", $"ad")
     // REFINE: fetch raw vectors for the Q×C shortlist only (broadcast
@@ -969,7 +981,7 @@ object VectorQueries {
     * ONLY for candidates whose bucket is probed by the query, the
     * per-query scanned mass is disclosed, and the exact refine re-ranks
     * the shortlist. */
-  private def ivfadcSql: String =
+  private def ivfadcSql(tombstonePred: String = ""): String =
     s"""WITH $ivfAssignCtes,
        |$pqTrainCtes,
        |adist AS (
@@ -980,7 +992,7 @@ object VectorQueries {
        |  JOIN probes pb ON pb.bucket = ax.bucket
        |  JOIN cb c ON c.m = x.m AND c.code = x.code
        |  JOIN qsub q ON q.query_id = pb.query_id AND q.m = x.m
-       |  WHERE x.vec_id <> pb.query_id
+       |  WHERE x.vec_id <> pb.query_id$tombstonePred
        |  GROUP BY q.query_id, x.vec_id),
        |scnt AS (
        |  SELECT query_id, count(*) AS scanned FROM adist GROUP BY query_id),
@@ -1034,8 +1046,18 @@ object VectorQueries {
   val v12IvfAdcKnn: GraftQuery = q(
     "v12_ivfadc_knn",
     "D4 IVFADC: PQ ADC scan restricted to nprobe IVF cells + exact refine (scanned mass disclosed)",
-    Some(ivfadcSql)
-  ) { (s, dir) =>
+    Some(ivfadcSql())
+  ) { (s, dir) => ivfadcTopK(s, dir, tombstoned = false) }
+
+  /** The v12 pipeline with the OPT-IN tombstone boundary (the v17
+    * gap, closed for the IVFADC path): when `tombstoned`,
+    * [[graft.operators.AnnDeletes.filterDeleted]] anti-joins the
+    * bucket-pruned candidate stage BEFORE the scanned-mass count and
+    * the shortlist, so an erased vector neither surfaces nor counts
+    * as scanned candidate mass. Non-opted v12 plans bit-identically
+    * to round 7. */
+  private def ivfadcTopK(s: SparkSession, dir: String,
+      tombstoned: Boolean): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps
     val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
@@ -1075,9 +1097,11 @@ object VectorQueries {
           (qid, id, ad)
         }
       }.toDF("query_id", "vec_id", "ad")
-    val scnt = scored.groupBy($"query_id").agg(count(lit(1)).as("scanned"))
+    val live = if (tombstoned)
+      graft.operators.AnnDeletes.filterDeleted(s, dir, scored) else scored
+    val scnt = live.groupBy($"query_id").agg(count(lit(1)).as("scanned"))
     val wA = Window.partitionBy($"query_id").orderBy($"ad", $"vec_id")
-    val shortlist = scored.withColumn("arnk", row_number().over(wA))
+    val shortlist = live.withColumn("arnk", row_number().over(wA))
       .where($"arnk" <= PqShortlist)
       .select($"query_id", $"vec_id", $"ad")
     // REFINE: fetch raw vectors for the Q×C shortlist only (broadcast
@@ -1349,10 +1373,8 @@ object VectorQueries {
     * exist for this family. Recall is data-dependent (sign bits are a
     * coarse 1-bit/dim quantizer); VectorSpec measures it against the
     * exact v01 answer rather than assuming it. */
-  val v16HammingAnn: GraftQuery = q(
-    "v16_hamming_ann",
-    "D4 sign-bit binary signatures: Hamming candidate scan + exact cosine re-rank",
-    Some(s"""WITH e AS (
+  private def hammingSql(tombstonePred: String = ""): String =
+    s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |sig AS (
       |  SELECT vec_id,
@@ -1368,7 +1390,7 @@ object VectorQueries {
       |ham AS (
       |  SELECT q.query_id, s.vec_id,
       |         bit_count(xor(s.slo, q.qlo)) + bit_count(xor(s.shi, q.qhi)) AS hamming
-      |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.query_id),
+      |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.query_id$tombstonePred),
       |cand AS (
       |  SELECT query_id, vec_id, hamming,
       |         row_number() OVER (PARTITION BY query_id
@@ -1390,8 +1412,22 @@ object VectorQueries {
       |       CAST(vec_id AS BIGINT) AS neighbor_id,
       |       CAST(hamming AS BIGINT) AS hamming, sim
       |FROM r WHERE rnk <= 10
-      |ORDER BY query_id, rnk""".stripMargin)
-  ) { (s, dir) =>
+      |ORDER BY query_id, rnk""".stripMargin
+
+  val v16HammingAnn: GraftQuery = q(
+    "v16_hamming_ann",
+    "D4 sign-bit binary signatures: Hamming candidate scan + exact cosine re-rank",
+    Some(hammingSql())
+  ) { (s, dir) => hammingTopK(s, dir, tombstoned = false) }
+
+  /** The v16 pipeline with the OPT-IN tombstone boundary (the v17
+    * gap, closed for the binary path): when `tombstoned`,
+    * [[graft.operators.AnnDeletes.filterDeleted]] anti-joins the
+    * Hamming pair frame BEFORE the top-C window, so an erased vector
+    * neither surfaces nor occupies a candidate slot. Non-opted v16
+    * plans bit-identically to round 7. */
+  private def hammingTopK(s: SparkSession, dir: String,
+      tombstoned: Boolean): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps
     val e = emb(s, dir)
@@ -1404,11 +1440,13 @@ object VectorQueries {
       .toDF("vec_id", "slo", "shi")
     val qsig = sigs.where($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"slo".as("qlo"), $"shi".as("qhi"))
-    val ham = sigs.crossJoin(broadcast(qsig))
+    val ham0 = sigs.crossJoin(broadcast(qsig))
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         (bit_count($"slo".bitwiseXOR($"qlo")) +
           bit_count($"shi".bitwiseXOR($"qhi"))).cast("long").as("hamming"))
+    val ham = if (tombstoned)
+      graft.operators.AnnDeletes.filterDeleted(s, dir, ham0) else ham0
     val cw = Window.partitionBy($"query_id").orderBy($"hamming", $"vec_id")
     // candidates are (query_id, vec_id, int) triples — vectors are NOT
     // carried through the top-C shuffle; the refine re-reads them via
@@ -1470,10 +1508,56 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** The shared GDPR delete batch v17/v18/v19 replay: every vec_id ≡
+    * 3 (mod 23), recorded under one batch tag — deterministic content,
+    * so any execution order of the three queries converges on the
+    * same tombstone set (overwrite scoped to the tag). */
+  private def recordGdprBatch(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.AnnDeletes.deleteVectors(s, dir,
+      emb(s, dir).select($"vec_id").where($"vec_id" % 23 === 3), "gdpr23")
+  }
+
+  /** v18 — GDPR DELETES ON THE IVFADC PATH (the r7 verdict's v17 gap):
+    * v17 proved the tombstone boundary for the IVF-flat candidate
+    * stage only — the IVFADC/PQ/Hamming paths could still RETURN an
+    * erased vector. This registers the IVFADC leg: same pipeline as
+    * v12, with [[graft.operators.AnnDeletes.filterDeleted]] opted in
+    * at the bucket-pruned candidate stage (before the scanned-mass
+    * count and the shortlist). The oracle replays v12's full CTE
+    * stack with the deletion predicate applied at the same boundary —
+    * one surfaced tombstoned neighbor, one shifted shortlist slot, or
+    * one miscounted scanned row breaks the hash. v12 itself stays
+    * non-opted and plans bit-identically (the v04-untouched
+    * contract). */
+  val v18IvfAdcDeletes: GraftQuery = q(
+    "v18_ivfadc_deletes",
+    "GDPR vector deletes on the IVFADC path: tombstones at the bucket-pruned candidate boundary",
+    Some(ivfadcSql(" AND NOT (x.vec_id % 23 = 3)"))
+  ) { (s, dir) =>
+    recordGdprBatch(s, dir)
+    ivfadcTopK(s, dir, tombstoned = true)
+  }
+
+  /** v19 — GDPR DELETES ON THE BINARY HAMMING PATH: the v16 pipeline
+    * with the tombstone anti-join opted in at the Hamming pair frame
+    * (before the top-C window), completing the per-path coverage
+    * (IVF-flat = v17, IVFADC = v18, sign-bit = here; the PQ
+    * exhaustive path shares [[pqAdcTopK]]'s opt-in, spec-covered).
+    * Oracle = v16's CTEs with the deletion predicate in `ham`. */
+  val v19HammingDeletes: GraftQuery = q(
+    "v19_hamming_deletes",
+    "GDPR vector deletes on the sign-bit Hamming path: tombstones before the top-C window",
+    Some(hammingSql(" AND NOT (s.vec_id % 23 = 3)"))
+  ) { (s, dir) =>
+    recordGdprBatch(s, dir)
+    hammingTopK(s, dir, tombstoned = true)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
     v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn,
     v13RecallEval, v14ChunkMaxSim, v15IvfChunkMaxSim, v16HammingAnn,
-    v17AnnDeletes)
+    v17AnnDeletes, v18IvfAdcDeletes, v19HammingDeletes)
 }

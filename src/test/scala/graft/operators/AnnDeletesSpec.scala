@@ -30,6 +30,35 @@ class AnnDeletesSpec extends SparkSpec {
     }
   }
 
+  test("every ANN path honors tombstones when opted in; non-opted twins untouched") {
+    withIndexRoot("graft-annd-paths") {
+      // the r7 verdict's v17 gap: IVFADC / PQ / Hamming candidate
+      // stages could still return an erased vector — each opted leg
+      // must drop them, and the non-opted twins (v10/v12/v16) must be
+      // BIT-IDENTICAL before and after the tombstones land
+      val VQ = graft.queries.VectorQueries
+      val nonOpted = Seq("v10_pq_adc_knn" -> VQ.v10PqAdcKnn,
+        "v12_ivfadc_knn" -> VQ.v12IvfAdcKnn,
+        "v16_hamming_ann" -> VQ.v16HammingAnn)
+      def snap() = nonOpted.map { case (n, gq) =>
+        n -> gq.fn(spark, sf).collect().map(_.toString).toSeq
+      }
+      val before = snap()
+      Seq("v18_ivfadc_deletes" -> VQ.v18IvfAdcDeletes,
+          "v19_hamming_deletes" -> VQ.v19HammingDeletes).foreach {
+        case (name, gq) =>
+          val rows = gq.fn(spark, sf).collect()
+          assert(rows.nonEmpty, s"$name returned nothing")
+          rows.foreach(r => assert(r.getLong(2) % 23 != 3,
+            s"$name surfaced tombstoned neighbor ${r.getLong(2)}"))
+      }
+      snap().zip(before).foreach { case ((n, after), (_, b)) =>
+        assert(after === b,
+          s"$n (non-opted) must be untouched by recorded tombstones")
+      }
+    }
+  }
+
   test("batches replay idempotently and accumulate across tags") {
     withIndexRoot("graft-annd-spec") {
       val a = Seq(1L, 2L).toDF("vec_id")
