@@ -28,13 +28,17 @@ object GraftCatalog {
     plans.GraftExtensions.register(spark)
   }
 
-  /** Register the persisted ROLLUP layers as views too (building each
-    * on first use): the daily HLL register table, the daily histogram
-    * table, and the file-stats manifest — the dashboard-facing face
-    * of the scan-free operators, so a SQL client can merge sketches
-    * or plan a pruned read without the DataFrame API. Views are lazy;
-    * the one-time artifact builds amortize across every dashboard
-    * session on the corpus. */
+  /** Register the persisted ROLLUP layers as views too: the daily HLL
+    * register table, the daily histogram table, and the file-stats
+    * manifest — the dashboard-facing face of the scan-free operators,
+    * so a SQL client can merge sketches or plan a pruned read without
+    * the DataFrame API. NOTE: registration EAGERLY triggers each
+    * layer's one-time build (ensure() runs here, not at first query) —
+    * a cold host pays the three corpus scans up front, and every later
+    * registration on the corpus is a metadata check. Dashboards that
+    * must come up instantly should warm the artifacts out of band
+    * first (the r7 advice: the previous scaladoc promised first-USE
+    * laziness the code never had). */
   def registerRollups(spark: SparkSession, sfDir: String): Unit = {
     operators.SketchRollup.ensure(spark, sfDir)
     spark.read.parquet(operators.SketchRollup.sketchPath(sfDir))

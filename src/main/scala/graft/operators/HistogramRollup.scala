@@ -52,7 +52,7 @@ object HistogramRollup {
     val path = histPath(dir)
     if (IndexStore.artifactReady(path)) return
     graft.Tables(s, dir, "events")
-      .select(date_trunc("DAY", col("ts")).as("day"),
+      .select(MinMaxManifest.utcDay(col("ts")).as("day"),
         col("event_type"), binOf(col("value")).as("bin"))
       .groupBy("day", "event_type", "bin")
       .agg(count(lit(1)).as("cnt"))
@@ -68,7 +68,7 @@ object HistogramRollup {
   def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Unit = {
     require(IndexStore.artifactReady(histPath(dir)),
       "histogram table must be built before appending")
-    batch.select(date_trunc("DAY", col("ts")).as("day"),
+    batch.select(MinMaxManifest.utcDay(col("ts")).as("day"),
         col("event_type"), binOf(col("value")).as("bin"))
       .groupBy("day", "event_type", "bin")
       .agg(count(lit(1)).as("cnt"))
@@ -105,7 +105,7 @@ object HistogramRollup {
   def applyDeletes(s: SparkSession, dir: String, deleted: DataFrame,
       batchTag: String = "batch0"): Unit = {
     ensure(s, dir)
-    deleted.select(date_trunc("DAY", col("ts")).as("day"),
+    deleted.select(MinMaxManifest.utcDay(col("ts")).as("day"),
         col("event_type"), binOf(col("value")).as("bin"))
       .groupBy("day", "event_type", "bin")
       .agg((-count(lit(1))).as("cnt"))

@@ -110,6 +110,22 @@ object IndexStore {
     (p.getFileSystem(conf), p)
   }
 
+  /** A cloned session pinned to UTC — for artifact BUILDS whose
+    * persisted values embed a timezone rendering (partition-dir
+    * strings, date_trunc day keys). The clone shares the
+    * SparkContext but owns its SQLConf, so the caller's session zone
+    * is never mutated (the bm25-build discipline), and the artifact's
+    * values are UTC regardless of who builds it — which is what every
+    * reader's UTC-parsed bounds ([[MinMaxManifest.utc]]) assume. */
+  private[operators] def utcSession(s: SparkSession): SparkSession = {
+    val us = s.newSession()
+    us.conf.set("spark.sql.session.timeZone", "UTC")
+    us.conf.set("spark.sql.ansi.enabled", s.conf.get("spark.sql.ansi.enabled"))
+    us.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    us
+  }
+
   /** Recursive artifact delete — the retrain guard's force-rebuild
     * step. Safe because every artifact build is deterministic from
     * the source table. */

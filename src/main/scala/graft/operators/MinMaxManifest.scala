@@ -308,6 +308,15 @@ object MinMaxManifest {
     java.time.LocalDateTime.parse(t.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC))
 
+  /** Zone-FREE UTC day truncation of a timestamp column — epoch
+    * integer arithmetic instead of `date_trunc("DAY", …)`, which
+    * follows the session zone: a rollup built under a non-UTC session
+    * would persist day keys that disagree with every reader's
+    * [[utc]]-parsed bounds (the r7 advice). Identical to date_trunc
+    * under a UTC session, correct under any other. */
+  def utcDay(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_seconds(unix_timestamp(c) - pmod(unix_timestamp(c), lit(86400L)))
+
   def prunedEvents(s: SparkSession, dir: String, lo: String,
       hi: String, table: String = "events_by_ts"): (DataFrame, Int, Int) = {
     // only the default table auto-builds from the raw events source;

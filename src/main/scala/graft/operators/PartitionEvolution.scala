@@ -43,10 +43,18 @@ object PartitionEvolution {
   private def ready(dir: String): Boolean =
     IndexStore.artifactReady(gen0(dir)) && IndexStore.artifactReady(gen1(dir))
 
-  /** Write the two spec generations if absent. */
+  /** Write the two spec generations if absent. The build runs on a
+    * UTC-pinned cloned session ([[IndexStore.utcSession]]): the
+    * partition VALUES are date_format renderings, which follow the
+    * session zone — under a non-UTC caller the directory names would
+    * disagree with [[read]]'s UTC-pinned predicate strings and
+    * pruning would silently exclude in-window rows (the r7 advice).
+    * Pinning the WRITE side makes the persisted names UTC forever,
+    * matching the reader on any session zone. */
   def ensure(s: SparkSession, dir: String): Unit = {
     if (ready(dir)) return
-    val ev = graft.Tables(s, dir, "events")
+    val us = IndexStore.utcSession(s)
+    val ev = graft.Tables(us, dir, "events")
     val cut = lit(MinMaxManifest.utc(SpecChange))
     ev.where(col("ts") < cut)
       .withColumn("pmonth", date_format(col("ts"), "yyyy-MM"))

@@ -65,7 +65,7 @@ object SketchRollup {
     val ev = graft.Tables(s, dir, "events")
     val h = graft.functions.DetHash.hash60(col("user_id"), Salt)
     ev.select(
-        date_trunc("DAY", col("ts")).as("day"),
+        MinMaxManifest.utcDay(col("ts")).as("day"),
         col("event_type"),
         h.bitwiseAND(lit(511L)).as("reg"),
         rho(shiftright(h, P)).as("rho"))
@@ -86,7 +86,7 @@ object SketchRollup {
       "sketch table must be built before appending")
     val h = graft.functions.DetHash.hash60(col("user_id"), Salt)
     batch.select(
-        date_trunc("DAY", col("ts")).as("day"),
+        MinMaxManifest.utcDay(col("ts")).as("day"),
         col("event_type"),
         h.bitwiseAND(lit(511L)).as("reg"),
         rho(shiftright(h, P)).as("rho"))

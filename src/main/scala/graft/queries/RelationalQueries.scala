@@ -1493,6 +1493,13 @@ object RelationalQueries {
     val (b1, b2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
     if (!W.tableReady(dir))
       M.ensureFrom(s, dir, ev.where($"ts" < lit(M.utc(b1))), W.Table)
+    // recover FIRST, read the snapshot id AFTER: a prior run crashed
+    // between its publish intent and its data append would leave
+    // maxSnap = 0 here, and driving the batches against that stale
+    // read would complete the pending publish AND re-publish the same
+    // batch — a permanent duplicate the operator-level exactly-once
+    // cannot see (the r7 advice's medium finding)
+    W.recover(s, dir)
     val maxSnap = s.read.parquet(M.snapshotsPath(dir, W.Table))
       .agg(max("snap_id")).head().getLong(0)
     if (maxSnap < 1L) {

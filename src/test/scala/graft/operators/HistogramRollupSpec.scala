@@ -53,6 +53,29 @@ class HistogramRollupSpec extends SparkSpec {
     }
   }
 
+  test("the rollup build is timezone-free: a non-UTC session yields identical bins") {
+    // day keys are epoch arithmetic (MinMaxManifest.utcDay), not
+    // date_trunc — a build under any session zone must persist the
+    // same UTC day keys the readers' utc()-parsed bounds assume (the
+    // r7 advice's parenthetical on the rollups)
+    withIndexRoot("graft-hist-tz") {
+      val saved = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        val merged = HR.mergedBins(spark, sf, lo, hi) // builds under Tokyo
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val direct = windowEvents
+          .select(col("event_type"),
+            least(floor(col("value") / HR.BinWidth).cast("long"),
+              lit(HR.NumBins.toLong)).as("bin"))
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(merged === direct,
+          "a non-UTC build session must not shift the persisted day keys")
+      } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    }
+  }
+
   test("late-day bins ADD in: merging a split history equals the whole") {
     withIndexRoot("graft-hist-spec") {
       HR.ensure(spark, sf)

@@ -71,4 +71,30 @@ class PartitionEvolutionSpec extends SparkSpec {
       assert(merged.count() === rawWindow(lo, hi).count())
     }
   }
+
+  test("build and read agree on a non-UTC session timezone") {
+    // the r7 advice: partition VALUES were date_format renderings in
+    // the SESSION zone while read()'s row predicate compares UTC
+    // instants — under a non-UTC session the two layers disagreed at
+    // every generation boundary. The build now runs on a UTC-pinned
+    // cloned session, so a read under ANY caller zone returns the
+    // UTC-convention answer. Ground truth is snapshotted under the
+    // suite's UTC session FIRST (the events table ships naive
+    // timestamps, so a non-UTC raw read is itself shifted — the
+    // engine-wide "naive ≡ UTC" convention Tables documents).
+    withIndexRoot("graft-pev-tz") {
+      val (lo, hi) = ("2024-01-10 00:00:00", "2024-01-22 00:00:00")
+      val expected = rawWindow(lo, hi).select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      val saved = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        val (merged, leg0, leg1) = PE.read(spark, sf, lo, hi) // builds under NY
+        assert(leg0.count() > 0 && leg1.count() > 0)
+        val a = merged.select("event_id").collect().map(_.getLong(0)).sorted
+        assert(a.toSeq === expected.toSeq,
+          "a non-UTC caller must still read the UTC-convention window")
+      } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    }
+  }
 }

@@ -118,4 +118,29 @@ class WriteAuditPublishSpec extends SparkSpec {
         "recovery must detect the landed publish and not duplicate it")
     }
   }
+
+  test("q38 entered over a crashed publish recovers first — no duplicate batch") {
+    // the r7 advice's medium finding: the registered query read
+    // maxSnap BEFORE any recovery, so a crash between the publish
+    // intent and the data append left maxSnap = 0 — the guard then
+    // re-drove the batches, whose entry recover() completed the
+    // pending publish AND published the same batch again. q38 now
+    // recovers explicitly before reading the snapshot id; the clean
+    // and crashed-then-recovered flows must agree row for row.
+    val q38 = graft.QueryRegistry.asMap("q38_write_audit_publish")
+    val clean = withIndexRoot("graft-wap-q38-clean") {
+      q38(spark, sf).collect().map(_.toString).toSeq
+    }
+    val crashed = withIndexRoot("graft-wap-q38-crash") {
+      setupBase()
+      val good = ev.where(col("ts") >= lit(b1) && col("ts") < lit(b2))
+      intercept[RuntimeException] {
+        W.stageAndPublish(spark, sf, good, suite, "good",
+          onIntentForTest = () => throw new RuntimeException("crash"))
+      }
+      q38(spark, sf).collect().map(_.toString).toSeq
+    }
+    assert(crashed === clean,
+      "q38 over a crashed publish must equal the clean flow — no duplicates")
+  }
 }
