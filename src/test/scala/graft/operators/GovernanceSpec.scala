@@ -58,4 +58,45 @@ class GovernanceSpec extends SparkSpec {
       "SELECT count(*) FROM documents_analyst").head().getLong(0)
     assert(viaSql === docs.where(!restricted).count())
   }
+
+  test("governed time travel: purges invisible at EVERY snapshot, identity schema-absent") {
+    // the erasure-vs-time-travel tension (q41): snapshot 0 was minted
+    // BEFORE the purge, yet a purged identity must be invisible there
+    // too — and the policy must drop the raw key from the schema, not
+    // just hide rows
+    withIndexRoot("graft-gtt-spec") {
+      import org.apache.spark.sql.functions._
+      val M = MinMaxManifest
+      val DV = DeletionVectors
+      val ev = graft.Tables(spark, sf, "events")
+      val (b1, b2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      M.ensureHistory(spark, sf, "events_tt",
+        ev.where(col("ts") < lit(M.utc(b1))),
+        Seq(ev.where(col("ts") >= lit(M.utc(b1)) && col("ts") < lit(M.utc(b2))),
+          ev.where(col("ts") >= lit(M.utc(b2)))))
+      DV.ensure(spark, sf)
+      if (!DV.eqDeletesRecorded(sf))
+        DV.deleteKeys(spark, sf,
+          ev.select(col("user_id")).where(col("user_id") % 97 === 0))
+      val erased = DV.erasedKeys(spark, sf)
+      assert(erased.count() > 0, "the fixture must purge someone")
+      val policy = G.Policy("auditor", col("event_type") =!= "error",
+        masks = Map("user_sha" -> md5(col("user_id").cast("string").cast("binary"))),
+        dropCols = Seq("user_id", "props"))
+      (0L to 2L).foreach { snap =>
+        val (f, _, _) = M.asOfEvents(spark, sf, snap,
+          "1970-01-01 00:00:00", "2200-01-01 00:00:00", "events_tt")
+        val gov = G.governed(f.join(erased, Seq("user_id"), "left_anti"), policy)
+        assert(!gov.columns.contains("user_id") && !gov.columns.contains("props"),
+          s"snapshot $snap must not expose the raw identity columns")
+        // a purged user's digest never appears — checked by VALUE
+        val purgedShas = erased
+          .select(md5(col("user_id").cast("string").cast("binary")).as("s"))
+        assert(gov.join(purgedShas, gov("user_sha") === purgedShas("s"))
+            .count() === 0L,
+          s"snapshot $snap leaked a purged identity")
+        assert(gov.where(lit(true)).count() > 0, s"snapshot $snap must not be empty")
+      }
+    }
+  }
 }
