@@ -47,15 +47,20 @@ object HistogramRollup {
     greatest(lit(0L),
       least(floor(v / BinWidth).cast("long"), lit(NumBins.toLong)))
 
+  /** The per-batch (day, event_type, bin) → cnt projection shared by
+    * the build, the append legs, the CDC retractions, and the
+    * streaming sink. */
+  private def binCounts(batch: DataFrame): DataFrame =
+    batch.select(MinMaxManifest.utcDay(col("ts")).as("day"),
+        col("event_type"), binOf(col("value")).as("bin"))
+      .groupBy("day", "event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Build the per-(day, event_type, bin) count table once. */
   def ensure(s: SparkSession, dir: String): Unit = {
     val path = histPath(dir)
     if (IndexStore.artifactReady(path)) return
-    graft.Tables(s, dir, "events")
-      .select(MinMaxManifest.utcDay(col("ts")).as("day"),
-        col("event_type"), binOf(col("value")).as("bin"))
-      .groupBy("day", "event_type", "bin")
-      .agg(count(lit(1)).as("cnt"))
+    binCounts(graft.Tables(s, dir, "events"))
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -64,15 +69,55 @@ object HistogramRollup {
     * bin) key, so late days and intra-day micro-batches both just
     * add. NOT replay-idempotent (counts add — see the object
     * scaladoc's exactly-once contract; the spec pins the
-    * double-count on purpose so the contract is visible). */
+    * double-count on purpose so the contract is visible). Streaming
+    * callers should use [[processStreamBatch]] instead, which makes
+    * replays idempotent by batch-id scoping. */
   def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Unit = {
     require(IndexStore.artifactReady(histPath(dir)),
       "histogram table must be built before appending")
-    batch.select(MinMaxManifest.utcDay(col("ts")).as("day"),
-        col("event_type"), binOf(col("value")).as("bin"))
-      .groupBy("day", "event_type", "bin")
-      .agg(count(lit(1)).as("cnt"))
+    binCounts(batch)
       .coalesce(1).write.mode("append").parquet(histPath(dir))
+  }
+
+  /** STREAMING maintenance — the exactly-once face of [[appendBatch]]
+    * the object scaladoc's foreachBatch contract promises, now
+    * asserted (StreamingSpec): each micro-batch's bin counts land in
+    * their OWN `batch=b<id>` partition of a stream-delta table,
+    * overwrite scoped to that partition — a checkpoint-replayed batch
+    * (restart between the sink write and the commit) OVERWRITES
+    * itself instead of double-counting, which is exactly the
+    * batch-id discipline Structured Streaming's foreachBatch docs
+    * prescribe for non-idempotent sinks. [[SketchRollup.appendBatch]]
+    * needs no such scoping (max-merge is idempotent); the two ride
+    * the same sink. */
+  def streamBinsPath(dir: String): String = histPath(dir) + "_stream"
+
+  def processStreamBatch(s: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    ensure(s, dir)
+    binCounts(batch).coalesce(1).write.mode("overwrite")
+      .parquet(s"${streamBinsPath(dir)}/batch=b$batchId")
+  }
+
+  /** Merged bins with the streamed batches folded in — reads ONLY
+    * committed `batch=` partitions (the [[IndexStore.readyBatches]]
+    * rule), so a batch torn mid-write contributes nothing until its
+    * replay overwrites it. */
+  def mergedBinsWithStream(s: SparkSession, dir: String, lo: String,
+      hi: String): DataFrame = {
+    val base = mergedBins(s, dir, lo, hi)
+    val ready = IndexStore.readyBatches(streamBinsPath(dir))
+    if (ready.isEmpty) base
+    else {
+      val streamed = s.read
+        .parquet(ready.map(t => s"${streamBinsPath(dir)}/$t"): _*)
+        .where(col("day") >= lit(MinMaxManifest.utc(lo)) &&
+          col("day") < lit(MinMaxManifest.utc(hi)))
+        .select("event_type", "bin", "cnt")
+      base.union(streamed)
+        .groupBy("event_type", "bin")
+        .agg(sum("cnt").as("cnt"))
+    }
   }
 
   /** SUM-merge the daily histograms over [lo, hi). */
@@ -105,10 +150,8 @@ object HistogramRollup {
   def applyDeletes(s: SparkSession, dir: String, deleted: DataFrame,
       batchTag: String = "batch0"): Unit = {
     ensure(s, dir)
-    deleted.select(MinMaxManifest.utcDay(col("ts")).as("day"),
-        col("event_type"), binOf(col("value")).as("bin"))
-      .groupBy("day", "event_type", "bin")
-      .agg((-count(lit(1))).as("cnt"))
+    binCounts(deleted)
+      .select(col("day"), col("event_type"), col("bin"), (-col("cnt")).as("cnt"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${cdcDeltaPath(dir)}/batch=$batchTag")
   }

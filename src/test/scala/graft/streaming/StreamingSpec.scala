@@ -356,4 +356,73 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("active_taxis")).forall(_ === 1L))
     assert(rows.length === 8)
   }
+
+  test("streaming rollup maintenance: replayed batches never double-count bins") {
+    // the r7 verdict's ask: the histogram/sketch append legs existed
+    // but the foreachBatch exactly-once contract was asserted
+    // nowhere. The histogram sink scopes each micro-batch to its own
+    // batch=b<id> partition (overwrite → replay-idempotent); the
+    // sketch sink is max-merge (replay-harmless by algebra). A
+    // checkpoint restart mid-stream must leave the q36 surface
+    // unchanged across the replayed batch.
+    withIndexRoot("graft-stream-rollup") {
+      import graft.operators.{HistogramRollup => HR, SketchRollup => SR}
+      val sf = "/root/testdata/sf0.001"
+      val (lo, hi) = ("2024-02-01 00:00:00", "2024-03-01 00:00:00")
+      implicit val sql = spark.sqlContext
+      def rows(n: Int, base: Long)
+          : Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] =
+        (0 until n).map { i =>
+        (base + i, java.sql.Timestamp.valueOf(f"2024-02-06 01:00:${i % 60}%02d"),
+          base + i, "stream", 12.5, "{}")
+      }
+      SR.ensure(spark, sf)
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      val ckpt = tmpDir("rollup-ckpt")
+      def sink(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+        val batch = b.toDF("event_id", "ts", "user_id", "event_type",
+          "value", "props")
+        HR.processStreamBatch(spark, sf, batch, id)
+        SR.appendBatch(spark, sf, batch)
+      }
+      def run(): Unit = {
+        val q = mem.toDF().writeStream.foreachBatch(sink _)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def streamCnt(): Long = HR.mergedBinsWithStream(spark, sf, lo, hi)
+        .where(col("event_type") === "stream")
+        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+
+      mem.addData(rows(30, 910000L): _*)
+      run()
+      assert(streamCnt() === 30L, "batch 0 must land once")
+      // the crash-replay: foreachBatch re-invokes with the SAME batch
+      // id and data (restart between the sink write and the offset
+      // commit) — the batch-scoped overwrite absorbs it
+      sink(rows(30, 910000L).toDF(), 0L)
+      assert(streamCnt() === 30L,
+        "a replayed batch must overwrite itself, never double-count")
+      // sketch side: max-merge absorbed the replay too
+      val regs = SR.mergedRegisters(spark, sf, lo, hi)
+        .where(col("event_type") === "stream").count()
+      sink(rows(30, 910000L).toDF(), 0L)
+      assert(SR.mergedRegisters(spark, sf, lo, hi)
+        .where(col("event_type") === "stream").count() === regs)
+      // a REAL restart from the checkpoint: committed offsets mean
+      // only the new batch runs; totals are each-batch-exactly-once
+      mem.addData(rows(20, 920000L): _*)
+      run()
+      assert(streamCnt() === 50L,
+        "restart must process only the new batch — 30 + 20, nothing twice")
+      // and the q36 surface over the maintained bins stays coherent:
+      // p50 of 50 identical 12.5 values lands in bin 2 ([10,15))
+      val est = HR.percentiles(
+        HR.mergedBinsWithStream(spark, sf, lo, hi)
+          .where(col("event_type") === "stream"), Seq(50)).head()
+      assert(est.getLong(1) >= 100000L && est.getLong(1) <= 150000L,
+        s"maintained p50 must land in the 12.5 bin, got ${est.getLong(1)}")
+    }
+  }
 }
