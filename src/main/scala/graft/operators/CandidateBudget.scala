@@ -58,12 +58,25 @@ object CandidateBudget {
     *  1. range-partition the mass rows by the total order, so
     *     partition i holds a contiguous order slice, and capture the
     *     partition id as a column;
-    *  2. collect the PER-PARTITION mass totals (one row per
-    *     partition — bounded by the shuffle width, never the data),
-    *     turn them into exclusive prefix offsets on the driver, and
+    *  2. collect the PER-PARTITION mass totals (one row per shuffle
+    *     partition — CLUSTER-WIDTH-bounded, never data-bounded),
+    *     fold them into exclusive prefix offsets on the driver, and
     *     broadcast-join them back;
     *  3. run the cumulative window PER PARTITION ID — every window
     *     task sees only its slice — and add the slice's offset.
+    *
+    * No task anywhere sees more than its range slice of the DATA,
+    * and the driver sees ≤ one row per partition — the textbook
+    * distributed prefix-sum shape. The ranged frame is PERSISTED:
+    * it is tiny (aggregated bucket rows), and the totals pass plus
+    * every keep/skip consumer would otherwise each recompute the
+    * sketch pipeline behind it (bench-measured: the cache makes the
+    * two-pass cheaper than the r7 global window for the broadcast-
+    * keep consumers). The cache is per-admission-instance — the
+    * nondeterministic partition-id projection defeats cross-instance
+    * canonical matching — so entries are kilobyte-sized and LRU
+    * eviction handles long sessions; eviction is safe because the
+    * range recompute is deterministic.
     *
     * cum values are bit-identical to the global window's because
     * (cand, keys…) is a total order (mass rows are groupBy results,
@@ -71,8 +84,8 @@ object CandidateBudget {
     * boundary ambiguously), and range recompute is deterministic, so
     * the lazily-consumed keep/skip frames agree across re-evaluation.
     * CandidateBudgetSpec pins admissions bit-equal to a single-task
-    * reference; QueryPlanSpec pins that d01/d02/d06 plans carry no
-    * empty-partitionSpec window. */
+    * reference; QueryPlanSpec pins that every window in d01/d02/d06
+    * plans is keyed by the range-slice id. */
   def admit(mass: DataFrame, keys: Seq[String],
       budget: Long): Admission = {
     val s = mass.sparkSession
@@ -80,13 +93,14 @@ object CandidateBudget {
     val order = col("cand") +: keyCols
     // EXPLICIT partition count: an N-less repartitionByRange is an
     // AQE-coalescible exchange, and a different coalesce decision
-    // between the totals job and the window job would shift
-    // spark_partition_id and mis-key the offsets; REPARTITION_BY_NUM
-    // is exempt from coalescing, and range sampling is deterministic,
-    // so every re-evaluation sees identical pids
+    // across the consumers' jobs would shift spark_partition_id and
+    // mis-key the offsets; REPARTITION_BY_NUM is exempt from
+    // coalescing, and range sampling is deterministic, so every
+    // re-evaluation sees identical pids
     val nParts = s.sessionState.conf.numShufflePartitions
     val ranged = mass.repartitionByRange(nParts, order: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-partition totals → exclusive prefix offsets (driver
     // side, ≤ one row per shuffle partition)
     val totals = ranged.groupBy(col("_pid")).agg(sum(col("cand")).as("t"))

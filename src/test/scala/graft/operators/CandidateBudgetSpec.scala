@@ -67,14 +67,19 @@ class CandidateBudgetSpec extends SparkSpec {
     assert(first === second, "lazy re-evaluation must not shift admissions")
   }
 
-  test("no empty-partitionSpec window: every window task sees only its range slice") {
+  test("no data-sized global window: every window is keyed by the range slice id") {
+    // the only window is the per-slice cumulative sum, PARTITIONED by
+    // _pid — each task sees only its range slice of the data; the
+    // offsets prefix is a driver fold over ≤ one row per shuffle
+    // partition (cluster-width-bounded). No window may run over the
+    // raw bucket order alone.
     val adm = CandidateBudget.admit(fixture, Seq("band", "sig"), 5000L)
     adm.keep.collect() // finalize the adaptive plan
     val p = adm.keep.queryExecution.executedPlan.toString
     val wlines = p.linesIterator.filter(_.contains("Window ")).toSeq
     assert(wlines.nonEmpty, s"the cumulative window must exist:\n$p")
     wlines.foreach(l => assert(l.contains("_pid#"),
-      s"the cumulative window must partition by the range slice id:\n$l"))
+      s"every admission window must be keyed by the range slice id:\n$l"))
     // the offsets arrive by broadcast, never a shuffle join
     assert(p.contains("BroadcastHashJoin"),
       s"per-partition offsets must broadcast-join back:\n$p")

@@ -583,9 +583,10 @@ class QueryPlanSpec extends SparkSpec {
     // the r7 scale caveat, closed: CandidateBudget.admit's cumulative
     // sum was a GLOBAL unpartitioned window (one task sees every
     // positive-mass bucket row — corpus-bound for d01's mod-P
-    // signatures); it is now a two-pass range-partitioned prefix sum,
-    // so EVERY window in these plans must carry a partition spec (the
-    // _pid range-slice id)
+    // signatures); it is now a two-pass range-partitioned prefix sum
+    // (offsets = a driver fold over ≤ one row per shuffle partition),
+    // so EVERY window in these plans must carry the _pid range-slice
+    // id in its partition spec.
     withIndexRoot("graft-budget-plan") {
       Seq("d01_minhash_lsh_dedup", "d02_simhash_dedup",
           "d06_sharded_simhash").foreach { name =>
