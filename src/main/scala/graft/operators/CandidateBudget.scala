@@ -76,7 +76,8 @@ object CandidateBudget {
     * nondeterministic partition-id projection defeats cross-instance
     * canonical matching — so entries are kilobyte-sized and LRU
     * eviction handles long sessions; eviction is safe because the
-    * range recompute is deterministic.
+    * range recompute is deterministic (sorted sampler input — see
+    * below).
     *
     * cum values are bit-identical to the global window's because
     * (cand, keys…) is a total order (mass rows are groupBy results,
@@ -98,7 +99,15 @@ object CandidateBudget {
     // coalescing, and range sampling is deterministic, so every
     // re-evaluation sees identical pids
     val nParts = s.sessionState.conf.numShufflePartitions
-    val ranged = mass.repartitionByRange(nParts, order: _*)
+    // the pre-sort canonicalizes the range sampler's input: reservoir
+    // sampling reads rows in partition order, and a raw aggregate
+    // output's order varies with shuffle fetch timing — without the
+    // sort, a cache-evicted recompute could draw DIFFERENT boundaries
+    // than the ones the collected offsets were keyed to. Sorted input
+    // + deterministic per-partition seeds ⇒ stable boundaries across
+    // every (re-)evaluation. Pennies on an aggregated bucket frame.
+    val ranged = mass.sortWithinPartitions(order: _*)
+      .repartitionByRange(nParts, order: _*)
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-partition totals → exclusive prefix offsets (driver

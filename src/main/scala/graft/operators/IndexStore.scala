@@ -492,22 +492,46 @@ object IndexStore {
     * there is no quantizer to freeze or drift). */
   def minhashBands(s: SparkSession, dir: String, bands: Int,
       rows: Int): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
     val path = minhashBandsPath(dir, bands, rows)
-    if (!artifactReady(path)) {
-      graft.Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val mins = graft.functions.HashSketch.minhashModP(
-            graft.functions.HashSketch.shingle3(text), bands * rows)
-          (0 until bands).iterator.map { b =>
-            (id, b, graft.functions.HashSketch
-              .bandKeyModP(mins, b * rows, (b + 1) * rows))
-          }
-        }.toDF("doc_id", "band", "sig")
+    if (!artifactReady(path))
+      sketchBands(graft.Tables(s, dir, "documents"), bands, rows)
         .write.mode("overwrite").parquet(path)
-    }
     s.read.parquet(path)
+  }
+
+  /** The per-doc band-signature projection shared by the build and
+    * [[appendBands]]. */
+  private def sketchBands(docs: org.apache.spark.sql.DataFrame, bands: Int,
+      rows: Int): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val mins = graft.functions.HashSketch.minhashModP(
+          graft.functions.HashSketch.shingle3(text), bands * rows)
+        (0 until bands).iterator.map { b =>
+          (id, b, graft.functions.HashSketch
+            .bandKeyModP(mins, b * rows, (b + 1) * rows))
+        }
+      }.toDF("doc_id", "band", "sig")
+  }
+
+  /** INCREMENTAL band-index maintenance — the daily-crawl leg the
+    * scaladoc above promises, now built: sketch ONLY the new batch
+    * (`doc_id`, `text` rows) and append its signature rows. O(batch)
+    * work, no corpus re-sketch; signatures are pure per-doc functions
+    * of the text, so appending batches B1..Bn yields a band table
+    * bit-identical to rebuilding over corpus ∪ B1..Bn
+    * (IndexStoreSpec pins it), and every dedup consumer (d01's
+    * bucket-mass count + self-join) sees the grown corpus on its next
+    * read. Replay idempotence is the caller's batch_id discipline, as
+    * with every append path here; the index must exist first
+    * (build-before-append). */
+  def appendBands(s: SparkSession, dir: String,
+      batch: org.apache.spark.sql.DataFrame, bands: Int, rows: Int): Unit = {
+    val path = minhashBandsPath(dir, bands, rows)
+    require(artifactReady(path),
+      s"minhash band index at $path must be built before appending")
+    sketchBands(batch, bands, rows).write.mode("append").parquet(path)
   }
 
   /** Artifact directories for the BM25 inverted index of `dir`'s

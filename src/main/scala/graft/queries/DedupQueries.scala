@@ -443,8 +443,18 @@ object DedupQueries {
     val budget = BudgetPerDoc * docs.count()
     val adm = graft.operators.CandidateBudget.admit(mass, keys, budget)
     val (keep, skipped) = (adm.keep, adm.skippedMass)
+    // the candidate join is corpus × probe-fan-out sized on BOTH
+    // sides — it must never be planned as a STATIC broadcast. The
+    // admission cache gives `keep` precise tiny statistics, and the
+    // planner's semi-join output estimate inherits them, which at the
+    // 100× replica made it auto-broadcast the 100M-row semi side and
+    // OOM the build (estimate ≠ actual, the classic stats-propagation
+    // trap). The merge hint pins the STATIC plan to the scale-safe
+    // shuffle join; AQE still converts it to a broadcast at runtime
+    // when the ACTUAL shuffled size is small — exactly the safe
+    // direction.
     val cands = exact.join(broadcast(keep), keys, "left_semi").as("a")
-      .join(probes.as("b"), keys)
+      .join(probes.as("b").hint("merge"), keys)
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.lo".as("lo_a"), $"a.hi".as("hi_a"),

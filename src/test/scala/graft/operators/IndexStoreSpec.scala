@@ -430,6 +430,45 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("appendBands: appended batches compose bit-identically with a full rebuild") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val base = (0L until 30L).map(i => (i, s"alpha beta gamma doc$i common words"))
+      val batch = (30L until 45L).map(i => (i, s"beta delta doc$i other words"))
+      def mkDir(rows: Seq[(Long, String)], name: String): String = {
+        val d = tmpDir(name)
+        rows.toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+        d
+      }
+      val dirA = mkDir(base, "bands-append-a")
+      val dirB = mkDir(base ++ batch, "bands-append-b")
+      IndexStore.minhashBands(spark, dirA, 4, 3) // build
+      IndexStore.appendBands(spark, dirA,
+        batch.toDF("doc_id", "text"), 4, 3)
+      val a = IndexStore.minhashBands(spark, dirA, 4, 3)
+        .collect().map(_.toString).sorted.toSeq
+      val b = IndexStore.minhashBands(spark, dirB, 4, 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a === b,
+        "appended signature multiset must equal the full rebuild's")
+    }
+  }
+
+  test("appendBands refuses to append before the index exists") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val d = tmpDir("bands-no-idx")
+      Seq((1L, "a b c")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      intercept[IllegalArgumentException] {
+        IndexStore.appendBands(spark, d, Seq((2L, "d e")).toDF("doc_id", "text"), 4, 3)
+      }
+    }
+  }
+
   test("bm25Append refuses to append before the index exists") {
     withRoot { _ =>
       val s2 = spark
