@@ -155,8 +155,9 @@ object IndexStore {
   }
 
   /** The one artifact-readiness rule (shared by every persisted
-    * layout in this package — MinMaxManifest, ShardExport). */
-  private[operators] def artifactReady(path: String): Boolean = {
+    * layout in this package — MinMaxManifest, ShardExport — and by
+    * the plan-rewrite layer's routed-rollup guard). */
+  private[graft] def artifactReady(path: String): Boolean = {
     val (fs, p) = fsOf(path)
     val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
     try fs.getFileStatus(marker).isFile

@@ -1672,6 +1672,39 @@ object RelationalQueries {
     }.reduce(_ union _).orderBy($"snap_id")
   }
 
+  /** q42 — MATERIALIZED-VIEW ROUTING
+    * ([[graft.plans.RollupRoutingRule]]): the optimizer-level rewrite
+    * the rollup stores exist for — the query BODY is the plain raw
+    * aggregate (`events` filtered to a day-aligned window, grouped by
+    * event_type, counted), and the injected Catalyst rule substitutes
+    * the persisted daily histogram table when the rewrite is provably
+    * exact (bin counts SUM to exact per-group counts over day-aligned
+    * windows). The oracle runs the same raw aggregate in DuckDB — the
+    * hash gate IS the exactness proof; RollupRoutingSpec pins that
+    * the routed plan reads hist_daily and never touches
+    * events.parquet, and that non-matching variants pass through
+    * unrouted. At 100 TB this turns any dashboard's count-by-type
+    * window query into kilobytes of bin IO with zero client
+    * changes. */
+  val q42RoutedCount: GraftQuery = q(
+    "q42_routed_rollup_count",
+    "optimizer MV routing: plain raw-table aggregate transparently served by the histogram rollup",
+    """SELECT event_type, count(*) AS n FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-18 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.HistogramRollup.ensure(s, dir)
+    graft.plans.RollupRouting.enable(s)
+    Tables(s, dir, "events")
+      .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-08 00:00:00")) &&
+        $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-18 00:00:00")))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1683,5 +1716,5 @@ object RelationalQueries {
     q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
     q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
-    q41GovernedTimeTravel)
+    q41GovernedTimeTravel, q42RoutedCount)
 }

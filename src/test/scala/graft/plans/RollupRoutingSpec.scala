@@ -1,0 +1,94 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The MV-routing contract: a matching raw aggregate is served by the
+  * histogram rollup (plan-pinned: hist_daily scanned, events.parquet
+  * untouched) with EXACTLY the raw answer, and every non-matching
+  * variant — extra predicate, non-aligned bound, other aggregate,
+  * other grouping, missing artifact — passes through unrouted. */
+class RollupRoutingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val M = graft.operators.MinMaxManifest
+  private val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-18 00:00:00")
+
+  private def rawAgg = graft.Tables(spark, sf, "events")
+    .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+    .groupBy($"event_type").agg(count(lit(1)).as("n"))
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+
+  test("a matching aggregate routes to the rollup and stays exact") {
+    withIndexRoot("graft-route-spec") {
+      // ground truth BEFORE enabling routing
+      val expected = rawAgg.orderBy($"event_type")
+        .collect().map(_.toString).toSeq
+      graft.operators.HistogramRollup.ensure(spark, sf)
+      RollupRouting.enable(spark)
+      try {
+        val routed = rawAgg.orderBy($"event_type")
+        val paths = scanPaths(routed)
+        assert(paths.exists(_.contains("hist_daily")),
+          s"the routed plan must read the rollup: $paths")
+        assert(!paths.exists(_.contains("events.parquet")),
+          s"the routed plan must never scan the raw table: $paths")
+        assert(routed.collect().map(_.toString).toSeq === expected,
+          "routing must be invisible in the answer — integer-exact")
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
+  test("non-matching shapes pass through unrouted") {
+    withIndexRoot("graft-route-spec") {
+      graft.operators.HistogramRollup.ensure(spark, sf)
+      RollupRouting.enable(spark)
+      try {
+        val ev = graft.Tables(spark, sf, "events")
+        val window = $"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi))
+        val variants = Seq(
+          // extra predicate — the rollup can't see user_id
+          ev.where(window && $"user_id" % 2 === 0)
+            .groupBy($"event_type").agg(count(lit(1)).as("n")),
+          // non-day-aligned bound
+          ev.where($"ts" >= lit(M.utc("2024-01-08 12:00:00")) &&
+              $"ts" < lit(M.utc(hi)))
+            .groupBy($"event_type").agg(count(lit(1)).as("n")),
+          // an aggregate the bins can't answer
+          ev.where(window).groupBy($"event_type")
+            .agg(count(lit(1)).as("n"), sum($"value").as("v")),
+          // a different grouping
+          ev.where(window).groupBy($"user_id").agg(count(lit(1)).as("n")))
+        variants.zipWithIndex.foreach { case (df, i) =>
+          val paths = scanPaths(df)
+          assert(paths.exists(_.contains("events.parquet")),
+            s"variant $i must stay on the raw table: $paths")
+          assert(!paths.exists(_.contains("hist_daily")),
+            s"variant $i must not be routed: $paths")
+        }
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
+  test("a missing rollup artifact leaves the plan untouched") {
+    withIndexRoot("graft-route-absent") {
+      RollupRouting.enable(spark)
+      try {
+        val paths = scanPaths(rawAgg)
+        assert(paths.exists(_.contains("events.parquet")) &&
+          !paths.exists(_.contains("hist_daily")),
+          s"no artifact -> no rewrite: $paths")
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+}
