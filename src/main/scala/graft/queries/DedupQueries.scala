@@ -1411,7 +1411,7 @@ object DedupQueries {
       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
       |  FROM b),
       |est AS (
-      |  SELECT event_type, max(n) AS n,
+      |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
       |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
       |             ELSE 50000 * bin
       |             + (50000 * ((50*n + 99) // 100 - (cum - cnt))) // cnt

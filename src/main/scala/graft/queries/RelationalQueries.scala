@@ -1374,7 +1374,15 @@ object RelationalQueries {
     * double landed on exactly representable 4-decimal ties where
     * engines' tie-breaks can disagree; integers have no tie to
     * break. The bin-width error bound vs the exact sorted percentile
-    * is HistogramRollupSpec's job. */
+    * is HistogramRollupSpec's job.
+    *
+    * ORACLE DTYPE HAZARD (the r7/r8 driver-red root cause): every
+    * integer the oracle PROJECTS must be CAST AS BIGINT — DuckDB
+    * widens integer SUMs (incl. window sums) to HUGEINT, which
+    * pandas renders as float64, and a stringify-based hash then
+    * compares "643.0" against Spark's "643". `n` here rode through
+    * uncast for two rounds while the p-columns (already cast) took
+    * the blame. tools/compare.py now fails dtype mismatches too. */
   val q36HistogramQuantiles: GraftQuery = q(
     "q36_histogram_quantiles",
     "mergeable fixed-bin histograms: window p50/p95/p99 from daily bin tables",
@@ -1394,7 +1402,7 @@ object RelationalQueries {
       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
       |  FROM b),
       |est AS (
-      |  SELECT event_type, max(n) AS n,
+      |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
       |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
       |             ELSE 50000 * bin
       |             + (50000 * ((50*n + 99) // 100 - (cum - cnt))) // cnt

@@ -47,6 +47,31 @@ for name in sorted(os.listdir(out_dir)):
     dk = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
     schema_match = list(s.columns) == list(dk.columns)
     rows_match = len(s) == len(dk)
+    # dtype KIND audit (int vs float vs other): the driver stringifies
+    # values without float canonicalization, so a DuckDB HUGEINT (an
+    # uncast integer SUM -> pandas float64, "643.0") hash-mismatches a
+    # Spark int64 ("643") even when the values are equal. Treat a kind
+    # mismatch as a failure HERE so the local gate is at least as
+    # strict as the driver's (the r7/r8 q36/d15 lesson).
+    def kind(col):
+        dt = col.dtype
+        if pd.api.types.is_bool_dtype(dt): return "bool"
+        if pd.api.types.is_integer_dtype(dt): return "int"
+        if pd.api.types.is_float_dtype(dt): return "float"
+        if pd.api.types.is_datetime64_any_dtype(dt): return "ts"
+        if dt == object:
+            # Spark DATE columns arrive as object-of-datetime.date;
+            # the driver's gate treats those equal to DuckDB's
+            # datetime64 (q08/q09/q16/q27 pass every round), so do we
+            import datetime
+            nn = col.dropna()
+            if len(nn) and isinstance(nn.iloc[0], datetime.date):
+                return "ts"
+        return "other"
+    dtype_mismatch = [
+        f"{c}: spark={s[c].dtype} duck={dk[c].dtype}"
+        for c in (s.columns if schema_match else [])
+        if kind(s[c]) != kind(dk[c])]
     hash_match = False
     detail = ""
     if schema_match and rows_match:
@@ -67,8 +92,11 @@ for name in sorted(os.listdir(out_dir)):
             diff = ns.compare(nd) if ns.shape == nd.shape else None
             detail = str(diff.head(5)) if diff is not None else "shape"
     results[name] = {"rows_match": rows_match, "schema_match": schema_match,
-                     "hash_match": hash_match, "ok": hash_match,
+                     "hash_match": hash_match,
+                     "ok": hash_match and not dtype_mismatch,
                      "spark_rows": len(s), "duck_rows": len(dk)}
+    if dtype_mismatch:
+        results[name]["dtype_mismatch"] = dtype_mismatch
     if detail:
         results[name]["diff"] = detail
     if not schema_match:
