@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
 
-import graft.operators.{HistogramRollup, IndexStore}
+import graft.operators.HistogramRollup
 
 /** MATERIALIZED-VIEW ROUTING as a Catalyst optimizer rule — the
   * query-rewrite layer every rollup store ships (Druid's datasource
@@ -115,7 +115,14 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val routed = if (!shapeOk) None else matchSource(child).flatMap {
         case (dir, lo, hi) =>
           val histPath = HistogramRollup.histPath(dir)
-          if (!IndexStore.artifactReady(histPath)) None
+          // routable = artifact ready AND still exactly ensure()'s
+          // build (ensure-manifest watermark intact + listing match):
+          // HistogramRollup.appendBatch maintains the table with
+          // batches that are NOT in events.parquet, and the path's
+          // fingerprint tracks only the raw table — after such an
+          // append the rewrite would no longer be exact, so it must
+          // veto itself (r8 advice, medium)
+          if (!HistogramRollup.routable(histPath)) None
           else {
             // the exact substitute: SUM the daily bin counts over the
             // same UTC-instant window (kilobytes of bin IO for any

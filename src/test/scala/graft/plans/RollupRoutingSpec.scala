@@ -80,6 +80,38 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch vetoes routing: a maintained rollup is no longer the raw aggregate") {
+    withIndexRoot("graft-route-append") {
+      val HR = graft.operators.HistogramRollup
+      HR.ensure(spark, sf)
+      RollupRouting.enable(spark)
+      try {
+        // sanity: routing fires on the pure ensure() build
+        assert(scanPaths(rawAgg).exists(_.contains("hist_daily")))
+        // append a batch that is NOT in events.parquet — the r8
+        // advice's exact scenario: the fingerprint tracks only the
+        // raw table, so without the ensure-manifest veto this would
+        // keep routing and silently over-count
+        val extra = Seq((9999901L,
+            java.sql.Timestamp.valueOf("2024-01-10 08:00:00"),
+            9999901L, "click", 12.5, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        HR.appendBatch(spark, sf, extra)
+        val paths = scanPaths(rawAgg)
+        assert(paths.exists(_.contains("events.parquet")) &&
+          !paths.exists(_.contains("hist_daily")),
+          s"after appendBatch the plan must fall back to the raw table: $paths")
+        // and the answer is the RAW aggregate (the appended row is a
+        // rollup-side fact, invisible to the raw query)
+        val n = rawAgg.where($"event_type" === "click").head().getLong(1)
+        val direct = graft.Tables(spark, sf, "events")
+          .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)) &&
+            $"event_type" === "click").count()
+        assert(n === direct)
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
   test("a missing rollup artifact leaves the plan untouched") {
     withIndexRoot("graft-route-absent") {
       RollupRouting.enable(spark)
