@@ -789,7 +789,7 @@ object VectorQueries {
        |    FROM sub s JOIN cb c USING (m)) WHERE rn = 1),
        |qsub AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id < 5)""".stripMargin
 
-  private def pqSql: String =
+  private def pqSql(tombstonePred: String = ""): String =
     s"""WITH e AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |         CAST(embedding AS DOUBLE[]) AS v
@@ -802,7 +802,7 @@ object VectorQueries {
        |  FROM enc x
        |  JOIN cb c USING (m, code)
        |  JOIN qsub q USING (m)
-       |  WHERE x.vec_id <> q.query_id
+       |  WHERE x.vec_id <> q.query_id$tombstonePred
        |  GROUP BY q.query_id, x.vec_id),
        |edist AS (
        |  SELECT q.vec_id AS query_id, x.vec_id,
@@ -866,7 +866,7 @@ object VectorQueries {
   val v10PqAdcKnn: GraftQuery = q(
     "v10_pq_adc_knn",
     "D4 product quantization: per-subspace codebooks + ADC scan (32x compression) + exact refine",
-    Some(pqSql)
+    Some(pqSql())
   ) { (s, dir) => pqAdcTopK(s, dir, tombstoned = false) }
 
   /** The v10 pipeline with the OPT-IN tombstone boundary: when
@@ -1541,9 +1541,8 @@ object VectorQueries {
 
   /** v19 — GDPR DELETES ON THE BINARY HAMMING PATH: the v16 pipeline
     * with the tombstone anti-join opted in at the Hamming pair frame
-    * (before the top-C window), completing the per-path coverage
-    * (IVF-flat = v17, IVFADC = v18, sign-bit = here; the PQ
-    * exhaustive path shares [[pqAdcTopK]]'s opt-in, spec-covered).
+    * (before the top-C window): IVF-flat = v17, IVFADC = v18,
+    * sign-bit = here, PQ exhaustive = v20.
     * Oracle = v16's CTEs with the deletion predicate in `ham`. */
   val v19HammingDeletes: GraftQuery = q(
     "v19_hamming_deletes",
@@ -1554,10 +1553,28 @@ object VectorQueries {
     hammingTopK(s, dir, tombstoned = true)
   }
 
+  /** v20 — GDPR DELETES ON THE PQ EXHAUSTIVE PATH: the v10 pipeline
+    * with [[graft.operators.AnnDeletes.filterDeleted]] opted in on
+    * the ADC-scored frame BEFORE the shortlist window — an erased
+    * vector can neither be returned nor occupy a shortlist slot that
+    * would shift a live neighbor out (the r8 advice's dead-code
+    * finding: this opt-in existed with no caller and an unbacked
+    * "spec-covered" claim; now it is oracle-gated like v18/v19).
+    * Oracle = v10's CTEs with the deletion predicate in `adist`.
+    * v10 itself stays non-opted and plans bit-identically. */
+  val v20PqDeletes: GraftQuery = q(
+    "v20_pq_deletes",
+    "GDPR vector deletes on the PQ exhaustive path: tombstones before the ADC shortlist",
+    Some(pqSql(" AND NOT (x.vec_id % 23 = 3)"))
+  ) { (s, dir) =>
+    recordGdprBatch(s, dir)
+    pqAdcTopK(s, dir, tombstoned = true)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
     v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn,
     v13RecallEval, v14ChunkMaxSim, v15IvfChunkMaxSim, v16HammingAnn,
-    v17AnnDeletes, v18IvfAdcDeletes, v19HammingDeletes)
+    v17AnnDeletes, v18IvfAdcDeletes, v19HammingDeletes, v20PqDeletes)
 }

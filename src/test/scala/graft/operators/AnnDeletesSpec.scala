@@ -45,7 +45,8 @@ class AnnDeletesSpec extends SparkSpec {
       }
       val before = snap()
       Seq("v18_ivfadc_deletes" -> VQ.v18IvfAdcDeletes,
-          "v19_hamming_deletes" -> VQ.v19HammingDeletes).foreach {
+          "v19_hamming_deletes" -> VQ.v19HammingDeletes,
+          "v20_pq_deletes" -> VQ.v20PqDeletes).foreach {
         case (name, gq) =>
           val rows = gq.fn(spark, sf).collect()
           assert(rows.nonEmpty, s"$name returned nothing")
