@@ -67,45 +67,69 @@ object CandidateBudget {
     *
     * No task anywhere sees more than its range slice of the DATA,
     * and the driver sees ≤ one row per partition — the textbook
-    * distributed prefix-sum shape. The ranged frame is PERSISTED:
-    * it is tiny (aggregated bucket rows), and the totals pass plus
-    * every keep/skip consumer would otherwise each recompute the
-    * sketch pipeline behind it (bench-measured: the cache makes the
-    * two-pass cheaper than the r7 global window for the broadcast-
-    * keep consumers). The cache is per-admission-instance — the
-    * nondeterministic partition-id projection defeats cross-instance
-    * canonical matching — so entries are kilobyte-sized and LRU
-    * eviction handles long sessions; eviction is safe because the
-    * range recompute is deterministic (sorted sampler input — see
-    * below).
+    * distributed prefix-sum shape.
+    *
+    * The (keys…, cand, cum) result is MATERIALIZED EAGERLY
+    * (localCheckpoint) while the ranged frame is pinned, and the pin
+    * is released before admit returns. This is a correctness rule,
+    * not a convenience (the r8 advice): the broadcast offsets are
+    * keyed to ONE physical instance of the range exchange, and a
+    * lazy consumer that recomputed it later — after cache eviction,
+    * under a different AQE coalesce decision upstream — could see
+    * drifted partition ids and silently mis-keyed offsets. With the
+    * checkpoint, no consumer can ever recompute the exchange: the
+    * keep/skip frames are narrow filters over an immutable
+    * materialized slice set (losing an executor fails the job loudly
+    * instead of corrupting cum), and the per-admission cache entry is
+    * explicitly unpersisted instead of leaking until LRU pressure.
+    * The checkpointed frame is kilobytes — aggregated bucket rows,
+    * never pairs.
     *
     * cum values are bit-identical to the global window's because
     * (cand, keys…) is a total order (mass rows are groupBy results,
     * so no composite key repeats — no tie can straddle a range
-    * boundary ambiguously), and range recompute is deterministic, so
-    * the lazily-consumed keep/skip frames agree across re-evaluation.
-    * CandidateBudgetSpec pins admissions bit-equal to a single-task
-    * reference; QueryPlanSpec pins that every window in d01/d02/d06
-    * plans is keyed by the range-slice id. */
+    * boundary ambiguously). CandidateBudgetSpec pins admissions
+    * bit-equal to a single-task reference and pins the internal
+    * frame's plan (every window keyed by the range-slice id, offsets
+    * broadcast); QueryPlanSpec pins that d01/d02/d06 final plans
+    * carry NO admission window at all — the prefix sum ran in its
+    * own bounded job. */
   def admit(mass: DataFrame, keys: Seq[String],
       budget: Long): Admission = {
+    val keyCols = keys.map(col)
+    val (ranged, budgeted) = budgetedFrame(mass, keys)
+    // one eager job: materialize (keys…, cand, cum) while the ranged
+    // instance the offsets were collected from is still pinned
+    val admitted = budgeted
+      .select(keyCols :+ col("cand") :+ col("cum"): _*)
+      .localCheckpoint(true)
+    ranged.unpersist()
+    val keep = admitted.where(col("cum") <= budget).select(keyCols: _*)
+    val skippedKeys = admitted.where(col("cum") > budget).select(keyCols: _*)
+    val skippedMass = admitted
+      .agg(coalesce(sum(when(col("cum") > budget, col("cand"))), lit(0L))
+        .as("skipped_candidates"))
+    Admission(keep, skippedKeys, skippedMass)
+  }
+
+  /** The lazy two-pass prefix-sum frame: (ranged-and-pinned input,
+    * budgeted rows with cum). Package-private so the spec can pin the
+    * plan shape; every production caller goes through [[admit]],
+    * which materializes and releases the pin. */
+  private[graft] def budgetedFrame(mass: DataFrame,
+      keys: Seq[String]): (DataFrame, DataFrame) = {
     val s = mass.sparkSession
     val keyCols = keys.map(col)
     val order = col("cand") +: keyCols
     // EXPLICIT partition count: an N-less repartitionByRange is an
     // AQE-coalescible exchange, and a different coalesce decision
-    // across the consumers' jobs would shift spark_partition_id and
-    // mis-key the offsets; REPARTITION_BY_NUM is exempt from
-    // coalescing, and range sampling is deterministic, so every
-    // re-evaluation sees identical pids
+    // would shift spark_partition_id and mis-key the offsets;
+    // REPARTITION_BY_NUM is exempt from coalescing. The pre-sort
+    // canonicalizes the range sampler's input (reservoir sampling
+    // reads rows in partition order). Both matter only WITHIN the
+    // admission's own pinned lifetime now — the checkpoint removes
+    // every cross-job re-evaluation.
     val nParts = s.sessionState.conf.numShufflePartitions
-    // the pre-sort canonicalizes the range sampler's input: reservoir
-    // sampling reads rows in partition order, and a raw aggregate
-    // output's order varies with shuffle fetch timing — without the
-    // sort, a cache-evicted recompute could draw DIFFERENT boundaries
-    // than the ones the collected offsets were keyed to. Sorted input
-    // + deterministic per-partition seeds ⇒ stable boundaries across
-    // every (re-)evaluation. Pennies on an aggregated bucket frame.
     val ranged = mass.sortWithinPartitions(order: _*)
       .repartitionByRange(nParts, order: _*)
       .withColumn("_pid", spark_partition_id())
@@ -124,11 +148,6 @@ object CandidateBudget {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val budgeted = ranged.join(broadcast(offDf), Seq("_pid"))
       .withColumn("cum", col("_off") + sum(col("cand")).over(wCum))
-    val keep = budgeted.where(col("cum") <= budget).select(keyCols: _*)
-    val skippedKeys = budgeted.where(col("cum") > budget).select(keyCols: _*)
-    val skippedMass = budgeted
-      .agg(coalesce(sum(when(col("cum") > budget, col("cand"))), lit(0L))
-        .as("skipped_candidates"))
-    Admission(keep, skippedKeys, skippedMass)
+    (ranged, budgeted)
   }
 }

@@ -57,31 +57,43 @@ class CandidateBudgetSpec extends SparkSpec {
     }
   }
 
-  test("re-evaluation of the lazy admission frames is stable") {
-    // keep/skip frames recompute the range shuffle per action — the
-    // deterministic-sampling + explicit-N contract says every
-    // evaluation sees identical partition ids and offsets
+  test("re-evaluation of the admission frames is stable and never re-runs the exchange") {
+    // admit materializes (keys, cand, cum) eagerly (localCheckpoint)
+    // while the ranged instance its offsets were collected from is
+    // pinned, then unpersists — so repeated actions on keep read the
+    // immutable checkpoint instead of recomputing the range shuffle
+    // (the r8 advice: a recompute under a drifted upstream AQE
+    // decision could mis-key the broadcast offsets)
     val adm = CandidateBudget.admit(fixture, Seq("band", "sig"), 5000L)
     val first = adm.keep.collect().map(_.toString).sorted.toSeq
     val second = adm.keep.collect().map(_.toString).sorted.toSeq
-    assert(first === second, "lazy re-evaluation must not shift admissions")
+    assert(first === second, "re-evaluation must not shift admissions")
+    val p = adm.keep.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"keep must read the materialized admission, never the exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no consumer may be able to re-run the range exchange:\n$p")
   }
 
   test("no data-sized global window: every window is keyed by the range slice id") {
-    // the only window is the per-slice cumulative sum, PARTITIONED by
-    // _pid — each task sees only its range slice of the data; the
-    // offsets prefix is a driver fold over ≤ one row per shuffle
-    // partition (cluster-width-bounded). No window may run over the
-    // raw bucket order alone.
-    val adm = CandidateBudget.admit(fixture, Seq("band", "sig"), 5000L)
-    adm.keep.collect() // finalize the adaptive plan
-    val p = adm.keep.queryExecution.executedPlan.toString
-    val wlines = p.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(wlines.nonEmpty, s"the cumulative window must exist:\n$p")
-    wlines.foreach(l => assert(l.contains("_pid#"),
-      s"every admission window must be keyed by the range slice id:\n$l"))
-    // the offsets arrive by broadcast, never a shuffle join
-    assert(p.contains("BroadcastHashJoin"),
-      s"per-partition offsets must broadcast-join back:\n$p")
+    // the only window in the internal prefix-sum frame is the
+    // per-slice cumulative sum, PARTITIONED by _pid — each task sees
+    // only its range slice of the data; the offsets prefix is a
+    // driver fold over ≤ one row per shuffle partition
+    // (cluster-width-bounded). No window may run over the raw bucket
+    // order alone.
+    val (ranged, budgeted) =
+      CandidateBudget.budgetedFrame(fixture, Seq("band", "sig"))
+    try {
+      budgeted.collect() // finalize the adaptive plan
+      val p = budgeted.queryExecution.executedPlan.toString
+      val wlines = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(wlines.nonEmpty, s"the cumulative window must exist:\n$p")
+      wlines.foreach(l => assert(l.contains("_pid#"),
+        s"every admission window must be keyed by the range slice id:\n$l"))
+      // the offsets arrive by broadcast, never a shuffle join
+      assert(p.contains("BroadcastHashJoin"),
+        s"per-partition offsets must broadcast-join back:\n$p")
+    } finally { ranged.unpersist(); () }
   }
 }

@@ -579,14 +579,18 @@ class QueryPlanSpec extends SparkSpec {
       s"the builder must carry the mapPartitions decode boundary:\n$bp")
   }
 
-  test("d01/d02/d06: the candidate-budget window is range-sliced, never global") {
-    // the r7 scale caveat, closed: CandidateBudget.admit's cumulative
-    // sum was a GLOBAL unpartitioned window (one task sees every
-    // positive-mass bucket row — corpus-bound for d01's mod-P
-    // signatures); it is now a two-pass range-partitioned prefix sum
-    // (offsets = a driver fold over ≤ one row per shuffle partition),
-    // so EVERY window in these plans must carry the _pid range-slice
-    // id in its partition spec.
+  test("d01/d02/d06: the candidate budget admission never rides the query plan as a global window") {
+    // the r7 scale caveat, closed in two steps: the cumulative sum
+    // became a two-pass range-partitioned prefix sum (offsets = a
+    // driver fold over ≤ one row per shuffle partition), and the r8
+    // advice moved its materialization INSIDE admit (eager
+    // localCheckpoint, pin released) so no consumer job can ever
+    // recompute the range exchange. The final query plans therefore
+    // contain NO admission window at all — the keep/skip frames read
+    // the materialized slice set (ExistingRDD) — and any window that
+    // does remain must be partitioned (never a data-sized global
+    // running sum). The internal frame's range-sliced shape is pinned
+    // in CandidateBudgetSpec.
     withIndexRoot("graft-budget-plan") {
       Seq("d01_minhash_lsh_dedup", "d02_simhash_dedup",
           "d06_sharded_simhash").foreach { name =>
@@ -594,9 +598,10 @@ class QueryPlanSpec extends SparkSpec {
         df.collect() // finalize the adaptive plan
         val p = df.queryExecution.executedPlan.toString
         val wlines = p.linesIterator.filter(_.contains("Window ")).toSeq
-        assert(wlines.nonEmpty, s"$name lost its admission window:\n$p")
-        wlines.foreach(l => assert(l.contains("_pid#"),
-          s"$name plans a window not partitioned by the range slice:\n$l"))
+        assert(wlines.isEmpty,
+          s"$name must carry no admission window (r7 had only those):\n${wlines.mkString("\n")}")
+        assert(p.contains("ExistingRDD"),
+          s"$name must consume the materialized admission:\n$p")
       }
     }
   }
