@@ -350,17 +350,19 @@ object IndexStore {
     * Crash safety (the r6 advice + r7 verdict closed): each batch —
     * including the base build — lands in its OWN `batch=<tag>` dir on
     * BOTH sides with its own _SUCCESS marker, postings first, stats
-    * second. Readers serve only postings-ready batches and sum only
-    * their stats rows, and [[bm25Recover]] (run on every read)
-    * rederives any missing stats batch from its own postings — so a
-    * crash in EITHER window (mid-postings: the torn batch is
-    * invisible until its tag is replayed; between postings and stats:
-    * recovery restores exact N/Σdl for exactly the served postings)
-    * never loses an appended batch and never serves constants
-    * inconsistent with the postings. Replaying a tag overwrites only
-    * its own dirs — idempotent; omitting the tag auto-numbers
-    * sequentially (single-writer contract, as everywhere in this
-    * family). */
+    * Readers serve only postings-ready batches and sum only
+    * their stats rows, deriving any missing stats batch IN MEMORY
+    * from its own postings ([[bm25Stats]] -- reads never write);
+    * durable repair ([[bm25Recover]]) runs here and in compaction,
+    * the single-writer paths. So a crash in EITHER window
+    * (mid-postings: the torn batch is invisible until its tag is
+    * replayed; between postings and stats: the read-side derivation
+    * restores exact N/total-dl for exactly the served postings) never
+    * loses an appended batch and never serves constants inconsistent
+    * with the postings. Replaying a tag overwrites only its own dirs
+    * -- idempotent; omitting the tag auto-numbers from the MAX
+    * existing dir (torn dirs included, so a crashed append keeps its
+    * replay slot -- the r8 advice). */
   def bm25Append(s: SparkSession, dir: String,
       batch: org.apache.spark.sql.DataFrame, batchTag: String = null): Unit = {
     import s.implicits._
@@ -368,8 +370,17 @@ object IndexStore {
     val sPath = bm25StatsPath(dir)
     require(artifactReady(s"$pPath/$Bm25BaseTag"),
       s"bm25 index at $pPath must be built before appending")
-    val tag = Option(batchTag).map("batch=" + _)
-      .getOrElse(s"batch=b${"%04d".format(readyBatches(pPath).size)}")
+    // durable stats repair belongs HERE (a write path under the
+    // single-writer contract), not on reads — see [[bm25Stats]]
+    bm25Recover(s, pPath, sPath)
+    // auto-tag = max existing numbered dir + 1, counting TORN dirs: a
+    // crashed append keeps its tag as a replay slot instead of having
+    // the next auto append silently reuse it with different data
+    val tag = Option(batchTag).map("batch=" + _).getOrElse {
+      val used = allBatchDirs(pPath).map(_.stripPrefix("batch="))
+        .filter(_.matches("b\\d+")).map(_.drop(1).toInt)
+      f"batch=b${(used :+ 0).max + 1}%04d"
+    }
     val tk = batch
       .select($"doc_id", graft.functions.TextStats.tokens($"text").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -554,12 +565,18 @@ object IndexStore {
     * see. A torn batch (crash mid-write: part files, no marker) is
     * invisible until replayed or repaired, never half-read (the
     * AnnDeletes ready-partition rule applied here). */
-  private[operators] def readyBatches(path: String): Seq[String] = {
+  private[operators] def readyBatches(path: String): Seq[String] =
+    allBatchDirs(path).filter(t => artifactReady(s"$path/$t"))
+
+  /** Every `batch=` dir — ready or torn. The auto-tag allocator must
+    * see torn dirs too: a crashed append's tag is a REPLAY SLOT, and
+    * numbering by ready-count would hand it to the next append with
+    * different data (the r8 advice). */
+  private def allBatchDirs(path: String): Seq[String] = {
     val (fs, p) = fsOf(path)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("batch="))
-      .filter(t => artifactReady(s"$path/$t"))
       .sorted.toIndexedSeq
   }
 
@@ -593,8 +610,10 @@ object IndexStore {
     * crash window between the two appends) gets its stats rederived
     * from its own postings — so after recovery the served N/Σdl are
     * EXACT for exactly the postings being served, and no appended
-    * batch is ever lost or double-counted. Idempotent; runs on every
-    * read for the price of a directory listing. */
+    * batch is ever lost or double-counted. Idempotent. Runs ONLY on
+    * the write paths (append/compact — single-writer contract);
+    * reads derive missing stats in memory instead ([[bm25Stats]]),
+    * so the read path never writes. */
   private def bm25Recover(s: SparkSession, pPath: String, sPath: String): Unit =
     readyBatches(pPath)
       .filterNot(t => artifactReady(s"$sPath/$t"))
@@ -664,13 +683,6 @@ object IndexStore {
       dl.agg(count(lit(1)).as("n"), sum($"dl").cast("long").as("sdl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$sPath/$Bm25BaseTag")
     }
-    // repair any batch whose stats write was lost (crash between the
-    // postings append and the stats append, or a torn stats job) —
-    // rederived from that batch's OWN postings, so the served N/Σdl
-    // are exact for exactly the postings being served and no appended
-    // batch is ever discarded (the r6 advice's lossy-recovery finding,
-    // closed per batch)
-    bm25Recover(s, pPath, sPath)
     val ready = readyBatches(pPath)
     (s.read.parquet(ready.map(t => s"$pPath/$t"): _*), bm25Stats(s, dir))
   }
@@ -759,8 +771,28 @@ object IndexStore {
   def bm25Stats(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val pPath = bm25PostingsPath(dir)
     val sPath = bm25StatsPath(dir)
-    bm25Recover(s, pPath, sPath)
-    s.read.parquet(readyBatches(pPath).map(t => s"$sPath/$t"): _*)
+    // READ-ONLY repair (the r8 advice: reads must not write — a read
+    // path that repairs durably races concurrent readers overwriting
+    // the same stats dir and fails outright on read-only storage):
+    // any postings-ready batch whose stats row is missing or torn
+    // gets its (n, Σdl) derived IN MEMORY from its own postings for
+    // this frame only — exact, per batch, so a doc appearing in two
+    // batches still counts per-batch as the durable rows would.
+    // Durable repair stays on the write paths (append/compact), which
+    // hold the single-writer contract.
+    val ready = readyBatches(pPath)
+    require(ready.nonEmpty, s"no ready bm25 batches under $pPath")
+    val (withStats, missing) =
+      ready.partition(t => artifactReady(s"$sPath/$t"))
+    val parts =
+      (if (withStats.isEmpty) Seq.empty[org.apache.spark.sql.DataFrame]
+       else Seq(s.read.parquet(withStats.map(t => s"$sPath/$t"): _*)
+         .select(col("n"), col("sdl")))) ++
+      missing.map(t =>
+        s.read.parquet(s"$pPath/$t")
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sdl")))
+    parts.reduce(_ unionAll _)
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("sdl")).cast("long").as("sdl"))
   }

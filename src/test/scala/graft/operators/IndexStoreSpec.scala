@@ -328,6 +328,74 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("bm25 reads never write: missing stats derive in memory, storage untouched") {
+    // the r8 advice: bm25Recover ran on every read, so read paths
+    // performed writes — racing concurrent readers on the same stats
+    // dir and failing outright on read-only storage. Reads now derive
+    // a missing batch's (n, sdl) in memory; durable repair stays on
+    // the write paths.
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val d = tmpDir("bm25-readonly")
+      (0L until 30L).map(i => (i, s"alpha beta doc$i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      IndexStore.bm25Postings(spark, d)
+      IndexStore.bm25Append(spark, d, (30L until 45L)
+        .map(i => (i, s"gamma delta doc$i")).toDF("doc_id", "text"), "b1")
+      val before = IndexStore.bm25Stats(spark, d).as[(Long, Long)].head()
+      // the crash window: b1's stats dir never landed
+      val sdir = new java.io.File(s"${IndexStore.bm25StatsPath(d)}/batch=b1")
+      sdir.listFiles().foreach(_.delete()); assert(sdir.delete())
+      // repeated reads serve EXACT stats...
+      (1 to 2).foreach { _ =>
+        assert(IndexStore.bm25Stats(spark, d).as[(Long, Long)].head() === before,
+          "read-side derivation must restore exact N/sdl")
+      }
+      // ...and never re-create the stats dir (reads are read-only)
+      assert(!sdir.exists(),
+        "a read must not durably repair the stats artifact")
+      // the WRITE path repairs durably: the next append heals b1
+      IndexStore.bm25Append(spark, d, (45L until 50L)
+        .map(i => (i, s"zeta doc$i")).toDF("doc_id", "text"), "b2")
+      assert(sdir.exists() && new java.io.File(sdir, "_SUCCESS").exists(),
+        "the append path must run durable stats repair")
+    }
+  }
+
+  test("bm25Append auto-tag never reuses a torn batch's replay slot") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      val d = tmpDir("bm25-tag")
+      (0L until 20L).map(i => (i, s"alpha doc$i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      IndexStore.bm25Postings(spark, d)
+      // a torn append: postings dir exists WITHOUT _SUCCESS (crash
+      // mid-write). Under ready-count numbering the next auto append
+      // would also be b0001 — overwriting the crashed batch's replay
+      // slot with different data (the r8 advice).
+      val torn = new java.io.File(s"${IndexStore.bm25PostingsPath(d)}/batch=b0001")
+      assert(torn.mkdirs())
+      java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
+        Array[Byte](1, 2, 3))
+      IndexStore.bm25Append(spark, d, (20L until 25L)
+        .map(i => (i, s"beta doc$i")).toDF("doc_id", "text"))
+      val p = IndexStore.bm25PostingsPath(d)
+      assert(new java.io.File(s"$p/batch=b0002/_SUCCESS").exists(),
+        "the auto tag must skip past the torn slot")
+      assert(!new java.io.File(torn, "_SUCCESS").exists() &&
+        torn.toPath.resolve("part-00000.parquet").toFile.exists(),
+        "the torn batch must keep its slot for replay")
+      // replaying the crashed batch under ITS tag completes it
+      IndexStore.bm25Append(spark, d, (25L until 28L)
+        .map(i => (i, s"gamma doc$i")).toDF("doc_id", "text"), "b0001")
+      assert(new java.io.File(torn, "_SUCCESS").exists())
+      assert(IndexStore.bm25Stats(spark, d).as[(Long, Long)].head()._1 === 28L,
+        "all three batches must serve after the replay")
+    }
+  }
+
   test("bm25 cold build never widens the caller session's shuffle setting") {
     withRoot { _ =>
       val s2 = spark
