@@ -66,4 +66,74 @@ object Governance {
     * dashboard-facing face: `spark.sql("... FROM documents_analyst")`. */
   def registerAnalystView(s: SparkSession, dir: String): Unit =
     analystDocuments(s, dir).createOrReplaceTempView("documents_analyst")
+
+  /** One rung of a K-ANONYMITY generalization ladder: the
+    * quasi-identifier projection at this coarseness, as (name,
+    * expression) pairs over the source frame. Rung order is finest
+    * first; every rung must project the SAME column names. */
+  final case class QiLevel(level: Int, qi: Seq[(String, Column)])
+
+  /** K-ANONYMITY via global recoding with suppression — the other
+    * half of the governance story (q40/q41 control WHO sees WHICH
+    * rows/columns; this controls what an aggregate RELEASE may reveal
+    * about individuals — the Samarati/Sweeney model every privacy
+    * review asks for before a dataset leaves the boundary):
+    *
+    *  1. group rows by the FINEST quasi-identifier projection; groups
+    *     with ≥ k members release at that rung;
+    *  2. rows stranded in small groups re-group under the next
+    *     (coarser) rung — group sizes counted over the STRANDED rows
+    *     only (releasing them alongside rung-0 releases would leak
+    *     the finer split: a rung-1 group that overlaps a released
+    *     rung-0 group differences to < k individuals);
+    *  3. rows still stranded after the last rung are SUPPRESSED, and
+    *     only their COUNT is released.
+    *
+    * Output: one row per released group — (level, qi…, n) — plus one
+    * suppressed-total row, so the release is group-sized, never
+    * row-sized. Every released n is ≥ k by construction (spec-pinned,
+    * along with mass conservation: Σ released + suppressed = |rows|).
+    *
+    * Scale shape: each rung is one hash aggregate over group keys
+    * plus one left_anti join against the PREVIOUS rung's released
+    * keys — the anti side is group-cardinality, not row-cardinality,
+    * so it broadcasts; no windows, no sorts, shuffle mass = group
+    * keys. At 100 TB this is exactly as expensive as the groupBys a
+    * release aggregation runs anyway. */
+  def kAnonymize(df: DataFrame, levels: Seq[QiLevel], k: Long): DataFrame = {
+    require(levels.nonEmpty, "need at least one QI level")
+    val names = levels.head.qi.map(_._1)
+    require(levels.forall(_.qi.map(_._1) == names),
+      "every QI level must project the same column names")
+    require(names.forall(n => !df.columns.contains(n)),
+      "QI names must not shadow source columns (rows are carried " +
+        "at source grain between rungs)")
+    var released: Option[DataFrame] = None
+    // rows still unreleased, carried at SOURCE grain between rungs so
+    // every rung can compute its own (coarser) QI projection
+    var rest = df
+    levels.foreach { lvl =>
+      val keyed = rest.select(
+        rest.columns.map(col) ++ lvl.qi.map { case (n, e) => e.as(n) }: _*)
+      val g = keyed.groupBy(names.map(col): _*).agg(count(lit(1)).as("n"))
+      val relKeys = g.where(col("n") >= k).select(names.map(col): _*)
+      // released QI values surface as STRINGS: rungs generalize the
+      // same logical attribute to different types (day date vs month
+      // prefix), and the suppressed row's '*' must union cleanly
+      val rel = g.where(col("n") >= k)
+        .select(lit(lvl.level).as("level") +:
+          names.map(n => col(n).cast("string").as(n)) :+ col("n"): _*)
+      released = Some(released.map(_.unionAll(rel)).getOrElse(rel))
+      // strand the rows of small groups for the next rung: anti-join
+      // the ROWS against the released group keys at THIS rung's
+      // projection (group-cardinality right side → broadcastable)
+      rest = keyed
+        .join(broadcast(relKeys), names, "left_anti")
+        .drop(names: _*)
+    }
+    val suppressed = rest.agg(coalesce(count(lit(1)), lit(0L)).as("n"))
+      .select(lit(levels.last.level + 1).as("level") +:
+        names.map(n => lit("*").as(n)) :+ col("n"): _*)
+    released.get.unionAll(suppressed)
+  }
 }

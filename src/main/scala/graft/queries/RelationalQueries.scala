@@ -1713,6 +1713,68 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q43 — K-ANONYMITY RELEASE
+    * ([[graft.operators.Governance.kAnonymize]]): the release-side
+    * governance op (q40/q41 are the access side): a user-level table
+    * leaves the boundary only as groups of ≥ k indistinguishable
+    * rows over the quasi-identifiers (event_type, time, value band)
+    * — the Samarati/Sweeney global-recoding model. Rung 0 = day
+    * grain; rows stranded in < k groups re-group at month grain
+    * (counted over the STRANDED rows only — re-counting everyone
+    * would leak the finer split by differencing); still-stranded
+    * rows are suppressed and only their count released. k = 35 so
+    * every SF exercises all three rungs. The oracle replays the
+    * ladder as two grouped passes with an anti-join between them;
+    * the spec pins the invariants (every released n ≥ k, released +
+    * suppressed = total). Scale: two hash aggregates plus one
+    * broadcast anti-join on group keys — no windows, no sorts. */
+  val q43KAnonymity: GraftQuery = q(
+    "q43_k_anonymity",
+    "k-anonymity release: QI generalization ladder with suppression, group-sized output",
+    """WITH l0 AS (
+      |  SELECT event_type,
+      |         CAST(CAST(ts AS DATE) AS VARCHAR) AS qi_day,
+      |         CAST(floor(value / 100) AS BIGINT) AS band
+      |  FROM events),
+      |g0 AS (
+      |  SELECT event_type, qi_day, band, count(*) AS n
+      |  FROM l0 GROUP BY 1, 2, 3),
+      |rel0 AS (SELECT * FROM g0 WHERE n >= 35),
+      |rest AS (
+      |  SELECT l.* FROM l0 l LEFT JOIN rel0 r
+      |    ON l.event_type = r.event_type AND l.qi_day = r.qi_day
+      |       AND l.band = r.band
+      |  WHERE r.event_type IS NULL),
+      |g1 AS (
+      |  SELECT event_type, substr(qi_day, 1, 7) AS qi_time, band,
+      |         count(*) AS n
+      |  FROM rest GROUP BY 1, 2, 3)
+      |SELECT CAST(0 AS INT) AS level, event_type AS qi_type,
+      |       qi_day AS qi_time, CAST(band AS VARCHAR) AS qi_band, n
+      |FROM rel0
+      |UNION ALL
+      |SELECT 1, event_type, qi_time, CAST(band AS VARCHAR), n
+      |FROM g1 WHERE n >= 35
+      |UNION ALL
+      |SELECT 2, '*', '*', '*',
+      |       CAST(coalesce(sum(n), 0) AS BIGINT) FROM g1 WHERE n < 35
+      |ORDER BY level, qi_type, qi_time, qi_band""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val G = graft.operators.Governance
+    val levels = Seq(
+      G.QiLevel(0, Seq(
+        "qi_type" -> $"event_type",
+        "qi_time" -> to_date($"ts").cast("string"),
+        "qi_band" -> floor($"value" / 100).cast("long"))),
+      G.QiLevel(1, Seq(
+        "qi_type" -> $"event_type",
+        "qi_time" -> substring(to_date($"ts").cast("string"), 1, 7),
+        "qi_band" -> floor($"value" / 100).cast("long"))))
+    G.kAnonymize(Tables(s, dir, "events"), levels, k = 35L)
+      .orderBy($"level", $"qi_type", $"qi_time", $"qi_band")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1724,5 +1786,5 @@ object RelationalQueries {
     q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
     q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
-    q41GovernedTimeTravel, q42RoutedCount)
+    q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity)
 }

@@ -99,4 +99,53 @@ class GovernanceSpec extends SparkSpec {
       }
     }
   }
+
+  test("kAnonymize: every released group has >= k rows and mass is conserved") {
+    val ev = graft.Tables(spark, sf, "events")
+    val total = ev.count()
+    // spec k sized to the sf0.001 fixture so BOTH rungs fire (the
+    // registered query's k=35 is sized for sf0.01+, where day groups
+    // are big enough to release at rung 0)
+    val k = 8L
+    val levels = Seq(
+      G.QiLevel(0, Seq(
+        "qi_type" -> col("event_type"),
+        "qi_time" -> to_date(col("ts")).cast("string"),
+        "qi_band" -> floor(col("value") / 100).cast("long"))),
+      G.QiLevel(1, Seq(
+        "qi_type" -> col("event_type"),
+        "qi_time" -> substring(to_date(col("ts")).cast("string"), 1, 7),
+        "qi_band" -> floor(col("value") / 100).cast("long"))))
+    val rel = G.kAnonymize(ev, levels, k).collect()
+    val released = rel.filter(_.getInt(0) <= 1)
+    val suppressed = rel.filter(_.getInt(0) == 2)
+    assert(suppressed.length === 1, "exactly one suppressed-total row")
+    released.foreach(r => assert(r.getLong(4) >= k,
+      s"released group under k: $r"))
+    assert(released.map(_.getLong(4)).sum + suppressed.head.getLong(4) === total,
+      "released mass + suppressed mass must equal the table")
+    // the ladder must actually fire on this data: some rows release
+    // at the coarser rung (otherwise the generalization is untested)
+    assert(released.exists(_.getInt(0) == 1),
+      "the month rung must release at least one group at this SF")
+    // stranded-only counting (the differencing-leak guard): a rung-1
+    // group's size must equal the stranded-row count under its key —
+    // NOT the all-rows count, which would include rung-0-released
+    // rows and leak their finer split by subtraction
+    val allAtMonth = ev.select(col("event_type").as("qi_type"),
+        substring(to_date(col("ts")).cast("string"), 1, 7).as("qi_time"),
+        floor(col("value") / 100).cast("long").cast("string").as("qi_band"))
+      .groupBy("qi_type", "qi_time", "qi_band")
+      .agg(count(lit(1)).as("all_n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val rung1Overcount = released.filter(_.getInt(0) == 1).exists { r =>
+      val key = (r.getString(1), r.getString(2), r.getString(3))
+      allAtMonth.get(key).exists(_ > r.getLong(4))
+    }
+    assert(rung1Overcount,
+      "at least one rung-1 group must be smaller than its all-rows " +
+        "month count (proof the count excluded rung-0-released rows)")
+  }
 }
