@@ -1775,6 +1775,44 @@ object RelationalQueries {
       .orderBy($"level", $"qi_type", $"qi_time", $"qi_band")
   }
 
+  /** q44 — EXPONENTIALLY-DECAYED FEATURE ROLLUP
+    * ([[graft.operators.DecayedFeatures]]): the feature-store staple
+    * ("recent engagement, recent days weighted higher") on the
+    * mergeable-rollup algebra: per-(day, event_type, user-cohort)
+    * partial sums persist ONCE (undecayed — decay is applied at
+    * read, so the as-of date and half-life are free at query time),
+    * and this read folds weight 2^(H−age) over the daily rows with
+    * H = 20, as of 2024-02-01. Integer-exact end-to-end: the score
+    * is Σ floor(value)·2^(H−age) — a BIGINT in both engines (2^k
+    * exact in double for the cast), no float sum whose order an
+    * engine could vary. Days older than the horizon weigh zero and
+    * are PRUNED before the fold. The oracle replays the full
+    * semantics from the raw events — a mis-bucketed day, a wrong
+    * weight, or a lost partial breaks the hash. Scan-free at query
+    * time (plan-pinned: reads feat_daily only); late days append as
+    * partials, deletes retract negatively (the D42 algebra). */
+  val q44DecayedFeatures: GraftQuery = q(
+    "q44_decayed_features",
+    "decayed feature rollup: 2^H-scaled engagement per cohort from daily partials",
+    """SELECT event_type, user_id % 16 AS cohort,
+      |       count(*) AS n_recent,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)
+      |         * CAST(pow(2, 20 - date_diff('day', CAST(ts AS DATE),
+      |                                      DATE '2024-02-01')) AS BIGINT))
+      |         AS BIGINT) AS score_e
+      |FROM events
+      |WHERE date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+      |      BETWEEN 0 AND 20
+      |GROUP BY 1, 2
+      |ORDER BY event_type, cohort""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.DecayedFeatures
+      .features(s, dir, "2024-02-01 00:00:00", 20)
+      .select($"event_type", $"cohort", $"n_recent", $"score_e")
+      .orderBy($"event_type", $"cohort")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1786,5 +1824,6 @@ object RelationalQueries {
     q30ManifestSkip, q31TimeTravel, q32DeletionVectors, q33SchemaEvolution,
     q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
-    q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity)
+    q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
+    q44DecayedFeatures)
 }
