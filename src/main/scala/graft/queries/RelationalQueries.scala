@@ -1813,6 +1813,87 @@ object RelationalQueries {
       .orderBy($"event_type", $"cohort")
   }
 
+  /** q45 — KMV SKETCH AUDIENCE OVERLAP
+    * ([[graft.operators.KmvRollup]]): the third mergeable sketch
+    * algebra (HLL = max-merge unions, histogram = sum-merge values,
+    * KMV = k-min-merge IDENTITIES), for the question the other two
+    * cannot answer: how many users do two segments SHARE. Daily
+    * K=256-minimum-hash sketches persist once; a window read k-min-
+    * merges them (distinct-then-rank — idempotent under replayed
+    * days); per-pair overlap = membership matches in the union
+    * sketch scaled by the union's distinct estimate. All integer
+    * (48-bit hash domain keeps (K−1)·M in BIGINT; floor division in
+    * both engines), all deterministic (hash60 — no rand()), and
+    * cells under K report EXACT counts. The oracle replays the whole
+    * pipeline from raw events — sketch, merge, estimates, overlap.
+    * Accuracy vs exact intersections is KmvRollupSpec's job. Scale:
+    * sketch table ≤ K rows per (day, type) cell; reads touch only
+    * the sketch (plan-pinned); every rank window is K-bounded except
+    * the build's per-cell top-K, which runs under WindowGroupLimit
+    * (heap-bounded, spec-pinned). */
+  val q45KmvOverlap: GraftQuery = q(
+    "q45_kmv_overlap",
+    "KMV sketch rollup: k-min-merge daily sketches, audience overlap per segment pair",
+    """WITH hh AS (
+      |  SELECT DISTINCT event_type AS t,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv'), 1, 15)
+      |              AS BIGINT) % 281474976710656 AS h
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-25 00:00:00'),
+      |sk AS (
+      |  SELECT t, h FROM (
+      |    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+      |    FROM hh) WHERE rn <= 256),
+      |dd AS (
+      |  SELECT t,
+      |         CAST(CASE WHEN count(*) < 256 THEN count(*)
+      |              ELSE (255 * 281474976710656) // max(h) END AS BIGINT) AS d
+      |  FROM sk GROUP BY t),
+      |prs AS (
+      |  SELECT a.t AS type_a, b.t AS type_b
+      |  FROM dd a JOIN dd b ON a.t < b.t),
+      |mem AS (
+      |  SELECT p.type_a, p.type_b, s.h,
+      |         max(CASE WHEN s.t = p.type_a THEN 1 ELSE 0 END) AS ia,
+      |         max(CASE WHEN s.t = p.type_b THEN 1 ELSE 0 END) AS ib
+      |  FROM prs p JOIN sk s ON s.t = p.type_a OR s.t = p.type_b
+      |  GROUP BY 1, 2, 3),
+      |u AS (
+      |  SELECT type_a, type_b, h, ia, ib,
+      |         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+      |  FROM mem),
+      |uk AS (
+      |  SELECT type_a, type_b, count(*) AS nu, max(h) AS hu,
+      |         CAST(sum(ia * ib) AS BIGINT) AS match_k
+      |  FROM u WHERE rn <= 256 GROUP BY 1, 2),
+      |ov AS (
+      |  SELECT type_a, type_b,
+      |         CAST(CASE WHEN nu < 256 THEN nu
+      |              ELSE (255 * 281474976710656) // hu END AS BIGINT) AS d_union,
+      |         match_k, nu
+      |  FROM uk)
+      |SELECT o.type_a, o.type_b, da.d AS d_a, db.d AS d_b,
+      |       o.d_union, o.match_k,
+      |       CAST((o.d_union * o.match_k) // o.nu AS BIGINT) AS inter_est
+      |FROM ov o
+      |JOIN dd da ON da.t = o.type_a
+      |JOIN dd db ON db.t = o.type_b
+      |ORDER BY type_a, type_b""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val KR = graft.operators.KmvRollup
+    val sk = KR.mergedSketch(s, dir,
+      "2024-01-05 00:00:00", "2024-01-25 00:00:00")
+    val ests = KR.typeEstimates(sk)
+    KR.overlaps(sk)
+      .join(ests.select($"event_type".as("type_a"), $"d_est".as("d_a")), "type_a")
+      .join(ests.select($"event_type".as("type_b"), $"d_est".as("d_b")), "type_b")
+      .select($"type_a", $"type_b", $"d_a", $"d_b",
+        $"d_union", $"match_k", $"inter_est")
+      .orderBy($"type_a", $"type_b")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1825,5 +1906,5 @@ object RelationalQueries {
     q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
-    q44DecayedFeatures)
+    q44DecayedFeatures, q45KmvOverlap)
 }
