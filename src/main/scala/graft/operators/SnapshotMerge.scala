@@ -163,4 +163,51 @@ object SnapshotMerge {
       .collect().map(_.get(0))
     base.where(col(partitionCol).isInCollection(parts))
   }
+
+  /** CHANGE DATA FEED between two versions — the consumer-facing
+    * `table_changes(from, to)` read (Delta CDF's public shape) over
+    * an [[scd2Intervals]] history: for every key whose live state
+    * differs between as-of(fromV) and as-of(toV), emit
+    *
+    *   - `insert`           — absent at fromV, live at toV (a fresh
+    *                          key, or a reinsert above its own
+    *                          tombstone — absent-then-present IS an
+    *                          insert to a downstream consumer);
+    *   - `delete`           — live at fromV, absent at toV (the
+    *                          PREIMAGE row, so the consumer knows
+    *                          what to retract);
+    *   - `update_preimage` / `update_postimage` — live at both with a
+    *     different winning version (two rows, the retract/add pair
+    *     every incremental consumer — [[IncrementalRollup]] included —
+    *     wants to ingest).
+    *
+    * Unchanged keys emit NOTHING — the point of a feed: downstream
+    * cost scales with |changes|, not |table|. Shape: two interval
+    * filters over the history (each a narrow scan of the SCD2 frame)
+    * and one full-outer join ON THE KEY of two state frames whose
+    * size is the live key count; version equality decides
+    * changed-ness (one winning row per (key, version) by
+    * [[scd2Intervals]]' resolution, so equal versions ⇒ identical
+    * rows). */
+  def changeFeed(iv: DataFrame, key: String, version: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, "changeFeed needs fromV < toV")
+    val pay = iv.columns.filterNot(
+      Seq(key, "valid_to", "alive", "is_current").contains).toSeq
+    def state(v: Long) = iv.where(col(version) <= v &&
+      (col("valid_to").isNull || col("valid_to") > v) && col("alive"))
+    val a = state(fromV).select(col(key) +: pay.map(c => col(c).as("__a_" + c)): _*)
+    val b = state(toV).select(col(key) +: pay.map(c => col(c).as("__b_" + c)): _*)
+    val j = a.join(b, Seq(key), "full")
+    val inA = col("__a_" + version).isNotNull
+    val inB = col("__b_" + version).isNotNull
+    val changed = col("__a_" + version) =!= col("__b_" + version)
+    def emit(tag: String, side: String, cond: Column) =
+      j.where(cond).select(lit(tag).as("_change_type") +: col(key) +:
+        pay.map(c => col(s"__${side}_" + c).as(c)): _*)
+    emit("insert", "b", !inA && inB)
+      .unionAll(emit("delete", "a", inA && !inB))
+      .unionAll(emit("update_preimage", "a", inA && inB && changed))
+      .unionAll(emit("update_postimage", "b", inA && inB && changed))
+  }
 }

@@ -1446,10 +1446,117 @@ object DedupQueries {
       .orderBy($"event_type")
   }
 
+  /** The SCD2 chain CTEs shared by the d16 oracle: the d08/d14
+    * fixture resolved per (key, version) and chained with lead(). */
+  private val CdcChainCtes: String = """base AS (
+    |  SELECT doc_id, text, lang, source, 1 AS version, 0 AS origin,
+    |         'upsert' AS op
+    |  FROM documents),
+    |delta AS (
+    |  SELECT doc_id, upper(text) AS text, lang, source, 2 AS version,
+    |         1 AS origin, 'upsert' AS op
+    |  FROM documents WHERE doc_id % 7 = 0
+    |  UNION ALL
+    |  SELECT doc_id + 1000000000, text, lang, 'recrawl' AS source,
+    |         1 AS version, 1 AS origin, 'upsert' AS op
+    |  FROM documents WHERE doc_id % 13 = 0
+    |  UNION ALL
+    |  SELECT doc_id, text, lang, source, 3 AS version, 1 AS origin,
+    |         'delete' AS op
+    |  FROM documents WHERE doc_id % 11 = 0
+    |  UNION ALL
+    |  SELECT doc_id, text, lang, 'reinsert' AS source, 4 AS version,
+    |         1 AS origin, 'upsert' AS op
+    |  FROM documents WHERE doc_id % 22 = 0),
+    |perv AS (
+    |  SELECT doc_id, text, lang, source, version, op FROM (
+    |    SELECT *, row_number() OVER (PARTITION BY doc_id, version
+    |                                 ORDER BY origin DESC) AS vrn
+    |    FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
+    |  WHERE vrn = 1),
+    |chain AS (
+    |  SELECT *, lead(version) OVER (PARTITION BY doc_id
+    |                                ORDER BY version) AS valid_to
+    |  FROM perv)""".stripMargin
+
+
+  /** d16 — CHANGE DATA FEED
+    * ([[graft.operators.SnapshotMerge.changeFeed]]): the consumer
+    * side of CDC — `table_changes(from, to)` over the d14 SCD2
+    * history, emitting insert / delete / update_preimage /
+    * update_postimage rows for exactly the keys whose live state
+    * changed between two versions (Delta CDF's public shape; the
+    * preimage/postimage pair is the retract/add feed every
+    * incremental consumer, D21 included, ingests). Read over the
+    * three consecutive version intervals of the shared fixture, so
+    * every change type appears genuinely: v1→v2 recrawl updates,
+    * v2→v3 tombstone deletes, v3→v4 reinserts arriving as INSERTS
+    * (absent-then-present is an insert to a downstream consumer,
+    * whatever the table's internal history says). Unchanged keys
+    * emit nothing — feed cost scales with |changes|, not |table|.
+    * The oracle replays the SCD2 chain and both state frames per
+    * interval with EXISTS/joins. */
+  val d16ChangeFeed: GraftQuery = q(
+    "d16_change_data_feed",
+    "change data feed: insert/delete/update pre+post rows between snapshot versions",
+    Some(s"""WITH $CdcChainCtes,
+      |pairs AS (SELECT * FROM (VALUES (1, 2), (2, 3), (3, 4)) AS t(fv, tv)),
+      |sa AS (
+      |  SELECT p.fv, i.* FROM pairs p JOIN chain i
+      |    ON i.version <= p.fv AND (i.valid_to IS NULL OR i.valid_to > p.fv)
+      |       AND i.op <> 'delete'),
+      |sb AS (
+      |  SELECT p.fv, i.* FROM pairs p JOIN chain i
+      |    ON i.version <= p.tv AND (i.valid_to IS NULL OR i.valid_to > p.tv)
+      |       AND i.op <> 'delete'),
+      |upd AS (
+      |  SELECT a.fv, a.doc_id, a.version AS av, b.version AS bv,
+      |         a.lang AS alang, a.source AS asource, a.text AS atext,
+      |         b.lang AS blang, b.source AS bsource, b.text AS btext
+      |  FROM sa a JOIN sb b ON a.doc_id = b.doc_id AND a.fv = b.fv
+      |  WHERE a.version <> b.version)
+      |SELECT CAST(b.fv AS INT) AS from_v, 'insert' AS change_type,
+      |       b.doc_id, CAST(b.version AS INT) AS version, b.lang, b.source,
+      |       CASE WHEN b.text = upper(b.text) THEN 1 ELSE 0 END AS upper_flag
+      |FROM sb b WHERE NOT EXISTS (
+      |  SELECT 1 FROM sa a WHERE a.doc_id = b.doc_id AND a.fv = b.fv)
+      |UNION ALL
+      |SELECT CAST(a.fv AS INT), 'delete', a.doc_id, CAST(a.version AS INT),
+      |       a.lang, a.source,
+      |       CASE WHEN a.text = upper(a.text) THEN 1 ELSE 0 END
+      |FROM sa a WHERE NOT EXISTS (
+      |  SELECT 1 FROM sb b WHERE b.doc_id = a.doc_id AND b.fv = a.fv)
+      |UNION ALL
+      |SELECT CAST(fv AS INT), 'update_preimage', doc_id, CAST(av AS INT),
+      |       alang, asource,
+      |       CASE WHEN atext = upper(atext) THEN 1 ELSE 0 END
+      |FROM upd
+      |UNION ALL
+      |SELECT CAST(fv AS INT), 'update_postimage', doc_id, CAST(bv AS INT),
+      |       blang, bsource,
+      |       CASE WHEN btext = upper(btext) THEN 1 ELSE 0 END
+      |FROM upd
+      |ORDER BY from_v, change_type, doc_id""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val (base, delta) = cdcScenario(s, dir)
+    val iv = graft.operators.SnapshotMerge
+      .scd2Intervals(base, delta, "doc_id", "version")
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).map { case (f, t) =>
+      graft.operators.SnapshotMerge
+        .changeFeed(iv, "doc_id", "version", f, t)
+        .select(lit(f).cast("int").as("from_v"),
+          $"_change_type".as("change_type"), $"doc_id",
+          $"version".cast("int").as("version"), $"lang", $"source",
+          when($"text" === upper($"text"), 1).otherwise(0).as("upper_flag"))
+    }.reduce(_ unionAll _)
+      .orderBy($"from_v", $"change_type", $"doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
     d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
     d08SnapshotUpsert, d09IncrementalRollup, d10SemanticDedup,
     d11DistinctIvm, d12PrefixSetSim, d13SubstringSpans, d14Scd2History,
-    d15HistogramCdc)
+    d15HistogramCdc, d16ChangeFeed)
 }

@@ -142,4 +142,40 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(maintained === recomputed)
     assert(maintained === Seq(("a", 2L, 30L), ("b", 2L, 75L)))
   }
+
+  test("changeFeed: applying the feed to the from-state reconstructs the to-state") {
+    // the consumer-side soundness proof: state(to) = state(from)
+    //   minus deleted/pre-image keys, plus inserted/post-image rows —
+    // and unchanged keys never appear in the feed
+    val base = Seq(
+      (1L, "a", 1), (2L, "b", 1), (3L, "c", 1), (4L, "d", 1))
+      .toDF("k", "v", "version")
+    val delta = Seq(
+      (1L, "a2", 3, "upsert"),   // update
+      (2L, "b", 2, "delete"),    // delete
+      (5L, "e", 4, "upsert"))    // insert (arrives after fromV)
+      .toDF("k", "v", "version", "op")
+    val iv = SnapshotMerge.scd2Intervals(base, delta, "k", "version")
+    val feed = SnapshotMerge.changeFeed(iv, "k", "version", 1L, 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(feed.toSet === Set(
+      ("insert", 5L, "e"),
+      ("delete", 2L, "b"),
+      ("update_preimage", 1L, "a"),
+      ("update_postimage", 1L, "a2")),
+      s"feed was ${feed.toSeq}")
+    // key 3/4 unchanged -> absent; reconstruct state(4) from state(1)
+    def stateAt(v: Long) = iv
+      .where(col("version") <= v &&
+        (col("valid_to").isNull || col("valid_to") > v) && col("alive"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val from = stateAt(1L)
+    val applied = (from
+      -- feed.collect { case ("delete", k, _) => k }
+      -- feed.collect { case ("update_preimage", k, _) => k }) ++
+      feed.collect { case ("insert", k, v) => k -> v } ++
+      feed.collect { case ("update_postimage", k, v) => k -> v }
+    assert(applied === stateAt(4L),
+      "feed application must reconstruct the to-state exactly")
+  }
 }
