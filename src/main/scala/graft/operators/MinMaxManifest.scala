@@ -248,6 +248,139 @@ object MinMaxManifest {
     * hides a file, and never names a ghost" holds across failures at
     * the cost of one directory listing per read (the price the
     * staleness fingerprint already pays). */
+  /** TARGETED small-file compaction — OPTIMIZE's public shape (Delta
+    * `OPTIMIZE` / Iceberg `rewrite_data_files` with a size filter),
+    * completing the layout-maintenance family: [[compact]] rewrites
+    * EVERYTHING (restores clustering after appends widened file
+    * ranges); this rewrites ONLY undersized files, bin-packing
+    * time-adjacent ones into ≤ `targetBytes` files, so the IO cost is
+    * proportional to the SMALL-FILE MASS — at 100 TB that is the
+    * difference between an hourly housekeeping job and a full-table
+    * rewrite. Right-sized files are never read or copied: they move
+    * into the fresh layout by METADATA RENAME only (zero data bytes),
+    * keeping their names, their manifest rows, and their row-group
+    * clustering.
+    *
+    * Candidates = manifest entries whose file size < targetBytes/2
+    * (the standard half-target rule), ordered by min_ts so packed
+    * bins stay time-clustered and min/max stats stay selective.
+    * Bins of one file are left alone (rewriting them buys nothing).
+    *
+    * Crash/concurrency contract = [[compact]]'s, deliberately: the
+    * writer must be quiesced (enforced by the same re-list-then-abort
+    * guard), the staged directory swaps in by rename, and the
+    * manifest is rebuilt afterwards — a crash around the swap is
+    * repaired by [[healedEntries]]' listing diff on the next read
+    * (new files stat'd in, ghost rows dropped), and a crash between
+    * the two renames leaves the `.old` layout for manual recovery,
+    * exactly like compact. Rewritten data files expire time-travel
+    * history (the snapshot log restarts at 0), also like compact.
+    *
+    * Returns the number of bins packed (0 = nothing to do, layout
+    * untouched). */
+  def compactSmall(s: SparkSession, dir: String,
+      table: String = "events_by_ts",
+      targetBytes: Long = 128L * 1024 * 1024,
+      onStagedForTest: () => Unit = () => ()): Int = {
+    import org.apache.hadoop.fs.Path
+    val lp = layoutPath(dir, table)
+    val mp = manifestPath(dir, table)
+    require(ready(lp) && ready(mp), s"nothing to optimize at $lp")
+    val (fs, lpp) = IndexStore.fsOf(lp)
+    val readSet = listParts(lp)
+    // heal first (write path — durable repair allowed) so every live
+    // file has a manifest row to order by
+    val entries = healedEntries(s, dir, table)
+    val sizeByKey = fs.listStatus(lpp).toIndexedSeq
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.toUri.getPath -> st.getLen).toMap
+    val small = entries.toIndexedSeq
+      .filter(e => sizeByKey.get(pathKey(e._1)).exists(_ < targetBytes / 2))
+      .sortBy(e => (e._2.getTime, e._1))
+    // greedy adjacent packing up to the target
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    var acc = 0L
+    small.foreach { e =>
+      val sz = sizeByKey(pathKey(e._1))
+      if (acc + sz > targetBytes && bins.last.nonEmpty) {
+        bins += scala.collection.mutable.ArrayBuffer.empty[String]
+        acc = 0L
+      }
+      bins.last += e._1
+      acc += sz
+    }
+    val packed = bins.filter(_.size >= 2).map(_.toSeq).toSeq
+    if (packed.isEmpty) return 0
+    val packedKeys = packed.flatten.map(pathKey).toSet
+    val keepNames = readSet.filter(n => !packedKeys.contains(
+      new Path(lpp, n).toUri.getPath))
+    // stage: one time-sorted file per bin, under stable opt names
+    val stagedL = lp + ".optimizing"
+    fs.delete(new Path(stagedL), true)
+    packed.zipWithIndex.foreach { case (bin, i) =>
+      val tmp = s"$stagedL/__bin$i"
+      s.read.parquet(bin: _*)
+        .repartitionByRange(1, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).head
+      require(fs.rename(part,
+        new Path(stagedL, f"part-opt$i%05d.parquet")),
+        s"staging rename failed for bin $i")
+      fs.delete(new Path(tmp), true)
+    }
+    onStagedForTest()
+    // the single-writer guard, as in compact: abort losslessly if
+    // anything appeared or vanished since the read
+    val nowSet = listParts(lp)
+    if (nowSet != readSet) {
+      fs.delete(new Path(stagedL), true)
+      throw new IllegalStateException(
+        s"concurrent write detected during optimize of $lp — " +
+          "quiesce the writer and re-run compactSmall()")
+    }
+    // move every right-sized file into the staged layout by METADATA
+    // rename (no data IO), then swap directories
+    keepNames.toSeq.sorted.foreach { n =>
+      require(fs.rename(new Path(lpp, n), new Path(stagedL, n)),
+        s"keep-rename failed for $n")
+    }
+    val succ = new Path(lpp, "_SUCCESS")
+    if (fs.exists(succ)) { fs.rename(succ, new Path(stagedL, "_SUCCESS")); () }
+    val old = new Path(lp + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(lpp, old), s"swap-out of $lp failed")
+    require(fs.rename(new Path(stagedL), lpp), s"swap-in failed for $lp")
+    fs.delete(old, true)
+    // manifest: unchanged rows for kept files (same names, same dir),
+    // fresh stats for the packed files — one O(new-files) scan; then
+    // the snapshot log restarts (rewritten files expire history)
+    val keptRows = s.read.parquet(mp)
+      .where(!col("path").isin(packed.flatten: _*))
+    val newFiles = (listParts(lp) -- keepNames).toIndexedSeq.sorted
+      .map(n => s"$lp/$n")
+    val freshRows = s.read.parquet(newFiles: _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+        count(lit(1)).as("rows"))
+    val stagedM = mp + ".optimizing"
+    keptRows.unionByName(freshRows)
+      .coalesce(1).write.mode("overwrite").parquet(stagedM)
+    val oldM = new Path(mp + ".old")
+    if (fs.exists(oldM)) fs.delete(oldM, true)
+    val (mfs, mpp) = IndexStore.fsOf(mp)
+    require(mfs.rename(mpp, oldM), s"manifest swap-out failed for $mp")
+    require(mfs.rename(new Path(stagedM), mpp), s"manifest swap-in failed")
+    mfs.delete(oldM, true)
+    val sp = snapshotsPath(dir, table)
+    if (ready(sp))
+      s.read.parquet(mp).select(lit(0L).as("snap_id"), col("path"))
+        .coalesce(1).write.mode("overwrite").parquet(sp)
+    packed.size
+  }
+
   private def healedEntries(s: SparkSession, dir: String,
       table: String = "events_by_ts") = {
     val lp = layoutPath(dir, table)

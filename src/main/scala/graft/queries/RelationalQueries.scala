@@ -1894,6 +1894,62 @@ object RelationalQueries {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** q46 — SMALL-FILE OPTIMIZE
+    * ([[graft.operators.MinMaxManifest.compactSmall]]): the
+    * housekeeping op every streaming-ingested lake table needs —
+    * micro-batch appends leave a long small-file tail, and OPTIMIZE
+    * bin-packs ONLY the undersized files into time-adjacent
+    * target-size files while right-sized files move by metadata
+    * rename (zero data IO — cost ∝ small-file mass, which at 100 TB
+    * is the difference between housekeeping and a full rewrite;
+    * [[graft.operators.MinMaxManifest.compact]] remains the
+    * full-recluster sibling). The fixture builds a dedicated layout
+    * from the first half of events, appends one single-file batch
+    * per remaining day (the fragmentation), optimizes, then answers
+    * a pruned window aggregate THROUGH the optimized layout. The
+    * oracle runs the same aggregate on the raw table — one lost or
+    * doubled row across build + 16 appends + optimize breaks the
+    * hash. Packing mechanics (only small files rewritten, kept files
+    * byte-identical rows, concurrent-append abort) are
+    * MinMaxManifestSpec's job. */
+  val q46Optimize: GraftQuery = q(
+    "q46_optimize_compaction",
+    "small-file OPTIMIZE: bin-pack the micro-batch tail, rename the rest, prune after",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp,
+      |       count(DISTINCT user_id) AS users
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-24 00:00:00'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val M = graft.operators.MinMaxManifest
+    val T = "events_opt"
+    if (!graft.operators.IndexStore.artifactReady(M.layoutPath(dir, T))) {
+      val ev = Tables(s, dir, "events")
+      M.ensureFrom(s, dir,
+        ev.where($"ts" < lit(M.utc("2024-01-15 00:00:00"))), T)
+      (15 to 30).foreach { d =>
+        val lo = M.utc(f"2024-01-$d%02d 00:00:00")
+        val hi = if (d == 30) M.utc("2024-02-05 00:00:00")
+          else M.utc(f"2024-01-${d + 1}%02d 00:00:00")
+        M.appendBatch(s, dir,
+          ev.where($"ts" >= lit(lo) && $"ts" < lit(hi)),
+          batchFiles = 1, table = T)
+      }
+      M.compactSmall(s, dir, T, targetBytes = 4L * 1024 * 1024)
+    }
+    val (pruned, _, _) = M.prunedEvents(s, dir,
+      "2024-01-16 00:00:00", "2024-01-24 00:00:00", T)
+    pruned.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value").cast("long")).as("v_fp"),
+        countDistinct($"user_id").as("users"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1906,5 +1962,5 @@ object RelationalQueries {
     q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
-    q44DecayedFeatures, q45KmvOverlap)
+    q44DecayedFeatures, q45KmvOverlap, q46Optimize)
 }

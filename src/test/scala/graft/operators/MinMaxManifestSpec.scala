@@ -155,6 +155,82 @@ class MinMaxManifestSpec extends SparkSpec {
     }
   }
 
+  test("compactSmall: packs only undersized files, renames the rest, preserves rows") {
+    withRoot {
+      import spark.implicits._
+      MinMaxManifest.ensure(spark, sf)
+      // many single-file micro-batches -> a long small-file tail
+      def batch(day: Int) = (0 until 3).map { i =>
+        (300000L + day * 1000 + i,
+          java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:${i % 60}%02d"),
+          3L, "opt", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      (10 to 17).foreach(d =>
+        MinMaxManifest.appendBatch(spark, sf, batch(d), batchFiles = 1))
+      val lp = MinMaxManifest.layoutPath(sf)
+      val beforeRows = spark.read.parquet(lp).count()
+      val manifestBefore = spark.read.parquet(MinMaxManifest.manifestPath(sf))
+        .select("path", "rows").as[(String, Long)].collect().toMap
+      val beforeFiles = manifestBefore.size
+      // target sized so the BASE files (a 16-way split of the table)
+      // count as right-sized and the 8 micro-batch files as small
+      val sizes = new java.io.File(lp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sorted
+      // the layout is bimodal: 8 tiny micro-batch files + 16 base
+      // files. target/2 sits just above the largest micro file, so
+      // exactly the micro tail counts as small and bins hold ~2 files
+      val target = sizes(7) * 2 + 2
+      val bins = MinMaxManifest.compactSmall(spark, sf, targetBytes = target)
+      assert(bins >= 1, "the micro-batch tail must pack into at least one bin")
+      val layout = spark.read.parquet(lp)
+      assert(layout.count() === beforeRows, "optimize must preserve every row")
+      val manifestAfter = spark.read.parquet(MinMaxManifest.manifestPath(sf))
+        .select("path", "rows").as[(String, Long)].collect().toMap
+      assert(manifestAfter.size < beforeFiles,
+        s"optimize must reduce file count (${manifestAfter.size} vs $beforeFiles)")
+      // right-sized files are untouched: same path, same manifest row
+      val keptBoth = manifestBefore.keySet.intersect(manifestAfter.keySet)
+      assert(keptBoth.nonEmpty, "some right-sized files must survive by rename")
+      keptBoth.foreach(p =>
+        assert(manifestBefore(p) === manifestAfter(p),
+          s"kept file $p must keep its manifest stats"))
+      // pruning still exact over the packed region
+      val (pruned, kept, total) = MinMaxManifest.prunedEvents(
+        spark, sf, "2024-02-10 00:00:00", "2024-02-12 00:00:00")
+      assert(pruned.count() === 6L)
+      assert(kept < total, "optimized layout must still skip files")
+      // idempotent: a second optimize finds nothing worth packing at
+      // the same target (the packed bins are now right-sized or lone)
+      val again = MinMaxManifest.compactSmall(spark, sf, targetBytes = target)
+      assert(spark.read.parquet(lp).count() === beforeRows)
+      assert(again <= bins)
+    }
+  }
+
+  test("compactSmall fails loudly on a concurrent append, losing nothing") {
+    withRoot {
+      import spark.implicits._
+      MinMaxManifest.ensure(spark, sf)
+      def batch(id: Long, day: Int) = Seq(
+        (id, java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:00"),
+          3L, "opt", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      (1 to 4).foreach(d =>
+        MinMaxManifest.appendBatch(spark, sf, batch(400000L + d, d),
+          batchFiles = 1))
+      val beforeRows = spark.read.parquet(MinMaxManifest.layoutPath(sf)).count()
+      val racing = () => MinMaxManifest.appendBatch(spark, sf,
+        batch(499999L, 20), batchFiles = 1)
+      intercept[IllegalStateException] {
+        MinMaxManifest.compactSmall(spark, sf,
+          targetBytes = Long.MaxValue / 4, onStagedForTest = racing)
+      }
+      // nothing lost: the old layout (incl. the racing batch) is live
+      assert(spark.read.parquet(MinMaxManifest.layoutPath(sf)).count()
+        === beforeRows + 1)
+    }
+  }
+
   test("appendBatch composes with Structured Streaming foreachBatch end to end") {
     withRoot {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
