@@ -330,6 +330,59 @@ object IndexStore {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** TARGETED IVFADC index compaction — the OPTIMIZE leg of the
+    * [[appendToIndex]] lifecycle (every append leaves one small file
+    * per touched `bucket=` partition; probes keep pruning to their
+    * buckets but read one run per batch inside each). Rewrites ONLY
+    * buckets holding more than one file — each bucket's rows
+    * re-sorted by vec_id into a single file and swapped in at the
+    * BUCKET-directory level — so the IO cost is the appended mass,
+    * never the index (the [[MinMaxManifest.compactSmall]] discipline
+    * at the partition grain; untouched buckets keep their files
+    * byte-identical). Single-writer contract, enforced per bucket:
+    * the bucket's file list is re-checked before its swap and the
+    * compaction aborts losslessly on a race. Codes are immutable
+    * once written (encodeWith is deterministic given the artifacts),
+    * so compaction never changes a probe's result set — the spec
+    * pins warm v12 results bit-identical across it. Returns the
+    * number of buckets rewritten. */
+  def compactIndex(s: SparkSession, dir: String, iters: Int, m: Int,
+      sub: Int, k: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    val path = ivfadcIndexPath(dir, iters, m, sub, k)
+    require(artifactReady(path),
+      s"ivfadc index at $path must be built before compacting")
+    val (fs, root) = fsOf(path)
+    def filesOf(bucket: Path): Seq[String] =
+      fs.listStatus(bucket).toIndexedSeq.map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet")).sorted
+    val multi = fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map(_.getPath)
+      .filter(b => filesOf(b).size > 1)
+    multi.foreach { bucket =>
+      val before = filesOf(bucket)
+      val staged = new Path(bucket.toString + ".compacting")
+      fs.delete(staged, true)
+      s.read.parquet(bucket.toString)
+        .repartitionByRange(1, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      if (filesOf(bucket) != before) {
+        fs.delete(staged, true)
+        throw new IllegalStateException(
+          s"concurrent append detected in $bucket during index " +
+            "compaction — quiesce the appender and re-run")
+      }
+      val old = new Path(bucket.toString + ".old")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(bucket, old), s"swap-out failed for $bucket")
+      require(fs.rename(staged, bucket), s"swap-in failed for $bucket")
+      fs.delete(old, true)
+    }
+    multi.size
+  }
+
   /** INCREMENTAL BM25 maintenance — the daily-crawl leg of the
     * lexical index, completing the append family ([[appendToIndex]],
     * [[minhashBands]]' noted composition): tokenize ONLY the new

@@ -124,6 +124,45 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex: folds appended bucket runs into one file, results bit-identical") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      IndexStore.ivfadcIndex(spark, sf, IvfIters, 16, 4, 32)
+      val idxPath = IndexStore.ivfadcIndexPath(sf, IvfIters, 16, 4, 32)
+      def batch(off: Long) = graft.Tables(spark, sf, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .as[(Long, Array[Double])]
+        .filter(_._1 < 30).map { case (id, v) => (id + off, v) }
+      IndexStore.appendToIndex(spark, sf, batch(2000000000L), IvfIters, 16, 4, 32)
+      IndexStore.appendToIndex(spark, sf, batch(3000000000L), IvfIters, 16, 4, 32)
+      def bucketFiles() = new java.io.File(idxPath).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.getName).sorted.toSeq).toMap
+      val before = bucketFiles()
+      val multi = before.filter(_._2.size > 1)
+      assert(multi.nonEmpty, "the appends must fragment some buckets")
+      val rows = spark.read.parquet(idxPath)
+        .collect().map(_.toString).sorted.toSeq
+      val packed = IndexStore.compactIndex(spark, sf, IvfIters, 16, 4, 32)
+      assert(packed === multi.size,
+        "exactly the fragmented buckets must be rewritten")
+      val after = bucketFiles()
+      after.foreach { case (b, fsAfter) =>
+        if (multi.contains(b))
+          assert(fsAfter.size === 1, s"$b must fold into one file")
+        else
+          assert(fsAfter === before(b), s"untouched $b must keep its files")
+      }
+      assert(spark.read.parquet(idxPath)
+        .collect().map(_.toString).sorted.toSeq === rows,
+        "compaction must not change a single indexed row")
+      // idempotent: a second run finds nothing to do
+      assert(IndexStore.compactIndex(spark, sf, IvfIters, 16, 4, 32) === 0)
+    }
+  }
+
   test("appendToIndex refuses to append before the index exists") {
     withRoot { _ =>
       val s2 = spark
