@@ -99,9 +99,14 @@ object CandidateBudget {
     val keyCols = keys.map(col)
     val (ranged, budgeted) = budgetedFrame(mass, keys)
     // one eager job: materialize (keys…, cand, cum) while the ranged
-    // instance the offsets were collected from is still pinned
+    // instance the offsets were collected from is still pinned. The
+    // kilobyte result funnels into ONE block via a tiny exchange
+    // (repartition, not coalesce — coalesce(1) would collapse the
+    // window stage itself to a single task) so the checkpoint and
+    // every consumer read touch one partition, not cluster-width
     val admitted = budgeted
       .select(keyCols :+ col("cand") :+ col("cum"): _*)
+      .repartition(1)
       .localCheckpoint(true)
     ranged.unpersist()
     val keep = admitted.where(col("cum") <= budget).select(keyCols: _*)
