@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   * crowd), and (mass, key…) is a total order so the admitted set is
   * fully deterministic.
   *
-  * Scale: the cumulative sum is computed as a TWO-PASS
-  * range-partitioned prefix sum (see [[admit]]) — no task ever sees
-  * more than its range slice of the bucket-mass rows, so the
-  * admission scales with the bucket list (corpus-bound for d01's
+  * Scale: the cumulative sum is computed as a range-partitioned
+  * prefix sum materialized in ONE pass (see [[admit]]) — no task
+  * ever sees more than its range slice of the bucket-mass rows, so
+  * the admission scales with the bucket list (corpus-bound for d01's
   * mod-P signatures) instead of funneling it through one window
   * task; the admitted keyset is broadcast into a left-semi prune by
   * the caller.
@@ -50,65 +50,69 @@ object CandidateBudget {
     * cheapest-first within `budget`.
     *
     * The cumulative sum over the (cand, keys…) total order is a
-    * TWO-PASS RANGE-PARTITIONED PREFIX SUM — the distributed shape of
-    * a running total, replacing round 7's global unpartitioned window
+    * RANGE-PARTITIONED PREFIX SUM — the distributed shape of a
+    * running total, replacing round 7's global unpartitioned window
     * (a single task funnel once the bucket list is corpus-bound, as
     * d01's mod-P signatures make it):
     *
-    *  1. range-partition the mass rows by the total order, so
-    *     partition i holds a contiguous order slice, and capture the
-    *     partition id as a column;
-    *  2. collect the PER-PARTITION mass totals (one row per shuffle
-    *     partition — CLUSTER-WIDTH-bounded, never data-bounded),
-    *     fold them into exclusive prefix offsets on the driver, and
-    *     broadcast-join them back;
-    *  3. run the cumulative window PER PARTITION ID — every window
-    *     task sees only its slice — and add the slice's offset.
+    *  1. ONE eager job: range-partition the mass rows by the total
+    *     order (partition i holds a contiguous order slice), capture
+    *     the slice id, cumulative-sum each slice LOCALLY (the window
+    *     is keyed by the slice id — every task sees only its slice),
+    *     and MATERIALIZE the result (localCheckpoint);
+    *  2. read the PER-SLICE totals back from the kilobyte checkpoint
+    *     (max local cum per slice — ≤ one row per shuffle partition,
+    *     CLUSTER-WIDTH-bounded, never data-bounded), fold them into
+    *     exclusive prefix offsets on the driver, and broadcast-join
+    *     them back over the checkpoint: cum = offset + local cum.
     *
     * No task anywhere sees more than its range slice of the DATA,
     * and the driver sees ≤ one row per partition — the textbook
-    * distributed prefix-sum shape.
+    * distributed prefix-sum shape, now in a SINGLE pass over the
+    * data. (The r9 shape ran a persist + totals pass, then a second
+    * window + checkpoint pass over the cache, and funneled the
+    * checkpoint through repartition(1); this bakes the local cums
+    * into the one materialization in its range partitions, so there
+    * is no 1-task block, no cache pin to release, and no failure
+    * path that can leak it — the r9 advice's try/finally concern
+    * dissolves with the pin itself.)
     *
-    * The (keys…, cand, cum) result is MATERIALIZED EAGERLY
-    * (localCheckpoint) while the ranged frame is pinned, and the pin
-    * is released before admit returns. This is a correctness rule,
-    * not a convenience (the r8 advice): the broadcast offsets are
-    * keyed to ONE physical instance of the range exchange, and a
-    * lazy consumer that recomputed it later — after cache eviction,
-    * under a different AQE coalesce decision upstream — could see
-    * drifted partition ids and silently mis-keyed offsets. With the
-    * checkpoint, no consumer can ever recompute the exchange: the
-    * keep/skip frames are narrow filters over an immutable
-    * materialized slice set (losing an executor fails the job loudly
-    * instead of corrupting cum), and the per-admission cache entry is
-    * explicitly unpersisted instead of leaking until LRU pressure.
-    * The checkpointed frame is kilobytes — aggregated bucket rows,
-    * never pairs.
+    * The materialization is a correctness rule, not a convenience
+    * (the r8 advice): slice ids and local cums are FROZEN into the
+    * immutable checkpointed rows, so no consumer can ever recompute
+    * the range exchange — after cache eviction, under a different
+    * AQE coalesce decision upstream — and see drifted partition ids
+    * mis-key the broadcast offsets. The checkpointed frame is
+    * kilobytes — aggregated bucket rows, never pairs — and its exact
+    * tiny stats are what lets the planner broadcast `keep`
+    * deliberately instead of guessing.
     *
     * cum values are bit-identical to the global window's because
     * (cand, keys…) is a total order (mass rows are groupBy results,
     * so no composite key repeats — no tie can straddle a range
     * boundary ambiguously). CandidateBudgetSpec pins admissions
-    * bit-equal to a single-task reference and pins the internal
-    * frame's plan (every window keyed by the range-slice id, offsets
-    * broadcast); QueryPlanSpec pins that d01/d02/d06 final plans
-    * carry NO admission window at all — the prefix sum ran in its
-    * own bounded job. */
+    * bit-equal to a single-task reference and pins the plan shapes
+    * (the one window in the materialization job is keyed by the
+    * range-slice id; consumers read ExistingRDD, never an exchange);
+    * QueryPlanSpec pins that d01/d02/d06 final plans carry NO
+    * admission window at all — the prefix sum ran in its own bounded
+    * job. */
   def admit(mass: DataFrame, keys: Seq[String],
       budget: Long): Admission = {
+    val s = mass.sparkSession
     val keyCols = keys.map(col)
-    val (ranged, budgeted) = budgetedFrame(mass, keys)
-    // one eager job: materialize (keys…, cand, cum) while the ranged
-    // instance the offsets were collected from is still pinned. The
-    // kilobyte result funnels into ONE block via a tiny exchange
-    // (repartition, not coalesce — coalesce(1) would collapse the
-    // window stage itself to a single task) so the checkpoint and
-    // every consumer read touch one partition, not cluster-width
-    val admitted = budgeted
-      .select(keyCols :+ col("cand") :+ col("cum"): _*)
-      .repartition(1)
-      .localCheckpoint(true)
-    ranged.unpersist()
+    val local = slicedFrame(mass, keys).localCheckpoint(true)
+    // per-slice totals → exclusive prefix offsets: a driver fold over
+    // ≤ one row per shuffle partition, read from the checkpoint
+    val totals = local.groupBy(col("_pid")).agg(max(col("_lcum")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, t)) => (pid, acc + t)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val admitted = local.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("cum", col("_off") + col("_lcum"))
     val keep = admitted.where(col("cum") <= budget).select(keyCols: _*)
     val skippedKeys = admitted.where(col("cum") > budget).select(keyCols: _*)
     val skippedMass = admitted
@@ -117,42 +121,29 @@ object CandidateBudget {
     Admission(keep, skippedKeys, skippedMass)
   }
 
-  /** The lazy two-pass prefix-sum frame: (ranged-and-pinned input,
-    * budgeted rows with cum). Package-private so the spec can pin the
-    * plan shape; every production caller goes through [[admit]],
-    * which materializes and releases the pin. */
-  private[graft] def budgetedFrame(mass: DataFrame,
-      keys: Seq[String]): (DataFrame, DataFrame) = {
+  /** The lazy pre-checkpoint frame: mass rows range-partitioned by
+    * the (cand, keys…) total order, with the slice id (`_pid`) and
+    * the slice-LOCAL cumulative sum (`_lcum`). Package-private so
+    * the spec can pin the plan shape; every production caller goes
+    * through [[admit]], which materializes it. */
+  private[graft] def slicedFrame(mass: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val s = mass.sparkSession
-    val keyCols = keys.map(col)
-    val order = col("cand") +: keyCols
+    val order = col("cand") +: keys.map(col)
     // EXPLICIT partition count: an N-less repartitionByRange is an
     // AQE-coalescible exchange, and a different coalesce decision
     // would shift spark_partition_id and mis-key the offsets;
     // REPARTITION_BY_NUM is exempt from coalescing. The pre-sort
     // canonicalizes the range sampler's input (reservoir sampling
     // reads rows in partition order). Both matter only WITHIN the
-    // admission's own pinned lifetime now — the checkpoint removes
+    // admission's own materialization job — the checkpoint removes
     // every cross-job re-evaluation.
     val nParts = s.sessionState.conf.numShufflePartitions
-    val ranged = mass.sortWithinPartitions(order: _*)
-      .repartitionByRange(nParts, order: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition totals → exclusive prefix offsets (driver
-    // side, ≤ one row per shuffle partition)
-    val totals = ranged.groupBy(col("_pid")).agg(sum(col("cand")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) {
-      case ((_, acc), (pid, t)) => (pid, acc + t)
-    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
-    import s.implicits._
-    val offDf = offsets.toSeq.toDF("_pid", "_off")
-    // pass 2: per-partition running sums under broadcast offsets
     val wCum = Window.partitionBy(col("_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budgeted = ranged.join(broadcast(offDf), Seq("_pid"))
-      .withColumn("cum", col("_off") + sum(col("cand")).over(wCum))
-    (ranged, budgeted)
+    mass.sortWithinPartitions(order: _*)
+      .repartitionByRange(nParts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcum", sum(col("cand")).over(wCum))
   }
 }

@@ -61,8 +61,12 @@ object DecayedFeatures {
   }
 
   /** Late-data / incremental maintenance: a batch's partials append;
-    * the read-side SUM folds duplicate (day, type, cohort) keys. Same
-    * exactly-once contract as [[HistogramRollup.appendBatch]]. */
+    * the read-side SUM folds duplicate (day, type, cohort) keys.
+    * Sum-merge is NOT replay-idempotent (counts add) — blind appends
+    * are for single-shot backfills; streaming callers use
+    * [[processStreamBatch]], whose batch-id-scoped overwrite makes
+    * checkpoint replays idempotent (the exact
+    * [[HistogramRollup.processStreamBatch]] discipline). */
   def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Unit = {
     require(IndexStore.artifactReady(dailyPath(dir)),
       "daily feature table must be built before appending")
@@ -70,27 +74,94 @@ object DecayedFeatures {
       .coalesce(1).write.mode("append").parquet(dailyPath(dir))
   }
 
-  /** The decayed feature read: per (event_type, cohort), the
-    * 2^H-scaled exponentially-decayed value sum and the undecayed
-    * recent event count, as of `asOf` (UTC day) over a horizon of
-    * `h` days (ages 0..h inclusive; older days weigh zero and are
-    * pruned before the fold). Touches ONLY the daily rollup —
-    * plan-pinned scan-free. */
-  def features(s: SparkSession, dir: String, asOf: String, h: Int): DataFrame = {
+  /** STREAMING maintenance — the exactly-once face of [[appendBatch]]:
+    * each micro-batch's partials land in their OWN `batch=b<id>`
+    * partition of a stream-delta table, overwrite scoped to that
+    * partition, so a checkpoint-replayed batch overwrites itself
+    * instead of double-counting. [[featuresMaintained]] folds only
+    * COMMITTED batch partitions in. */
+  def streamPath(dir: String): String = dailyPath(dir) + "_stream"
+
+  def processStreamBatch(s: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): Unit = {
     ensure(s, dir)
+    partials(batch).coalesce(1).write.mode("overwrite")
+      .parquet(s"${streamPath(dir)}/batch=b$batchId")
+  }
+
+  /** CDC DELETE maintenance — the invertibility of the sum-merge
+    * algebra (the D42 discipline at partial grain): a delete batch
+    * retracts as NEGATIVE partials in its own `batch=<tag>` partition
+    * of a delta table (replaying a tag overwrites itself — idempotent;
+    * sequential tags accumulate). The base table is never mutated;
+    * [[featuresMaintained]] folds committed retractions in, and the
+    * net per-cell mass stays ≥ 0 when deletes are a subset of prior
+    * inserts (the CDC contract). */
+  def cdcDeltaPath(dir: String): String = dailyPath(dir) + "_cdc_deltas"
+
+  def applyDeletes(s: SparkSession, dir: String, deleted: DataFrame,
+      batchTag: String = "batch0"): Unit = {
+    ensure(s, dir)
+    partials(deleted)
+      .select(col("day"), col("event_type"), col("cohort"),
+        (-col("n")).as("n"), (-col("v_fp")).as("v_fp"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${cdcDeltaPath(dir)}/batch=$batchTag")
+  }
+
+  /** Horizon guard: the integer-exactness proof needs 2^(h−age) exact
+    * in the double `pow` BOTH engines evaluate before the BIGINT cast
+    * (k ≤ 50 ⇒ exact), and the BIGINT fold needs headroom below
+    * 2^63 — an unguarded large horizon would silently overflow the
+    * fold instead of failing loudly (the r9 advice). */
+  private def requireHorizon(h: Int): Unit =
+    require(h >= 0 && h <= 50,
+      s"horizon must be in [0, 50] days (got $h): 2^(h-age) is exact " +
+        "in double and the BIGINT fold has headroom only up to 2^50")
+
+  /** The decay fold over a daily-partials frame: per (event_type,
+    * cohort), the 2^H-scaled exponentially-decayed value sum and the
+    * undecayed recent event count, as of `asOf` (UTC day) over ages
+    * 0..h (older days weigh zero and are pruned BEFORE the fold). */
+  private def fold(daily: DataFrame, asOf: String, h: Int): DataFrame = {
     // zone-FREE age in days: epoch arithmetic on the UTC-midnight day
     // keys (the utcDay discipline — a to_date()/datediff() fold would
     // follow the session zone and mis-age every day under non-UTC)
     val asOfSec = MinMaxManifest.utc(asOf).toInstant.getEpochSecond
     val age = ((lit(asOfSec) - unix_timestamp(col("day"))) / lit(86400L))
       .cast("long")
-    s.read.parquet(dailyPath(dir))
-      .where(age >= 0 && age <= h)
+    daily.where(age >= 0 && age <= h)
       .groupBy(col("event_type"), col("cohort"))
       .agg(
         sum(col("n")).as("n_recent"),
         sum(col("v_fp") *
           pow(lit(2.0), (lit(h) - age).cast("double")).cast("long"))
           .as("score_e"))
+  }
+
+  /** The decayed feature read over the base daily rollup only —
+    * touches ONLY the daily table, plan-pinned scan-free. */
+  def features(s: SparkSession, dir: String, asOf: String, h: Int): DataFrame = {
+    requireHorizon(h)
+    ensure(s, dir)
+    fold(s.read.parquet(dailyPath(dir)), asOf, h)
+  }
+
+  /** The maintained read: base partials plus every COMMITTED stream
+    * batch and CDC retraction folded in (the [[IndexStore
+    * .readyBatches]] rule — a batch torn mid-write contributes
+    * nothing until its replay overwrites it). */
+  def featuresMaintained(s: SparkSession, dir: String, asOf: String,
+      h: Int): DataFrame = {
+    requireHorizon(h)
+    ensure(s, dir)
+    val cols = Seq("day", "event_type", "cohort", "n", "v_fp").map(col)
+    val base = s.read.parquet(dailyPath(dir)).select(cols: _*)
+    val extra = Seq(streamPath(dir), cdcDeltaPath(dir)).flatMap { root =>
+      IndexStore.readyBatches(root).map(t => s"$root/$t")
+    }
+    val daily = if (extra.isEmpty) base
+      else base.unionAll(s.read.parquet(extra: _*).select(cols: _*))
+    fold(daily, asOf, h)
   }
 }

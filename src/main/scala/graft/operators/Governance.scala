@@ -97,9 +97,20 @@ object Governance {
     * Scale shape: each rung is one hash aggregate over group keys
     * plus one left_anti join against the PREVIOUS rung's released
     * keys — the anti side is group-cardinality, not row-cardinality,
-    * so it broadcasts; no windows, no sorts, shuffle mass = group
-    * keys. At 100 TB this is exactly as expensive as the groupBys a
-    * release aggregation runs anyway. */
+    * so the planner (or AQE, at runtime size) broadcasts it when it
+    * fits; the join strategy is deliberately NOT forced (the r9
+    * advice: a hint would pin a driver OOM at 100-TB group
+    * cardinality, where a shuffled anti-join is the correct
+    * degradation). No windows, no sorts, shuffle mass = group keys.
+    * At 100 TB this is exactly as expensive as the groupBys a
+    * release aggregation runs anyway.
+    *
+    * NULLABLE QI columns are handled null-safely: groupBy groups null
+    * keys into one group, so the anti-join that strands unreleased
+    * rows must match null keys too (`<=>`); a plain equality anti
+    * would re-release every row of a released null-key group at the
+    * next rung and break mass conservation (the r9 advice's
+    * double-count). */
   def kAnonymize(df: DataFrame, levels: Seq[QiLevel], k: Long): DataFrame = {
     require(levels.nonEmpty, "need at least one QI level")
     val names = levels.head.qi.map(_._1)
@@ -126,9 +137,13 @@ object Governance {
       released = Some(released.map(_.unionAll(rel)).getOrElse(rel))
       // strand the rows of small groups for the next rung: anti-join
       // the ROWS against the released group keys at THIS rung's
-      // projection (group-cardinality right side → broadcastable)
+      // projection (group-cardinality right side — the planner/AQE
+      // broadcasts it when it fits). Null-safe equality so a released
+      // null-key group strands its rows like any other.
+      val relK = relKeys.select(names.map(n => col(n).as("__rel_" + n)): _*)
+      val cond = names.map(n => keyed(n) <=> relK("__rel_" + n)).reduce(_ && _)
       rest = keyed
-        .join(broadcast(relKeys), names, "left_anti")
+        .join(relK, cond, "left_anti")
         .drop(names: _*)
     }
     val suppressed = rest.agg(coalesce(count(lit(1)), lit(0L)).as("n"))

@@ -97,10 +97,37 @@ object HistogramRollup {
     } catch { case _: java.io.FileNotFoundException => false }
   }
 
-  /** Build the per-(day, event_type, bin) count table once. */
+  /** Build the per-(day, event_type, bin) count table once.
+    *
+    * Deliberately does NOT backfill a missing ensure-manifest on an
+    * already-ready artifact: from here a manifest-less rollup is
+    * indistinguishable from one that [[appendBatch]] legitimately
+    * de-routed (the append deletes the manifest FIRST, so a crash
+    * right after leaves exactly this state with the table possibly a
+    * superset of the raw aggregate) — writing a manifest would turn
+    * fail-closed into fail-open. The repair path is [[reEnsure]]. */
   def ensure(s: SparkSession, dir: String): Unit = {
     val path = histPath(dir)
     if (IndexStore.artifactReady(path)) return
+    binCounts(graft.Tables(s, dir, "events"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    writeEnsureManifest(path)
+  }
+
+  /** ROUTING REPAIR — rebuild the rollup from the raw table and
+    * restore the ensure-manifest watermark, so [[routable]] (and with
+    * it q42's optimizer rewrite) holds again after the states that
+    * permanently veto it: an [[appendBatch]] of out-of-band data, a
+    * crash between the append's manifest delete and its write, or a
+    * rollup built before the watermark existed. The rebuild OVERWRITES
+    * the base table with exactly the raw aggregate — any partials
+    * appended from outside events.parquet are dropped by design (they
+    * are what made routing inexact; re-append them after if the
+    * serving surface still wants them, accepting de-routing again).
+    * Stream-delta and CDC-delta side tables are untouched: they are
+    * read only by the maintained readers, never by the routed path. */
+  def reEnsure(s: SparkSession, dir: String): Unit = {
+    val path = histPath(dir)
     binCounts(graft.Tables(s, dir, "events"))
       .coalesce(1).write.mode("overwrite").parquet(path)
     writeEnsureManifest(path)

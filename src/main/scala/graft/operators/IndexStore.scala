@@ -345,7 +345,23 @@ object IndexStore {
     * once written (encodeWith is deterministic given the artifacts),
     * so compaction never changes a probe's result set — the spec
     * pins warm v12 results bit-identical across it. Returns the
-    * number of buckets rewritten. */
+    * number of buckets rewritten.
+    *
+    * ALL staging lives OUTSIDE the index root, in the sibling
+    * `<index>.compacting` dir (the r9 advice's medium finding: a
+    * staged `bucket=N.compacting` dir INSIDE the root is parsed by
+    * partition discovery as a bucket value, normalizes to NULL under
+    * the probe's cast('long'), and silently drops that bucket's
+    * vectors from results mid-compaction or after a crash). The swap
+    * itself is two renames with the displaced bucket parked in the
+    * staging dir; the one crash window — between swap-out and swap-in,
+    * when the bucket is briefly absent from the root — is REPAIRED on
+    * the next compactIndex run: a parked `old.bucket=N` whose bucket
+    * is missing from the root renames back before any new work, then
+    * the whole staging dir is cleared. Readers racing the two renames
+    * of a live run see a complete index minus that one in-flight
+    * bucket — a bounded, self-healing gap, never NULL-bucket
+    * corruption. */
   def compactIndex(s: SparkSession, dir: String, iters: Int, m: Int,
       sub: Int, k: Int): Int = {
     import org.apache.hadoop.fs.Path
@@ -353,6 +369,21 @@ object IndexStore {
     require(artifactReady(path),
       s"ivfadc index at $path must be built before compacting")
     val (fs, root) = fsOf(path)
+    val staging = new Path(root.toString + ".compacting")
+    // crash repair first (single-writer path): restore any bucket
+    // parked by a run that died between its two renames, then drop
+    // every other stale staging remnant
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).toIndexedSeq
+        .filter(_.getPath.getName.startsWith("old.bucket="))
+        .foreach { st =>
+          val orig = new Path(root, st.getPath.getName.stripPrefix("old."))
+          if (!fs.exists(orig))
+            require(fs.rename(st.getPath, orig),
+              s"crash repair failed restoring ${st.getPath} to $orig")
+        }
+      fs.delete(staging, true)
+    }
     def filesOf(bucket: Path): Seq[String] =
       fs.listStatus(bucket).toIndexedSeq.map(_.getPath.getName)
         .filter(n => n.endsWith(".parquet")).sorted
@@ -362,7 +393,7 @@ object IndexStore {
       .filter(b => filesOf(b).size > 1)
     multi.foreach { bucket =>
       val before = filesOf(bucket)
-      val staged = new Path(bucket.toString + ".compacting")
+      val staged = new Path(staging, bucket.getName)
       fs.delete(staged, true)
       s.read.parquet(bucket.toString)
         .repartitionByRange(1, col("vec_id"))
@@ -374,12 +405,13 @@ object IndexStore {
           s"concurrent append detected in $bucket during index " +
             "compaction — quiesce the appender and re-run")
       }
-      val old = new Path(bucket.toString + ".old")
+      val old = new Path(staging, "old." + bucket.getName)
       if (fs.exists(old)) fs.delete(old, true)
       require(fs.rename(bucket, old), s"swap-out failed for $bucket")
       require(fs.rename(staged, bucket), s"swap-in failed for $bucket")
       fs.delete(old, true)
     }
+    fs.delete(staging, true)
     multi.size
   }
 

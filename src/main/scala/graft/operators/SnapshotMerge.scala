@@ -184,11 +184,16 @@ object SnapshotMerge {
     * Unchanged keys emit NOTHING — the point of a feed: downstream
     * cost scales with |changes|, not |table|. Shape: two interval
     * filters over the history (each a narrow scan of the SCD2 frame)
-    * and one full-outer join ON THE KEY of two state frames whose
+    * and ONE full-outer join ON THE KEY of two state frames whose
     * size is the live key count; version equality decides
     * changed-ness (one winning row per (key, version) by
     * [[scd2Intervals]]' resolution, so equal versions ⇒ identical
-    * rows). */
+    * rows). The four change kinds are fanned out of the SINGLE joined
+    * row by a generate (explode of the row's applicable kind tags) —
+    * the r9 verdict's finding was four unionAll'd filters over the
+    * same UNCACHED join, which Catalyst planned as four live joins
+    * per interval; the explode keeps one join, one shuffle, same
+    * rows. */
   def changeFeed(iv: DataFrame, key: String, version: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, "changeFeed needs fromV < toV")
@@ -202,12 +207,17 @@ object SnapshotMerge {
     val inA = col("__a_" + version).isNotNull
     val inB = col("__b_" + version).isNotNull
     val changed = col("__a_" + version) =!= col("__b_" + version)
-    def emit(tag: String, side: String, cond: Column) =
-      j.where(cond).select(lit(tag).as("_change_type") +: col(key) +:
-        pay.map(c => col(s"__${side}_" + c).as(c)): _*)
-    emit("insert", "b", !inA && inB)
-      .unionAll(emit("delete", "a", inA && !inB))
-      .unionAll(emit("update_preimage", "a", inA && inB && changed))
-      .unionAll(emit("update_postimage", "b", inA && inB && changed))
+    // each joined row carries 0, 1, or 2 (the update pair) kind tags;
+    // unchanged keys explode an empty array and vanish
+    val kinds = filter(array(
+      when(!inA && inB, lit("insert")),
+      when(inA && !inB, lit("delete")),
+      when(inA && inB && changed, lit("update_preimage")),
+      when(inA && inB && changed, lit("update_postimage"))),
+      k => k.isNotNull)
+    j.withColumn("_change_type", explode(kinds))
+      .select(col("_change_type") +: col(key) +: pay.map(c =>
+        when(col("_change_type").isin("insert", "update_postimage"),
+          col("__b_" + c)).otherwise(col("__a_" + c)).as(c)): _*)
   }
 }

@@ -58,12 +58,12 @@ class CandidateBudgetSpec extends SparkSpec {
   }
 
   test("re-evaluation of the admission frames is stable and never re-runs the exchange") {
-    // admit materializes (keys, cand, cum) eagerly (localCheckpoint)
-    // while the ranged instance its offsets were collected from is
-    // pinned, then unpersists — so repeated actions on keep read the
-    // immutable checkpoint instead of recomputing the range shuffle
-    // (the r8 advice: a recompute under a drifted upstream AQE
-    // decision could mis-key the broadcast offsets)
+    // admit materializes the sliced frame (slice ids + local cums)
+    // eagerly (localCheckpoint) — so repeated actions on keep read
+    // the immutable checkpoint instead of recomputing the range
+    // shuffle (the r8 advice: a recompute under a drifted upstream
+    // AQE decision could mis-key the broadcast offsets), and no
+    // window of any size appears in any consumer plan
     val adm = CandidateBudget.admit(fixture, Seq("band", "sig"), 5000L)
     val first = adm.keep.collect().map(_.toString).sorted.toSeq
     val second = adm.keep.collect().map(_.toString).sorted.toSeq
@@ -73,27 +73,27 @@ class CandidateBudgetSpec extends SparkSpec {
       s"keep must read the materialized admission, never the exchange:\n$p")
     assert(!p.contains("Exchange rangepartitioning"),
       s"no consumer may be able to re-run the range exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"consumers fold driver offsets, never re-run a window:\n$p")
+    // the offsets arrive by broadcast over the checkpoint, never a
+    // shuffle join
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-slice offsets must broadcast-join back:\n$p")
   }
 
   test("no data-sized global window: every window is keyed by the range slice id") {
-    // the only window in the internal prefix-sum frame is the
-    // per-slice cumulative sum, PARTITIONED by _pid — each task sees
-    // only its range slice of the data; the offsets prefix is a
-    // driver fold over ≤ one row per shuffle partition
-    // (cluster-width-bounded). No window may run over the raw bucket
-    // order alone.
-    val (ranged, budgeted) =
-      CandidateBudget.budgetedFrame(fixture, Seq("band", "sig"))
-    try {
-      budgeted.collect() // finalize the adaptive plan
-      val p = budgeted.queryExecution.executedPlan.toString
-      val wlines = p.linesIterator.filter(_.contains("Window ")).toSeq
-      assert(wlines.nonEmpty, s"the cumulative window must exist:\n$p")
-      wlines.foreach(l => assert(l.contains("_pid#"),
-        s"every admission window must be keyed by the range slice id:\n$l"))
-      // the offsets arrive by broadcast, never a shuffle join
-      assert(p.contains("BroadcastHashJoin"),
-        s"per-partition offsets must broadcast-join back:\n$p")
-    } finally { ranged.unpersist(); () }
+    // the only window in the whole admission is the per-slice LOCAL
+    // cumulative sum in the one materialization job, PARTITIONED by
+    // _pid — each task sees only its range slice of the data; the
+    // offsets prefix is a driver fold over ≤ one row per shuffle
+    // partition (cluster-width-bounded). No window may run over the
+    // raw bucket order alone.
+    val sliced = CandidateBudget.slicedFrame(fixture, Seq("band", "sig"))
+    sliced.collect() // finalize the adaptive plan
+    val p = sliced.queryExecution.executedPlan.toString
+    val wlines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(wlines.nonEmpty, s"the cumulative window must exist:\n$p")
+    wlines.foreach(l => assert(l.contains("_pid#"),
+      s"every admission window must be keyed by the range slice id:\n$l"))
   }
 }
