@@ -56,46 +56,11 @@ object HistogramRollup {
       .groupBy("day", "event_type", "bin")
       .agg(count(lit(1)).as("cnt"))
 
-  /** Ensure-only watermark: [[ensure]] records the exact data-file
-    * listing it wrote; [[appendBatch]] (the one mutator that can make
-    * the table a SUPERSET of the raw aggregate) deletes it. The
-    * plan-rewrite layer routes only while [[routable]] holds — the
-    * listing must still match, so an append, a torn write, or any
-    * out-of-band mutation all veto routing instead of silently
-    * breaking its exactness proof (the r8 advice's medium finding:
-    * the fingerprint in histPath tracks only the RAW table and cannot
-    * see rollup-side mutation). */
-  private val EnsureManifest = "_GRAFT_ENSURE_MANIFEST"
-
-  private def dataListing(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): String =
-    fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"${st.getPath.getName}:${st.getLen}")
-      .sorted.mkString("\n")
-
-  private def writeEnsureManifest(path: String): Unit = {
-    val (fs, p) = IndexStore.fsOf(path)
-    val out = fs.create(new org.apache.hadoop.fs.Path(p, EnsureManifest), true)
-    try out.write(dataListing(fs, p).getBytes("UTF-8")) finally out.close()
-  }
-
   /** True iff the artifact is ready AND is exactly what [[ensure]]
-    * built — the rewrite layer's routing precondition. */
-  private[graft] def routable(path: String): Boolean = {
-    if (!IndexStore.artifactReady(path)) return false
-    val (fs, p) = IndexStore.fsOf(path)
-    val m = new org.apache.hadoop.fs.Path(p, EnsureManifest)
-    try {
-      val in = fs.open(m)
-      val recorded = try {
-        val bs = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 4096, false)
-        new String(bs.toByteArray, "UTF-8")
-      } finally in.close()
-      recorded == dataListing(fs, p)
-    } catch { case _: java.io.FileNotFoundException => false }
-  }
+    * built — the rewrite layer's routing precondition (the
+    * [[EnsureWatermark]] discipline, shared with [[AggRollup]]). */
+  private[graft] def routable(path: String): Boolean =
+    EnsureWatermark.holds(path)
 
   /** Build the per-(day, event_type, bin) count table once.
     *
@@ -111,7 +76,7 @@ object HistogramRollup {
     if (IndexStore.artifactReady(path)) return
     binCounts(graft.Tables(s, dir, "events"))
       .coalesce(1).write.mode("overwrite").parquet(path)
-    writeEnsureManifest(path)
+    EnsureWatermark.write(path)
   }
 
   /** ROUTING REPAIR — rebuild the rollup from the raw table and
@@ -130,7 +95,7 @@ object HistogramRollup {
     val path = histPath(dir)
     binCounts(graft.Tables(s, dir, "events"))
       .coalesce(1).write.mode("overwrite").parquet(path)
-    writeEnsureManifest(path)
+    EnsureWatermark.write(path)
   }
 
   /** INCREMENTAL maintenance: a micro-batch appends its own bin
@@ -148,8 +113,7 @@ object HistogramRollup {
     // lands, the rollup is no longer the raw aggregate, and a crash
     // between the two steps must fail closed (routing off), never
     // open
-    val (fs, p) = IndexStore.fsOf(histPath(dir))
-    fs.delete(new org.apache.hadoop.fs.Path(p, EnsureManifest), false)
+    EnsureWatermark.invalidate(histPath(dir))
     binCounts(batch)
       .coalesce(1).write.mode("append").parquet(histPath(dir))
   }

@@ -1950,6 +1950,43 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q47 — MV ROUTING FOR SUMMABLE MEASURES
+    * ([[graft.plans.RollupRoutingRule]] + [[graft.operators
+    * .AggRollup]]): the r9 generalization ask — the reference's own
+    * Druid rollup spec serves a count plus seven `doubleSum` metrics
+    * per dimension set (`druid/kafkaIngestionTaxiTrips.json:42-82`),
+    * so the optimizer rewrite must serve SUMS, not only counts. The
+    * query BODY is the plain raw aggregate (count + sum(floor(value))
+    * per event_type over a day-aligned window); the rule substitutes
+    * the daily (cnt, v_fp) rollup, exact because integer partials add
+    * in any order (a FLOAT sum(value) deliberately stays unrouted —
+    * double addition doesn't associate; RollupRoutingSpec pins the
+    * pass-through). The oracle replays the raw aggregate in DuckDB —
+    * the hash gate IS the exactness proof; the spec pins the routed
+    * plan scan-free, the appendBatch fail-closed veto, and reEnsure
+    * as the repair path. At 100 TB: kilobytes of rollup IO for any
+    * dashboard's windowed count+sum, zero client changes. */
+  val q47RoutedSum: GraftQuery = q(
+    "q47_routed_rollup_sum",
+    "optimizer MV routing for summable measures: raw count+sum aggregate served by the daily agg rollup",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-06 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.AggRollup.ensure(s, dir)
+    graft.plans.RollupRouting.enable(s)
+    Tables(s, dir, "events")
+      .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-06 00:00:00")) &&
+        $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-20 00:00:00")))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1962,5 +1999,5 @@ object RelationalQueries {
     q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
-    q44DecayedFeatures, q45KmvOverlap, q46Optimize)
+    q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum)
 }

@@ -163,6 +163,45 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex: staging lives outside the root and the swap crash window self-repairs") {
+    withRoot { _ =>
+      val s2 = spark
+      import s2.implicits._
+      IndexStore.ivfadcIndex(spark, sf, IvfIters, 16, 4, 32)
+      val idxPath = IndexStore.ivfadcIndexPath(sf, IvfIters, 16, 4, 32)
+      val batch = graft.Tables(spark, sf, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .as[(Long, Array[Double])]
+        .filter(_._1 < 30).map { case (id, v) => (id + 2000000000L, v) }
+      IndexStore.appendToIndex(spark, sf, batch, IvfIters, 16, 4, 32)
+      val rows = spark.read.parquet(idxPath)
+        .collect().map(_.toString).sorted.toSeq
+      // simulate the one crash window: a run died between swap-out and
+      // swap-in — the bucket is parked in the SIBLING staging dir (the
+      // r9 advice: staging inside the root was parsed by partition
+      // discovery as a bucket value and NULLed out of probe results)
+      val root = new java.io.File(idxPath)
+      val victim = root.listFiles()
+        .filter(_.getName.startsWith("bucket=")).head
+      val staging = new java.io.File(idxPath + ".compacting")
+      staging.mkdirs()
+      val parked = new java.io.File(staging, "old." + victim.getName)
+      assert(victim.renameTo(parked), "test setup: park the bucket")
+      // reads BETWEEN repair runs never see a phantom NULL bucket: the
+      // staging dir is invisible to the index root's discovery
+      val midCrash = spark.read.parquet(idxPath)
+        .where($"bucket".isNull).count()
+      assert(midCrash === 0L, "staging must never surface as a NULL bucket")
+      // the next compaction run repairs FIRST: the parked bucket is
+      // restored, staging cleared, and the index is byte-complete
+      IndexStore.compactIndex(spark, sf, IvfIters, 16, 4, 32)
+      assert(!staging.exists(), "repair must clear the staging dir")
+      assert(spark.read.parquet(idxPath)
+        .collect().map(_.toString).sorted.toSeq === rows,
+        "crash repair must restore every row of the parked bucket")
+    }
+  }
+
   test("appendToIndex refuses to append before the index exists") {
     withRoot { _ =>
       val s2 = spark

@@ -88,10 +88,45 @@ class KmvRollupSpec extends SparkSpec {
       // swallow it (the idempotence HLL has and the histogram lacks)
       val before = df.collect().map(_.toString).sorted.toSeq
       val day = windowEvents.where(to_date(col("ts")) === "2024-01-10")
-      KmvReplay.append(spark, sf, day)
+      KR.appendBatch(spark, sf, day)
       val after = KR.mergedSketch(spark, sf, lo, hi)
         .collect().map(_.toString).sorted.toSeq
       assert(after === before, "a replayed day must change nothing")
+    }
+  }
+
+  test("appendBatch: a new batch folds in, equals a rebuild over the union, replays are no-ops") {
+    withIndexRoot("graft-kmv-append") {
+      KR.ensure(spark, sf)
+      // genuinely NEW users on a day inside the read window — the
+      // late-crawl shape the maintenance leg exists for
+      val batch = Seq.tabulate(400) { i =>
+        (7000000L + i, java.sql.Timestamp.valueOf("2024-01-15 06:00:00"),
+          7000000L + i, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      KR.appendBatch(spark, sf, batch)
+      val merged = KR.mergedSketch(spark, sf, lo, hi)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // the rebuild-over-union reference, computed directly
+      val direct = windowEvents.select(col("event_type"), col("user_id"))
+        .unionAll(batch.select(col("event_type"), col("user_id")))
+        .select(col("event_type"),
+          pmod(graft.functions.DetHash.hash60(col("user_id"), "kmv"),
+            lit(KR.M)).as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("h"))))
+        .where(col("rn") <= KR.K)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(merged === direct,
+        "append must be bit-equal to rebuilding over corpus ∪ batch")
+      // a checkpoint-replayed append adds exact-duplicate rows the
+      // read-side distinct erases — no batch-id discipline needed
+      KR.appendBatch(spark, sf, batch)
+      val replayed = KR.mergedSketch(spark, sf, lo, hi)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(replayed === merged, "a replayed append must change nothing")
     }
   }
 
@@ -111,24 +146,5 @@ class KmvRollupSpec extends SparkSpec {
       assert(p.contains("WindowGroupLimit"),
         s"the rank<=K filter must push a group limit below the sort:\n$p")
     }
-  }
-}
-
-/** Test seam: append a day's sketch rows to the artifact the way a
-  * late-data maintenance job would. */
-private object KmvReplay {
-  def append(s: org.apache.spark.sql.SparkSession, dir: String,
-      batch: org.apache.spark.sql.DataFrame): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = batch.select(
-        MinMaxManifest.utcDay(col("ts")).as("day"),
-        col("event_type"),
-        pmod(graft.functions.DetHash.hash60(col("user_id"), "kmv"),
-          lit(KmvRollup.M)).as("h"))
-      .distinct()
-    val w = Window.partitionBy(col("day"), col("event_type")).orderBy(col("h"))
-    cells.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= KmvRollup.K).drop("rn")
-      .coalesce(1).write.mode("append").parquet(KmvRollup.sketchPath(dir))
   }
 }

@@ -112,6 +112,103 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  private def rawSumAgg = graft.Tables(spark, sf, "events")
+    .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+    .groupBy($"event_type")
+    .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+
+  test("a summable aggregate routes to the agg rollup and stays exact") {
+    withIndexRoot("graft-route-sum") {
+      val expected = rawSumAgg.orderBy($"event_type")
+        .collect().map(_.toString).toSeq
+      graft.operators.AggRollup.ensure(spark, sf)
+      RollupRouting.enable(spark)
+      try {
+        val routed = rawSumAgg.orderBy($"event_type")
+        val paths = scanPaths(routed)
+        assert(paths.exists(_.contains("agg_daily")),
+          s"the routed plan must read the agg rollup: $paths")
+        assert(!paths.exists(_.contains("events.parquet")),
+          s"the routed plan must never scan the raw table: $paths")
+        assert(routed.collect().map(_.toString).toSeq === expected,
+          "sum routing must be invisible in the answer — integer-exact")
+        // a sum-only aggregate (no count) routes too
+        val sumOnly = graft.Tables(spark, sf, "events")
+          .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .groupBy($"event_type").agg(sum(floor($"value")).as("v_fp"))
+        assert(scanPaths(sumOnly).exists(_.contains("agg_daily")),
+          "a sum-only aggregate must route to the agg rollup")
+        // the FLOAT sum stays unrouted even with the artifact ready:
+        // double addition doesn't associate, so a rollup-served float
+        // sum could differ from the raw plan in the last ulp
+        val floatSum = graft.Tables(spark, sf, "events")
+          .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .groupBy($"event_type").agg(sum($"value").as("v"))
+        val fp = scanPaths(floatSum)
+        assert(fp.exists(_.contains("events.parquet")) &&
+          !fp.exists(_.contains("agg_daily")),
+          s"a float sum must never be routed: $fp")
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
+  test("agg-rollup appendBatch vetoes sum routing; reEnsure repairs it") {
+    withIndexRoot("graft-route-sum-append") {
+      val AR = graft.operators.AggRollup
+      AR.ensure(spark, sf)
+      RollupRouting.enable(spark)
+      try {
+        assert(scanPaths(rawSumAgg).exists(_.contains("agg_daily")))
+        val extra = Seq((9999902L,
+            java.sql.Timestamp.valueOf("2024-01-10 09:00:00"),
+            9999902L, "click", 40.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        AR.appendBatch(spark, sf, extra)
+        val paths = scanPaths(rawSumAgg)
+        assert(paths.exists(_.contains("events.parquet")) &&
+          !paths.exists(_.contains("agg_daily")),
+          s"after appendBatch the plan must fall back to the raw table: $paths")
+        // reEnsure rebuilds from the raw table and restores the
+        // watermark: routing resumes AND stays exact (the appended
+        // out-of-band row is dropped by design)
+        val expected = rawSumAgg.orderBy($"event_type")
+          .collect().map(_.toString).toSeq
+        AR.reEnsure(spark, sf)
+        val routed = rawSumAgg.orderBy($"event_type")
+        assert(scanPaths(routed).exists(_.contains("agg_daily")),
+          "reEnsure must restore routing")
+        assert(routed.collect().map(_.toString).toSeq === expected,
+          "routing after reEnsure must be exact again")
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
+  test("histogram reEnsure restores count routing after an append veto") {
+    withIndexRoot("graft-route-reensure") {
+      val HR = graft.operators.HistogramRollup
+      HR.ensure(spark, sf)
+      RollupRouting.enable(spark)
+      try {
+        assert(scanPaths(rawAgg).exists(_.contains("hist_daily")))
+        val extra = Seq((9999903L,
+            java.sql.Timestamp.valueOf("2024-01-11 07:00:00"),
+            9999903L, "view", 3.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        HR.appendBatch(spark, sf, extra)
+        assert(scanPaths(rawAgg).exists(_.contains("events.parquet")),
+          "append must veto count routing")
+        val expected = rawAgg.orderBy($"event_type")
+          .collect().map(_.toString).toSeq
+        HR.reEnsure(spark, sf)
+        val routed = rawAgg.orderBy($"event_type")
+        assert(scanPaths(routed).exists(_.contains("hist_daily")),
+          "reEnsure must restore count routing")
+        assert(routed.collect().map(_.toString).toSeq === expected,
+          "count routing after reEnsure must be exact again")
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
   test("a missing rollup artifact leaves the plan untouched") {
     withIndexRoot("graft-route-absent") {
       RollupRouting.enable(spark)

@@ -366,7 +366,7 @@ class StreamingSpec extends SparkSpec {
     // checkpoint restart mid-stream must leave the q36 surface
     // unchanged across the replayed batch.
     withIndexRoot("graft-stream-rollup") {
-      import graft.operators.{HistogramRollup => HR, SketchRollup => SR}
+      import graft.operators.{DecayedFeatures => DF, HistogramRollup => HR, SketchRollup => SR}
       val sf = "/root/testdata/sf0.001"
       val (lo, hi) = ("2024-02-01 00:00:00", "2024-03-01 00:00:00")
       implicit val sql = spark.sqlContext
@@ -383,6 +383,7 @@ class StreamingSpec extends SparkSpec {
         val batch = b.toDF("event_id", "ts", "user_id", "event_type",
           "value", "props")
         HR.processStreamBatch(spark, sf, batch, id)
+        DF.processStreamBatch(spark, sf, batch, id)
         SR.appendBatch(spark, sf, batch)
       }
       def run(): Unit = {
@@ -423,6 +424,18 @@ class StreamingSpec extends SparkSpec {
           .where(col("event_type") === "stream"), Seq(50)).head()
       assert(est.getLong(1) >= 100000L && est.getLong(1) <= 150000L,
         s"maintained p50 must land in the 12.5 bin, got ${est.getLong(1)}")
+      // the decayed-feature rollup rode the same sink with the same
+      // batch-id discipline: the q44 maintained surface sees each
+      // batch exactly once — 50 events of floor(12.5)=12, all on
+      // 2024-02-06 (age 2 as of 2024-02-08 → weight 2^18)
+      val feats = DF.featuresMaintained(spark, sf, "2024-02-08 00:00:00", 20)
+        .where(col("event_type") === "stream")
+        .agg(coalesce(sum("n_recent"), lit(0L)),
+          coalesce(sum("score_e"), lit(0L))).head()
+      assert(feats.getLong(0) === 50L,
+        "decayed-feature stream maintenance must land each batch exactly once")
+      assert(feats.getLong(1) === 50L * 12L * (1L << 18),
+        s"decayed score must be the exact weighted mass, got ${feats.getLong(1)}")
     }
   }
 }
