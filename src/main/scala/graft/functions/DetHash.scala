@@ -26,4 +26,10 @@ object DetHash {
   /** DuckDB rendering of [[hash60]] over a SQL expression. */
   def hash60Sql(e: String, salt: String): String =
     s"CAST('0x' || substr(md5(CAST($e AS VARCHAR) || ':$salt'), 1, 15) AS BIGINT)"
+
+  /** DuckDB rendering with a per-row SQL-expression salt (the CMS
+    * depth rows: salt = `'cms' || r`). Lockstep partner of calling
+    * [[hash60]] once per literal salt value on the Spark side. */
+  def hash60SqlDyn(e: String, saltExpr: String): String =
+    s"CAST('0x' || substr(md5(CAST($e AS VARCHAR) || ':' || $saltExpr), 1, 15) AS BIGINT)"
 }

@@ -1987,6 +1987,72 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q48 — COUNT-MIN SKETCH POINT FREQUENCY
+    * ([[graft.operators.CmsRollup]]): the FOURTH mergeable sketch
+    * algebra — HLL max-merges cardinality, histograms sum-merge
+    * values, KMV k-min-merges identities; Count-Min sum-merges a
+    * Depth×Width counter grid and answers PER-KEY frequency ("how
+    * many events did user u generate in this window") from kilobytes
+    * of sketch, with the one-sided guarantee est ≥ exact (collisions
+    * only add). Daily grids persist once (≤ 4096 rows/day at any
+    * corpus size); a window read sum-merges them; probes join the
+    * merged grid broadcast-sized. The registered surface DISCLOSES
+    * the sketch error per probe (`overcount` vs the exact window
+    * count — the `skipped_candidates` disclosure discipline). All
+    * integer, all [[graft.functions.DetHash]]-deterministic; the
+    * oracle replays grid, merge, min-estimate, and overcount from
+    * raw events. The invertible sum-merge also gives CMS the D42
+    * delete story (negative counters) — spec-pinned alongside the
+    * est ≥ exact guarantee. */
+  val q48CmsFrequency: GraftQuery = q(
+    "q48_cms_point_frequency",
+    "count-min sketch rollup: per-key frequency estimates with disclosed overcount",
+    s"""WITH rs AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+      |base AS (
+      |  SELECT user_id FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-22 00:00:00'),
+      |counters AS (
+      |  SELECT r, ${graft.functions.DetHash.hash60SqlDyn("user_id",
+                "'cms' || CAST(r AS VARCHAR)")} % 1024 AS b,
+      |         count(*) AS c
+      |  FROM base CROSS JOIN rs
+      |  GROUP BY 1, 2),
+      |probe AS (SELECT DISTINCT user_id FROM events WHERE user_id % 997 = 0),
+      |pr AS (
+      |  SELECT p.user_id, rs.r, ${graft.functions.DetHash.hash60SqlDyn("p.user_id",
+                "'cms' || CAST(rs.r AS VARCHAR)")} % 1024 AS b
+      |  FROM probe p CROSS JOIN rs),
+      |est AS (
+      |  SELECT pr.user_id, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+      |  FROM pr LEFT JOIN counters c ON c.r = pr.r AND c.b = pr.b
+      |  GROUP BY 1),
+      |ex AS (SELECT user_id, count(*) AS exact FROM base GROUP BY 1)
+      |SELECT e.user_id, e.est,
+      |       CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+      |       CAST(e.est - coalesce(x.exact, 0) AS BIGINT) AS overcount
+      |FROM est e LEFT JOIN ex x ON x.user_id = e.user_id
+      |ORDER BY e.user_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val CR = graft.operators.CmsRollup
+    val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-22 00:00:00")
+    val ev = Tables(s, dir, "events")
+    val probes = ev.where($"user_id" % 997 === 0)
+      .select($"user_id").distinct()
+    val merged = CR.mergedCounters(s, dir, lo, hi)
+    val exact = ev
+      .where($"ts" >= lit(graft.operators.MinMaxManifest.utc(lo)) &&
+        $"ts" < lit(graft.operators.MinMaxManifest.utc(hi)))
+      .groupBy($"user_id").agg(count(lit(1)).as("exact"))
+    CR.pointEstimates(merged, probes)
+      .join(exact, Seq("user_id"), "left")
+      .select($"user_id", $"est",
+        coalesce($"exact", lit(0L)).as("exact"),
+        ($"est" - coalesce($"exact", lit(0L))).as("overcount"))
+      .orderBy($"user_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -1999,5 +2065,6 @@ object RelationalQueries {
     q34SketchRollup, q35QualityChecks, q36HistogramQuantiles, q37BloomIndex,
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
-    q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum)
+    q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
+    q48CmsFrequency)
 }
