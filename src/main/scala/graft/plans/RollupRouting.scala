@@ -121,12 +121,45 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * measure set. */
   private sealed trait Measure
   private case object MGroup extends Measure
+  private case object MDay extends Measure
   private case object MCount extends Measure
   private case object MSumFp extends Measure
 
-  private def classify(et: AttributeReference,
+  private def isUtcZone(z: String): Boolean =
+    z == "UTC" || z == "Etc/UTC" || z == "GMT" || z == "Z" || z == "+00:00"
+
+  private def sessionIsUtc: Boolean =
+    isUtcZone(spark.sessionState.conf.sessionLocalTimeZone)
+
+  /** The `ts` attribute, possibly under the analyzer's
+    * cast-to-timestamp. */
+  private def tsAttr(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference if a.name == "ts" => Some(a)
+    case Cast(a: AttributeReference,
+        org.apache.spark.sql.types.TimestampType, _, _)
+        if a.name == "ts" => Some(a)
+    case _ => None
+  }
+
+  /** `date_trunc('day', ts)` — the raw shape of the rollups' day key.
+    * Exact against the zone-FREE utcDay partitioning only in UTC
+    * (TruncTimestamp bakes the session zone into the expression), so
+    * both the captured zone and the live session must be UTC. */
+  private def isDayTrunc(e: Expression): Boolean = e match {
+    case TruncTimestamp(Literal(fmt, _), t, zone) =>
+      tsAttr(t).isDefined && fmt != null &&
+        fmt.toString.equalsIgnoreCase("day") &&
+        zone.forall(isUtcZone) && sessionIsUtc
+    case _ => false
+  }
+
+  private def classify(et: AttributeReference, day: Option[Attribute],
       e: NamedExpression): Option[Measure] = e match {
     case a: AttributeReference if a.semanticEquals(et) => Some(MGroup)
+    case a: AttributeReference if day.exists(_.exprId == a.exprId) =>
+      Some(MDay)
+    case Alias(a: AttributeReference, _)
+        if day.exists(_.exprId == a.exprId) => Some(MDay)
     case Alias(AggregateExpression(
         Count(Seq(Literal(1, _))), _, false, _, _), _) => Some(MCount)
     case Alias(AggregateExpression(
@@ -137,21 +170,64 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The exact substitute over a rollup table: per-group partial sums
     * over the same UTC-instant window (kilobytes of rollup IO for any
-    * corpus size), optimized so the caller can splice its subtree. */
-  private def rollupAgg(path: String, lo: Long, hi: Long,
-      measures: Seq[org.apache.spark.sql.Column]): LogicalPlan =
-    spark.read.parquet(path)
+    * corpus size), optimized so the caller can splice its subtree.
+    * `byDay` adds the rollup's day key to the grouping — the
+    * timeseries shape. */
+  private def rollupAgg(path: String, lo: Long, hi: Long, byDay: Boolean,
+      measures: Seq[org.apache.spark.sql.Column]): LogicalPlan = {
+    val grouped = spark.read.parquet(path)
       .where(col("day") >= lit(tsOf(lo)) && col("day") < lit(tsOf(hi)))
-      .groupBy(col("event_type"))
-      .agg(measures.head, measures.tail: _*)
+      .groupBy((col("event_type") +:
+        (if (byDay) Seq(col("day")) else Nil)): _*)
+    grouped.agg(measures.head, measures.tail: _*)
       .queryExecution.optimizedPlan
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Seq(et: AttributeReference), aggExprs, child, _)
-        if et.name == "event_type" =>
-      val kinds = aggExprs.map(classify(et, _))
-      val shapeOk = kinds.forall(_.isDefined)
-      val routed = if (!shapeOk) None else matchSource(child).flatMap {
+    case agg @ Aggregate(groupList, aggExprs, child, _)
+        if groupList.nonEmpty && groupList.size <= 2 &&
+          groupList.exists {
+            case a: AttributeReference => a.name == "event_type"
+            case _ => false
+          } =>
+      val et = groupList.collectFirst {
+        case a: AttributeReference if a.name == "event_type" => a
+      }.get
+      // Optional second grouping key: the day-grain timeseries shape.
+      // The analyzer computes `date_trunc('day', ts)` in a child
+      // Project as a `_groupingexpression` attribute, so the grouping
+      // list holds an attribute whose DEFINITION we must find there;
+      // exact against the zone-free rollup day only in UTC (both the
+      // expression's captured zone and the live session) — vetoed
+      // otherwise.
+      val dayGrain = groupList.size == 2
+      val dayAttr: Option[Attribute] =
+        if (!dayGrain) None
+        else groupList.collectFirst {
+          case a: AttributeReference if !a.semanticEquals(et) => a
+        }
+      // locate the day attr's defining Project and validate that the
+      // rest of the projection is pure attributes; the source match
+      // then continues UNDER it
+      val daySource: Option[LogicalPlan] = (dayAttr, child) match {
+        case (Some(d), Project(plist, gchild)) =>
+          val defs = plist.collect { case al: Alias if al.exprId == d.exprId => al }
+          val othersPure = plist.forall {
+            case _: AttributeReference => true
+            case al: Alias => al.exprId == d.exprId
+            case _ => false
+          }
+          if (defs.size == 1 && othersPure && isDayTrunc(defs.head.child))
+            Some(gchild)
+          else None
+        case _ => None
+      }
+      val kinds = aggExprs.map(classify(et, dayAttr, _))
+      val shapeOk = kinds.forall(_.isDefined) &&
+        (!dayGrain || daySource.isDefined)
+      val source = if (dayGrain) daySource else Some(child)
+      val routed = if (!shapeOk) None
+      else source.flatMap(matchSource).flatMap {
         case (dir, lo, hi) =>
           val wantsSum = kinds.contains(Some(MSumFp))
           val path =
@@ -169,23 +245,23 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
             else HistogramRollup.routable(path)
           if (!ok) None
           else {
-            val sub =
-              if (wantsSum)
-                rollupAgg(path, lo, hi, Seq(
-                  coalesce(sum(col("cnt")), lit(0L)).as("n"),
-                  sum(col("v_fp")).as("v")))
-              else
-                rollupAgg(path, lo, hi, Seq(
-                  coalesce(sum(col("cnt")), lit(0L)).as("n")))
-            // sub.output = (event_type, n[, v]); map each original
-            // entry to its substitute, preserving the ORIGINAL exprIds
-            // so parents never see the substitution
+            val measures =
+              coalesce(sum(col("cnt")), lit(0L)).as("n") +:
+                (if (wantsSum) Seq(sum(col("v_fp")).as("v")) else Nil)
+            val sub = rollupAgg(path, lo, hi, dayGrain, measures)
+            // sub.output = (event_type[, day], n[, v]); map each
+            // original entry to its substitute, preserving the
+            // ORIGINAL exprIds so parents never see the substitution
             val newEt = sub.output.head
-            val newN = sub.output(1)
-            val newV = if (wantsSum) sub.output(2) else newN
+            val newDay = if (dayGrain) sub.output(1) else newEt
+            val base = if (dayGrain) 2 else 1
+            val newN = sub.output(base)
+            val newV = if (wantsSum) sub.output(base + 1) else newN
             val projected = aggExprs.zip(kinds).map {
               case (a: AttributeReference, _) =>
                 Alias(newEt, a.name)(exprId = a.exprId)
+              case (al: Alias, Some(MDay)) =>
+                Alias(newDay, al.name)(exprId = al.exprId)
               case (al: Alias, Some(MCount)) =>
                 Alias(newN, al.name)(exprId = al.exprId)
               case (al: Alias, Some(MSumFp)) =>

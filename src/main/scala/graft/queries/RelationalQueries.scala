@@ -2053,6 +2053,41 @@ object RelationalQueries {
       .orderBy($"user_id")
   }
 
+  /** q49 — ROUTED DAY-GRAIN TIMESERIES
+    * ([[graft.plans.RollupRoutingRule]]'s day arm): THE dashboard
+    * query — count and sum per (event_type, day) over a window —
+    * written as the plain raw aggregate with `date_trunc('day', ts)`
+    * as a second grouping key. The analyzer computes the trunc in a
+    * child Project as a `_groupingexpression` attribute; the rule
+    * resolves it there, verifies the expression (and the live
+    * session) is UTC — the rollup's day key is zone-FREE, so any
+    * other zone vetoes fail-closed, spec-pinned — and serves the
+    * whole timeseries from the daily (cnt, v_fp) rollup: one row per
+    * (type, day) read from kilobytes, NO scan, NO per-row
+    * date_trunc, whatever client wrote the query. The oracle replays
+    * the raw aggregate — the hash gate proves day-bucketing and
+    * measures are exact. */
+  val q49RoutedTimeseries: GraftQuery = q(
+    "q49_routed_timeseries",
+    "optimizer MV routing, day-grain: the (event_type, day) dashboard timeseries served by the rollup",
+    """SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-24 00:00:00'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.AggRollup.ensure(s, dir)
+    graft.plans.RollupRouting.enable(s)
+    Tables(s, dir, "events")
+      .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-10 00:00:00")) &&
+        $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-24 00:00:00")))
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2066,5 +2101,5 @@ object RelationalQueries {
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
-    q48CmsFrequency)
+    q48CmsFrequency, q49RoutedTimeseries)
 }

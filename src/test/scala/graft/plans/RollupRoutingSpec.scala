@@ -209,6 +209,65 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("the day-grain timeseries shape routes for counts and sums, stays exact, and vetoes off-UTC") {
+    withIndexRoot("graft-route-day") {
+      def countTs = graft.Tables(spark, sf, "events")
+        .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+        .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      def sumTs = graft.Tables(spark, sf, "events")
+        .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+        .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+      // ground truth BEFORE enabling routing
+      val expC = countTs.orderBy($"event_type", $"day")
+        .collect().map(_.toString).toSeq
+      val expS = sumTs.orderBy($"event_type", $"day")
+        .collect().map(_.toString).toSeq
+      graft.operators.HistogramRollup.ensure(spark, sf)
+      graft.operators.AggRollup.ensure(spark, sf)
+      RollupRouting.enable(spark)
+      try {
+        val pc = scanPaths(countTs)
+        assert(pc.exists(_.contains("hist_daily")) &&
+          !pc.exists(_.contains("events.parquet")),
+          s"day-grain count must route to the bins: $pc")
+        assert(countTs.orderBy($"event_type", $"day")
+          .collect().map(_.toString).toSeq === expC,
+          "day-grain count routing must be exact")
+        val ps = scanPaths(sumTs)
+        assert(ps.exists(_.contains("agg_daily")) &&
+          !ps.exists(_.contains("events.parquet")),
+          s"day-grain sum must route to the agg rollup: $ps")
+        assert(sumTs.orderBy($"event_type", $"day")
+          .collect().map(_.toString).toSeq === expS,
+          "day-grain sum routing must be exact")
+        // a second grouping key that is NOT the day never routes
+        val other = graft.Tables(spark, sf, "events")
+          .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+        assert(scanPaths(other).exists(_.contains("events.parquet")),
+          "an unmatched second grouping key must pass through")
+        // a non-UTC session vetoes ALL routing, fail-closed: the
+        // day-grain arm because date_trunc follows the session zone,
+        // and even the plain shape because the NTZ-normalized ts
+        // column makes Catalyst unwrap the filter casts into
+        // session-zone wall-clock literals that are no longer
+        // day-aligned — the matcher cannot prove exactness and must
+        // pass through (false-negative-safe, never false-positive)
+        spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+        try {
+          Seq(countTs, rawAgg).foreach { q =>
+            val off = scanPaths(q)
+            assert(off.exists(_.contains("events.parquet")) &&
+              !off.exists(_.contains("hist_daily")),
+              s"off-UTC sessions must fall back to the raw table: $off")
+          }
+        } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
   test("a missing rollup artifact leaves the plan untouched") {
     withIndexRoot("graft-route-absent") {
       RollupRouting.enable(spark)
