@@ -114,12 +114,40 @@ object CandidateBudget {
     val admitted = local.join(broadcast(offDf), Seq("_pid"))
       .withColumn("cum", col("_off") + col("_lcum"))
     val keep = admitted.where(col("cum") <= budget).select(keyCols: _*)
-    val skippedKeys = admitted.where(col("cum") > budget).select(keyCols: _*)
+    // The planner cannot size the checkpoint-derived subtrees (a
+    // LogicalRDD carries no usable stats), so without help a
+    // consumer's anti-join on the skipped tail plans as a full
+    // sort-merge join that shuffles the CORPUS-bound left side —
+    // measured 3.6× on d01 at the 100× replica, where the tail was
+    // in fact EMPTY. admit() knows the tail's exact row count from
+    // its own kilobyte checkpoint (one cheap job), so it makes the
+    // decision the planner can't: an empty tail returns a
+    // provably-empty LOCAL relation (PropagateEmptyRelation folds
+    // the consumer's anti-join away entirely), a small tail carries
+    // an explicit broadcast hint (the r8 plan, now deliberate), and
+    // only a genuinely huge tail leaves the join strategy open —
+    // adaptive, never a static corpus-bound broadcast (the d06
+    // lesson).
+    val skippedCount = admitted.where(col("cum") > budget).count()
+    val skippedKeys =
+      if (skippedCount == 0L)
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          admitted.select(keyCols: _*).schema)
+      else {
+        val sk = admitted.where(col("cum") > budget).select(keyCols: _*)
+        if (skippedCount <= BroadcastRowCeiling) broadcast(sk) else sk
+      }
     val skippedMass = admitted
       .agg(coalesce(sum(when(col("cum") > budget, col("cand"))), lit(0L))
         .as("skipped_candidates"))
     Admission(keep, skippedKeys, skippedMass)
   }
+
+  /** Key rows are a few tens of bytes; 4M rows ≈ tens of MB — inside
+    * every executor's broadcast comfort zone, far below a
+    * corpus-bound frame. */
+  private val BroadcastRowCeiling = 4000000L
 
   /** The lazy pre-checkpoint frame: mass rows range-partitioned by
     * the (cand, keys…) total order, with the slice id (`_pid`) and

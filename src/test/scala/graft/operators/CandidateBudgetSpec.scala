@@ -81,6 +81,30 @@ class CandidateBudgetSpec extends SparkSpec {
       s"per-slice offsets must broadcast-join back:\n$p")
   }
 
+  test("an empty skipped tail is a local relation: consumer anti-joins fold away") {
+    // at a budget covering everything, the skipped keyset is
+    // provably empty — admit returns a LOCAL empty relation so
+    // PropagateEmptyRelation removes the consumer's anti-join
+    // entirely (the 100×-replica regression: a stats-less
+    // checkpoint subtree made the EMPTY tail plan as a full
+    // sort-merge shuffle of the corpus-bound left side)
+    val total = fixture.agg(sum($"cand")).head().getLong(0)
+    val adm = CandidateBudget.admit(fixture, Seq("band", "sig"), total + 1)
+    assert(adm.skippedKeys.count() === 0L)
+    val pruned = fixture.join(adm.skippedKeys, Seq("band", "sig"), "left_anti")
+    assert(pruned.count() === 500L, "an empty tail must prune nothing")
+    val p = pruned.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"),
+      s"the anti-join against an empty tail must fold away:\n$p")
+    // a NON-empty small tail broadcasts (never a corpus-side shuffle)
+    val adm2 = CandidateBudget.admit(fixture, Seq("band", "sig"), total / 2)
+    val pruned2 = fixture.join(adm2.skippedKeys, Seq("band", "sig"), "left_anti")
+    pruned2.collect()
+    val p2 = pruned2.queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"),
+      s"a small skipped tail must broadcast into the anti-join:\n$p2")
+  }
+
   test("no data-sized global window: every window is keyed by the range slice id") {
     // the only window in the whole admission is the per-slice LOCAL
     // cumulative sum in the one materialization job, PARTITIONED by
