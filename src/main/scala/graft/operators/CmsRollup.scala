@@ -85,6 +85,22 @@ object CmsRollup {
       .coalesce(1).write.mode("append").parquet(cmsPath(dir))
   }
 
+  /** STREAMING maintenance — the exactly-once face of [[appendBatch]]
+    * (the [[HistogramRollup.processStreamBatch]] discipline shared by
+    * all three sum-merge rollups): each micro-batch's grid lands in
+    * its OWN `batch=b<id>` partition, overwrite scoped to that
+    * partition, so a checkpoint-replayed batch overwrites itself
+    * instead of double-counting. [[mergedCountersMaintained]] folds
+    * only COMMITTED batches in. */
+  def streamPath(dir: String): String = cmsPath(dir) + "_stream"
+
+  def processStreamBatch(s: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    ensure(s, dir)
+    counters(batch).coalesce(1).write.mode("overwrite")
+      .parquet(s"${streamPath(dir)}/batch=b$batchId")
+  }
+
   /** CDC DELETE maintenance — sum-merge is invertible, so a delete
     * batch retracts as NEGATIVE counters in its own `batch=<tag>`
     * partition (replaying a tag overwrites itself — idempotent;
@@ -118,13 +134,23 @@ object CmsRollup {
     * [[IndexStore.readyBatches]] rule — a torn delta batch
     * contributes nothing until its replay completes it). */
   def mergedCountersWithDeltas(s: SparkSession, dir: String, lo: String,
-      hi: String): DataFrame = {
+      hi: String): DataFrame =
+    foldBatches(s, dir, lo, hi, Seq(cdcDeltaPath(dir)))
+
+  /** Merged counters with BOTH committed stream batches and CDC
+    * retractions folded in — the fully-maintained read. */
+  def mergedCountersMaintained(s: SparkSession, dir: String, lo: String,
+      hi: String): DataFrame =
+    foldBatches(s, dir, lo, hi, Seq(streamPath(dir), cdcDeltaPath(dir)))
+
+  private def foldBatches(s: SparkSession, dir: String, lo: String,
+      hi: String, roots: Seq[String]): DataFrame = {
     val base = mergedCounters(s, dir, lo, hi)
-    val ready = IndexStore.readyBatches(cdcDeltaPath(dir))
-    if (ready.isEmpty) base
+    val extra = roots.flatMap(root =>
+      IndexStore.readyBatches(root).map(t => s"$root/$t"))
+    if (extra.isEmpty) base
     else {
-      val deltas = s.read
-        .parquet(ready.map(t => s"${cdcDeltaPath(dir)}/$t"): _*)
+      val deltas = s.read.parquet(extra: _*)
         .where(col("day") >= lit(MinMaxManifest.utc(lo)) &&
           col("day") < lit(MinMaxManifest.utc(hi)))
         .select("r", "b", "c")

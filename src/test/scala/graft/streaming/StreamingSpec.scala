@@ -366,7 +366,7 @@ class StreamingSpec extends SparkSpec {
     // checkpoint restart mid-stream must leave the q36 surface
     // unchanged across the replayed batch.
     withIndexRoot("graft-stream-rollup") {
-      import graft.operators.{DecayedFeatures => DF, HistogramRollup => HR, SketchRollup => SR}
+      import graft.operators.{CmsRollup => CM, DecayedFeatures => DF, HistogramRollup => HR, SketchRollup => SR}
       val sf = "/root/testdata/sf0.001"
       val (lo, hi) = ("2024-02-01 00:00:00", "2024-03-01 00:00:00")
       implicit val sql = spark.sqlContext
@@ -384,6 +384,7 @@ class StreamingSpec extends SparkSpec {
           "value", "props")
         HR.processStreamBatch(spark, sf, batch, id)
         DF.processStreamBatch(spark, sf, batch, id)
+        CM.processStreamBatch(spark, sf, batch, id)
         SR.appendBatch(spark, sf, batch)
       }
       def run(): Unit = {
@@ -436,6 +437,21 @@ class StreamingSpec extends SparkSpec {
         "decayed-feature stream maintenance must land each batch exactly once")
       assert(feats.getLong(1) === 50L * 12L * (1L << 18),
         s"decayed score must be the exact weighted mass, got ${feats.getLong(1)}")
+      // the count-min grid rode the same sink: each of the 50 stream
+      // events landed in exactly Depth counters, exactly once — so a
+      // stream user's point estimate reads its true count (plus any
+      // collision mass, which is ≥ 0 by the one-sided guarantee)
+      val cmsEst = CM.pointEstimates(
+        CM.mergedCountersMaintained(spark, sf, lo, hi),
+        Seq(910005L).toDF("user_id")).head().getLong(1)
+      assert(cmsEst >= 1L,
+        "a streamed key must be visible in the maintained CMS grid")
+      val gridMass = CM.mergedCountersMaintained(spark, sf, lo, hi)
+        .agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+      val baseMass = CM.mergedCounters(spark, sf, lo, hi)
+        .agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+      assert(gridMass === baseMass + 50L * CM.Depth,
+        s"stream batches must add exactly once: $gridMass vs base $baseMass")
     }
   }
 }
