@@ -150,6 +150,67 @@ object MinMaxManifest {
     }
   }
 
+  /** ZERO-COPY SHALLOW CLONE — the lakehouse table feature
+    * (Delta `CREATE TABLE ... SHALLOW CLONE`, public shape): a new
+    * table whose manifest and snapshot log REFERENCE the source's
+    * data files by absolute path, with ZERO data IO — the clone is
+    * O(files) metadata however many terabytes the source holds. From
+    * then on the two tables diverge at FILE granularity: appends to
+    * the clone land in the clone's OWN (initially empty) layout dir
+    * and never touch the source; the source keeps appending into its
+    * dir, invisible to the clone (the clone pinned the file set as of
+    * clone time — it is also a cheap branch/snapshot primitive).
+    * [[healedEntries]] understands the split: shared (external) rows
+    * pass through heals verbatim, owned files keep the full
+    * listing-diff repair.
+    *
+    * Contract (the same caveat Delta documents): shared files belong
+    * to the SOURCE's lifecycle — a source [[compact]]/[[compactSmall]]
+    * or vacuum that rewrites/deletes them breaks every clone.
+    * Compaction on the CLONE is refused while shared files remain
+    * (deep-copy first); quiesce source compaction while clones are
+    * live, or clone from a snapshot-exported layout. The clone's
+    * history restarts at snapshot 0 = the cloned file set. */
+  def cloneTable(s: SparkSession, dir: String, srcTable: String,
+      dstTable: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val slp = layoutPath(dir, srcTable)
+    val dlp = layoutPath(dir, dstTable)
+    require(ready(slp) && ready(manifestPath(dir, srcTable)),
+      s"clone source $slp must be a built manifest layout")
+    require(!ready(dlp), s"clone target $dlp already exists")
+    // durable heal FIRST so the cloned manifest is complete (a torn
+    // source append cloned un-healed would hide rows in the clone)
+    healedEntries(s, dir, srcTable)
+    // the clone's own layout dir: empty but ready — future appends
+    // land here
+    val (fs, dp) = IndexStore.fsOf(dlp)
+    fs.mkdirs(dp)
+    fs.create(new Path(dp, "_SUCCESS"), true).close()
+    s.read.parquet(manifestPath(dir, srcTable))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(manifestPath(dir, dstTable))
+    s.read.parquet(manifestPath(dir, dstTable))
+      .select(lit(0L).as("snap_id"), col("path"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(snapshotsPath(dir, dstTable))
+  }
+
+  /** The shared-file guard for rewrite ops: a shallow clone must be
+    * deep-copied before compaction (rewriting would diverge from —
+    * or, worse, try to rename — files the source owns). */
+  private def requireNoSharedFiles(s: SparkSession, dir: String,
+      table: String, op: String): Unit = {
+    val lpKey = new org.apache.hadoop.fs.Path(layoutPath(dir, table))
+      .toUri.getPath + "/"
+    val ext = s.read.parquet(manifestPath(dir, table)).select("path")
+      .collect().map(r => pathKey(r.getString(0)))
+      .filterNot(_.startsWith(lpKey))
+    require(ext.isEmpty,
+      s"$op on a shallow clone is not supported: ${ext.length} shared " +
+        s"file(s) live outside $lpKey — deep-copy the clone first")
+  }
+
   /** COMPACTION: re-cluster the CURRENT layout contents (base rows
     * plus every appended batch — [[ensure]] must not be used for
     * this: it rebuilds from the source table and would drop appended
@@ -286,6 +347,7 @@ object MinMaxManifest {
     val lp = layoutPath(dir, table)
     val mp = manifestPath(dir, table)
     require(ready(lp) && ready(mp), s"nothing to optimize at $lp")
+    requireNoSharedFiles(s, dir, table, "compactSmall")
     val (fs, lpp) = IndexStore.fsOf(lp)
     val readSet = listParts(lp)
     // heal first (write path — durable repair allowed) so every live
@@ -394,7 +456,16 @@ object MinMaxManifest {
       .map(p => p.toUri.getPath -> p.toString).toMap
     val entries = s.read.parquet(mp)
       .select("path", "min_ts", "max_ts", "rows").collect()
-    val knownKeys = entries.map(r => pathKey(r.getString(0))).toSet
+    // EXTERNAL rows — paths outside this table's own layout dir —
+    // are [[cloneTable]]'s shared files: they belong to the SOURCE
+    // table's lifecycle, are invisible to this dir's listing, and
+    // must pass through every heal verbatim (before clones existed,
+    // an out-of-dir path would have been classed stale and silently
+    // healed AWAY). The listing diff below covers only OWNED files.
+    val lpKeyPrefix = hlp.toUri.getPath + "/"
+    val ownedKnown = entries
+      .filter(r => pathKey(r.getString(0)).startsWith(lpKeyPrefix))
+    val knownKeys = ownedKnown.map(r => pathKey(r.getString(0))).toSet
     val missing = (listedByKey.keySet -- knownKeys).toIndexedSeq.sorted
       .map(listedByKey)
     val stale = knownKeys -- listedByKey.keySet
@@ -402,7 +473,8 @@ object MinMaxManifest {
       entries.map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
     else {
       val keptRows = entries
-        .filter(r => listedByKey.contains(pathKey(r.getString(0))))
+        .filter(r => !pathKey(r.getString(0)).startsWith(lpKeyPrefix) ||
+          listedByKey.contains(pathKey(r.getString(0))))
         .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
       val freshRows =
         if (missing.isEmpty) Array.empty[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
@@ -470,7 +542,14 @@ object MinMaxManifest {
     // advice closed)
     val rowPred = col("ts") >= lit(loTs) && col("ts") < lit(hiTs)
     val df =
-      if (kept.isEmpty) s.read.parquet(layoutPath(dir, table)).where(lit(false))
+      if (kept.isEmpty) {
+        // schema-only read: a fresh shallow clone's own layout dir is
+        // EMPTY (all files shared from the source), so take the
+        // schema from any manifest file instead of the dir
+        val schemaSrc = entries.headOption.map(_._1)
+          .getOrElse(layoutPath(dir, table))
+        s.read.parquet(schemaSrc).where(lit(false))
+      }
       else s.read.parquet(kept.toIndexedSeq: _*).where(rowPred)
     (df, kept.length, entries.length)
   }
@@ -536,7 +615,13 @@ object MinMaxManifest {
     }.map(_._1)
     val rowPred = col("ts") >= lit(loTs) && col("ts") < lit(hiTs)
     val df =
-      if (kept.isEmpty) s.read.parquet(layoutPath(dir, table)).where(lit(false))
+      if (kept.isEmpty) {
+        // schema-only read via the manifest (a shallow clone's own
+        // layout dir can be empty — see [[prunedEvents]])
+        val schemaSrc = entries.headOption.map(_._1)
+          .getOrElse(layoutPath(dir, table))
+        s.read.parquet(schemaSrc).where(lit(false))
+      }
       else s.read.parquet(kept.toIndexedSeq: _*).where(rowPred)
     (df, kept.length, inSnap.size)
   }

@@ -2088,6 +2088,61 @@ object RelationalQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** q50 — ZERO-COPY SHALLOW CLONE
+    * ([[graft.operators.MinMaxManifest.cloneTable]]): the lakehouse
+    * branching primitive (Delta SHALLOW CLONE's public shape) — a new
+    * table whose manifest and snapshot log reference the source's
+    * data files by path, O(files) metadata at ANY source size, zero
+    * data IO. The two tables then diverge at file granularity: the
+    * fixture clones a 19-day layout and appends a 6-day batch to the
+    * CLONE only; the query answers the same windowed aggregate
+    * through BOTH tables. The oracle replays each side from raw
+    * events — a clone that lost a shared file, leaked the append
+    * into the source, or healed away an external reference breaks
+    * the hash. Mechanics (metadata-only clone, source untouched
+    * byte-for-byte, heal keeps shared rows, compaction refusal,
+    * snapshot-0 history) are MinMaxManifestSpec's job. */
+  val q50ShallowClone: GraftQuery = q(
+    "q50_shallow_clone",
+    "zero-copy shallow clone: file-shared table branch, divergent append, both served",
+    """SELECT 'clone' AS tbl, event_type, count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-24 00:00:00'
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'src', event_type, count(*),
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY 2
+      |ORDER BY tbl, event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val M = graft.operators.MinMaxManifest
+    val (src, dst) = ("events_cl_src", "events_cl_dst")
+    val ev = Tables(s, dir, "events")
+    val (t20, t26) = (M.utc("2024-01-20 00:00:00"), M.utc("2024-01-26 00:00:00"))
+    if (!graft.operators.IndexStore.artifactReady(M.layoutPath(dir, src)))
+      M.ensureFrom(s, dir, ev.where($"ts" < lit(t20)), src)
+    if (!graft.operators.IndexStore.artifactReady(M.layoutPath(dir, dst))) {
+      M.cloneTable(s, dir, src, dst)
+      M.appendBatch(s, dir,
+        ev.where($"ts" >= lit(t20) && $"ts" < lit(t26)), table = dst)
+    }
+    val (lo, hi) = ("2024-01-12 00:00:00", "2024-01-24 00:00:00")
+    def agg(tbl: String, table: String) = {
+      val (f, _, _) = M.prunedEvents(s, dir, lo, hi, table)
+      f.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+        .select(lit(tbl).as("tbl"), $"event_type", $"n", $"v_fp")
+    }
+    agg("clone", dst).unionAll(agg("src", src))
+      .orderBy($"tbl", $"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2101,5 +2156,5 @@ object RelationalQueries {
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
-    q48CmsFrequency, q49RoutedTimeseries)
+    q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone)
 }

@@ -455,4 +455,60 @@ class MinMaxManifestSpec extends SparkSpec {
         "post-compaction snapshot 0 is the full compacted contents")
     }
   }
+
+  test("shallow clone: metadata-only, serves the source exactly, diverges on append") {
+    withRoot {
+      import spark.implicits._
+      val M = MinMaxManifest
+      val (src, dst) = ("events_cl_a", "events_cl_b")
+      val ev = graft.Tables(spark, sf, "events")
+      M.ensureFrom(spark, sf, ev, src)
+      M.cloneTable(spark, sf, src, dst)
+      // METADATA-ONLY: the clone's own layout dir holds no data files
+      val dstFiles = new java.io.File(M.layoutPath(sf, dst)).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(dstFiles === 0, "a fresh clone must own zero data files")
+      // the clone serves the source's rows exactly (shared files)
+      val (srcR, _, _) = M.prunedEvents(spark, sf, fullLo, fullHi, src)
+      val (dstR, _, _) = M.prunedEvents(spark, sf, fullLo, fullHi, dst)
+      val srcRows = srcR.collect().map(_.toString).sorted.toSeq
+      assert(dstR.collect().map(_.toString).sorted.toSeq === srcRows,
+        "the clone must serve the shared files row-for-row")
+      // DIVERGENCE: append to the clone only
+      val batch = (0 until 25).map { i =>
+        (400000L + i, java.sql.Timestamp.valueOf(f"2024-02-25 09:00:${i % 60}%02d"),
+          9L, "branch", 3.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val srcListing = new java.io.File(M.layoutPath(sf, src)).listFiles()
+        .map(f => f.getName -> f.length()).sortBy(_._1).toSeq
+      M.appendBatch(spark, sf, batch, table = dst)
+      // the source is untouched byte-for-byte and serves the same rows
+      assert(new java.io.File(M.layoutPath(sf, src)).listFiles()
+        .map(f => f.getName -> f.length()).sortBy(_._1).toSeq === srcListing,
+        "appending to the clone must never touch the source's files")
+      val (srcR2, _, _) = M.prunedEvents(spark, sf, fullLo, fullHi, src)
+      assert(srcR2.collect().map(_.toString).sorted.toSeq === srcRows)
+      // the clone = source + batch, through a heal-exercising read
+      val (dstR2, _, _) = M.prunedEvents(spark, sf, fullLo, fullHi, dst)
+      assert(dstR2.count() === srcRows.size + 25L,
+        "the clone must serve shared files PLUS its own appends")
+      assert(dstR2.where($"event_type" === "branch").count() === 25L)
+      // the clone's history restarted: snapshot 0 = the clone-time
+      // file set (no 'branch' rows), snapshot 1 adds the append
+      val (asOf0, _, _) = M.asOfEvents(spark, sf, 0L, fullLo, fullHi, dst)
+      assert(asOf0.where($"event_type" === "branch").count() === 0L,
+        "clone snapshot 0 must predate the divergent append")
+      assert(asOf0.count() === srcRows.size.toLong)
+      // rewrite ops refuse while shared files remain
+      val e = intercept[IllegalArgumentException] {
+        M.compactSmall(spark, sf, dst)
+      }
+      assert(e.getMessage.contains("shallow clone"),
+        s"compaction on a shallow clone must refuse loudly: ${e.getMessage}")
+      // and clone-target collision refuses
+      intercept[IllegalArgumentException] {
+        M.cloneTable(spark, sf, src, dst)
+      }
+    }
+  }
 }
