@@ -42,9 +42,17 @@ object CandidateBudget {
     * pre-filter to POSITIVE-mass buckets (a zero-mass bucket neither
     * consumes budget nor yields a pair, so dropping it changes
     * nothing) and left_anti on `skippedKeys`, which is only the hot
-    * tail. */
+    * tail.
+    *
+    * `allAdmitted` is the driver-known fast path: when the budget
+    * covered everything, a `keep` semi-join is an IDENTITY and a
+    * `skippedKeys` anti-join is a no-op — consumers branch on the
+    * flag to skip the keep broadcast+join entirely (the anti side
+    * needs no branch: an empty tail is already a local empty
+    * relation the optimizer folds away). At 100 TB the identity
+    * semi-join would broadcast a corpus-bound keyset for nothing. */
   final case class Admission(keep: DataFrame, skippedKeys: DataFrame,
-      skippedMass: DataFrame)
+      skippedMass: DataFrame, allAdmitted: Boolean)
 
   /** Admit buckets of `mass` (key columns ++ a `cand` mass column)
     * cheapest-first within `budget`.
@@ -141,7 +149,7 @@ object CandidateBudget {
     val skippedMass = admitted
       .agg(coalesce(sum(when(col("cum") > budget, col("cand"))), lit(0L))
         .as("skipped_candidates"))
-    Admission(keep, skippedKeys, skippedMass)
+    Admission(keep, skippedKeys, skippedMass, skippedCount == 0L)
   }
 
   /** Key rows are a few tens of bytes; 4M rows ≈ tens of MB — inside

@@ -442,7 +442,7 @@ object DedupQueries {
       .withColumn("cand", $"m_e" * $"m_p")
     val budget = BudgetPerDoc * docs.count()
     val adm = graft.operators.CandidateBudget.admit(mass, keys, budget)
-    val (keep, skipped) = (adm.keep, adm.skippedMass)
+    val skipped = adm.skippedMass
     // the candidate join is corpus × probe-fan-out sized on BOTH
     // sides — it must never be planned as a STATIC broadcast. The
     // admission cache gives `keep` precise tiny statistics, and the
@@ -452,8 +452,13 @@ object DedupQueries {
     // trap). The merge hint pins the STATIC plan to the scale-safe
     // shuffle join; AQE still converts it to a broadcast at runtime
     // when the ACTUAL shuffled size is small — exactly the safe
-    // direction.
-    val cands = exact.join(broadcast(keep), keys, "left_semi").as("a")
+    // direction. When the budget covered EVERY bucket the semi-join
+    // is an identity — admit() knows (allAdmitted) and the prune is
+    // skipped outright, not broadcast for nothing.
+    val prunedExact =
+      if (adm.allAdmitted) exact
+      else exact.join(broadcast(adm.keep), keys, "left_semi")
+    val cands = prunedExact.as("a")
       .join(probes.as("b").hint("merge"), keys)
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
