@@ -220,4 +220,68 @@ object SnapshotMerge {
         when(col("_change_type").isin("insert", "update_postimage"),
           col("__b_" + c)).otherwise(col("__a_" + c)).as(c)): _*)
   }
+
+  /** MERGE INTO — the multi-clause reconciliation every lakehouse SQL
+    * front end ships (Delta/Iceberg MERGE, SQL:2003 MERGE — public
+    * shapes), and the operation that replaces the reference's daily
+    * full rebuild (`TransformTaxiTrips.py` re-aggregates the WHOLE
+    * history every day) with O(source) work:
+    *
+    *   MERGE INTO base USING source ON base.key = source.key
+    *     WHEN MATCHED AND deleteWhen       THEN DELETE
+    *     WHEN MATCHED                      THEN UPDATE SET updates
+    *     WHEN NOT MATCHED [AND insertWhen] THEN INSERT *
+    *
+    * Shape: ONE full-outer join on the key (the d16 lesson applied
+    * at birth — never a join per clause) and a row-wise resolution;
+    * shuffle mass = |base keys| + |source keys|, and with a
+    * partitioned base the [[pruneToTouchedPartitions]] composition
+    * bounds even that to delta-adjacent partitions. Condition and
+    * update expressions see BOTH sides: base columns under their own
+    * names, source columns as `__s_<name>`. The output has exactly
+    * the base schema.
+    *
+    * The SQL MERGE cardinality rule is ENFORCED, not assumed: a
+    * source key matching one base row more than once is
+    * nondeterministic in every engine (which update wins?), so
+    * duplicate source keys fail loudly up front (one O(source)
+    * aggregate — the source is the small side by design). Keys must
+    * be non-null (a null key never equi-matches; the same contract
+    * as [[latestWins]]). */
+  def mergeInto(base: DataFrame, source: DataFrame, key: String,
+      deleteWhen: Option[Column] = None,
+      updates: Map[String, Column] = Map.empty,
+      insertWhen: Option[Column] = None): DataFrame = {
+    require(base.columns.contains(key) && source.columns.contains(key),
+      s"merge key $key must exist on both sides")
+    require(!updates.contains(key),
+      "MERGE may not update the key itself (delete + insert instead)")
+    val dup = source.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).limit(1).count()
+    require(dup == 0L,
+      s"MERGE source has duplicate $key values — the SQL MERGE " +
+        "cardinality rule: each source key may match at most once")
+    val sCols = source.columns.filterNot(_ == key).toSeq
+    val srcP = source.select(col(key).as("__s_" + key) +:
+      sCols.map(c => col(c).as("__s_" + c)): _*)
+    val j = base.join(srcP, base(key) === col("__s_" + key), "full")
+    val inB = base(key).isNotNull
+    val inS = col("__s_" + key).isNotNull
+    val deleted = deleteWhen.getOrElse(lit(false))
+    val inserted = insertWhen.getOrElse(lit(true))
+    val keepRow = (inB && !inS) ||
+      (inB && inS && !coalesce(deleted, lit(false))) ||
+      (!inB && inS && coalesce(inserted, lit(false)))
+    val outCols = base.columns.toSeq.map { c =>
+      val fromSource =
+        if (c == key) col("__s_" + key)
+        else if (sCols.contains(c)) col("__s_" + c)
+        else lit(null).cast(base.schema(c).dataType)
+      when(inB && inS, updates.getOrElse(c, base(c)))
+        .when(inB && !inS, base(c))
+        .otherwise(fromSource)
+        .as(c)
+    }
+    j.where(keepRow).select(outCols: _*)
+  }
 }

@@ -1558,10 +1558,72 @@ object DedupQueries {
       .orderBy($"from_v", $"change_type", $"doc_id")
   }
 
+  /** d17 — MERGE INTO ([[graft.operators.SnapshotMerge.mergeInto]]):
+    * the multi-clause reconciliation (SQL:2003 / Delta / Iceberg
+    * MERGE) that replaces the reference's daily full-history rebuild
+    * (`TransformTaxiTrips.py` re-aggregates everything every day)
+    * with O(source) work. Base = events before Jan 15; source = the
+    * Jan 10–20 slice with values re-priced (+10): matched 'error'
+    * rows DELETE, other matched rows UPDATE value/props from the
+    * source, unmatched source rows INSERT. ONE full-outer key join
+    * (spec-pinned — never a join per clause), duplicate source keys
+    * refused loudly (the MERGE cardinality rule, spec-pinned). The
+    * oracle replays all three clauses from raw events; the gate
+    * aggregates the merged table per event_type with an id checksum,
+    * so a lost delete, a double insert, or an unapplied update
+    * breaks the hash. */
+  val d17MergeInto: GraftQuery = q(
+    "d17_merge_into",
+    "MERGE INTO: one-join multi-clause upsert (update + delete + insert), oracle-replayed",
+    Some("""WITH base AS (
+      |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+      |src AS (
+      |  SELECT event_id, ts, user_id, event_type, value + 10 AS value, props
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-20 00:00:00'),
+      |kept_base AS (
+      |  SELECT b.* FROM base b LEFT JOIN src s ON b.event_id = s.event_id
+      |  WHERE s.event_id IS NULL),
+      |updated AS (
+      |  SELECT b.event_id, b.ts, b.user_id, b.event_type, s.value, s.props
+      |  FROM base b JOIN src s ON b.event_id = s.event_id
+      |  WHERE NOT (s.event_type = 'error')),
+      |inserted AS (
+      |  SELECT s.* FROM src s LEFT JOIN base b ON s.event_id = b.event_id
+      |  WHERE b.event_id IS NULL),
+      |merged AS (
+      |  SELECT * FROM kept_base
+      |  UNION ALL SELECT * FROM updated
+      |  UNION ALL SELECT * FROM inserted)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp,
+      |       CAST(sum(event_id % 9973) AS BIGINT) AS id_chk
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val M = graft.operators.MinMaxManifest
+    val ev = Tables(s, dir, "events")
+    val base = ev.where($"ts" < lit(M.utc("2024-01-15 00:00:00")))
+    val source = ev
+      .where($"ts" >= lit(M.utc("2024-01-10 00:00:00")) &&
+        $"ts" < lit(M.utc("2024-01-20 00:00:00")))
+      .withColumn("value", $"value" + 10)
+    val merged = graft.operators.SnapshotMerge.mergeInto(
+      base, source, "event_id",
+      deleteWhen = Some(col("__s_event_type") === "error"),
+      updates = Map("value" -> col("__s_value"), "props" -> col("__s_props")))
+    merged.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value").cast("long")).as("v_fp"),
+        sum($"event_id" % 9973).as("id_chk"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
     d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
     d08SnapshotUpsert, d09IncrementalRollup, d10SemanticDedup,
     d11DistinctIvm, d12PrefixSetSim, d13SubstringSpans, d14Scd2History,
-    d15HistogramCdc, d16ChangeFeed)
+    d15HistogramCdc, d16ChangeFeed, d17MergeInto)
 }

@@ -178,4 +178,52 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(applied === stateAt(4L),
       "feed application must reconstruct the to-state exactly")
   }
+
+  test("mergeInto: update + delete + insert clauses resolve in one join") {
+    val base = Seq(
+      (1L, "a", 10.0),   // matched, updated
+      (2L, "err", 20.0), // matched, deleted (deleteWhen on source tag)
+      (3L, "c", 30.0),   // untouched
+      (4L, "d", 40.0))   // untouched
+      .toDF("k", "tag", "v")
+    val source = Seq(
+      (1L, "a", 11.0),
+      (2L, "err", 21.0),
+      (5L, "e", 50.0),   // inserted
+      (6L, "skip", 60.0)) // insert filtered out by insertWhen
+      .toDF("k", "tag", "v")
+    val merged = SnapshotMerge.mergeInto(base, source, "k",
+      deleteWhen = Some(col("__s_tag") === "err"),
+      updates = Map("v" -> col("__s_v")),
+      insertWhen = Some(col("__s_tag") =!= "skip"))
+    val out = merged.orderBy($"k").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", 11.0),   // updated v, tag kept from base
+      (3L, "c", 30.0),
+      (4L, "d", 40.0),
+      (5L, "e", 50.0)),
+      s"merge clauses must resolve exactly: $out")
+    // ONE join in the whole plan — never a join per clause (the d16
+    // lesson applied at birth)
+    val joins = merged.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins === 1, s"MERGE must plan exactly one join, found $joins")
+  }
+
+  test("mergeInto: duplicate source keys are refused loudly (the MERGE cardinality rule)") {
+    val base = Seq((1L, "a", 1.0)).toDF("k", "tag", "v")
+    val source = Seq((1L, "x", 2.0), (1L, "y", 3.0)).toDF("k", "tag", "v")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.mergeInto(base, source, "k",
+        updates = Map("v" -> col("__s_v")))
+    }
+    assert(e.getMessage.contains("cardinality"),
+      s"duplicate source keys must fail loudly: ${e.getMessage}")
+    // and updating the key itself is refused
+    intercept[IllegalArgumentException] {
+      SnapshotMerge.mergeInto(base, Seq((1L, "a", 1.0)).toDF("k", "tag", "v"),
+        "k", updates = Map("k" -> lit(9L)))
+    }
+  }
 }
