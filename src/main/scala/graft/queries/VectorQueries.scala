@@ -272,7 +272,8 @@ object VectorQueries {
     * one for its oracle CTE prefix (ending in `cands`) — a change to
     * the quantizer applies to both consumers and both engines. */
   private[queries] def ivfCandidates(s: SparkSession, dir: String,
-      trainedPivots: Boolean = true): DataFrame = {
+      trainedPivots: Boolean = true,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps
     val ev = emb(s, dir).select($"vec_id", $"v").as[(Long, Array[Double])]
@@ -318,7 +319,16 @@ object VectorQueries {
       else ev.map { case (id, v) =>
         (id, VectorOps.nearest2Pivots(v, bc.value)._1.toLong, v)
       }.toDF("vec_id", "bucket", "v")
-    assigned.join(broadcast(probes), Seq("bucket"))
+    // FILTERED SEARCH (v21): the metadata predicate lands BETWEEN the
+    // partition-pruned artifact read and the cosine — scoring cost is
+    // ∝ |allowed ∩ probed cells|, never |probed cells| (the
+    // post-filter would score everything and then discard; the
+    // vector-DB payload-filter shape, composed from a semi-join since
+    // the index stores no payloads)
+    val admitted = allowed
+      .map(a => assigned.join(a, Seq("vec_id"), "left_semi"))
+      .getOrElse(assigned)
+    admitted.join(broadcast(probes), Seq("bucket"))
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", cosine6($"v", $"qv").as("sim"))
       .dropDuplicates("query_id", "vec_id")
@@ -1571,10 +1581,51 @@ object VectorQueries {
     pqAdcTopK(s, dir, tombstoned = true)
   }
 
+  /** v21 — FILTERED ANN SERVED BY THE IVF INDEX: the leg v06's
+    * scaladoc promises ("at 100 TB with IVF, becomes filter-aware
+    * probing") — the metadata predicate (documents.lang = 'en', the
+    * same retrieval-pipeline filter as v06) lands BETWEEN the
+    * partition-pruned artifact read and the cosine, so scoring cost
+    * is ∝ |allowed ∩ probed cells| and the corpus cost stays
+    * ≈ nprobe/B of the index files. This is the vector-DB
+    * payload-filter shape (Qdrant/Milvus filtered search — public
+    * designs), composed from a semi-join because the index stores no
+    * payloads. Pre-filter semantics: k is filled from ALLOWED
+    * candidates only (a post-filter would under-fill k when the
+    * predicate is selective); ranks among allowed candidates are
+    * unchanged by filter placement, so the oracle replays the v04
+    * candidate CTEs with the predicate joined in. */
+  val v21FilteredIvf: GraftQuery = q(
+    "v21_filtered_ivf_ann",
+    "D4 filtered ANN on the IVF index: metadata predicate between the pruned scan and the cosine",
+    Some(s"""WITH $ivfCandidateCtes,
+      |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      |fc AS (SELECT c.* FROM cands c JOIN en ON c.vec_id = en.doc_id),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM fc)
+      |SELECT query_id, rnk, vec_id AS neighbor_id, sim
+      |FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    val allowed = Tables(s, dir, "documents").where($"lang" === "en")
+      .select($"doc_id".as("vec_id"))
+    val cands = ivfCandidates(s, dir, allowed = Some(allowed))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    cands.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     v01KnnBruteForce, v02NormStats, v03CentroidSim, v04IvfAnn,
     v05QuantizedKnn, v06FilteredKnn, v07KmeansCluster, v08MmrRerank,
     v09RadiusSearch, v10PqAdcKnn, v11HardNegatives, v12IvfAdcKnn,
     v13RecallEval, v14ChunkMaxSim, v15IvfChunkMaxSim, v16HammingAnn,
-    v17AnnDeletes, v18IvfAdcDeletes, v19HammingDeletes, v20PqDeletes)
+    v17AnnDeletes, v18IvfAdcDeletes, v19HammingDeletes, v20PqDeletes,
+    v21FilteredIvf)
 }

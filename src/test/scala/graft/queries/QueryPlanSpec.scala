@@ -236,6 +236,23 @@ class QueryPlanSpec extends SparkSpec {
       s"candidate generation must stay a broadcast equi-join on bucket:\n$p")
   }
 
+  test("v21 filtered ANN: pruned scan kept, predicate filters before scoring, k filled from allowed only") {
+    // the filter-aware probing leg: the metadata semi-join must not
+    // cost the partition pruning, and every served neighbor satisfies
+    // the predicate (pre-filter semantics — k is filled from ALLOWED
+    // candidates, never under-filled by a post-filter discard)
+    val p = plan("v21_filtered_ivf_ann")
+    assert(p.contains("PartitionFilters: [cell1#") && p.contains(" IN ("),
+      s"the filtered path must keep the probed-cell partition filter:\n$p")
+    val rows = QueryRegistry.asMap("v21_filtered_ivf_ann")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val en = graft.Tables(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(en.contains(r.getLong(2)),
+      s"neighbor ${r.getLong(2)} must satisfy the metadata predicate"))
+  }
+
   test("c12 warm hybrid: both legs read persisted indexes, never the documents table") {
     // run once so the artifacts exist, then inspect the warm plan
     QueryRegistry.asMap("c12_indexed_hybrid_rrf")(spark, sf).collect()
