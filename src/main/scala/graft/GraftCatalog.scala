@@ -49,5 +49,25 @@ object GraftCatalog {
     operators.MinMaxManifest.ensure(spark, sfDir)
     spark.read.parquet(operators.MinMaxManifest.manifestPath(sfDir))
       .createOrReplaceTempView("file_stats")
+    // the round-10 layers: summable daily partials, KMV identity
+    // sketches, decayed-feature partials, count-min grids
+    operators.AggRollup.ensure(spark, sfDir)
+    spark.read.parquet(operators.AggRollup.aggPath(sfDir))
+      .createOrReplaceTempView("agg_daily")
+    operators.KmvRollup.ensure(spark, sfDir)
+    spark.read.parquet(operators.KmvRollup.sketchPath(sfDir))
+      .createOrReplaceTempView("kmv_daily")
+    operators.DecayedFeatures.ensure(spark, sfDir)
+    spark.read.parquet(operators.DecayedFeatures.dailyPath(sfDir))
+      .createOrReplaceTempView("feat_daily")
+    operators.CmsRollup.ensure(spark, sfDir)
+    spark.read.parquet(operators.CmsRollup.cmsPath(sfDir))
+      .createOrReplaceTempView("cms_daily")
+    // and the optimizer rewrite on top: a dashboard writing the PLAIN
+    // raw aggregate over `events` (count / sum(floor(value)) /
+    // day-grain timeseries over a day-aligned window) is served
+    // scan-free by hist_daily/agg_daily — exactness-preserving, so
+    // leaving it enabled is safe for every other SQL statement
+    plans.RollupRouting.enable(spark)
   }
 }

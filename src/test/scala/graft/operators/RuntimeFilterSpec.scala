@@ -66,6 +66,37 @@ class RuntimeFilterSpec extends SparkSpec {
         "histogram counts must cover the whole table")
       val files = spark.sql("SELECT count(*) FROM file_stats").head().getLong(0)
       assert(files > 0)
+      // the round-10 layers answer through plain SQL too
+      val vfp = spark.sql("SELECT sum(cnt) FROM agg_daily").head().getLong(0)
+      assert(vfp === graft.Tables(spark, sf, "events").count(),
+        "agg_daily counts must cover the whole table")
+      val kmv = spark.sql(
+        "SELECT count(*) FROM kmv_daily").head().getLong(0)
+      assert(kmv > 0)
+      val cms = spark.sql("SELECT sum(c) FROM cms_daily").head().getLong(0)
+      assert(cms === graft.Tables(spark, sf, "events").count() *
+        graft.operators.CmsRollup.Depth,
+        "cms grid mass must be Depth counters per event")
+      // and a dashboard's PLAIN raw aggregate over the events view is
+      // served scan-free by the enabled routing rule
+      graft.GraftCatalog.registerAll(spark, sf)
+      val routed = spark.sql("""
+        SELECT event_type, count(*) AS n FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-18 00:00:00'
+        GROUP BY event_type""")
+      val paths = routed.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+      assert(paths.exists(_.contains("hist_daily")) &&
+        !paths.exists(_.contains("events.parquet")),
+        s"the SQL dashboard aggregate must route to the rollup: $paths")
+      graft.plans.RollupRouting.disableForTest(spark)
     }
   }
 
