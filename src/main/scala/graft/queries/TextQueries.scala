@@ -1056,10 +1056,69 @@ object TextQueries {
       .orderBy($"rnk")
   }
 
+  /** t19 — HASHED-FEATURE LINEAR CLASSIFIER INFERENCE: the
+    * model-based quality filter every LLM data pipeline runs (CCNet's
+    * fastText language/quality classifiers, DSIR's importance models —
+    * public designs) re-expressed as pure relational inference: bag of
+    * hashed token features (the hashing trick, dim 4096) joined
+    * against a BROADCAST weight table, logits summed per doc — one
+    * explode + one broadcast join + one hash aggregate; no UDF, no
+    * array columns in any shuffle, text never leaves the map side.
+    * The weight table here is a deterministic fixture (w(idx) =
+    * (idx·2654435761) mod 2001 − 1000 — a stand-in the scaladoc
+    * declares; a real deployment loads trained weights into the same
+    * broadcast join), and the logit is an INTEGER sum so both engines
+    * replay it exactly — the oracle recomputes features, weights, and
+    * per-doc logits from raw text. At 100 TB: weights are kilobytes
+    * broadcast everywhere, inference cost is one corpus scan. */
+  val t19QualityClassifier: GraftQuery = q(
+    "t19_quality_classifier",
+    "D5 hashed-feature linear classifier inference: broadcast weights, integer logits",
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |         ${graft.functions.DetHash.hash60Sql("tok", "qlr")} % 4096 AS idx
+      |  FROM toks),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |         CAST(sum((idx * 2654435761) % 2001 - 1000) AS BIGINT) AS logit_fp
+      |  FROM f GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN logit_fp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_pass,
+      |       CAST(sum(logit_fp) AS BIGINT) AS logit_mass,
+      |       CAST(max(logit_fp) AS BIGINT) AS max_logit
+      |FROM sc GROUP BY 1 ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    // the "model": 4096 weights as a broadcast dim — the serving
+    // shape; swap the range-generated fixture for loaded weights and
+    // nothing else changes
+    val weights = s.range(4096).select($"id".as("idx"),
+      (($"id" * 2654435761L) % 2001L - 1000L).as("w"))
+    val feats = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      .select($"doc_id", $"lang",
+        pmod(graft.functions.DetHash.hash60($"tok", "qlr"), lit(4096L))
+          .as("idx"))
+    val logits = feats.join(broadcast(weights), Seq("idx"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"w").as("logit_fp"))
+    logits.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"logit_fp" > 0, 1L).otherwise(0L)).as("n_pass"),
+        sum($"logit_fp").as("logit_mass"),
+        max($"logit_fp").as("max_logit"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05JaccardPairs, t06BpeTokens, t07Winnowing, t08TokenPercentiles,
     t09VocabTopK, t10TfIdf, t11Contamination, t12DocChunks, t13PiiScrub,
     t14BigramLm, t15RepetitionFilter, t16ZipfFit, t17BoilerplateRemoval,
-    t18Bm25Search)
+    t18Bm25Search, t19QualityClassifier)
 }

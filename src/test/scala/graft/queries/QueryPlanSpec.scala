@@ -429,6 +429,21 @@ class QueryPlanSpec extends SparkSpec {
       s"only the per-source aggregate may shuffle, found $hashExchanges:\n$p")
   }
 
+  test("t19: classifier inference broadcasts the weights; text never shuffles") {
+    // the hashing-trick inference shape: the 4096-row model rides a
+    // broadcast, the only hash exchanges carry (doc, lang) aggregate
+    // rows — raw text stays map-side
+    val p = plan("t19_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight table must broadcast into the feature join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"inference must never shuffle-join the corpus against the model:\n$p")
+    val shuffled = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text#"),
+      s"raw text must never transit a shuffle:\n$shuffled")
+  }
+
   test("v09 radius search: every hit is a true hit; recall vs exact is reported") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
