@@ -268,6 +268,50 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("property sweep: every matched shape equals its unrouted answer across many windows") {
+    withIndexRoot("graft-route-sweep") {
+      graft.operators.HistogramRollup.ensure(spark, sf)
+      graft.operators.AggRollup.ensure(spark, sf)
+      val ev = graft.Tables(spark, sf, "events")
+      // day-aligned and non-aligned windows, in and out of the data
+      // range, empty windows included
+      val windows = Seq(
+        ("2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+        ("2024-01-05 00:00:00", "2024-01-06 00:00:00"),
+        ("2024-01-08 00:00:00", "2024-01-18 00:00:00"),
+        ("2024-01-15 00:00:00", "2024-02-15 00:00:00"),
+        ("2023-12-01 00:00:00", "2024-01-01 00:00:00"),
+        ("2025-01-01 00:00:00", "2025-02-01 00:00:00"),
+        ("2024-01-08 06:00:00", "2024-01-18 00:00:00"),
+        ("2024-01-08 00:00:00", "2024-01-17 18:00:00"))
+      def shapes(lo: String, hi: String) = Seq(
+        ev.where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .groupBy($"event_type").agg(count(lit(1)).as("n")),
+        ev.where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .groupBy($"event_type")
+          .agg(sum(floor($"value")).as("v_fp")),
+        ev.where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp")),
+        ev.where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+          .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp")))
+      // ground truth for all 32 variants BEFORE enabling routing
+      val expected = windows.flatMap { case (lo, hi) =>
+        shapes(lo, hi).map(_.collect().map(_.toString).sorted.toSeq)
+      }
+      RollupRouting.enable(spark)
+      try {
+        val got = windows.flatMap { case (lo, hi) =>
+          shapes(lo, hi).map(_.collect().map(_.toString).sorted.toSeq)
+        }
+        expected.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+          assert(g === e, s"variant $i diverged under routing")
+        }
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
   test("a missing rollup artifact leaves the plan untouched") {
     withIndexRoot("graft-route-absent") {
       RollupRouting.enable(spark)
