@@ -357,6 +357,60 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length === 8)
   }
 
+  test("temporal as-of enrich: events join the dim version valid at EVENT time, stream ≡ batch") {
+    implicit val sql = spark.sqlContext
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val noEnd = null.asInstanceOf[java.sql.Timestamp]
+    val dim = Seq(
+      (7L, t("2024-01-01 00:00:00"), t("2024-01-10 00:00:00"), "v1"),
+      (7L, t("2024-01-10 00:00:00"), noEnd, "v2"),
+      (8L, t("2024-01-05 00:00:00"), noEnd, "w1"))
+      .toDF("area_id", "valid_from", "valid_to", "area_name")
+    val events = Seq(
+      (1L, 7L, t("2024-01-05 12:00:00")), // inside v1
+      (2L, 7L, t("2024-01-10 00:00:00")), // boundary -> v2 (half-open)
+      (3L, 7L, t("2024-02-01 00:00:00")), // open-ended v2
+      (4L, 8L, t("2024-01-04 00:00:00")), // before the key existed
+      (5L, 9L, t("2024-01-05 00:00:00"))) // unknown key
+      .toDF("event_id", "area_id", "ts")
+    val batchOut = TemporalEnrich.enrich(events, "ts", dim, "area_id")
+    assert(batchOut.count() === 5,
+      "each event must match at most one version (SCD2 invariant)")
+    val byId = batchOut.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(byId === Map(1L -> Some("v1"), 2L -> Some("v2"),
+      3L -> Some("v2"), 4L -> None, 5L -> None),
+      s"event-time versioning diverged: $byId")
+    // scale pin: equi key keeps it a broadcast HASH join with a range
+    // residual — never a nested loop over the batch
+    val p = batchOut.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"temporal enrich must plan a broadcast hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the equi key must prevent a nested-loop plan:\n$p")
+    // the STREAMING face: the same kernel over a MemoryStream — the
+    // stream-static join re-plans per micro-batch, rows identical to
+    // the batch kernel (the P1 ≡ P2 parity rule on enrichment)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = TemporalEnrich.enrich(
+      mem.toDF().toDF("event_id", "area_id", "ts"), "ts", dim, "area_id")
+      .writeStream.format("memory").queryName("temporal_t")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 7L, t("2024-01-05 12:00:00")),
+        (2L, 7L, t("2024-01-10 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((3L, 7L, t("2024-02-01 00:00:00")),
+        (4L, 8L, t("2024-01-04 00:00:00")),
+        (5L, 9L, t("2024-01-05 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("temporal_t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batchOut.collect().map(_.toString).sorted.toSeq,
+      "stream enrichment must equal the batch kernel row-for-row")
+  }
+
   test("streaming rollup maintenance: replayed batches never double-count bins") {
     // the r7 verdict's ask: the histogram/sketch append legs existed
     // but the foreachBatch exactly-once contract was asserted
