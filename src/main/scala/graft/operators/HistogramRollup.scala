@@ -220,6 +220,60 @@ object HistogramRollup {
     }
   }
 
+  /** DISTRIBUTION-DRIFT MONITOR — the second question the daily
+    * histogram answers scan-free (percentiles are q36's): did the
+    * value distribution SHIFT between two day windows? The standard
+    * monitoring statistic here is total variation distance,
+    * TVD = ½ Σ_bins |ca/na − cb/nb| (PSI's bounded, bin-zero-safe
+    * sibling — PSI's log term blows up on empty bins; TVD is exact
+    * integer arithmetic), and it is computable ENTIRELY from the
+    * rollup because both windows' bin counts sum-merge from the
+    * per-day bins: one kilobyte-sized read however big the corpus.
+    *
+    * INTEGER-EXACT END-TO-END (the q36 discipline): cross-multiplied
+    * numerator tvd_num = Σ |ca·nb − cb·na| (so TVD = tvd_num /
+    * (2·na·nb), never a per-bin float ratio), reported with
+    * tvd_ppm = (500000·tvd_num) DIV (na·nb) — floor semantics in
+    * both engines, no rounding tie to break, so the DuckDB oracle
+    * replays the FULL statistic from raw rows. Invariants the spec
+    * pins: identical windows → 0; disjoint-support windows →
+    * exactly 1000000 (tvd_num = 2·na·nb).
+    *
+    * Headroom: BIGINT-exact while na·nb ≤ (2⁶³−1)/10⁶ ≈ 9.2e12 —
+    * window masses to ~3M rows per group side, comfortably past the
+    * gate SFs and their 100× replicas. Beyond that, widen the three
+    * cross-products to DECIMAL(38,0) (holds na,nb to ~1e16); the
+    * rollup read itself is scale-free either way. An EMPTY window
+    * (na·nb = 0) yields NULL ppm under Spark's non-ANSI DIV — the
+    * caller picks windows that exist. */
+  def drift(s: SparkSession, dir: String, aLo: String, aHi: String,
+      bLo: String, bHi: String): DataFrame = {
+    ensure(s, dir)
+    def win(lo: String, hi: String) =
+      col("day") >= lit(MinMaxManifest.utc(lo)) &&
+        col("day") < lit(MinMaxManifest.utc(hi))
+    val inA = win(aLo, aHi)
+    val inB = win(bLo, bHi)
+    // ONE rollup read: per-(group, bin) window masses via conditional
+    // sums (a day in both windows — callers may overlap — counts in
+    // both), bins outside both windows pruned at the scan
+    val bins = s.read.parquet(histPath(dir))
+      .where(inA || inB)
+      .groupBy("event_type", "bin")
+      .agg(sum(when(inA, col("cnt")).otherwise(0L)).as("ca"),
+        sum(when(inB, col("cnt")).otherwise(0L)).as("cb"))
+    val totals = bins.groupBy("event_type")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    // group-cardinality totals broadcast back over the ≤(NumBins+1)-
+    // per-group bin frame; the whole job is rollup-row-sized
+    bins.join(broadcast(totals), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("na").as("na"), max("nb").as("nb"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+          .as("tvd_num"))
+      .withColumn("tvd_ppm", expr("(500000L * tvd_num) DIV (na * nb)"))
+  }
+
   /** Per-bin width scaled to 1e4: 5.0 → 50000. The whole percentile
     * estimate is emitted at this scale as a BIGINT so NO float op
     * (and no engine-dependent rounding tie-break) ever touches the

@@ -1620,10 +1620,47 @@ object DedupQueries {
       .orderBy($"event_type")
   }
 
+  /** d18 — EDIT-DISTANCE SIMILARITY JOIN
+    * ([[graft.operators.EditDistanceJoin]]): record linkage over a
+    * short key field — all customer-name pairs within Levenshtein
+    * distance 1, found via FastSS deletion-neighborhood blocking
+    * (provably lossless at threshold 1 — see the operator scaladoc)
+    * and exact-verified with Spark's thresholded levenshtein. The
+    * family the set-shaped dedup signatures (d01/d02, t05) cannot
+    * express: a single-character typo perturbs every overlapping
+    * gram but is edit distance 1. The oracle replays the identical
+    * deletion neighborhood CTE-for-CTE in DuckDB (both engines ship
+    * `levenshtein`), so the gate pins blocking AND verify; the spec
+    * additionally pins losslessness against the all-pairs brute
+    * force and the plan against cartesian shapes. */
+  val d18EditDistanceJoin: GraftQuery = q(
+    "d18_edit_distance_join",
+    "edit-distance join: FastSS deletion-neighborhood blocking + thresholded levenshtein verify",
+    Some("""WITH c AS (SELECT c_custkey AS k, c_name AS nm FROM customer),
+      |del AS (
+      |  SELECT k, nm, unnest(generate_series(1, length(nm))) AS i FROM c),
+      |v AS (
+      |  SELECT k, nm, nm AS v FROM c
+      |  UNION ALL
+      |  SELECT k, nm, substr(nm, 1, i - 1) || substr(nm, i + 1) AS v FROM del),
+      |cand AS (
+      |  SELECT DISTINCT a.k AS a_key, b.k AS b_key, a.nm AS anm, b.nm AS bnm
+      |  FROM v a JOIN v b ON a.v = b.v AND a.k < b.k)
+      |SELECT a_key, b_key, CAST(levenshtein(anm, bnm) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(anm, bnm) <= 1
+      |ORDER BY a_key, b_key""".stripMargin)
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.EditDistanceJoin
+      .pairs(Tables(s, dir, "customer"), "c_custkey", "c_name")
+      .select($"a_key", $"b_key", $"dist")
+      .orderBy($"a_key", $"b_key")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01MinHashLsh, d02SimHash, d03EmbeddingNearDup, d04DedupClusters,
     d05IncrementalDedup, d06ShardedSimHash, d07KeeperSelect,
     d08SnapshotUpsert, d09IncrementalRollup, d10SemanticDedup,
     d11DistinctIvm, d12PrefixSetSim, d13SubstringSpans, d14Scd2History,
-    d15HistogramCdc, d16ChangeFeed, d17MergeInto)
+    d15HistogramCdc, d16ChangeFeed, d17MergeInto, d18EditDistanceJoin)
 }

@@ -2143,6 +2143,60 @@ object RelationalQueries {
       .orderBy($"tbl", $"event_type")
   }
 
+  /** q51 — DISTRIBUTION DRIFT MONITOR
+    * ([[graft.operators.HistogramRollup.drift]]): the histogram
+    * rollup's second serving surface. Data drift between a reference
+    * window and a current window — per event_type, total variation
+    * distance between the two value distributions — is THE
+    * monitoring question a training-data pipeline asks before every
+    * ingest promotion (is this week's crawl shaped like last
+    * week's?), and it decomposes over the SAME per-(day, group, bin)
+    * table q36's percentiles read: both windows' bin vectors
+    * sum-merge from daily cells, so the statistic costs one
+    * kilobyte-sized rollup read at any corpus size (scan-free,
+    * plan-pinned in HistogramRollupSpec — events.parquet is never
+    * touched after ensure()). Integer-exact end-to-end (cross-
+    * multiplied TVD numerator, floor-DIV ppm — no float ratio, no
+    * rounding tie), so the oracle replays the full statistic from
+    * raw rows with conditional-filter aggregation. Windows here:
+    * Jan 1–11 (reference) vs Jan 11–21 (current). */
+  val q51HistogramDrift: GraftQuery = q(
+    "q51_histogram_drift",
+    "drift monitor: integer-exact TVD between two day windows, served from the histogram rollup",
+    """WITH b AS (
+      |  SELECT event_type,
+      |         greatest(CAST(0 AS BIGINT),
+      |                  least(CAST(floor(value / 5.0) AS BIGINT), 100)) AS bin,
+      |         CAST(count(*) FILTER (ts <  TIMESTAMP '2024-01-11 00:00:00')
+      |              AS BIGINT) AS ca,
+      |         CAST(count(*) FILTER (ts >= TIMESTAMP '2024-01-11 00:00:00')
+      |              AS BIGINT) AS cb
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, bin, ca, cb,
+      |         sum(ca) OVER (PARTITION BY event_type) AS na,
+      |         sum(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM b)
+      |SELECT event_type,
+      |       CAST(max(na) AS BIGINT) AS na,
+      |       CAST(max(nb) AS BIGINT) AS nb,
+      |       CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) AS tvd_num,
+      |       CAST((500000 * sum(abs(ca * nb - cb * na)))
+      |            // (max(na) * max(nb)) AS BIGINT) AS tvd_ppm
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.HistogramRollup
+      .drift(s, dir,
+        "2024-01-01 00:00:00", "2024-01-11 00:00:00",
+        "2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      .select($"event_type", $"na", $"nb", $"tvd_num", $"tvd_ppm")
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2156,5 +2210,6 @@ object RelationalQueries {
     q38WriteAuditPublish, q39PartitionEvolution, q40GovernedView,
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
-    q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone)
+    q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
+    q51HistogramDrift)
 }

@@ -190,4 +190,77 @@ class HistogramRollupSpec extends SparkSpec {
       assert(t.where(col("bin") < 0 || col("bin") > HR.NumBins).count() === 0L)
     }
   }
+
+  // ---- drift (TVD) ----
+
+  private val (midW, hiW) = ("2024-01-15 00:00:00", "2024-01-25 00:00:00")
+
+  test("drift TVD equals the BigInt-exact recompute from raw rows") {
+    withIndexRoot("graft-drift-spec") {
+      val got = HR.drift(spark, sf, lo, midW, midW, hiW)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // reference: bin raw rows in Scala, exact rational arithmetic
+      val raw = graft.Tables(spark, sf, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+        .where(col("ts") >= lit(MinMaxManifest.utc(lo)) &&
+          col("ts") < lit(MinMaxManifest.utc(hiW)))
+        .collect().map { r =>
+          val bin = math.max(0L, math.min(
+            math.floor(r.getDouble(2) / HR.BinWidth).toLong, HR.NumBins.toLong))
+          val inA = r.getTimestamp(1).getTime < MinMaxManifest.utc(midW).getTime
+          (r.getString(0), bin, inA)
+        }
+      val want = raw.groupBy(_._1).map { case (t, rows) =>
+        val ca = rows.filter(_._3).groupBy(_._2).view.mapValues(_.size.toLong)
+        val cb = rows.filterNot(_._3).groupBy(_._2).view.mapValues(_.size.toLong)
+        val (na, nb) = (ca.values.sum, cb.values.sum)
+        val num = (ca.keySet ++ cb.keySet).toSeq.map { b =>
+          (BigInt(ca.getOrElse(b, 0L)) * nb - BigInt(cb.getOrElse(b, 0L)) * na).abs
+        }.sum
+        t -> (na, nb, num.toLong,
+          (BigInt(500000) * num / (BigInt(na) * nb)).toLong)
+      }
+      assert(got === want, "drift must be integer-exact against raw rows")
+    }
+  }
+
+  test("drift invariants: identical windows → 0; disjoint support → exactly 1e6") {
+    withIndexRoot("graft-drift-inv") {
+      // identical windows on real data: every group reads 0 / 0 ppm
+      val same = HR.drift(spark, sf, lo, midW, lo, midW).collect()
+      assert(same.nonEmpty && same.forall(r =>
+        r.getLong(3) == 0L && r.getLong(4) == 0L))
+      // synthetic corpus whose two windows have DISJOINT bin support:
+      // TVD = 1 exactly, ppm = 1,000,000 with zero float error
+      val dir = tmpDir("graft-drift-fix")
+      (0 until 40).map { i =>
+        val (day, v) = if (i % 2 == 0) ("2024-01-02", 1.0) else ("2024-01-12", 400.0)
+        (i.toLong, java.sql.Timestamp.valueOf(s"$day 06:00:00"), 1L, "t", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val d = HR.drift(spark, dir,
+        "2024-01-01 00:00:00", "2024-01-11 00:00:00",
+        "2024-01-11 00:00:00", "2024-01-21 00:00:00").head()
+      assert(d.getLong(3) === 2L * 20L * 20L && d.getLong(4) === 1000000L,
+        s"disjoint support must saturate at exactly 1e6 ppm, got $d")
+    }
+  }
+
+  test("the drift read is scan-free: only hist_daily is touched") {
+    withIndexRoot("graft-drift-plan") {
+      HR.ensure(spark, sf)
+      val paths = HR.drift(spark, sf, lo, midW, midW, hiW)
+        .queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty
+            }
+        }.flatten
+      assert(paths.nonEmpty && paths.forall(_.contains("hist_daily")),
+        s"the drift read must touch only the rollup: $paths")
+    }
+  }
 }
