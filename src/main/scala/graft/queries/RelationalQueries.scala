@@ -2260,6 +2260,63 @@ object RelationalQueries {
       .orderBy($"bucket")
   }
 
+  /** q53 — SEQUENCE TRAINING-EXAMPLE GENERATION: turn an event log
+    * into supervised next-event-prediction examples — per user,
+    * ordered by event time, features = the previous 3 event types,
+    * label = the current one. The sequence-modeling face of
+    * training-data prep (session-based recommendation, next-action
+    * models; the same shape generates next-token-style pairs from
+    * interaction logs), and none of the existing session ops emit
+    * EXAMPLES (q22 segments, q23 fills, D8 gaps — this one produces
+    * the (context, label) rows a trainer consumes). Deterministic
+    * total order (ts, event_id) inside each user partition, so both
+    * engines window identically; incomplete leading contexts are
+    * dropped, not padded. The gate aggregates per label — example
+    * count, distinct-context count, and a DetHash checksum of the
+    * context strings — so a wrong lag, order, or boundary breaks the
+    * hash without dumping 6M example rows through the driver.
+    * Scale: ONE hash exchange on user_id + per-user sort (the
+    * sessionization shape), lag is O(1) state; example mass streams
+    * through map-side partial aggregation. */
+  val q53SequenceExamples: GraftQuery = q(
+    "q53_sequence_examples",
+    "sequence training examples: per-user sliding window, (3-gram context, label) pairs",
+    s"""WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type, 1) OVER w AS f1,
+      |         lag(event_type, 2) OVER w AS f2,
+      |         lag(event_type, 3) OVER w AS f3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ex AS (
+      |  SELECT event_type AS label, f3 || '>' || f2 || '>' || f1 AS feats
+      |  FROM seq WHERE f3 IS NOT NULL)
+      |SELECT label,
+      |       CAST(count(*) AS BIGINT) AS n_examples,
+      |       CAST(count(DISTINCT feats) AS BIGINT) AS n_contexts,
+      |       CAST(sum(${graft.functions.DetHash.hash60Sql("feats", "seq")}
+      |                % 100003) AS BIGINT) AS chk
+      |FROM ex GROUP BY label ORDER BY label""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ex = Tables(s, dir, "events")
+      .select($"user_id", $"event_type",
+        lag($"event_type", 1).over(w).as("f1"),
+        lag($"event_type", 2).over(w).as("f2"),
+        lag($"event_type", 3).over(w).as("f3"))
+      .where($"f3".isNotNull)
+      .select($"event_type".as("label"),
+        concat_ws(">", $"f3", $"f2", $"f1").as("feats"))
+    ex.groupBy($"label")
+      .agg(count(lit(1)).as("n_examples"),
+        countDistinct($"feats").as("n_contexts"),
+        sum(graft.functions.DetHash.hash60($"feats", "seq") % 100003L)
+          .as("chk"))
+      .orderBy($"label")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2274,5 +2331,5 @@ object RelationalQueries {
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
-    q51HistogramDrift, q52TableDiff)
+    q51HistogramDrift, q52TableDiff, q53SequenceExamples)
 }

@@ -106,7 +106,15 @@ object ScaleUp {
 
     write(Tables(spark, src, "region"), "region")
     write(Tables(spark, src, "nation"), "nation")
-    write(replicate("customer", "c_custkey" -> custOff), "customer")
+    // c_name is derived from the key (TPC-H "Customer#%09d"), so it
+    // must RE-derive from the shifted key: plain duplication would
+    // give every name copies−1 verbatim twins and the edit-distance
+    // join (d18) would measure a copies² dup explosion no real N×
+    // corpus has — the same reasoning the doc marker applies to text
+    write(replicate("customer", "c_custkey" -> custOff)
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad($"c_custkey".cast("string"), 9, "0"))),
+      "customer")
     write(replicate("supplier", "s_suppkey" -> suppOff), "supplier")
     write(replicate("part", "p_partkey" -> partOff), "part")
     write(replicate("orders",
