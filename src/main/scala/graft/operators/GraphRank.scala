@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking (PageRank) as Pregel-style dataframe
+  * iteration — the one computation class the surface lacked: every
+  * other operator is a bounded DAG, while rank propagation is a
+  * FIXED-POINT loop whose per-step shape must stay scan-light for
+  * the loop to be affordable (the public Pregel/GraphX design: each
+  * superstep is one join of the edge list against the current ranks
+  * plus one aggregation by destination).
+  *
+  * INTEGER-EXACT END-TO-END so the DuckDB oracle unrolls the loop
+  * CTE-for-CTE: ranks live at 1e6 scale (init 1,000,000 per node),
+  * each step is rank' = 150000 + (85 · Σ_in (rank DIV deg)) DIV 100
+  * — the damping-0.85 update in integer arithmetic. Every quantity
+  * is NON-NEGATIVE, where Spark's truncating `DIV` and DuckDB's
+  * flooring `//` agree (the sign caveat that keeps signed integer
+  * division out of the shared-oracle vocabulary elsewhere). Flooring
+  * loses < 1 ulp-of-1e-6 per hop — a ranking, not a probability;
+  * callers wanting the stochastic normalization divide by N·1e6
+  * outside the gate.
+  *
+  * Scale shape: the degree-annotated edge list is materialized ONCE
+  * as a COMPRESSED COLUMNAR cache (persist + eager count), so each
+  * of the K supersteps shuffles (dst, contrib) pairs — O(edges) —
+  * and the rank frame — O(nodes) — with NO corpus re-scan or
+  * re-join. Cache, not localCheckpoint, deliberately: the edges
+  * derive DETERMINISTICALLY from their source (no partition-id or
+  * sampler state is frozen into the rows — the property that forces
+  * CandidateBudget's checkpoint does not apply), so an eviction-
+  * triggered recompute is harmless, and the columnar form is ~10×
+  * smaller than checkpoint's deserialized rows — the difference
+  * between fitting a 118M-edge graph in an 8 GB heap and thrashing
+  * it. At 100 TB a deployment writes the edge list to a
+  * src-bucketed table once and every superstep's join is co-located
+  * (D16's bucketing); the in-session cache is the same idea at
+  * session scope. Nodes with no in-edges keep the teleport mass via
+  * the left join against the node frame (never silently dropped). */
+object GraphRank {
+
+  /** K supersteps of integer PageRank over directed `edges`
+    * (columns src, dst; callers wanting an undirected walk supply
+    * both directions). Returns (node, rank) with rank at 1e6 scale.
+    * Every edge source is a node; isolated SINKS (dst never a src)
+    * are out of domain — supply their reverse edges or they neither
+    * hold nor emit mass. */
+  def pagerank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "need at least one superstep")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one eager columnar materialization of the degree-annotated
+    // edges; the loop below never touches the raw input again
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .persist()
+    e.count()
+    val nodes = deg.select(col("src").as("node")).persist()
+    nodes.count()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    (1 to iterations).foreach { _ =>
+      val inflow = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("rank DIV deg").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"), (lit(150000L) +
+          expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
+    }
+    ranks
+  }
+}

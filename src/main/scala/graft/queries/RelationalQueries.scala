@@ -2317,6 +2317,62 @@ object RelationalQueries {
       .orderBy($"label")
   }
 
+  /** q54 — ITERATIVE GRAPH RANKING
+    * ([[graft.operators.GraphRank]]): supplier importance by
+    * 3-superstep integer PageRank over the bipartite customer–
+    * supplier order graph (distinct (o_custkey, l_suppkey) pairs,
+    * both directions — an undirected random walk). The fixed-point-
+    * loop computation class: each superstep is ONE edge⋈rank shuffle
+    * join + one destination aggregation over the once-materialized
+    * degree-annotated edge list (see the operator scaladoc for the
+    * 100-TB bucketing story). Node ids interleave the two key
+    * domains (customer = 2k, supplier = 2k+1) so the walk never
+    * conflates them. All arithmetic non-negative integer, so the
+    * oracle unrolls the three supersteps CTE-for-CTE and the hash
+    * pins every hop. Output: top-20 suppliers, ties broken by id. */
+  val q54GraphPagerank: GraftQuery = q(
+    "q54_graph_pagerank",
+    "iterative integer PageRank: 3 supersteps over the customer-supplier order graph",
+    {
+      val steps = (0 until 3).map { k =>
+        s""",r${k + 1} AS (
+          |  SELECT d.src AS node,
+          |         150000 + (85 * coalesce(sum(r$k.rank // d2.deg), 0)) // 100
+          |           AS rank
+          |  FROM d
+          |  LEFT JOIN e ON e.dst = d.src
+          |  LEFT JOIN r$k ON r$k.node = e.src
+          |  LEFT JOIN d d2 ON d2.src = e.src
+          |  GROUP BY 1)""".stripMargin
+      }.mkString("\n")
+      s"""WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM eb UNION ALL SELECT s, c FROM eb),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM d)
+        |$steps
+        |SELECT (node - 1) // 2 AS supp_key, CAST(rank AS BIGINT) AS rank_e6
+        |FROM r3 WHERE node % 2 = 1
+        |ORDER BY rank_e6 DESC, supp_key LIMIT 20""".stripMargin
+    }
+  ) { (s, dir) =>
+    import s.implicits._
+    val eb = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = eb.select($"c".as("src"), $"s".as("dst"))
+      .unionAll(eb.select($"s".as("src"), $"c".as("dst")))
+    graft.operators.GraphRank.pagerank(edges, 3)
+      .where($"node" % 2 === 1)
+      .select(expr("(node - 1) DIV 2").as("supp_key"),
+        $"rank".as("rank_e6"))
+      .orderBy($"rank_e6".desc, $"supp_key")
+      .limit(20)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2331,5 +2387,5 @@ object RelationalQueries {
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
-    q51HistogramDrift, q52TableDiff, q53SequenceExamples)
+    q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank)
 }
