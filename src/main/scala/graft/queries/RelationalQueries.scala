@@ -2373,6 +2373,66 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** q55 — FUNNEL ANALYSIS (sequential pattern matching): how many
+    * users progressed view → click → purchase IN THAT ORDER, with
+    * the purchase inside 7 days of the first view — the
+    * MATCH_RECOGNIZE-class question (SQL:2016 row pattern matching,
+    * Flink CEP — public designs) that no aggregate/window op here
+    * expresses: each stage's timestamp is conditioned on the
+    * PREVIOUS stage's ("first click AFTER the first view"), so the
+    * shape is a chain of conditional-min aggregates, each one
+    * stage-filtered scan joined against the user-cardinality frontier
+    * of the stage before. Semantics pinned: strict order (strictly
+    * later timestamps), first-touch per stage (min), completion
+    * bounded by first-view + 7 days; the conversion-time sum is in
+    * exact MICROSECONDS (the ts column carries sub-second precision
+    * — a seconds-truncated diff would disagree across engines on
+    * boundary rows). Scale: three stage scans (each pushed down to
+    * one event_type), two hash joins keyed on user_id whose right
+    * sides are user-cardinality frontiers — no window, no sort; the
+    * 1-row stage counts cross-join at the end (bounded stats
+    * frames). */
+  val q55FunnelAnalysis: GraftQuery = q(
+    "q55_funnel_analysis",
+    "conversion funnel: view -> click -> purchase in order, 7-day completion window",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, v.t1, min(e.ts) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT e.user_id, c.t1, min(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |    AND e.ts <= c.t1 + INTERVAL 7 DAY
+      |  GROUP BY 1, 2)
+      |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+      |       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+      |       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+      |       CAST((SELECT coalesce(sum(epoch_us(t3) - epoch_us(t1)), 0)
+      |             FROM p) AS BIGINT) AS sum_convert_us""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val v = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = ev.where($"event_type" === "click")
+      .join(v, Seq("user_id")).where($"ts" > $"t1")
+      .groupBy($"user_id", $"t1").agg(min($"ts").as("t2"))
+    val p = ev.where($"event_type" === "purchase")
+      .join(c, Seq("user_id"))
+      .where($"ts" > $"t2" && $"ts" <= $"t1" + expr("INTERVAL 7 DAY"))
+      .groupBy($"user_id", $"t1").agg(min($"ts").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase"),
+        coalesce(sum(unix_micros($"t3") - unix_micros($"t1")), lit(0L))
+          .as("sum_convert_us")))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2387,5 +2447,6 @@ object RelationalQueries {
     q41GovernedTimeTravel, q42RoutedCount, q43KAnonymity,
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
-    q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank)
+    q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank,
+    q55FunnelAnalysis)
 }
