@@ -2433,6 +2433,85 @@ object RelationalQueries {
           .as("sum_convert_us")))
   }
 
+  /** q56 — COHORT RETENTION TRIANGLE: users grouped by first-activity
+    * week (the cohort), counted in every later week they return —
+    * the (cohort_week, week_offset) → n_users matrix every growth /
+    * engagement dashboard renders, and the second member of the
+    * product-analytics family q55 opened (funnel = ordered stages,
+    * retention = recurring presence). Grain discipline: activity
+    * first collapses to DISTINCT (user, week) — a user's 50 events
+    * in a week count once — then one min-aggregate finds cohorts and
+    * one join + count fills the triangle; integer week indexes from
+    * a fixed epoch day, floor-safe (non-negative) in both engines.
+    * The gate corpus is uniformly active (every user lands in cohort
+    * 0 — the triangle is one row per offset), which the oracle pins
+    * as faithfully as a staggered one; RetentionSpec pins the
+    * staggered-cohort semantics on a fixture the synthetic data
+    * cannot express. Scale: two hash aggregates at (user, week) and
+    * user grain + one user-keyed join — no window, no sort. */
+  val q56CohortRetention: GraftQuery = q(
+    "q56_cohort_retention",
+    "cohort retention triangle: distinct user-weeks, min-week cohorts, offset counts",
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+      |  FROM events),
+      |c AS (SELECT user_id, min(w) AS cw FROM a GROUP BY 1)
+      |SELECT c.cw AS cohort_week, a.w - c.cw AS week_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val a = Tables(s, dir, "events")
+      .select($"user_id",
+        expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') DIV 7").as("w"))
+      .distinct()
+    val c = a.groupBy($"user_id").agg(min($"w").as("cw"))
+    a.join(c, Seq("user_id"))
+      .groupBy($"cw".as("cohort_week"), ($"w" - $"cw").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** q57 — FREQUENT-PAIR MINING (market basket): which parts are
+    * co-ordered, with support counts — the association-rule family
+    * (Apriori / FP-Growth — public designs; Spark MLlib ships
+    * FPGrowth) reduced to its scale-critical first pass, frequent
+    * PAIRS, which is where the combinatorics live: the basket
+    * self-join emits C(|basket|, 2) pairs per order, bounded by the
+    * basket-size cap (TPC-H maxes at 13 distinct parts = 78 pairs),
+    * so candidate mass is O(orders · cap²) — linear in orders — and
+    * the join is CO-PARTITIONED on orderkey (one shuffle, no
+    * cartesian). A corpus with unbounded baskets routes the basket
+    * list through the d01 budget discipline first (disclosed cap).
+    * Itemsets first collapse to DISTINCT (order, part) so duplicate
+    * line items never inflate support. Top-50 by (support, p1, p2)
+    * total order — deterministic at any SF. */
+  val q57FrequentPairs: GraftQuery = q(
+    "q57_frequent_pairs",
+    "market-basket frequent pairs: co-partitioned basket self-join, support >= 2, top-50",
+    """WITH i AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pr AS (
+      |  SELECT a.p AS p1, b.p AS p2
+      |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p)
+      |SELECT p1, p2, CAST(count(*) AS BIGINT) AS support
+      |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY support DESC, p1, p2 LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val i = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val a = i.select($"o".as("ao"), $"p".as("p1"))
+    val b = i.select($"o".as("bo"), $"p".as("p2"))
+    a.join(b, $"ao" === $"bo" && $"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("support"))
+      .where($"support" >= 2L)
+      .orderBy($"support".desc, $"p1", $"p2")
+      .limit(50)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2448,5 +2527,5 @@ object RelationalQueries {
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
     q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank,
-    q55FunnelAnalysis)
+    q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs)
 }
