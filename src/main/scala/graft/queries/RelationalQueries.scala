@@ -2247,8 +2247,13 @@ object RelationalQueries {
     import s.implicits._
     val F = graft.operators.TableFingerprint
     val ev = Tables(s, dir, "events")
-    def rowOf(value: org.apache.spark.sql.Column) = concat_ws("|",
-      $"event_id".cast("string"), $"event_type",
+    // concat, NOT concat_ws: the oracle's || PROPAGATES null, while
+    // concat_ws skips null fields — on a null-bearing row the two
+    // renderings would fingerprint differently (review catch; both
+    // sides now agree a null row hashes to null → out of every
+    // bucket on both engines alike)
+    def rowOf(value: org.apache.spark.sql.Column) = concat(
+      $"event_id".cast("string"), lit("|"), $"event_type", lit("|"),
       floor(value * 100).cast("long").cast("string"))
     val src = F.fingerprint(ev, rowOf($"value"), 64)
     val corrupted = when($"event_type" === "error" &&
@@ -2307,8 +2312,11 @@ object RelationalQueries {
         lag($"event_type", 2).over(w).as("f2"),
         lag($"event_type", 3).over(w).as("f3"))
       .where($"f3".isNotNull)
+      // concat, NOT concat_ws: the oracle's || propagates a null lag
+      // (a null event_type inside the window), concat_ws would skip
+      // it — the two engines must agree that such a context is null
       .select($"event_type".as("label"),
-        concat_ws(">", $"f3", $"f2", $"f1").as("feats"))
+        concat($"f3", lit(">"), $"f2", lit(">"), $"f1").as("feats"))
     ex.groupBy($"label")
       .agg(count(lit(1)).as("n_examples"),
         countDistinct($"feats").as("n_contexts"),

@@ -111,9 +111,11 @@ object ScaleUp {
     // give every name copies−1 verbatim twins and the edit-distance
     // join (d18) would measure a copies² dup explosion no real N×
     // corpus has — the same reasoning the doc marker applies to text
+    // format_string, NOT lpad: lpad TRUNCATES past its width, so a
+    // shifted key >= 1e9 would collapse distinct customers onto one
+    // name — %09d is min-width padding (the TPC-H rendering itself)
     write(replicate("customer", "c_custkey" -> custOff)
-      .withColumn("c_name",
-        concat(lit("Customer#"), lpad($"c_custkey".cast("string"), 9, "0"))),
+      .withColumn("c_name", format_string("Customer#%09d", $"c_custkey")),
       "customer")
     write(replicate("supplier", "s_suppkey" -> suppOff), "supplier")
     write(replicate("part", "p_partkey" -> partOff), "part")

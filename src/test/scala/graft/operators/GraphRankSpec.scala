@@ -45,12 +45,22 @@ class GraphRankSpec extends SparkSpec {
     assert(r(1L) === 150000L, s"source-only node must hold teleport: $r")
   }
 
-  test("the supersteps read only the cached frames, never the raw input plan") {
+  test("the result is a materialized rank vector; internal caches are released") {
+    val before = spark.sparkContext.getPersistentRDDs.size
     val df = GraphRank.pagerank(
       Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), 2)
+    // pagerank checkpoints the node-cardinality result and RELEASES
+    // its edge caches before returning — the returned plan is a
+    // single materialized leaf (no re-execution path back to the
+    // supersteps), and repeated calls cannot accumulate cache pins:
+    // the only persistent RDD the call may leave behind is the
+    // checkpoint itself
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.getClass.getSimpleName).toSet
     assert(leaves === Set("InMemoryRelation"),
-      s"every loop input must be a materialized columnar cache, got $leaves")
+      s"the rank vector must be served from its cache, got $leaves")
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1,
+      s"only the caller-owned result cache may persist past the call, found $leaked")
   }
 }
