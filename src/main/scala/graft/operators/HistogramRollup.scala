@@ -241,9 +241,14 @@ object HistogramRollup {
     *
     * Headroom: BIGINT-exact while na·nb ≤ (2⁶³−1)/10⁶ ≈ 9.2e12 —
     * window masses to ~3M rows per group side, comfortably past the
-    * gate SFs and their 100× replicas. Beyond that, widen the three
-    * cross-products to DECIMAL(38,0) (holds na,nb to ~1e16); the
-    * rollup read itself is scale-free either way. An EMPTY window
+    * gate SFs and their 100× replicas. Past the bound the failure is
+    * LOUD, not silent: ANSI mode (Spark 4's default, which this
+    * library never disables) throws on the overflowing multiply
+    * instead of wrapping, so a caller at that scale sees an error
+    * naming the expression — the widening they then apply is
+    * DECIMAL(38,0) cross-products (na,nb to ~1e16), a reader-side
+    * change only since the rollup table itself is scale-free. An
+    * EMPTY window
     * (na·nb = 0) yields an explicit NULL ppm (guarded — ANSI DIV
     * would throw); [[driftAlerts]] treats that one-sidedness as
     * maximal drift. */
