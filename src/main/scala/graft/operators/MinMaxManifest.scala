@@ -236,6 +236,12 @@ object MinMaxManifest {
     val lp = layoutPath(dir)
     val mp = manifestPath(dir)
     require(ready(lp) && ready(mp), s"nothing to compact at $lp")
+    // same guard as compactSmall (r10 advice): a shallow clone's
+    // manifest names SHARED files outside this layout dir; rebuilding
+    // the manifest from the layout listing alone would silently drop
+    // every shared row — the cloned data would vanish from pruned
+    // reads. Deep-copy the clone first.
+    requireNoSharedFiles(s, dir, "events_by_ts", "compact")
     val stagedL = lp + ".compacting"
     val stagedM = mp + ".compacting"
     val (cfs, _) = IndexStore.fsOf(lp)

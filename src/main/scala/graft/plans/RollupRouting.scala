@@ -258,6 +258,14 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val newN = sub.output(base)
             val newV = if (wantsSum) sub.output(base + 1) else newN
             val projected = aggExprs.zip(kinds).map {
+              // bare attributes dispatch on their CLASSIFIED measure:
+              // classify() accepts the day grouping key un-aliased, so
+              // the rewrite must too — mapping every bare attribute to
+              // newEt would silently emit event_type values in the day
+              // column if the analyzer ever stopped aliasing the
+              // _groupingexpression attr (r10 advice, medium)
+              case (a: AttributeReference, Some(MDay)) =>
+                Alias(newDay, a.name)(exprId = a.exprId)
               case (a: AttributeReference, _) =>
                 Alias(newEt, a.name)(exprId = a.exprId)
               case (al: Alias, Some(MDay)) =>

@@ -511,4 +511,21 @@ class MinMaxManifestSpec extends SparkSpec {
       }
     }
   }
+
+  test("compact() refuses a shallow clone under the default table name (r10 advice)") {
+    withRoot {
+      val M = MinMaxManifest
+      // clone INTO the default table name: compact(spark, dir) would
+      // rebuild the manifest from the layout listing alone and
+      // silently drop every shared-file row — the guard must refuse
+      val ev = graft.Tables(spark, sf, "events")
+      M.ensureFrom(spark, sf, ev, "events_cl_src")
+      M.cloneTable(spark, sf, "events_cl_src", "events_by_ts")
+      val e = intercept[IllegalArgumentException] {
+        M.compact(spark, sf)
+      }
+      assert(e.getMessage.contains("shallow clone"),
+        s"compact() on a shallow clone must refuse loudly: ${e.getMessage}")
+    }
+  }
 }

@@ -214,16 +214,70 @@ class SnapshotMergeSpec extends SparkSpec {
   test("mergeInto: duplicate source keys are refused loudly (the MERGE cardinality rule)") {
     val base = Seq((1L, "a", 1.0)).toDF("k", "tag", "v")
     val source = Seq((1L, "x", 2.0), (1L, "y", 3.0)).toDF("k", "tag", "v")
-    val e = intercept[IllegalArgumentException] {
+    // the check rides the merge join (no O(source) pre-job), so the
+    // loud failure surfaces at EXECUTION, like every lakehouse MERGE
+    val e = intercept[Exception] {
       SnapshotMerge.mergeInto(base, source, "k",
-        updates = Map("v" -> col("__s_v")))
+        updates = Map("v" -> col("__s_v"))).collect()
     }
-    assert(e.getMessage.contains("cardinality"),
-      s"duplicate source keys must fail loudly: ${e.getMessage}")
+    assert(e.getMessage.contains("cardinality") ||
+      Option(e.getCause).exists(_.getMessage.contains("cardinality")),
+      s"duplicate matched source keys must fail loudly: ${e.getMessage}")
     // and updating the key itself is refused
     intercept[IllegalArgumentException] {
       SnapshotMerge.mergeInto(base, Seq((1L, "a", 1.0)).toDF("k", "tag", "v"),
         "k", updates = Map("k" -> lit(9L)))
     }
+  }
+
+  test("mergeInto: SQL scopes cardinality to MATCHED rows — duplicate unmatched keys insert") {
+    val base = Seq((1L, "a", 1.0)).toDF("k", "tag", "v")
+    val source = Seq((7L, "x", 2.0), (7L, "y", 3.0)).toDF("k", "tag", "v")
+    val out = SnapshotMerge.mergeInto(base, source, "k")
+      .orderBy($"k", $"tag").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "a", 1.0), (7L, "x", 2.0), (7L, "y", 3.0)),
+      s"unmatched duplicate source keys insert one row each (SQL:2003): $out")
+  }
+
+  test("mergeInto: NULL merge keys fail loudly on either side — never a silent drop") {
+    val okBase = Seq((Some(1L), "a", 1.0)).toDF("k", "tag", "v")
+    val nullBase = Seq((Some(1L), "a", 1.0), (None: Option[Long], "b", 2.0))
+      .toDF("k", "tag", "v")
+    val okSource = Seq((Some(1L), "a", 9.0)).toDF("k", "tag", "v")
+    val nullSource = Seq((None: Option[Long], "z", 9.0)).toDF("k", "tag", "v")
+    val e1 = intercept[Exception] {
+      SnapshotMerge.mergeInto(nullBase, okSource, "k").collect()
+    }
+    assert(e1.getMessage.contains("MERGE base has NULL") ||
+      Option(e1.getCause).exists(_.getMessage.contains("MERGE base has NULL")),
+      s"null base keys must raise, not vanish: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      SnapshotMerge.mergeInto(okBase, nullSource, "k").collect()
+    }
+    assert(e2.getMessage.contains("MERGE source has NULL") ||
+      Option(e2.getCause).exists(_.getMessage.contains("MERGE source has NULL")),
+      s"null source keys must raise: ${e2.getMessage}")
+  }
+
+  test("mergeInto: cardinality check rides the join — one source scan, no pre-aggregate job") {
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "tag", "v")
+    val source = Seq((1L, "a", 9.0), (3L, "c", 3.0)).toDF("k", "tag", "v")
+    val merged = SnapshotMerge.mergeInto(base, source, "k",
+      updates = Map("v" -> col("__s_v")))
+    val plan = merged.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    assert(plan.collect { case j: Join => j }.size === 1,
+      "MERGE must plan exactly one join")
+    assert(plan.collect { case a: Aggregate => a }.isEmpty,
+      "no aggregate anywhere — the dup check is the window, not a pre-job")
+    assert(plan.collect { case w: LWindow => w }.size === 1,
+      "exactly one window (the per-key source count riding the join shuffle)")
+    // and the window's partitioning matches the join key, so the
+    // exchange is shared: the executed plan has at most 2 shuffles
+    // (one per join side), not 3
+    val exchanges = merged.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"window must reuse the join's source-side exchange, saw $exchanges")
   }
 }
