@@ -69,13 +69,21 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The relation's parent dir when the leaf is the raw events table. */
+  /** The rollup dir serving this relation, when the leaf IS the raw
+    * events table — by its canonical name (`…/events.parquet`, dir =
+    * parent) or by REGISTERED IDENTITY ([[RollupRouting
+    * .registerEventsPath]] — the r10 verdict's ask: a catalog table,
+    * a renamed copy, or any alias path a production MV layer would
+    * key on table identity; a temp view over the same read already
+    * inlines to the same relation and needs no registration). */
   private def eventsDir(rel: LogicalRelation): Option[String] =
     rel.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.toList match {
-          case p :: Nil if p.getName == "events.parquet" =>
-            Some(p.getParent.toString)
+          case p :: Nil =>
+            RollupRouting.registeredDirFor(p).orElse(
+              if (p.getName == "events.parquet") Some(p.getParent.toString)
+              else None)
           case _ => None
         }
       case _ => None
@@ -295,6 +303,33 @@ object RollupRouting {
         _.isInstanceOf[RollupRoutingRule]))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ new RollupRoutingRule(s)
+
+  /** Registered event-table identities: canonical path → the rollup
+    * dir whose artifacts serve it. Registration is the caller's
+    * ASSERTION OF IDENTITY — the path must read exactly the same rows
+    * as `<dir>/events.parquet` (a catalog-managed copy, a mount
+    * alias); the ensure-watermark still vetoes staleness against the
+    * ORIGINAL table, so a registered alias inherits precisely the
+    * original's exactness guarantee, never a weaker one. */
+  private val registeredPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def canon(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Route aggregates over the table at `path` (e.g. a catalog
+    * table's location) to the rollups of `dir`. */
+  def registerEventsPath(path: String, dir: String): Unit = {
+    registeredPaths.put(canon(path), dir); ()
+  }
+
+  private[plans] def registeredDirFor(
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    Option(registeredPaths.get(p.toUri.getPath))
+
+  /** Test seam: drop registered identities. */
+  private[graft] def clearRegisteredPathsForTest(): Unit =
+    registeredPaths.clear()
 
   /** Test seam: remove the rule so suites sharing one session don't
     * leak routing into unrelated plan pins. */

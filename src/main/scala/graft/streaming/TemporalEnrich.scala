@@ -23,10 +23,17 @@ import org.apache.spark.sql.functions._
   *     enrichment);
   *   - the STREAMING face is the same call on a streaming frame:
   *     stream–static joins are stateless and re-planned per
-  *     micro-batch, the dim side broadcasts (dims are small — the
-  *     reference's areas master is 77 rows), and the equi key keeps
-  *     the plan a broadcast HASH join with a range filter — never a
-  *     nested-loop over the batch (spec-pinned).
+  *     micro-batch, and the equi key keeps the plan a HASH join with
+  *     a range residual — never a nested-loop over the batch
+  *     (spec-pinned in BOTH regimes). The dim side is NOT
+  *     force-broadcast (the r10 verdict: the same kernel serves SCD2
+  *     histories whose key-count × version-count reaches tens of
+  *     millions of rows, where a forced hint bypasses the planner's
+  *     size check and OOMs the driver — the identical fix already
+  *     applied to Governance.kAnonymize): a small dim (the
+  *     reference's 77-row areas master) still auto-broadcasts off
+  *     its own size stats, and a large one degrades to a shuffled
+  *     hash/sort-merge join per micro-batch instead of a driver OOM.
   *
   * Contract: `dim` carries `valid_from`/`valid_to` (half-open
   * [valid_from, valid_to); NULL valid_to = current version) and at
@@ -54,7 +61,7 @@ object TemporalEnrich {
         "side too; rename them first")
     val d = dim.select(col(key).as("__dim_key") +:
       (Seq("valid_from", "valid_to") ++ payload).map(col): _*)
-    events.join(broadcast(d),
+    events.join(d,
       events(key) === col("__dim_key") &&
         events(ts) >= col("valid_from") &&
         (col("valid_to").isNull || events(ts) < col("valid_to")),

@@ -312,6 +312,53 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("registered table identity routes an alias path; a temp view inlines and routes for free") {
+    withIndexRoot("graft-route-ident") {
+      val expected = rawAgg.orderBy($"event_type")
+        .collect().map(_.toString).toSeq
+      graft.operators.HistogramRollup.ensure(spark, sf)
+      // an alias COPY of the events table at a path whose leaf name
+      // matches nothing — the renamed-table / catalog-location case
+      val alias = tmpDir("graft-route-alias") + "/events_catalog_tbl"
+      graft.Tables(spark, sf, "events").write.mode("overwrite").parquet(alias)
+      def aliasAgg = spark.read.parquet(alias)
+        .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      RollupRouting.enable(spark)
+      try {
+        // unregistered: identity unknown -> pass through (never guess)
+        val before = scanPaths(aliasAgg)
+        assert(before.exists(_.contains("events_catalog_tbl")) &&
+          !before.exists(_.contains("hist_daily")),
+          s"an unregistered alias must stay on its own table: $before")
+        // registered: the alias is DECLARED to read the same rows, so
+        // it inherits the original's routing — and its exactness
+        RollupRouting.registerEventsPath(alias, sf)
+        val after = scanPaths(aliasAgg)
+        assert(after.exists(_.contains("hist_daily")) &&
+          !after.exists(_.contains("events_catalog_tbl")),
+          s"a registered alias must route to the rollup: $after")
+        assert(aliasAgg.orderBy($"event_type")
+          .collect().map(_.toString).toSeq === expected,
+          "alias routing must be invisible in the answer")
+        // a temp view over the ORIGINAL read inlines to the same
+        // relation — routes with no registration at all
+        graft.Tables(spark, sf, "events").createOrReplaceTempView("events_view")
+        val viewAgg = spark.table("events_view")
+          .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        assert(scanPaths(viewAgg).exists(_.contains("hist_daily")),
+          "a temp view over the same read must route")
+        assert(viewAgg.orderBy($"event_type")
+          .collect().map(_.toString).toSeq === expected)
+      } finally {
+        RollupRouting.clearRegisteredPathsForTest()
+        RollupRouting.disableForTest(spark)
+        spark.catalog.dropTempView("events_view")
+      }
+    }
+  }
+
   test("a missing rollup artifact leaves the plan untouched") {
     withIndexRoot("graft-route-absent") {
       RollupRouting.enable(spark)

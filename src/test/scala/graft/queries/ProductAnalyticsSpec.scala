@@ -46,8 +46,34 @@ class ProductAnalyticsSpec extends SparkSpec {
     }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
       "l_extendedprice")
       .write.parquet(s"$dir/lineitem.parquet")
-    val got = RelationalQueries.q57FrequentPairs.fn(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = RelationalQueries.q57FrequentPairs.fn(spark, dir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((1L, 2L, 2L)), s"support grain wrong: $got")
+    // nothing skipped at this distribution — full-disclosure column 0
+    assert(rows.forall(_.getLong(3) === 0L),
+      "no basket should be skipped on a tiny fixture")
+  }
+
+  test("q57: one hot basket cannot plan C(n,2) pairs — the budget engages and discloses") {
+    val dir = tmpDir("graft-basket-hot")
+    // a deliberately hot basket: order 99 holds 600 distinct parts →
+    // C(600,2) = 179,700 candidate pairs from ONE key; the per-line
+    // budget (256 × 604 lines = 154,624) cannot cover it, so
+    // cheapest-first admits the small baskets and skips the hot one,
+    // disclosing exactly its mass
+    val hot = (1L to 600L).map(p => (99L, 1000L + p))
+    val small = Seq((11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L))
+    (hot ++ small).zipWithIndex.map { case ((o, p), i) =>
+      (o, p, i.toLong, 1.0, 1.0)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = RelationalQueries.q57FrequentPairs.fn(spark, dir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 2L)),
+      s"small baskets must still mine while the hot one is capped: $pairs")
+    assert(rows.forall(_.getLong(3) === 179700L),
+      s"the skipped hot-basket mass must be disclosed exactly: " +
+        s"${rows.map(_.getLong(3)).toSeq}")
   }
 }

@@ -625,7 +625,7 @@ class QueryPlanSpec extends SparkSpec {
     // in CandidateBudgetSpec.
     withIndexRoot("graft-budget-plan") {
       Seq("d01_minhash_lsh_dedup", "d02_simhash_dedup",
-          "d06_sharded_simhash").foreach { name =>
+          "d06_sharded_simhash", "q57_frequent_pairs").foreach { name =>
         val df = QueryRegistry.asMap(name)(spark, sf)
         df.collect() // finalize the adaptive plan
         val p = df.queryExecution.executedPlan.toString

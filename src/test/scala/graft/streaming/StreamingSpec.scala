@@ -381,13 +381,32 @@ class StreamingSpec extends SparkSpec {
     assert(byId === Map(1L -> Some("v1"), 2L -> Some("v2"),
       3L -> Some("v2"), 4L -> None, 5L -> None),
       s"event-time versioning diverged: $byId")
-    // scale pin: equi key keeps it a broadcast HASH join with a range
-    // residual — never a nested loop over the batch
+    // scale pin, BOTH regimes (r10 verdict: no forced broadcast hint —
+    // the kernel serves SCD2 histories too big to broadcast):
+    // small dim → auto-broadcast off its own size stats…
     val p = batchOut.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
-      s"temporal enrich must plan a broadcast hash join:\n$p")
+      s"a small dim must still auto-broadcast:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"the equi key must prevent a nested-loop plan:\n$p")
+    // …and a dim the planner may NOT broadcast degrades to a shuffled
+    // hash/sort-merge join, never a nested loop and never a forced
+    // broadcast that would OOM the driver at SCD2 scale
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bigRegime = TemporalEnrich.enrich(events, "ts", dim, "area_id")
+      val pb = bigRegime.queryExecution.executedPlan.toString
+      assert(!pb.contains("BroadcastHashJoin") &&
+        !pb.contains("BroadcastNestedLoopJoin"),
+        s"an unbroadcastable dim must not be forced onto the driver:\n$pb")
+      assert(pb.contains("SortMergeJoin") || pb.contains("ShuffledHashJoin"),
+        s"the equi key must keep the large-dim plan a hash/merge join:\n$pb")
+      assert(bigRegime.collect().map(_.toString).sorted.toSeq ===
+        batchOut.collect().map(_.toString).sorted.toSeq,
+        "join strategy must never change the rows")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     // the STREAMING face: the same kernel over a MemoryStream — the
     // stream-static join re-plans per micro-batch, rows identical to
     // the batch kernel (the P1 ≡ P2 parity rule on enrichment)
