@@ -49,6 +49,24 @@ import org.apache.spark.sql.functions._
   * against the node frame (never silently dropped). */
 object GraphRank {
 
+  /** ONE superstep: rank' = 150000 + (85 · Σ_in (rank DIV deg)) DIV
+    * 100 over the degree-annotated edge frame `e` (src, dst, deg).
+    * Shared verbatim by [[pagerank]] (cached edges) and
+    * [[pagerankBucketed]] (edges at rest) so the two serving shapes
+    * can never drift numerically; package-private so the spec can
+    * pin the bucketed plan shape directly. */
+  private[graft] def superstep(e: DataFrame, ranks: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val inflow = e.join(ranks, e("src") === ranks("node"))
+      .select(col("dst").as("node"),
+        expr("rank DIV deg").as("c"))
+      .groupBy("node").agg(sum("c").as("inflow"))
+    nodes
+      .join(inflow, Seq("node"), "left")
+      .select(col("node"), (lit(150000L) +
+        expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
+  }
+
   /** K supersteps of integer PageRank over directed `edges`
     * (columns src, dst; callers wanting an undirected walk supply
     * both directions). Returns (node, rank) with rank at 1e6 scale.
@@ -75,16 +93,7 @@ object GraphRank {
     val nodes = deg.select(col("src").as("node")).persist()
     nodes.count()
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
-    (1 to iterations).foreach { _ =>
-      val inflow = e.join(ranks, e("src") === ranks("node"))
-        .select(col("dst").as("node"),
-          expr("rank DIV deg").as("c"))
-        .groupBy("node").agg(sum("c").as("inflow"))
-      ranks = nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"), (lit(150000L) +
-          expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
-    }
+    (1 to iterations).foreach { _ => ranks = superstep(e, ranks, nodes) }
     // materialize the NODE-cardinality result as a COLUMNAR cache,
     // then release the edge-cardinality pins: without this every
     // call leaks two session-lifetime cache entries (a bench loop's
@@ -100,6 +109,61 @@ object GraphRank {
     val out = ranks.persist()
     out.count()
     e.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /** Write the degree-annotated edge list as a SRC-BUCKETED table —
+    * the persistent 100-TB serving shape the [[pagerank]] scaladoc
+    * advises (and the r10 verdict asked to wire): pay the
+    * distinct/degree/annotate construction ONCE at write time, and
+    * every later [[pagerankBucketed]] call starts its supersteps
+    * immediately — no per-call edge cache to build, no corpus-sized
+    * memory pin at all. Bucket count defaults to the session's
+    * shuffle partitions so every derived partitioning agrees. */
+  def writeEdgesBucketed(edges: DataFrame, table: String,
+      path: String, buckets: Int = 0): DataFrame = {
+    val s = edges.sparkSession
+    val n = if (buckets > 0) buckets
+      else s.sessionState.conf.numShufflePartitions
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val annotated = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+    Bucketing.writeBucketed(annotated, "src", n, table, path)
+  }
+
+  /** K supersteps over a src-bucketed degree-annotated edge table
+    * ([[writeEdgesBucketed]]'s product, re-read via the catalog) —
+    * the edges-at-rest twin of [[pagerank]]: numerically IDENTICAL
+    * (both paths run [[superstep]]), but the edge side of every
+    * rank join reads pre-co-located bucket files with ZERO exchange
+    * (spec-pinned: no shuffle in the superstep plan has a file-scan
+    * descendant), and the only per-superstep shuffles move
+    * node-cardinality rank rows and map-side-combined (dst, contrib)
+    * messages — never the edge list. Nothing corpus-sized is cached:
+    * the cold cost IS the superstep cost, which is what a 1000-
+    * executor deployment wants from a graph that outlives the job
+    * (construction amortizes across every ranking run, and executor
+    * memory stays free for the shuffles that must happen). */
+  def pagerankBucketed(bucketedEdges: DataFrame,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "need at least one superstep")
+    require(Seq("src", "dst", "deg").forall(bucketedEdges.columns.contains),
+      "bucketed edge table must carry (src, dst, deg) — " +
+        "write it with writeEdgesBucketed")
+    // node frame: distinct over the bucket key — satisfied by the
+    // bucket partitioning, so even this derivation is exchange-free;
+    // cached because all K supersteps and the final left join reuse
+    // it (node-cardinality, megabytes at any corpus size)
+    val nodes = bucketedEdges.select(col("src").as("node"))
+      .distinct().persist()
+    nodes.count()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    (1 to iterations).foreach { _ =>
+      ranks = superstep(bucketedEdges, ranks, nodes)
+    }
+    val out = ranks.persist()
+    out.count()
     nodes.unpersist()
     out
   }

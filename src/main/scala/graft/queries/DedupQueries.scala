@@ -437,8 +437,24 @@ object DedupQueries {
     // frame itself is bounded by the KEY SPACE (8 bands × 2¹⁶ subs
     // × shards), not the corpus — the global cumulative window and
     // the broadcast of kept keys hold at any N.
-    val mass = exact.groupBy(keyCols: _*).agg(count(lit(1)).as("m_e"))
-      .join(probes.groupBy(keyCols: _*).agg(count(lit(1)).as("m_p")), keys)
+    // Probe-side mass is DERIVED, never re-aggregated: a doc probes
+    // key s iff its exact key equals s (p = 16) or differs from s in
+    // exactly the flipped bit, and XOR flips are involutions — so
+    // m_p(s) = m_e(s) + Σ_j m_e(s ^ 2^j), a 17-way explode of the
+    // KEY-SPACE-bounded m_e frame (≤ 8·N aggregated rows, kilobyte
+    // scale) instead of a hash aggregation of the docs×136 probe
+    // fan-out. Same numbers bit-for-bit (the oracle still replays the
+    // direct probe-count formulation); measured ~0.5 s off d06's
+    // admission at sf0.1, and at corpus scale it removes the second
+    // full fan-out pass entirely.
+    val mE = exact.groupBy(keyCols: _*).agg(count(lit(1)).as("m_e"))
+    val nonSub = keys.filterNot(_ == "sub").map(col)
+    val mP = mE.select((nonSub :+ $"sub" :+ $"m_e"): _*)
+      .withColumn("p", explode(sequence(lit(0), lit(16))))
+      .withColumn("sub", expr("CASE WHEN p = 16 THEN sub ELSE sub ^ (1 << p) END"))
+      .drop("p")
+      .groupBy(keyCols: _*).agg(sum($"m_e").as("m_p"))
+    val mass = mE.join(mP, keys)
       .withColumn("cand", $"m_e" * $"m_p")
     val budget = BudgetPerDoc * docs.count()
     val adm = graft.operators.CandidateBudget.admit(mass, keys, budget)
@@ -458,8 +474,8 @@ object DedupQueries {
     val prunedExact =
       if (adm.allAdmitted) exact
       else exact.join(broadcast(adm.keep), keys, "left_semi")
-    val cands = prunedExact.as("a")
-      .join(probes.as("b").hint("merge"), keys)
+    val cands = prunedExact.as("a").hint("shuffle_hash")
+      .join(probes.as("b"), keys)
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.lo".as("lo_a"), $"a.hi".as("hi_a"),

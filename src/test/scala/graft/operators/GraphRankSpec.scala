@@ -45,6 +45,64 @@ class GraphRankSpec extends SparkSpec {
     assert(r(1L) === 150000L, s"source-only node must hold teleport: $r")
   }
 
+  test("bucketed edges: bit-identical ranks, zero-exchange edge side, nothing corpus-sized cached") {
+    val edges = (for (i <- 1L to 40L) yield (i, i % 7 + 100L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val expected = ranksOf(edges, 3)
+    val path = tmpDir("graft-pr-bucketed") + "/edges_tbl"
+    val tbl = GraphRank.writeEdgesBucketed(
+      edges.toDF("src", "dst"), "pr_edges_spec", path, 8)
+    try {
+      // numerical parity: both serving shapes run the same superstep
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val out = GraphRank.pagerankBucketed(tbl, 3)
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected,
+        "bucketed and cached paths must agree bit-for-bit")
+      // no corpus-sized pin: only the caller-owned node-cardinality
+      // result cache may remain
+      assert(spark.sparkContext.getPersistentRDDs.size - before <= 1,
+        "pagerankBucketed must not cache the edge list")
+      out.unpersist()
+      // plan pin (the r10 verdict's ask): in a superstep over the
+      // at-rest table, NO shuffle has the edge scan below it — the
+      // bucket layout replaces the exchange; only rank rows and
+      // combined (dst, contrib) messages move. AQE off so the
+      // executed plan is structurally collectible.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val nodes = tbl.select(col("src").as("node")).distinct()
+        val ranks0 = nodes.select(col("node"), lit(1000000L).as("rank"))
+        val step = GraphRank.superstep(tbl, ranks0, nodes)
+        step.collect()
+        val plan = step.queryExecution.executedPlan
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val scans = plan.collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          s"the edge side must be a bucketed scan:\n$plan")
+        // the scale pin: EDGE ROWS never shuffle. Any exchange whose
+        // input derives from the edge scan must have an aggregation
+        // strictly between (the map-side-combined (dst, contrib)
+        // messages / the node-cardinality distinct) — a path from a
+        // shuffle down to the scan with no aggregate in between would
+        // mean the edge list itself is being moved, the exact cost
+        // the bucketed layout exists to delete.
+        def scanReachableWithoutAgg(p: SparkPlan): Boolean = p match {
+          case _: HashAggregateExec => false
+          case _: FileSourceScanExec => true
+          case other => other.children.exists(scanReachableWithoutAgg)
+        }
+        val shuffles = plan.collect { case sh: ShuffleExchangeExec => sh }
+        shuffles.foreach { sh =>
+          assert(!scanReachableWithoutAgg(sh.child),
+            s"a shuffle moves raw edge rows — the bucket layout must prevent this:\n$plan")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.sql("DROP TABLE IF EXISTS pr_edges_spec")
+  }
+
   test("the result is a materialized rank vector; internal caches are released") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val df = GraphRank.pagerank(
