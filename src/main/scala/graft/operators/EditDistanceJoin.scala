@@ -42,50 +42,125 @@ import org.apache.spark.sql.functions._
   * as d01/d02 do (same (key, mass) shape — deliberately not baked
   * in here so the exact join stays exact by default).
   *
-  * Threshold is fixed at 1: depth-d deletion neighborhoods grow
-  * C(L,d)-fold, and the d=1 join is the lossless building block
-  * (SymSpell composes larger thresholds from it recursively).
+  * Thresholds 1 and 2 are supported — the RECURSIVE deletion
+  * neighborhood (SymSpell's public composition: depth-2 variants are
+  * single deletions OF the single deletions). The same alignment
+  * argument generalizes losslessness: for ed(a,b) ≤ t, delete from
+  * each side the ≤ t positions its edit operations touch in an
+  * optimal alignment and both reach a common variant at depth ≤ t —
+  * so depth-t neighborhoods overlap, candidates stay a superset, and
+  * the thresholded verify keeps the join exact (spec-pinned against
+  * all-pairs at BOTH thresholds). Depth d costs C(L,d)-fold variant
+  * fan-out and shorter (more collision-prone) variants — threshold 2
+  * is where the curve is still friendly for short key fields;
+  * anything deeper should cluster instead.
   */
 object EditDistanceJoin {
 
   /** All unordered pairs of `df` rows whose `str` values are within
-    * Levenshtein distance 1, as (a_key, b_key, a_str, b_str, dist)
-    * with a_key < b_key. `key` must be unique per row. */
-  def pairs(df: DataFrame, key: String, str: String): DataFrame = {
+    * Levenshtein distance `maxDist` (1 or 2), as (a_key, b_key,
+    * a_str, b_str, dist) with a_key < b_key. `key` must be unique
+    * per row. */
+  def pairs(df: DataFrame, key: String, str: String,
+      maxDist: Int = 1): DataFrame = {
     val base = df.select(col(key).as("k"), col(str).as("nm"))
-    // deletion variants: substr(nm,1,i-1) || substr(nm,i+1) for every
-    // position i (guarded: an empty string has only its identity
-    // variant — and Spark's sequence(1,0) would DESCEND, not empty)
-    val dels = base.where(length(col("nm")) >= 1)
-      .select(col("k"), col("nm"),
-        explode(expr("sequence(1, length(nm))")).as("i"))
-      .select(col("k"), col("nm"),
-        concat(expr("substring(nm, 1, i - 1)"),
-          expr("substring(nm, i + 1, length(nm))")).as("v"))
-    // variant SETS, not lists: deleting any position of an equal-char
-    // run yields the SAME variant ("…0001" has one distinct deletion
-    // for its whole zero run, not eight), and duplicate variants
-    // multiply the join output quadratically — measured 2.6× on the
-    // run-heavy TPC-H names. (k, v) → nm is functional, so the
-    // distinct loses nothing.
-    val variants = base.select(col("k"), col("nm"), col("nm").as("v"))
-      .unionAll(dels)
+    joined(base, variantsOf(base, maxDist), maxDist)
+  }
+
+  /** [[pairs]] under the d01 CANDIDATE-BUDGET discipline — for
+    * corpora whose variants are boilerplate-shared (shared prefixes,
+    * zero-padded keys), where depth-2 buckets go quadratic: bucket
+    * pair mass C(n,2) is counted FIRST on the variant string, buckets
+    * admit cheapest-first within `budget` via
+    * [[CandidateBudget.admit]], the hot tail is pruned by a
+    * left_anti, and the skipped mass is DISCLOSED in a
+    * `skipped_candidates` column appended to every output row.
+    * Cheapest-first keeps recall where linkage lives (a typo pair
+    * shares a rare variant; the hot buckets are the boilerplate
+    * crowd). A budget covering everything returns exactly [[pairs]]
+    * plus a zero disclosure column (spec-pinned). */
+  def pairsBudgeted(df: DataFrame, key: String, str: String,
+      maxDist: Int, budget: Long): DataFrame = {
+    val base = df.select(col(key).as("k"), col(str).as("nm"))
+    // the budget machinery makes the variant frame feed FOUR
+    // consumers (the mass count, admit's own evaluation, and both
+    // candidate-join sides) through four DIFFERENT exchanges —
+    // uncached, the explode+distinct lineage would run four times
+    // (measured 9.2 s -> ~4 s on d19 at sf0.1). Columnar
+    // MEMORY_AND_DISK cache, same contract as d06's signature cache:
+    // materializes on first use, shared by every consumer of the
+    // returned lazy frame, RETAINED for the session — the
+    // Verify/Bench harnesses clearCache() between queries, and a
+    // long-lived service embedding this operator should do the same.
+    val variants = variantsOf(base, maxDist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mass = variants.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .select(col("v"), expr("(n * (n - 1)) div 2").as("cand"))
+      .where(col("cand") > 0)
+    val adm = CandidateBudget.admit(mass, Seq("v"), budget)
+    val kept = variants.join(adm.skippedKeys, Seq("v"), "left_anti")
+    joined(base, kept, maxDist).crossJoin(broadcast(adm.skippedMass))
+  }
+
+  /** The deletion-neighborhood variant frame: one (k, v) row per
+    * DISTINCT variant of each input row. NARROW deliberately — the
+    * variant rows are the high-volume frame (Σ C(Lᵢ,d) per row), so
+    * they carry only the key and the variant; original strings
+    * re-attach to the (candidate-bounded) pair frame for the verify,
+    * the d01 pattern. */
+  private def variantsOf(base: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      "maxDist must be 1 or 2 — depth-d neighborhoods grow C(L,d)-" +
+        "fold; compose deeper thresholds by clustering instead")
+    // deletion variants: substr(from,1,i-1) || substr(from,i+1) for
+    // every position i (guarded: an empty string has only its
+    // identity variant — and Spark's sequence(1,0) would DESCEND,
+    // not empty)
+    def delOnce(in: DataFrame): DataFrame = in
+      .where(length(col("v")) >= 1)
+      .select(col("k"),
+        explode(expr("sequence(1, length(v))")).as("i"), col("v"))
+      .select(col("k"),
+        concat(expr("substring(v, 1, i - 1)"),
+          expr("substring(v, i + 1, length(v))")).as("v"))
+    // variant SETS, not lists, at EVERY depth: deleting any position
+    // of an equal-char run yields the SAME variant ("…0001" has one
+    // distinct deletion for its whole zero run, not eight), and
+    // duplicate variants multiply the join output quadratically —
+    // measured 2.6× on the run-heavy TPC-H names; at depth 2 the
+    // depth-1 dedup ALSO shrinks the second explode's input. (k, v)
+    // → nm is functional, so the distincts lose nothing.
+    val identity = base.select(col("k"), col("nm").as("v"))
+    val d1 = delOnce(identity).distinct()
+    (if (maxDist == 1) identity.unionAll(d1)
+      else identity.unionAll(d1).unionAll(delOnce(d1)))
       .distinct()
+  }
+
+  /** Candidate join over the narrow variant frame + thresholded
+    * verify with the strings re-attached from `names` (k, nm): the
+    * candidate pair frame is bounded (by the corpus' true collision
+    * structure, or by the budget on the budgeted path), so the two
+    * name-fetch joins shuffle candidate-scale rows against the
+    * names, never the variant fan-out. */
+  private def joined(names: DataFrame, variants: DataFrame,
+      maxDist: Int): DataFrame = {
     // distinct column names on each side: a self-join keyed through
     // the SAME attribute resolves to a trivially-true predicate
     // (Spark's self-join ambiguity) and silently degrades the
     // equi-join into a filtered cartesian
-    val a = variants
-      .select(col("k").as("a_key"), col("nm").as("a_str"), col("v").as("av"))
-    val b = variants
-      .select(col("k").as("b_key"), col("nm").as("b_str"), col("v").as("bv"))
+    val a = variants.select(col("k").as("a_key"), col("v").as("av"))
+    val b = variants.select(col("k").as("b_key"), col("v").as("bv"))
     a.join(b, col("av") === col("bv") && col("a_key") < col("b_key"))
-      .select("a_key", "b_key", "a_str", "b_str")
+      .select("a_key", "b_key")
       .distinct()
-      // thresholded verify: -1 means "exceeds 1", computed with the
-      // banded early-exit instead of the full DP matrix
+      .join(names.select(col("k").as("a_key"), col("nm").as("a_str")), "a_key")
+      .join(names.select(col("k").as("b_key"), col("nm").as("b_str")), "b_key")
+      // thresholded verify: -1 means "exceeds maxDist", computed with
+      // the banded early-exit instead of the full DP matrix
       .withColumn("dist",
-        levenshtein(col("a_str"), col("b_str"), 1).cast("long"))
+        levenshtein(col("a_str"), col("b_str"), maxDist).cast("long"))
       .where(col("dist") >= 0L)
+      .select("a_key", "b_key", "a_str", "b_str", "dist")
   }
 }

@@ -58,6 +58,70 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("threshold 2: recursive neighborhood is lossless vs all-pairs; threshold 1 misses the 2-typo pairs") {
+    val cust = graft.Tables(spark, sf, "customer")
+    val got = EditDistanceJoin.pairs(cust, "c_custkey", "c_name", maxDist = 2)
+      .select("a_key", "b_key", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = cust.select($"c_custkey".as("a_key"), $"c_name".as("anm"))
+    val b = cust.select($"c_custkey".as("b_key"), $"c_name".as("bnm"))
+    val brute = a.join(b, $"a_key" < $"b_key")
+      .where(levenshtein($"anm", $"bnm") <= 2)
+      .select($"a_key", $"b_key",
+        levenshtein($"anm", $"bnm").cast("long").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute,
+      "depth-2 deletion neighborhoods must be lossless at threshold 2")
+    assert(got.exists(_._3 === 2L),
+      "the fixture corpus must contain distance-2 pairs (else this pins nothing)")
+    // and they are exactly the pairs threshold 1 cannot see
+    val t1 = EditDistanceJoin.pairs(cust, "c_custkey", "c_name")
+      .select("a_key", "b_key", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t1 === got.filter(_._3 <= 1L),
+      "threshold 2 must extend threshold 1, never disturb it")
+    // every edit-kind COMPOSITION at the boundary: dist 2 in, dist 3 out
+    val rows = Seq((1L, "abcd"), (2L, "axyd"), // 2 substitutions
+      (3L, "ab"),     // 2 deletions from abcd
+      (4L, "abxcdy"), // 2 insertions into abcd
+      (5L, "xbydz")   // dist 3 from abcd — excluded
+    ).toDF("id", "s")
+    val small = EditDistanceJoin.pairs(rows, "id", "s", maxDist = 2)
+      .select("a_key", "b_key", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(small.filter(t => t._1 === 1L || t._2 === 1L) ===
+      Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L)),
+      s"edit-kind compositions at the threshold-2 boundary: $small")
+  }
+
+  test("budgeted pairs: a covering budget is exactly pairs() + zero disclosure; a binding one skips hot buckets and discloses") {
+    val cust = graft.Tables(spark, sf, "customer")
+    val unbudgeted = EditDistanceJoin.pairs(cust, "c_custkey", "c_name", maxDist = 2)
+      .select("a_key", "b_key", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val covering = EditDistanceJoin
+      .pairsBudgeted(cust, "c_custkey", "c_name", maxDist = 2, Long.MaxValue)
+    val covRows = covering.collect()
+    assert(covRows.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("dist"))).toSet === unbudgeted,
+      "a covering budget must change nothing")
+    assert(covRows.forall(_.getAs[Long]("skipped_candidates") === 0L),
+      "a covering budget must disclose zero skipped mass")
+    // a binding budget: fewer (or equal) pairs, positive disclosure,
+    // and every surviving pair is a TRUE pair (subset of unbudgeted —
+    // the budget only prunes, never invents)
+    val binding = EditDistanceJoin
+      .pairsBudgeted(cust, "c_custkey", "c_name", maxDist = 2, 64L * cust.count())
+    val bindRows = binding.collect()
+    val bindPairs = bindRows.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("dist"))).toSet
+    assert(bindPairs.subsetOf(unbudgeted),
+      "budgeting must only prune candidates, never invent pairs")
+    assert(bindRows.headOption.exists(_.getAs[Long]("skipped_candidates") > 0L),
+      "the zero-padded fixture names must make a 64N budget bind " +
+        "(else this pins nothing)")
+  }
+
   test("the plan is an equi-join on the variant — never a cartesian") {
     val p = EditDistanceJoin
       .pairs(graft.Tables(spark, sf, "customer"), "c_custkey", "c_name")
