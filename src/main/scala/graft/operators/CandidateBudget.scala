@@ -150,14 +150,16 @@ object CandidateBudget {
     // range-partition + window machinery never runs — an admission
     // costs ONE aggregate job, nothing else (measured: ~1 s off
     // every budgeted dedup query at sf0.1).
-    if (grandTotal <= budget)
+    if (grandTotal <= budget) {
+      import s.implicits._
       return Admission(
         mass.select(keyCols: _*),
         s.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           mass.select(keyCols: _*).schema),
-        s.range(1).select(lit(0L).as("skipped_candidates")),
+        Seq(0L).toDF("skipped_candidates"),
         allAdmitted = true)
+    }
     // SLOW PATH — the budget binds: freeze the caller's mass lineage
     // (repartitionByRange adds a sampling job, so without the
     // checkpoint the expensive mass derivation would evaluate twice

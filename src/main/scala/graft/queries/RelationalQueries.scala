@@ -2572,6 +2572,68 @@ object RelationalQueries {
       .limit(50)
   }
 
+  /** q58 — TOP-K (HEAVY-HITTER) ROLLUP
+    * ([[graft.operators.TopKRollup]]): who are the heaviest users per
+    * event_type over a day range, served from per-day truncated
+    * top-B summaries with SOUND integer bounds — the fifth mergeable
+    * summary algebra (Druid topN's per-segment tops / the
+    * SpaceSaving bound argument, public designs), answering the
+    * ranking question the HLL/histogram/KMV/CMS rollups cannot.
+    * lb = Σ kept counts ≤ true ≤ ub = lb + Σ tails of the cells that
+    * dropped the user (a dropped user counts at most the first
+    * excluded count — the cells are sorted); cells that keep
+    * everyone have tail 0 and the bounds collapse to exact.
+    * TopKRollupSpec pins the sandwich against exact recomputation
+    * and bound soundness under segmented appends; the oracle replays
+    * build and merge CTE-for-CTE (deterministic (count DESC, user)
+    * ranking in both engines). Scale: ≤ B+1 rows per cell at any
+    * corpus size, WindowGroupLimit build, scan-free range serves. */
+  val q58TopkRollup: GraftQuery = q(
+    "q58_topk_rollup",
+    "heavy-hitter rollup: per-day truncated top-B summaries, range-merged with sound lb/ub bounds",
+    s"""WITH counts AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type, user_id,
+      |         count(*) AS c
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-18 00:00:00'
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY day, event_type
+      |                               ORDER BY c DESC, user_id) AS rn
+      |  FROM counts),
+      |kept AS (SELECT day, event_type, user_id, c FROM ranked
+      |         WHERE rn <= ${graft.operators.TopKRollup.B}),
+      |tails AS (
+      |  SELECT day, event_type,
+      |         coalesce(max(CASE WHEN rn = ${graft.operators.TopKRollup.B + 1}
+      |                           THEN c END), 0) AS tail
+      |  FROM ranked GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(tail) AS BIGINT) AS total_tail
+      |        FROM tails GROUP BY 1),
+      |pu AS (
+      |  SELECT k.event_type, k.user_id, CAST(sum(k.c) AS BIGINT) AS lb,
+      |         CAST(sum(t.tail) AS BIGINT) AS kept_tail
+      |  FROM kept k JOIN tails t
+      |    ON k.day = t.day AND k.event_type = t.event_type
+      |  GROUP BY 1, 2),
+      |bounded AS (
+      |  SELECT p.event_type, p.user_id, p.lb,
+      |         p.lb + tt.total_tail - p.kept_tail AS ub
+      |  FROM pu p JOIN tot tt ON p.event_type = tt.event_type)
+      |SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+      |       CAST(lb AS BIGINT) AS lb, CAST(ub AS BIGINT) AS ub
+      |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |                                   ORDER BY lb DESC, user_id) AS rn
+      |      FROM bounded)
+      |WHERE rn <= 5
+      |ORDER BY event_type, lb DESC, user_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.TopKRollup
+      .heavyHitters(s, dir, "2024-01-08 00:00:00", "2024-01-18 00:00:00", 5)
+      .orderBy(col("event_type"), col("lb").desc, col("user_id"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2587,5 +2649,5 @@ object RelationalQueries {
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
     q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank,
-    q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs)
+    q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup)
 }

@@ -632,8 +632,14 @@ class QueryPlanSpec extends SparkSpec {
         val wlines = p.linesIterator.filter(_.contains("Window ")).toSeq
         assert(wlines.isEmpty,
           s"$name must carry no admission window (r7 had only those):\n${wlines.mkString("\n")}")
-        assert(p.contains("ExistingRDD"),
-          s"$name must consume the materialized admission:\n$p")
+        // the admission reaches the consumer as either the
+        // materialized slice checkpoint (ExistingRDD — binding
+        // budget) or, since r11, the fast path's LOCAL relations (a
+        // literal zero disclosure + provably-empty tail when the
+        // budget covers everything) — both shapes mean no consumer
+        // can ever recompute the admission's exchange
+        assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+          s"$name must consume the materialized or local admission:\n$p")
       }
     }
   }
