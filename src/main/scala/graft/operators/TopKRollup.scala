@@ -98,14 +98,45 @@ object TopKRollup {
       .coalesce(1).write.mode("append").parquet(topkPath(dir))
   }
 
+  /** Batch-id-scoped streaming leg — the exactly-once discipline the
+    * sum-merge rollups established ([[HistogramRollup
+    * .processStreamBatch]]): each micro-batch's summary lands as its
+    * own `batch=b<id>` partition (a replayed batch OVERWRITES itself,
+    * never double-counts) and serves as one more additive SEGMENT —
+    * the bound algebra needs nothing else. Deletes are NOT
+    * subtractable from a truncated top (a dropped user's kept counts
+    * are unknown), so the CDC-delete repair path is a rebuild, not a
+    * patch. */
+  def streamPath(dir: String): String = topkPath(dir) + "_stream"
+
+  def processStreamBatch(s: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    ensure(s, dir)
+    // NEGATIVE segment ids: disjoint from appendBatch's positive ones
+    // by construction, so a (day, seg, type, tail) cell can never
+    // collide across the two legs and silently dedupe a tail ceiling
+    summarize(batch, -(batchId + 1L)).coalesce(1).write.mode("overwrite")
+      .parquet(s"${streamPath(dir)}/batch=b$batchId")
+  }
+
   /** Heavy-hitter candidates per event_type over [lo, hi): every
     * user kept by ≥ 1 cell, with the sound bounds
     * (event_type, user_id, lb, ub), ranked (lb DESC, user) and cut
-    * to `topN` per type. Touches only the summary table. */
+    * to `topN` per type. Touches only the summary table (plus any
+    * committed stream-batch segments — the [[IndexStore
+    * .readyBatches]] rule: a torn batch contributes nothing until
+    * its replay overwrites it). */
   def heavyHitters(s: SparkSession, dir: String, lo: String, hi: String,
       topN: Int = 5): DataFrame = {
     ensure(s, dir)
-    val cells = s.read.parquet(topkPath(dir))
+    val ready = IndexStore.readyBatches(streamPath(dir))
+    val baseCells = s.read.parquet(topkPath(dir))
+    val allCells =
+      if (ready.isEmpty) baseCells
+      else baseCells.unionByName(
+        s.read.parquet(ready.map(t => s"${streamPath(dir)}/$t"): _*)
+          .select("day", "seg", "event_type", "user_id", "c", "tail"))
+    val cells = allCells
       .where(col("day") >= lit(MinMaxManifest.utc(lo)) &&
         col("day") < lit(MinMaxManifest.utc(hi)))
     // one tail ceiling per (day, seg, type) cell; total per type

@@ -2634,6 +2634,47 @@ object RelationalQueries {
       .orderBy(col("event_type"), col("lb").desc, col("user_id"))
   }
 
+  /** q59 — INCREMENTAL VIEW MAINTENANCE FOR A JOIN
+    * ([[graft.operators.IncrementalJoin]]): the enriched-fact MV
+    * (lineitem ⋈ orders) maintained by the Blakeley delta algebra
+    * instead of the reference's daily full rebuild: both tables are
+    * split into an old generation and an append delta (key-hash
+    * split, so all THREE delta legs — ΔA⋈B₀, A₀⋈ΔB, ΔA⋈ΔB — carry
+    * rows), the maintained view is old ∪ₐₗₗ Δ(A⋈B), and the oracle
+    * computes the FULL join census — the hash gate therefore proves
+    * the IVM invariant (maintained ≡ recomputed) end-to-end under
+    * bag semantics. Maintenance cost is O(|Δ|·fanout): every delta
+    * leg has a delta side; nothing scales with |A⋈B| (spec-pinned
+    * for arbitrary splits in IncrementalJoinSpec). */
+  val q59JoinIvm: GraftQuery = q(
+    "q59_join_ivm",
+    "join IVM: three-leg delta algebra maintains lineitem x orders; gate proves maintained == recomputed",
+    """WITH j AS (
+      |  SELECT o.o_orderstatus AS st, l.l_quantity AS q, l.l_orderkey AS k
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(q) AS BIGINT)) AS BIGINT) AS q_fp,
+      |       CAST(sum(k % 9973) AS BIGINT) AS k_chk
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_quantity")
+    val od = Tables(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val (liOld, liNew) = (li.where($"okey" % 7 =!= 0), li.where($"okey" % 7 === 0))
+    val (odOld, odNew) = (od.where($"okey" % 5 =!= 0), od.where($"okey" % 5 === 0))
+    val mvOld = liOld.join(odOld, Seq("okey"))
+    val maintained = mvOld.unionByName(
+      graft.operators.IncrementalJoin.joinDelta(
+        liOld, liNew, odOld, odNew, Seq("okey")))
+    maintained.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"l_quantity").cast("long")).as("q_fp"),
+        sum($"okey" % 9973).as("k_chk"))
+      .orderBy($"o_orderstatus")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2649,5 +2690,6 @@ object RelationalQueries {
     q44DecayedFeatures, q45KmvOverlap, q46Optimize, q47RoutedSum,
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
     q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank,
-    q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup)
+    q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup,
+    q59JoinIvm)
 }

@@ -90,6 +90,34 @@ class TopKRollupSpec extends SparkSpec {
     }
   }
 
+  test("streaming leg: replayed batches never double-count; bounds stay sound with streamed segments") {
+    withIndexRoot("graft-topk-stream") {
+      val dir = tmpDir("graft-topk-sdata")
+      val (p1, p2) = fixture.partition(_._1 % 2 == 0)
+      writeEvents(dir, p1)
+      TopKRollup.ensure(spark, dir)
+      val batch = p2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      TopKRollup.processStreamBatch(spark, dir, batch, batchId = 7L)
+      val once = TopKRollup.heavyHitters(spark, dir, lo, hi, topN = 10)
+        .collect().map(_.toString).sorted.toSeq
+      // exactly-once: the replayed batch overwrites its own segment
+      TopKRollup.processStreamBatch(spark, dir, batch, batchId = 7L)
+      val replayed = TopKRollup.heavyHitters(spark, dir, lo, hi, topN = 10)
+        .collect().map(_.toString).sorted.toSeq
+      assert(replayed === once, "a replayed stream batch must not widen or shift bounds")
+      // and the combined bounds still sandwich the full truth
+      val dirWhole = tmpDir("graft-topk-struth")
+      writeEvents(dirWhole, fixture)
+      val exact = truth(dirWhole)
+      TopKRollup.heavyHitters(spark, dir, lo, hi, topN = 10).collect()
+        .foreach { r =>
+          val tru = exact((r.getString(0), r.getLong(1)))
+          assert(r.getLong(2) <= tru && tru <= r.getLong(3),
+            s"streamed bounds must stay sound: $r true=$tru")
+        }
+    }
+  }
+
   test("build rank is WindowGroupLimit-bounded; range serves scan only the summary") {
     withIndexRoot("graft-topk-plan") {
       val dir = tmpDir("graft-topk-pdata")
