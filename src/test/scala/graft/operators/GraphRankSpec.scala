@@ -103,6 +103,42 @@ class GraphRankSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pr_edges_spec")
   }
 
+  test("ensureBucketedEdges: build once, reuse from catalog, DDL-re-register after catalog loss") {
+    withIndexRoot("graft-pr-ensure") {
+      val edges = (for (i <- 1L to 30L) yield (i, i % 5 + 50L))
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      def derive = edges.toDF("src", "dst")
+      val dir = "/root/testdata/sf0.001"
+      val (path, tbl) = GraphRank.edgeArtifact(dir, "region", "nation", "spec_edges")
+      try {
+        // 1) cold: builds the artifact
+        var built = 0
+        val t1 = GraphRank.ensureBucketedEdges(spark, tbl, path, { built += 1; derive })
+        assert(built === 1 && IndexStore.artifactReady(path))
+        val r1 = GraphRank.pagerankBucketed(t1, 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // 2) warm: catalog + files present — edge derivation NOT re-run
+        val t2 = GraphRank.ensureBucketedEdges(spark, tbl, path, { built += 1; derive })
+        assert(built === 1, "a warm ensure must not re-derive the edges")
+        assert(t2.count() === t1.count())
+        // 3) catalog lost (the fresh-JVM state): files survive, the
+        // DDL path re-registers the SAME bucket spec — ranks identical
+        spark.sql(s"DROP TABLE `$tbl`")
+        val t3 = GraphRank.ensureBucketedEdges(spark, tbl, path, { built += 1; derive })
+        assert(built === 1, "re-registration must never rebuild the files")
+        val r3 = GraphRank.pagerankBucketed(t3, 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(r3 === r1, "a re-registered table must serve identical ranks")
+        // and the re-registered scan still reports its bucketing
+        val scan = t3.queryExecution.executedPlan.toString
+        assert(scan.contains("Bucketed: true") ||
+          t3.groupBy($"src").count().queryExecution.executedPlan
+            .toString.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+          s"the re-registered table must keep its bucket spec:\n$scan")
+      } finally spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    }
+  }
+
   test("the result is a materialized rank vector; internal caches are released") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val df = GraphRank.pagerank(
