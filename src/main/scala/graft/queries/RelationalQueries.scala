@@ -2687,6 +2687,51 @@ object RelationalQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** q60 — COLUMN-LEVEL LINEAGE AUDIT
+    * ([[graft.plans.ColumnLineage]]): for a governed join + mask +
+    * aggregate pipeline, every output column's leaf-column taint set
+    * — the PII-flow question (Unity Catalog / OpenLineage lineage
+    * graphs, public designs) answered from the ANALYZED plan's own
+    * derivation graph, at plan-metadata cost (never a data scan).
+    * Data lineage, not control lineage: the filter predicate gates
+    * rows but taints nothing; COUNT(*) derives from nothing; a hash
+    * of PII is still PII lineage. This is plan metadata, so the
+    * oracle is the EXPECTED taint table itself (a golden VALUES
+    * relation — no SQL can compute another engine's plan graph); the
+    * gate still catches any lineage regression byte-for-byte, and
+    * ColumnLineageSpec pins every derivation kind (generators,
+    * unions, grouping sets, windows) on live plans. */
+  val q60ColumnLineage: GraftQuery = q(
+    "q60_column_lineage",
+    "column lineage audit: output-column -> leaf-column taint sets of a governed pipeline",
+    """SELECT * FROM (VALUES
+      |  ('c_mktsegment', 'customer.parquet.c_mktsegment'),
+      |  ('n',            '(none)'),
+      |  ('n_ident',      'customer.parquet.c_name'),
+      |  ('n_ident',      'customer.parquet.c_nationkey'),
+      |  ('rev',          'customer.parquet.c_acctbal'),
+      |  ('rev',          'orders.parquet.o_totalprice')
+      |) AS t(out_col, src)
+      |ORDER BY out_col, src""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val pipeline = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .where($"o_orderstatus" =!= "Z")
+      .select($"c_mktsegment",
+        sha2(concat($"c_name", $"c_nationkey").cast("binary"), 256)
+          .as("pii_digest"),
+        ($"o_totalprice" + $"c_acctbal").as("mix"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"mix").as("rev"),
+        countDistinct($"pii_digest").as("n_ident"))
+    val rows = graft.plans.ColumnLineage.sources(pipeline).toSeq
+      .flatMap { case (o, ss) =>
+        if (ss.isEmpty) Seq((o, "(none)")) else ss.toSeq.map(o -> _)
+      }
+    rows.toDF("out_col", "src").orderBy($"out_col", $"src")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2703,5 +2748,5 @@ object RelationalQueries {
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
     q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank,
     q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup,
-    q59JoinIvm)
+    q59JoinIvm, q60ColumnLineage)
 }
