@@ -439,7 +439,7 @@ class StreamingSpec extends SparkSpec {
     // checkpoint restart mid-stream must leave the q36 surface
     // unchanged across the replayed batch.
     withIndexRoot("graft-stream-rollup") {
-      import graft.operators.{CmsRollup => CM, DecayedFeatures => DF, HistogramRollup => HR, SketchRollup => SR}
+      import graft.operators.{CmsRollup => CM, DecayedFeatures => DF, HistogramRollup => HR, SketchRollup => SR, TopKRollup => TK}
       val sf = "/root/testdata/sf0.001"
       val (lo, hi) = ("2024-02-01 00:00:00", "2024-03-01 00:00:00")
       implicit val sql = spark.sqlContext
@@ -458,6 +458,7 @@ class StreamingSpec extends SparkSpec {
         HR.processStreamBatch(spark, sf, batch, id)
         DF.processStreamBatch(spark, sf, batch, id)
         CM.processStreamBatch(spark, sf, batch, id)
+        TK.processStreamBatch(spark, sf, batch, id)
         SR.appendBatch(spark, sf, batch)
       }
       def run(): Unit = {
@@ -525,6 +526,15 @@ class StreamingSpec extends SparkSpec {
         .agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
       assert(gridMass === baseMass + 50L * CM.Depth,
         s"stream batches must add exactly once: $gridMass vs base $baseMass")
+      // the top-k rollup rode the same sink: each stream batch is one
+      // additive segment, replays absorbed by the batch=b<id>
+      // overwrite — the hot streamed users' lower bounds read their
+      // exact once-only counts (every user here has 1 event, kept by
+      // its cell since cells hold ≤ 50 users < B)
+      val hh = TK.heavyHitters(spark, sf, lo, hi, topN = 64)
+        .where(col("event_type") === "stream")
+      assert(hh.agg(coalesce(sum("lb"), lit(0L))).head().getLong(0) === 50L,
+        "top-k stream maintenance must land each batch exactly once")
     }
   }
 }
