@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** INCREMENTAL VIEW MAINTENANCE FOR JOINS — the member the IVM
   * family was missing: [[IncrementalRollup]] maintains aggregates
@@ -41,4 +42,39 @@ object IncrementalJoin {
     dA.join(bOld, keys)
       .unionByName(aOld.join(dB, keys))
       .unionByName(dA.join(dB, keys))
+
+  /** Maintain a KEYED join view under UPSERTS AND DELETES of the A
+    * side, fed by [[SnapshotMerge.changeFeed]]'s rows — the
+    * retract/add composition the scaladoc above promises, made
+    * concrete: `aKey` identifies A's rows (one live A-row per key —
+    * the snapshot invariant the feed itself maintains), so a
+    * retraction is a KEY removal (never a multiset subtract, which
+    * general bag IVM would need counts for):
+    *
+    *   - `delete` / `update_preimage` rows retract: every view row
+    *     carrying that aKey leaves (one anti-join; the feed's key set
+    *     is change-sized, so it broadcasts);
+    *   - `insert` / `update_postimage` rows add: the new A-rows join
+    *     B once — O(changes · fan-out).
+    *
+    * Cost O(|feed|), never O(|view|) shuffle mass beyond the
+    * anti-join probe of the view itself (with a partitioned view the
+    * [[SnapshotMerge.pruneToTouchedPartitions]] composition bounds
+    * even that). Spec pins maintained ≡ recomputed across mixed
+    * insert/update/delete batches. */
+  def applyFeed(view: DataFrame, feed: DataFrame, b: DataFrame,
+      aKey: String, joinKeys: Seq[String]): DataFrame = {
+    val gone = feed
+      .where(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(aKey)).distinct()
+    val added = feed
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+      .join(b, joinKeys)
+    // a using-key anti-join moves aKey to the front; restore the
+    // view's own column order so maintained output ≡ view schema
+    view.join(broadcast(gone), Seq(aKey), "left_anti")
+      .select(view.columns.map(col).toSeq: _*)
+      .unionByName(added, allowMissingColumns = false)
+  }
 }

@@ -38,6 +38,35 @@ class IncrementalJoinSpec extends SparkSpec {
     }
   }
 
+  test("applyFeed maintains a keyed join view under mixed upserts and deletes") {
+    // A's history: version 1 = base, version 2 = a CDC batch with an
+    // update (k=1), a delete (k=2), an insert (k=9); k=3 untouched
+    val base = Seq((1L, 10L, "a1", 1L, "upsert"), (2L, 20L, "a2", 1L, "upsert"),
+      (3L, 10L, "a3", 1L, "upsert"))
+      .toDF("k", "jk", "av", "ver", "op")
+    val delta = Seq((1L, 20L, "a1v2", 2L, "upsert"), (2L, 20L, "a2", 2L, "delete"),
+      (9L, 10L, "a9", 2L, "upsert"))
+      .toDF("k", "jk", "av", "ver", "op")
+    val iv = SnapshotMerge.scd2Intervals(
+      base.drop("op"), delta, "k", "ver")
+    val b = Seq((10L, "b10"), (20L, "b20")).toDF("jk", "bv")
+    def stateAt(v: Long) = iv.where(col("ver") <= v &&
+        (col("valid_to").isNull || col("valid_to") > v) && col("alive"))
+      .select($"k", $"jk", $"av")
+    val view0 = stateAt(1L).join(b, Seq("jk"))
+    val feed = SnapshotMerge.changeFeed(iv, "k", "ver", 1L, 2L)
+      .select($"_change_type", $"k", $"jk", $"av")
+    val maintained = IncrementalJoin.applyFeed(view0, feed, b, "k", Seq("jk"))
+      .collect().map(_.toString).sorted.toSeq
+    val recomputed = stateAt(2L).join(b, Seq("jk"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(maintained === recomputed,
+      s"feed-maintained view must equal the recompute:\n$maintained\nvs\n$recomputed")
+    // and the update really moved: k=1 now enriches against jk=20
+    assert(maintained.exists(r => r.contains("a1v2") && r.contains("b20")))
+    assert(!maintained.exists(_.contains("a2")), "the deleted key must vanish")
+  }
+
   test("every delta leg joins a delta side — the old x old bulk is never recomputed") {
     val a = aRows.toDF("k", "av")
     val b = bRows.toDF("k", "bv")
