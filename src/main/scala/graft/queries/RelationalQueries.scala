@@ -2555,8 +2555,13 @@ object RelationalQueries {
       |ORDER BY support DESC, p1, p2 LIMIT 50""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
+    // the budget machinery makes the distinct itemset frame feed
+    // THREE consumers (the mass aggregate and both self-join sides)
+    // through different exchanges; columnar cache, the d06/d19
+    // contract (harnesses clearCache() between queries)
     val i = Tables(s, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // basket mass = C(k,2) over distinct parts; only multi-part
     // baskets (cand > 0) enter the admission — a singleton basket
     // yields no pair and consumes no budget (admit() enforces the
