@@ -60,11 +60,32 @@ object EditDistanceJoin {
   /** All unordered pairs of `df` rows whose `str` values are within
     * Levenshtein distance `maxDist` (1 or 2), as (a_key, b_key,
     * a_str, b_str, dist) with a_key < b_key. `key` must be unique
-    * per row. */
+    * per row.
+    *
+    * WIDE shape deliberately: the strings ride the variant self-join
+    * so candidates emerge verify-ready with no further shuffle. The
+    * width trade (measured at the 100× replica): unbudgeted
+    * candidate mass is of the same order as — or larger than — the
+    * variant frame, so re-attaching strings to candidates would cost
+    * two candidate-mass exchanges + sorts (~2× end-to-end here),
+    * while the wide variant rows cost only the extra string bytes in
+    * the one existing exchange. [[pairsBudgeted]] makes the OPPOSITE
+    * choice for the same reason reversed: its admitted candidates
+    * are budget-bounded below the variant mass. */
   def pairs(df: DataFrame, key: String, str: String,
       maxDist: Int = 1): DataFrame = {
     val base = df.select(col(key).as("k"), col(str).as("nm"))
-    joined(base, variantsOf(base, maxDist), maxDist)
+    val variants = variantsOf(base, maxDist, carryNm = true)
+    val a = variants
+      .select(col("k").as("a_key"), col("nm").as("a_str"), col("v").as("av"))
+    val b = variants
+      .select(col("k").as("b_key"), col("nm").as("b_str"), col("v").as("bv"))
+    a.join(b, col("av") === col("bv") && col("a_key") < col("b_key"))
+      .select("a_key", "b_key", "a_str", "b_str")
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("a_str"), col("b_str"), maxDist).cast("long"))
+      .where(col("dist") >= 0L)
   }
 
   /** [[pairs]] under the d01 CANDIDATE-BUDGET discipline — for
@@ -102,27 +123,29 @@ object EditDistanceJoin {
     joined(base, kept, maxDist).crossJoin(broadcast(adm.skippedMass))
   }
 
-  /** The deletion-neighborhood variant frame: one (k, v) row per
-    * DISTINCT variant of each input row. NARROW deliberately — the
-    * variant rows are the high-volume frame (Σ C(Lᵢ,d) per row), so
-    * they carry only the key and the variant; original strings
-    * re-attach to the (candidate-bounded) pair frame for the verify,
-    * the d01 pattern. */
-  private def variantsOf(base: DataFrame, maxDist: Int): DataFrame = {
+  /** The deletion-neighborhood variant frame: one row per DISTINCT
+    * variant of each input row — (k, v), or (k, nm, v) when
+    * `carryNm` (the [[pairs]]/[[pairsBudgeted]] width trade: the
+    * wide rows make candidates verify-ready in the self-join's own
+    * exchange; the narrow rows halve the high-volume frame when the
+    * budget bounds candidates below it). */
+  private def variantsOf(base: DataFrame, maxDist: Int,
+      carryNm: Boolean = false): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       "maxDist must be 1 or 2 — depth-d neighborhoods grow C(L,d)-" +
         "fold; compose deeper thresholds by clustering instead")
+    val carry = if (carryNm) Seq(col("k"), col("nm")) else Seq(col("k"))
     // deletion variants: substr(from,1,i-1) || substr(from,i+1) for
     // every position i (guarded: an empty string has only its
     // identity variant — and Spark's sequence(1,0) would DESCEND,
     // not empty)
     def delOnce(in: DataFrame): DataFrame = in
       .where(length(col("v")) >= 1)
-      .select(col("k"),
-        explode(expr("sequence(1, length(v))")).as("i"), col("v"))
-      .select(col("k"),
+      .select(carry ++ Seq(
+        explode(expr("sequence(1, length(v))")).as("i"), col("v")): _*)
+      .select(carry :+
         concat(expr("substring(v, 1, i - 1)"),
-          expr("substring(v, i + 1, length(v))")).as("v"))
+          expr("substring(v, i + 1, length(v))")).as("v"): _*)
     // variant SETS, not lists, at EVERY depth: deleting any position
     // of an equal-char run yields the SAME variant ("…0001" has one
     // distinct deletion for its whole zero run, not eight), and
@@ -130,7 +153,7 @@ object EditDistanceJoin {
     // measured 2.6× on the run-heavy TPC-H names; at depth 2 the
     // depth-1 dedup ALSO shrinks the second explode's input. (k, v)
     // → nm is functional, so the distincts lose nothing.
-    val identity = base.select(col("k"), col("nm").as("v"))
+    val identity = base.select(carry :+ col("nm").as("v"): _*)
     val d1 = delOnce(identity).distinct()
     (if (maxDist == 1) identity.unionAll(d1)
       else identity.unionAll(d1).unionAll(delOnce(d1)))
