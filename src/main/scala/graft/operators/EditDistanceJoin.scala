@@ -99,7 +99,21 @@ object EditDistanceJoin {
     * Cheapest-first keeps recall where linkage lives (a typo pair
     * shares a rare variant; the hot buckets are the boilerplate
     * crowd). A budget covering everything returns exactly [[pairs]]
-    * plus a zero disclosure column (spec-pinned). */
+    * plus a zero disclosure column (spec-pinned).
+    *
+    * COST FLOOR (disclosed here because the budget does NOT cap it):
+    * the depth-2 variant frame itself is Σ C(len,≤2) rows per name —
+    * ~136M rows at the 100× replica (the dominant term of d19's
+    * 233 s cold receipt, BENCH_SCALE `round11_replica_correction`) —
+    * and it must be enumerated IN FULL before any bucket can be
+    * counted: the budget bounds the quadratic candidate-PAIR mass,
+    * which is the term that explodes super-linearly, while the
+    * variant mass is linear in corpus bytes (len² per name, bounded
+    * by name length) and is the price of the SymSpell recall
+    * guarantee — capping it would silently drop candidate pairs with
+    * NO disclosed mass, the one failure mode this operator exists to
+    * prevent. Linear-by-design, not free: size executors for
+    * O(len²·N) explode throughput, not O(N). */
   def pairsBudgeted(df: DataFrame, key: String, str: String,
       maxDist: Int, budget: Long): DataFrame = {
     val base = df.select(col(key).as("k"), col(str).as("nm"))

@@ -39,11 +39,54 @@ object Governance {
     * shuffle, nothing for the optimizer to stumble on. */
   def governed(df: DataFrame, p: Policy): DataFrame = {
     val keep = df.columns.filterNot(p.dropCols.contains)
-    val existing = keep.map(c => p.masks.get(c).map(_.as(c)).getOrElse(col(c)))
+    val existing = keep.map(c =>
+      p.masks.get(c).map(_.as(c, maskMeta(p))).getOrElse(col(c)))
     val derived = p.masks.toSeq.sortBy(_._1).collect {
-      case (name, e) if !df.columns.contains(name) => e.as(name)
+      case (name, e) if !df.columns.contains(name) => e.as(name, maskMeta(p))
     }
     df.where(p.rowFilter).select(existing ++ derived: _*)
+  }
+
+  /** The declassification stamp [[governed]] puts on its mask
+    * expressions: a policy-sanctioned digest is the policy's OUTPUT,
+    * so lineage records it as `mask[<principal>].<col>` instead of
+    * the raw column it digests — the hinge [[assertPublishable]]
+    * turns on. */
+  private def maskMeta(p: Policy): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(graft.plans.ColumnLineage.DeclassifyKey,
+        s"mask[${p.principal}]")
+      .build()
+
+  /** LINEAGE-ENFORCED PUBLISH GATE — the composition of this layer
+    * with [[graft.plans.ColumnLineage]] (the r11 verdict's ask: two
+    * parallel features become one enforcement point): a frame may be
+    * published under policy `p` only if NO output column's data
+    * lineage reaches a protected column — anything `p` drops, or any
+    * raw column `p`'s masks read — through any path OTHER than the
+    * policy's own declassification-stamped mask expressions. Refused
+    * AT PLAN TIME (the lineage fold walks plan metadata; nothing
+    * executes), so `md5(col("text"))` hand-built over the RAW table
+    * is rejected even though its VALUES would equal the sanctioned
+    * view's — the gate checks provenance, not plausibility. Returns
+    * the frame for chaining when clean. */
+  def assertPublishable(df: DataFrame, p: Policy): DataFrame = {
+    val maskRefs = p.masks.values
+      .map(org.apache.spark.sql.graftbridge.columnToExpr)
+      .flatMap(_.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+    })
+    val protectedCols = (p.dropCols ++ maskRefs).toSet
+    val tainted = graft.plans.ColumnLineage.taintedBy(df, protectedCols)
+    require(tainted.isEmpty,
+      s"refusing to publish for principal ${p.principal}: output " +
+        s"column(s) ${tainted.toSeq.sorted.mkString(", ")} derive from " +
+        s"protected column(s) {${protectedCols.toSeq.sorted.mkString(", ")}} " +
+        "outside the policy's own masks — build from the governed view")
+    df
   }
 
   /** The demo policy the registered query and catalog use: an

@@ -119,13 +119,16 @@ object GraphRank {
     * distinct/degree/annotate construction ONCE at write time, and
     * every later [[pagerankBucketed]] call starts its supersteps
     * immediately — no per-call edge cache to build, no corpus-sized
-    * memory pin at all. Bucket count defaults to the session's
-    * shuffle partitions so every derived partitioning agrees. */
+    * memory pin at all. Bucket count defaults to [[EdgeBuckets]] —
+    * the SAME constant [[ensureBucketedEdges]]' catalog-loss
+    * re-registration DDL declares — because the count is baked into
+    * the files at write time: a table written under one session's
+    * shuffle setting but re-registered in a fresh JVM would
+    * otherwise carry a declared spec that disagrees with the files,
+    * and Spark trusts the declared spec for exchange elision. */
   def writeEdgesBucketed(edges: DataFrame, table: String,
-      path: String, buckets: Int = 0): DataFrame = {
-    val s = edges.sparkSession
-    val n = if (buckets > 0) buckets
-      else s.sessionState.conf.numShufflePartitions
+      path: String, buckets: Int = EdgeBuckets): DataFrame = {
+    val n = buckets
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val annotated = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))

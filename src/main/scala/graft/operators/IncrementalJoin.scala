@@ -52,16 +52,25 @@ object IncrementalJoin {
     * general bag IVM would need counts for):
     *
     *   - `delete` / `update_preimage` rows retract: every view row
-    *     carrying that aKey leaves (one anti-join; the feed's key set
-    *     is change-sized, so it broadcasts);
+    *     carrying that aKey leaves (one anti-join on the feed's key
+    *     set — NOT force-broadcast: a change-sized key set still
+    *     auto-broadcasts off its own size stats, while a bulk feed —
+    *     a GDPR sweep, a backfill replaying 10⁸ retractions —
+    *     degrades to a shuffled anti-join instead of bypassing the
+    *     planner's size check and OOMing the driver, the identical
+    *     fix already applied to Governance.kAnonymize and
+    *     TemporalEnrich);
     *   - `insert` / `update_postimage` rows add: the new A-rows join
     *     B once — O(changes · fan-out).
     *
     * Cost O(|feed|), never O(|view|) shuffle mass beyond the
-    * anti-join probe of the view itself (with a partitioned view the
-    * [[SnapshotMerge.pruneToTouchedPartitions]] composition bounds
-    * even that). Spec pins maintained ≡ recomputed across mixed
-    * insert/update/delete batches. */
+    * anti-join probe of the view itself — and with a PARTITIONED
+    * view even that probe is bounded: [[applyFeedPartitioned]]
+    * confines the anti-join to the delta-adjacent partitions and
+    * passes every other partition through untouched. Spec pins
+    * maintained ≡ recomputed across mixed insert/update/delete
+    * batches, and the anti-join's hash (never nested-loop) shape in
+    * both size regimes. */
   def applyFeed(view: DataFrame, feed: DataFrame, b: DataFrame,
       aKey: String, joinKeys: Seq[String]): DataFrame = {
     val gone = feed
@@ -73,8 +82,51 @@ object IncrementalJoin {
       .join(b, joinKeys)
     // a using-key anti-join moves aKey to the front; restore the
     // view's own column order so maintained output ≡ view schema
-    view.join(broadcast(gone), Seq(aKey), "left_anti")
+    view.join(gone, Seq(aKey), "left_anti")
       .select(view.columns.map(col).toSeq: _*)
       .unionByName(added, allowMissingColumns = false)
+  }
+
+  /** [[applyFeed]] for a view PARTITIONED on `partitionCol` (a
+    * date-partitioned enriched fact table — the standing shape): the
+    * retraction anti-join probes ONLY the partitions the feed's
+    * preimage rows name, and every other partition passes through
+    * with no join at all — so on a 1000-partition view a one-day
+    * feed's maintenance reads one partition's rows into the
+    * anti-join, not the corpus (the view-side composition of
+    * [[SnapshotMerge.pruneToTouchedPartitions]]; PartitionFilters on
+    * the view scan are spec-pinned).
+    *
+    * Sound because a view row's `partitionCol` comes from its A-side
+    * row, and the feed's delete/update_preimage rows ARE those
+    * A-rows — a retracted key can only live in a partition the feed
+    * names. Rows with a NULL partition value are conservatively
+    * probed too. The touched-partition value list is change-sized
+    * (collected to the driver, like every partition-pruning path
+    * here). Maintained output ≡ [[applyFeed]]'s, spec-pinned. */
+  def applyFeedPartitioned(view: DataFrame, feed: DataFrame, b: DataFrame,
+      aKey: String, joinKeys: Seq[String], partitionCol: String): DataFrame = {
+    require(feed.columns.contains(partitionCol),
+      s"feed must carry the view partition column $partitionCol " +
+        "(preimage rows do — they are the retracted A-rows)")
+    val retractions = feed
+      .where(col("_change_type").isin("delete", "update_preimage"))
+    val gone = retractions.select(col(aKey)).distinct()
+    val parts = retractions.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).filter(_ != null).toSeq
+    val touchedCond =
+      if (parts.isEmpty) col(partitionCol).isNull
+      else col(partitionCol).isInCollection(parts) || col(partitionCol).isNull
+    val ordered = view.columns.map(col).toSeq
+    // touchedCond is never three-valued (isNull catches the null
+    // rows), so !touchedCond is exactly the complement partition set
+    val kept = view.where(touchedCond)
+      .join(gone, Seq(aKey), "left_anti").select(ordered: _*)
+      .unionByName(view.where(!touchedCond).select(ordered: _*))
+    val added = feed
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+      .join(b, joinKeys)
+    kept.unionByName(added, allowMissingColumns = false)
   }
 }

@@ -40,8 +40,24 @@ import org.apache.spark.sql.functions._
   * losslessly re-mergeable within a day (the counts were split), but
   * segment bounds ADD — lb sums kept counts across segments, the
   * tail ceiling sums across segments — so bounds stay sound under
-  * any append pattern and merely widen (spec-pinned); rebuilding
-  * (reEnsure-style) re-tightens them. */
+  * any append pattern and merely widen (spec-pinned); [[reEnsure]]
+  * re-tightens them: it collapses every segment (appended and
+  * streamed) back to a single segment-0 summary of the CURRENT raw
+  * table, bit-identical to a fresh single build (spec-pinned), and
+  * doubles as the CDC-delete repair path — a dropped user's kept
+  * counts are unknown inside a truncated top, so deletes repair by
+  * rebuild, never by patch.
+  *
+  * ROUTING: [[ensure]]/[[reEnsure]] stamp the shared
+  * [[EnsureWatermark]]; [[appendBatch]] invalidates it FIRST
+  * (fail-closed, the discipline every routed rollup observes), and
+  * [[routable]] additionally requires ZERO committed stream
+  * segments — both legs carry data that is NOT in the raw table, so
+  * the optimizer rewrite ([[graft.plans.RollupRoutingRule]]) may
+  * substitute this summary for a raw top-k aggregate only while the
+  * summary is exactly ensure()'s build. [[exactTopK]] is that
+  * route's serving face: the answer, or None when the bounds cannot
+  * PROVE it. */
 object TopKRollup {
 
   /** Kept users per cell. 64 keeps a cell ≤ 65 rows while bounding
@@ -77,25 +93,63 @@ object TopKRollup {
   }
 
   /** Build the daily summary table once per corpus lifetime
-    * (segment 0). */
+    * (segment 0). `repartition(1)`, NOT `coalesce(1)`: coalesce
+    * collapses the whole final stage — including the corpus-
+    * cardinality row_number window — into one task; the shuffle
+    * boundary keeps the window stage parallel and single-files only
+    * the ≤(B+1)-rows-per-cell summary. */
   def ensure(s: SparkSession, dir: String): Unit = {
     val path = topkPath(dir)
     if (IndexStore.artifactReady(path)) return
     summarize(graft.Tables(s, dir, "events"), 0L)
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .repartition(1).write.mode("overwrite").parquet(path)
+    EnsureWatermark.write(path)
   }
 
+  /** ROUTING REPAIR + BOUND RE-TIGHTENING — rebuild the summary as a
+    * single segment-0 build of the CURRENT raw table and restore the
+    * routing watermark. Appended and streamed segments are DELETED,
+    * not merged: their per-day tops were truncated independently, so
+    * a rebuild from the raw table (which by now holds their rows, or
+    * holds the post-delete truth) is strictly tighter — bit-identical
+    * to a fresh single build (spec-pinned). This is the delete-repair
+    * path the class scaladoc promises: truncated tops are not
+    * subtractable, so CDC deletes repair by reEnsure. */
+  def reEnsure(s: SparkSession, dir: String): Unit = {
+    val path = topkPath(dir)
+    val (fs, _) = IndexStore.fsOf(path)
+    fs.delete(new org.apache.hadoop.fs.Path(streamPath(dir)), true)
+    summarize(graft.Tables(s, dir, "events"), 0L)
+      .repartition(1).write.mode("overwrite").parquet(path)
+    EnsureWatermark.write(path)
+  }
+
+  /** True iff the summary is exactly ensure()/reEnsure()'s build of
+    * the raw table — the optimizer rewrite's precondition: watermark
+    * intact AND no committed stream segments (either would make the
+    * summary a superset of the raw aggregate). */
+  private[graft] def routable(dir: String): Boolean =
+    EnsureWatermark.holds(topkPath(dir)) &&
+      IndexStore.readyBatches(streamPath(dir)).isEmpty
+
   /** Append a batch as a NEW SEGMENT (caller supplies a unique
-    * batchId — the foreachBatch id in a streaming leg): O(batch)
-    * work, summary never rewritten, bounds stay sound and widen by
-    * at most the batch's own tails (see scaladoc). */
+    * POSITIVE batchId — negative segment ids belong to the streaming
+    * leg by construction, so a colliding (day, seg, type, tail) cell
+    * can never dedupe a tail ceiling across legs): O(batch) work,
+    * summary never rewritten, bounds stay sound and widen by at most
+    * the batch's own tails (see scaladoc). Invalidates the routing
+    * watermark FIRST — a crash mid-append leaves routing OFF, never
+    * serving a torn superset. */
   def appendBatch(s: SparkSession, dir: String, batch: DataFrame,
       batchId: Long): Unit = {
     require(IndexStore.artifactReady(topkPath(dir)),
       s"top-k summary at ${topkPath(dir)} must be built before appending")
-    require(batchId != 0L, "segment 0 is the ensure() build")
+    require(batchId > 0L,
+      "appendBatch segment ids are positive (0 = ensure build, " +
+        "negative = streaming leg)")
+    EnsureWatermark.invalidate(topkPath(dir))
     summarize(batch, batchId)
-      .coalesce(1).write.mode("append").parquet(topkPath(dir))
+      .repartition(1).write.mode("append").parquet(topkPath(dir))
   }
 
   /** Batch-id-scoped streaming leg — the exactly-once discipline the
@@ -115,8 +169,73 @@ object TopKRollup {
     // NEGATIVE segment ids: disjoint from appendBatch's positive ones
     // by construction, so a (day, seg, type, tail) cell can never
     // collide across the two legs and silently dedupe a tail ceiling
-    summarize(batch, -(batchId + 1L)).coalesce(1).write.mode("overwrite")
+    summarize(batch, -(batchId + 1L)).repartition(1).write.mode("overwrite")
       .parquet(s"${streamPath(dir)}/batch=b$batchId")
+  }
+
+  /** PROVABLY-EXACT global top-k over [lo, hi) (micros, UTC-midnight
+    * aligned), or None — the serving face of the optimizer rewrite
+    * that routes `SELECT user_id, count(*) FROM events WHERE <day
+    * range> GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT k` (the reference's
+    * own "top companies by volume" ask) to this summary. Returns
+    * `(user_id, count)` rows, ranked (count DESC, user_id), when the
+    * Misra-Gries-style bound argument PROVES them equal to the raw
+    * aggregate's:
+    *
+    *   - every served row is exact: lb(u) == ub(u), i.e. u was kept
+    *     by EVERY cell in range (true for genuinely heavy users);
+    *   - nothing outranks the cut: the k-th served count strictly
+    *     exceeds every other candidate's ub AND the range's total
+    *     tail ceiling (an unseen user's ub) — ties at the boundary
+    *     veto, because the user-id tiebreak could then differ;
+    *   - when ALL cells kept everyone (total tail 0) every user is a
+    *     candidate with an exact count, so any k serves — the
+    *     degenerate-exact case the class scaladoc names.
+    *
+    * Anything unprovable → None, and the caller's raw plan stands
+    * (fail-closed, like every route in [[graft.plans
+    * .RollupRoutingRule]]). Cost: one aggregate over the KILOBYTE
+    * summary — never the corpus. */
+  def exactTopK(s: SparkSession, dir: String, loMicros: Long,
+      hiMicros: Long, k: Int): Option[Seq[(Long, Long)]] = {
+    if (!routable(dir)) return None
+    if (k <= 0) return Some(Seq.empty)
+    val lo = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plusMillis(loMicros / 1000L))
+    val hi = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plusMillis(hiMicros / 1000L))
+    val cells = s.read.parquet(topkPath(dir))
+      .where(col("day") >= lit(lo) && col("day") < lit(hi))
+    // global (cross-type) bounds: one tail ceiling per cell; a user
+    // absent from a cell could have contributed up to that cell's tail
+    val tails = cells.select("day", "seg", "event_type", "tail").distinct()
+    val totalTail = tails.agg(coalesce(sum(col("tail")), lit(0L)))
+      .head().getLong(0)
+    val perUser = cells.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("lb"), sum(col("tail")).as("kept_tail"))
+      .select(col("user_id"), col("lb"),
+        (col("lb") + lit(totalTail) - col("kept_tail")).as("ub"))
+      .orderBy(col("lb").desc, col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = math.min(k, perUser.length)
+    val (top, rest) = perUser.splitAt(n)
+    val exactCounts = top.forall { case (_, lbU, ubU) => lbU == ubU }
+    // the cut is provable when (a) total tail is 0 — every user in
+    // range is a candidate with an exact count, so the global order
+    // is fully known whatever k — or (b) we found k candidates AND
+    // the k-th count strictly exceeds every other candidate's ub and
+    // the unseen-user ceiling (the total tail); with FEWER than k
+    // candidates and a nonzero tail, an unseen user could own a row
+    // the raw LIMIT k would return — unprovable, veto.
+    val cut =
+      if (totalTail == 0L) true
+      else if (perUser.length < k) false
+      else {
+        val kth = top.last._2
+        kth > totalTail && rest.forall(_._3 < kth)
+      }
+    if (exactCounts && cut) Some(top.map(t => (t._1, t._2)).toSeq)
+    else None
   }
 
   /** Heavy-hitter candidates per event_type over [lo, hi): every

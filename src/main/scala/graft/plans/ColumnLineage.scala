@@ -31,16 +31,37 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * query runs. */
 object ColumnLineage {
 
+  /** Metadata key marking an Alias as a sanctioned DECLASSIFICATION
+    * POINT (information-flow-control's public term): the alias'
+    * output no longer carries its subtree's raw-column taint but a
+    * label of the declassifier (`<label>.<name>`). [[graft.operators
+    * .Governance.governed]] stamps its mask expressions with it — a
+    * digest sanctioned by the policy is the policy's OUTPUT, not a
+    * leak — so the publish gate ([[graft.operators.Governance
+    * .assertPublishable]]) can refuse every OTHER path from a
+    * protected column while the governed view's own products pass.
+    * Only code that owns the policy should stamp this key; lineage
+    * consumers see the declassifier label, so a stamped column is
+    * auditable, never invisible. */
+  val DeclassifyKey = "graft.lineage.declassify"
+
   /** Leaf label for a source column: `<table>.<col>`, where table is
-    * the relation's root path leaf name (e.g. `events.parquet`) or
-    * `local` for in-memory relations. */
-  private def leafLabel(rel: LogicalRelation): String = rel.relation match {
-    case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
-      case p :: Nil => p.getName
-      case ps => ps.map(_.getName).sorted.mkString("+")
-    }
-    case _ => "relation"
-  }
+    * the CATALOG IDENTIFIER when the relation has one (a
+    * `spark.table(…)` read — e.g. the persisted bucketed edge tables
+    * of [[graft.operators.GraphRank.ensureBucketedEdges]] — keeps its
+    * database-qualified name, exactly where a catalog-lineage
+    * consumer needs table identity), else the relation's root path
+    * leaf name (e.g. `events.parquet`), else `local` for in-memory
+    * relations. */
+  private def leafLabel(rel: LogicalRelation): String =
+    rel.catalogTable.map(_.identifier.unquotedString).getOrElse(
+      rel.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+          case p :: Nil => p.getName
+          case ps => ps.map(_.getName).sorted.mkString("+")
+        }
+        case _ => "relation"
+      })
 
   private def exprSources(e: org.apache.spark.sql.catalyst.expressions.Expression,
       env: Map[ExprId, Set[String]]): Set[String] =
@@ -54,6 +75,15 @@ object ColumnLineage {
       case r: LogicalRelation =>
         val t = leafLabel(r)
         env ++ r.output.map(a => a.exprId -> Set(s"$t.${a.name}"))
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        // DSv2 reads carry identity on the relation itself: the
+        // catalog identifier when bound through one, else the
+        // connector table's own name — never the opaque "relation"
+        val t = v2.identifier.map(_.toString).getOrElse(v2.table.name())
+        env ++ v2.output.map(a => a.exprId -> Set(s"$t.${a.name}"))
+      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        val t = h.tableMeta.identifier.unquotedString
+        env ++ h.output.map(a => a.exprId -> Set(s"$t.${a.name}"))
       case lr: LocalRelation =>
         env ++ lr.output.map(a => a.exprId -> Set(s"local.${a.name}"))
       case u: Union =>
@@ -76,6 +106,9 @@ object ColumnLineage {
         // Project, Aggregate, Window; bare Attributes pass through
         // under their existing exprId
         val derived = plan.expressions.flatMap(_.collect {
+          case al: Alias if al.metadata.contains(DeclassifyKey) =>
+            al.exprId -> Set(
+              s"${al.metadata.getString(DeclassifyKey)}.${al.name}")
           case al: Alias => al.exprId -> exprSources(al.child, env)
         })
         env ++ derived

@@ -1,14 +1,16 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+import org.apache.spark.sql.types.LongType
 
-import graft.operators.{AggRollup, HistogramRollup}
+import graft.operators.{AggRollup, HistogramRollup, TopKRollup}
 
 /** MATERIALIZED-VIEW ROUTING as a Catalyst optimizer rule — the
   * query-rewrite layer every rollup store ships (Druid's datasource
@@ -191,7 +193,75 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .queryExecution.optimizedPlan
   }
 
+  /** The raw heavy-hitter shape — the reference's own "top companies
+    * by volume" ask (`README.md:11`) written the way any client
+    * would:
+    *
+    *   GlobalLimit k
+    *     +- LocalLimit k
+    *       +- Sort [cnt DESC, user_id ASC] global
+    *         +- Aggregate [user_id], [user_id, count(1) AS cnt]
+    *           +- Filter (day-aligned ts range)  +- events relation
+    *
+    * Routed to [[TopKRollup.exactTopK]], which answers from the
+    * kilobyte summary ONLY when its Misra-Gries-style bounds PROVE
+    * the k rows equal the raw aggregate's (every served count exact,
+    * cut strictly separated — see its scaladoc); the substitute is a
+    * LocalRelation of those rows under the ORIGINAL exprIds. The
+    * user-id tiebreak in the Sort is REQUIRED — without it the raw
+    * plan's own order among tied counts is nondeterministic and no
+    * rewrite could claim exactness. Unprovable bounds, a widened
+    * summary (watermark gone, stream segments present), or any other
+    * shape → pass through, fail-closed like every route here. */
+  private def routeTopK(k: Int, order: Seq[SortOrder],
+      agg: Aggregate): Option[LogicalPlan] = {
+    val Aggregate(groupList, aggExprs, child, _) = agg
+    val gu = groupList match {
+      case Seq(a: AttributeReference) if a.name == "user_id" => Some(a)
+      case _ => None
+    }
+    gu.flatMap { u =>
+      val cntOut = aggExprs.collectFirst {
+        case al @ Alias(AggregateExpression(
+          Count(Seq(Literal(1, _))), _, false, _, _), _) => al
+      }
+      val shapeOk = aggExprs.size == 2 && cntOut.isDefined &&
+        aggExprs.exists {
+          case a: AttributeReference => a.exprId == u.exprId
+          case _ => false
+        } &&
+        (order match {
+          case Seq(SortOrder(c1: AttributeReference, Descending, _, _),
+              SortOrder(u1: AttributeReference, Ascending, _, _)) =>
+            c1.exprId == cntOut.get.exprId && u1.exprId == u.exprId
+          case _ => false
+        }) && u.dataType == LongType
+      if (!shapeOk) None
+      else matchSource(child).flatMap { case (dir, lo, hi) =>
+        TopKRollup.exactTopK(spark, dir, lo, hi, k).map { rows =>
+          val localUser = AttributeReference("user_id", LongType,
+            nullable = false)()
+          val localCnt = AttributeReference("cnt", LongType,
+            nullable = false)()
+          val rel = LocalRelation(Seq(localUser, localCnt),
+            rows.map(r => InternalRow(r._1, r._2)))
+          val projected = aggExprs.map {
+            case a: AttributeReference if a.exprId == u.exprId =>
+              Alias(localUser, a.name)(exprId = a.exprId)
+            case al: Alias => Alias(localCnt, al.name)(exprId = al.exprId)
+            case other => other
+          }
+          Project(projected, rel)
+        }
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case gl @ GlobalLimit(IntegerLiteral(k),
+        LocalLimit(IntegerLiteral(_),
+          Sort(order, true, agg: Aggregate, _))) =>
+      routeTopK(k, order, agg).getOrElse(gl)
     case agg @ Aggregate(groupList, aggExprs, child, _)
         if groupList.nonEmpty && groupList.size <= 2 &&
           groupList.exists {
@@ -314,18 +384,28 @@ object RollupRouting {
   private val registeredPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def canon(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Canonical FULL qualified URI — scheme and authority included,
+    * default-filesystem-qualified so `/x/events` and `file:/x/events`
+    * agree. Keying on the bare path component would collide two
+    * tables at the same path on DIFFERENT filesystems
+    * (`s3://a/events` vs `s3://b/events`, hdfs vs file) and route an
+    * unrelated table to another corpus' rollups — wrong aggregates. */
+  private def canon(p: org.apache.hadoop.fs.Path): String = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf).makeQualified(p).toUri.toString
+  }
 
   /** Route aggregates over the table at `path` (e.g. a catalog
     * table's location) to the rollups of `dir`. */
   def registerEventsPath(path: String, dir: String): Unit = {
-    registeredPaths.put(canon(path), dir); ()
+    registeredPaths.put(canon(new org.apache.hadoop.fs.Path(path)), dir); ()
   }
 
   private[plans] def registeredDirFor(
       p: org.apache.hadoop.fs.Path): Option[String] =
-    Option(registeredPaths.get(p.toUri.getPath))
+    Option(registeredPaths.get(canon(p)))
 
   /** Test seam: drop registered identities. */
   private[graft] def clearRegisteredPathsForTest(): Unit =

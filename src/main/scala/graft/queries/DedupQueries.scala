@@ -465,10 +465,15 @@ object DedupQueries {
     // planner's semi-join output estimate inherits them, which at the
     // 100× replica made it auto-broadcast the 100M-row semi side and
     // OOM the build (estimate ≠ actual, the classic stats-propagation
-    // trap). The merge hint pins the STATIC plan to the scale-safe
-    // shuffle join; AQE still converts it to a broadcast at runtime
-    // when the ACTUAL shuffled size is small — exactly the safe
-    // direction. When the budget covered EVERY bucket the semi-join
+    // trap). The shuffle_hash hint pins the STATIC plan away from
+    // that broadcast: the BUILD side is the budget-pruned exact frame
+    // (admitted mass ≤ the budget by construction, so its
+    // per-partition hash map is bounded where a raw corpus frame's
+    // would not be), and skipping the sort-merge fallback trades that
+    // bounded memory for the two corpus-sized sorts a merge join
+    // would pay on every probe — measured cheaper at the 100×
+    // replica. AQE still re-plans from ACTUAL shuffled sizes at
+    // runtime — the safe direction. When the budget covered EVERY bucket the semi-join
     // is an identity — admit() knows (allAdmitted) and the prune is
     // skipped outright, not broadcast for nothing.
     val prunedExact =

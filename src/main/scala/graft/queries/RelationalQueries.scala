@@ -2737,6 +2737,47 @@ object RelationalQueries {
     rows.toDF("out_col", "src").orderBy($"out_col", $"src")
   }
 
+  /** q61 — ROUTED HEAVY-HITTER TOP-K ([[graft.plans
+    * .RollupRoutingRule]] × [[graft.operators.TopKRollup]]): the raw
+    * form of the reference's "top companies by volume" ask
+    * (`README.md:11`) — `GROUP BY user_id ORDER BY count(*) DESC,
+    * user_id LIMIT k` over a day range — written with NO knowledge of
+    * any rollup, and served scan-free by the optimizer when the
+    * summary's Misra-Gries-style bounds PROVE the k rows exact
+    * ([[graft.operators.TopKRollup.exactTopK]]): over this range at
+    * the gate SF every (day, event_type) cell keeps everyone (total
+    * tail 0), so the whole per-user aggregate is exact and the plan
+    * collapses to a LocalRelation of the k answers (plan-pinned in
+    * RollupRoutingSpec). Unprovable bounds — a wider range at a
+    * larger SF where cells overflow B — pass through to the raw scan
+    * FAIL-CLOSED, so the answer is identical either way; the oracle
+    * runs the raw aggregate, proving the routed serve exact
+    * end-to-end. The user-id tiebreak is load-bearing: without it
+    * the raw plan's own order among ties is nondeterministic and no
+    * rewrite (or oracle hash) could be exact. */
+  val q61RoutedTopk: GraftQuery = q(
+    "q61_routed_topk",
+    "optimizer top-k routing: raw GROUP BY user ORDER BY count LIMIT k served by the heavy-hitter rollup when its bounds prove exactness",
+    """SELECT user_id, count(*) AS cnt
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-14 00:00:00'
+      |GROUP BY user_id
+      |ORDER BY cnt DESC, user_id
+      |LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.TopKRollup.ensure(s, dir)
+    graft.plans.RollupRouting.enable(s)
+    Tables(s, dir, "events")
+      .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-01 00:00:00")) &&
+        $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-14 00:00:00")))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"user_id")
+      .limit(20)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2753,5 +2794,5 @@ object RelationalQueries {
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
     q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank,
     q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup,
-    q59JoinIvm, q60ColumnLineage)
+    q59JoinIvm, q60ColumnLineage, q61RoutedTopk)
 }

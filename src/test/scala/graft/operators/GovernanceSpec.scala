@@ -100,6 +100,40 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("the lineage publish gate refuses raw-path taint at plan time; the governed view's own products pass") {
+    val p = G.analystPolicy
+    // a hand-built exfiltration over the RAW table: identical VALUES
+    // to the sanctioned digest, but its provenance is the raw text
+    // column — refused before anything executes
+    val exfil = docs.select(col("source"),
+      md5(col("text").cast("binary")).as("looks_sanctioned"))
+    val e = intercept[IllegalArgumentException] {
+      G.assertPublishable(exfil, p)
+    }
+    assert(e.getMessage.contains("looks_sanctioned") &&
+      e.getMessage.contains("analyst"),
+      s"the refusal must name the tainted column and principal: ${e.getMessage}")
+    // sneakier: text laundered through a join + aggregate still taints
+    val laundered = docs.select(col("doc_id"), length(col("text")).as("tl"))
+      .groupBy(col("doc_id")).agg(max(col("tl")).as("m"))
+    intercept[IllegalArgumentException] { G.assertPublishable(laundered, p) }
+    // the sanctioned path: anything derived from the governed view's
+    // outputs — including the declassified digest — publishes, and
+    // the gate returns the frame for chaining
+    val fromView = G.analystDocuments(spark, sf)
+      .groupBy(col("text_sha")).agg(count(lit(1)).as("n"))
+    assert(G.assertPublishable(fromView, p) eq fromView)
+    // and lineage still AUDITS the declassification honestly: the
+    // digest column's source is the labeled mask, never invisible
+    val srcs = graft.plans.ColumnLineage.sources(
+      G.analystDocuments(spark, sf))("text_sha")
+    assert(srcs === Set("mask[analyst].text_sha"),
+      s"declassified lineage must carry the mask label: $srcs")
+    // untainted raw-side columns publish fine (the gate is per-column)
+    val clean = docs.select(col("doc_id"), col("source"))
+    assert(G.assertPublishable(clean, p) eq clean)
+  }
+
   test("kAnonymize: every released group has >= k rows and mass is conserved") {
     val ev = graft.Tables(spark, sf, "events")
     val total = ev.count()

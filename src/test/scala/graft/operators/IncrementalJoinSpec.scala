@@ -67,6 +67,82 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(!maintained.exists(_.contains("a2")), "the deleted key must vanish")
   }
 
+  test("the retraction anti-join is hash-shaped in BOTH size regimes — never nested-loop, never forced broadcast") {
+    val view = (1L to 50L).map(k => (k, k % 7, s"a$k", s"b${k % 7}"))
+      .toDF("k", "jk", "av", "bv")
+    val feed = Seq((2L, 2L, "a2", "delete"), (9L, 2L, "a9", "insert"))
+      .toDF("k", "jk", "av", "_change_type")
+    val b = (0L to 6L).map(j => (j, s"b$j")).toDF("jk", "bv")
+    def antiShapes(threshold: String): Seq[String] = {
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try {
+        val out = IncrementalJoin.applyFeed(view, feed, b, "k", Seq("jk"))
+        out.collect() // force AQE's final plan
+        out.queryExecution.executedPlan.toString ::
+          out.collect().map(_.toString).sorted.toList
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+    // small regime: the change-sized key set may auto-broadcast off
+    // its own stats; bulk regime (broadcast off): it must degrade to
+    // a shuffled hash/sort-merge anti-join — the un-forced hint's
+    // whole point — and never a nested loop
+    val small = antiShapes("10MB")
+    val bulk = antiShapes("-1")
+    def antiLines(planStr: String): Seq[String] =
+      planStr.split('\n').filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines(small.head).nonEmpty && antiLines(bulk.head).nonEmpty,
+      "expected a LeftAnti join in both plans")
+    (antiLines(small.head) ++ antiLines(bulk.head)).foreach(l =>
+      assert(!l.contains("NestedLoop"), s"anti-join must never nested-loop: $l"))
+    antiLines(bulk.head).foreach(l =>
+      assert(l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin"),
+        s"with broadcast disabled the anti-join must shuffle, not broadcast: $l"))
+    assert(small.tail === bulk.tail, "both regimes compute the same view")
+  }
+
+  test("applyFeedPartitioned prunes the view probe to delta-adjacent partitions, maintained unchanged") {
+    // a date-partitioned enriched view: 4 partitions, retractions in 1
+    val viewRows = (1L to 40L).map(k =>
+      (k, k % 7, s"d${k % 4}", s"a$k", s"b${k % 7}"))
+    val dir = tmpDir("graft-ivmpart")
+    viewRows.toDF("k", "jk", "day", "av", "bv")
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val view = spark.read.parquet(dir)
+    val b = (0L to 6L).map(j => (j, s"b$j")).toDF("jk", "bv")
+    // preimage rows carry the partition value of the rows they retract
+    val feed = Seq(
+      (5L, 5L, "d1", "a5", "delete"),
+      (9L, 2L, "d1", "a9", "update_preimage"),
+      (9L, 3L, "d1", "a9v2", "update_postimage"))
+      .toDF("k", "jk", "day", "av", "_change_type")
+    val pruned = IncrementalJoin.applyFeedPartitioned(
+      view, feed, b, "k", Seq("jk"), "day")
+    val flat = IncrementalJoin.applyFeed(view, feed, b, "k", Seq("jk"))
+    assert(pruned.collect().map(_.toString).sorted.toSeq ===
+      flat.collect().map(_.toString).sorted.toSeq,
+      "partition pruning must not change the maintained view")
+    // the plan pin: every scan of the partitioned view carries a
+    // partition filter on `day` — the anti-join probe reads d1, the
+    // pass-through complement reads NOT d1, and neither reads blind
+    def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectScans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(collectScans)
+    }
+    val scans = collectScans(pruned.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft-ivmpart")))
+    assert(scans.nonEmpty, "expected file scans of the partitioned view")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"every view scan must be partition-pruned:\n${f.partitionFilters}")
+    }
+  }
+
   test("every delta leg joins a delta side — the old x old bulk is never recomputed") {
     val a = aRows.toDF("k", "av")
     val b = bRows.toDF("k", "bv")

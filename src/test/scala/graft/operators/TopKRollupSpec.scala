@@ -118,6 +118,119 @@ class TopKRollupSpec extends SparkSpec {
     }
   }
 
+  test("reEnsure collapses widened segments to the single-build bounds bit-for-bit and restores routing") {
+    withIndexRoot("graft-topk-reens") {
+      // the summary's own table holds the WHOLE corpus; an
+      // out-of-band appendBatch then WIDENS bounds with rows the
+      // table doesn't have (and kills the routing watermark)
+      val dir = tmpDir("graft-topk-rdata")
+      writeEvents(dir, fixture)
+      TopKRollup.ensure(spark, dir)
+      val single = TopKRollup.heavyHitters(spark, dir, lo, hi, topN = 10)
+        .collect().map(_.toString).sorted.toSeq
+      assert(TopKRollup.routable(dir), "a fresh ensure must be routable")
+      val extra = fixture.take(200)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      TopKRollup.appendBatch(spark, dir, extra, batchId = 3L)
+      TopKRollup.processStreamBatch(spark, dir, extra, batchId = 1L)
+      assert(!TopKRollup.routable(dir),
+        "appends and stream segments must veto routing fail-closed")
+      val widened = TopKRollup.heavyHitters(spark, dir, lo, hi, topN = 10)
+        .collect().map(_.toString).sorted.toSeq
+      assert(widened !== single, "the widening fixture must actually widen")
+      // the repair: one segment again, bit-for-bit the single build
+      TopKRollup.reEnsure(spark, dir)
+      val repaired = TopKRollup.heavyHitters(spark, dir, lo, hi, topN = 10)
+        .collect().map(_.toString).sorted.toSeq
+      assert(repaired === single,
+        "reEnsure must re-tighten to the single-build bounds bit-for-bit")
+      assert(TopKRollup.routable(dir), "reEnsure must restore routing")
+    }
+  }
+
+  test("CDC deletes repair by rebuild: post-delete reEnsure serves the recomputed truth") {
+    withIndexRoot("graft-topk-del") {
+      val dir = tmpDir("graft-topk-ddata")
+      writeEvents(dir, fixture)
+      TopKRollup.ensure(spark, dir)
+      // GDPR-style delete: user 1 (the hot key) leaves the corpus;
+      // the raw table is rewritten, reEnsure rebuilds the summary
+      writeEvents(dir, fixture.filterNot(_._3 == 1L))
+      TopKRollup.reEnsure(spark, dir)
+      val exact = truth(dir)
+      val hh = TopKRollup.heavyHitters(spark, dir, lo, hi, topN = 10).collect()
+      assert(!hh.exists(_.getLong(1) == 1L),
+        "a truncated top is not subtractable — the rebuild must serve the post-delete truth")
+      hh.foreach { r =>
+        val tru = exact((r.getString(0), r.getLong(1)))
+        assert(r.getLong(2) <= tru && tru <= r.getLong(3),
+          s"post-delete bounds must sandwich the recomputed truth: $r true=$tru")
+      }
+    }
+  }
+
+  test("appendBatch segment ids are positive by construction (stream ids are negative)") {
+    withIndexRoot("graft-topk-ids") {
+      val dir = tmpDir("graft-topk-idata")
+      writeEvents(dir, fixture)
+      TopKRollup.ensure(spark, dir)
+      val batch = fixture.take(10)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      intercept[IllegalArgumentException] {
+        TopKRollup.appendBatch(spark, dir, batch, batchId = 0L)
+      }
+      // a negative id would land in the streaming leg's segment space
+      // and could silently dedupe a colliding tail ceiling
+      intercept[IllegalArgumentException] {
+        TopKRollup.appendBatch(spark, dir, batch, batchId = -3L)
+      }
+    }
+  }
+
+  test("exactTopK serves only what the bounds prove: the separated head, never a tied cut") {
+    withIndexRoot("graft-topk-exact") {
+      val dir = tmpDir("graft-topk-edata")
+      writeEvents(dir, fixture)
+      TopKRollup.ensure(spark, dir)
+      val loM = MinMaxManifest.utc(lo).getTime * 1000L
+      val hiM = MinMaxManifest.utc(hi).getTime * 1000L
+      // k=1: the hot user is kept by every cell (exact) and its count
+      // dwarfs every other ub and the total tail -> provable
+      val one = TopKRollup.exactTopK(spark, dir, loM, hiM, 1)
+      assert(one === Some(Seq((1L, 180L))),
+        s"the separated hot user must serve exactly: $one")
+      // k=10 cuts inside a tie plateau (the ~20 users at count 15):
+      // an excluded candidate's ub equals the kth count -> veto
+      assert(TopKRollup.exactTopK(spark, dir, loM, hiM, 10).isEmpty,
+        "a tied cut is unprovable and must veto")
+      // a widened summary vetoes everything
+      TopKRollup.appendBatch(spark, dir, fixture.take(10)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        batchId = 2L)
+      assert(TopKRollup.exactTopK(spark, dir, loM, hiM, 1).isEmpty,
+        "a widened summary must veto exact serving")
+    }
+  }
+
+  test("exactTopK degenerate-exact: cells that keep everyone serve any k, matching the raw aggregate") {
+    withIndexRoot("graft-topk-deg") {
+      val dir = tmpDir("graft-topk-gdata")
+      // 10 users -> every cell keeps everyone, total tail 0
+      writeEvents(dir, fixture.filter(_._3 <= 10L))
+      TopKRollup.ensure(spark, dir)
+      val loM = MinMaxManifest.utc(lo).getTime * 1000L
+      val hiM = MinMaxManifest.utc(hi).getTime * 1000L
+      val raw = graft.Tables(spark, dir, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"user_id").limit(7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(TopKRollup.exactTopK(spark, dir, loM, hiM, 7) === Some(raw),
+        "tail-0 ranges are exact for any k")
+      // k beyond the user count serves the complete exact list
+      assert(TopKRollup.exactTopK(spark, dir, loM, hiM, 99).map(_.size) === Some(10))
+    }
+  }
+
   test("build rank is WindowGroupLimit-bounded; range serves scan only the summary") {
     withIndexRoot("graft-topk-plan") {
       val dir = tmpDir("graft-topk-pdata")

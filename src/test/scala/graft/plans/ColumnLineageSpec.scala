@@ -71,4 +71,26 @@ class ColumnLineageSpec extends SparkSpec {
     val t2 = ColumnLineage.taintedBy(ranked, Set("c_name"))
     assert(t2 === Set("prev_name"), s"window lag must carry lineage: $t2")
   }
+
+  test("a catalog table read keeps its identifier — where catalog-lineage consumers need table identity") {
+    withIndexRoot("graft-lineage-cat") {
+      // the persisted bucketed edge table (D75's shape): read back via
+      // spark.table(), its lineage must carry the catalog identifier,
+      // not an opaque "relation" or a bare path leaf
+      val G = graft.operators.GraphRank
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      val path = tmpDir("graft-lineage-edges") + "/edges_tbl"
+      G.ensureBucketedEdges(spark, "lineage_edges_spec", path, edges)
+      try {
+        val t = spark.table("lineage_edges_spec")
+          .select($"src", ($"deg" * 2).as("deg2"))
+        val srcs = ColumnLineage.sources(t)
+        assert(srcs("src") === Set("spark_catalog.default.lineage_edges_spec.src"),
+          s"catalog identity must survive into lineage: $srcs")
+        assert(srcs("deg2") === Set("spark_catalog.default.lineage_edges_spec.deg"),
+          s"derived columns must carry the catalog-qualified source: $srcs")
+      } finally spark.sql("DROP TABLE IF EXISTS lineage_edges_spec")
+    }
+  }
 }

@@ -359,6 +359,50 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("a raw top-k heavy-hitter query routes to the top-k rollup when bounds prove it; unprovable shapes pass through") {
+    withIndexRoot("graft-route-topk") {
+      val T = graft.operators.TopKRollup
+      def rawTopK = graft.Tables(spark, sf, "events")
+        .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"user_id").limit(5)
+      val expected = rawTopK.collect().map(_.toString).toSeq
+      T.ensure(spark, sf)
+      RollupRouting.enable(spark)
+      try {
+        // at sf0.001 every cell keeps everyone (≤10 users) — total
+        // tail 0, so the route is provable for any k
+        val routed = rawTopK
+        val locals = routed.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }
+        assert(locals.nonEmpty,
+          s"the routed top-k must collapse to a LocalRelation:\n${routed.queryExecution.optimizedPlan}")
+        assert(scanPaths(routed).isEmpty,
+          s"the routed top-k must scan NOTHING: ${scanPaths(routed)}")
+        assert(routed.collect().map(_.toString).toSeq === expected,
+          "routing must be invisible in the answer — rows, counts, and order")
+        // no tiebreak -> the raw order among ties is nondeterministic,
+        // no rewrite can claim exactness -> pass through
+        val noTiebreak = graft.Tables(spark, sf, "events")
+          .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc).limit(5)
+        assert(scanPaths(noTiebreak).exists(_.contains("events.parquet")),
+          "a tiebreak-free top-k must pass through to the raw scan")
+        // a widened summary (out-of-band append) vetoes fail-closed
+        T.appendBatch(spark, sf, graft.Tables(spark, sf, "events").limit(10),
+          batchId = 1L)
+        assert(scanPaths(rawTopK).exists(_.contains("events.parquet")),
+          "an appended summary must veto top-k routing")
+        // and reEnsure repairs the route
+        T.reEnsure(spark, sf)
+        assert(scanPaths(rawTopK).isEmpty,
+          "reEnsure must restore the top-k route")
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
   test("a missing rollup artifact leaves the plan untouched") {
     withIndexRoot("graft-route-absent") {
       RollupRouting.enable(spark)
