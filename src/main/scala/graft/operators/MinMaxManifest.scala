@@ -449,6 +449,136 @@ object MinMaxManifest {
     packed.size
   }
 
+  /** OVERLAP-TARGETED RECLUSTERING — the third layout-maintenance
+    * member, completing the family along the third axis: [[compact]]
+    * rewrites EVERYTHING (restores clustering, O(table)),
+    * [[compactSmall]] rewrites UNDERSIZED files (restores file size,
+    * O(small-file mass)); this rewrites files whose [min_ts, max_ts]
+    * ranges OVERLAP each other (restores skip SELECTIVITY, O(overlap
+    * mass)) — the incremental-clustering shape (Delta's liquid
+    * clustering / Iceberg's binpack-with-sort on conflicting files —
+    * public designs). Late-arriving appends land as files whose
+    * ranges sit INSIDE older files' spans; every such overlap makes a
+    * point query read all of them. The sweep groups files into
+    * overlap-CONNECTED components (driver-side over the
+    * files-count-sized manifest), rewrites only components of ≥ 2
+    * files into range-disjoint replacements of the same file count,
+    * and leaves every isolated file untouched — by METADATA RENAME,
+    * zero data bytes, keeping its name, manifest row, and row-group
+    * clustering. Post-condition: ALL live files pairwise
+    * range-disjoint (each rewritten component's new files partition
+    * its envelope by range; distinct components' envelopes were
+    * disjoint by maximality), so a point query reads exactly one
+    * file again. At 100 TB this is the nightly housekeeping job that
+    * costs one day's late-data neighborhood, never the table.
+    *
+    * Crash/concurrency contract = [[compactSmall]]'s verbatim:
+    * quiesced writer enforced by the re-list-then-abort guard, staged
+    * directory swapped in by rename, manifest rebuilt with fresh
+    * stats for only the rewritten files, [[healedEntries]] repairs a
+    * crash around the swap, rewritten files expire time-travel
+    * history (snapshot log restarts at 0). Shallow clones with shared
+    * files are refused (deep-copy first), also verbatim.
+    *
+    * Returns the number of overlap components rewritten (0 = layout
+    * already fully disjoint, untouched). */
+  def reclusterOverlap(s: SparkSession, dir: String,
+      table: String = "events_by_ts",
+      onStagedForTest: () => Unit = () => ()): Int = {
+    import org.apache.hadoop.fs.Path
+    val lp = layoutPath(dir, table)
+    val mp = manifestPath(dir, table)
+    require(ready(lp) && ready(mp), s"nothing to recluster at $lp")
+    requireNoSharedFiles(s, dir, table, "reclusterOverlap")
+    val (fs, lpp) = IndexStore.fsOf(lp)
+    val readSet = listParts(lp)
+    val entries = healedEntries(s, dir, table)
+    // overlap sweep: sort by min_ts, a file joins the current
+    // component iff its min ≤ the component's running max (Timestamp
+    // compareTo keeps sub-millisecond precision — a getTime-ms sweep
+    // could miss a micros-wide overlap)
+    val sorted = entries.toIndexedSeq.sortBy(e => (e._2.getTime, e._1))
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[(String, java.sql.Timestamp, java.sql.Timestamp)]]
+    var curMax: java.sql.Timestamp = null
+    sorted.foreach { e =>
+      if (curMax == null || e._2.after(curMax)) {
+        groups += scala.collection.mutable.ArrayBuffer(e)
+        curMax = e._3
+      } else {
+        groups.last += e
+        if (e._3.after(curMax)) curMax = e._3
+      }
+    }
+    val rewrite = groups.filter(_.size >= 2).map(_.toSeq).toSeq
+    if (rewrite.isEmpty) return 0
+    // stage: each component re-range-partitioned into the same number
+    // of files, sorted within — disjoint by RangePartitioner's
+    // one-partition-per-key assignment
+    val stagedL = lp + ".reclustering"
+    fs.delete(new Path(stagedL), true)
+    rewrite.zipWithIndex.foreach { case (g, i) =>
+      val tmp = s"$stagedL/__grp$i"
+      s.read.parquet(g.map(_._1): _*)
+        .repartitionByRange(g.size, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (p, j) =>
+        require(fs.rename(p, new Path(stagedL, f"part-rc$i%03d-$j%05d.parquet")),
+          s"staging rename failed for component $i file $j")
+      }
+      fs.delete(new Path(tmp), true)
+    }
+    onStagedForTest()
+    // single-writer guard, as in compact/compactSmall
+    val nowSet = listParts(lp)
+    if (nowSet != readSet) {
+      fs.delete(new Path(stagedL), true)
+      throw new IllegalStateException(
+        s"concurrent write detected during recluster of $lp — " +
+          "quiesce the writer and re-run reclusterOverlap()")
+    }
+    val rewriteKeys = rewrite.flatten.map(e => pathKey(e._1)).toSet
+    val keepNames = readSet.filter(n =>
+      !rewriteKeys.contains(new Path(lpp, n).toUri.getPath))
+    keepNames.toSeq.sorted.foreach { n =>
+      require(fs.rename(new Path(lpp, n), new Path(stagedL, n)),
+        s"keep-rename failed for $n")
+    }
+    val succ = new Path(lpp, "_SUCCESS")
+    if (fs.exists(succ)) { fs.rename(succ, new Path(stagedL, "_SUCCESS")); () }
+    val old = new Path(lp + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(lpp, old), s"swap-out of $lp failed")
+    require(fs.rename(new Path(stagedL), lpp), s"swap-in failed for $lp")
+    fs.delete(old, true)
+    // manifest: kept files keep their rows; rewritten components get
+    // fresh stats from one O(rewritten-files) scan
+    val keptRows = s.read.parquet(mp)
+      .where(!col("path").isin(rewrite.flatten.map(_._1): _*))
+    val newFiles = (listParts(lp) -- keepNames).toIndexedSeq.sorted
+      .map(n => s"$lp/$n")
+    val freshRows = s.read.parquet(newFiles: _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+        count(lit(1)).as("rows"))
+    val stagedM = mp + ".reclustering"
+    keptRows.unionByName(freshRows)
+      .coalesce(1).write.mode("overwrite").parquet(stagedM)
+    val oldM = new Path(mp + ".old")
+    if (fs.exists(oldM)) fs.delete(oldM, true)
+    val (mfs, mpp) = IndexStore.fsOf(mp)
+    require(mfs.rename(mpp, oldM), s"manifest swap-out failed for $mp")
+    require(mfs.rename(new Path(stagedM), mpp), s"manifest swap-in failed")
+    mfs.delete(oldM, true)
+    val sp = snapshotsPath(dir, table)
+    if (ready(sp))
+      s.read.parquet(mp).select(lit(0L).as("snap_id"), col("path"))
+        .coalesce(1).write.mode("overwrite").parquet(sp)
+    rewrite.size
+  }
+
   private def healedEntries(s: SparkSession, dir: String,
       table: String = "events_by_ts") = {
     val lp = layoutPath(dir, table)

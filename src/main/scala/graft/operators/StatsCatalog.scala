@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TABLE/COLUMN STATISTICS CATALOG — the engine's `ANALYZE TABLE`
+  * (Spark's own `COMPUTE STATISTICS FOR COLUMNS`, Hive/Impala column
+  * stats, every CBO's substrate — public designs): one scan per table
+  * persists per-column (row count, null count, NDV, min, max), and
+  * everything downstream that today guesses starts DECIDING —
+  * broadcast-vs-shuffle side selection ([[adviseJoin]]), skew
+  * diagnosis (avg key frequency n/ndv), dictionary-encodability
+  * ([[Dictionary]]: is NDV dictionary-shaped?), and — the semantic
+  * payoff — KEY-UNIQUENESS PROOFS that license the join-elimination
+  * optimizer rewrite ([[graft.plans.JoinEliminationRule]]).
+  *
+  * EXACT vs APPROX is a first-class axis, not an accident: the
+  * default [[ensure]] computes exact NDV (one `count(distinct …)`
+  * pass — Catalyst plans k distinct columns as one Expand ×(k+1)
+  * scan; at 100 TB that is k+1 corpus passes' worth of rows through
+  * one shuffle, affordable as a scheduled maintenance job), while
+  * [[ensureApprox]] swaps in `approx_count_distinct` (HLL++, one
+  * plain pass, no Expand) for the always-on profile path. The
+  * catalog records which mode built each artifact, and
+  * [[uniqueNonNull]] — the proof face consumed by the rewrite —
+  * accepts ONLY exact-mode stats: approximate stats may ADVISE (a
+  * wrong broadcast hint costs performance), only exact stats may
+  * license a SEMANTICS-CHANGING plan rewrite (a wrong uniqueness
+  * claim costs correctness).
+  *
+  * Staleness discipline = the rollup-routing contract verbatim: the
+  * artifact path is keyed by [[IndexStore.fingerprint]] of the RAW
+  * table's file listing (a mutated table yields a different path →
+  * artifact absent → no stale serve), and the shared
+  * [[EnsureWatermark]] guards artifact-side mutation, so
+  * [[uniqueNonNull]] fails CLOSED — rewrite off, never a wrong
+  * answer — whenever either side moved. */
+object StatsCatalog {
+
+  /** One column's persisted statistics. `min`/`max` are canonical
+    * string renderings (None for non-orderable or all-NULL columns);
+    * `exact` records the NDV mode — only exact rows can prove
+    * uniqueness. */
+  final case class ColStats(column: String, n: Long, nulls: Long,
+      ndv: Long, min: Option[String], max: Option[String], exact: Boolean) {
+    /** Every NON-NULL value distinct — the left-outer-join
+      * elimination precondition (NULL keys never equi-match, so
+      * duplicate NULLs cannot fan out a left-outer join). */
+    def uniqueNonNull: Boolean = ndv == n - nulls
+    /** Mean rows per key — the skew/fan-out advisory ratio. */
+    def avgFreq: Double = if (ndv == 0) 0.0 else (n - nulls).toDouble / ndv
+  }
+
+  def statsPath(dir: String, table: String): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, table)}/stats_$table"
+
+  /** Orderable atomic types get min/max; everything else (binary,
+    * arrays, structs) records NULL bounds — stats stay total over any
+    * schema without claiming an order that doesn't exist. */
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType |
+         TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  /** The one-scan stats aggregate: a single wide `agg` row (count,
+    * and per column: non-null count, [approx_]count_distinct, min,
+    * max), exploded driver-side into the column-count-sized artifact
+    * frame. The collect is bounded by the TABLE'S COLUMN COUNT —
+    * metadata-sized, like every artifact read here. */
+  private def profile(df: DataFrame, exact: Boolean): Seq[ColStats] = {
+    val cols = df.schema.fields
+    val aggs: Seq[Column] = count(lit(1)).as("_n") +: cols.flatMap { f =>
+      val c = col(f.name)
+      // maps are neither orderable nor hashable in Spark — a map
+      // column records ndv = -1 ("unknown") rather than failing the
+      // whole ANALYZE
+      val ndv =
+        if (f.dataType.isInstanceOf[MapType]) lit(-1L)
+        else if (exact) count_distinct(c)
+        else approx_count_distinct(c)
+      val bounds =
+        if (orderable(f.dataType))
+          Seq(min(c).cast(StringType), max(c).cast(StringType))
+        else Seq(lit(null).cast(StringType), lit(null).cast(StringType))
+      Seq(count(c), ndv) ++ bounds
+    }.toSeq
+    val r: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    cols.zipWithIndex.map { case (f, i) =>
+      val base = 1 + i * 4
+      ColStats(f.name, n, n - r.getLong(base), r.getLong(base + 1),
+        Option(r.getString(base + 2)), Option(r.getString(base + 3)), exact)
+    }.toSeq
+  }
+
+  private def writeStats(s: SparkSession, dir: String, table: String,
+      exact: Boolean): Unit = {
+    val path = statsPath(dir, table)
+    import s.implicits._
+    profile(graft.Tables(s, dir, table), exact)
+      .toDF().coalesce(1).write.mode("overwrite").parquet(path)
+    EnsureWatermark.write(path)
+  }
+
+  /** ANALYZE once per (table fingerprint, lifetime); exact NDV by
+    * default — see the class scaladoc for the Expand-cost trade. */
+  def ensure(s: SparkSession, dir: String, table: String): Unit =
+    if (!IndexStore.artifactReady(statsPath(dir, table)))
+      writeStats(s, dir, table, exact = true)
+
+  /** The always-on profile path: HLL++ NDV, one plain pass, no
+    * Expand. Advisory-grade only — [[uniqueNonNull]] refuses it. */
+  def ensureApprox(s: SparkSession, dir: String, table: String): Unit =
+    if (!IndexStore.artifactReady(statsPath(dir, table)))
+      writeStats(s, dir, table, exact = false)
+
+  /** Repair/upgrade path: rebuild (exact) and restore the watermark. */
+  def reEnsure(s: SparkSession, dir: String, table: String): Unit =
+    writeStats(s, dir, table, exact = true)
+
+  /** The persisted stats frame (column, n, nulls, ndv, min, max,
+    * exact) — the q62 serving face. */
+  def statsDf(s: SparkSession, dir: String, table: String): DataFrame = {
+    ensure(s, dir, table)
+    s.read.parquet(statsPath(dir, table))
+  }
+
+  /** Parsed stats by column name (column-count-sized collect). */
+  def stats(s: SparkSession, dir: String, table: String): Map[String, ColStats] =
+    statsDf(s, dir, table).collect().map { r =>
+      val cs = ColStats(r.getAs[String]("column"), r.getAs[Long]("n"),
+        r.getAs[Long]("nulls"), r.getAs[Long]("ndv"),
+        Option(r.getAs[String]("min")), Option(r.getAs[String]("max")),
+        r.getAs[Boolean]("exact"))
+      cs.column -> cs
+    }.toMap
+
+  /** PROOF face: true iff `column`'s non-null values are pairwise
+    * distinct, proven by EXACT-mode stats that are still current —
+    * artifact fingerprint matches the raw table's listing (a mutated
+    * table re-keys the path) AND the ensure watermark holds (nothing
+    * touched the artifact). Fails closed on any doubt: absent stats,
+    * approx mode, stale watermark all return false, so the join-
+    * elimination rewrite leaves the plan untouched rather than
+    * risking a wrong cardinality. Never builds stats itself — an
+    * optimizer rule must not launch jobs. */
+  def uniqueNonNull(s: SparkSession, dir: String, table: String,
+      column: String): Boolean = {
+    val path = statsPath(dir, table)
+    if (!EnsureWatermark.holds(path)) return false
+    s.read.parquet(path)
+      .where(col("column") === lit(column) && col("exact"))
+      .collect().headOption.exists { r =>
+        r.getAs[Long]("ndv") == r.getAs[Long]("n") - r.getAs[Long]("nulls")
+      }
+  }
+
+  /** Raw on-disk footprint of `<dir>/<table>.parquet` — the broadcast
+    * decision's input (compressed bytes; the planner's own
+    * autoBroadcastJoinThreshold compares the same statistic). */
+  def tableBytes(dir: String, table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val (fs, _) = IndexStore.fsOf(p.toString)
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Stats-driven join planning advice — what a CBO derives from
+    * exactly these statistics (public design: Spark's own
+    * JoinSelection + skew-join literature). Deliberately ADVICE, not
+    * a forced hint: the verdict history here (kAnonymize r9,
+    * TemporalEnrich r11, IncrementalJoin r11) is that forced hints
+    * bypass the planner's size checks and OOM at the tail — so this
+    * returns the decision with its evidence and lets the caller (or
+    * AQE) hold the veto. */
+  sealed trait JoinAdvice
+  /** One side fits the broadcast budget: hash-join it everywhere. */
+  final case class BroadcastSide(table: String, bytes: Long) extends JoinAdvice
+  /** Key frequency is skewed enough to salt (avgFreq over the
+    * threshold): pre-split hot keys or lean on AQE skew handling. */
+  final case class SaltedShuffle(avgFreq: Double) extends JoinAdvice
+  /** Default: plain shuffled hash/sort-merge on the key. */
+  case object PlainShuffle extends JoinAdvice
+
+  def adviseJoin(s: SparkSession, dir: String, leftTable: String,
+      rightTable: String, key: String,
+      broadcastBytes: Long = 32L * 1024 * 1024,
+      skewAvgFreq: Double = 64.0): JoinAdvice = {
+    val lb = tableBytes(dir, leftTable)
+    val rb = tableBytes(dir, rightTable)
+    if (math.min(lb, rb) <= broadcastBytes) {
+      if (rb <= lb) BroadcastSide(rightTable, rb)
+      else BroadcastSide(leftTable, lb)
+    } else {
+      val freq = Seq(leftTable, rightTable).flatMap { t =>
+        stats(s, dir, t).get(key).map(_.avgFreq)
+      }
+      val worst = if (freq.isEmpty) 0.0 else freq.max
+      if (worst >= skewAvgFreq) SaltedShuffle(worst) else PlainShuffle
+    }
+  }
+}

@@ -2778,6 +2778,175 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** q62 — COLUMN STATISTICS CATALOG ([[graft.operators
+    * .StatsCatalog]], D77): the engine's ANALYZE TABLE — one scan
+    * persists per-column (rows, nulls, exact NDV, min, max), the
+    * substrate every cost-based decision downstream reads (broadcast
+    * side selection, skew ratio n/ndv, dictionary-encodability) and
+    * the UNIQUENESS PROOF that licenses the q63 join-elimination
+    * rewrite. Exact NDV plans as ONE Expand×(k+1) pass (the
+    * documented maintenance-job cost; the always-on path is
+    * `ensureApprox`'s HLL++ profile, spec-pinned advisory-only). The
+    * oracle replays the profile column-for-column in DuckDB —
+    * count/nulls/exact NDV/min/max are all engine-independent, so the
+    * hash gate proves the catalog's contents, not just its shape.
+    * Doubles are profiled too (spec) but excluded from the gate: a
+    * float min/max rendered to string is formatter-dependent
+    * cross-engine. */
+  val q62StatsProfile: GraftQuery = q(
+    "q62_stats_profile",
+    "ANALYZE-style column statistics catalog: per-column rows/nulls/exact NDV/min/max, persisted once per table fingerprint",
+    """WITH s AS (SELECT count(*) AS n,
+      |  count(c_custkey) AS nn1, count(DISTINCT c_custkey) AS nd1,
+      |  CAST(min(c_custkey) AS VARCHAR) AS mn1, CAST(max(c_custkey) AS VARCHAR) AS mx1,
+      |  count(c_mktsegment) AS nn2, count(DISTINCT c_mktsegment) AS nd2,
+      |  CAST(min(c_mktsegment) AS VARCHAR) AS mn2, CAST(max(c_mktsegment) AS VARCHAR) AS mx2,
+      |  count(c_name) AS nn3, count(DISTINCT c_name) AS nd3,
+      |  CAST(min(c_name) AS VARCHAR) AS mn3, CAST(max(c_name) AS VARCHAR) AS mx3,
+      |  count(c_nationkey) AS nn4, count(DISTINCT c_nationkey) AS nd4,
+      |  CAST(min(c_nationkey) AS VARCHAR) AS mn4, CAST(max(c_nationkey) AS VARCHAR) AS mx4
+      |  FROM customer)
+      |SELECT * FROM (
+      |  SELECT 'c_custkey' AS col_name, n, n - nn1 AS nulls, nd1 AS ndv,
+      |         mn1 AS min_s, mx1 AS max_s FROM s
+      |  UNION ALL SELECT 'c_mktsegment', n, n - nn2, nd2, mn2, mx2 FROM s
+      |  UNION ALL SELECT 'c_name', n, n - nn3, nd3, mn3, mx3 FROM s
+      |  UNION ALL SELECT 'c_nationkey', n, n - nn4, nd4, mn4, mx4 FROM s
+      |) ORDER BY col_name""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.StatsCatalog.statsDf(s, dir, "customer")
+      .where($"column".isin("c_custkey", "c_mktsegment", "c_name", "c_nationkey"))
+      .select($"column".as("col_name"), $"n", $"nulls", $"ndv",
+        $"min".as("min_s"), $"max".as("max_s"))
+      .orderBy($"col_name")
+  }
+
+  /** q63 — JOIN ELIMINATION ([[graft.plans.JoinEliminationRule]] ×
+    * [[graft.operators.StatsCatalog]], D78): the classic semantic
+    * rewrite Spark doesn't ship because it lacks the uniqueness fact
+    * — a LEFT JOIN to a dimension whose columns are never referenced
+    * is a no-op iff the dim key is unique, and q62's exact-stats
+    * catalog PROVES it (ndv == non-null count, fingerprint-current,
+    * watermark-intact — fails closed to the raw plan on any doubt).
+    * The query is the generated-BI shape: join the wide view, read
+    * two columns. The optimized plan has NO JOIN AT ALL (pinned in
+    * JoinEliminationSpec) — at 100 TB the dimension scan + broadcast
+    * simply never runs; the oracle executes the join for real, so the
+    * hash gate is the semantic-equivalence proof. */
+  val q63JoinElimination: GraftQuery = q(
+    "q63_join_elimination",
+    "stats-proven join elimination: unused unique-key LEFT JOIN removed by the optimizer, oracle runs the join for real",
+    """SELECT c.c_mktsegment, count(*) AS n,
+      |       round(sum(c.c_acctbal), 2) AS bal
+      |FROM customer c
+      |LEFT JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.StatsCatalog.ensure(s, dir, "nation")
+    graft.plans.JoinElimination.enable(s)
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum($"c_acctbal"), 2).as("bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** q64 — ORDER-PRESERVING DICTIONARY ENCODING ([[graft.operators
+    * .Dictionary]], D79): persist `value → dense code` (codes =
+    * 0..NDV-1 in value order) once per table fingerprint, then
+    * aggregate ON THE CODES — every exchange moves 8-byte longs
+    * instead of strings, and order preservation makes range
+    * predicates and sorts work directly on codes, deferring decode
+    * to the result-sized serve. The build is the scale-honest part:
+    * a two-phase parallel dense rank (range-partition → partition-
+    * local window → partition-count-sized offsets), never a
+    * single-task global window over the corpus' distinct frame —
+    * spec-pinned by walking the physical plan. The oracle replays
+    * the code assignment as `row_number() OVER (ORDER BY value) - 1`
+    * and joins it back, so the hash gates BOTH the code values and
+    * the encoded aggregate. */
+  val q64DictionaryEncode: GraftQuery = q(
+    "q64_dictionary_encode",
+    "order-preserving dictionary encoding: dense value-ordered codes, aggregate on codes, decode at serve",
+    """WITH dict AS (
+      |  SELECT value, row_number() OVER (ORDER BY value) - 1 AS et_code
+      |  FROM (SELECT DISTINCT event_type AS value FROM events
+      |        WHERE event_type IS NOT NULL)
+      |)
+      |SELECT d.et_code, d.value AS event_type, count(*) AS n,
+      |       count(DISTINCT e.user_id) AS users
+      |FROM events e JOIN dict d ON e.event_type = d.value
+      |GROUP BY 1, 2
+      |ORDER BY d.et_code""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val D = graft.operators.Dictionary
+    D.ensure(s, dir, "events", "event_type")
+    val d = D.dict(s, dir, "events", "event_type")
+    val enc = D.encode(
+      Tables(s, dir, "events").select($"event_type", $"user_id"),
+      "event_type", d, "et_code")
+    val agg = enc.groupBy($"et_code")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"))
+    D.decode(agg, "et_code", d, "event_type")
+      .select($"et_code", $"event_type", $"n", $"users")
+      .orderBy($"et_code")
+  }
+
+  /** q65 — OVERLAP-TARGETED RECLUSTERING ([[graft.operators
+    * .MinMaxManifest.reclusterOverlap]], D80): the incremental-
+    * clustering maintenance pass (Delta liquid clustering's public
+    * shape) completing the layout family along its third axis —
+    * compact() rewrites everything, compactSmall() rewrites by SIZE,
+    * this rewrites by RANGE OVERLAP, at O(overlap mass). The fixture
+    * is the late-data reality: the base layout is built with two
+    * interior day-slices MISSING, which then arrive as appends whose
+    * file ranges sit inside older files' spans — after recluster,
+    * all files are pairwise range-disjoint again (spec-pinned, with
+    * untouched files kept by metadata rename) and the pruned read
+    * serves the query. Base ∪ late slices = exactly the raw table,
+    * so the oracle is the PLAIN aggregate over events — the hash
+    * gate proves the rewrite moved every row to the right place and
+    * lost none. */
+  val q65Recluster: GraftQuery = q(
+    "q65_recluster",
+    "incremental clustering maintenance: late-data overlap components rewritten range-disjoint, O(overlap mass), pruned serve",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp,
+      |       count(DISTINCT user_id) AS users
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val M = graft.operators.MinMaxManifest
+    val T = "events_rc"
+    if (!graft.operators.IndexStore.artifactReady(M.layoutPath(dir, T))) {
+      val ev = Tables(s, dir, "events")
+      val s1 = ($"ts" >= lit(M.utc("2024-01-08 00:00:00")) &&
+        $"ts" < lit(M.utc("2024-01-10 00:00:00")))
+      val s2 = ($"ts" >= lit(M.utc("2024-01-20 00:00:00")) &&
+        $"ts" < lit(M.utc("2024-01-22 00:00:00")))
+      M.ensureFrom(s, dir, ev.where(!s1 && !s2), T)
+      M.appendBatch(s, dir, ev.where(s1), batchFiles = 1, table = T)
+      M.appendBatch(s, dir, ev.where(s2), batchFiles = 1, table = T)
+      M.reclusterOverlap(s, dir, T)
+    }
+    val (pruned, _, _) = M.prunedEvents(s, dir,
+      "2024-01-05 00:00:00", "2024-01-25 00:00:00", T)
+    pruned.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value").cast("long")).as("v_fp"),
+        countDistinct($"user_id").as("users"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2794,5 +2963,6 @@ object RelationalQueries {
     q48CmsFrequency, q49RoutedTimeseries, q50ShallowClone,
     q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank,
     q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup,
-    q59JoinIvm, q60ColumnLineage, q61RoutedTopk)
+    q59JoinIvm, q60ColumnLineage, q61RoutedTopk, q62StatsProfile,
+    q63JoinElimination, q64DictionaryEncode, q65Recluster)
 }

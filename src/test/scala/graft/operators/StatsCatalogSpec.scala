@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The ANALYZE catalog contract: exact profiles match ground truth
+  * column-for-column, the uniqueness proof face accepts ONLY
+  * exact-mode current stats (approx mode, stale watermark, absent
+  * stats all refuse — fail-closed, because uniqueness licenses a
+  * semantics-changing rewrite), and join advice follows the stats. */
+class StatsCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (unique key, dup key with nulls, string, double, array). */
+  private def writeDim(dir: String): Unit =
+    Seq(
+      (1L, Option(10L), "alpha", 1.5, Seq(1.0)),
+      (2L, Option(10L), "beta", -2.5, Seq(2.0)),
+      (3L, None, "gamma", 0.0, Seq(3.0)),
+      (4L, Option(20L), "delta", 9.75, Seq(4.0)))
+      .toDF("k", "grp", "name", "x", "emb")
+      .write.mode("overwrite").parquet(s"$dir/dim.parquet")
+
+  test("exact profile matches ground truth per column") {
+    withIndexRoot("graft-stats") {
+      val dir = tmpDir("graft-stats-data")
+      writeDim(dir)
+      val st = StatsCatalog.stats(spark, dir, "dim")
+      val k = st("k")
+      assert(k.n === 4L && k.nulls === 0L && k.ndv === 4L)
+      assert(k.min === Some("1") && k.max === Some("4"))
+      assert(k.uniqueNonNull)
+      val grp = st("grp")
+      assert(grp.nulls === 1L && grp.ndv === 2L)
+      assert(grp.min === Some("10") && grp.max === Some("20"))
+      assert(!grp.uniqueNonNull, "duplicate values are not unique")
+      val name = st("name")
+      assert(name.ndv === 4L && name.min === Some("alpha") &&
+        name.max === Some("gamma"))
+      val x = st("x")
+      assert(x.ndv === 4L && x.min.isDefined && x.max.isDefined)
+      // non-orderable columns record no bounds but still profile NDV
+      val emb = st("emb")
+      assert(emb.min.isEmpty && emb.max.isEmpty && emb.ndv === 4L)
+    }
+  }
+
+  test("uniqueNonNull fails closed: approx mode, stale watermark, absent stats") {
+    withIndexRoot("graft-stats-proof") {
+      val dir = tmpDir("graft-stats-proof-data")
+      writeDim(dir)
+      // absent stats: no proof, no build (an optimizer rule must not
+      // launch jobs)
+      assert(!StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+      assert(!IndexStore.artifactReady(StatsCatalog.statsPath(dir, "dim")))
+      // approx stats exist and even happen to be numerically right —
+      // still refused: only exact mode licenses a rewrite
+      StatsCatalog.ensureApprox(spark, dir, "dim")
+      assert(!StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+      // exact rebuild proves it
+      StatsCatalog.reEnsure(spark, dir, "dim")
+      assert(StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+      assert(!StatsCatalog.uniqueNonNull(spark, dir, "dim", "grp"))
+      // artifact-side mutation vetoes the proof until reEnsure
+      EnsureWatermark.invalidate(StatsCatalog.statsPath(dir, "dim"))
+      assert(!StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+      StatsCatalog.reEnsure(spark, dir, "dim")
+      assert(StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+    }
+  }
+
+  test("a mutated raw table re-keys the stats path (no stale serve)") {
+    withIndexRoot("graft-stats-mut") {
+      val dir = tmpDir("graft-stats-mut-data")
+      writeDim(dir)
+      StatsCatalog.ensure(spark, dir, "dim")
+      assert(StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+      val oldPath = StatsCatalog.statsPath(dir, "dim")
+      // append a duplicate key: k is no longer unique
+      Seq((1L, Option(99L), "omega", 1.0, Seq(9.0)))
+        .toDF("k", "grp", "name", "x", "emb")
+        .write.mode("append").parquet(s"$dir/dim.parquet")
+      assert(StatsCatalog.statsPath(dir, "dim") !== oldPath,
+        "fingerprint must re-key on table mutation")
+      assert(!StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"),
+        "stale stats must not prove uniqueness of the mutated table")
+    }
+  }
+
+  test("join advice follows the statistics") {
+    withIndexRoot("graft-stats-advice") {
+      val dir = tmpDir("graft-stats-advice-data")
+      writeDim(dir)
+      (1L to 4000L).map(i => (i % 4 + 1,
+          s"row$i-${java.util.UUID.nameUUIDFromBytes(BigInt(i).toByteArray)}"))
+        .toDF("k", "payload")
+        .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+      // the smaller side fits the budget -> broadcast it
+      StatsCatalog.adviseJoin(spark, dir, "fact", "dim", "k") match {
+        case StatsCatalog.BroadcastSide(t, b) =>
+          assert(t === "dim" && b > 0L)
+        case other => fail(s"expected BroadcastSide(dim), got $other")
+      }
+      // budget zero forces the shuffle path; fact.k repeats 100x ->
+      // skew advice fires above the threshold, not below it
+      StatsCatalog.adviseJoin(spark, dir, "fact", "dim", "k",
+        broadcastBytes = 0L, skewAvgFreq = 50.0) match {
+        case StatsCatalog.SaltedShuffle(f) => assert(f >= 50.0)
+        case other => fail(s"expected SaltedShuffle, got $other")
+      }
+      assert(StatsCatalog.adviseJoin(spark, dir, "fact", "dim", "k",
+        broadcastBytes = 0L, skewAvgFreq = 1e9)
+        === StatsCatalog.PlainShuffle)
+    }
+  }
+}
