@@ -64,9 +64,14 @@ class JoinEliminationRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rel.relation match {
           case fs: HadoopFsRelation =>
             fs.location.rootPaths.toList match {
-              case p :: Nil if p.getName.endsWith(".parquet") =>
-                Some((p.getParent.toString,
-                  p.getName.stripSuffix(".parquet"), rel))
+              case p :: Nil =>
+                JoinElimination.registeredFor(p)
+                  .map { case (d, t) => (d, t, rel) }
+                  .orElse(
+                    if (p.getName.endsWith(".parquet"))
+                      Some((p.getParent.toString,
+                        p.getName.stripSuffix(".parquet"), rel))
+                    else None)
               case _ => None
             }
           case _ => None
@@ -129,4 +134,35 @@ object JoinElimination {
         _.isInstanceOf[JoinEliminationRule]))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ new JoinEliminationRule(s)
+
+  /** Registered table identities: canonical path → the (dir, table)
+    * whose ANALYZE stats govern it — the catalog-alias face
+    * [[RollupRouting.registerEventsPath]] established (r10 ask):
+    * registration is the caller's ASSERTION that the path reads
+    * exactly `<dir>/<table>.parquet`'s rows; the stats fingerprint
+    * and watermark still veto staleness against the ORIGINAL table,
+    * so an alias inherits precisely the original's proof, never a
+    * weaker one. Keyed by the FULL qualified URI (scheme + authority
+    * included — the r11 advice on the routing registry: same-path
+    * tables on different filesystems must not collide). */
+  private val registeredPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Canonical FULL qualified URI (scheme + authority), exactly
+    * [[RollupRouting]]'s discipline. */
+  private def canon(p: org.apache.hadoop.fs.Path): String = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf).makeQualified(p).toUri.toString
+  }
+
+  def registerTablePath(path: String, dir: String, table: String): Unit = {
+    registeredPaths.put(
+      canon(new org.apache.hadoop.fs.Path(path)), (dir, table)); ()
+  }
+
+  private[plans] def registeredFor(
+      p: org.apache.hadoop.fs.Path): Option[(String, String)] =
+    Option(registeredPaths.get(canon(p)))
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, date_trunc, lit, sum}
 import org.apache.spark.sql.types.LongType
 
 import graft.operators.{AggRollup, HistogramRollup, TopKRollup}
@@ -155,12 +155,28 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * Exact against the zone-FREE utcDay partitioning only in UTC
     * (TruncTimestamp bakes the session zone into the expression), so
     * both the captured zone and the live session must be UTC. */
-  private def isDayTrunc(e: Expression): Boolean = e match {
-    case TruncTimestamp(Literal(fmt, _), t, zone) =>
-      tsAttr(t).isDefined && fmt != null &&
-        fmt.toString.equalsIgnoreCase("day") &&
-        zone.forall(isUtcZone) && sessionIsUtc
-    case _ => false
+  private def isDayTrunc(e: Expression): Boolean =
+    truncGrainOf(e).contains("day")
+
+  /** The AGGREGATE-LATTICE grains the day rollup can serve exactly:
+    * `date_trunc(g, ts)` for any g COARSER than (or equal to) the
+    * rollup's day key — every ts in a day truncates to the same
+    * week/month/quarter/year as the day key itself, so grouping the
+    * DAY PARTIALS by `date_trunc(g, day)` and summing is provably the
+    * raw aggregate (integer partials add in any order). Finer grains
+    * (hour, minute) are NOT derivable from day partials and never
+    * match. UTC discipline as [[isDayTrunc]]: both the expression's
+    * captured zone and the live session must be UTC, because the
+    * rollup day keys are zone-free UTC midnights. */
+  private val CoarseGrains = Set("day", "week", "month", "quarter", "year")
+
+  private def truncGrainOf(e: Expression): Option[String] = e match {
+    case TruncTimestamp(Literal(fmt, _), t, zone)
+        if tsAttr(t).isDefined && fmt != null &&
+          CoarseGrains.contains(fmt.toString.toLowerCase) &&
+          zone.forall(isUtcZone) && sessionIsUtc =>
+      Some(fmt.toString.toLowerCase)
+    case _ => None
   }
 
   private def classify(et: AttributeReference, day: Option[Attribute],
@@ -183,12 +199,20 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * corpus size), optimized so the caller can splice its subtree.
     * `byDay` adds the rollup's day key to the grouping — the
     * timeseries shape. */
-  private def rollupAgg(path: String, lo: Long, hi: Long, byDay: Boolean,
+  /** `grain = Some(g)` adds the rollup's day key — truncated to g
+    * when g is coarser (the lattice serve: month/quarter/... groups
+    * sum their member days' partials; exact under the UTC discipline
+    * [[truncGrainOf]] enforces) — to the grouping. */
+  private def rollupAgg(path: String, lo: Long, hi: Long,
+      grain: Option[String],
       measures: Seq[org.apache.spark.sql.Column]): LogicalPlan = {
+    val grainKey = grain.map {
+      case "day" => col("day")
+      case g => date_trunc(g, col("day")).as("day")
+    }
     val grouped = spark.read.parquet(path)
       .where(col("day") >= lit(tsOf(lo)) && col("day") < lit(tsOf(hi)))
-      .groupBy((col("event_type") +:
-        (if (byDay) Seq(col("day")) else Nil)): _*)
+      .groupBy((col("event_type") +: grainKey.toSeq): _*)
     grouped.agg(measures.head, measures.tail: _*)
       .queryExecution.optimizedPlan
   }
@@ -287,7 +311,7 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // locate the day attr's defining Project and validate that the
       // rest of the projection is pure attributes; the source match
       // then continues UNDER it
-      val daySource: Option[LogicalPlan] = (dayAttr, child) match {
+      val daySource: Option[(LogicalPlan, String)] = (dayAttr, child) match {
         case (Some(d), Project(plist, gchild)) =>
           val defs = plist.collect { case al: Alias if al.exprId == d.exprId => al }
           val othersPure = plist.forall {
@@ -295,15 +319,16 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case al: Alias => al.exprId == d.exprId
             case _ => false
           }
-          if (defs.size == 1 && othersPure && isDayTrunc(defs.head.child))
-            Some(gchild)
+          if (defs.size == 1 && othersPure)
+            truncGrainOf(defs.head.child).map(g => (gchild, g))
           else None
         case _ => None
       }
       val kinds = aggExprs.map(classify(et, dayAttr, _))
       val shapeOk = kinds.forall(_.isDefined) &&
         (!dayGrain || daySource.isDefined)
-      val source = if (dayGrain) daySource else Some(child)
+      val source = if (dayGrain) daySource.map(_._1) else Some(child)
+      val grain = if (dayGrain) daySource.map(_._2) else None
       val routed = if (!shapeOk) None
       else source.flatMap(matchSource).flatMap {
         case (dir, lo, hi) =>
@@ -326,7 +351,7 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val measures =
               coalesce(sum(col("cnt")), lit(0L)).as("n") +:
                 (if (wantsSum) Seq(sum(col("v_fp")).as("v")) else Nil)
-            val sub = rollupAgg(path, lo, hi, dayGrain, measures)
+            val sub = rollupAgg(path, lo, hi, grain, measures)
             // sub.output = (event_type[, day], n[, v]); map each
             // original entry to its substitute, preserving the
             // ORIGINAL exprIds so parents never see the substitution

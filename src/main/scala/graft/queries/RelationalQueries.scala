@@ -2947,6 +2947,42 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q66 — AGGREGATE-LATTICE ROUTING, COARSE GRAIN ([[graft.plans
+    * .RollupRoutingRule]] × [[graft.operators.AggRollup]], D81): the
+    * routing layer's lattice dimension — a `GROUP BY
+    * date_trunc('week', ts)` dashboard aggregate is served from the
+    * DAY rollup by re-truncating the day keys and summing the
+    * integer partials, provably exact because every ts in a day
+    * truncates to the same week as the day key itself and integer
+    * partials add in any order (the same argument serves month /
+    * quarter / year — spec-pinned on a multi-month fixture; HOUR is
+    * finer than the rollup grain and is spec-pinned to pass through
+    * fail-closed). Week grain here because the gate corpus spans one
+    * January (≈5 week groups vs 1 month group — a real grouping
+    * gate); both engines truncate weeks to ISO Monday. Kilobytes of
+    * rollup IO at any corpus size; the oracle runs the raw weekly
+    * aggregate, so the hash gate is the lattice's exactness proof. */
+  val q66RoutedWeekly: GraftQuery = q(
+    "q66_routed_weekly",
+    "aggregate-lattice MV routing: week-grain GROUP BY served from the day rollup by re-truncating day keys",
+    """SELECT event_type, date_trunc('week', ts) AS wk, count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.AggRollup.ensure(s, dir)
+    graft.plans.RollupRouting.enable(s)
+    Tables(s, dir, "events")
+      .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-04 00:00:00")) &&
+        $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-29 00:00:00")))
+      .groupBy($"event_type", date_trunc("week", $"ts").as("wk"))
+      .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+      .orderBy($"event_type", $"wk")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -2964,5 +3000,6 @@ object RelationalQueries {
     q51HistogramDrift, q52TableDiff, q53SequenceExamples, q54GraphPagerank,
     q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup,
     q59JoinIvm, q60ColumnLineage, q61RoutedTopk, q62StatsProfile,
-    q63JoinElimination, q64DictionaryEncode, q65Recluster)
+    q63JoinElimination, q64DictionaryEncode, q65Recluster,
+    q66RoutedWeekly)
 }

@@ -92,6 +92,31 @@ class JoinEliminationSpec extends SparkSpec {
     }
   }
 
+  test("a registered alias path inherits the original table's uniqueness proof") {
+    withIndexRoot("graft-jelim-alias") {
+      val dir = tmpDir("graft-jelim-alias-data")
+      writeTables(dir)
+      StatsCatalog.ensure(spark, dir, "dim")
+      JoinElimination.enable(spark)
+      // a catalog-managed copy of dim at a path the convention cannot
+      // name — registration asserts identity, stats stay the original's
+      graft.Tables(spark, dir, "dim")
+        .write.mode("overwrite").parquet(s"$dir/warehouse_dim")
+      // NOTE: a DataFrame memoizes its QueryExecution, so the plan is
+      // rebuilt from scratch around the registration
+      def joined() = {
+        val f = graft.Tables(spark, dir, "fact")
+        val alias = spark.read.parquet(s"$dir/warehouse_dim")
+        f.join(alias, f("fk") === alias("dk"), "left").select($"seg", $"v")
+      }
+      assert(joins(joined()).nonEmpty,
+        "an unregistered non-convention path must keep its join")
+      JoinElimination.registerTablePath(s"$dir/warehouse_dim", dir, "dim")
+      assert(joins(joined()).isEmpty,
+        "a registered alias must route to the original's proof")
+    }
+  }
+
   test("extra join conjuncts cannot block elimination (they only reduce matches)") {
     withIndexRoot("graft-jelim-conj") {
       val dir = tmpDir("graft-jelim-conj-data")

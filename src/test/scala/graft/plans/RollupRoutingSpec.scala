@@ -414,4 +414,50 @@ class RollupRoutingSpec extends SparkSpec {
       } finally RollupRouting.disableForTest(spark)
     }
   }
+
+  test("lattice grains: month/quarter/year route from the day rollup; hour passes through") {
+    withIndexRoot("graft-route-lattice") {
+      // a multi-month corpus: 4 months x 3 days x 2 types x 5 rows
+      val dir = tmpDir("graft-route-lattice-data")
+      val rows = for {
+        m <- Seq("2024-03", "2024-04", "2024-05", "2024-06")
+        d <- Seq("05", "15", "25"); t <- Seq("click", "view"); i <- 1 to 5
+      } yield ((m + d + i).replace("-", "").toLong,
+        java.sql.Timestamp.valueOf(s"$m-$d 0$i:30:00"),
+        i.toLong, t, i * 1.5, "{}")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      def grainAgg(g: String) = graft.Tables(spark, dir, "events")
+        .where($"ts" >= lit(M.utc("2024-03-01 00:00:00")) &&
+          $"ts" < lit(M.utc("2024-07-01 00:00:00")))
+        .groupBy($"event_type", date_trunc(g, $"ts").as("g"))
+        .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+        .orderBy($"event_type", $"g")
+      // ground truth BEFORE routing
+      val truths = Seq("month", "quarter", "year")
+        .map(g => g -> grainAgg(g).collect().map(_.toString).toSeq).toMap
+      graft.operators.AggRollup.ensure(spark, dir)
+      RollupRouting.enable(spark)
+      try {
+        Seq("month", "quarter", "year").foreach { g =>
+          val routed = grainAgg(g)
+          val paths = scanPaths(routed)
+          assert(paths.exists(_.contains("agg_daily")),
+            s"$g grain must be served from the day rollup: $paths")
+          assert(!paths.exists(_.contains("events.parquet")),
+            s"$g grain must never scan the raw table: $paths")
+          assert(routed.collect().map(_.toString).toSeq === truths(g),
+            s"$g-grain lattice serve must be integer-exact")
+          // a real lattice: month grain has 4 groups per type
+          if (g == "month")
+            assert(routed.count() === 8L, "4 months x 2 types")
+        }
+        // HOUR is finer than the rollup's day grain — underivable,
+        // must pass through fail-closed
+        val hourly = grainAgg("hour")
+        assert(scanPaths(hourly).exists(_.contains("events.parquet")),
+          "hour grain must stay on the raw scan")
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
 }
