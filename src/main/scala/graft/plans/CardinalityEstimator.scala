@@ -1,0 +1,227 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.operators.StatsCatalog
+import graft.operators.StatsCatalog.ColStats
+
+/** CARDINALITY ESTIMATION from the ANALYZE catalog — the System-R /
+  * Selinger estimator (the 1979 formulas every CBO still ships:
+  * equality 1/NDV, range by min–max span fraction, equi-join
+  * |L|·|R|/max(NDV), group-by NDV product; all public designs),
+  * computed over [[StatsCatalog]]'s persisted per-column statistics
+  * at PLAN-METADATA cost — no data is scanned. This is the third
+  * member of the engine-brain family D77 started: stats ADVISE joins
+  * ([[StatsCatalog.adviseJoin]]), PROVE uniqueness for the semantic
+  * rewrite ([[JoinEliminationRule]]), and here PREDICT sizes — the
+  * number every capacity decision at 100 TB hangs off (shuffle
+  * partition counts, broadcast viability of a filtered intermediate,
+  * admission control for a query that would materialize 10¹² rows).
+  *
+  * Deliberately INTEGER-EXACT and deterministic: selectivities are
+  * parts-per-million BigInt arithmetic (floor at every step, the
+  * q36/q44 fixpoint discipline), so two engines replay the identical
+  * estimate — q67's DuckDB oracle recomputes the formulas from the
+  * raw tables and the hash gate proves the estimator implements
+  * exactly the declared algebra at any scale factor. Estimates are
+  * ADVISORY (an estimator is allowed to be wrong about the data;
+  * it is not allowed to be nondeterministic about the formula), so
+  * approx-mode stats serve too — unlike the uniqueness proof, no
+  * exactness license is needed.
+  *
+  * Estimation algebra (independence and uniformity assumptions,
+  * stated once like Selinger did):
+  *   - relation → n from the stats catalog (None if un-ANALYZEd:
+  *     an estimator that silently guessed table sizes would be
+  *     noise, not advice);
+  *   - Filter → child × ∏ sel(conjunct), where sel(attr = lit) =
+  *     10⁶/ndv, sel(attr IN (k…)) = k·10⁶/ndv, range predicates
+  *     take the covered fraction of the integer [min, max] span,
+  *     IS NOT NULL takes (n−nulls)/n, anything else the Selinger
+  *     default ⅓;
+  *   - inner equi-join → |L|·|R| / max(ndv_L(key), ndv_R(key)) (the
+  *     containment-of-values assumption); LEFT OUTER additionally
+  *     floors at |L| (every left row survives);
+  *   - Aggregate → min(child, ∏ ndv(group cols)); Limit/Sample cap;
+  *     Project/Sort/alias pass through with the attribute
+  *     environment rebound (renames keep their column's stats). */
+object CardinalityEstimator {
+
+  private val M = BigInt(1000000)
+
+  private final case class Est(rows: BigInt, env: Map[ExprId, ColStats])
+
+  /** Estimated output rows of `df`'s analyzed plan, or None when any
+    * leaf lacks ANALYZE stats or a shape is outside the algebra. */
+  def estimateRows(s: SparkSession,
+      df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+    est(s, df.queryExecution.analyzed).map(_.rows)
+
+  private def tableOf(rel: LogicalRelation): Option[(String, String)] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.toList match {
+          case p :: Nil if p.getName.endsWith(".parquet") =>
+            Some((p.getParent.toString, p.getName.stripSuffix(".parquet")))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: java.lang.Long, _) => Some(v.longValue)
+    case Literal(v: java.lang.Integer, _) => Some(v.longValue)
+    case Cast(Literal(v: java.lang.Long, _), _, _, _) => Some(v.longValue)
+    case Cast(Literal(v: java.lang.Integer, _), _, _, _) => Some(v.longValue)
+    case _ => None
+  }
+
+  private def attrOf(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case Cast(a: AttributeReference, _, _, _) => Some(a)
+    case _ => None
+  }
+
+  /** ppm selectivity of one conjunct under `env`. */
+  private def selPpm(c: Expression, env: Map[ExprId, ColStats]): BigInt = {
+    def ndvPpm(a: AttributeReference, k: Long): Option[BigInt] =
+      env.get(a.exprId).filter(_.ndv > 0)
+        .map(st => (BigInt(k) * M / st.ndv).min(M))
+    def span(a: AttributeReference): Option[(Long, Long, ColStats)] =
+      env.get(a.exprId).flatMap { st =>
+        for {
+          mn <- st.min.flatMap(v => scala.util.Try(v.toLong).toOption)
+          mx <- st.max.flatMap(v => scala.util.Try(v.toLong).toOption)
+          if mx >= mn
+        } yield (mn, mx, st)
+      }
+    // covered integer fraction of [mn, mx]; clamped to [0, M]
+    def frac(covered: Long, mn: Long, mx: Long): BigInt = {
+      val sp = BigInt(mx) - BigInt(mn) + 1
+      (BigInt(covered).max(0).min(sp) * M / sp).min(M)
+    }
+    c match {
+      case EqualTo(l, r) =>
+        (attrOf(l), attrOf(r)) match {
+          case (Some(a), None) if longLit(r).isDefined || r.isInstanceOf[Literal] =>
+            ndvPpm(a, 1L).getOrElse(M / 3)
+          case (None, Some(a)) if longLit(l).isDefined || l.isInstanceOf[Literal] =>
+            ndvPpm(a, 1L).getOrElse(M / 3)
+          case _ => M / 3
+        }
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        ndvPpm(a, list.length.toLong).getOrElse(M / 3)
+      case IsNotNull(a: AttributeReference) =>
+        env.get(a.exprId).filter(_.n > 0)
+          .map(st => BigInt(st.n - st.nulls) * M / st.n).getOrElse(M)
+      case LessThanOrEqual(l, r) =>
+        (attrOf(l), longLit(r)) match {
+          case (Some(a), Some(k)) =>
+            span(a).map { case (mn, mx, _) => frac(k - mn + 1, mn, mx) }
+              .getOrElse(M / 3)
+          case _ => M / 3
+        }
+      case LessThan(l, r) =>
+        (attrOf(l), longLit(r)) match {
+          case (Some(a), Some(k)) =>
+            span(a).map { case (mn, mx, _) => frac(k - mn, mn, mx) }
+              .getOrElse(M / 3)
+          case _ => M / 3
+        }
+      case GreaterThanOrEqual(l, r) =>
+        (attrOf(l), longLit(r)) match {
+          case (Some(a), Some(k)) =>
+            span(a).map { case (mn, mx, _) => frac(mx - k + 1, mn, mx) }
+              .getOrElse(M / 3)
+          case _ => M / 3
+        }
+      case GreaterThan(l, r) =>
+        (attrOf(l), longLit(r)) match {
+          case (Some(a), Some(k)) =>
+            span(a).map { case (mn, mx, _) => frac(mx - k, mn, mx) }
+              .getOrElse(M / 3)
+          case _ => M / 3
+        }
+      case _ => M / 3
+    }
+  }
+
+  private def est(s: SparkSession, plan: LogicalPlan): Option[Est] =
+    plan match {
+      case rel: LogicalRelation =>
+        tableOf(rel).flatMap { case (dir, table) =>
+          val path = StatsCatalog.statsPath(dir, table)
+          if (!graft.operators.IndexStore.artifactReady(path)) None
+          else {
+            val byName = StatsCatalog.stats(s, dir, table)
+            val env = rel.output.flatMap(a =>
+              byName.get(a.name).map(a.exprId -> _)).toMap
+            byName.values.headOption.map(st => Est(BigInt(st.n), env))
+          }
+        }
+      case Project(list, child) =>
+        est(s, child).map { e =>
+          // rebind: bare attrs keep their stats; aliases of bare
+          // attrs carry the underlying column's stats to the new id
+          val rebound = list.flatMap {
+            case a: AttributeReference => e.env.get(a.exprId).map(a.exprId -> _)
+            case al @ Alias(a: AttributeReference, _) =>
+              e.env.get(a.exprId).map(al.exprId -> _)
+            case _ => None
+          }.toMap
+          Est(e.rows, rebound)
+        }
+      case SubqueryAlias(_, child) => est(s, child)
+      case Sort(_, _, child, _) => est(s, child)
+      case Filter(cond, child) =>
+        est(s, child).map { e =>
+          val rows = conjuncts(cond).foldLeft(e.rows)(
+            (r, c) => r * selPpm(c, e.env) / M)
+          Est(rows, e.env)
+        }
+      case Join(l, r, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
+        for {
+          le <- est(s, l)
+          re <- est(s, r)
+          key <- conjuncts(cond).collectFirst {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if le.env.contains(a.exprId) && re.env.contains(b.exprId) =>
+              (le.env(a.exprId), re.env(b.exprId))
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if le.env.contains(b.exprId) && re.env.contains(a.exprId) =>
+              (le.env(b.exprId), re.env(a.exprId))
+          }
+        } yield {
+          val (ls, rs) = key
+          val d = BigInt(math.max(math.max(ls.ndv, rs.ndv), 1L))
+          val inner = le.rows * re.rows / d
+          val rows = if (jt == LeftOuter) inner.max(le.rows) else inner
+          Est(rows, le.env ++ re.env)
+        }
+      case Aggregate(group, _, child, _) =>
+        est(s, child).map { e =>
+          val ndvs = group.map {
+            case a: AttributeReference =>
+              e.env.get(a.exprId).map(st => BigInt(st.ndv).max(1))
+                .getOrElse(e.rows)
+            case _ => e.rows
+          }
+          val prod = ndvs.foldLeft(BigInt(1))(_ * _)
+          Est(prod.min(e.rows).max(if (e.rows > 0) 1 else 0), Map.empty)
+        }
+      case GlobalLimit(IntegerLiteral(k), child) =>
+        est(s, child).map(e => Est(e.rows.min(BigInt(k)), e.env))
+      case LocalLimit(IntegerLiteral(k), child) =>
+        est(s, child).map(e => Est(e.rows.min(BigInt(k)), e.env))
+      case _ => None
+    }
+}

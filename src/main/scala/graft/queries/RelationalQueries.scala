@@ -2983,6 +2983,71 @@ object RelationalQueries {
       .orderBy($"event_type", $"wk")
   }
 
+  /** q67 — CARDINALITY ESTIMATION FROM THE ANALYZE CATALOG
+    * ([[graft.plans.CardinalityEstimator]] × [[graft.operators
+    * .StatsCatalog]], D82): the System-R/Selinger estimator — the
+    * number every 100-TB capacity decision hangs off (shuffle
+    * sizing, broadcast viability of a filtered intermediate,
+    * admission control) — computed at plan-metadata cost from q62's
+    * persisted stats, INTEGER-EXACT in ppm arithmetic so the formula
+    * replays bit-for-bit cross-engine. The oracle recomputes each
+    * estimate from the RAW tables (count/NDV/min/max are
+    * engine-independent and the stats are exact-mode over the same
+    * table), so the hash gate proves the estimator implements
+    * exactly the declared algebra at any scale factor; ACCURACY
+    * against actual row counts is the spec's job (an estimator may
+    * be wrong about the data, never nondeterministic about the
+    * formula). */
+  val q67CardinalityEstimate: GraftQuery = q(
+    "q67_cardinality_estimate",
+    "Selinger cardinality estimates from persisted column stats: eq/range filters, equi-join, group-by — ppm-integer-exact, formulas replayed by the oracle",
+    """WITH ls AS (SELECT count(*) AS n,
+      |             count(DISTINCT l_returnflag) AS ndv_rf,
+      |             count(DISTINCT l_linestatus) AS ndv_ls
+      |           FROM lineitem),
+      |     os AS (SELECT count(*) AS n, count(DISTINCT o_custkey) AS ndv_ck,
+      |             min(o_custkey) AS mn, max(o_custkey) AS mx
+      |           FROM orders),
+      |     cs AS (SELECT count(*) AS n, count(DISTINCT c_custkey) AS ndv_ck
+      |           FROM customer)
+      |SELECT * FROM (
+      |  SELECT 'agg_group_by' AS shape,
+      |         CAST(least(n, ndv_rf * ndv_ls) AS BIGINT) AS est FROM ls
+      |  UNION ALL
+      |  SELECT 'filter_eq',
+      |         CAST(n * (1000000 // ndv_rf) // 1000000 AS BIGINT) FROM ls
+      |  UNION ALL
+      |  SELECT 'filter_range',
+      |         CAST(n * least(1000000,
+      |           greatest(0, least(1000 - mn + 1, mx - mn + 1))
+      |             * 1000000 // (mx - mn + 1)) // 1000000 AS BIGINT) FROM os
+      |  UNION ALL
+      |  SELECT 'join_equi',
+      |         CAST(cs.n * os.n // greatest(cs.ndv_ck, os.ndv_ck) AS BIGINT)
+      |  FROM cs, os
+      |) ORDER BY shape""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    Seq("lineitem", "orders", "customer").foreach(SC.ensure(s, dir, _))
+    val CE = graft.plans.CardinalityEstimator
+    val li = Tables(s, dir, "lineitem")
+    val or = Tables(s, dir, "orders")
+    val cu = Tables(s, dir, "customer")
+    val shapes = Seq(
+      "agg_group_by" -> li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n")),
+      "filter_eq" -> li.where($"l_returnflag" === "R"),
+      "filter_range" -> or.where($"o_custkey" <= lit(1000L)),
+      "join_equi" -> cu.join(or, $"c_custkey" === $"o_custkey"))
+    val rows = shapes.map { case (name, df) =>
+      val e = CE.estimateRows(s, df).getOrElse(
+        sys.error(s"estimator must cover the $name shape"))
+      (name, e.toLong)
+    }
+    rows.toDF("shape", "est").orderBy($"shape")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3001,5 +3066,5 @@ object RelationalQueries {
     q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup,
     q59JoinIvm, q60ColumnLineage, q61RoutedTopk, q62StatsProfile,
     q63JoinElimination, q64DictionaryEncode, q65Recluster,
-    q66RoutedWeekly)
+    q66RoutedWeekly, q67CardinalityEstimate)
 }

@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.StatsCatalog
+import org.apache.spark.sql.functions._
+
+/** The estimator contract: deterministic Selinger formulas over the
+  * ANALYZE stats — sane against actuals on uniform fixtures, honest
+  * Nones without stats, rename-transparent, left-outer floored, and
+  * conjuncts composed under independence. */
+class CardinalityEstimatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTables(dir: String): Unit = {
+    // 1200 fact rows: key uniform over 1..100, flag uniform over 4
+    (1L to 1200L).map(i => (i % 100 + 1, s"f${i % 4}", i))
+      .toDF("k", "flag", "payload")
+      .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+    // 100-row dim, unique key
+    (1L to 100L).map(i => (i, s"d$i"))
+      .toDF("dk", "dname")
+      .write.mode("overwrite").parquet(s"$dir/dim.parquet")
+  }
+
+  private def estOf(df: org.apache.spark.sql.DataFrame): BigInt =
+    CardinalityEstimator.estimateRows(spark, df)
+      .getOrElse(fail("estimate must exist"))
+
+  test("estimates track actuals on uniform data (within small factors)") {
+    withIndexRoot("graft-card") {
+      val dir = tmpDir("graft-card-data")
+      writeTables(dir)
+      Seq("fact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
+      val f = graft.Tables(spark, dir, "fact")
+      val d = graft.Tables(spark, dir, "dim")
+      def close(est: BigInt, actual: Long, factor: Long = 2L): Unit =
+        assert(est <= actual * factor && est * factor >= BigInt(actual),
+          s"est=$est actual=$actual")
+      close(estOf(f), 1200L)
+      close(estOf(f.where($"flag" === "f1")), 300L)
+      close(estOf(f.where($"k" <= 50L)), 600L)
+      close(estOf(f.join(d, $"k" === $"dk")), 1200L)
+      close(estOf(f.groupBy($"flag").agg(count(lit(1)))), 4L)
+      // conjuncts compose multiplicatively (independence)
+      close(estOf(f.where($"flag" === "f1" && $"k" <= 50L)), 150L)
+      // limit caps
+      assert(estOf(f.limit(7)) === BigInt(7))
+    }
+  }
+
+  test("left outer floors at the left side; renames stay transparent") {
+    withIndexRoot("graft-card-lo") {
+      val dir = tmpDir("graft-card-lo-data")
+      writeTables(dir)
+      Seq("fact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
+      val f = graft.Tables(spark, dir, "fact")
+      // a dim filtered to nothing still yields >= |left| under LEFT
+      val d = graft.Tables(spark, dir, "dim").where($"dk" <= 1L)
+      val lo = f.join(d, $"k" === $"dk", "left")
+      assert(estOf(lo) >= BigInt(1200),
+        "left outer preserves every left row")
+      // alias keeps the underlying column's stats
+      val renamed = f.select($"k".as("kk"), $"flag")
+        .where($"kk" <= 50L)
+      val est = estOf(renamed)
+      assert(est >= 400 && est <= 800, s"rename must keep span stats: $est")
+    }
+  }
+
+  test("un-ANALYZEd leaves and unknown shapes answer None, never a guess") {
+    withIndexRoot("graft-card-none") {
+      val dir = tmpDir("graft-card-none-data")
+      writeTables(dir)
+      val f = graft.Tables(spark, dir, "fact")
+      assert(CardinalityEstimator.estimateRows(spark, f).isEmpty,
+        "no stats -> no estimate")
+      StatsCatalog.ensure(spark, dir, "fact")
+      assert(CardinalityEstimator.estimateRows(spark, f).isDefined)
+      // a union is outside the algebra -> None (fail honest)
+      assert(CardinalityEstimator
+        .estimateRows(spark, f.union(f)).isEmpty)
+    }
+  }
+}
