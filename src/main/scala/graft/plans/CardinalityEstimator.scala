@@ -96,11 +96,21 @@ object CardinalityEstimator {
     def ndvPpm(a: AttributeReference, k: Long): Option[BigInt] =
       env.get(a.exprId).filter(_.ndv > 0)
         .map(st => (BigInt(k) * M / st.ndv).min(M))
+    // a bound is usable when both stats bounds parse in ONE unit:
+    // plain longs, or UTC timestamp renderings as epoch MICROS (the
+    // events table's class of predicate — literal micros compare in
+    // the same unit, so day-window selectivities come out exact)
+    def tsMicros(v: String): Option[Long] = scala.util.Try {
+      java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+    }.toOption.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    def bound(v: String): Option[Long] =
+      scala.util.Try(v.toLong).toOption.orElse(tsMicros(v))
     def span(a: AttributeReference): Option[(Long, Long, ColStats)] =
       env.get(a.exprId).flatMap { st =>
         for {
-          mn <- st.min.flatMap(v => scala.util.Try(v.toLong).toOption)
-          mx <- st.max.flatMap(v => scala.util.Try(v.toLong).toOption)
+          mn <- st.min.flatMap(bound)
+          mx <- st.max.flatMap(bound)
           if mx >= mn
         } yield (mn, mx, st)
       }
@@ -171,11 +181,19 @@ object CardinalityEstimator {
       case Project(list, child) =>
         est(s, child).map { e =>
           // rebind: bare attrs keep their stats; aliases of bare
-          // attrs carry the underlying column's stats to the new id
+          // attrs carry the underlying column's stats to the new id;
+          // a NAME-PRESERVING single-source alias (the loader's
+          // normalization rebuilds — events' nanos→micros ts) keeps
+          // its column's stats too, because the catalog PROFILES the
+          // normalized view (graft.Tables), so the stats describe
+          // exactly the rebuilt column
           val rebound = list.flatMap {
             case a: AttributeReference => e.env.get(a.exprId).map(a.exprId -> _)
             case al @ Alias(a: AttributeReference, _) =>
               e.env.get(a.exprId).map(al.exprId -> _)
+            case al: Alias if al.child.references.size == 1 &&
+                al.child.references.head.name == al.name =>
+              e.env.get(al.child.references.head.exprId).map(al.exprId -> _)
             case _ => None
           }.toMap
           Est(e.rows, rebound)

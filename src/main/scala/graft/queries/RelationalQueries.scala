@@ -3009,7 +3009,10 @@ object RelationalQueries {
       |             min(o_custkey) AS mn, max(o_custkey) AS mx
       |           FROM orders),
       |     cs AS (SELECT count(*) AS n, count(DISTINCT c_custkey) AS ndv_ck
-      |           FROM customer)
+      |           FROM customer),
+      |     es AS (SELECT count(*) AS n, epoch_us(min(ts)) AS mn,
+      |             epoch_us(max(ts)) AS mx
+      |           FROM events)
       |SELECT * FROM (
       |  SELECT 'agg_group_by' AS shape,
       |         CAST(least(n, ndv_rf * ndv_ls) AS BIGINT) AS est FROM ls
@@ -3022,6 +3025,13 @@ object RelationalQueries {
       |           greatest(0, least(1000 - mn + 1, mx - mn + 1))
       |             * 1000000 // (mx - mn + 1)) // 1000000 AS BIGINT) FROM os
       |  UNION ALL
+      |  SELECT 'filter_ts_range',
+      |         CAST(n * least(1000000,
+      |           greatest(0, least(
+      |             epoch_us(TIMESTAMP '2024-01-15 00:00:00') - mn,
+      |             mx - mn + 1))
+      |             * 1000000 // (mx - mn + 1)) // 1000000 AS BIGINT) FROM es
+      |  UNION ALL
       |  SELECT 'join_equi',
       |         CAST(cs.n * os.n // greatest(cs.ndv_ck, os.ndv_ck) AS BIGINT)
       |  FROM cs, os
@@ -3029,16 +3039,20 @@ object RelationalQueries {
   ) { (s, dir) =>
     import s.implicits._
     val SC = graft.operators.StatsCatalog
-    Seq("lineitem", "orders", "customer").foreach(SC.ensure(s, dir, _))
+    Seq("lineitem", "orders", "customer", "events")
+      .foreach(SC.ensure(s, dir, _))
     val CE = graft.plans.CardinalityEstimator
     val li = Tables(s, dir, "lineitem")
     val or = Tables(s, dir, "orders")
     val cu = Tables(s, dir, "customer")
+    val ev = Tables(s, dir, "events")
     val shapes = Seq(
       "agg_group_by" -> li.groupBy($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n")),
       "filter_eq" -> li.where($"l_returnflag" === "R"),
       "filter_range" -> or.where($"o_custkey" <= lit(1000L)),
+      "filter_ts_range" -> ev.where(
+        $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-15 00:00:00"))),
       "join_equi" -> cu.join(or, $"c_custkey" === $"o_custkey"))
     val rows = shapes.map { case (name, df) =>
       val e = CE.estimateRows(s, df).getOrElse(

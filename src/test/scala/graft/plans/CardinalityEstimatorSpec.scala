@@ -48,6 +48,20 @@ class CardinalityEstimatorSpec extends SparkSpec {
     }
   }
 
+  test("timestamp ranges estimate through the loader's ts rebuild") {
+    withIndexRoot("graft-card-ts") {
+      val sf = "/root/testdata/sf0.001"
+      StatsCatalog.ensure(spark, sf, "events")
+      val ev = graft.Tables(spark, sf, "events")
+      val cut = graft.operators.MinMaxManifest.utc("2024-01-16 00:00:00")
+      val est = estOf(ev.where($"ts" < lit(cut)))
+      val actual = ev.where($"ts" < lit(cut)).count()
+      // uniform event times: the span fraction lands close
+      assert(est <= actual * 2 && est * 2 >= BigInt(actual),
+        s"ts-range est=$est actual=$actual")
+    }
+  }
+
   test("left outer floors at the left side; renames stay transparent") {
     withIndexRoot("graft-card-lo") {
       val dir = tmpDir("graft-card-lo-data")
