@@ -205,14 +205,17 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * [[truncGrainOf]] enforces) — to the grouping. */
   private def rollupAgg(path: String, lo: Long, hi: Long,
       grain: Option[String],
-      measures: Seq[org.apache.spark.sql.Column]): LogicalPlan = {
+      measures: Seq[org.apache.spark.sql.Column],
+      global: Boolean = false): LogicalPlan = {
     val grainKey = grain.map {
       case "day" => col("day")
       case g => date_trunc(g, col("day")).as("day")
     }
+    val groupCols =
+      if (global) Nil else col("event_type") +: grainKey.toSeq
     val grouped = spark.read.parquet(path)
       .where(col("day") >= lit(tsOf(lo)) && col("day") < lit(tsOf(hi)))
-      .groupBy((col("event_type") +: grainKey.toSeq): _*)
+      .groupBy(groupCols: _*)
     grouped.agg(measures.head, measures.tail: _*)
       .queryExecution.optimizedPlan
   }
@@ -281,11 +284,64 @@ class RollupRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Aggregate-list entry classifier for the GLOBAL (ungrouped)
+    * dashboard shape — `SELECT count(*)[, sum(floor(value))] FROM
+    * events WHERE <day range>` with no GROUP BY: only the two
+    * routable measures may appear (there is no grouping attribute to
+    * admit). */
+  private def classifyGlobal(e: NamedExpression): Option[Measure] = e match {
+    case Alias(AggregateExpression(
+        Count(Seq(Literal(1, _))), _, false, _, _), _) => Some(MCount)
+    case Alias(AggregateExpression(
+        Sum(Floor(v: AttributeReference), _), _, false, _, _), _)
+        if v.name == "value" => Some(MSumFp)
+    case _ => None
+  }
+
+  /** Route the global shape: the same rollup read with NO grouping —
+    * one row out, kilobytes in. Exactness notes match the grouped
+    * route; the empty-range degenerate agrees too (both plans emit
+    * one row with n = 0 and a NULL sum). */
+  private def routeGlobal(agg: Aggregate): Option[LogicalPlan] = {
+    val Aggregate(_, aggExprs, child, _) = agg
+    val kinds = aggExprs.map(classifyGlobal)
+    if (!kinds.forall(_.isDefined)) return None
+    matchSource(child).flatMap { case (dir, lo, hi) =>
+      val wantsSum = kinds.contains(Some(MSumFp))
+      val path =
+        if (wantsSum) AggRollup.aggPath(dir)
+        else HistogramRollup.histPath(dir)
+      val ok =
+        if (wantsSum) AggRollup.routable(path)
+        else HistogramRollup.routable(path)
+      if (!ok) None
+      else {
+        val measures =
+          coalesce(sum(col("cnt")), lit(0L)).as("n") +:
+            (if (wantsSum) Seq(sum(col("v_fp")).as("v")) else Nil)
+        val sub = rollupAgg(path, lo, hi, None, measures, global = true)
+        val newN = sub.output.head
+        val newV = if (wantsSum) sub.output(1) else newN
+        val projected = aggExprs.zip(kinds).map {
+          case (al: Alias, Some(MCount)) =>
+            Alias(newN, al.name)(exprId = al.exprId)
+          case (al: Alias, Some(MSumFp)) =>
+            Alias(newV, al.name)(exprId = al.exprId)
+          case (other, _) => other
+        }
+        Some(Project(projected, sub))
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case gl @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(IntegerLiteral(_),
           Sort(order, true, agg: Aggregate, _))) =>
       routeTopK(k, order, agg).getOrElse(gl)
+    case agg @ Aggregate(groupList, aggExprs, child, _)
+        if groupList.isEmpty && aggExprs.nonEmpty =>
+      routeGlobal(agg).getOrElse(agg)
     case agg @ Aggregate(groupList, aggExprs, child, _)
         if groupList.nonEmpty && groupList.size <= 2 &&
           groupList.exists {

@@ -3062,6 +3062,34 @@ object RelationalQueries {
     rows.toDF("shape", "est").orderBy($"shape")
   }
 
+  /** q68 — GLOBAL (ungrouped) MV ROUTING ([[graft.plans
+    * .RollupRoutingRule.routeGlobal]]): the single-number dashboard
+    * tile — `SELECT count(*), sum(floor(value)) FROM events WHERE
+    * <day range>` with no GROUP BY — was the one routable shape the
+    * matcher still scanned the corpus for (it required a grouping
+    * key). Routed now to the same day rollup with no grouping: one
+    * row out, kilobytes in, exact by the identical integer-partials
+    * argument; the empty-range degenerate agrees too (both plans
+    * emit n = 0 with a NULL sum). The oracle runs the raw global
+    * aggregate. */
+  val q68RoutedGlobal: GraftQuery = q(
+    "q68_routed_global",
+    "global ungrouped MV routing: the single-number dashboard tile served scan-free from the day rollup",
+    """SELECT count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-06 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-27 00:00:00'""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.AggRollup.ensure(s, dir)
+    graft.plans.RollupRouting.enable(s)
+    Tables(s, dir, "events")
+      .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-06 00:00:00")) &&
+        $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-27 00:00:00")))
+      .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3080,5 +3108,5 @@ object RelationalQueries {
     q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup,
     q59JoinIvm, q60ColumnLineage, q61RoutedTopk, q62StatsProfile,
     q63JoinElimination, q64DictionaryEncode, q65Recluster,
-    q66RoutedWeekly, q67CardinalityEstimate)
+    q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal)
 }

@@ -415,6 +415,39 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("the global (ungrouped) tile routes scan-free and stays exact") {
+    withIndexRoot("graft-route-global") {
+      def tile = graft.Tables(spark, sf, "events")
+        .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+        .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+      val expected = tile.collect().map(_.toString).toSeq
+      graft.operators.AggRollup.ensure(spark, sf)
+      RollupRouting.enable(spark)
+      try {
+        val routed = tile
+        val paths = scanPaths(routed)
+        assert(paths.exists(_.contains("agg_daily")) &&
+          !paths.exists(_.contains("events.parquet")),
+          s"the global tile must be rollup-served: $paths")
+        assert(routed.collect().map(_.toString).toSeq === expected)
+        // the EMPTY-range degenerate agrees: one row, n = 0, NULL sum
+        val empty = graft.Tables(spark, sf, "events")
+          .where($"ts" >= lit(M.utc("2030-01-01 00:00:00")) &&
+            $"ts" < lit(M.utc("2030-01-02 00:00:00")))
+          .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+        val row = empty.collect()
+        assert(row.length === 1 && row.head.getLong(0) === 0L &&
+          row.head.isNullAt(1))
+        // a global aggregate the rollup can't serve passes through
+        val avgTile = graft.Tables(spark, sf, "events")
+          .where($"ts" >= lit(M.utc(lo)) && $"ts" < lit(M.utc(hi)))
+          .agg(avg($"value").as("a"))
+        assert(scanPaths(avgTile).exists(_.contains("events.parquet")),
+          "a float avg must stay on the raw scan")
+      } finally RollupRouting.disableForTest(spark)
+    }
+  }
+
   test("lattice grains: month/quarter/year route from the day rollup; hour passes through") {
     withIndexRoot("graft-route-lattice") {
       // a multi-month corpus: 4 months x 3 days x 2 types x 5 rows
