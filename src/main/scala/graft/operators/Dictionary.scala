@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   * table's [[IndexStore.fingerprint]] (a mutated table re-keys the
   * path), [[EnsureWatermark]] stamped on build. NULLs are not
   * dictionary members (their code is NULL through the left join —
-  * SQL comparison semantics already treat NULL as unordered). */
+  * SQL comparison semantics already treat NULL as unordered).
+  * Whether a column is WORTH encoding is the stats catalog's call —
+  * [[StatsCatalog.dictionaryShaped]] screens NDV against both the
+  * broadcast budget and the compression ratio before any build. */
 object Dictionary {
 
   def dictPath(dir: String, table: String, column: String): String =

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * everything downstream that today guesses starts DECIDING —
   * broadcast-vs-shuffle side selection ([[adviseJoin]]), skew
   * diagnosis (avg key frequency n/ndv), dictionary-encodability
-  * ([[Dictionary]]: is NDV dictionary-shaped?), and — the semantic
-  * payoff — KEY-UNIQUENESS PROOFS that license the join-elimination
-  * optimizer rewrite ([[graft.plans.JoinEliminationRule]]).
+  * screening ([[dictionaryShaped]] — [[Dictionary]]'s build-or-not
+  * call), size prediction ([[graft.plans.CardinalityEstimator]]),
+  * and — the semantic payoff — KEY-UNIQUENESS PROOFS that license
+  * the join-elimination optimizer rewrite
+  * ([[graft.plans.JoinEliminationRule]]).
   *
   * EXACT vs APPROX is a first-class axis, not an accident: the
   * default [[ensure]] computes exact NDV in COLUMN-BATCHED distinct
@@ -206,6 +208,18 @@ object StatsCatalog {
   final case class SaltedShuffle(avgFreq: Double) extends JoinAdvice
   /** Default: plain shuffled hash/sort-merge on the key. */
   case object PlainShuffle extends JoinAdvice
+
+  /** Dictionary-encodability screen ([[Dictionary]]'s build-or-not
+    * call): a column is dictionary-shaped when its NDV is small
+    * enough that the (value, code) table stays a broadcastable dim
+    * AND the encoding actually compresses (NDV ≪ rows — a
+    * near-unique column's dictionary is as big as the column).
+    * Advisory, so approx-mode stats serve. */
+  def dictionaryShaped(s: SparkSession, dir: String, table: String,
+      column: String, maxNdv: Long = 1L << 22): Boolean =
+    stats(s, dir, table).get(column).exists { st =>
+      st.ndv > 0 && st.ndv <= maxNdv && st.ndv * 4 <= (st.n - st.nulls)
+    }
 
   def adviseJoin(s: SparkSession, dir: String, leftTable: String,
       rightTable: String, key: String,

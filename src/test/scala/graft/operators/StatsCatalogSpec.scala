@@ -111,6 +111,11 @@ class StatsCatalogSpec extends SparkSpec {
       assert(StatsCatalog.adviseJoin(spark, dir, "fact", "dim", "k",
         broadcastBytes = 0L, skewAvgFreq = 1e9)
         === StatsCatalog.PlainShuffle)
+      // dictionary screen: the 4-value flag column compresses, the
+      // near-unique payload column does not
+      assert(StatsCatalog.dictionaryShaped(spark, dir, "fact", "k"))
+      assert(!StatsCatalog.dictionaryShaped(spark, dir, "fact", "payload"),
+        "a near-unique column's dictionary is as big as the column")
     }
   }
 }
