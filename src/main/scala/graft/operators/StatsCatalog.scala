@@ -231,11 +231,57 @@ object StatsCatalog {
       if (rb <= lb) BroadcastSide(rightTable, rb)
       else BroadcastSide(leftTable, lb)
     } else {
+      // prefer the key profile's MAX frequency when one exists: the
+      // mean n/ndv is blind to zipfian skew (one hot key among a
+      // million uniform ones barely moves the average — exactly the
+      // key that melts a shuffle partition); fall back to avgFreq
+      // when no profile was built
       val freq = Seq(leftTable, rightTable).flatMap { t =>
-        stats(s, dir, t).get(key).map(_.avgFreq)
+        keyProfile(s, dir, t, key).map(_._2.toDouble)
+          .orElse(stats(s, dir, t).get(key).map(_.avgFreq))
       }
       val worst = if (freq.isEmpty) 0.0 else freq.max
       if (worst >= skewAvgFreq) SaltedShuffle(worst) else PlainShuffle
     }
+  }
+
+  /** DEEP key profile — the per-key pass the one-row table profile
+    * cannot see: `ANALYZE`'s column stats give n/ndv (the MEAN key
+    * frequency), but shuffle-join skew is governed by the MAX — a
+    * zipfian corpus keeps the mean tiny while one hot key owns a
+    * partition. One groupBy job per ensure persists (ndv, max_freq)
+    * plus the hot-key list above `hotFreq` (capped — a profile is
+    * metadata, not a copy of the column), which is exactly the salt
+    * set [[SkewJoin]]-style handling wants. Same lifecycle as every
+    * stats artifact: fingerprint-keyed, watermark-stamped. */
+  def keyProfilePath(dir: String, table: String, column: String): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, table)}/stats_${table}_key_$column"
+
+  def ensureKeyProfile(s: SparkSession, dir: String, table: String,
+      column: String, hotFreq: Long = 1000L, maxHot: Int = 1024): Unit = {
+    val path = keyProfilePath(dir, table, column)
+    if (IndexStore.artifactReady(path)) return
+    graft.Tables(s, dir, table)
+      .where(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= hotFreq)
+      .orderBy(col("freq").desc, col("key"))
+      .limit(maxHot)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    EnsureWatermark.write(path)
+  }
+
+  /** (hot keys ranked by frequency, max frequency) — None when no
+    * profile was ensured. An EMPTY profile is meaningful: no key
+    * reaches the hot threshold, so max_freq is bounded by it. */
+  def keyProfile(s: SparkSession, dir: String, table: String,
+      column: String): Option[(Seq[String], Long)] = {
+    val path = keyProfilePath(dir, table, column)
+    if (!EnsureWatermark.holds(path)) return None
+    val rows = s.read.parquet(path)
+      .orderBy(col("freq").desc, col("key")).collect()
+    Some((rows.map(_.getString(0)).toSeq,
+      rows.headOption.map(_.getLong(1)).getOrElse(0L)))
   }
 }

@@ -118,4 +118,35 @@ class StatsCatalogSpec extends SparkSpec {
         "a near-unique column's dictionary is as big as the column")
     }
   }
+
+  test("the key profile sees zipfian skew the mean frequency hides") {
+    withIndexRoot("graft-stats-zipf") {
+      val dir = tmpDir("graft-stats-zipf-data")
+      writeDim(dir)
+      // one hot key (5000 rows) drowned among 5000 near-unique keys:
+      // avgFreq ~= 2, maxFreq = 5000
+      val rows = (1L to 5000L).map(i => (i + 10L, s"u$i")) ++
+        (1L to 5000L).map(i => (7L, s"hot$i"))
+      rows.toDF("k", "payload")
+        .write.mode("overwrite").parquet(s"$dir/zfact.parquet")
+      StatsCatalog.ensure(spark, dir, "zfact")
+      // without a key profile, the mean-frequency fallback is blind
+      assert(StatsCatalog.adviseJoin(spark, dir, "zfact", "dim", "k",
+        broadcastBytes = 0L, skewAvgFreq = 1000.0)
+        === StatsCatalog.PlainShuffle)
+      StatsCatalog.ensureKeyProfile(spark, dir, "zfact", "k")
+      StatsCatalog.adviseJoin(spark, dir, "zfact", "dim", "k",
+        broadcastBytes = 0L, skewAvgFreq = 1000.0) match {
+        case StatsCatalog.SaltedShuffle(f) => assert(f === 5000.0)
+        case other => fail(s"the profile must surface the hot key: $other")
+      }
+      // and the hot-key list IS the salt set
+      val (hot, maxF) = StatsCatalog.keyProfile(spark, dir, "zfact", "k").get
+      assert(hot === Seq("7") && maxF === 5000L)
+      // an ensured EMPTY profile proves no key reaches the threshold
+      StatsCatalog.ensureKeyProfile(spark, dir, "dim", "k")
+      val (hotD, maxD) = StatsCatalog.keyProfile(spark, dir, "dim", "k").get
+      assert(hotD.isEmpty && maxD === 0L)
+    }
+  }
 }
