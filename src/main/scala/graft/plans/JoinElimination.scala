@@ -47,7 +47,16 @@ import graft.operators.StatsCatalog
   * relation's own column so the stats lookup names the real column.
   * The rewrite keeps the parent node's expressions (and so its
   * exprIds) untouched — parents never see the substitution. Enabled
-  * per session via [[JoinElimination.enable]]. */
+  * per session via [[JoinElimination.enable]].
+  *
+  * Plan-time cost, stated: a CANDIDATE join (left-outer, unused
+  * right side, single-root parquet relation) pays one watermark
+  * listing check and one kilobyte stats read during optimization —
+  * the same metadata-read class [[RollupRoutingRule]] pays per
+  * routable aggregate; non-candidate shapes pay a pattern match
+  * only. That is the price of a proof-carrying rewrite; a deployment
+  * optimizing many candidate joins per second would memoize the
+  * (listing, column) → verdict pair. */
 class JoinEliminationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** (dir, table) when the plan is a relation over a single
