@@ -44,4 +44,39 @@ object SkewJoin {
       .join(explodedDim, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** HOT-KEY-TARGETED salting — [[saltedJoin]] refined by the stats
+    * catalog's key profile ([[StatsCatalog.ensureKeyProfile]] →
+    * [[StatsCatalog.keyProfile]]): only the PROFILED hot keys salt
+    * (and only their dim rows replicate ×`factor`); the uniform tail
+    * keeps salt 0 and its dim rows stay single. Same result as the
+    * uniform salt, a `factor`× smaller dim-replication bill — on a
+    * zipfian corpus that is almost the whole bill. `hotKeys` are the
+    * profile's string renderings (driver-side, profile-capped —
+    * metadata, never a column copy); an EMPTY list degenerates to a
+    * plain equi-join. Join-type restriction as [[saltedJoin]]. */
+  def saltedJoinHot(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltOn: Column,
+      factor: Int,
+      hotKeys: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    require(
+      Set("inner", "left", "leftouter").contains(
+        joinType.toLowerCase.replace("_", "")),
+      s"saltedJoinHot supports inner/left joins only, got '$joinType'")
+    if (hotKeys.isEmpty)
+      return fact.join(dim, Seq(key), joinType)
+    val isHot = col(key).cast("string").isInCollection(hotKeys)
+    val salted = fact.withColumn("__salt",
+      when(isHot, pmod(xxhash64(saltOn), lit(factor))).otherwise(lit(0L)))
+    val explodedDim = dim.withColumn("__salt",
+      explode(when(isHot, sequence(lit(0L), lit(factor - 1L)))
+        .otherwise(array(lit(0L)))))
+    salted
+      .join(explodedDim, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
 }

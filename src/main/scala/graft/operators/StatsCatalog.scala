@@ -252,7 +252,8 @@ object StatsCatalog {
     * partition. One groupBy job per ensure persists (ndv, max_freq)
     * plus the hot-key list above `hotFreq` (capped — a profile is
     * metadata, not a copy of the column), which is exactly the salt
-    * set [[SkewJoin]]-style handling wants. Same lifecycle as every
+    * set [[SkewJoin.saltedJoinHot]] consumes: only profiled keys
+    * salt, only their dim rows replicate. Same lifecycle as every
     * stats artifact: fingerprint-keyed, watermark-stamped. */
   def keyProfilePath(dir: String, table: String, column: String): String =
     s"${IndexStore.root}/${IndexStore.fingerprint(dir, table)}/stats_${table}_key_$column"

@@ -149,4 +149,37 @@ class StatsCatalogSpec extends SparkSpec {
       assert(hotD.isEmpty && maxD === 0L)
     }
   }
+
+  test("the profile's hot keys drive targeted salting end to end") {
+    withIndexRoot("graft-stats-salt") {
+      val dir = tmpDir("graft-stats-salt-data")
+      val rows = (1L to 3000L).map(i => (i % 30 + 100L, s"u$i")) ++
+        (1L to 3000L).map(i => (7L, s"hot$i"))
+      rows.toDF("k", "payload")
+        .write.mode("overwrite").parquet(s"$dir/zfact.parquet")
+      (1L to 150L).map(i => (i, s"d$i")).toDF("k", "dname")
+        .write.mode("overwrite").parquet(s"$dir/zdim.parquet")
+      StatsCatalog.ensureKeyProfile(spark, dir, "zfact", "k")
+      val (hot, _) = StatsCatalog.keyProfile(spark, dir, "zfact", "k").get
+      assert(hot === Seq("7"))
+      val fact = graft.Tables(spark, dir, "zfact")
+      val dim = graft.Tables(spark, dir, "zdim")
+      val factor = 8
+      val plain = fact.join(dim, Seq("k")).groupBy($"dname")
+        .count().collect().map(_.toString).toSet
+      val salted = SkewJoin
+        .saltedJoinHot(fact, dim, "k", $"payload", factor, hot)
+        .groupBy($"dname").count().collect().map(_.toString).toSet
+      assert(salted === plain, "targeted salting must be result-invisible")
+      // replication bill: ONLY the hot key's dim row replicates
+      val exploded = dim.withColumn("__salt",
+        explode(when($"k".cast("string").isInCollection(hot),
+          sequence(lit(0L), lit(factor - 1L))).otherwise(array(lit(0L)))))
+      assert(exploded.count() === 150L + (factor - 1L),
+        "only the hot key's dim row pays the factor")
+      // empty hot list degenerates to the plain join
+      assert(SkewJoin.saltedJoinHot(fact, dim, "k", $"payload", factor, Nil)
+        .groupBy($"dname").count().collect().map(_.toString).toSet === plain)
+    }
+  }
 }
