@@ -494,10 +494,16 @@ object MinMaxManifest {
     val readSet = listParts(lp)
     val entries = healedEntries(s, dir, table)
     // overlap sweep: sort by min_ts, a file joins the current
-    // component iff its min ≤ the component's running max (Timestamp
-    // compareTo keeps sub-millisecond precision — a getTime-ms sweep
-    // could miss a micros-wide overlap)
-    val sorted = entries.toIndexedSeq.sortBy(e => (e._2.getTime, e._1))
+    // component iff its min ≤ the component's running max. The SORT
+    // must be as precise as the overlap test: Timestamp.compareTo is
+    // nano-aware while getTime truncates to millis, so a getTime sort
+    // could process sub-millisecond min_ts ties out of true order and
+    // let a micros-wide overlap land in a new component, violating
+    // the pairwise-disjoint post-condition (r12 advice)
+    implicit val tsOrd: Ordering[java.sql.Timestamp] =
+      (a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)
+    val sorted = entries.toIndexedSeq.sortBy(e => (e._2, e._1))(
+      Ordering.Tuple2(tsOrd, Ordering.String))
     val groups = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[(String, java.sql.Timestamp, java.sql.Timestamp)]]
     var curMax: java.sql.Timestamp = null
@@ -512,24 +518,56 @@ object MinMaxManifest {
     }
     val rewrite = groups.filter(_.size >= 2).map(_.toSeq).toSeq
     if (rewrite.isEmpty) return 0
-    // stage: each component re-range-partitioned into the same number
-    // of files, sorted within — disjoint by RangePartitioner's
-    // one-partition-per-key assignment
+    // stage: ONE Spark job for ALL components (r12 advice #2: a
+    // per-component write loop launches one job per overlap
+    // component, serially — at nightly-100-TB scale with hundreds of
+    // small late-data components, job-scheduling overhead dominates
+    // the small rewrite IO). Every component's rows are unioned with
+    // a component-id tag, range-partitioned by (component, ts) into
+    // sum-of-component-sizes partitions, and written once with
+    // partitionBy on the tag. Disjointness survives file-for-file:
+    // the directory split happens AFTER partitioning, so a physical
+    // file never mixes components; within a component, ascending
+    // partition id is ascending ts range (rows with equal (grp, ts)
+    // keys colocate under RangePartitioner), and distinct components'
+    // envelopes were disjoint by sweep maximality.
     val stagedL = lp + ".reclustering"
     fs.delete(new Path(stagedL), true)
-    rewrite.zipWithIndex.foreach { case (g, i) =>
-      val tmp = s"$stagedL/__grp$i"
-      s.read.parquet(g.map(_._1): _*)
-        .repartitionByRange(g.size, col("ts")).sortWithinPartitions(col("ts"))
-        .write.mode("overwrite").parquet(tmp)
-      val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val totalFiles = rewrite.map(_.size).sum
+    // ONE scan of every component's files; the component id rides in
+    // as a filename→id map literal (file names are unique within the
+    // layout, and shared-file clones were refused above). The map is
+    // manifest-row-sized — metadata in the plan, never a data pass.
+    val fileGrp: Map[String, Int] = rewrite.zipWithIndex.flatMap {
+      case (g, i) => g.map(e => new Path(e._1).getName -> i)
+    }.toMap
+    val tagged = s.read.parquet(rewrite.flatten.map(_._1): _*)
+      .withColumn("__grp", coalesce(
+        element_at(typedLit(fileGrp),
+          regexp_extract(input_file_name(), "[^/]+$", 0)),
+        lit(-1)))
+    val stagedTmp = s"$stagedL/__onejob"
+    tagged
+      .repartitionByRange(totalFiles, col("__grp"), col("ts"))
+      .sortWithinPartitions(col("__grp"), col("ts"))
+      .write.mode("overwrite").partitionBy("__grp").parquet(stagedTmp)
+    // fail loudly if any row missed the map (a lost row would
+    // otherwise vanish at swap time — this directory is never renamed)
+    require(!fs.exists(new Path(stagedTmp, "__grp=-1")),
+      s"recluster staging could not attribute every row to a component at $lp")
+    rewrite.indices.foreach { i =>
+      val gdir = new Path(stagedTmp, s"__grp=$i")
+      val parts =
+        if (fs.exists(gdir))
+          fs.listStatus(gdir).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        else Array.empty[Path]
       parts.zipWithIndex.foreach { case (p, j) =>
         require(fs.rename(p, new Path(stagedL, f"part-rc$i%03d-$j%05d.parquet")),
           s"staging rename failed for component $i file $j")
       }
-      fs.delete(new Path(tmp), true)
     }
+    fs.delete(new Path(stagedTmp), true)
     onStagedForTest()
     // single-writer guard, as in compact/compactSmall
     val nowSet = listParts(lp)

@@ -131,10 +131,19 @@ object StatsCatalog {
   }
 
   /** ANALYZE once per (table fingerprint, lifetime); exact NDV by
-    * default — see the class scaladoc for the Expand-cost trade. */
-  def ensure(s: SparkSession, dir: String, table: String): Unit =
-    if (!IndexStore.artifactReady(statsPath(dir, table)))
+    * default — see the class scaladoc for the Expand-cost trade.
+    * An existing APPROX-mode artifact is UPGRADED in place (r12
+    * advice: an ensureApprox that ran first must not permanently
+    * mask the exact build — uniqueNonNull would stay false for the
+    * table's lifetime and join elimination silently off). The mode
+    * check is served by the memoized read, so it costs one job per
+    * artifact build, not one per call. */
+  def ensure(s: SparkSession, dir: String, table: String): Unit = {
+    val path = statsPath(dir, table)
+    if (!IndexStore.artifactReady(path)) writeStats(s, dir, table, exact = true)
+    else if (!readStats(s, path).forall(_._2.exact))
       writeStats(s, dir, table, exact = true)
+  }
 
   /** The always-on profile path: HLL++ NDV, one plain pass, no
     * Expand. Advisory-grade only — [[uniqueNonNull]] refuses it. */
@@ -153,15 +162,55 @@ object StatsCatalog {
     s.read.parquet(statsPath(dir, table))
   }
 
-  /** Parsed stats by column name (column-count-sized collect). */
-  def stats(s: SparkSession, dir: String, table: String): Map[String, ColStats] =
-    statsDf(s, dir, table).collect().map { r =>
+  /** Parsed stats by column name (column-count-sized collect,
+    * served through the stamp-keyed memo when the watermark holds). */
+  def stats(s: SparkSession, dir: String, table: String): Map[String, ColStats] = {
+    ensure(s, dir, table)
+    readStats(s, statsPath(dir, table))
+  }
+
+  /** MEMOIZED artifact read (r12 advice #1: the plan-time metadata
+    * reads inside optimizer rules were unmemoized Spark jobs — one
+    * `spark.read.parquet().collect()` per candidate join per
+    * optimization). Keyed on the watermark's BUILD STAMP (the exact
+    * data-file listing, recomputed from FS metadata every call — the
+    * cheap part), so the expensive collect runs once per artifact
+    * BUILD: a reEnsure writes new files → new stamp → re-read; a
+    * broken watermark (stamp absent) falls through to a direct
+    * uncached read, because build-path callers (ensure's upgrade
+    * check) still need the rows while proof-path callers
+    * ([[uniqueNonNull]]) have already failed closed. */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, ColStats])]()
+
+  /** Test seam: number of actual stats-parquet collects — the
+    * memoization spec's receipt. */
+  private[graft] val statsArtifactReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def collectStats(s: SparkSession, path: String): Map[String, ColStats] = {
+    statsArtifactReads.incrementAndGet()
+    s.read.parquet(path).collect().map { r =>
       val cs = ColStats(r.getAs[String]("column"), r.getAs[Long]("n"),
         r.getAs[Long]("nulls"), r.getAs[Long]("ndv"),
         Option(r.getAs[String]("min")), Option(r.getAs[String]("max")),
         r.getAs[Boolean]("exact"))
       cs.column -> cs
     }.toMap
+  }
+
+  private def readStats(s: SparkSession, path: String): Map[String, ColStats] =
+    EnsureWatermark.stampIfHolds(path) match {
+      case None => collectStats(s, path)
+      case Some(stamp) =>
+        val cached = statsCache.get(path)
+        if (cached != null && cached._1 == stamp) cached._2
+        else {
+          val m = collectStats(s, path)
+          statsCache.put(path, (stamp, m))
+          m
+        }
+    }
 
   /** PROOF face: true iff `column`'s non-null values are pairwise
     * distinct, proven by EXACT-mode stats that are still current —
@@ -171,16 +220,24 @@ object StatsCatalog {
     * approx mode, stale watermark all return false, so the join-
     * elimination rewrite leaves the plan untouched rather than
     * risking a wrong cardinality. Never builds stats itself — an
-    * optimizer rule must not launch jobs. */
+    * optimizer rule must not launch jobs; the stats collect is
+    * served by the stamp-keyed memo, so N optimizations of the same
+    * table pay ONE job (spec-pinned), each still paying the
+    * fail-closed watermark listing. */
   def uniqueNonNull(s: SparkSession, dir: String, table: String,
       column: String): Boolean = {
     val path = statsPath(dir, table)
-    if (!EnsureWatermark.holds(path)) return false
-    s.read.parquet(path)
-      .where(col("column") === lit(column) && col("exact"))
-      .collect().headOption.exists { r =>
-        r.getAs[Long]("ndv") == r.getAs[Long]("n") - r.getAs[Long]("nulls")
-      }
+    EnsureWatermark.stampIfHolds(path).exists { stamp =>
+      val cached = statsCache.get(path)
+      val m =
+        if (cached != null && cached._1 == stamp) cached._2
+        else {
+          val fresh = collectStats(s, path)
+          statsCache.put(path, (stamp, fresh))
+          fresh
+        }
+      m.get(column).exists(st => st.exact && st.uniqueNonNull)
+    }
   }
 
   /** Raw on-disk footprint of `<dir>/<table>.parquet` — the broadcast
@@ -235,10 +292,18 @@ object StatsCatalog {
       // mean n/ndv is blind to zipfian skew (one hot key among a
       // million uniform ones barely moves the average — exactly the
       // key that melts a shuffle partition); fall back to avgFreq
-      // when no profile was built
+      // when no profile was built. An ensured-but-EMPTY profile
+      // proves only max_freq < hotFreq (1000 by default) — a bound
+      // ABOVE the skew threshold (64 by default), so it must fall
+      // through to avgFreq too, not report 0 (r12 advice, medium: a
+      // key with true max frequency between the thresholds is real
+      // skew, and degrading to PlainShuffle there would be strictly
+      // worse advice than having no profile at all)
       val freq = Seq(leftTable, rightTable).flatMap { t =>
-        keyProfile(s, dir, t, key).map(_._2.toDouble)
-          .orElse(stats(s, dir, t).get(key).map(_.avgFreq))
+        keyProfile(s, dir, t, key).flatMap {
+          case (Nil, _) => None
+          case (_, f) => Some(f.toDouble)
+        }.orElse(stats(s, dir, t).get(key).map(_.avgFreq))
       }
       val worst = if (freq.isEmpty) 0.0 else freq.max
       if (worst >= skewAvgFreq) SaltedShuffle(worst) else PlainShuffle

@@ -2887,8 +2887,14 @@ object RelationalQueries {
     val D = graft.operators.Dictionary
     D.ensure(s, dir, "events", "event_type")
     val d = D.dict(s, dir, "events", "event_type")
+    // NULL event_type rows are dropped BEFORE encode so both engines
+    // agree by construction: the oracle's INNER join to the dict
+    // drops them, while encode's LEFT join would keep them as a
+    // NULL-code group (r12 advice: a latent hash-gate mismatch if
+    // the corpus ever grows NULL event types)
     val enc = D.encode(
-      Tables(s, dir, "events").select($"event_type", $"user_id"),
+      Tables(s, dir, "events").select($"event_type", $"user_id")
+        .where($"event_type".isNotNull),
       "event_type", d, "et_code")
     val agg = enc.groupBy($"et_code")
       .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"))

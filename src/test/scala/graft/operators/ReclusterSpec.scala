@@ -85,6 +85,67 @@ class ReclusterSpec extends SparkSpec {
     }
   }
 
+  /** Spark jobs launched while `body` runs (listener bus is async —
+    * poll until the count is stable). */
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1
+      var cur = n.get()
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = n.get() }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("staging is one job however many components overlap") {
+    // r12 advice #2 receipt: the rewrite is a single tagged-union
+    // write — job count must NOT grow with the component count (at
+    // nightly-100-TB scale, hundreds of late-data components would
+    // otherwise pay per-component job-scheduling overhead)
+    val ev = graft.Tables(spark, sf, "events")
+    def slice(lo: String, hi: String) =
+      $"ts" >= lit(MinMaxManifest.utc(lo)) && $"ts" < lit(MinMaxManifest.utc(hi))
+    val jobs3 = {
+      withIndexRoot("graft-recluster-3c") {
+        val ss = Seq(
+          slice("2024-01-06 00:00:00", "2024-01-07 00:00:00"),
+          slice("2024-01-14 00:00:00", "2024-01-15 00:00:00"),
+          slice("2024-01-22 00:00:00", "2024-01-23 00:00:00"))
+        MinMaxManifest.ensureFrom(spark, sf,
+          ev.where(!ss(0) && !ss(1) && !ss(2)), T)
+        ss.foreach(c => MinMaxManifest.appendBatch(spark, sf,
+          ev.where(c), batchFiles = 1, table = T))
+        var comps = 0
+        val j = countJobs { comps = MinMaxManifest.reclusterOverlap(spark, sf, T) }
+        assert(comps === 3, s"expected 3 overlap components, got $comps")
+        assertDisjoint()
+        j
+      }
+    }
+    val jobs1 = {
+      withIndexRoot("graft-recluster-1c") {
+        val s1 = slice("2024-01-14 00:00:00", "2024-01-15 00:00:00")
+        MinMaxManifest.ensureFrom(spark, sf, ev.where(!s1), T)
+        MinMaxManifest.appendBatch(spark, sf, ev.where(s1),
+          batchFiles = 1, table = T)
+        var comps = 0
+        val j = countJobs { comps = MinMaxManifest.reclusterOverlap(spark, sf, T) }
+        assert(comps === 1)
+        j
+      }
+    }
+    assert(jobs3 === jobs1,
+      s"staging must be one job, not one per component: $jobs3 vs $jobs1")
+  }
+
   test("an already-disjoint layout is a no-op") {
     withIndexRoot("graft-recluster-noop") {
       MinMaxManifest.ensureFrom(spark, sf,

@@ -150,6 +150,75 @@ class StatsCatalogSpec extends SparkSpec {
     }
   }
 
+  test("an ensured-but-empty profile falls back to the mean frequency") {
+    withIndexRoot("graft-stats-emptyprof") {
+      val dir = tmpDir("graft-stats-emptyprof-data")
+      writeDim(dir)
+      // every key repeats 100× — real skew at threshold 50, but below
+      // the profile's hot threshold (1000), so the profile is EMPTY
+      (1L to 400L).map(i => (i % 4 + 1, s"row$i"))
+        .toDF("k", "payload")
+        .write.mode("overwrite").parquet(s"$dir/mfact.parquet")
+      StatsCatalog.ensureKeyProfile(spark, dir, "mfact", "k")
+      val (hot, _) = StatsCatalog.keyProfile(spark, dir, "mfact", "k").get
+      assert(hot.isEmpty, "no key reaches the hot threshold")
+      // r12 advice (medium): the empty profile proves only
+      // max_freq < hotFreq — a bound ABOVE the skew threshold — so
+      // the advice must fall through to avgFreq, not report 0 and
+      // degrade to PlainShuffle
+      StatsCatalog.adviseJoin(spark, dir, "mfact", "dim", "k",
+        broadcastBytes = 0L, skewAvgFreq = 50.0) match {
+        case StatsCatalog.SaltedShuffle(f) => assert(f === 100.0)
+        case other => fail(s"expected the avgFreq fallback to flag skew: $other")
+      }
+    }
+  }
+
+  test("ensure upgrades an approx-mode artifact to exact") {
+    withIndexRoot("graft-stats-upgrade") {
+      val dir = tmpDir("graft-stats-upgrade-data")
+      writeDim(dir)
+      // the always-on profile path ran first; without the upgrade,
+      // ensure() would no-op forever and join elimination would stay
+      // silently off for the table's lifetime (r12 advice)
+      StatsCatalog.ensureApprox(spark, dir, "dim")
+      assert(!StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+      StatsCatalog.ensure(spark, dir, "dim")
+      assert(StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"),
+        "ensure must rebuild exact over an approx artifact")
+    }
+  }
+
+  test("proof reads are memoized per build and invalidated fail-closed") {
+    withIndexRoot("graft-stats-memo") {
+      val dir = tmpDir("graft-stats-memo-data")
+      writeDim(dir)
+      StatsCatalog.ensure(spark, dir, "dim")
+      val r0 = StatsCatalog.statsArtifactReads.get()
+      (1 to 5).foreach { _ =>
+        assert(StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+      }
+      // r12 advice #1: N optimizations of the same table pay ONE
+      // stats collect, not N — the memo is keyed on the watermark's
+      // build stamp, recomputed from FS metadata every call
+      assert(StatsCatalog.statsArtifactReads.get() === r0 + 1,
+        "five proof calls must collect the stats artifact exactly once")
+      // a broken watermark fails closed BEFORE any read
+      EnsureWatermark.invalidate(StatsCatalog.statsPath(dir, "dim"))
+      assert(!StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+      assert(StatsCatalog.statsArtifactReads.get() === r0 + 1,
+        "a vetoed proof must not read the artifact")
+      // a rebuild re-keys the stamp: exactly one fresh read serves
+      // the next N proofs
+      StatsCatalog.reEnsure(spark, dir, "dim")
+      (1 to 3).foreach { _ =>
+        assert(StatsCatalog.uniqueNonNull(spark, dir, "dim", "k"))
+      }
+      assert(StatsCatalog.statsArtifactReads.get() === r0 + 2,
+        "the rebuilt artifact must be collected exactly once more")
+    }
+  }
+
   test("the profile's hot keys drive targeted salting end to end") {
     withIndexRoot("graft-stats-salt") {
       val dir = tmpDir("graft-stats-salt-data")
