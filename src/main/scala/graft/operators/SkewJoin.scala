@@ -53,8 +53,16 @@ object SkewJoin {
     * uniform salt, a `factor`× smaller dim-replication bill — on a
     * zipfian corpus that is almost the whole bill. `hotKeys` are the
     * profile's string renderings (driver-side, profile-capped —
-    * metadata, never a column copy); an EMPTY list degenerates to a
-    * plain equi-join. Join-type restriction as [[saltedJoin]]. */
+    * metadata, never a column copy) but the membership test runs in
+    * the KEY'S OWN TYPE: each rendering is cast back at PLAN time
+    * (Catalyst constant-folds `Cast(Literal)`), so the per-row probe
+    * is a typed IN/InSet — never the r12-flagged per-fact-row
+    * `cast(string)` on the hot path. An EMPTY list degenerates to a
+    * plain equi-join. `partitions` (when the caller's estimator
+    * sized the exchange) pre-partitions BOTH sides on
+    * (key, __salt) — the join reuses the exchanges, so the shuffle
+    * width is the estimate's, not the session default's. Join-type
+    * restriction as [[saltedJoin]]. */
   def saltedJoinHot(
       fact: DataFrame,
       dim: DataFrame,
@@ -62,21 +70,28 @@ object SkewJoin {
       saltOn: Column,
       factor: Int,
       hotKeys: Seq[String],
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      partitions: Option[Int] = None): DataFrame = {
     require(
       Set("inner", "left", "leftouter").contains(
         joinType.toLowerCase.replace("_", "")),
       s"saltedJoinHot supports inner/left joins only, got '$joinType'")
     if (hotKeys.isEmpty)
       return fact.join(dim, Seq(key), joinType)
-    val isHot = col(key).cast("string").isInCollection(hotKeys)
+    val keyType = fact.schema(key).dataType
+    val hotLits = hotKeys.map(k => lit(k).cast(keyType))
+    val isHot = col(key).isInCollection(hotLits)
     val salted = fact.withColumn("__salt",
       when(isHot, pmod(xxhash64(saltOn), lit(factor))).otherwise(lit(0L)))
     val explodedDim = dim.withColumn("__salt",
       explode(when(isHot, sequence(lit(0L), lit(factor - 1L)))
         .otherwise(array(lit(0L)))))
-    salted
-      .join(explodedDim, Seq(key, "__salt"), joinType)
+    val (fl, dl) = partitions match {
+      case Some(n) => (salted.repartition(n, col(key), col("__salt")),
+        explodedDim.repartition(n, col(key), col("__salt")))
+      case None => (salted, explodedDim)
+    }
+    fl.join(dl, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
 }

@@ -169,6 +169,18 @@ object StatsCatalog {
     readStats(s, statsPath(dir, table))
   }
 
+  /** Non-building read face for PLAN-TIME consumers (the Selinger
+    * estimator): the persisted stats when the artifact exists, None
+    * otherwise — never launches an ANALYZE (and never triggers
+    * [[ensure]]'s approx→exact upgrade, which is a build-path
+    * decision). Served through the stamp-keyed memo. */
+  def statsIfReady(s: SparkSession, dir: String,
+      table: String): Option[Map[String, ColStats]] = {
+    val path = statsPath(dir, table)
+    if (!IndexStore.artifactReady(path)) None
+    else Some(readStats(s, path))
+  }
+
   /** MEMOIZED artifact read (r12 advice #1: the plan-time metadata
     * reads inside optimizer rules were unmemoized Spark jobs — one
     * `spark.read.parquet().collect()` per candidate join per

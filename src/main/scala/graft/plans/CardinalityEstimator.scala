@@ -169,10 +169,10 @@ object CardinalityEstimator {
     plan match {
       case rel: LogicalRelation =>
         tableOf(rel).flatMap { case (dir, table) =>
-          val path = StatsCatalog.statsPath(dir, table)
-          if (!graft.operators.IndexStore.artifactReady(path)) None
-          else {
-            val byName = StatsCatalog.stats(s, dir, table)
+          // statsIfReady, not stats(): an estimator must never build
+          // (or upgrade) an artifact — plan-metadata cost only, served
+          // by the stamp-keyed memo
+          StatsCatalog.statsIfReady(s, dir, table).flatMap { byName =>
             val env = rel.output.flatMap(a =>
               byName.get(a.name).map(a.exprId -> _)).toMap
             byName.values.headOption.map(st => Est(BigInt(st.n), env))

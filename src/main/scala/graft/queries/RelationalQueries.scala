@@ -3096,6 +3096,132 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
   }
 
+  /** q69 — STATS-ADVISED SKEW JOIN ([[graft.operators.Steering
+    * .advisedJoin]] × [[graft.operators.StatsCatalog]] ×
+    * [[graft.operators.SkewJoin.saltedJoinHot]], D83): the round-12
+    * verdict's top ask — the engine-brain artifacts STEERING a
+    * physical plan instead of just advising. The fixture is derived
+    * deterministically from events (one CASE: a third of the corpus
+    * lands on hot key −1, the tail keeps near-unique event_ids — the
+    * zipfian head that melts one shuffle reducer) and joined to its
+    * near-fact-sized distinct-key dim, so no honest broadcast budget
+    * admits the dim. The ENGINE then decides: adviseJoin sees the
+    * profiled max frequency (the mean is blind to one hot key among
+    * thousands), dispatches the hot-key-targeted salted join with
+    * the profile's own salt set, and the Selinger estimate sizes the
+    * exchange. SteeringSpec pins the other two branches (broadcast /
+    * plain) on fixtures shaped for them — the plan differs by
+    * fixture shape, which is what makes this an optimizer. The
+    * oracle replays the derivation and the PLAIN join in SQL, so the
+    * hash gate proves salting is result-invisible end to end. */
+  val q69AdvisedSkewJoin: GraftQuery = q(
+    "q69_advised_skew_join",
+    "stats-advised join execution: profiled hot key salts, estimator sizes the exchange, oracle replays the plain join",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
+      |         value
+      |  FROM events),
+      |d AS (SELECT DISTINCT k FROM f),
+      |dd AS (SELECT k, ((k % 7) + 7) % 7 AS seg FROM d)
+      |SELECT dd.seg, count(*) AS n,
+      |       CAST(sum(CAST(floor(f.value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM f JOIN dd ON f.k = dd.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val fix = graft.operators.Steering.ensureSkewFixture(s, dir)
+    SC.ensure(s, fix, "skew_fact")
+    SC.ensure(s, fix, "skew_dim")
+    // hotFreq scaled to the smallest gate corpus (sf0.001's hot key
+    // owns ~330 rows); the hot threshold is a deployment knob, the
+    // DECISION path it feeds is the product
+    SC.ensureKeyProfile(s, fix, "skew_fact", "k", hotFreq = 200L)
+    val (joined, _) = graft.operators.Steering.advisedJoin(
+      s, fix, "skew_fact", "skew_dim", "k",
+      saltOn = $"event_id", factor = 8,
+      // the broadcast budget, scaled to the test corpus the way a
+      // 100-TB deployment's 32 MB is scaled to its dims: the
+      // near-fact-sized dim must genuinely exceed it at every SF
+      broadcastBytes = 1024L,
+      skewAvgFreq = 64.0,
+      targetRowsPerPartition = 4096L)
+    joined.groupBy($"seg")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value").cast("long")).as("v_fp"))
+      .orderBy($"seg")
+  }
+
+  /** q70 — ESTIMATOR-LICENSED BROADCAST OF A FILTERED INTERMEDIATE
+    * ([[graft.operators.Steering.broadcastIfSmall]] ×
+    * [[graft.plans.CardinalityEstimator]], D84): the estimator
+    * scaladoc's own promise made real — Spark's planner sizes
+    * relations by FILE bytes, so a 13%-selective (at 100 TB: a
+    * 0.01%-selective) predicate over a huge orders table can never
+    * license a broadcast the stats catalog can prove safe. Here the
+    * Selinger range-selectivity estimate of the FILTERED frame
+    * licenses the hint; fail-closed — no ANALYZE stats or an
+    * over-budget estimate leaves the frame un-hinted and the
+    * planner's own size checks keep the veto (SteeringSpec pins both
+    * plans under autoBroadcastJoinThreshold = −1). The oracle runs
+    * the same join unhinted in DuckDB: the hash gate proves the
+    * steering is result-invisible. */
+  val q70EstimatedBroadcast: GraftQuery = q(
+    "q70_estimated_broadcast",
+    "estimator-licensed broadcast: Selinger estimate of a filtered intermediate applies the hint file-size planning cannot",
+    """SELECT o.o_orderstatus, count(*) AS n,
+      |       round(sum(l.l_extendedprice), 2) AS rev
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_custkey <= 200
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.StatsCatalog.ensure(s, dir, "orders")
+    val filtered = Tables(s, dir, "orders")
+      .where($"o_custkey" <= 200L)
+      .select($"o_orderkey", $"o_orderstatus")
+    // row budget ≈ what a 10 MB broadcast of this projection holds;
+    // the estimate (n × range fraction) stays under it at every SF
+    val (dimSide, _) = graft.operators.Steering.broadcastIfSmall(
+      s, filtered, maxRows = 100000L)
+    Tables(s, dir, "lineitem")
+      .join(dimSide, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_extendedprice"), 2).as("rev"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** q71 — DICTIONARY-ENCODED ROUTING ([[graft.plans
+    * .DictionaryRoutingRule]] × [[graft.operators.Dictionary]], D85):
+    * q64 encoded MANUALLY; here the user writes the PLAIN
+    * `GROUP BY event_type, count(DISTINCT user_id)` — a shape the
+    * rollup router cannot serve (distinct users is not a summable
+    * partial) — and the OPTIMIZER rewrites it into code space when
+    * the persisted dictionary licenses it: encode join below the
+    * aggregate, group by the 8-byte code (the countDistinct Expand
+    * then doubles longs, not strings, through the exchange), decode
+    * join above on result-sized rows, original exprIds preserved.
+    * Plan-pinned in DictionaryRoutingSpec (code-space exchange +
+    * fail-closed vetoes); the oracle runs the plain value-space
+    * aggregate, so the hash gate is the bijection argument's proof. */
+  val q71RoutedDictionary: GraftQuery = q(
+    "q71_routed_dictionary",
+    "optimizer-routed dictionary encoding: plain GROUP BY string rewritten to code space, decode at serve",
+    """SELECT event_type, count(DISTINCT user_id) AS users,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    graft.operators.Dictionary.ensure(s, dir, "events", "event_type")
+    graft.plans.DictionaryRouting.enable(s)
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3114,5 +3240,6 @@ object RelationalQueries {
     q55FunnelAnalysis, q56CohortRetention, q57FrequentPairs, q58TopkRollup,
     q59JoinIvm, q60ColumnLineage, q61RoutedTopk, q62StatsProfile,
     q63JoinElimination, q64DictionaryEncode, q65Recluster,
-    q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal)
+    q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal,
+    q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary)
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The steering contract (r12 verdict #1: advice must DRIVE a plan):
+  * advisedJoin dispatches on the persisted statistics and the PLAN
+  * differs by fixture shape — zipfian fact → hot-key salted join at
+  * the estimator-chosen exchange width; uniform fact → plain shuffle,
+  * no salt; within-budget dim → broadcast. broadcastIfSmall licenses
+  * a hint off the Selinger estimate of a FILTERED intermediate and
+  * fails closed without stats. All branches result-invisible. */
+class SteeringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture(dir: String): Unit = {
+    // zipfian fact: hot key 7 owns 3000 rows; uniform tail over 30 keys
+    val zrows = (1L to 3000L).map(i => (i % 30 + 100L, i, (i % 11).toDouble)) ++
+      (1L to 3000L).map(i => (7L, 100000L + i, 1.0))
+    zrows.toDF("k", "sid", "v")
+      .write.mode("overwrite").parquet(s"$dir/zfact.parquet")
+    // uniform fact: same volume, no hot key
+    (1L to 6000L).map(i => (i % 130 + 1L, i, (i % 11).toDouble))
+      .toDF("k", "sid", "v")
+      .write.mode("overwrite").parquet(s"$dir/ufact.parquet")
+    (1L to 150L).map(i => (i, s"d$i")).toDF("k", "dname")
+      .write.mode("overwrite").parquet(s"$dir/dim.parquet")
+  }
+
+  test("the dispatch differs by fixture shape: salted, plain, broadcast") {
+    withIndexRoot("graft-steer") {
+      val dir = tmpDir("graft-steer-data")
+      writeFixture(dir)
+      Seq("zfact", "ufact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
+      StatsCatalog.ensureKeyProfile(spark, dir, "zfact", "k", hotFreq = 1000L)
+      StatsCatalog.ensureKeyProfile(spark, dir, "ufact", "k", hotFreq = 1000L)
+
+      // zipfian + over-budget dim -> hot-key salted at estimated width
+      val (salted, dz) = Steering.advisedJoin(spark, dir, "zfact", "dim",
+        "k", $"sid", factor = 4, broadcastBytes = 0L, skewAvgFreq = 64.0,
+        targetRowsPerPartition = 512L)
+      dz.advice match {
+        case StatsCatalog.SaltedShuffle(f) => assert(f === 3000.0)
+        case other => fail(s"zipfian fixture must salt, got $other")
+      }
+      assert(dz.hotKeys === Seq("7"))
+      // estimate: |F|·|D|/max(ndv) = 6000·150/150 = 6000 -> 12 parts
+      assert(dz.partitions === Some(12))
+      val sp = salted.queryExecution.executedPlan.toString
+      assert(sp.contains("__salt"), "salted plan must carry the salt key")
+      assert(sp.contains(", 12)"),
+        s"the exchange must be the estimator's 12 partitions:\n$sp")
+
+      // uniform + over-budget dim -> plain shuffle, NO salt, same width
+      val (plain, du) = Steering.advisedJoin(spark, dir, "ufact", "dim",
+        "k", $"sid", factor = 4, broadcastBytes = 0L, skewAvgFreq = 64.0,
+        targetRowsPerPartition = 512L)
+      assert(du.advice === StatsCatalog.PlainShuffle)
+      val pp = plain.queryExecution.executedPlan.toString
+      assert(!pp.contains("__salt"), "uniform fixture must not pay the salt")
+      // estimate: 6000·150/150 = 6000 -> 12 partitions here too
+      assert(du.partitions === Some(12) && pp.contains(", 12)"))
+
+      // within-budget dim -> broadcast, no exchange sizing needed
+      val (bcast, db) = Steering.advisedJoin(spark, dir, "zfact", "dim",
+        "k", $"sid", factor = 4)
+      db.advice match {
+        case StatsCatalog.BroadcastSide(t, _) => assert(t === "dim")
+        case other => fail(s"a small dim must broadcast, got $other")
+      }
+      assert(bcast.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+
+      // every branch is result-invisible vs the plain join
+      val truth = graft.Tables(spark, dir, "zfact")
+        .join(graft.Tables(spark, dir, "dim"), Seq("k"))
+        .groupBy($"dname").agg(sum($"v")).collect().map(_.toString).toSet
+      assert(salted.groupBy($"dname").agg(sum($"v"))
+        .collect().map(_.toString).toSet === truth)
+      assert(bcast.groupBy($"dname").agg(sum($"v"))
+        .collect().map(_.toString).toSet === truth)
+    }
+  }
+
+  test("the registered queries' fixtures drive the intended branches") {
+    withIndexRoot("graft-steer-q69") {
+      // q69: the zipfian replica must take the SALTED branch — the
+      // oracle gate alone can't see which plan ran (salting is
+      // result-invisible by design), so the plan is pinned here
+      val q69 = graft.queries.RelationalQueries.q69AdvisedSkewJoin
+        .fn(spark, "/root/testdata/sf0.001")
+      val p69 = q69.queryExecution.executedPlan.toString
+      assert(p69.contains("__salt"),
+        s"q69's fixture must salt the hot key:\n$p69")
+      assert(q69.count() >= 1)
+      // q70: the filtered-orders estimate must license the broadcast
+      val q70 = graft.queries.RelationalQueries.q70EstimatedBroadcast
+        .fn(spark, "/root/testdata/sf0.001")
+      assert(q70.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "q70's estimate must license the broadcast hint")
+    }
+  }
+
+  test("broadcastIfSmall licenses the hint by estimate and fails closed") {
+    withIndexRoot("graft-steer-bcast") {
+      val dir = tmpDir("graft-steer-bcast-data")
+      writeFixture(dir)
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val fact = graft.Tables(spark, dir, "zfact")
+        def filteredDim() = graft.Tables(spark, dir, "dim")
+          .where($"k" <= 20L)
+        // no ANALYZE stats yet: fail closed — no hint, planner keeps
+        // the veto (threshold -1 -> sort-merge)
+        val (cold, hintedCold) = Steering.broadcastIfSmall(
+          spark, filteredDim(), maxRows = 50L)
+        assert(!hintedCold)
+        val coldPlan = fact.join(cold, Seq("k"))
+          .queryExecution.executedPlan.toString
+        assert(!coldPlan.contains("BroadcastHashJoin"),
+          "without stats the planner's own size check must decide")
+        // with stats: estimate = 150 × (20/150) = 20 ≤ 50 -> hinted
+        StatsCatalog.ensure(spark, dir, "dim")
+        val (hot, hintedHot) = Steering.broadcastIfSmall(
+          spark, filteredDim(), maxRows = 50L)
+        assert(hintedHot)
+        val hotJoin = fact.join(hot, Seq("k"))
+        assert(hotJoin.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "the estimate must license the broadcast file sizing cannot")
+        // over-budget estimate: hint refused
+        val (big, hintedBig) = Steering.broadcastIfSmall(
+          spark, filteredDim(), maxRows = 10L)
+        assert(!hintedBig)
+        // and the hinted plan is result-invisible
+        assert(hotJoin.groupBy($"dname").count()
+          .collect().map(_.toString).toSet ===
+          fact.join(filteredDim(), Seq("k")).groupBy($"dname").count()
+            .collect().map(_.toString).toSet)
+        assert(!hintedBig && big != null)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+  }
+}
