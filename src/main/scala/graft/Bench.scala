@@ -50,12 +50,16 @@ object Bench {
     def idOf(name: String): String = name.takeWhile(_ != '_')
     require(selected.map(s => idOf(s._1)).distinct.size == selected.size,
       "query id prefixes must stay unique — a duplicate would silently drop a bench entry")
-    // Two timed executions per query, report the MIN: a single-JVM
+    // THREE timed executions per query, report the MIN: a single-JVM
     // local bench sees multi-second GC / system-noise spikes on
     // individual queries (observed: the same query 0.7 s on one run,
-    // 10 s on the next); the minimum of two runs is the steady-state
-    // plan cost, which is what the gate compares across rounds.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // 10 s on the next); the minimum is the steady-state plan cost,
+    // which is what the gate compares across rounds. Three reps (not
+    // two) after the r12 incident where a degraded container inflated
+    // BOTH reps of every query ~1.34× and min-of-2 couldn't tell —
+    // with per-rep times recorded below, a run where all three reps
+    // agree at an inflated level is distinguishable from GC noise.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // a rep that throws is EXCLUDED from the min — its time-to-failure
     // is not a plan cost, and folding it in would let a fast-failing
     // query masquerade as a fast query in round-over-round comparison.
@@ -78,7 +82,43 @@ object Bench {
       // session accumulates every query's cached stage (spilled
       // MEMORY_AND_DISK blocks are not LRU-evicted) until spark.stop()
       spark.catalog.clearCache()
-      name -> times.minOption
+      (name, times.minOption, times)
+    }
+    // per-query noise = slowest/fastest successful rep — the r12
+    // tripwire's raw material: genuine GC noise shows ONE outlier rep
+    // (high noise, trustworthy min); a degraded container shows all
+    // reps agreeing at an inflated level (low noise, suspect min),
+    // which only a prior-round comparison (below) can catch
+    val noise = results.collect { case (_, Some(mn), ts) if mn > 0 =>
+      ts.max / mn }
+    val p90Noise = if (noise.isEmpty) 0.0 else
+      noise.sorted.apply(((noise.size - 1) * 9) / 10)
+    // drift tripwire vs the prior round's driver artifact (BENCH_r*.json
+    // beside the repo): median ratio over common query ids >1.5× means
+    // the environment moved, not the code — the board must re-measure
+    // before citing this run (the check the r12 artifact would have
+    // failed). Regex-parse the flat {"id":sec} map; no JSON lib needed.
+    val drift: Option[(String, Double)] = {
+      val prior = new java.io.File("/root/repo").listFiles()
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+        .lastOption
+      prior.flatMap { f =>
+        val txt = scala.util.Try(
+          java.nio.file.Files.readString(f.toPath)).getOrElse("")
+        val m = """"(q\d+|[tdcvm]\d+)":([0-9.]+)""".r
+          .findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble)
+          .toMap
+        val ratios = results.collect {
+          case (name, Some(mn), _) if m.getOrElse(idOf(name), 0.0) > 0.05 && mn > 0.05 =>
+            mn / m(idOf(name))
+        }.sorted
+        if (ratios.size < 10) None
+        else Some((f.getName, ratios(ratios.size / 2)))
+      }
+    }
+    drift.filter(_._2 > 1.5).foreach { case (f, r) =>
+      System.err.println(f"[bench] DRIFT TRIPWIRE: median common-query ratio $r%.2f vs $f exceeds 1.5 — environment suspect, re-measure before citing this run")
     }
     // The driver captures only the LAST ~2000 chars of stdout and
     // parses the JSON line out of that tail; 74+ full query names push
@@ -89,19 +129,27 @@ object Bench {
     // the line well under the window; the full-name map, the failure
     // list and the total are also written to BENCH_FULL.json beside
     // the repo for round-over-round diffs at full fidelity.
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       "\"" + idOf(k) + "\":" + v.map(t => f"$t%.3f").getOrElse("-1")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + idOf(k) + "\"" }
+    val failed = results.collect { case (k, None, _) => "\"" + idOf(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val fullQs = results.map { case (k, v) =>
+    val fullQs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("-1")
     }.mkString("{", ",", "}")
-    val fullFailed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val fullFailed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // full-fidelity per-rep times: the round-over-round variance record
+    // the r12 verdict asked for (#4) — lets the next judge separate
+    // "one rep spiked" from "the whole run is inflated" without rerunning
+    val fullReps = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val driftJson = drift.map { case (f, r) =>
+      f""","drift_vs":"$f","drift_median_ratio":$r%.3f""" }.getOrElse("")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fullFailed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fullFailed,"reps":$fullReps,"noise_p90":$p90Noise%.3f$driftJson,"sf":"$sfDir"}"""
     // Default the full-fidelity dump AWAY from the repo root: a
     // sf0.001 smoke or SPARK_GRAFT_ONLY subset run must never clobber
     // the round-final sf0.1 artifact (that exact hygiene failure
@@ -115,7 +163,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"noise_p90":$p90Noise%.3f$driftJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

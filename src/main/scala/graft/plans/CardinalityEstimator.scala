@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -46,8 +46,21 @@ import graft.operators.StatsCatalog.ColStats
   *   - inner equi-join → |L|·|R| / max(ndv_L(key), ndv_R(key)) (the
   *     containment-of-values assumption); LEFT OUTER additionally
   *     floors at |L| (every left row survives);
+  *   - LEFT SEMI → |L| · min(ndv_L, ndv_R) / ndv_L (under
+  *     containment, the fraction of left keys that appear on the
+  *     right); LEFT ANTI → |L| − semi (the complement, floored at 0);
+  *   - Union (ALL) → Σ children; the FIRST branch's attribute stats
+  *     stand for the union's distribution (its exprIds are the
+  *     union's output ids — a declared uniformity assumption, same
+  *     family as Selinger's);
   *   - Aggregate → min(child, ∏ ndv(group cols)); Limit/Sample cap;
-  *     Project/Sort/alias pass through with the attribute
+  *   - Aggregate over Expand (ROLLUP / CUBE / GROUPING SETS) →
+  *     Σ over grouping sets of min(child, ∏ ndv(that set's carried
+  *     group attrs)) — each branch of the lattice contributes its
+  *     own group count, the grouping-id literal and NULLed slots
+  *     contribute factor 1, and a non-empty child floors each
+  *     branch at 1 (the all-NULL grand-total row);
+  *   - Project/Sort/alias pass through with the attribute
   *     environment rebound (renames keep their column's stats). */
 object CardinalityEstimator {
 
@@ -224,6 +237,61 @@ object CardinalityEstimator {
           val inner = le.rows * re.rows / d
           val rows = if (jt == LeftOuter) inner.max(le.rows) else inner
           Est(rows, le.env ++ re.env)
+        }
+      case Join(l, r, jt, Some(cond), _) if jt == LeftSemi || jt == LeftAnti =>
+        for {
+          le <- est(s, l)
+          re <- est(s, r)
+          key <- conjuncts(cond).collectFirst {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if le.env.contains(a.exprId) && re.env.contains(b.exprId) =>
+              (le.env(a.exprId), re.env(b.exprId))
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if le.env.contains(b.exprId) && re.env.contains(a.exprId) =>
+              (le.env(b.exprId), re.env(a.exprId))
+          }
+        } yield {
+          val (ls, rs) = key
+          val lnd = BigInt(ls.ndv).max(1)
+          val rnd = BigInt(rs.ndv).max(1)
+          // containment: the left keys that ALSO occur on the right
+          // are min(ndv_L, ndv_R) of ndv_L; uniform rows per key
+          val semi = le.rows * lnd.min(rnd) / lnd
+          val rows = if (jt == LeftSemi) semi else (le.rows - semi).max(0)
+          // only left-side attributes survive a semi/anti join
+          Est(rows, le.env)
+        }
+      case Union(children, _, _) if children.nonEmpty =>
+        val es = children.map(c => est(s, c))
+        if (es.forall(_.isDefined))
+          // output exprIds are the head child's — its env is the
+          // union's declared distribution (uniformity assumption)
+          Some(Est(es.flatten.map(_.rows).sum, es.head.get.env))
+        else None
+      case Aggregate(group, _, Expand(projections, expOut, child), _) =>
+        est(s, child).map { e =>
+          // Per grouping set: rebind the Expand's output positionally
+          // from THAT branch's projection (live slots are attr refs to
+          // the group-by aliases, NULLed slots and the grouping-id are
+          // literals → no binding → factor 1), then the branch's group
+          // count is the Selinger ndv product capped at child rows and
+          // floored at 1 on a non-empty child (the grand-total row).
+          val floor = if (e.rows > 0) BigInt(1) else BigInt(0)
+          val branches = projections.map { proj =>
+            val benv = expOut.zip(proj).flatMap {
+              case (o, a: AttributeReference) =>
+                e.env.get(a.exprId).map(o.exprId -> _)
+              case _ => None
+            }.toMap
+            val prod = group.foldLeft(BigInt(1)) {
+              case (acc, a: AttributeReference) =>
+                acc * benv.get(a.exprId).map(st => BigInt(st.ndv).max(1))
+                  .getOrElse(BigInt(1))
+              case (acc, _) => acc
+            }
+            prod.min(e.rows).max(floor)
+          }
+          Est(branches.sum, Map.empty)
         }
       case Aggregate(group, _, child, _) =>
         est(s, child).map { e =>

@@ -3006,7 +3006,7 @@ object RelationalQueries {
     * formula). */
   val q67CardinalityEstimate: GraftQuery = q(
     "q67_cardinality_estimate",
-    "Selinger cardinality estimates from persisted column stats: eq/range filters, equi-join, group-by — ppm-integer-exact, formulas replayed by the oracle",
+    "Selinger cardinality estimates from persisted column stats: eq/range filters, equi/semi/anti joins, group-by, rollup lattice, union — ppm-integer-exact, formulas replayed by the oracle",
     """WITH ls AS (SELECT count(*) AS n,
       |             count(DISTINCT l_returnflag) AS ndv_rf,
       |             count(DISTINCT l_linestatus) AS ndv_ls
@@ -3041,6 +3041,21 @@ object RelationalQueries {
       |  SELECT 'join_equi',
       |         CAST(cs.n * os.n // greatest(cs.ndv_ck, os.ndv_ck) AS BIGINT)
       |  FROM cs, os
+      |  UNION ALL
+      |  SELECT 'join_semi',
+      |         CAST(cs.n * least(cs.ndv_ck, os.ndv_ck) // cs.ndv_ck AS BIGINT)
+      |  FROM cs, os
+      |  UNION ALL
+      |  SELECT 'join_anti',
+      |         CAST(cs.n - cs.n * least(cs.ndv_ck, os.ndv_ck) // cs.ndv_ck
+      |           AS BIGINT)
+      |  FROM cs, os
+      |  UNION ALL
+      |  SELECT 'union_all', CAST(os.n + cs.n AS BIGINT) FROM os, cs
+      |  UNION ALL
+      |  SELECT 'grouping_sets',
+      |         CAST(least(n, ndv_rf * ndv_ls) + least(n, ndv_rf) + 1
+      |           AS BIGINT) FROM ls
       |) ORDER BY shape""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
@@ -3059,7 +3074,14 @@ object RelationalQueries {
       "filter_range" -> or.where($"o_custkey" <= lit(1000L)),
       "filter_ts_range" -> ev.where(
         $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-15 00:00:00"))),
-      "join_equi" -> cu.join(or, $"c_custkey" === $"o_custkey"))
+      "join_equi" -> cu.join(or, $"c_custkey" === $"o_custkey"),
+      // r13 shapes (r12 verdict #7): semi/anti under containment,
+      // UNION ALL as the branch sum, ROLLUP as the lattice-branch sum
+      "join_semi" -> cu.join(or, $"c_custkey" === $"o_custkey", "left_semi"),
+      "join_anti" -> cu.join(or, $"c_custkey" === $"o_custkey", "left_anti"),
+      "union_all" -> or.select($"o_custkey").union(cu.select($"c_custkey")),
+      "grouping_sets" -> li.rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n")))
     val rows = shapes.map { case (name, df) =>
       val e = CE.estimateRows(s, df).getOrElse(
         sys.error(s"estimator must cover the $name shape"))
@@ -3154,7 +3176,7 @@ object RelationalQueries {
 
   /** q70 — ESTIMATOR-LICENSED BROADCAST OF A FILTERED INTERMEDIATE
     * ([[graft.operators.Steering.broadcastIfSmall]] ×
-    * [[graft.plans.CardinalityEstimator]], D84): the estimator
+    * [[graft.plans.CardinalityEstimator]], D83): the estimator
     * scaladoc's own promise made real — Spark's planner sizes
     * relations by FILE bytes, so a 13%-selective (at 100 TB: a
     * 0.01%-selective) predicate over a huge orders table can never
@@ -3193,7 +3215,7 @@ object RelationalQueries {
   }
 
   /** q71 — DICTIONARY-ENCODED ROUTING ([[graft.plans
-    * .DictionaryRoutingRule]] × [[graft.operators.Dictionary]], D85):
+    * .DictionaryRoutingRule]] × [[graft.operators.Dictionary]], D84):
     * q64 encoded MANUALLY; here the user writes the PLAIN
     * `GROUP BY event_type, count(DISTINCT user_id)` — a shape the
     * rollup router cannot serve (distinct users is not a summable
@@ -3222,6 +3244,54 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q72 — COST-BASED JOIN-ORDER SELECTION ([[graft.plans
+    * .JoinOrderer]] × [[graft.plans.CardinalityEstimator]], D85):
+    * the Selinger dynamic program over left-deep trees, costed by
+    * C_out from the persisted ANALYZE stats — the enumeration level
+    * above q69's per-join strategy dispatch. The query joins a
+    * selectively-filtered customer to orders to lineitem; the DP
+    * sees the range-selectivity estimate of the customer filter and
+    * attaches customer–orders FIRST (≈10³-row intermediate) instead
+    * of the orders–lineitem fact–fact pair (≈corpus-sized) — at
+    * 100 TB the difference between shuffling kilobytes and
+    * terabytes into the second join. The order is required here
+    * (fail-loud, the q67 discipline) and pinned both ways in
+    * JoinOrdererSpec (the choice FLIPS when the filter moves to the
+    * other end of the chain); the oracle runs the same logical join
+    * in DuckDB, where the result is order-invariant — the hash gate
+    * proves the reordering is result-invisible. */
+  val q72JoinOrder: GraftQuery = q(
+    "q72_join_order",
+    "Selinger DP join ordering from ANALYZE stats: filtered dim joins first, fact-fact intermediate avoided, oracle replays the order-invariant join",
+    """SELECT o.o_orderstatus, count(*) AS n,
+      |       round(sum(l.l_extendedprice), 2) AS rev
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE c.c_custkey <= 150
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    Seq("customer", "orders", "lineitem").foreach(SC.ensure(s, dir, _))
+    val JO = graft.plans.JoinOrderer
+    val cu = Tables(s, dir, "customer").where($"c_custkey" <= 150L)
+    val or = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    val chosen = JO.choose(s,
+      // declared order is the WORST one (fact first) so a silent
+      // fall-through to declared order would break the spec's pin,
+      // never this gate — the gate proves result-invisibility only
+      Seq("lineitem" -> li, "orders" -> or, "customer" -> cu),
+      Seq(JO.Edge("customer", "c_custkey", "orders", "o_custkey"),
+        JO.Edge("orders", "o_orderkey", "lineitem", "l_orderkey")))
+      .getOrElse(sys.error("join orderer must cost this plan"))
+    chosen.df.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_extendedprice"), 2).as("rev"))
+      .orderBy($"o_orderstatus")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3241,5 +3311,6 @@ object RelationalQueries {
     q59JoinIvm, q60ColumnLineage, q61RoutedTopk, q62StatsProfile,
     q63JoinElimination, q64DictionaryEncode, q65Recluster,
     q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal,
-    q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary)
+    q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
+    q72JoinOrder)
 }

@@ -90,9 +90,41 @@ class CardinalityEstimatorSpec extends SparkSpec {
         "no stats -> no estimate")
       StatsCatalog.ensure(spark, dir, "fact")
       assert(CardinalityEstimator.estimateRows(spark, f).isDefined)
-      // a union is outside the algebra -> None (fail honest)
+      // a full outer join stays outside the algebra -> None (honest)
+      val d = graft.Tables(spark, dir, "dim")
       assert(CardinalityEstimator
-        .estimateRows(spark, f.union(f)).isEmpty)
+        .estimateRows(spark, f.join(d, $"k" === $"dk", "full")).isEmpty)
+      // a union whose OTHER branch lacks stats is also None — the sum
+      // formula needs every branch, no silent guessing
+      assert(CardinalityEstimator
+        .estimateRows(spark, f.union(d.select($"dk", $"dname", $"dk"))).isEmpty)
+    }
+  }
+
+  test("union sums branches; rollup sums lattice branches; semi/anti complement") {
+    withIndexRoot("graft-card-r13") {
+      val dir = tmpDir("graft-card-r13-data")
+      writeTables(dir)
+      Seq("fact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
+      val f = graft.Tables(spark, dir, "fact")
+      val d = graft.Tables(spark, dir, "dim")
+      // UNION ALL = branch sum; head-branch env survives, so a filter
+      // ABOVE the union still uses the first branch's column stats
+      assert(estOf(f.union(f)) === BigInt(2400))
+      assert(estOf(f.union(f).where($"flag" === "f1")) === BigInt(600),
+        "head-branch ndv(flag)=4 -> 2400/4 under uniformity")
+      // ROLLUP(flag, k): min(1200, 4*100) + min(1200, 4) + 1 = 405
+      assert(estOf(f.rollup($"flag", $"k").agg(count(lit(1)))) === BigInt(405))
+      // fact ndv(k)=100 ⊆ dim ndv(dk)=100: semi keeps all, anti none
+      assert(estOf(f.join(d, $"k" === $"dk", "left_semi")) === BigInt(1200))
+      assert(estOf(f.join(d, $"k" === $"dk", "left_anti")) === BigInt(0))
+      // dim filtered to 1/4 span: ndv scales with rows in the catalog?
+      // no — ndv is the TABLE's; shrink the right side via a distinct
+      // subset table instead: semi against dim half = half the fact
+      val half = graft.Tables(spark, dir, "dim").where($"dk" <= 50L)
+      // filter drops rows but keeps the key's ndv env — the semi
+      // formula reads ndv, not rows, so this pins WHICH stat it uses
+      assert(estOf(f.join(half, $"k" === $"dk", "left_semi")) === BigInt(1200))
     }
   }
 }
