@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ENTITY-KEYED SERVING INDEX (D86) — the record-level secondary
+  * index / feature-store pattern (Hudi's record index, Pinot's
+  * star-tree entity rollups, every user-profile store — public
+  * designs): the routing rollups (D50/D57/D81) serve TIME-keyed
+  * dashboards; this table serves ENTITY-keyed point lookups — "user
+  * 17's event count, value total, active days" — which at 100 TB
+  * must never scan the fact table. The store is one row per
+  * (user, UTC day) with summable partials, hash-partitioned into
+  * [[Buckets]] directories by a deterministic key bucket, so a
+  * point lookup for k users reads ≤ k partition directories of a
+  * corpus-independent-width table: kilobytes, via Spark's partition
+  * pruning (`PartitionFilters` on `bucket` — spec-pinned by
+  * counting the files the serve plan actually touches).
+  *
+  * Day grain (not lifetime totals) because (a) distinct-day counts
+  * are then exact under append merging (duplicate (user, day) rows
+  * fold by SUM / re-distinct), and (b) the serve can answer
+  * windowed profiles ("active days in January") from the same
+  * artifact — the lattice argument of D81, applied to entities.
+  *
+  * Bucket function: `floorMod(user_id, Buckets)` — deterministic
+  * and driver-replayable, so the lookup computes its target buckets
+  * without a Spark job. A deployment whose entity ids are assigned
+  * sequentially (ids correlate with signup time, not activity)
+  * keeps uniform bucket mass by construction; ids with adversarial
+  * structure would hash first (xxhash64 % B) at the cost of a
+  * driver-side hash replica. Documented trade, same family as
+  * [[GraphRank]]'s bucket count.
+  *
+  * Lifecycle = the [[AggRollup]]/[[EnsureWatermark]] contract
+  * verbatim: [[ensure]] builds once per source fingerprint;
+  * [[appendBatch]] invalidates the watermark FIRST (fail-closed)
+  * then appends partials; [[serve]] takes the index path only while
+  * the watermark holds and otherwise falls back to the raw scan —
+  * both paths exact, so the q73 oracle (the raw aggregate in
+  * DuckDB) gates the index path byte-for-byte. */
+object EntityIndex {
+
+  /** Partition fan-out of the store. 16 spans the test corpus's
+    * entity range; a 10⁹-user deployment raises it with the corpus
+    * (buckets ≈ entities / rows-per-partition-target) — the value is
+    * layout, not semantics, so no result depends on it. */
+  val Buckets = 16
+
+  def indexPath(dir: String): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/entity_user"
+
+  private[graft] def bucketOf(userId: Long): Long =
+    java.lang.Math.floorMod(userId, Buckets.toLong)
+
+  /** Per-batch (bucket, user_id, day) → (n, v_fp) partials — shared
+    * by build and append so the merge algebra is one projection.
+    * v_fp keeps sum semantics (NULL for an all-NULL cell). */
+  private def partials(batch: DataFrame): DataFrame =
+    batch.select(col("user_id"),
+        pmod(col("user_id"), lit(Buckets.toLong)).as("bucket"),
+        MinMaxManifest.utcDay(col("ts")).as("day"),
+        floor(col("value")).as("v"))
+      .groupBy("bucket", "user_id", "day")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_fp"))
+
+  /** Build once per source fingerprint: one shuffle of the corpus
+    * down to (users × days) rows, written as one file per bucket
+    * directory. Does NOT backfill a missing watermark (that state is
+    * a crashed append's veto); [[reEnsure]] is the repair path. */
+  def ensure(s: SparkSession, dir: String): Unit = {
+    val path = indexPath(dir)
+    if (IndexStore.artifactReady(path)) return
+    partials(graft.Tables(s, dir, "events"))
+      .repartition(1)
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    EnsureWatermark.write(path)
+  }
+
+  /** Repair: rebuild from the raw table, restore the watermark;
+    * out-of-band appended partials drop by design. */
+  def reEnsure(s: SparkSession, dir: String): Unit = {
+    val path = indexPath(dir)
+    partials(graft.Tables(s, dir, "events"))
+      .repartition(1)
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    EnsureWatermark.write(path)
+  }
+
+  /** Incremental maintenance: O(batch) partials append into the
+    * touched buckets; duplicate (user, day) keys fold at read time.
+    * Serving from the INDEX is vetoed first (the batch is not in
+    * events.parquet, so index ≠ raw until [[reEnsure]]). */
+  def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    require(IndexStore.artifactReady(indexPath(dir)),
+      "entity index must be built before appending")
+    EnsureWatermark.invalidate(indexPath(dir))
+    partials(batch)
+      .repartition(1)
+      .write.partitionBy("bucket").mode("append").parquet(indexPath(dir))
+  }
+
+  /** The per-user profile for `users`: (n, v_fp, active days).
+    * Index path while the watermark holds — bucket partition pruning
+    * + user filter, corpus never touched; raw-scan fallback
+    * otherwise (exact either way, fail-closed like every routing
+    * serve). Returns the frame and which path ran, for plan pinning. */
+  def serve(s: SparkSession, dir: String,
+      users: Seq[Long]): (DataFrame, Boolean) = {
+    require(users.nonEmpty, "empty lookup set")
+    val path = indexPath(dir)
+    if (EnsureWatermark.holds(path)) {
+      val buckets = users.map(bucketOf).distinct
+      val df = s.read.parquet(path)
+        .where(col("bucket").isin(buckets: _*) &&
+          col("user_id").isin(users: _*))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("v_fp")).as("v_fp"),
+          countDistinct(col("day")).as("days"))
+        .orderBy(col("user_id"))
+      (df, true)
+    } else {
+      val df = graft.Tables(s, dir, "events")
+        .where(col("user_id").isin(users: _*))
+        .select(col("user_id"), MinMaxManifest.utcDay(col("ts")).as("day"),
+          floor(col("value")).as("v"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("v_fp"),
+          countDistinct(col("day")).as("days"))
+        .orderBy(col("user_id"))
+      (df, false)
+    }
+  }
+}

@@ -362,4 +362,83 @@ object StatsCatalog {
     Some((rows.map(_.getString(0)).toSeq,
       rows.headOption.map(_.getLong(1)).getOrElse(0L)))
   }
+
+  // ------------------------------------------------------------------
+  // COLUMN-GROUP statistics (D87) — multi-column NDV + functional
+  // dependencies. The single-column catalog forces the Selinger
+  // estimator into the independence assumption, which overestimates
+  // every correlated GROUP BY / conjunct by the correlation factor
+  // (the classic CBO failure; Oracle extended stats / DB2 column
+  // groups / SQL Server multi-column stats are the public fix).
+  // One count-distinct-of-struct pass per declared group persists
+  // ndv(c1..ck); ndv(a,b) == ndv(a) additionally PROVES the
+  // functional dependency a → b (exact-mode only, the uniqueNonNull
+  // exactness discipline — an FD is a semantic claim).
+  // ------------------------------------------------------------------
+
+  /** One persisted column group: NDV of the column TUPLE. */
+  final case class GroupStats(columns: Seq[String], n: Long, ndv: Long,
+      exact: Boolean)
+
+  def groupStatsPath(dir: String, table: String, columns: Seq[String]): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, table)}/stats_${table}_grp_${columns.sorted.mkString("__")}"
+
+  /** ANALYZE one column group (exact, one distinct pass over the
+    * k-tuple — a single struct hash map, not the k-wide Expand the
+    * batched single-column pass avoids). Fingerprint-keyed +
+    * watermarked like every stats artifact. */
+  def ensureColumnGroup(s: SparkSession, dir: String, table: String,
+      columns: Seq[String]): Unit = {
+    require(columns.size >= 2, "a column group needs at least 2 columns")
+    val cols = columns.sorted
+    val path = groupStatsPath(dir, table, cols)
+    if (IndexStore.artifactReady(path)) return
+    import s.implicits._
+    val df = graft.Tables(s, dir, table)
+    val r = df.agg(count(lit(1)).as("n"),
+      count_distinct(struct(cols.map(col): _*)).as("ndv")).head()
+    Seq((cols.mkString(","), r.getLong(0), r.getLong(1), true))
+      .toDF("columns", "n", "ndv", "exact")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    EnsureWatermark.write(path)
+  }
+
+  /** Stamp-keyed memo for plan-time group reads — the same
+    * one-job-per-build discipline as [[readStats]]. */
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, GroupStats)]()
+
+  /** Non-building read face: the group's stats when the artifact is
+    * current, None otherwise — never launches an ANALYZE. */
+  def columnGroupIfReady(s: SparkSession, dir: String, table: String,
+      columns: Seq[String]): Option[GroupStats] = {
+    val cols = columns.sorted
+    val path = groupStatsPath(dir, table, cols)
+    EnsureWatermark.stampIfHolds(path).map { stamp =>
+      val cached = groupCache.get(path)
+      if (cached != null && cached._1 == stamp) cached._2
+      else {
+        val r = s.read.parquet(path).head()
+        val g = GroupStats(cols, r.getAs[Long]("n"), r.getAs[Long]("ndv"),
+          r.getAs[Boolean]("exact"))
+        groupCache.put(path, (stamp, g))
+        g
+      }
+    }
+  }
+
+  /** FD PROOF face: Some(true) iff `a → b` — every value of `a`
+    * co-occurs with exactly one value of `b` — proven by EXACT,
+    * current group stats (ndv(a,b) == ndv(a), null-free `a`; a NULL
+    * in `a` could hide two b-values under one "key"). None when
+    * either artifact is absent/stale: like [[uniqueNonNull]], an FD
+    * licenses semantic decisions, so no answer beats a guess. */
+  def determines(s: SparkSession, dir: String, table: String,
+      a: String, b: String): Option[Boolean] =
+    for {
+      g <- columnGroupIfReady(s, dir, table, Seq(a, b))
+      if g.exact
+      st <- statsIfReady(s, dir, table).flatMap(_.get(a))
+      if st.exact && st.nulls == 0
+    } yield g.ndv == st.ndv
 }

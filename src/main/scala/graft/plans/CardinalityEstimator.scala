@@ -66,13 +66,28 @@ object CardinalityEstimator {
 
   private val M = BigInt(1000000)
 
-  private final case class Est(rows: BigInt, env: Map[ExprId, ColStats])
+  /** `env` = attribute → single-column stats; `src` = attribute →
+    * (dir, table) it traces to — the key for COLUMN-GROUP lookups
+    * (the stats' own `column` field carries the original name
+    * through renames, so src needs only the table identity). */
+  private final case class Est(rows: BigInt, env: Map[ExprId, ColStats],
+      src: Map[ExprId, (String, String)])
 
   /** Estimated output rows of `df`'s analyzed plan, or None when any
-    * leaf lacks ANALYZE stats or a shape is outside the algebra. */
+    * leaf lacks ANALYZE stats or a shape is outside the algebra.
+    *
+    * `useColumnGroups = true` additionally consults persisted
+    * COLUMN-GROUP stats ([[StatsCatalog.columnGroupIfReady]], D87)
+    * for multi-key aggregates whose grouped attributes all trace to
+    * one table: the group's measured ndv replaces the independence
+    * product (the classic correlated-GROUP-BY overestimate). OPT-IN
+    * so existing replayed estimates (q67's oracle) stay stable —
+    * an estimator must be deterministic about which algebra it ran,
+    * and the flag IS that declaration. */
   def estimateRows(s: SparkSession,
-      df: org.apache.spark.sql.DataFrame): Option[BigInt] =
-    est(s, df.queryExecution.analyzed).map(_.rows)
+      df: org.apache.spark.sql.DataFrame,
+      useColumnGroups: Boolean = false): Option[BigInt] =
+    est(s, df.queryExecution.analyzed, useColumnGroups).map(_.rows)
 
   private def tableOf(rel: LogicalRelation): Option[(String, String)] =
     rel.relation match {
@@ -178,7 +193,8 @@ object CardinalityEstimator {
     }
   }
 
-  private def est(s: SparkSession, plan: LogicalPlan): Option[Est] =
+  private def est(s: SparkSession, plan: LogicalPlan,
+      groups: Boolean): Option[Est] =
     plan match {
       case rel: LogicalRelation =>
         tableOf(rel).flatMap { case (dir, table) =>
@@ -188,11 +204,12 @@ object CardinalityEstimator {
           StatsCatalog.statsIfReady(s, dir, table).flatMap { byName =>
             val env = rel.output.flatMap(a =>
               byName.get(a.name).map(a.exprId -> _)).toMap
-            byName.values.headOption.map(st => Est(BigInt(st.n), env))
+            byName.values.headOption.map(st =>
+              Est(BigInt(st.n), env, env.keys.map(_ -> (dir, table)).toMap))
           }
         }
       case Project(list, child) =>
-        est(s, child).map { e =>
+        est(s, child, groups).map { e =>
           // rebind: bare attrs keep their stats; aliases of bare
           // attrs carry the underlying column's stats to the new id;
           // a NAME-PRESERVING single-source alias (the loader's
@@ -200,29 +217,33 @@ object CardinalityEstimator {
           // its column's stats too, because the catalog PROFILES the
           // normalized view (graft.Tables), so the stats describe
           // exactly the rebuilt column
-          val rebound = list.flatMap {
-            case a: AttributeReference => e.env.get(a.exprId).map(a.exprId -> _)
+          val ids: Seq[(ExprId, ExprId)] = list.flatMap {
+            case a: AttributeReference => Some(a.exprId -> a.exprId)
             case al @ Alias(a: AttributeReference, _) =>
-              e.env.get(a.exprId).map(al.exprId -> _)
+              Some(al.exprId -> a.exprId)
             case al: Alias if al.child.references.size == 1 &&
                 al.child.references.head.name == al.name =>
-              e.env.get(al.child.references.head.exprId).map(al.exprId -> _)
+              Some(al.exprId -> al.child.references.head.exprId)
             case _ => None
-          }.toMap
-          Est(e.rows, rebound)
+          }
+          val rebound = ids.flatMap { case (t, f) =>
+            e.env.get(f).map(t -> _) }.toMap
+          val reboundSrc = ids.flatMap { case (t, f) =>
+            e.src.get(f).map(t -> _) }.toMap
+          Est(e.rows, rebound, reboundSrc)
         }
-      case SubqueryAlias(_, child) => est(s, child)
-      case Sort(_, _, child, _) => est(s, child)
+      case SubqueryAlias(_, child) => est(s, child, groups)
+      case Sort(_, _, child, _) => est(s, child, groups)
       case Filter(cond, child) =>
-        est(s, child).map { e =>
+        est(s, child, groups).map { e =>
           val rows = conjuncts(cond).foldLeft(e.rows)(
             (r, c) => r * selPpm(c, e.env) / M)
-          Est(rows, e.env)
+          Est(rows, e.env, e.src)
         }
       case Join(l, r, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
         for {
-          le <- est(s, l)
-          re <- est(s, r)
+          le <- est(s, l, groups)
+          re <- est(s, r, groups)
           key <- conjuncts(cond).collectFirst {
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if le.env.contains(a.exprId) && re.env.contains(b.exprId) =>
@@ -236,12 +257,12 @@ object CardinalityEstimator {
           val d = BigInt(math.max(math.max(ls.ndv, rs.ndv), 1L))
           val inner = le.rows * re.rows / d
           val rows = if (jt == LeftOuter) inner.max(le.rows) else inner
-          Est(rows, le.env ++ re.env)
+          Est(rows, le.env ++ re.env, le.src ++ re.src)
         }
       case Join(l, r, jt, Some(cond), _) if jt == LeftSemi || jt == LeftAnti =>
         for {
-          le <- est(s, l)
-          re <- est(s, r)
+          le <- est(s, l, groups)
+          re <- est(s, r, groups)
           key <- conjuncts(cond).collectFirst {
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if le.env.contains(a.exprId) && re.env.contains(b.exprId) =>
@@ -259,17 +280,18 @@ object CardinalityEstimator {
           val semi = le.rows * lnd.min(rnd) / lnd
           val rows = if (jt == LeftSemi) semi else (le.rows - semi).max(0)
           // only left-side attributes survive a semi/anti join
-          Est(rows, le.env)
+          Est(rows, le.env, le.src)
         }
       case Union(children, _, _) if children.nonEmpty =>
-        val es = children.map(c => est(s, c))
+        val es = children.map(c => est(s, c, groups))
         if (es.forall(_.isDefined))
           // output exprIds are the head child's — its env is the
           // union's declared distribution (uniformity assumption)
-          Some(Est(es.flatten.map(_.rows).sum, es.head.get.env))
+          Some(Est(es.flatten.map(_.rows).sum, es.head.get.env,
+            es.head.get.src))
         else None
       case Aggregate(group, _, Expand(projections, expOut, child), _) =>
-        est(s, child).map { e =>
+        est(s, child, groups).map { e =>
           // Per grouping set: rebind the Expand's output positionally
           // from THAT branch's projection (live slots are attr refs to
           // the group-by aliases, NULLed slots and the grouping-id are
@@ -291,23 +313,40 @@ object CardinalityEstimator {
             }
             prod.min(e.rows).max(floor)
           }
-          Est(branches.sum, Map.empty)
+          Est(branches.sum, Map.empty, Map.empty)
         }
       case Aggregate(group, _, child, _) =>
-        est(s, child).map { e =>
-          val ndvs = group.map {
-            case a: AttributeReference =>
-              e.env.get(a.exprId).map(st => BigInt(st.ndv).max(1))
-                .getOrElse(e.rows)
-            case _ => e.rows
+        est(s, child, groups).map { e =>
+          // COLUMN-GROUP path (opt-in): when every grouped attribute
+          // traces to ONE table and a persisted group artifact covers
+          // exactly that column set, its measured tuple-NDV replaces
+          // the independence product — the correlated-GROUP-BY fix
+          val attrs = group.collect { case a: AttributeReference => a }
+          val grouped: Option[BigInt] =
+            if (!groups || attrs.size != group.size || attrs.size < 2) None
+            else {
+              val srcs = attrs.flatMap(a => e.src.get(a.exprId)).distinct
+              val names = attrs.flatMap(a => e.env.get(a.exprId).map(_.column))
+              if (srcs.size == 1 && names.size == attrs.size)
+                StatsCatalog.columnGroupIfReady(s, srcs.head._1,
+                  srcs.head._2, names).map(g => BigInt(g.ndv).max(1))
+              else None
+            }
+          val prod = grouped.getOrElse {
+            group.map {
+              case a: AttributeReference =>
+                e.env.get(a.exprId).map(st => BigInt(st.ndv).max(1))
+                  .getOrElse(e.rows)
+              case _ => e.rows
+            }.foldLeft(BigInt(1))(_ * _)
           }
-          val prod = ndvs.foldLeft(BigInt(1))(_ * _)
-          Est(prod.min(e.rows).max(if (e.rows > 0) 1 else 0), Map.empty)
+          Est(prod.min(e.rows).max(if (e.rows > 0) 1 else 0),
+            Map.empty, Map.empty)
         }
       case GlobalLimit(IntegerLiteral(k), child) =>
-        est(s, child).map(e => Est(e.rows.min(BigInt(k)), e.env))
+        est(s, child, groups).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
       case LocalLimit(IntegerLiteral(k), child) =>
-        est(s, child).map(e => Est(e.rows.min(BigInt(k)), e.env))
+        est(s, child, groups).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
       case _ => None
     }
 }

@@ -3292,6 +3292,107 @@ object RelationalQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** q73 — ENTITY-KEYED SERVING INDEX ([[graft.operators
+    * .EntityIndex]], D86): the record-level secondary-index /
+    * feature-store pattern (Hudi record index, user-profile stores —
+    * public designs). The routing rollups serve TIME-keyed
+    * dashboards; this serves ENTITY-keyed point lookups — "these 5
+    * users' event counts, value totals, active days" — from a
+    * (user, day)-grain store hash-partitioned into bucket
+    * directories, so the lookup reads ≤ |users| partition dirs of a
+    * corpus-independent-width table and the 100-TB fact is never
+    * scanned (file-count pinned in EntityIndexSpec, along with the
+    * fail-closed raw-scan fallback on a broken watermark and the
+    * append-merge fold). The oracle runs the raw aggregate, so the
+    * hash gate is the store's exactness proof. */
+  val q73EntityServing: GraftQuery = q(
+    "q73_entity_serving",
+    "entity-keyed serving index: per-user profile point lookup from a bucket-partitioned store, fact table never scanned",
+    """SELECT user_id, count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp,
+      |       count(DISTINCT date_trunc('day', ts)) AS days
+      |FROM events
+      |WHERE user_id IN (1, 3, 7, 11, 14)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.EntityIndex.ensure(s, dir)
+    val (df, viaIndex) = graft.operators.EntityIndex.serve(
+      s, dir, Seq(1L, 3L, 7L, 11L, 14L))
+    require(viaIndex, "the index must serve right after ensure")
+    df
+  }
+
+  /** q74 — COLUMN-GROUP STATS / FUNCTIONAL DEPENDENCIES
+    * ([[graft.operators.StatsCatalog.ensureColumnGroup]] ×
+    * [[graft.plans.CardinalityEstimator]], D87): the correlated-
+    * GROUP-BY fix every mature CBO ships (Oracle extended stats, DB2
+    * column groups — public designs). Single-column stats force the
+    * Selinger independence product — `ndv(rf)·ndv(ls)` overestimates
+    * the real (rf, ls) group count whenever the columns correlate;
+    * one distinct-of-struct ANALYZE pass persists the TUPLE ndv and
+    * the estimator (opt-in flag, so q67's replayed algebra stays
+    * stable) serves the measured value. `ndv(a,b) = ndv(a)` further
+    * PROVES the functional dependency a → b under the exactness
+    * discipline of uniqueNonNull. The oracle recomputes every number
+    * from the raw tables — the hash gate proves both estimator paths
+    * and both FD verdicts implement exactly the declared algebra. */
+  val q74ColumnGroupStats: GraftQuery = q(
+    "q74_colgroup_estimate",
+    "column-group (multi-column) stats: tuple-NDV group-by estimate vs independence product, plus proven functional dependencies",
+    """WITH ls AS (SELECT count(*) AS n,
+      |             count(DISTINCT l_returnflag) AS ndv_rf,
+      |             count(DISTINCT l_linestatus) AS ndv_ls
+      |           FROM lineitem),
+      |     lp AS (SELECT count(*) AS ndv_pair FROM
+      |             (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)),
+      |     na AS (SELECT count(DISTINCT n_nationkey) AS ndv_n FROM nation),
+      |     np AS (SELECT count(*) AS ndv_pair FROM
+      |             (SELECT DISTINCT n_nationkey, n_regionkey FROM nation))
+      |SELECT * FROM (
+      |  SELECT 'est_grouped' AS stat,
+      |         CAST(least(ls.n, lp.ndv_pair) AS BIGINT) AS v FROM ls, lp
+      |  UNION ALL
+      |  SELECT 'est_independent',
+      |         CAST(least(ls.n, ls.ndv_rf * ls.ndv_ls) AS BIGINT) FROM ls
+      |  UNION ALL
+      |  SELECT 'pair_ndv', CAST(lp.ndv_pair AS BIGINT) FROM lp
+      |  UNION ALL
+      |  SELECT 'fd_nation_region',
+      |         CAST(CASE WHEN np.ndv_pair = na.ndv_n THEN 1 ELSE 0 END
+      |           AS BIGINT) FROM na, np
+      |  UNION ALL
+      |  SELECT 'fd_returnflag_linestatus',
+      |         CAST(CASE WHEN lp.ndv_pair = ls.ndv_rf THEN 1 ELSE 0 END
+      |           AS BIGINT) FROM ls, lp
+      |) ORDER BY stat""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val CE = graft.plans.CardinalityEstimator
+    Seq("lineitem", "nation").foreach(SC.ensure(s, dir, _))
+    SC.ensureColumnGroup(s, dir, "lineitem", Seq("l_returnflag", "l_linestatus"))
+    SC.ensureColumnGroup(s, dir, "nation", Seq("n_nationkey", "n_regionkey"))
+    val shape = Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus").agg(count(lit(1)).as("c"))
+    def estOf(flag: Boolean): Long =
+      CE.estimateRows(s, shape, useColumnGroups = flag)
+        .getOrElse(sys.error("estimator must cover the shape")).toLong
+    val pairNdv = SC.columnGroupIfReady(s, dir, "lineitem",
+      Seq("l_returnflag", "l_linestatus"))
+      .getOrElse(sys.error("group stats must be ready")).ndv
+    def fd(table: String, a: String, b: String): Long =
+      if (SC.determines(s, dir, table, a, b)
+        .getOrElse(sys.error(s"FD $table.$a->$b must be provable"))) 1L else 0L
+    Seq(
+      ("est_grouped", estOf(true)),
+      ("est_independent", estOf(false)),
+      ("pair_ndv", pairNdv),
+      ("fd_nation_region", fd("nation", "n_nationkey", "n_regionkey")),
+      ("fd_returnflag_linestatus",
+        fd("lineitem", "l_returnflag", "l_linestatus")))
+      .toDF("stat", "v").orderBy($"stat")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3312,5 +3413,5 @@ object RelationalQueries {
     q63JoinElimination, q64DictionaryEncode, q65Recluster,
     q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal,
     q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
-    q72JoinOrder)
+    q72JoinOrder, q73EntityServing, q74ColumnGroupStats)
 }

@@ -251,4 +251,51 @@ class StatsCatalogSpec extends SparkSpec {
         .groupBy($"dname").count().collect().map(_.toString).toSet === plain)
     }
   }
+
+  test("column groups: tuple NDV, FD proof, and the estimator's opt-in path") {
+    withIndexRoot("graft-stats-grp") {
+      val dir = tmpDir("graft-stats-grp-data")
+      // PERFECTLY correlated pair: b = a * 10 (an FD a -> b), so the
+      // independence product ndv(a)*ndv(b) = 25 overestimates the
+      // true tuple ndv = 5 by 5x; c is independent of a (no FD)
+      (1L to 1000L).map(i => (i % 5, (i % 5) * 10, i % 3, i))
+        .toDF("a", "b", "c", "payload")
+        .write.mode("overwrite").parquet(s"$dir/corr.parquet")
+      StatsCatalog.ensure(spark, dir, "corr")
+      // no artifact yet: read face None, FD face None (fail-closed)
+      assert(StatsCatalog.columnGroupIfReady(spark, dir, "corr",
+        Seq("a", "b")).isEmpty)
+      assert(StatsCatalog.determines(spark, dir, "corr", "a", "b").isEmpty)
+      StatsCatalog.ensureColumnGroup(spark, dir, "corr", Seq("a", "b"))
+      StatsCatalog.ensureColumnGroup(spark, dir, "corr", Seq("a", "c"))
+      val g = StatsCatalog.columnGroupIfReady(spark, dir, "corr",
+        Seq("a", "b")).get
+      assert(g.ndv === 5L && g.n === 1000L && g.exact)
+      // column order must not matter (the artifact keys on the set)
+      assert(StatsCatalog.columnGroupIfReady(spark, dir, "corr",
+        Seq("b", "a")).map(_.ndv) === Some(5L))
+      assert(StatsCatalog.determines(spark, dir, "corr", "a", "b") === Some(true))
+      assert(StatsCatalog.determines(spark, dir, "corr", "a", "c") === Some(false))
+      // estimator: independence says 25, the group artifact says 5 —
+      // and only the opt-in flag may consult it (replay stability)
+      val f = graft.Tables(spark, dir, "corr")
+      val shape = f.groupBy($"a", $"b").agg(count(lit(1)))
+      val CE = graft.plans.CardinalityEstimator
+      assert(CE.estimateRows(spark, shape) === Some(BigInt(25)))
+      assert(CE.estimateRows(spark, shape, useColumnGroups = true) ===
+        Some(BigInt(5)))
+      // a group with no exactly-covering artifact falls back to the
+      // independence product even under the flag
+      val shape3 = f.groupBy($"a", $"b", $"c").agg(count(lit(1)))
+      assert(CE.estimateRows(spark, shape3, useColumnGroups = true) ===
+        Some(BigInt(75)))
+      // a stale watermark refuses the group (and the FD) fail-closed
+      EnsureWatermark.invalidate(
+        StatsCatalog.groupStatsPath(dir, "corr", Seq("a", "b")))
+      assert(StatsCatalog.columnGroupIfReady(spark, dir, "corr",
+        Seq("a", "b")).isEmpty)
+      assert(CE.estimateRows(spark, shape, useColumnGroups = true) ===
+        Some(BigInt(25)), "stale group -> independence fallback")
+    }
+  }
 }
