@@ -100,6 +100,49 @@ object EntityIndex {
       .write.partitionBy("bucket").mode("append").parquet(indexPath(dir))
   }
 
+  /** STREAMING maintenance — the [[HistogramRollup.processStreamBatch]]
+    * batch-id discipline verbatim: each foreachBatch micro-batch's
+    * partials land in their own `batch=b<id>` partition via
+    * OVERWRITE, so a replayed batch (restart between sink write and
+    * checkpoint commit) overwrites itself instead of double-counting
+    * — exactly-once without an idempotent merge. */
+  def streamPath(dir: String): String = indexPath(dir) + "_stream"
+
+  def processStreamBatch(s: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    ensure(s, dir)
+    partials(batch).coalesce(1).write.mode("overwrite")
+      .parquet(s"${streamPath(dir)}/batch=b$batchId")
+  }
+
+  /** Profile serve with committed stream batches folded in — reads
+    * only `batch=` partitions that finished their write (the
+    * [[IndexStore.readyBatches]] rule: a torn batch contributes
+    * nothing until its replay overwrites it). The duplicate
+    * (user, day) keys across base and batches fold by SUM /
+    * re-distinct, the same read-time algebra as [[appendBatch]]. */
+  def serveWithStream(s: SparkSession, dir: String,
+      users: Seq[Long]): DataFrame = {
+    require(users.nonEmpty, "empty lookup set")
+    ensure(s, dir)
+    val buckets = users.map(bucketOf).distinct
+    val base = s.read.parquet(indexPath(dir))
+      .where(col("bucket").isin(buckets: _*) &&
+        col("user_id").isin(users: _*))
+      .select("user_id", "day", "n", "v_fp")
+    val ready = IndexStore.readyBatches(streamPath(dir))
+    val all =
+      if (ready.isEmpty) base
+      else base.union(
+        s.read.parquet(ready.map(t => s"${streamPath(dir)}/$t"): _*)
+          .where(col("user_id").isin(users: _*))
+          .select("user_id", "day", "n", "v_fp"))
+    all.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n"), sum(col("v_fp")).as("v_fp"),
+        countDistinct(col("day")).as("days"))
+      .orderBy(col("user_id"))
+  }
+
   /** The per-user profile for `users`: (n, v_fp, active days).
     * Index path while the watermark holds — bucket partition pruning
     * + user filter, corpus never touched; raw-scan fallback

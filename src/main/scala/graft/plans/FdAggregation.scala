@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Max
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.operators.StatsCatalog
+
+/** FD-BASED GROUP-BY REDUCTION as a Catalyst optimizer rule — the
+  * consumer that closes the loop on D87's functional-dependency
+  * proofs, the way D78 closed it on uniqueness proofs: `GROUP BY
+  * key, name` where the catalog PROVES key → name (Calcite's
+  * RelMdColumnUniqueness-driven aggregate simplification, DB2's FD
+  * registration — public designs) rewrites to `GROUP BY key` with
+  * the determined column reconstructed as `max(name)` — which is
+  * exact, because the FD says every key-group carries exactly one
+  * name value (or exactly the NULL pattern: `determines` counts a
+  * null struct as a value, and `max` over an all-NULL group is NULL
+  * — both engines agree).
+  *
+  * Why it matters at 100 TB: the generated-BI shape `GROUP BY
+  * surrogate_key, display_name` is everywhere, and the display name
+  * is usually a WIDE string. Dropping it from the grouping key
+  * narrows every exchange hash/compare and sort key from
+  * (8 B + w-byte string) to 8 B, and — because the group count is
+  * then provably ndv(key) — the Selinger estimator sizes the
+  * exchange exactly. The determined column itself still ships once
+  * per group as a max partial (same bytes a group key would ship),
+  * so the rewrite is never a regression.
+  *
+  * EXACTNESS argument: the FD is proven on the BASE table
+  * ([[StatsCatalog.determines]]: exact-mode, current, null-free
+  * determinant). Any child of the matched aggregate only ever
+  * filters / projects / joins that table's ROWS — each surviving or
+  * duplicated row still carries a (key, name) pair from the base
+  * table, so the FD holds row-wise in the aggregate's input, groups
+  * by (key, name) coincide with groups by key, and max(name)
+  * restores the unique name under the original exprId — parents
+  * never see the substitution. exprId identity is the proof that
+  * both attributes are UNTOUCHED relation columns (an Alias would
+  * re-key), same as [[DictionaryRoutingRule.sourceOf]].
+  *
+  * Fail-closed: absent group artifact, stale watermark, approx-mode
+  * stats, a nullable determinant, or determines = false all leave
+  * the plan untouched (spec-pinned). Plan-time cost = the memoized
+  * group-stats read + one watermark listing per candidate pair. */
+class FdAggregationRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** (dir, table) when BOTH attributes are untouched columns of one
+    * single-root `<dir>/<table>.parquet` relation under `child`. */
+  private def sourceOf(child: LogicalPlan, a: AttributeReference,
+      b: AttributeReference): Option[(String, String)] =
+    child.collectFirst {
+      case rel: LogicalRelation
+          if rel.output.exists(_.exprId == a.exprId) &&
+            rel.output.exists(_.exprId == b.exprId) => rel
+    }.flatMap { rel =>
+      rel.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.toList match {
+            case p :: Nil if p.getName.endsWith(".parquet") =>
+              Some((p.getParent.toString, p.getName.stripSuffix(".parquet")))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
+  /** The determined column, reconstructed exactly: max over a group
+    * that the FD proves single-valued. */
+  private def maxOf(b: AttributeReference): Alias =
+    Alias(Max(b).toAggregateExpression(), b.name)(exprId = b.exprId)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groups, aggExprs, child, _)
+        if groups.size >= 2 && groups.forall(_.isInstanceOf[AttributeReference]) =>
+      val attrs = groups.map(_.asInstanceOf[AttributeReference])
+      // find ONE proven (determinant, determined) pair per pass; the
+      // fixed-point batch re-runs the rule, so chains (a -> b, a -> c)
+      // reduce fully across iterations
+      val proven = attrs.combinations(2).flatMap { pair =>
+        Seq((pair(0), pair(1)), (pair(1), pair(0))).find { case (a, b) =>
+          sourceOf(child, a, b).exists { case (dir, table) =>
+            StatsCatalog.determines(spark, dir, table, a.name, b.name)
+              .contains(true)
+          }
+        }
+      }.toSeq.headOption
+      proven match {
+        case None => agg
+        case Some((_, b)) =>
+          agg.copy(
+            groupingExpressions = groups.filterNot {
+              case g: AttributeReference => g.exprId == b.exprId
+              case _ => false
+            },
+            aggregateExpressions = aggExprs.map {
+              case g: AttributeReference if g.exprId == b.exprId => maxOf(b)
+              case other => other
+            })
+      }
+  }
+}
+
+object FdAggregation {
+  /** Idempotently enable FD group-by reduction on `s` — exactness-
+    * preserving by construction (see class scaladoc). */
+  def enable(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.exists(
+        _.isInstanceOf[FdAggregationRule]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ new FdAggregationRule(s)
+
+  /** Test seam: remove the rule so plan-pinning suites sharing the
+    * session don't see foreign rewrites. */
+  private[graft] def disableForTest(s: SparkSession): Unit =
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[FdAggregationRule])
+}

@@ -3393,6 +3393,40 @@ object RelationalQueries {
       .toDF("stat", "v").orderBy($"stat")
   }
 
+  /** q75 — FD-PROVEN GROUP-BY REDUCTION ([[graft.plans
+    * .FdAggregationRule]] × [[graft.operators.StatsCatalog
+    * .determines]], D87's consumer): the generated-BI shape —
+    * `GROUP BY surrogate_key, display_name` — rewritten by the
+    * optimizer to group by the KEY alone with the name restored as
+    * max() when the catalog PROVES key → name, exactly as D78
+    * consumed the uniqueness proof. Every exchange hash/compare and
+    * sort key narrows from (8 B + wide string) to 8 B, and the group
+    * count becomes provably ndv(key) for the estimator. The FD here
+    * is proven from data (the exact tuple-NDV pass), not assumed
+    * from the schema; fail-closed legs are spec-pinned in
+    * FdAggregationSpec. The oracle runs the plain two-column
+    * grouping — the hash gate is the rewrite's exactness proof. */
+  val q75FdGroupBy: GraftQuery = q(
+    "q75_fd_groupby",
+    "FD-proven GROUP BY reduction: optimizer drops the determined display column from the grouping key, restores it as max()",
+    """SELECT n_nationkey, n_name, count(*) AS customers,
+      |       round(sum(c_acctbal), 2) AS bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    SC.ensure(s, dir, "nation")
+    SC.ensureColumnGroup(s, dir, "nation", Seq("n_nationkey", "n_name"))
+    graft.plans.FdAggregation.enable(s)
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_nationkey", $"n_name")
+      .agg(count(lit(1)).as("customers"),
+        round(sum($"c_acctbal"), 2).as("bal"))
+      .orderBy($"n_nationkey")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3413,5 +3447,5 @@ object RelationalQueries {
     q63JoinElimination, q64DictionaryEncode, q65Recluster,
     q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal,
     q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
-    q72JoinOrder, q73EntityServing, q74ColumnGroupStats)
+    q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy)
 }

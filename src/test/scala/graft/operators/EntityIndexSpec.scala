@@ -82,6 +82,41 @@ class EntityIndexSpec extends SparkSpec {
     }
   }
 
+  test("stream batches fold exactly-once: replays overwrite, torn batches invisible") {
+    withIndexRoot("graft-ent-stream") {
+      EntityIndex.ensure(spark, sf)
+      val before = EntityIndex.serveWithStream(spark, sf, Seq(7L))
+        .select($"n").as[Long].head()
+      val batch = (1 to 4).map(i =>
+        (7L, java.sql.Timestamp.valueOf(s"2024-02-0$i 10:00:00"), 3.0))
+        .toDF("user_id", "ts", "value")
+      EntityIndex.processStreamBatch(spark, sf, batch, batchId = 1L)
+      val once = EntityIndex.serveWithStream(spark, sf, Seq(7L))
+        .select($"n", $"days").as[(Long, Long)].head()
+      assert(once._1 === before + 4)
+      // a crash-replay of the SAME batch id overwrites, never doubles
+      EntityIndex.processStreamBatch(spark, sf, batch, batchId = 1L)
+      assert(EntityIndex.serveWithStream(spark, sf, Seq(7L))
+        .select($"n").as[Long].head() === before + 4,
+        "batch-id overwrite is the exactly-once discipline")
+      // a torn batch (no _SUCCESS) contributes nothing until replayed
+      val torn = s"${EntityIndex.streamPath(sf)}/batch=b2"
+      spark.createDataFrame(Seq((7L, 0L,
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, 99L)))
+        .toDF("user_id", "bucket", "day", "n", "v_fp")
+        .write.mode("overwrite").parquet(torn)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$torn/_SUCCESS"), false)
+      assert(EntityIndex.serveWithStream(spark, sf, Seq(7L))
+        .select($"n").as[Long].head() === before + 4,
+        "a torn batch must stay invisible")
+      // the base serve path is untouched by stream batches
+      assert(EntityIndex.serve(spark, sf, Seq(7L))._1
+        .select($"n").as[Long].head() === before)
+    }
+  }
+
   test("appendBatch refuses to run before ensure") {
     withIndexRoot("graft-ent-order") {
       val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
