@@ -48,7 +48,9 @@ object JoinOrderer {
   /** The decision, for plan pinning: the attachment order (head
     * joined first), the C_out cost of the chosen chain, and the
     * built frame (each step's new side broadcast-hinted iff the
-    * estimator proves it within `broadcastRows`). */
+    * estimator proves it within `broadcastRows` — default 2¹⁷ rows
+    * ≈ 10–30 MB at dim widths, the 32 MB-budget class; a row count
+    * because rows are the estimator's unit). */
   final case class Chosen(order: Seq[String], cost: BigInt, df: DataFrame)
 
   /** 2ⁿ subsets stay driver-trivial through 10; beyond that a real
@@ -62,7 +64,7 @@ object JoinOrderer {
     * disconnected graph would force a cartesian product, which this
     * engine never plans — the caller gets None, not an explosion). */
   def choose(s: SparkSession, rels: Seq[(String, DataFrame)],
-      edges: Seq[Edge], broadcastRows: Long = 1L << 21): Option[Chosen] = {
+      edges: Seq[Edge], broadcastRows: Long = 1L << 17): Option[Chosen] = {
     val n = rels.size
     require(n >= 2 && n <= MaxRels, s"need 2..$MaxRels relations, got $n")
     require(rels.map(_._1).distinct.size == n, "relation names must be distinct")
