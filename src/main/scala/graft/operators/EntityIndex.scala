@@ -143,6 +143,111 @@ object EntityIndex {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------------------------------------
+  // GDPR purge (D89) — the erasure story every other artifact family
+  // already has (AnnDeletes for ANN, HistogramRollup CDC deletes,
+  // DeletionVectors for the DV table), applied to the entity store:
+  // merge-on-read TOMBSTONES at delete time (O(purge-set), no scan),
+  // a purged serve face that anti-joins them on BOTH paths, and a
+  // surgical vacuum that rewrites ONLY the buckets containing purged
+  // users. Tombstones live beside the index (batch-tagged overwrite
+  // — replays are bit-idempotent, distinct tags accumulate, the
+  // AnnDeletes discipline verbatim); the UNPURGED serve face ignores
+  // them, so gates over raw semantics (q73) and governed semantics
+  // (q76) coexist on one artifact.
+  // ------------------------------------------------------------------
+
+  def purgePath(dir: String): String = indexPath(dir) + "_purged"
+
+  /** Record an erasure batch: one tombstone row per user, scoped to
+    * `tag` so a crash-replay overwrites itself. No data scan. */
+  def purgeUsers(s: SparkSession, dir: String, users: Seq[Long],
+      tag: String): Unit = {
+    import s.implicits._
+    ensure(s, dir)
+    users.distinct.toDF("user_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"${purgePath(dir)}/batch=$tag")
+  }
+
+  /** All committed tombstones (torn batches invisible — the
+    * readyBatches rule). Empty frame when none recorded. */
+  def purgedKeys(s: SparkSession, dir: String): DataFrame = {
+    val ready = IndexStore.readyBatches(purgePath(dir))
+    if (ready.isEmpty) {
+      import s.implicits._
+      Seq.empty[Long].toDF("user_id")
+    } else s.read.parquet(ready.map(t => s"${purgePath(dir)}/$t"): _*)
+      .select(col("user_id")).distinct()
+  }
+
+  /** The GOVERNED profile serve: [[serve]] with the tombstone
+    * anti-join applied on BOTH the index path and the raw-scan
+    * fallback — a purged user never surfaces, whichever path runs.
+    * The tombstone frame is purge-set-sized; Catalyst's size checks
+    * broadcast it while it fits (never a forced hint). */
+  def servePurged(s: SparkSession, dir: String,
+      users: Seq[Long]): (DataFrame, Boolean) = {
+    val (df, viaIndex) = serve(s, dir, users)
+    (df.join(purgedKeys(s, dir), Seq("user_id"), "left_anti")
+      .orderBy(col("user_id")), viaIndex)
+  }
+
+  /** Materialize the tombstones: rewrite ONLY the bucket partitions
+    * that contain purged users (dynamic partition overwrite — the
+    * other buckets' files are untouched, spec-pinned byte-identical),
+    * then clear the tombstones LAST, so a crash at any point re-runs
+    * to completion with [[servePurged]] exact throughout (before the
+    * clear, the anti-join still filters; after, it is a no-op).
+    * POST-VACUUM SEMANTICS: the store now IS the purged table — the
+    * plain [[serve]] face reflects the erasure, exactly as a vacuumed
+    * table format serves everyone the rewritten files. */
+  def vacuumPurged(s: SparkSession, dir: String): Unit = {
+    val purged = purgedKeys(s, dir)
+    val hit = purged.select(
+      pmod(col("user_id"), lit(Buckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    if (hit.isEmpty) return
+    // STAGE the survivors of the touched buckets (a parquet overwrite
+    // cannot read the path it replaces), then swap bucket-by-bucket:
+    // staged partitions move in via dynamic overwrite, fully-purged
+    // buckets (no staged partition) are dropped explicitly. Every
+    // post-stage step is idempotent, and the tombstones clear LAST,
+    // so a crash anywhere re-runs to completion with [[servePurged]]
+    // exact throughout (before the clear the anti-join still filters;
+    // after, it is a no-op).
+    val staging = indexPath(dir) + ".vacuum"
+    s.read.parquet(indexPath(dir))
+      .where(col("bucket").isin(hit.toSeq: _*))
+      .join(purged, Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("day"), col("n"), col("v_fp"), col("bucket"))
+      .repartition(1)
+      .write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    val (fs, stagingP) = IndexStore.fsOf(staging)
+    val alive = fs.listStatus(stagingP).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toLong).toSet
+    val prior = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      if (alive.nonEmpty)
+        s.read.parquet(staging)
+          .write.partitionBy("bucket").mode("overwrite").parquet(indexPath(dir))
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    hit.filterNot(alive).foreach { b =>
+      val (dfs, p) = IndexStore.fsOf(s"${indexPath(dir)}/bucket=$b")
+      dfs.delete(p, true)
+    }
+    // the artifact mutated by design: re-stamp so serving continues
+    // against the now-purged store (the watermark guards ACCIDENTAL
+    // mutation; a vacuum is the owner's own commit)
+    EnsureWatermark.write(indexPath(dir))
+    fs.delete(stagingP, true)
+    // clear LAST — idempotent replay point
+    val (tfs, tp) = IndexStore.fsOf(purgePath(dir))
+    tfs.delete(tp, true)
+    ()
+  }
+
   /** The per-user profile for `users`: (n, v_fp, active days).
     * Index path while the watermark holds — bucket partition pruning
     * + user filter, corpus never touched; raw-scan fallback

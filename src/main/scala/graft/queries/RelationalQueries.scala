@@ -3427,6 +3427,40 @@ object RelationalQueries {
       .orderBy($"n_nationkey")
   }
 
+  /** q76 — GDPR PURGE ON THE ENTITY STORE ([[graft.operators
+    * .EntityIndex.purgeUsers]] / [[graft.operators.EntityIndex
+    * .servePurged]], D89): the erasure story every artifact family
+    * in this engine carries (ANN tombstones v17–v20, histogram CDC
+    * deletes d15, deletion vectors q32), applied to the entity
+    * serving index — record tombstones at O(purge-set) cost with NO
+    * scan, anti-join them on BOTH serve paths (index and raw-scan
+    * fallback), vacuum later by rewriting ONLY the buckets that
+    * contain purged users (spec-pinned: untouched buckets byte-
+    * identical, fully-purged buckets dropped, crash-idempotent with
+    * the tombstone clear as the LAST step). Tombstones are a
+    * SEPARATE artifact consumed opt-in (the v17 discipline), so
+    * q73's raw-semantics gate and this governed gate coexist on one
+    * store. The oracle excludes the purged users from the raw
+    * aggregate — a single surfaced purged row breaks the hash. */
+  val q76EntityPurge: GraftQuery = q(
+    "q76_entity_purge",
+    "GDPR tombstones on the entity index: purged users never surface on either serve path, vacuum rewrites only their buckets",
+    """SELECT user_id, count(*) AS n,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp,
+      |       count(DISTINCT date_trunc('day', ts)) AS days
+      |FROM events
+      |WHERE user_id IN (1, 3, 7, 11, 14)
+      |  AND user_id NOT IN (3, 11)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val EI = graft.operators.EntityIndex
+    EI.ensure(s, dir)
+    EI.purgeUsers(s, dir, Seq(3L, 11L), tag = "gdpr_r13")
+    val (df, viaIndex) = EI.servePurged(s, dir, Seq(1L, 3L, 7L, 11L, 14L))
+    require(viaIndex, "the index must serve right after ensure")
+    df
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3447,5 +3481,6 @@ object RelationalQueries {
     q63JoinElimination, q64DictionaryEncode, q65Recluster,
     q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal,
     q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
-    q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy)
+    q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy,
+    q76EntityPurge)
 }

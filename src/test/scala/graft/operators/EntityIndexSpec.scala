@@ -117,6 +117,69 @@ class EntityIndexSpec extends SparkSpec {
     }
   }
 
+  test("purge tombstones filter both serve paths; raw face stays raw") {
+    withIndexRoot("graft-ent-purge") {
+      EntityIndex.ensure(spark, sf)
+      EntityIndex.purgeUsers(spark, sf, Seq(3L, 11L), tag = "t1")
+      // index path: purged users never surface
+      val (idx, via) = EntityIndex.servePurged(spark, sf, users)
+      assert(via)
+      assert(idx.select($"user_id").as[Long].collect().sorted
+        === Array(1L, 7L, 14L))
+      // the UNPURGED face is untouched (the v04/v17 split)
+      assert(EntityIndex.serve(spark, sf, users)._1
+        .select($"user_id").as[Long].collect().sorted
+        === Array(1L, 3L, 7L, 11L, 14L))
+      // raw-scan fallback path filters too
+      EnsureWatermark.invalidate(EntityIndex.indexPath(sf))
+      val (raw, via2) = EntityIndex.servePurged(spark, sf, users)
+      assert(!via2)
+      assert(raw.select($"user_id").as[Long].collect().sorted
+        === Array(1L, 7L, 14L))
+      EnsureWatermark.write(EntityIndex.indexPath(sf))
+      // replaying the SAME tag is idempotent; a new tag accumulates
+      EntityIndex.purgeUsers(spark, sf, Seq(3L, 11L), tag = "t1")
+      assert(EntityIndex.purgedKeys(spark, sf).count() === 2L)
+      EntityIndex.purgeUsers(spark, sf, Seq(14L), tag = "t2")
+      assert(EntityIndex.servePurged(spark, sf, users)._1
+        .select($"user_id").as[Long].collect().sorted === Array(1L, 7L))
+    }
+  }
+
+  test("vacuum rewrites only the purged users' buckets, then clears tombstones") {
+    withIndexRoot("graft-ent-vacuum") {
+      EntityIndex.ensure(spark, sf)
+      val root = EntityIndex.indexPath(sf)
+      def filesOf(bucket: Long): Set[(String, Long)] = {
+        val d = new java.io.File(s"$root/bucket=$bucket")
+        if (!d.isDirectory) Set.empty
+        else d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length)).toSet
+      }
+      // purge user 3 (bucket 3); bucket 7's files must not move
+      val before7 = filesOf(7L)
+      val before3 = filesOf(3L)
+      assert(before7.nonEmpty && before3.nonEmpty)
+      EntityIndex.purgeUsers(spark, sf, Seq(3L), tag = "v1")
+      val want = EntityIndex.servePurged(spark, sf, users)._1
+        .collect().map(_.toString).sorted
+      EntityIndex.vacuumPurged(spark, sf)
+      assert(filesOf(7L) === before7, "untouched bucket must be byte-identical")
+      assert(filesOf(3L) !== before3, "the purged user's bucket must rewrite")
+      // tombstones cleared; the PLAIN face now reflects the erasure
+      assert(EntityIndex.purgedKeys(spark, sf).count() === 0L)
+      assert(EntityIndex.serve(spark, sf, users)._1
+        .select($"user_id").as[Long].collect().sorted === Array(1L, 7L, 11L, 14L))
+      // and servePurged is unchanged across the vacuum (no-op filter)
+      assert(EntityIndex.servePurged(spark, sf, users)._1
+        .collect().map(_.toString).sorted.sameElements(want))
+      // idempotent: vacuum with nothing recorded is a no-op
+      EntityIndex.vacuumPurged(spark, sf)
+      assert(EntityIndex.serve(spark, sf, users)._1
+        .select($"user_id").as[Long].collect().sorted === Array(1L, 7L, 11L, 14L))
+    }
+  }
+
   test("appendBatch refuses to run before ensure") {
     withIndexRoot("graft-ent-order") {
       val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
