@@ -3461,6 +3461,39 @@ object RelationalQueries {
     df
   }
 
+  /** q77 — PLAN-FINGERPRINT RESULT CACHE ([[graft.operators
+    * .ResultCache]], D90): the serving tier above the rollup router —
+    * the SECOND run of an identical dashboard query is a kilobyte
+    * result-parquet read, zero scans, zero shuffles (Snowflake
+    * result reuse / Databricks result cache — public designs). Key =
+    * md5(canonicalized analyzed plan ‖ source listing stamp), so a
+    * changed literal re-keys and a mutated source (raw table OR a
+    * substituted engine artifact) makes the old entry unreachable —
+    * never a stale serve, at worst a miss (spec-pinned, along with
+    * order preservation and the uncacheable LocalRelation leg). The
+    * gate serves the CACHED copy and hashes it against DuckDB — the
+    * proof that what the cache replays is what the query computes. */
+  val q77ResultCache: GraftQuery = q(
+    "q77_result_cache",
+    "plan-fingerprint result cache: the second identical query served from the entry, hash-gated against the live computation",
+    """SELECT event_type, count(*) AS n,
+      |       count(DISTINCT user_id) AS users,
+      |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    def shape = Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"),
+        sum(floor($"value")).as("v_fp"))
+      .orderBy($"event_type")
+    val RC = graft.operators.ResultCache
+    RC.through(s, shape)
+    val (served, hit) = RC.through(s, shape)
+    require(hit, "the second identical query must hit")
+    served
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3482,5 +3515,5 @@ object RelationalQueries {
     q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal,
     q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
     q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy,
-    q76EntityPurge)
+    q76EntityPurge, q77ResultCache)
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The result-cache contract: identical plans over unchanged sources
+  * hit (served from the entry, row order preserved, source never
+  * rescanned); any semantic difference or source mutation re-keys;
+  * plans whose data lives outside the canonicalized string never
+  * cache. */
+class ResultCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTable(dir: String): Unit =
+    (1L to 500L).map(i => (i % 7, i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+
+  test("miss then hit: the entry serves, ordered, without rescanning the source") {
+    withIndexRoot("graft-rc") {
+      val dir = tmpDir("graft-rc-data")
+      writeTable(dir)
+      def shape = graft.Tables(spark, dir, "t")
+        .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .orderBy($"k".desc)
+      val (first, hit1) = ResultCache.through(spark, shape)
+      val firstRows = first.collect().map(_.toString).toSeq
+      assert(!hit1, "a cold cache must miss")
+      val (second, hit2) = ResultCache.through(spark, shape)
+      assert(hit2, "the identical plan must hit")
+      assert(second.inputFiles.forall(_.contains("result_cache")),
+        "a hit must not touch the source table")
+      assert(second.collect().map(_.toString).toSeq === firstRows,
+        "row ORDER survives the cache (coalesce(1) write)")
+      // a rebuilt session-independent equivalent also hits: the
+      // canonicalized plan normalizes exprIds
+      assert(ResultCache.through(spark, shape)._2)
+    }
+  }
+
+  test("semantic differences and source mutations re-key; never a stale serve") {
+    withIndexRoot("graft-rc-inv") {
+      val dir = tmpDir("graft-rc-inv-data")
+      writeTable(dir)
+      def shapeLt(cut: Long) = graft.Tables(spark, dir, "t")
+        .where($"v" <= cut).groupBy($"k").agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+      assert(!ResultCache.through(spark, shapeLt(100L))._2)
+      assert(ResultCache.through(spark, shapeLt(100L))._2)
+      // a different literal is a different plan
+      assert(!ResultCache.through(spark, shapeLt(200L))._2)
+      // mutate the source: the stamp changes, the old entry is dead
+      (1L to 600L).map(i => (i % 7, i)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val (fresh, hit) = ResultCache.through(spark, shapeLt(100L))
+      assert(!hit, "a mutated source must miss")
+      assert(fresh.agg(sum($"n")).head().getLong(0) === 100L)
+    }
+  }
+
+  test("plans with non-file leaves compute directly and never cache") {
+    withIndexRoot("graft-rc-local") {
+      val local = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+        .groupBy($"s").agg(count(lit(1)).as("n"))
+      assert(!ResultCache.through(spark, local)._2)
+      assert(!ResultCache.through(spark, local)._2,
+        "a LocalRelation's data is outside the canonicalized string — caching it could serve another frame's rows")
+    }
+  }
+}
