@@ -3494,6 +3494,35 @@ object RelationalQueries {
     served
   }
 
+  /** q78 — UNPIVOT / MELT (the inverse of q21's PIVOT, closing the
+    * reshape pair): wide measure columns to long (measure, value)
+    * form via Spark's native `unpivot` operator (an Expand under the
+    * hood — k× the rows, never k passes over the table, which is the
+    * 100-TB point: one scan feeds all measures). Long-form then
+    * aggregates per (flag, measure). The oracle replays the melt as
+    * the equivalent UNION ALL — engine-independent semantics, NULLs
+    * dropped by the sum on both sides. */
+  val q78Unpivot: GraftQuery = q(
+    "q78_unpivot",
+    "UNPIVOT/melt wide measures to long form in one Expand pass, aggregated per measure",
+    """SELECT l_returnflag, m, round(sum(v), 2) AS s, count(*) AS n FROM (
+      |  SELECT l_returnflag, 'discount' AS m, l_discount AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'tax', l_tax FROM lineitem
+      |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_discount".as("discount"),
+        $"l_extendedprice".as("price"), $"l_tax".as("tax"))
+      .unpivot(Array($"l_returnflag"), "m", "v")
+      .groupBy($"l_returnflag", $"m")
+      .agg(round(sum($"v"), 2).as("s"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"m")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3515,5 +3544,5 @@ object RelationalQueries {
     q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal,
     q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
     q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy,
-    q76EntityPurge, q77ResultCache)
+    q76EntityPurge, q77ResultCache, q78Unpivot)
 }

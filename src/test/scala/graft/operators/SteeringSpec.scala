@@ -143,4 +143,33 @@ class SteeringSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     }
   }
+
+  test("admission control refuses over-budget plans and admits the uncostable") {
+    withIndexRoot("graft-steer-admit") {
+      val dir = tmpDir("graft-steer-admit-data")
+      (1L to 5000L).map(i => (i % 50, i)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+      val f = graft.Tables(spark, dir, "fact")
+      // un-ANALYZEd: fail-open, admitted with no estimate — a governor
+      // must never be wrong about WHY it refused
+      assert(Steering.assertAdmissible(spark, f, maxRows = 1L).isEmpty)
+      StatsCatalog.ensure(spark, dir, "fact")
+      // within budget: admitted, estimate returned as evidence
+      assert(Steering.assertAdmissible(spark, f, maxRows = 10000L)
+        .contains(BigInt(5000)))
+      // a shape outside the algebra (cross join) is admitted fail-open
+      assert(Steering.assertAdmissible(spark,
+        f.crossJoin(f.select($"k".as("k2"))), maxRows = 1L).isEmpty)
+      // over budget: refused BEFORE execution, with the evidence —
+      // the 100x self-join fan-out IS estimated (5000^2 / ndv 50)
+      val fanout = f.join(f.select($"k".as("k2"), $"v".as("v2")),
+        $"k" === $"k2")
+      val e2 = intercept[IllegalArgumentException] {
+        Steering.assertAdmissible(spark, fanout, maxRows = 10000L)
+      }
+      assert(e2.getMessage.contains("admission control") &&
+        e2.getMessage.contains("500000"),
+        s"refusal carries the estimate: ${e2.getMessage}")
+    }
+  }
 }
