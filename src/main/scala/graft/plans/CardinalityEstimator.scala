@@ -234,6 +234,22 @@ object CardinalityEstimator {
         }
       case SubqueryAlias(_, child) => est(s, child, groups)
       case Sort(_, _, child, _) => est(s, child, groups)
+      // a window computes columns, never changes cardinality; its new
+      // attributes carry no stats, the child's keep theirs
+      case Window(_, _, _, child, _) => est(s, child, groups)
+      // DISTINCT / dropDuplicates(keys) is a group-by in disguise:
+      // min(child, ∏ ndv(keys)) under the same independence algebra
+      case Deduplicate(keys, child) =>
+        est(s, child, groups).map { e =>
+          val prod = keys.map {
+            case a: AttributeReference =>
+              e.env.get(a.exprId).map(st => BigInt(st.ndv).max(1))
+                .getOrElse(e.rows)
+            case _ => e.rows
+          }.foldLeft(BigInt(1))(_ * _)
+          Est(prod.min(e.rows).max(if (e.rows > 0) 1 else 0),
+            e.env, e.src)
+        }
       case Filter(cond, child) =>
         est(s, child, groups).map { e =>
           val rows = conjuncts(cond).foldLeft(e.rows)(

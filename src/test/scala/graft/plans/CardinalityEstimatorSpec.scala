@@ -125,6 +125,17 @@ class CardinalityEstimatorSpec extends SparkSpec {
       // filter drops rows but keeps the key's ndv env — the semi
       // formula reads ndv, not rows, so this pins WHICH stat it uses
       assert(estOf(f.join(half, $"k" === $"dk", "left_semi")) === BigInt(1200))
+      // a window never changes cardinality; the child's stats survive
+      // through it (the filter above still uses flag's ndv)
+      import org.apache.spark.sql.expressions.{Window => W}
+      val windowed = f.withColumn("rn",
+        row_number().over(W.partitionBy($"k").orderBy($"payload")))
+      assert(estOf(windowed) === BigInt(1200))
+      assert(estOf(windowed.where($"flag" === "f1")) === BigInt(300))
+      // DISTINCT = group-by in disguise: dropDuplicates(k) -> ndv(k),
+      // full distinct -> capped independence product
+      assert(estOf(f.dropDuplicates("k")) === BigInt(100))
+      assert(estOf(f.select($"k", $"flag").distinct()) === BigInt(400))
     }
   }
 }
