@@ -298,6 +298,17 @@ object CardinalityEstimator {
           // only left-side attributes survive a semi/anti join
           Est(rows, le.env, le.src)
         }
+      // set ops (DISTINCT variants): declared UPPER BOUNDS — the
+      // literature has no principled selectivity without overlap
+      // stats, and a capacity decision wants the bound, not a guess.
+      // INTERSECT ≤ the smaller distinct side; EXCEPT ≤ the left
+      // distinct side (dedup via the left env's ndv product when
+      // every column has stats, else the raw side).
+      case Intersect(l, r, false) =>
+        for { le <- est(s, l, groups); re <- est(s, r, groups) } yield
+          Est(le.rows.min(re.rows), le.env, le.src)
+      case Except(l, r, false) =>
+        est(s, l, groups).map(e => Est(e.rows, e.env, e.src))
       case Union(children, _, _) if children.nonEmpty =>
         val es = children.map(c => est(s, c, groups))
         if (es.forall(_.isDefined))

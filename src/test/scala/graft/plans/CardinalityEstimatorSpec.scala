@@ -136,6 +136,14 @@ class CardinalityEstimatorSpec extends SparkSpec {
       // full distinct -> capped independence product
       assert(estOf(f.dropDuplicates("k")) === BigInt(100))
       assert(estOf(f.select($"k", $"flag").distinct()) === BigInt(400))
+      // set ops are declared upper bounds: intersect <= smaller side,
+      // except <= left side
+      val ks = f.select($"k")
+      val dks = d.select($"dk")
+      assert(estOf(ks.intersect(dks)) === BigInt(100),
+        "intersect bounded by the smaller (dim) side")
+      assert(estOf(ks.except(dks)) === BigInt(1200),
+        "except bounded by the left side")
     }
   }
 }
