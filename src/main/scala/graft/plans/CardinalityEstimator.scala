@@ -189,6 +189,12 @@ object CardinalityEstimator {
               .getOrElse(M / 3)
           case _ => M / 3
         }
+      // disjunction under independence: sel(a OR b) = 1−(1−sa)(1−sb);
+      // negation: sel(NOT a) = 1−sa — both Selinger's own forms
+      case Or(l, r) =>
+        val sl = selPpm(l, env); val sr = selPpm(r, env)
+        (M - (M - sl) * (M - sr) / M).min(M).max(0)
+      case Not(inner) => (M - selPpm(inner, env)).min(M).max(0)
       case _ => M / 3
     }
   }

@@ -43,6 +43,9 @@ class CardinalityEstimatorSpec extends SparkSpec {
       close(estOf(f.groupBy($"flag").agg(count(lit(1)))), 4L)
       // conjuncts compose multiplicatively (independence)
       close(estOf(f.where($"flag" === "f1" && $"k" <= 50L)), 150L)
+      // disjunction: 1-(1-1/4)(1-1/2) = 5/8 -> 750; negation: 3/4 -> 900
+      close(estOf(f.where($"flag" === "f1" || $"k" <= 50L)), 750L)
+      close(estOf(f.where(!($"flag" === "f1"))), 900L)
       // limit caps
       assert(estOf(f.limit(7)) === BigInt(7))
     }
