@@ -106,14 +106,18 @@ object Bench {
       prior.flatMap { f =>
         val txt = scala.util.Try(
           java.nio.file.Files.readString(f.toPath)).getOrElse("")
-        val m = """"(q\d+|[tdcvm]\d+)":([0-9.]+)""".r
+        // the driver's artifact embeds the stdout JSON inside a "tail"
+        // string with ESCAPED quotes — accept both raw and \"-escaped
+        val m = """\\?"(q\d+|[tdcvm]\d+)\\?":([0-9.]+)""".r
           .findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble)
           .toMap
         val ratios = results.collect {
           case (name, Some(mn), _) if m.getOrElse(idOf(name), 0.0) > 0.05 && mn > 0.05 =>
             mn / m(idOf(name))
         }.sorted
-        if (ratios.size < 10) None
+        // a SPARK_GRAFT_ONLY subset is too noisy to arbitrate an
+        // environment question — only full runs qualify
+        if (ratios.size < 50) None
         else Some((f.getName, ratios(ratios.size / 2)))
       }
     }
