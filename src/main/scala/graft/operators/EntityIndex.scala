@@ -72,7 +72,7 @@ object EntityIndex {
     val path = indexPath(dir)
     if (IndexStore.artifactReady(path)) return
     partials(graft.Tables(s, dir, "events"))
-      .repartition(1)
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
     EnsureWatermark.write(path)
   }
@@ -82,7 +82,7 @@ object EntityIndex {
   def reEnsure(s: SparkSession, dir: String): Unit = {
     val path = indexPath(dir)
     partials(graft.Tables(s, dir, "events"))
-      .repartition(1)
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
     EnsureWatermark.write(path)
   }
@@ -96,7 +96,7 @@ object EntityIndex {
       "entity index must be built before appending")
     EnsureWatermark.invalidate(indexPath(dir))
     partials(batch)
-      .repartition(1)
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(indexPath(dir))
   }
 
@@ -220,7 +220,7 @@ object EntityIndex {
       .where(col("bucket").isin(hit.toSeq: _*))
       .join(purged, Seq("user_id"), "left_anti")
       .select(col("user_id"), col("day"), col("n"), col("v_fp"), col("bucket"))
-      .repartition(1)
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(staging)
     val (fs, stagingP) = IndexStore.fsOf(staging)
     val alive = fs.listStatus(stagingP).filter(_.isDirectory)

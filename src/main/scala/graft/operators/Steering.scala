@@ -75,6 +75,82 @@ object Steering {
       case _ => (df, false)
     }
 
+  /** One piece of workload-driven ANALYZE advice: which artifact to
+    * build so the engine brain can see this workload. */
+  final case class AnalyzeAdvice(kind: String, dir: String, table: String,
+      columns: Seq[String])
+
+  /** WORKLOAD-DRIVEN STATS ADVISOR — answers "which ANALYZE jobs
+    * should tonight's maintenance window run?" from the queries
+    * themselves (SQL Server auto-stats, Oracle's dbms_stats advisors
+    * — public designs). Walks each plan at metadata cost and reports
+    * the artifacts the engine-brain consumers would use but cannot
+    * find:
+    *
+    *  - `table_stats`: a file leaf with no stats artifact — blocks
+    *    the estimator (and everything downstream of it) entirely;
+    *  - `column_group`: a multi-attribute GROUP BY whose attributes
+    *    all trace untouched to one table, with no tuple-NDV artifact
+    *    — the correlated-group-by estimate runs on independence;
+    *  - `key_profile`: an equi-join key column with no per-key
+    *    profile — skew stays invisible to [[adviseJoin]]'s max-
+    *    frequency path.
+    *
+    * ADVICE, not action: the caller owns the maintenance window (an
+    * advisor that launched scans would be an ANALYZE, not an
+    * advisor). Deterministic order (kind, table, columns) for
+    * replayable reports; deduplicated across the workload. */
+  def adviseAnalyze(s: SparkSession,
+      workload: Seq[DataFrame]): Seq[AnalyzeAdvice] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def tableOf(rel: LogicalRelation): Option[(String, String)] =
+      rel.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+          case p :: Nil if p.getName.endsWith(".parquet") =>
+            Some((p.getParent.toString, p.getName.stripSuffix(".parquet")))
+          case _ => None
+        }
+        case _ => None
+      }
+    val advice = scala.collection.mutable.LinkedHashSet[AnalyzeAdvice]()
+    workload.foreach { df =>
+      val plan = df.queryExecution.analyzed
+      val rels = plan.collect { case r: LogicalRelation => r }
+      def sourceOf(a: AttributeReference): Option[(String, String)] =
+        rels.find(_.output.exists(_.exprId == a.exprId)).flatMap(tableOf)
+      rels.flatMap(tableOf).foreach { case (dir, table) =>
+        if (StatsCatalog.statsIfReady(s, dir, table).isEmpty)
+          advice += AnalyzeAdvice("table_stats", dir, table, Nil)
+      }
+      plan.foreach {
+        case Aggregate(groups, _, _, _) if groups.size >= 2 &&
+            groups.forall(_.isInstanceOf[AttributeReference]) =>
+          val attrs = groups.map(_.asInstanceOf[AttributeReference])
+          val srcs = attrs.flatMap(sourceOf).distinct
+          if (srcs.size == 1 && attrs.flatMap(sourceOf).size == attrs.size) {
+            val (dir, table) = srcs.head
+            val cols = attrs.map(_.name).sorted
+            if (StatsCatalog.columnGroupIfReady(s, dir, table, cols).isEmpty)
+              advice += AnalyzeAdvice("column_group", dir, table, cols)
+          }
+        case Join(_, _, _, Some(cond), _) =>
+          cond.collect {
+            case org.apache.spark.sql.catalyst.expressions
+              .EqualTo(a: AttributeReference, b: AttributeReference) => Seq(a, b)
+          }.flatten.foreach { a =>
+            sourceOf(a).foreach { case (dir, table) =>
+              if (StatsCatalog.keyProfile(s, dir, table, a.name).isEmpty)
+                advice += AnalyzeAdvice("key_profile", dir, table, Seq(a.name))
+            }
+          }
+        case _ => ()
+      }
+    }
+    advice.toSeq.sortBy(a => (a.kind, a.table, a.columns.mkString(",")))
+  }
+
   /** ADMISSION CONTROL — the third decision the estimator's scaladoc
     * promises (after exchange sizing and broadcast licensing): refuse
     * to RUN a plan whose estimated output exceeds `maxRows`, BEFORE

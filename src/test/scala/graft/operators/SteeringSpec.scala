@@ -172,4 +172,43 @@ class SteeringSpec extends SparkSpec {
         s"refusal carries the estimate: ${e2.getMessage}")
     }
   }
+
+  test("the stats advisor reports exactly the artifacts the workload lacks") {
+    withIndexRoot("graft-steer-advise") {
+      val dir = tmpDir("graft-steer-advise-data")
+      (1L to 400L).map(i => (i % 10, s"g${i % 10}", i % 4, i))
+        .toDF("k", "name", "seg", "v")
+        .write.mode("overwrite").parquet(s"$dir/fct.parquet")
+      (0L to 9L).map(i => (i, s"d$i")).toDF("dk", "dn")
+        .write.mode("overwrite").parquet(s"$dir/dm.parquet")
+      val f = graft.Tables(spark, dir, "fct")
+      val d = graft.Tables(spark, dir, "dm")
+      val workload = Seq(
+        f.groupBy($"k", $"name").agg(count(lit(1))),
+        f.join(d, $"k" === $"dk").agg(sum($"v")))
+      val advice = Steering.adviseAnalyze(spark, workload)
+      assert(advice.map(a => (a.kind, a.table, a.columns)) === Seq(
+        ("column_group", "fct", Seq("k", "name")),
+        ("key_profile", "dm", Seq("dk")),
+        ("key_profile", "fct", Seq("k")),
+        ("table_stats", "dm", Nil),
+        ("table_stats", "fct", Nil)), advice.toString)
+      // run the advised jobs: the report drains to empty and the
+      // estimator can now cost every plan in the workload
+      advice.foreach {
+        case Steering.AnalyzeAdvice("table_stats", d0, t, _) =>
+          StatsCatalog.ensure(spark, d0, t)
+        case Steering.AnalyzeAdvice("column_group", d0, t, cols) =>
+          StatsCatalog.ensureColumnGroup(spark, d0, t, cols)
+        case Steering.AnalyzeAdvice("key_profile", d0, t, Seq(c)) =>
+          StatsCatalog.ensureKeyProfile(spark, d0, t, c)
+        case other => fail(s"unexpected advice $other")
+      }
+      assert(Steering.adviseAnalyze(spark, workload).isEmpty,
+        "after the advised ensures the report must drain")
+      workload.foreach { q =>
+        assert(graft.plans.CardinalityEstimator.estimateRows(spark, q).isDefined)
+      }
+    }
+  }
 }
