@@ -192,6 +192,16 @@ object EntityIndex {
       .orderBy(col("user_id")), viaIndex)
   }
 
+  /** The governed serve with stream batches folded in: the purge
+    * anti-join applies AFTER the base ∪ stream union, so a purged
+    * user never surfaces through a micro-batch either — erasure
+    * outranks freshness on every path. */
+  def servePurgedWithStream(s: SparkSession, dir: String,
+      users: Seq[Long]): DataFrame =
+    serveWithStream(s, dir, users)
+      .join(purgedKeys(s, dir), Seq("user_id"), "left_anti")
+      .orderBy(col("user_id"))
+
   /** Materialize the tombstones: rewrite ONLY the bucket partitions
     * that contain purged users (dynamic partition overwrite — the
     * other buckets' files are untouched, spec-pinned byte-identical),

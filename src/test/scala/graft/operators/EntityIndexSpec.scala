@@ -143,6 +143,16 @@ class EntityIndexSpec extends SparkSpec {
       EntityIndex.purgeUsers(spark, sf, Seq(14L), tag = "t2")
       assert(EntityIndex.servePurged(spark, sf, users)._1
         .select($"user_id").as[Long].collect().sorted === Array(1L, 7L))
+      // erasure outranks freshness: a purged user arriving in a
+      // stream batch still never surfaces on the governed face
+      val batch = Seq((3L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0))
+        .toDF("user_id", "ts", "value")
+      EntityIndex.processStreamBatch(spark, sf, batch, batchId = 9L)
+      assert(EntityIndex.servePurgedWithStream(spark, sf, users)
+        .select($"user_id").as[Long].collect().sorted === Array(1L, 7L))
+      // while the raw streaming face still reports the batch
+      assert(EntityIndex.serveWithStream(spark, sf, Seq(3L))
+        .select($"n").as[Long].head() > 0)
     }
   }
 
