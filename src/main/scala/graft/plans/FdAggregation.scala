@@ -28,8 +28,12 @@ import graft.operators.StatsCatalog
   * (8 B + w-byte string) to 8 B, and — because the group count is
   * then provably ndv(key) — the Selinger estimator sizes the
   * exchange exactly. The determined column itself still ships once
-  * per group as a max partial (same bytes a group key would ship),
-  * so the rewrite is never a regression.
+  * per group as a max partial (same bytes a group key would ship);
+  * the rewrite's own bill is a constant plan-time metadata read per
+  * candidate (stamp-memoized), so it wins where the exchange
+  * dominates — wide strings, high-cardinality keys — and is
+  * measurably cost-neutral on small-group fixtures (BENCH_SCALE
+  * round13_family discloses both).
   *
   * EXACTNESS argument: the FD is proven on the BASE table
   * ([[StatsCatalog.determines]]: exact-mode, current, null-free

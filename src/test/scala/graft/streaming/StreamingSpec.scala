@@ -439,7 +439,7 @@ class StreamingSpec extends SparkSpec {
     // checkpoint restart mid-stream must leave the q36 surface
     // unchanged across the replayed batch.
     withIndexRoot("graft-stream-rollup") {
-      import graft.operators.{CmsRollup => CM, DecayedFeatures => DF, HistogramRollup => HR, SketchRollup => SR, TopKRollup => TK}
+      import graft.operators.{CmsRollup => CM, DecayedFeatures => DF, EntityIndex => EI, HistogramRollup => HR, SketchRollup => SR, TopKRollup => TK}
       val sf = "/root/testdata/sf0.001"
       val (lo, hi) = ("2024-02-01 00:00:00", "2024-03-01 00:00:00")
       implicit val sql = spark.sqlContext
@@ -459,6 +459,7 @@ class StreamingSpec extends SparkSpec {
         DF.processStreamBatch(spark, sf, batch, id)
         CM.processStreamBatch(spark, sf, batch, id)
         TK.processStreamBatch(spark, sf, batch, id)
+        EI.processStreamBatch(spark, sf, batch, id)
         SR.appendBatch(spark, sf, batch)
       }
       def run(): Unit = {
@@ -492,6 +493,13 @@ class StreamingSpec extends SparkSpec {
       run()
       assert(streamCnt() === 50L,
         "restart must process only the new batch — 30 + 20, nothing twice")
+      // the entity store rode the same sink with the same batch-id
+      // discipline: a streamed user's profile sees its event exactly
+      // once through the replay AND the restart (base corpus has no
+      // 910005, so the count is purely the maintained surface)
+      assert(EI.serveWithStream(spark, sf, Seq(910005L, 920003L))
+        .agg(sum(col("n"))).head().getLong(0) === 2L,
+        "entity stream maintenance must land each batch exactly once")
       // and the q36 surface over the maintained bins stays coherent:
       // p50 of 50 identical 12.5 values lands in bin 2 ([10,15))
       val est = HR.percentiles(
