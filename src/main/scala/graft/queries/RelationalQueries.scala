@@ -3523,6 +3523,53 @@ object RelationalQueries {
       .orderBy($"l_returnflag", $"m")
   }
 
+  /** q79 — SEASONAL-BASELINE SPIKE DETECTION (batch monitoring, the
+    * D65/q51 family): per (event_type, day, hour-of-day) counts
+    * compared against the type's hour-of-day seasonal profile —
+    * the alerting shape every ops dashboard runs ("did 3 pm today
+    * spike vs a normal 3 pm?"). INTEGER-EXACT throughout (counts,
+    * floor-division baseline, a cross-multiplied 1.5× threshold —
+    * no float ever), so the oracle replays the rule bit-for-bit;
+    * [[graft.streaming.StreamingAnomaly]] is the streaming face of
+    * the same idea, this is the batch backfill face. Two aggregates
+    * + one broadcast-sized join of the (type, hour) profile — the
+    * corpus is scanned once; at 100 TB the profile is 24×|types|
+    * rows whatever the corpus. */
+  val q79SeasonalSpikes: GraftQuery = q(
+    "q79_seasonal_spikes",
+    "seasonal hour-of-day baseline spike flags, integer-exact threshold, profile join broadcast-sized",
+    """WITH cells AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |         extract(hour FROM ts) AS h, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |base AS (
+      |  SELECT event_type, h,
+      |         CAST(sum(cnt) // count(*) AS BIGINT) AS base
+      |  FROM cells GROUP BY 1, 2),
+      |flagged AS (
+      |  SELECT c.event_type, c.cnt
+      |  FROM cells c
+      |  JOIN base b ON c.event_type = b.event_type AND c.h = b.h
+      |  WHERE c.cnt * 10 >= b.base * 15 AND c.cnt >= 3)
+      |SELECT event_type, count(*) AS spikes, CAST(max(cnt) AS BIGINT) AS max_cnt
+      |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val cells = Tables(s, dir, "events")
+      .groupBy($"event_type",
+        graft.operators.MinMaxManifest.utcDay($"ts").as("d"),
+        hour($"ts").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val base = cells.groupBy($"event_type".as("b_type"), $"h".as("b_h"))
+      .agg(expr("sum(cnt) div count(*)").as("base"))
+    cells.join(broadcast(base),
+        $"event_type" === $"b_type" && $"h" === $"b_h")
+      .where($"cnt" * 10 >= $"base" * 15 && $"cnt" >= 3)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("spikes"), max($"cnt").as("max_cnt"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3544,5 +3591,5 @@ object RelationalQueries {
     q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal,
     q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
     q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy,
-    q76EntityPurge, q77ResultCache, q78Unpivot)
+    q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes)
 }
