@@ -99,7 +99,12 @@ object Bench {
     // before citing this run (the check the r12 artifact would have
     // failed). Regex-parse the flat {"id":sec} map; no JSON lib needed.
     val drift: Option[(String, Double)] = {
-      val prior = new java.io.File("/root/repo").listFiles()
+      // the artifact dir is overridable and a missing dir yields a
+      // null listFiles — guard both, or a checkout outside /root/repo
+      // NPEs AFTER the whole timed run (r13 review)
+      val artifactDir = sys.env.getOrElse("SPARK_GRAFT_ROUND_DIR", "/root/repo")
+      val prior = Option(new java.io.File(artifactDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
         .lastOption

@@ -32,16 +32,32 @@ private[graft] object EnsureWatermark {
   private val recordedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, String)]()
 
-  private def dataListing(
-      sts: Array[org.apache.hadoop.fs.FileStatus]): String =
-    sts.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"${st.getPath.getName}:${st.getLen}")
-      .sorted.mkString("\n")
+  /** RECURSIVE data-file listing: a partition-directory artifact
+    * (the entity store's `bucket=` layout) keeps its data files in
+    * subdirectories, and a top-level-only listing would record the
+    * empty string — making the watermark vacuously true under any
+    * bucket-file mutation (r13 review finding). Relative paths keep
+    * flat artifacts' stamps byte-identical to the old format; the
+    * walk costs one extra listStatus per subdirectory — still a
+    * metadata operation. */
+  private def dataListing(fs: org.apache.hadoop.fs.FileSystem,
+      sts: Array[org.apache.hadoop.fs.FileStatus]): String = {
+    def walk(prefix: String,
+        arr: Array[org.apache.hadoop.fs.FileStatus]): Seq[String] =
+      arr.toIndexedSeq.flatMap { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          Seq(s"$prefix${st.getPath.getName}:${st.getLen}")
+        else if (st.isDirectory)
+          walk(s"$prefix${st.getPath.getName}/", fs.listStatus(st.getPath))
+        else Seq.empty
+      }
+    walk("", sts).sorted.mkString("\n")
+  }
 
   /** Record the current data-file listing as the routed build. */
   def write(path: String): Unit = {
     val (fs, p) = IndexStore.fsOf(path)
-    val listing = dataListing(fs.listStatus(p))
+    val listing = dataListing(fs, fs.listStatus(p))
     val out = fs.create(new org.apache.hadoop.fs.Path(p, ManifestFile), true)
     try out.write(listing.getBytes("UTF-8")) finally out.close()
   }
@@ -90,7 +106,7 @@ private[graft] object EnsureWatermark {
         recordedCache.put(path, (key._1, key._2, bytes))
         bytes
       }
-    val live = dataListing(sts)
+    val live = dataListing(fs, sts)
     if (recorded == live) Some(live) else None
   }
 }

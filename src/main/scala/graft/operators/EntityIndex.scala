@@ -47,8 +47,13 @@ object EntityIndex {
     * layout, not semantics, so no result depends on it. */
   val Buckets = 16
 
+  /** `_v2`: the v1 layout predates the recursive watermark listing —
+    * its recorded manifest (empty: no top-level parquet in a
+    * partitioned store) can never match the recursive live listing,
+    * so a warm host's v1 artifact must be unreachable, not repaired
+    * in place (the SchemaEvolution.FixtureVersion discipline). */
   def indexPath(dir: String): String =
-    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/entity_user"
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/entity_user_v2"
 
   private[graft] def bucketOf(userId: Long): Long =
     java.lang.Math.floorMod(userId, Buckets.toLong)
@@ -246,6 +251,45 @@ object EntityIndex {
     hit.filterNot(alive).foreach { b =>
       val (dfs, p) = IndexStore.fsOf(s"${indexPath(dir)}/bucket=$b")
       dfs.delete(p, true)
+    }
+    // the STREAM partials carry purged users too (r13 review's top
+    // finding: clearing tombstones while a committed batch still
+    // holds a purged user's rows would resurface them on every
+    // stream-folded face). Rewrite each committed batch that holds a
+    // purged row via its own staged swap; every window is replay-safe
+    // — a crash before the delete re-stages, a crash between delete
+    // and rename is finished by the recovery leg on the next run, and
+    // the tombstones (cleared LAST, below) keep servePurged* exact
+    // throughout.
+    // stage dirs are named OUTSIDE the `batch=` namespace so a torn
+    // swap can never be read as a batch; recovery first — a crash
+    // between delete and rename left a ready stage whose target is
+    // gone, and finishing it must precede the pass proper
+    val (sfs, spp) = IndexStore.fsOf(streamPath(dir))
+    if (sfs.exists(spp)) {
+      sfs.listStatus(spp).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("vacuum_batch="))
+        .foreach { stgName =>
+          val tag = stgName.stripPrefix("vacuum_")
+          val target = new org.apache.hadoop.fs.Path(spp, tag)
+          val stg = new org.apache.hadoop.fs.Path(spp, stgName)
+          if (!sfs.exists(target) &&
+              IndexStore.artifactReady(stg.toString)) sfs.rename(stg, target)
+          else sfs.delete(stg, true) // torn or superseded stage
+        }
+    }
+    IndexStore.readyBatches(streamPath(dir)).foreach { tag =>
+      val bp = s"${streamPath(dir)}/$tag"
+      val (bfs, bpp) = IndexStore.fsOf(bp)
+      val stg = new org.apache.hadoop.fs.Path(spp, s"vacuum_$tag")
+      val batchDf = s.read.parquet(bp)
+      if (!batchDf.join(purged, Seq("user_id"), "left_semi").isEmpty) {
+        batchDf.join(purged, Seq("user_id"), "left_anti")
+          .coalesce(1).write.mode("overwrite").parquet(stg.toString)
+        bfs.delete(bpp, true)
+        bfs.rename(stg, bpp)
+        ()
+      }
     }
     // the artifact mutated by design: re-stamp so serving continues
     // against the now-purged store (the watermark guards ACCIDENTAL

@@ -286,7 +286,12 @@ object StatsCatalog {
     * Advisory, so approx-mode stats serve. */
   def dictionaryShaped(s: SparkSession, dir: String, table: String,
       column: String, maxNdv: Long = 1L << 22): Boolean =
-    stats(s, dir, table).get(column).exists { st =>
+    // statsIfReady, not stats(): an advisory screen must never launch
+    // (or upgrade) an ANALYZE at decision time — absent stats answer
+    // "not shaped", and adviseAnalyze is how the artifact gets built
+    // (r13 review finding: stats()'s ensure could fire the full exact
+    // Expand pass from inside a plan-time call)
+    statsIfReady(s, dir, table).flatMap(_.get(column)).exists { st =>
       st.ndv > 0 && st.ndv <= maxNdv && st.ndv * 4 <= (st.n - st.nulls)
     }
 
@@ -315,7 +320,11 @@ object StatsCatalog {
         keyProfile(s, dir, t, key).flatMap {
           case (Nil, _) => None
           case (_, f) => Some(f.toDouble)
-        }.orElse(stats(s, dir, t).get(key).map(_.avgFreq))
+        }.orElse(
+          // statsIfReady: advice reads AVAILABLE metadata only — an
+          // un-ANALYZEd table contributes no frequency signal rather
+          // than triggering a decision-time ANALYZE (r13 review)
+          statsIfReady(s, dir, t).flatMap(_.get(key)).map(_.avgFreq))
       }
       val worst = if (freq.isEmpty) 0.0 else freq.max
       if (worst >= skewAvgFreq) SaltedShuffle(worst) else PlainShuffle

@@ -128,9 +128,9 @@ object Steering {
         case Aggregate(groups, _, _, _) if groups.size >= 2 &&
             groups.forall(_.isInstanceOf[AttributeReference]) =>
           val attrs = groups.map(_.asInstanceOf[AttributeReference])
-          val srcs = attrs.flatMap(sourceOf).distinct
-          if (srcs.size == 1 && attrs.flatMap(sourceOf).size == attrs.size) {
-            val (dir, table) = srcs.head
+          val per = attrs.flatMap(sourceOf)
+          if (per.distinct.size == 1 && per.size == attrs.size) {
+            val (dir, table) = per.head
             val cols = attrs.map(_.name).sorted
             if (StatsCatalog.columnGroupIfReady(s, dir, table, cols).isEmpty)
               advice += AnalyzeAdvice("column_group", dir, table, cols)

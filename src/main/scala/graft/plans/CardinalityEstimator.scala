@@ -199,6 +199,17 @@ object CardinalityEstimator {
     }
   }
 
+  /** A side's DISTINCT-row bound: the ndv product over its output
+    * when every column has stats (capped at its rows), the raw rows
+    * otherwise — the set-op dedup bound. */
+  private def distinctBound(plan: LogicalPlan, e: Est): BigInt = {
+    val ndvs = plan.output.map(a =>
+      e.env.get(a.exprId).map(st => BigInt(st.ndv).max(1)))
+    if (ndvs.nonEmpty && ndvs.forall(_.isDefined))
+      ndvs.flatten.foldLeft(BigInt(1))(_ * _).min(e.rows)
+    else e.rows
+  }
+
   private def est(s: SparkSession, plan: LogicalPlan,
       groups: Boolean): Option[Est] =
     plan match {
@@ -312,9 +323,12 @@ object CardinalityEstimator {
       // every column has stats, else the raw side).
       case Intersect(l, r, false) =>
         for { le <- est(s, l, groups); re <- est(s, r, groups) } yield
-          Est(le.rows.min(re.rows), le.env, le.src)
+          Est(distinctBound(l, le).min(distinctBound(r, re)),
+            le.env, le.src)
       case Except(l, r, false) =>
-        est(s, l, groups).map(e => Est(e.rows, e.env, e.src))
+        // EXCEPT DISTINCT emits at most the left side's DISTINCT rows
+        // (r13 review caught the raw-rows shortfall vs the comment)
+        est(s, l, groups).map(e => Est(distinctBound(l, e), e.env, e.src))
       case Union(children, _, _) if children.nonEmpty =>
         val es = children.map(c => est(s, c, groups))
         if (es.forall(_.isDefined))

@@ -190,6 +190,40 @@ class EntityIndexSpec extends SparkSpec {
     }
   }
 
+  test("vacuum purges committed STREAM partials too — no resurfacing after the tombstones clear") {
+    withIndexRoot("graft-ent-vacuum-stream") {
+      EntityIndex.ensure(spark, sf)
+      // user 3 arrives in a committed stream batch; user 7's batch
+      // holds no purged rows and must not be rewritten
+      val b1 = Seq((3L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0),
+        (1L, java.sql.Timestamp.valueOf("2024-02-01 01:00:00"), 1.0))
+        .toDF("user_id", "ts", "value")
+      val b2 = Seq((7L, java.sql.Timestamp.valueOf("2024-02-02 00:00:00"), 1.0))
+        .toDF("user_id", "ts", "value")
+      EntityIndex.processStreamBatch(spark, sf, b1, batchId = 1L)
+      EntityIndex.processStreamBatch(spark, sf, b2, batchId = 2L)
+      val d2 = new java.io.File(s"${EntityIndex.streamPath(sf)}/batch=b2")
+      val before2 = d2.listFiles().map(f => (f.getName, f.length)).toSet
+      EntityIndex.purgeUsers(spark, sf, Seq(3L), tag = "v1")
+      EntityIndex.vacuumPurged(spark, sf)
+      assert(EntityIndex.purgedKeys(spark, sf).count() === 0L)
+      // the RAW stream-folded face no longer knows user 3 — erasure
+      // is materialized in the batch files, not just filtered
+      val got = EntityIndex.serveWithStream(spark, sf, Seq(1L, 3L, 7L))
+        .select($"user_id").as[Long].collect().sorted
+      assert(!got.contains(3L),
+        s"a vacuumed user must not resurface from stream partials: ${got.mkString(",")}")
+      // user 1's streamed event survived the batch rewrite
+      val base1 = EntityIndex.serve(spark, sf, Seq(1L))._1
+        .select($"n").as[Long].head()
+      assert(EntityIndex.serveWithStream(spark, sf, Seq(1L))
+        .select($"n").as[Long].head() === base1 + 1)
+      // and the purge-free batch was not touched
+      assert(d2.listFiles().map(f => (f.getName, f.length)).toSet === before2,
+        "a batch holding no purged rows must be byte-identical")
+    }
+  }
+
   test("appendBatch refuses to run before ensure") {
     withIndexRoot("graft-ent-order") {
       val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))

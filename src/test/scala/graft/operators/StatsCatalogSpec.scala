@@ -95,6 +95,18 @@ class StatsCatalogSpec extends SparkSpec {
           s"row$i-${java.util.UUID.nameUUIDFromBytes(BigInt(i).toByteArray)}"))
         .toDF("k", "payload")
         .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+      // WITHOUT stats, advice reads available metadata only: table
+      // bytes still pick a broadcast side, but the shuffle path has
+      // no frequency signal (PlainShuffle) and the dictionary screen
+      // answers false — NEVER a decision-time ANALYZE (r13 review)
+      assert(StatsCatalog.adviseJoin(spark, dir, "fact", "dim", "k",
+        broadcastBytes = 0L, skewAvgFreq = 50.0) === StatsCatalog.PlainShuffle,
+        "un-ANALYZEd tables contribute no skew signal")
+      assert(!StatsCatalog.dictionaryShaped(spark, dir, "fact", "k"),
+        "the screen must not launch an ANALYZE")
+      assert(!IndexStore.artifactReady(StatsCatalog.statsPath(dir, "fact")),
+        "no advice call may have built stats")
+      Seq("fact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
       // the smaller side fits the budget -> broadcast it
       StatsCatalog.adviseJoin(spark, dir, "fact", "dim", "k") match {
         case StatsCatalog.BroadcastSide(t, b) =>
@@ -160,6 +172,10 @@ class StatsCatalogSpec extends SparkSpec {
         .toDF("k", "payload")
         .write.mode("overwrite").parquet(s"$dir/mfact.parquet")
       StatsCatalog.ensureKeyProfile(spark, dir, "mfact", "k")
+      // the avgFreq fallback reads AVAILABLE stats only (r13: advice
+      // never launches an ANALYZE) — build them the way adviseAnalyze
+      // would direct
+      Seq("mfact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
       val (hot, _) = StatsCatalog.keyProfile(spark, dir, "mfact", "k").get
       assert(hot.isEmpty, "no key reaches the hot threshold")
       // r12 advice (medium): the empty profile proves only

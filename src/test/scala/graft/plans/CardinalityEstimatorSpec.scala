@@ -139,14 +139,15 @@ class CardinalityEstimatorSpec extends SparkSpec {
       // full distinct -> capped independence product
       assert(estOf(f.dropDuplicates("k")) === BigInt(100))
       assert(estOf(f.select($"k", $"flag").distinct()) === BigInt(400))
-      // set ops are declared upper bounds: intersect <= smaller side,
-      // except <= left side
+      // set ops are declared upper bounds over DISTINCT rows: both
+      // sides dedup via the ndv product before the min/left bound —
+      // 1200 fact rows with ndv(k)=100 bound at 100, not 1200
       val ks = f.select($"k")
       val dks = d.select($"dk")
       assert(estOf(ks.intersect(dks)) === BigInt(100),
-        "intersect bounded by the smaller (dim) side")
-      assert(estOf(ks.except(dks)) === BigInt(1200),
-        "except bounded by the left side")
+        "intersect bounded by the smaller DISTINCT side")
+      assert(estOf(ks.except(dks)) === BigInt(100),
+        "except bounded by the left DISTINCT side")
     }
   }
 }
