@@ -105,6 +105,43 @@ object EntityIndex {
       .write.partitionBy("bucket").mode("append").parquet(indexPath(dir))
   }
 
+  /** WINDOWED profile serve — the day grain's payoff the class
+    * scaladoc promises ("active days in January"): the same ≤|users|
+    * bucket-partition reads, day-range filtered before the fold, so
+    * a windowed profile costs exactly what a lifetime profile costs.
+    * Same fail-closed raw-scan fallback as [[serve]]. */
+  def serveWindow(s: SparkSession, dir: String, users: Seq[Long],
+      lo: String, hi: String): (DataFrame, Boolean) = {
+    require(users.nonEmpty, "empty lookup set")
+    val loTs = lit(MinMaxManifest.utc(lo))
+    val hiTs = lit(MinMaxManifest.utc(hi))
+    val path = indexPath(dir)
+    if (EnsureWatermark.holds(path)) {
+      val buckets = users.map(bucketOf).distinct
+      val df = s.read.parquet(path)
+        .where(col("bucket").isin(buckets: _*) &&
+          col("user_id").isin(users: _*) &&
+          col("day") >= loTs && col("day") < hiTs)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("v_fp")).as("v_fp"),
+          countDistinct(col("day")).as("days"))
+        .orderBy(col("user_id"))
+      (df, true)
+    } else {
+      val df = graft.Tables(s, dir, "events")
+        .where(col("user_id").isin(users: _*) &&
+          MinMaxManifest.utcDay(col("ts")) >= loTs &&
+          MinMaxManifest.utcDay(col("ts")) < hiTs)
+        .select(col("user_id"), MinMaxManifest.utcDay(col("ts")).as("day"),
+          floor(col("value")).as("v"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("v_fp"),
+          countDistinct(col("day")).as("days"))
+        .orderBy(col("user_id"))
+      (df, false)
+    }
+  }
+
   /** STREAMING maintenance — the [[HistogramRollup.processStreamBatch]]
     * batch-id discipline verbatim: each foreachBatch micro-batch's
     * partials land in their own `batch=b<id>` partition via

@@ -90,6 +90,23 @@ object ResultCache {
     * A miss computes, writes the entry, and serves the written copy
     * (write-through — the next identical query hits). Uncacheable
     * plans compute directly with hit = false and no entry. */
+  /** The scaladoc's promised orphan sweep: entries whose source
+    * stamps died are unreachable by construction, so retention is
+    * pure storage hygiene — keep the newest `maxEntries` by mtime,
+    * delete the rest. Deleting a LIVE entry is also harmless (the
+    * next identical query re-misses and rewrites it), which is why
+    * age is a safe policy here where it would be unsound anywhere
+    * else in the engine. Returns how many entries were deleted. */
+  def sweep(s: SparkSession, maxEntries: Int): Int = {
+    val (fs, root) = IndexStore.fsOf(s"${IndexStore.root}/result_cache")
+    if (!fs.exists(root)) return 0
+    val entries = fs.listStatus(root).filter(_.isDirectory)
+      .sortBy(-_.getModificationTime)
+    val victims = entries.drop(maxEntries)
+    victims.foreach(st => fs.delete(st.getPath, true))
+    victims.length
+  }
+
   def through(s: SparkSession, df: DataFrame): (DataFrame, Boolean) = {
     val (stamp, cacheable) = sourceStamp(df)
     if (!cacheable) return (df, false)

@@ -190,6 +190,28 @@ class EntityIndexSpec extends SparkSpec {
     }
   }
 
+  test("windowed profiles: day-range serve equals the raw window on both paths") {
+    withIndexRoot("graft-ent-window") {
+      EntityIndex.ensure(spark, sf)
+      val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+      val (idx, via) = EntityIndex.serveWindow(spark, sf, users, lo, hi)
+      assert(via)
+      val got = idx.collect().map(_.toString).sorted
+      EnsureWatermark.invalidate(EntityIndex.indexPath(sf))
+      val (raw, via2) = EntityIndex.serveWindow(spark, sf, users, lo, hi)
+      assert(!via2, "broken watermark -> raw-scan fallback")
+      assert(raw.collect().map(_.toString).sorted.sameElements(got),
+        "windowed index serve must equal the raw windowed aggregate")
+      // the window genuinely restricts: fewer active days than lifetime
+      EnsureWatermark.write(EntityIndex.indexPath(sf))
+      val lifetime = EntityIndex.serve(spark, sf, Seq(3L))._1
+        .select($"days").as[Long].head()
+      val windowed = EntityIndex.serveWindow(spark, sf, Seq(3L), lo, hi)._1
+        .select($"days").as[Long].head()
+      assert(windowed < lifetime && windowed <= 7L)
+    }
+  }
+
   test("vacuum purges committed STREAM partials too — no resurfacing after the tombstones clear") {
     withIndexRoot("graft-ent-vacuum-stream") {
       EntityIndex.ensure(spark, sf)

@@ -57,6 +57,21 @@ class ResultCacheSpec extends SparkSpec {
     }
   }
 
+  test("the sweep keeps the newest entries; a swept live entry just re-misses") {
+    withIndexRoot("graft-rc-sweep") {
+      val dir = tmpDir("graft-rc-sweep-data")
+      writeTable(dir)
+      def shape(cut: Long) = graft.Tables(spark, dir, "t")
+        .where($"v" <= cut).groupBy($"k").agg(count(lit(1)).as("n"))
+      (1L to 4L).foreach(c => ResultCache.through(spark, shape(c * 50)))
+      assert(ResultCache.sweep(spark, maxEntries = 2) === 2)
+      assert(ResultCache.sweep(spark, maxEntries = 2) === 0, "idempotent")
+      // a swept entry is a MISS, never a wrong answer
+      val (df, hit) = ResultCache.through(spark, shape(50))
+      assert(df.agg(sum($"n")).head().getLong(0) === 50L)
+    }
+  }
+
   test("plans with non-file leaves compute directly and never cache") {
     withIndexRoot("graft-rc-local") {
       val local = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
