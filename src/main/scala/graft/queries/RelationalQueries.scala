@@ -3570,6 +3570,46 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q80 — INCREMENTAL STATISTICS MAINTENANCE ([[graft.operators
+    * .StatsMaintain]], D91): the ANALYZE catalog's freshness story —
+    * D77's fingerprint keying correctly fail-closes EVERYTHING on a
+    * mutated table, but at 100 TB with hourly appends the advisory
+    * consumers cannot pay a corpus scan per batch. The maintained
+    * artifact merges each batch in O(batch): n/nulls ADD and min/max
+    * merge exactly (typed compare, never lexicographic numbers), NDV
+    * rides the engine's own deterministic HLL whose register
+    * MAX-merge is bit-identical to a full rebuild (spec-pinned). The
+    * fixture rebuilds events as base + late-appended slice with
+    * maintenance across the append; base ∪ slice ≡ events, so the
+    * oracle recomputes the exact fields from the raw table — the
+    * hash gate proves the merge algebra, while staleness (appended-
+    * but-unmaintained fails closed) is spec-pinned. */
+  val q80MaintainedStats: GraftQuery = q(
+    "q80_maintained_stats",
+    "O(batch) stats maintenance under appends: exact n/nulls/min/max merged per batch, HLL registers max-merged; oracle recomputes from the raw table",
+    """SELECT * FROM (
+      |  SELECT 'event_id' AS col, count(*) AS n,
+      |         count(*) - count(event_id) AS nulls,
+      |         CAST(min(event_id) AS BIGINT) AS min_v,
+      |         CAST(max(event_id) AS BIGINT) AS max_v
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', count(*), count(*) - count(user_id),
+      |         CAST(min(user_id) AS BIGINT), CAST(max(user_id) AS BIGINT)
+      |  FROM events
+      |) ORDER BY col""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SM = graft.operators.StatsMaintain
+    val fix = SM.ensureMaintainedEventsFixture(s, dir)
+    val m = SM.statsIfCurrent(s, fix, "events_m")
+      .getOrElse(sys.error("maintained stats must be current after the fixture build"))
+    Seq("event_id", "user_id").map { c =>
+      val st = m(c)
+      (c, st.n, st.nulls, st.min.get.toLong, st.max.get.toLong)
+    }.toDF("col", "n", "nulls", "min_v", "max_v").orderBy($"col")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3591,5 +3631,6 @@ object RelationalQueries {
     q66RoutedWeekly, q67CardinalityEstimate, q68RoutedGlobal,
     q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
     q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy,
-    q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes)
+    q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes,
+    q80MaintainedStats)
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The maintained-stats contract: exact n/nulls/min/max through
+  * appends (typed bound merge, never lexicographic numbers),
+  * register max-merge bit-identical to a full rebuild, fail-closed
+  * on appended-but-unmaintained data and torn artifacts, and an NDV
+  * estimate of advisory quality. */
+class StatsMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base(dir: String): Unit =
+    (1L to 900L).map(i => (i, i % 120, s"s${i % 7}", i / 10.0))
+      .toDF("id", "k", "tag", "x")
+      .write.mode("overwrite").parquet(s"$dir/mt.parquet")
+
+  private def batchRows =
+    // ids 2000..2099 extend max; k extends ndv; a value 0.05 drops
+    // the double min BELOW 1/10 — the typed-merge tripwire: "0.05" >
+    // "0.1" lexicographically, so a string compare would keep 0.1
+    (2000L to 2099L).map(i => (i, i % 200, s"s${i % 7}", 0.05))
+      .toDF("id", "k", "tag", "x")
+
+  test("exact fields stay exact through an append; registers merge bit-identically") {
+    withIndexRoot("graft-maint") {
+      val dir = tmpDir("graft-maint-data")
+      base(dir)
+      StatsMaintain.ensure(spark, dir, "mt")
+      val m0 = StatsMaintain.statsIfCurrent(spark, dir, "mt").get
+      assert(m0("id").n === 900L && m0("id").min === Some("1") &&
+        m0("id").max === Some("900"))
+      // append the file FIRST (the contract), then maintain
+      batchRows.write.mode("append").parquet(s"$dir/mt.parquet")
+      assert(StatsMaintain.statsIfCurrent(spark, dir, "mt").isEmpty,
+        "appended-but-unmaintained must fail closed")
+      StatsMaintain.appendMaintain(spark, dir, "mt", batchRows)
+      val m1 = StatsMaintain.statsIfCurrent(spark, dir, "mt").get
+      assert(m1("id").n === 1000L && m1("id").nulls === 0L)
+      assert(m1("id").max === Some("2000") || m1("id").max === Some("2099"))
+      assert(m1("id").max.get.toLong === 2099L,
+        s"typed merge must extend the max: ${m1("id").max}")
+      assert(m1("x").min.get.toDouble === 0.05,
+        "a lexicographic merge would have kept 0.1 as the double min")
+      // register exactness: the maintained registers equal a full
+      // rebuild's, row for row (max-merge is exact by algebra)
+      val maintained = spark.read
+        .parquet(s"${StatsMaintain.maintPath(dir, "mt")}/registers")
+        .collect().map(_.toString).sorted.toSeq
+      StatsMaintain.reEnsure(spark, dir, "mt")
+      val rebuilt = spark.read
+        .parquet(s"${StatsMaintain.maintPath(dir, "mt")}/registers")
+        .collect().map(_.toString).sorted.toSeq
+      assert(maintained === rebuilt,
+        "maintenance must never degrade the sketch")
+      // NDV estimate is advisory-grade: true ndv(k) = 120 base +
+      // 80 new (120..199) = 200; HLL at 512 regs lands well within 2x
+      val est = m1("k").ndvEst
+      assert(est > 100L && est < 400L, s"ndv(k) estimate off: $est")
+    }
+  }
+
+  test("torn artifacts and stale stamps never serve") {
+    withIndexRoot("graft-maint-torn") {
+      val dir = tmpDir("graft-maint-torn-data")
+      base(dir)
+      StatsMaintain.ensure(spark, dir, "mt")
+      assert(StatsMaintain.statsIfCurrent(spark, dir, "mt").isDefined)
+      // torn summary (no _SUCCESS): fail closed
+      val marker = new java.io.File(
+        s"${StatsMaintain.maintPath(dir, "mt")}/summary/_SUCCESS")
+      assert(marker.delete())
+      assert(StatsMaintain.statsIfCurrent(spark, dir, "mt").isEmpty)
+      // ensure repairs (full rebuild)
+      StatsMaintain.ensure(spark, dir, "mt")
+      assert(StatsMaintain.statsIfCurrent(spark, dir, "mt").isDefined)
+    }
+  }
+}
