@@ -44,8 +44,14 @@ import org.apache.spark.sql.types._
 object StatsMaintain {
 
   def maintPath(dir: String, table: String): String = {
+    // key on the FS-QUALIFIED table path, not the raw string: the
+    // estimator derives `dir` from a relation's rootPaths (scheme-
+    // qualified, "file:/…"), callers pass bare "/…" — both must land
+    // on ONE artifact
+    val (fs, p) = IndexStore.fsOf(s"$dir/$table.parquet")
+    val canon = fs.makeQualified(p).toString
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     s"${IndexStore.root}/stats_maint_${key}_$table"
   }
   private def sumPath(dir: String, table: String) = s"${maintPath(dir, table)}/summary"

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
-import graft.operators.StatsCatalog
+import graft.operators.{StatsCatalog, StatsMaintain}
 import graft.operators.StatsCatalog.ColStats
 
 /** CARDINALITY ESTIMATION from the ANALYZE catalog — the System-R /
@@ -217,8 +217,19 @@ object CardinalityEstimator {
         tableOf(rel).flatMap { case (dir, table) =>
           // statsIfReady, not stats(): an estimator must never build
           // (or upgrade) an artifact — plan-metadata cost only, served
-          // by the stamp-keyed memo
-          StatsCatalog.statsIfReady(s, dir, table).flatMap { byName =>
+          // by the stamp-keyed memo. When the EXACT catalog is stale
+          // (the fingerprint-keyed path re-keys on any append), the
+          // MAINTAINED tier (D91) serves instead — approx-grade NDV
+          // from the engine's own deterministic HLL, exact n/nulls/
+          // min/max — so estimates survive appends without a corpus
+          // re-ANALYZE (advice may be approximate; only proofs
+          // demand exactness).
+          val byNameOpt = StatsCatalog.statsIfReady(s, dir, table)
+            .orElse(StatsMaintain.statsIfCurrent(s, dir, table).map(_.map {
+              case (c, m) => c -> ColStats(c, m.n, m.nulls,
+                m.ndvEst, m.min, m.max, exact = false)
+            }))
+          byNameOpt.flatMap { byName =>
             val env = rel.output.flatMap(a =>
               byName.get(a.name).map(a.exprId -> _)).toMap
             byName.values.headOption.map(st =>

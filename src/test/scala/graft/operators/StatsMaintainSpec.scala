@@ -61,6 +61,32 @@ class StatsMaintainSpec extends SparkSpec {
     }
   }
 
+  test("the estimator survives an append through the maintained tier") {
+    withIndexRoot("graft-maint-est") {
+      val dir = tmpDir("graft-maint-est-data")
+      base(dir)
+      val CE = graft.plans.CardinalityEstimator
+      // exact catalog built on the ORIGINAL listing
+      StatsCatalog.ensure(spark, dir, "mt")
+      StatsMaintain.ensure(spark, dir, "mt")
+      def q = graft.Tables(spark, dir, "mt").where($"tag" === "s3")
+      assert(CE.estimateRows(spark, q).isDefined)
+      // append: the exact catalog's fingerprint path re-keys (stale),
+      // and WITHOUT maintenance the estimator would go dark
+      batchRows.write.mode("append").parquet(s"$dir/mt.parquet")
+      assert(StatsCatalog.statsIfReady(spark, dir, "mt").isEmpty,
+        "exact stats are correctly stale after the append")
+      assert(CE.estimateRows(spark, q).isEmpty,
+        "no current tier -> honest None")
+      // O(batch) maintenance restores estimates; 1000 rows / 7 tags
+      StatsMaintain.appendMaintain(spark, dir, "mt", batchRows)
+      val est = CE.estimateRows(spark, q)
+        .getOrElse(fail("maintained tier must serve"))
+      assert(est >= BigInt(100) && est <= BigInt(220),
+        s"1000/ndv(tag)~7 with HLL error: $est")
+    }
+  }
+
   test("torn artifacts and stale stamps never serve") {
     withIndexRoot("graft-maint-torn") {
       val dir = tmpDir("graft-maint-torn-data")
