@@ -323,8 +323,15 @@ object StatsCatalog {
         }.orElse(
           // statsIfReady: advice reads AVAILABLE metadata only — an
           // un-ANALYZEd table contributes no frequency signal rather
-          // than triggering a decision-time ANALYZE (r13 review)
-          statsIfReady(s, dir, t).flatMap(_.get(key)).map(_.avgFreq))
+          // than triggering a decision-time ANALYZE (r13 review);
+          // the MAINTAINED tier (D91) serves the mean when the exact
+          // catalog went stale under appends — approx ndv is exactly
+          // advisory-grade
+          statsIfReady(s, dir, t).flatMap(_.get(key)).map(_.avgFreq)
+            .orElse(StatsMaintain.statsIfCurrent(s, dir, t)
+              .flatMap(_.get(key))
+              .filter(_.ndvEst > 0)
+              .map(m => (m.n - m.nulls).toDouble / m.ndvEst)))
       }
       val worst = if (freq.isEmpty) 0.0 else freq.max
       if (worst >= skewAvgFreq) SaltedShuffle(worst) else PlainShuffle

@@ -87,6 +87,35 @@ class StatsMaintainSpec extends SparkSpec {
     }
   }
 
+  test("join advice survives an append through the maintained tier too") {
+    withIndexRoot("graft-maint-advice") {
+      val dir = tmpDir("graft-maint-advice-data")
+      // every key repeats ~90x: real skew at threshold 50
+      (1L to 900L).map(i => (i % 10, i)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$dir/afact.parquet")
+      (0L to 9L).map(i => (i, s"d$i")).toDF("k", "dn")
+        .write.mode("overwrite").parquet(s"$dir/adim.parquet")
+      Seq("afact", "adim").foreach(StatsCatalog.ensure(spark, dir, _))
+      StatsMaintain.ensure(spark, dir, "afact")
+      StatsMaintain.ensure(spark, dir, "adim")
+      def advice = StatsCatalog.adviseJoin(spark, dir, "afact", "adim", "k",
+        broadcastBytes = 0L, skewAvgFreq = 50.0)
+      assert(advice.isInstanceOf[StatsCatalog.SaltedShuffle])
+      // append: exact stats re-key (stale) -> without maintenance the
+      // skew signal would vanish
+      val batch = (901L to 1000L).map(i => (i % 10, i)).toDF("k", "v")
+      batch.write.mode("append").parquet(s"$dir/afact.parquet")
+      assert(advice === StatsCatalog.PlainShuffle,
+        "stale everything -> no frequency signal, fail-open to plain")
+      StatsMaintain.appendMaintain(spark, dir, "afact", batch)
+      advice match {
+        case StatsCatalog.SaltedShuffle(f) =>
+          assert(f > 50.0, s"maintained mean must still flag the skew: $f")
+        case other => fail(s"maintained tier must restore the signal: $other")
+      }
+    }
+  }
+
   test("torn artifacts and stale stamps never serve") {
     withIndexRoot("graft-maint-torn") {
       val dir = tmpDir("graft-maint-torn-data")
