@@ -293,15 +293,18 @@ object EntityIndex {
     // finding: clearing tombstones while a committed batch still
     // holds a purged user's rows would resurface them on every
     // stream-folded face). Rewrite each committed batch that holds a
-    // purged row via its own staged swap; every window is replay-safe
-    // — a crash before the delete re-stages, a crash between delete
-    // and rename is finished by the recovery leg on the next run, and
-    // the tombstones (cleared LAST, below) keep servePurged* exact
-    // throughout.
-    // stage dirs are named OUTSIDE the `batch=` namespace so a torn
-    // swap can never be read as a batch; recovery first — a crash
-    // between delete and rename left a ready stage whose target is
-    // gone, and finishing it must precede the pass proper
+    // purged row via its own staged swap.
+    // stage/trash dirs are named OUTSIDE the `batch=` namespace so a
+    // torn swap can never be read as a batch. The swap is rename-only
+    // — old renamed ASIDE, stage renamed IN — so readers see the old
+    // batch or the new one with only two atomic metadata ops between
+    // (never a recursive delete's worth of darkness; the r13 advice's
+    // visibility window), and servePurged* stays exact throughout
+    // because the tombstones clear LAST. Recovery first — finish or
+    // roll back any swap a crash left half-done:
+    //   stage ready + target gone  -> rename the stage in
+    //   trash present + target gone -> roll the old batch back
+    //   anything with a live target -> superseded leftover, delete
     val (sfs, spp) = IndexStore.fsOf(streamPath(dir))
     if (sfs.exists(spp)) {
       sfs.listStatus(spp).filter(_.isDirectory)
@@ -314,17 +317,28 @@ object EntityIndex {
               IndexStore.artifactReady(stg.toString)) sfs.rename(stg, target)
           else sfs.delete(stg, true) // torn or superseded stage
         }
+      sfs.listStatus(spp).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("trash_batch="))
+        .foreach { tName =>
+          val tag = tName.stripPrefix("trash_")
+          val target = new org.apache.hadoop.fs.Path(spp, tag)
+          val t = new org.apache.hadoop.fs.Path(spp, tName)
+          if (!sfs.exists(target)) sfs.rename(t, target) // torn-stage rollback
+          else sfs.delete(t, true) // swap completed; drop the old copy
+        }
     }
     IndexStore.readyBatches(streamPath(dir)).foreach { tag =>
       val bp = s"${streamPath(dir)}/$tag"
       val (bfs, bpp) = IndexStore.fsOf(bp)
       val stg = new org.apache.hadoop.fs.Path(spp, s"vacuum_$tag")
+      val aside = new org.apache.hadoop.fs.Path(spp, s"trash_$tag")
       val batchDf = s.read.parquet(bp)
       if (!batchDf.join(purged, Seq("user_id"), "left_semi").isEmpty) {
         batchDf.join(purged, Seq("user_id"), "left_anti")
           .coalesce(1).write.mode("overwrite").parquet(stg.toString)
-        bfs.delete(bpp, true)
+        bfs.rename(bpp, aside)
         bfs.rename(stg, bpp)
+        bfs.delete(aside, true)
         ()
       }
     }

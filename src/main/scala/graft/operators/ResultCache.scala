@@ -30,8 +30,17 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Fail-closed like everything else: a plan with any non-file leaf
   * (a LocalRelation's data is not part of the canonicalized string,
   * so it CANNOT be safely keyed) computes directly and is never
-  * cached. Results are written coalesce(1), so the read-back
-  * preserves row order — an ORDER BY survives the cache.
+  * cached — and so does a plan carrying any NON-DETERMINISTIC or
+  * current-time-family expression (`current_timestamp`/`now`/
+  * `current_date`/`localtimestamp`): those canonicalize identically
+  * across runs while their VALUE moves, so `ts > now() - 1h` would
+  * HIT tomorrow and serve yesterday's window — the one way a
+  * plan-keyed cache can go stale without any source mutating. Both
+  * walks cover subquery plans too ([[sourceStamp]] visits
+  * `subqueriesAll`), so a scalar subquery's sources are stamped and
+  * its expressions screened like the main plan's. Results are
+  * written coalesce(1), so the read-back preserves row order — an
+  * ORDER BY survives the cache.
   *
   * Scope: single-writer per key (the engine's job model); results
   * are RESULT-sized by assumption — a caller caching a corpus-sized
@@ -50,10 +59,26 @@ object ResultCache {
   /** (stamp, true) when every leaf is a file relation; (_, false)
     * marks an uncacheable plan. The stamp walks each root path's
     * listing — FS metadata only, the EnsureWatermark class of cost. */
+  /** Expressions whose VALUE moves between runs while their
+    * canonicalized form does not — caching them would serve an
+    * earlier moment's rows. Non-deterministic expressions (rand,
+    * monotonically_increasing_id, …) are uncacheable for the same
+    * reason. */
+  private def timeOrNonDeterministic(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.exists {
+      case _: CurrentTimestampLike | _: CurrentDate | _: LocalTimestamp |
+           _: CurrentTimeZone => true
+      case ex => !ex.deterministic
+    }
+  }
+
   private def sourceStamp(df: DataFrame): (String, Boolean) = {
     var fileLeaves = List.empty[String]
     var other = false
-    df.queryExecution.analyzed.foreach {
+    val analyzed = df.queryExecution.analyzed
+    (analyzed +: analyzed.subqueriesAll).foreach(_.foreach {
       case rel: LogicalRelation =>
         rel.relation match {
           case fs: HadoopFsRelation =>
@@ -65,8 +90,9 @@ object ResultCache {
         // LocalRelation / OneRowRelation / ranges: data lives outside
         // the canonicalized string -> cannot key safely
         other = true
-      case _ => ()
-    }
+      case p =>
+        if (p.expressions.exists(timeOrNonDeterministic)) other = true
+    })
     if (other || fileLeaves.isEmpty) ("", false)
     else {
       import org.apache.hadoop.fs.FileStatus

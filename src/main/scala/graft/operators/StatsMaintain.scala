@@ -161,10 +161,17 @@ object StatsMaintain {
     val dtypes = graft.Tables(s, dir, table).schema
       .fields.map(f => f.name -> f.dataType).toMap
     val batchSums = summarize(batch).map(t => t._1 -> t).toMap
+    // every appended row advances EVERY maintained column's row count
+    // — a column the batch frame lacks is served as NULL by the
+    // parquet scan for each batch row, so n and nulls advance
+    // together and the bounds stand (r13 advice: the old behavior
+    // froze n for the missing column while its siblings advanced,
+    // leaving statsIfCurrent internally inconsistent)
+    val batchN = batchSums.values.headOption.map(_._2).getOrElse(0L)
     val mergedSums = old.map { m =>
       val dt = dtypes(m.column)
       batchSums.get(m.column) match {
-        case None => (m.column, m.n, m.nulls, m.min, m.max)
+        case None => (m.column, m.n + batchN, m.nulls + batchN, m.min, m.max)
         case Some((_, bn, bnulls, bmin, bmax)) =>
           (m.column, m.n + bn, m.nulls + bnulls,
             mergeBound(dt, m.min, bmin, takeMin = true),

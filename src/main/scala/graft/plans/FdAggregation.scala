@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.Max
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -37,15 +37,29 @@ import graft.operators.StatsCatalog
   *
   * EXACTNESS argument: the FD is proven on the BASE table
   * ([[StatsCatalog.determines]]: exact-mode, current, null-free
-  * determinant). Any child of the matched aggregate only ever
-  * filters / projects / joins that table's ROWS — each surviving or
-  * duplicated row still carries a (key, name) pair from the base
-  * table, so the FD holds row-wise in the aggregate's input, groups
-  * by (key, name) coincide with groups by key, and max(name)
-  * restores the unique name under the original exprId — parents
-  * never see the substitution. exprId identity is the proof that
-  * both attributes are UNTOUCHED relation columns (an Alias would
-  * re-key), same as [[DictionaryRoutingRule.sourceOf]].
+  * determinant), and [[sourceOf]] verifies the path from that
+  * relation UP to the aggregate consists only of row-PRESERVING
+  * nodes — Filter / Project / Join / SubqueryAlias — each of which
+  * only drops or duplicates base rows, so every input row still
+  * carries a (key, name) pair drawn from the base table, groups by
+  * (key, name) coincide with groups by key, and max(name) restores
+  * the unique name under the original exprId — parents never see
+  * the substitution. Anything else on the path VETOES the rewrite:
+  * a Union in particular reuses its FIRST child's exprIds, so the
+  * base relation would match while rows from the other branches owe
+  * the FD nothing (the r13 advice's unsoundness — spec-pinned now).
+  * exprId identity is the proof that both attributes are UNTOUCHED
+  * relation columns (an Alias would re-key), same as
+  * [[DictionaryRoutingRule.sourceOf]].
+  *
+  * Output-side guard: the rewrite fires only when every reference to
+  * the determined column in the aggregate list is either the bare
+  * grouping attribute (rewritten to the max alias) or sits inside an
+  * aggregate function (exact, since the merged groups coincide). An
+  * EMBEDDED non-aggregated reference — `upper(name)` alongside
+  * `GROUP BY key, name` — would survive the rewrite referencing a
+  * non-grouping, non-aggregated attribute (an invalid Aggregate), so
+  * it bails instead (spec-pinned).
   *
   * Fail-closed: absent group artifact, stale watermark, approx-mode
   * stats, a nullable determinant, or determines = false all leave
@@ -53,15 +67,27 @@ import graft.operators.StatsCatalog
   * group-stats read + one watermark listing per candidate pair. */
 class FdAggregationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** The matched base relation, reached ONLY through row-preserving
+    * nodes. A node outside the allowlist (Union above all — its
+    * output reuses the first child's exprIds, so a naive collect
+    * would match a relation whose FD the other branches violate)
+    * ends the search with None: fail-closed. */
+  private def findRel(plan: LogicalPlan, a: AttributeReference,
+      b: AttributeReference): Option[LogicalRelation] = plan match {
+    case rel: LogicalRelation
+        if rel.output.exists(_.exprId == a.exprId) &&
+          rel.output.exists(_.exprId == b.exprId) => Some(rel)
+    case _: Filter | _: Project | _: Join | _: SubqueryAlias =>
+      plan.children.iterator.flatMap(findRel(_, a, b)).nextOption()
+    case _ => None
+  }
+
   /** (dir, table) when BOTH attributes are untouched columns of one
-    * single-root `<dir>/<table>.parquet` relation under `child`. */
+    * single-root `<dir>/<table>.parquet` relation under `child`,
+    * reached only through row-preserving nodes. */
   private def sourceOf(child: LogicalPlan, a: AttributeReference,
       b: AttributeReference): Option[(String, String)] =
-    child.collectFirst {
-      case rel: LogicalRelation
-          if rel.output.exists(_.exprId == a.exprId) &&
-            rel.output.exists(_.exprId == b.exprId) => rel
-    }.flatMap { rel =>
+    findRel(child, a, b).flatMap { rel =>
       rel.relation match {
         case fs: HadoopFsRelation =>
           fs.location.rootPaths.toList match {
@@ -71,6 +97,28 @@ class FdAggregationRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case _ => None
       }
+    }
+
+  /** true when every occurrence of `b` inside `e` sits under an
+    * aggregate function — exact after the rewrite, because the FD
+    * makes the merged key-groups coincide with the original
+    * (key, name) groups. A bare embedded reference (outside any
+    * aggregate) fails: it would reference a dropped grouping column. */
+  private def refsOnlyUnderAgg(e: Expression, b: AttributeReference): Boolean =
+    e match {
+      case _: AggregateExpression => true
+      case ar: AttributeReference if ar.exprId == b.exprId => false
+      case _ => e.children.forall(refsOnlyUnderAgg(_, b))
+    }
+
+  /** Output-side safety: each aggregate-list entry either IS the bare
+    * determined attribute (rewritten to max) or references it only
+    * under aggregate functions. */
+  private def outputsSafe(aggExprs: Seq[NamedExpression],
+      b: AttributeReference): Boolean =
+    aggExprs.forall {
+      case g: AttributeReference => true
+      case other => refsOnlyUnderAgg(other, b)
     }
 
   /** The determined column, reconstructed exactly: max over a group
@@ -87,6 +135,7 @@ class FdAggregationRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // reduce fully across iterations
       val proven = attrs.combinations(2).flatMap { pair =>
         Seq((pair(0), pair(1)), (pair(1), pair(0))).find { case (a, b) =>
+          outputsSafe(aggExprs, b) &&
           sourceOf(child, a, b).exists { case (dir, table) =>
             StatsCatalog.determines(spark, dir, table, a.name, b.name)
               .contains(true)

@@ -72,6 +72,39 @@ class ResultCacheSpec extends SparkSpec {
     }
   }
 
+  test("time-dependent and non-deterministic plans never cache") {
+    withIndexRoot("graft-rc-time") {
+      val dir = tmpDir("graft-rc-time-data")
+      writeTable(dir)
+      // current_timestamp canonicalizes identically across runs while
+      // its VALUE moves: a second run would hit and serve the earlier
+      // moment's rows — so it must never enter the cache
+      def nowShape = graft.Tables(spark, dir, "t")
+        .where(current_timestamp() > lit("2000-01-01").cast("timestamp"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      assert(!ResultCache.through(spark, nowShape)._2)
+      assert(!ResultCache.through(spark, nowShape)._2,
+        "a time-dependent plan must MISS every run")
+      def dateShape = graft.Tables(spark, dir, "t")
+        .select($"k", current_date().as("d"))
+      assert(!ResultCache.through(spark, dateShape)._2)
+      assert(!ResultCache.through(spark, dateShape)._2)
+      def randShape = graft.Tables(spark, dir, "t")
+        .where(rand() >= 0.0).groupBy($"k").agg(count(lit(1)).as("n"))
+      assert(!ResultCache.through(spark, randShape)._2)
+      assert(!ResultCache.through(spark, randShape)._2,
+        "non-deterministic plans are uncacheable")
+      // and the screen must not over-fire: a deterministic timestamp
+      // LITERAL still caches
+      def litShape = graft.Tables(spark, dir, "t")
+        .where(lit("2000-01-01").cast("timestamp") < lit("2001-01-01").cast("timestamp"))
+        .groupBy($"k").agg(count(lit(1)).as("n")).orderBy($"k")
+      assert(!ResultCache.through(spark, litShape)._2)
+      assert(ResultCache.through(spark, litShape)._2,
+        "deterministic plans keep hitting")
+    }
+  }
+
   test("plans with non-file leaves compute directly and never cache") {
     withIndexRoot("graft-rc-local") {
       val local = Seq((1L, "a"), (2L, "b")).toDF("k", "s")

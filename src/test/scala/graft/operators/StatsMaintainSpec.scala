@@ -116,6 +116,42 @@ class StatsMaintainSpec extends SparkSpec {
     }
   }
 
+  test("a batch missing a maintained column advances it as all-NULL") {
+    withIndexRoot("graft-maint-miss") {
+      val dir = tmpDir("graft-maint-miss-data")
+      base(dir)
+      StatsMaintain.ensure(spark, dir, "mt")
+      // the caller's batch frame lacks tag and x entirely; the file it
+      // appended serves NULL for them on every batch row
+      val batchMissing = (2000L to 2049L).map(i => (i, i % 200)).toDF("id", "k")
+      batchMissing
+        .withColumn("tag", lit(null).cast("string"))
+        .withColumn("x", lit(null).cast("double"))
+        .write.mode("append").parquet(s"$dir/mt.parquet")
+      StatsMaintain.appendMaintain(spark, dir, "mt", batchMissing)
+      val m = StatsMaintain.statsIfCurrent(spark, dir, "mt").get
+      // EVERY column's row count advances by the batch — the r13
+      // advice's inconsistency (frozen n for the missing column while
+      // siblings advanced) is the tripwire here
+      assert(Seq("id", "k", "tag", "x").forall(c => m(c).n === 950L),
+        s"per-column n must agree: ${m.view.mapValues(_.n).toMap}")
+      assert(m("tag").nulls === 50L && m("x").nulls === 50L)
+      assert(m("id").nulls === 0L && m("id").max === Some("2049"))
+      // bounds stand: NULLs carry no values
+      assert(m("x").min.get.toDouble === 0.1 && m("x").max.get.toDouble === 90.0)
+      // and the whole artifact equals a full rebuild over the table
+      val maintained = spark.read
+        .parquet(s"${StatsMaintain.maintPath(dir, "mt")}/summary")
+        .drop("covered").collect().map(_.toString).sorted.toSeq
+      StatsMaintain.reEnsure(spark, dir, "mt")
+      val rebuilt = spark.read
+        .parquet(s"${StatsMaintain.maintPath(dir, "mt")}/summary")
+        .drop("covered").collect().map(_.toString).sorted.toSeq
+      assert(maintained === rebuilt,
+        "all-NULL merge must coincide with a full rebuild")
+    }
+  }
+
   test("torn artifacts and stale stamps never serve") {
     withIndexRoot("graft-maint-torn") {
       val dir = tmpDir("graft-maint-torn-data")

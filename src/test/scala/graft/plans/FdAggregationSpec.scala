@@ -72,6 +72,83 @@ class FdAggregationSpec extends SparkSpec {
     }
   }
 
+  test("a Union above the proven relation vetoes the rewrite (exprId reuse trap)") {
+    withIndexRoot("graft-fd-union") {
+      val dir = tmpDir("graft-fd-union-data")
+      writeTables(dir)
+      // a second table with the SAME schema whose rows VIOLATE k -> name
+      (1L to 60L).map { i =>
+        (i % 6, s"other_${i % 2}", "tx", "gx", i)
+      }.toDF("k", "name", "tag", "grp", "payload")
+        .write.mode("overwrite").parquet(s"$dir/fd2.parquet")
+      StatsCatalog.ensure(spark, dir, "fd")
+      StatsCatalog.ensureColumnGroup(spark, dir, "fd", Seq("k", "name"))
+      val f = graft.Tables(spark, dir, "fd")
+      val g = graft.Tables(spark, dir, "fd2")
+      // Union output reuses f's exprIds: a collect-based source match
+      // would find fd.parquet and "prove" the FD while g's rows break it
+      def shape = f.union(g).groupBy($"k", $"name")
+        .agg(count(lit(1)).as("n"), sum($"payload").as("s"))
+      val plain = shape.collect().map(_.toString).sorted
+      try {
+        FdAggregation.enable(spark)
+        assert(groupSizes(shape) === Seq(2),
+          s"Union on the path must veto:\n${shape.queryExecution.optimizedPlan}")
+        assert(shape.collect().map(_.toString).sorted.sameElements(plain))
+      } finally FdAggregation.disableForTest(spark)
+    }
+  }
+
+  test("row-preserving path (filter+join) still rewrites; the result is exact") {
+    withIndexRoot("graft-fd-path") {
+      val dir = tmpDir("graft-fd-path-data")
+      writeTables(dir)
+      StatsCatalog.ensure(spark, dir, "fd")
+      StatsCatalog.ensureColumnGroup(spark, dir, "fd", Seq("k", "name"))
+      val f = graft.Tables(spark, dir, "fd")
+      val dim = (0L to 5L).map(k => (k, s"bucket_${k % 2}")).toDF("k", "b")
+      def shape = f.where($"payload" > 10)
+        .join(dim, Seq("k"))
+        .groupBy($"k", $"name").agg(count(lit(1)).as("n"))
+      val plain = shape.collect().map(_.toString).sorted
+      try {
+        FdAggregation.enable(spark)
+        assert(groupSizes(shape) === Seq(1),
+          s"Filter/Join are row-preserving, the rewrite must still fire:\n${shape.queryExecution.optimizedPlan}")
+        assert(shape.collect().map(_.toString).sorted.sameElements(plain))
+      } finally FdAggregation.disableForTest(spark)
+    }
+  }
+
+  test("an embedded non-aggregated reference to the determined column bails") {
+    withIndexRoot("graft-fd-embed") {
+      val dir = tmpDir("graft-fd-embed-data")
+      writeTables(dir)
+      StatsCatalog.ensure(spark, dir, "fd")
+      StatsCatalog.ensureColumnGroup(spark, dir, "fd", Seq("k", "name"))
+      graft.Tables(spark, dir, "fd").createOrReplaceTempView("fd_embed")
+      try {
+        FdAggregation.enable(spark)
+        // upper(name) is valid SQL while name is a grouping column —
+        // after a naive rewrite it would reference a dropped one
+        def embedded = spark.sql(
+          "SELECT k, upper(name) AS un, count(1) AS n FROM fd_embed GROUP BY k, name")
+        assert(groupSizes(embedded) === Seq(2),
+          s"embedded reference must bail:\n${embedded.queryExecution.optimizedPlan}")
+        embedded.collect() // and the plan must still execute
+        // references INSIDE aggregate functions stay safe to rewrite
+        def inAgg = spark.sql(
+          "SELECT k, name, count(name) AS n FROM fd_embed GROUP BY k, name")
+        assert(groupSizes(inAgg) === Seq(1),
+          s"agg-internal references are exact under the FD:\n${inAgg.queryExecution.optimizedPlan}")
+        val got = inAgg.collect().map(_.toString).sorted
+        FdAggregation.disableForTest(spark)
+        val plain = inAgg.collect().map(_.toString).sorted
+        assert(got.sameElements(plain))
+      } finally FdAggregation.disableForTest(spark)
+    }
+  }
+
   test("fail-closed: non-FD pair, absent artifact, stale watermark") {
     withIndexRoot("graft-fd-none") {
       val dir = tmpDir("graft-fd-none-data")
