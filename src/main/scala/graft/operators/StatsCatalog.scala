@@ -443,6 +443,71 @@ object StatsCatalog {
     }
   }
 
+  // ------------------------------------------------------------------
+  // MCV (most-common-value) statistics (D92) — the skew fix for the
+  // Selinger estimator. Single-column stats force equality and
+  // equi-join selectivities into the uniformity assumption (1/ndv
+  // per value), which is blind to exactly the zipfian keys that melt
+  // shuffle partitions at 100 TB. A per-column MCV list (PostgreSQL's
+  // pg_stats most_common_vals, Oracle frequency histograms, SQL
+  // Server stats histograms — public designs) records the top-k
+  // values WITH their exact frequencies; the estimator then serves
+  // an MCV-hit equality at its true frequency and spreads only the
+  // REMAINDER uniformly over the remaining ndv−k values. One groupBy
+  // pass per ensure; the artifact is k rows — metadata, not a copy
+  // of the column. Same lifecycle as every stats artifact:
+  // fingerprint-keyed, watermark-stamped, stamp-memoized reads,
+  // fail-closed to the uniform formula when absent or stale.
+  // ------------------------------------------------------------------
+
+  def mcvPath(dir: String, table: String, column: String): String =
+    s"${IndexStore.root}/${IndexStore.fingerprint(dir, table)}/stats_${table}_mcv_$column"
+
+  /** ANALYZE one column's MCV list: top `k` values by (freq DESC,
+    * rendered value ASC) — the tiebreak makes the set DETERMINISTIC,
+    * so an oracle recomputing the same ranking lands on the same set
+    * (the q81 gate's precondition). Values persist as canonical
+    * string renderings (the min/max discipline); k is baked into the
+    * artifact — re-ensuring with a different k is a no-op until the
+    * table's fingerprint moves. */
+  def ensureMcv(s: SparkSession, dir: String, table: String,
+      column: String, k: Int = 32): Unit = {
+    val path = mcvPath(dir, table, column)
+    if (IndexStore.artifactReady(path)) return
+    graft.Tables(s, dir, table)
+      .where(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("value"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("value"))
+      .limit(k)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    EnsureWatermark.write(path)
+  }
+
+  /** Stamp-keyed memo for plan-time MCV reads — the readStats
+    * discipline. */
+  private val mcvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[(String, Long)])]()
+
+  /** Non-building read face: the (value, freq) list ranked
+    * (freq DESC, value ASC) when the artifact is current, None
+    * otherwise — never launches an ANALYZE. */
+  def mcvIfReady(s: SparkSession, dir: String, table: String,
+      column: String): Option[Seq[(String, Long)]] = {
+    val path = mcvPath(dir, table, column)
+    EnsureWatermark.stampIfHolds(path).map { stamp =>
+      val cached = mcvCache.get(path)
+      if (cached != null && cached._1 == stamp) cached._2
+      else {
+        val rows = s.read.parquet(path)
+          .orderBy(col("freq").desc, col("value")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        mcvCache.put(path, (stamp, rows))
+        rows
+      }
+    }
+  }
+
   /** FD PROOF face: Some(true) iff `a → b` — every value of `a`
     * co-occurs with exactly one value of `b` — proven by EXACT,
     * current group stats (ndv(a,b) == ndv(a), null-free `a`; a NULL

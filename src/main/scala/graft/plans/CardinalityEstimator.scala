@@ -84,10 +84,21 @@ object CardinalityEstimator {
     * so existing replayed estimates (q67's oracle) stay stable —
     * an estimator must be deterministic about which algebra it ran,
     * and the flag IS that declaration. */
+  /** `useMcv = true` additionally consults persisted MCV lists
+    * ([[StatsCatalog.mcvIfReady]], D92) — the SKEW tier: an equality
+    * against a most-common value serves its TRUE frequency instead
+    * of the uniform 1/ndv, a miss spreads only the remainder mass
+    * over the remaining ndv−k values, and an UNFILTERED inner
+    * equi-join sums the exact fL·fR products over the common MCV
+    * set before estimating the remainder by containment. OPT-IN for
+    * the same reason as `useColumnGroups`: the estimator must be
+    * deterministic about which algebra it ran, and q67's replayed
+    * oracle pins the uniform one (q81 pins this one). */
   def estimateRows(s: SparkSession,
       df: org.apache.spark.sql.DataFrame,
-      useColumnGroups: Boolean = false): Option[BigInt] =
-    est(s, df.queryExecution.analyzed, useColumnGroups).map(_.rows)
+      useColumnGroups: Boolean = false,
+      useMcv: Boolean = false): Option[BigInt] =
+    est(s, df.queryExecution.analyzed, useColumnGroups, useMcv).map(_.rows)
 
   private def tableOf(rel: LogicalRelation): Option[(String, String)] =
     rel.relation match {
@@ -119,8 +130,61 @@ object CardinalityEstimator {
     case _ => None
   }
 
+  /** The literal's canonical string rendering — the unit MCV values
+    * persist in ([[StatsCatalog.ensureMcv]] casts through
+    * StringType). Only the renderings that are bit-stable across
+    * both engines qualify (integers, strings); anything else opts
+    * out of the MCV branch. */
+  private def litStr(e: Expression): Option[String] = e match {
+    case Literal(v: java.lang.Long, _) => Some(v.toString)
+    case Literal(v: java.lang.Integer, _) => Some(v.toString)
+    case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+      Some(u.toString)
+    case Cast(inner: Literal, _, _, _) => litStr(inner)
+    case _ => None
+  }
+
+  /** The attribute's current MCV list, when the MCV tier is on and
+    * the artifact is current — resolved through `src` (the table the
+    * attribute traces to) and the stats' own column name (survives
+    * renames). None fails closed to the uniform formula. */
+  private def mcvOf(s: SparkSession, a: AttributeReference,
+      env: Map[ExprId, ColStats], src: Map[ExprId, (String, String)],
+      mcv: Boolean): Option[Seq[(String, Long)]] =
+    if (!mcv) None
+    else for {
+      (dir, table) <- src.get(a.exprId)
+      st <- env.get(a.exprId)
+      m <- StatsCatalog.mcvIfReady(s, dir, table, st.column)
+    } yield m
+
+  /** The MCV equality algebra (PostgreSQL's eqsel over
+    * most_common_vals — public design), ppm, single floor per step:
+    * a literal IN the list serves its true frequency (f·M/n); a miss
+    * spreads the remainder mass (n_nonnull − Σf_mcv) uniformly over
+    * the remaining ndv − k values — zero when the list already
+    * covers the whole domain (ndv ≤ k: a miss is a value that does
+    * not exist). */
+  private def mcvEqPpm(lit: String, entries: Seq[(String, Long)],
+      st: ColStats): BigInt = {
+    val n = BigInt(st.n).max(1)
+    entries.find(_._1 == lit) match {
+      case Some((_, f)) => BigInt(f) * M / n
+      case None =>
+        val k = entries.size
+        if (st.ndv <= k) BigInt(0)
+        else {
+          val rest = BigInt(st.n - st.nulls) - entries.map(e => BigInt(e._2)).sum
+          (rest.max(0) * M / (n * BigInt(st.ndv - k))).min(M)
+        }
+    }
+  }
+
   /** ppm selectivity of one conjunct under `env`. */
-  private def selPpm(c: Expression, env: Map[ExprId, ColStats]): BigInt = {
+  private def selPpm(c: Expression, env: Map[ExprId, ColStats],
+      s: SparkSession,
+      src: Map[ExprId, (String, String)],
+      mcv: Boolean): BigInt = {
     def ndvPpm(a: AttributeReference, k: Long): Option[BigInt] =
       env.get(a.exprId).filter(_.ndv > 0)
         .map(st => (BigInt(k) * M / st.ndv).min(M))
@@ -149,11 +213,21 @@ object CardinalityEstimator {
     }
     c match {
       case EqualTo(l, r) =>
+        // the MCV tier outranks uniformity when the literal renders
+        // canonically AND the attribute has a current MCV artifact;
+        // every other leg falls through to Selinger's 1/ndv
+        def eq(a: AttributeReference, other: Expression): BigInt =
+          (litStr(other), env.get(a.exprId)) match {
+            case (Some(ls0), Some(st)) =>
+              mcvOf(s, a, env, src, mcv).map(mcvEqPpm(ls0, _, st))
+                .getOrElse(ndvPpm(a, 1L).getOrElse(M / 3))
+            case _ => ndvPpm(a, 1L).getOrElse(M / 3)
+          }
         (attrOf(l), attrOf(r)) match {
           case (Some(a), None) if longLit(r).isDefined || r.isInstanceOf[Literal] =>
-            ndvPpm(a, 1L).getOrElse(M / 3)
+            eq(a, r)
           case (None, Some(a)) if longLit(l).isDefined || l.isInstanceOf[Literal] =>
-            ndvPpm(a, 1L).getOrElse(M / 3)
+            eq(a, l)
           case _ => M / 3
         }
       case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
@@ -192,9 +266,10 @@ object CardinalityEstimator {
       // disjunction under independence: sel(a OR b) = 1−(1−sa)(1−sb);
       // negation: sel(NOT a) = 1−sa — both Selinger's own forms
       case Or(l, r) =>
-        val sl = selPpm(l, env); val sr = selPpm(r, env)
+        val sl = selPpm(l, env, s, src, mcv)
+        val sr = selPpm(r, env, s, src, mcv)
         (M - (M - sl) * (M - sr) / M).min(M).max(0)
-      case Not(inner) => (M - selPpm(inner, env)).min(M).max(0)
+      case Not(inner) => (M - selPpm(inner, env, s, src, mcv)).min(M).max(0)
       case _ => M / 3
     }
   }
@@ -211,7 +286,7 @@ object CardinalityEstimator {
   }
 
   private def est(s: SparkSession, plan: LogicalPlan,
-      groups: Boolean): Option[Est] =
+      groups: Boolean, mcv: Boolean): Option[Est] =
     plan match {
       case rel: LogicalRelation =>
         tableOf(rel).flatMap { case (dir, table) =>
@@ -237,7 +312,7 @@ object CardinalityEstimator {
           }
         }
       case Project(list, child) =>
-        est(s, child, groups).map { e =>
+        est(s, child, groups, mcv).map { e =>
           // rebind: bare attrs keep their stats; aliases of bare
           // attrs carry the underlying column's stats to the new id;
           // a NAME-PRESERVING single-source alias (the loader's
@@ -260,15 +335,15 @@ object CardinalityEstimator {
             e.src.get(f).map(t -> _) }.toMap
           Est(e.rows, rebound, reboundSrc)
         }
-      case SubqueryAlias(_, child) => est(s, child, groups)
-      case Sort(_, _, child, _) => est(s, child, groups)
+      case SubqueryAlias(_, child) => est(s, child, groups, mcv)
+      case Sort(_, _, child, _) => est(s, child, groups, mcv)
       // a window computes columns, never changes cardinality; its new
       // attributes carry no stats, the child's keep theirs
-      case Window(_, _, _, child, _) => est(s, child, groups)
+      case Window(_, _, _, child, _) => est(s, child, groups, mcv)
       // DISTINCT / dropDuplicates(keys) is a group-by in disguise:
       // min(child, ∏ ndv(keys)) under the same independence algebra
       case Deduplicate(keys, child) =>
-        est(s, child, groups).map { e =>
+        est(s, child, groups, mcv).map { e =>
           val prod = keys.map {
             case a: AttributeReference =>
               e.env.get(a.exprId).map(st => BigInt(st.ndv).max(1))
@@ -279,34 +354,66 @@ object CardinalityEstimator {
             e.env, e.src)
         }
       case Filter(cond, child) =>
-        est(s, child, groups).map { e =>
+        est(s, child, groups, mcv).map { e =>
           val rows = conjuncts(cond).foldLeft(e.rows)(
-            (r, c) => r * selPpm(c, e.env) / M)
+            (r, c) => r * selPpm(c, e.env, s, e.src, mcv) / M)
           Est(rows, e.env, e.src)
         }
       case Join(l, r, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
         for {
-          le <- est(s, l, groups)
-          re <- est(s, r, groups)
+          le <- est(s, l, groups, mcv)
+          re <- est(s, r, groups, mcv)
           key <- conjuncts(cond).collectFirst {
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if le.env.contains(a.exprId) && re.env.contains(b.exprId) =>
-              (le.env(a.exprId), re.env(b.exprId))
+              (a, le.env(a.exprId), b, re.env(b.exprId))
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if le.env.contains(b.exprId) && re.env.contains(a.exprId) =>
-              (le.env(b.exprId), re.env(a.exprId))
+              (b, le.env(b.exprId), a, re.env(a.exprId))
           }
         } yield {
-          val (ls, rs) = key
-          val d = BigInt(math.max(math.max(ls.ndv, rs.ndv), 1L))
-          val inner = le.rows * re.rows / d
-          val rows = if (jt == LeftOuter) inner.max(le.rows) else inner
+          val (la, ls, ra, rs) = key
+          // MCV JOIN branch (PostgreSQL's eqjoinsel over
+          // most_common_vals, declared-simplified): when BOTH key
+          // columns carry current MCV lists AND neither side is
+          // filtered below the join (each side's estimate equals its
+          // table's row count — MCV frequencies are table-level
+          // facts), the common MCV set contributes Σ fL·fR EXACTLY
+          // and only the remainder mass estimates by containment
+          // over the remaining ndv−|common| values. Any other case
+          // (filtered sides, absent/stale artifacts, outer joins)
+          // falls through to Selinger's ratio — fail-closed to the
+          // q67 algebra, never a guess about scaled frequencies.
+          val viaMcv: Option[BigInt] =
+            if (!mcv || jt != Inner ||
+                le.rows != BigInt(ls.n) || re.rows != BigInt(rs.n)) None
+            else for {
+              lmv <- mcvOf(s, la, le.env, le.src, mcv)
+              rmv <- mcvOf(s, ra, re.env, re.src, mcv)
+            } yield {
+              val rm = rmv.toMap
+              val common = lmv.filter(e => rm.contains(e._1))
+              val exact = common.map(e => BigInt(e._2) * BigInt(rm(e._1))).sum
+              val restL = (BigInt(ls.n - ls.nulls) -
+                common.map(e => BigInt(e._2)).sum).max(0)
+              val restR = (BigInt(rs.n - rs.nulls) -
+                common.map(e => BigInt(rm(e._1))).sum).max(0)
+              val nc = common.size
+              val dd = BigInt(math.max(
+                math.max(ls.ndv - nc, rs.ndv - nc), 1L))
+              exact + restL * restR / dd
+            }
+          val rows = viaMcv.getOrElse {
+            val d = BigInt(math.max(math.max(ls.ndv, rs.ndv), 1L))
+            val inner = le.rows * re.rows / d
+            if (jt == LeftOuter) inner.max(le.rows) else inner
+          }
           Est(rows, le.env ++ re.env, le.src ++ re.src)
         }
       case Join(l, r, jt, Some(cond), _) if jt == LeftSemi || jt == LeftAnti =>
         for {
-          le <- est(s, l, groups)
-          re <- est(s, r, groups)
+          le <- est(s, l, groups, mcv)
+          re <- est(s, r, groups, mcv)
           key <- conjuncts(cond).collectFirst {
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if le.env.contains(a.exprId) && re.env.contains(b.exprId) =>
@@ -333,15 +440,15 @@ object CardinalityEstimator {
       // distinct side (dedup via the left env's ndv product when
       // every column has stats, else the raw side).
       case Intersect(l, r, false) =>
-        for { le <- est(s, l, groups); re <- est(s, r, groups) } yield
+        for { le <- est(s, l, groups, mcv); re <- est(s, r, groups, mcv) } yield
           Est(distinctBound(l, le).min(distinctBound(r, re)),
             le.env, le.src)
       case Except(l, r, false) =>
         // EXCEPT DISTINCT emits at most the left side's DISTINCT rows
         // (r13 review caught the raw-rows shortfall vs the comment)
-        est(s, l, groups).map(e => Est(distinctBound(l, e), e.env, e.src))
+        est(s, l, groups, mcv).map(e => Est(distinctBound(l, e), e.env, e.src))
       case Union(children, _, _) if children.nonEmpty =>
-        val es = children.map(c => est(s, c, groups))
+        val es = children.map(c => est(s, c, groups, mcv))
         if (es.forall(_.isDefined))
           // output exprIds are the head child's — its env is the
           // union's declared distribution (uniformity assumption)
@@ -349,7 +456,7 @@ object CardinalityEstimator {
             es.head.get.src))
         else None
       case Aggregate(group, _, Expand(projections, expOut, child), _) =>
-        est(s, child, groups).map { e =>
+        est(s, child, groups, mcv).map { e =>
           // Per grouping set: rebind the Expand's output positionally
           // from THAT branch's projection (live slots are attr refs to
           // the group-by aliases, NULLed slots and the grouping-id are
@@ -374,7 +481,7 @@ object CardinalityEstimator {
           Est(branches.sum, Map.empty, Map.empty)
         }
       case Aggregate(group, _, child, _) =>
-        est(s, child, groups).map { e =>
+        est(s, child, groups, mcv).map { e =>
           // COLUMN-GROUP path (opt-in): when every grouped attribute
           // traces to ONE table and a persisted group artifact covers
           // exactly that column set, its measured tuple-NDV replaces
@@ -402,9 +509,9 @@ object CardinalityEstimator {
             Map.empty, Map.empty)
         }
       case GlobalLimit(IntegerLiteral(k), child) =>
-        est(s, child, groups).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
+        est(s, child, groups, mcv).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
       case LocalLimit(IntegerLiteral(k), child) =>
-        est(s, child, groups).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
+        est(s, child, groups, mcv).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
       case _ => None
     }
 }

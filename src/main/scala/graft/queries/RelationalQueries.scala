@@ -3610,6 +3610,98 @@ object RelationalQueries {
     }.toDF("col", "n", "nulls", "min_v", "max_v").orderBy($"col")
   }
 
+  /** q81 — SKEW-AWARE (MCV) CARDINALITY ESTIMATION ([[graft.plans
+    * .CardinalityEstimator]] `useMcv` × [[graft.operators.StatsCatalog
+    * .ensureMcv]], D92): the r13 verdict's "estimator skew-blindness"
+    * closed. Selinger's uniformity charges every equality 1/ndv and
+    * every join |L|·|R|/max(ndv) — blind to exactly the zipfian keys
+    * that melt a shuffle partition at 100 TB. The MCV tier
+    * (PostgreSQL's most_common_vals / eqsel / eqjoinsel — public
+    * designs) serves an MCV-hit equality at its TRUE frequency,
+    * spreads only the remainder mass over the remaining ndv−k
+    * values, and sums exact fL·fR products over the common MCV set
+    * of an unfiltered inner equi-join before estimating the
+    * remainder by containment. Integer-exact ppm like q67; the
+    * oracle recomputes the MCV lists (same (freq DESC, value ASC)
+    * tiebreak) and formulas from the raw tables, so the hash gate
+    * proves the declared algebra — including WHICH branch (hit /
+    * remainder / covered-domain-zero) the data selects. */
+  val q81McvEstimate: GraftQuery = q(
+    "q81_mcv_estimate",
+    "skew-aware MCV cardinality estimates: equality at true frequency, remainder mass spread uniformly, MCV-overlap equi-join — formulas and branch choice replayed by the oracle",
+    """WITH ett AS (SELECT CAST(event_type AS VARCHAR) v, count(*) f
+      |            FROM events WHERE event_type IS NOT NULL
+      |            GROUP BY 1 ORDER BY f DESC, v ASC LIMIT 32),
+      |     es AS (SELECT count(*) n, count(event_type) nn,
+      |             count(DISTINCT event_type) ndv FROM events),
+      |     utt AS (SELECT CAST(user_id AS VARCHAR) v, count(*) f
+      |            FROM events WHERE user_id IS NOT NULL
+      |            GROUP BY 1 ORDER BY f DESC, v ASC LIMIT 32),
+      |     us AS (SELECT count(*) n, count(user_id) nn,
+      |             count(DISTINCT user_id) ndv FROM events),
+      |     ltt AS (SELECT CAST(l_suppkey AS VARCHAR) v, count(*) f
+      |            FROM lineitem WHERE l_suppkey IS NOT NULL
+      |            GROUP BY 1 ORDER BY f DESC, v ASC LIMIT 32),
+      |     stt AS (SELECT CAST(s_suppkey AS VARCHAR) v, count(*) f
+      |            FROM supplier WHERE s_suppkey IS NOT NULL
+      |            GROUP BY 1 ORDER BY f DESC, v ASC LIMIT 32),
+      |     lsx AS (SELECT count(*) n, count(l_suppkey) nn,
+      |             count(DISTINCT l_suppkey) ndv FROM lineitem),
+      |     ssx AS (SELECT count(*) n, count(s_suppkey) nn,
+      |             count(DISTINCT s_suppkey) ndv FROM supplier),
+      |     cm AS (SELECT ltt.v, ltt.f AS fl, stt.f AS fr
+      |            FROM ltt JOIN stt USING (v)),
+      |     jn AS (SELECT COALESCE(sum(fl * fr), 0) AS ex,
+      |             COALESCE(sum(fl), 0) AS sfl,
+      |             COALESCE(sum(fr), 0) AS sfr, count(*) AS nc FROM cm)
+      |SELECT * FROM (
+      |  SELECT 'eq_mcv_hit' AS shape,
+      |         CAST(es.n * (CASE
+      |           WHEN EXISTS (SELECT 1 FROM ett WHERE v = 'signup')
+      |             THEN (SELECT (f * 1000000) // es.n FROM ett WHERE v = 'signup')
+      |           WHEN es.ndv <= (SELECT count(*) FROM ett) THEN 0
+      |           ELSE least(greatest(es.nn - (SELECT sum(f) FROM ett), 0) * 1000000
+      |                  // (es.n * (es.ndv - (SELECT count(*) FROM ett))), 1000000)
+      |         END) // 1000000 AS BIGINT) AS est
+      |  FROM es
+      |  UNION ALL
+      |  SELECT 'eq_mcv_long',
+      |         CAST(us.n * (CASE
+      |           WHEN EXISTS (SELECT 1 FROM utt WHERE v = '77')
+      |             THEN (SELECT (f * 1000000) // us.n FROM utt WHERE v = '77')
+      |           WHEN us.ndv <= (SELECT count(*) FROM utt) THEN 0
+      |           ELSE least(greatest(us.nn - (SELECT sum(f) FROM utt), 0) * 1000000
+      |                  // (us.n * (us.ndv - (SELECT count(*) FROM utt))), 1000000)
+      |         END) // 1000000 AS BIGINT)
+      |  FROM us
+      |  UNION ALL
+      |  SELECT 'join_mcv',
+      |         CAST(jn.ex + greatest(lsx.nn - jn.sfl, 0) * greatest(ssx.nn - jn.sfr, 0)
+      |              // greatest(lsx.ndv - jn.nc, ssx.ndv - jn.nc, 1) AS BIGINT)
+      |  FROM jn, lsx, ssx
+      |) ORDER BY shape""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    Seq("events", "lineitem", "supplier").foreach(SC.ensure(s, dir, _))
+    SC.ensureMcv(s, dir, "events", "event_type")
+    SC.ensureMcv(s, dir, "events", "user_id")
+    SC.ensureMcv(s, dir, "lineitem", "l_suppkey")
+    SC.ensureMcv(s, dir, "supplier", "s_suppkey")
+    val CE = graft.plans.CardinalityEstimator
+    val ev = Tables(s, dir, "events")
+    val li = Tables(s, dir, "lineitem")
+    val su = Tables(s, dir, "supplier")
+    val shapes = Seq(
+      "eq_mcv_hit" -> ev.where($"event_type" === "signup"),
+      "eq_mcv_long" -> ev.where($"user_id" === 77L),
+      "join_mcv" -> li.join(su, $"l_suppkey" === $"s_suppkey"))
+    shapes.map { case (name, df) =>
+      (name, CE.estimateRows(s, df, useMcv = true).getOrElse(
+        sys.error(s"MCV estimator must cover $name")).toLong)
+    }.toDF("shape", "est").orderBy($"shape")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3632,5 +3724,5 @@ object RelationalQueries {
     q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
     q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy,
     q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes,
-    q80MaintainedStats)
+    q80MaintainedStats, q81McvEstimate)
 }
