@@ -74,10 +74,19 @@ object ResultCache {
     }
   }
 
-  private def sourceStamp(df: DataFrame): (String, Boolean) = {
+  private def sourceStamp(df: DataFrame): (String, Boolean) =
+    planStamp(df.queryExecution.analyzed)
+
+  /** The stamp computed over any logical plan — the analyzed-plan
+    * face serves [[through]], the OPTIMIZED-plan face serves the
+    * transparent tier ([[graft.plans.TransparentResultCache]]), each
+    * keying its own entries (the two plan forms canonicalize
+    * differently, so the keyspaces never collide). */
+  private[graft] def planStamp(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : (String, Boolean) = {
     var fileLeaves = List.empty[String]
     var other = false
-    val analyzed = df.queryExecution.analyzed
     (analyzed +: analyzed.subqueriesAll).foreach(_.foreach {
       case rel: LogicalRelation =>
         rel.relation match {
@@ -142,6 +151,55 @@ object ResultCache {
     else {
       df.coalesce(1).write.mode("overwrite").parquet(path)
       (s.read.parquet(path), false)
+    }
+  }
+
+  /** Cache key of an arbitrary plan: canonicalized form ‖ source
+    * stamp, None when uncacheable — the shared keying for both
+    * serving faces. */
+  private[graft] def keyOf(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[String] = {
+    val (stamp, cacheable) = planStamp(plan)
+    if (!cacheable) None
+    else Some(md5(plan.canonicalized.toString + "\u0000" + stamp))
+  }
+
+  /** true when any leaf already reads a result-cache entry — the
+    * recursion guard for the transparent tier (a substituted plan
+    * must never re-key, and a cache read must never publish). */
+  private[graft] def readsCache(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan.exists {
+      case rel: LogicalRelation =>
+        rel.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("/result_cache/"))
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** PUBLISH for the transparent tier ([[graft.plans
+    * .TransparentResultCache]]): write `df`'s result keyed by its
+    * OPTIMIZED plan — the form the optimizer rule sees — so the NEXT
+    * optimization of the same query substitutes the entry with no
+    * caller cooperation. Returns true when an entry was written
+    * (false: uncacheable plan, already published, or the plan is
+    * itself a cache read — publishing that would key an entry on the
+    * entry). */
+  def publish(s: SparkSession, df: DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    if (readsCache(plan)) return false
+    keyOf(plan) match {
+      case None => false
+      case Some(key) =>
+        val path = cachePath(key)
+        if (IndexStore.artifactReady(path)) false
+        else {
+          df.coalesce(1).write.mode("overwrite").parquet(path)
+          true
+        }
     }
   }
 }
