@@ -384,21 +384,41 @@ object MinMaxManifest {
     val packedKeys = packed.flatten.map(pathKey).toSet
     val keepNames = readSet.filter(n => !packedKeys.contains(
       new Path(lpp, n).toUri.getPath))
-    // stage: one time-sorted file per bin, under stable opt names
+    // stage: one time-sorted file per bin, under stable opt names —
+    // in ONE Spark job over the whole small-file mass (the r13
+    // verdict's leftover per-bin job loop): every row routes to its
+    // bin by file name (broadcast map), one shuffle partition per bin
+    // so each bin lands contiguous and ts-sorted, and partitionBy
+    // splits any hash-colliding bins into their own files. N bins =
+    // one scan + one shuffle, not N scheduler round-trips.
     val stagedL = lp + ".optimizing"
     fs.delete(new Path(stagedL), true)
-    packed.zipWithIndex.foreach { case (bin, i) =>
-      val tmp = s"$stagedL/__bin$i"
-      s.read.parquet(bin: _*)
-        .repartitionByRange(1, col("ts")).sortWithinPartitions(col("ts"))
-        .write.mode("overwrite").parquet(tmp)
-      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
-        .filter(_.getName.startsWith("part-")).head
-      require(fs.rename(part,
+    import s.implicits._
+    val binByFile = packed.zipWithIndex.flatMap { case (bin, i) =>
+      bin.map(p => (new Path(p).getName, i))
+    }.toDF("__file", "__bin")
+    val stagedTmp = lp + ".optimizing_bins"
+    fs.delete(new Path(stagedTmp), true)
+    val smallDf = s.read.parquet(packed.flatten: _*)
+    val origCols = smallDf.columns.toSeq
+    smallDf
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(binByFile), Seq("__file"))
+      .select((origCols :+ "__bin").map(col): _*)
+      .repartition(packed.size, col("__bin"))
+      .sortWithinPartitions(col("__bin"), col("ts"))
+      .write.partitionBy("__bin").mode("overwrite").parquet(stagedTmp)
+    fs.mkdirs(new Path(stagedL))
+    packed.indices.foreach { i =>
+      val parts = fs.listStatus(new Path(stagedTmp, s"__bin=$i"))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+      require(parts.length == 1,
+        s"bin $i must stage as exactly one file, got ${parts.length}")
+      require(fs.rename(parts.head,
         new Path(stagedL, f"part-opt$i%05d.parquet")),
         s"staging rename failed for bin $i")
-      fs.delete(new Path(tmp), true)
     }
+    fs.delete(new Path(stagedTmp), true)
     onStagedForTest()
     // the single-writer guard, as in compact: abort losslessly if
     // anything appeared or vanished since the read
