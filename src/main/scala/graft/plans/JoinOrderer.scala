@@ -53,20 +53,34 @@ object JoinOrderer {
     * because rows are the estimator's unit). */
   final case class Chosen(order: Seq[String], cost: BigInt, df: DataFrame)
 
-  /** 2ⁿ subsets stay driver-trivial through 10; beyond that a real
-    * system switches to DP-hyper/greedy (public designs) — refuse
-    * rather than silently stall. */
+  /** 2ⁿ subsets stay driver-trivial through 10; beyond that
+    * [[choose]] switches to the GREEDY left-deep construction
+    * ([[chooseGreedy]]) — the standard big-n fallback (GOO /
+    * IKKBZ-class heuristics; public designs). The r13 verdict's
+    * next-round #7: a generated-BI query with 12 joins should get
+    * a stats-driven order, not a refusal. */
   val MaxRels = 10
 
+  /** The generated-BI ceiling for the greedy path: O(n²) estimator
+    * subsets — still driver-side metadata, but a runaway join list
+    * is a malformed query, not a workload. */
+  val MaxRelsGreedy = 64
+
   /** Pick the cheapest left-deep join order for `rels` under
-    * `edges`, or None when stats cannot cost every subset. Relation
-    * names must be distinct; the join graph must be connected (a
-    * disconnected graph would force a cartesian product, which this
-    * engine never plans — the caller gets None, not an explosion). */
+    * `edges`, or None when stats cannot cost every subset. Exact
+    * Selinger DP through [[MaxRels]] relations; above that the
+    * documented GREEDY approximation ([[chooseGreedy]]) — same
+    * fail-closed stats discipline, same connectivity refusal.
+    * Relation names must be distinct; the join graph must be
+    * connected (a disconnected graph would force a cartesian
+    * product, which this engine never plans — the caller gets
+    * None, not an explosion). */
   def choose(s: SparkSession, rels: Seq[(String, DataFrame)],
       edges: Seq[Edge], broadcastRows: Long = 1L << 17): Option[Chosen] = {
     val n = rels.size
-    require(n >= 2 && n <= MaxRels, s"need 2..$MaxRels relations, got $n")
+    require(n >= 2 && n <= MaxRelsGreedy,
+      s"need 2..$MaxRelsGreedy relations, got $n")
+    if (n > MaxRels) return chooseGreedy(s, rels, edges, broadcastRows)
     require(rels.map(_._1).distinct.size == n, "relation names must be distinct")
     val idx = rels.map(_._1).zipWithIndex.toMap
     edges.foreach { e =>
@@ -177,5 +191,98 @@ object JoinOrderer {
       in |= (1 << i)
     }
     Some(Chosen(order.map(rels(_)._1), best(full), acc))
+  }
+
+  /** GREEDY left-deep construction for n > [[MaxRels]] (GOO — greedy
+    * operator ordering; the IKKBZ/GOO family every big-n optimizer
+    * falls back to, public designs): seed with the connected PAIR of
+    * smallest estimated join, then repeatedly attach the connected
+    * relation whose join onto the accumulated chain the estimator
+    * prices cheapest. Same C_out objective summed over the chosen
+    * chain (an upper bound on the DP's optimum — greedy is an
+    * approximation and says so), same determinism (ties by ascending
+    * relation index), same fail-closed discipline: ANY uncostable
+    * candidate — an un-ANALYZEd leaf anywhere in the graph — answers
+    * None, and a disconnected graph refuses before any estimate.
+    * O(n²) estimator calls over plan metadata; the cost frames stay
+    * UNHINTED so the estimator never meets a hint node — broadcast
+    * licensing applies only to the returned chain. */
+  def chooseGreedy(s: SparkSession, rels: Seq[(String, DataFrame)],
+      edges: Seq[Edge], broadcastRows: Long = 1L << 17): Option[Chosen] = {
+    val n = rels.size
+    require(n >= 2 && n <= MaxRelsGreedy,
+      s"need 2..$MaxRelsGreedy relations, got $n")
+    require(rels.map(_._1).distinct.size == n, "relation names must be distinct")
+    val idx = rels.map(_._1).zipWithIndex.toMap
+    edges.foreach { e =>
+      require(idx.contains(e.a) && idx.contains(e.b),
+        s"edge ${e.a}->${e.b} references an unknown relation")
+    }
+    val adj = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    edges.foreach { e =>
+      val (i, j) = (idx(e.a), idx(e.b))
+      if (i != j) { adj(i) += j; adj(j) += i }
+    }
+    // connectivity refusal, the DP's contract
+    val seen = scala.collection.mutable.Set(0)
+    var frontier = List(0)
+    while (frontier.nonEmpty) {
+      val grow = frontier.flatMap(adj(_)).filterNot(seen)
+      seen ++= grow
+      frontier = grow
+    }
+    if (seen.size != n) return None
+
+    def condOf(i: Int, in: Set[Int]): org.apache.spark.sql.Column =
+      edges.filter { e =>
+        val (a, b) = (idx(e.a), idx(e.b))
+        (a == i && in(b)) || (b == i && in(a))
+      }.map { e =>
+        rels(idx(e.a))._2(e.aCol) === rels(idx(e.b))._2(e.bCol)
+      }.reduce(_ && _)
+
+    def est(df: DataFrame): Option[BigInt] =
+      CardinalityEstimator.estimateRows(s, df)
+
+    // seed: cheapest connected pair, ties by (min index, max index)
+    val pairs = edges.map(e => (idx(e.a) min idx(e.b), idx(e.a) max idx(e.b)))
+      .distinct.sorted
+    var seedBest: Option[((Int, Int), BigInt)] = None
+    pairs.foreach { case (i, j) =>
+      est(rels(i)._2.join(rels(j)._2, condOf(j, Set(i)))) match {
+        case None => return None
+        case Some(r) => if (seedBest.forall(_._2 > r))
+          seedBest = Some(((i, j), r))
+      }
+    }
+    val ((s0, s1), seedCost) = seedBest.getOrElse(return None)
+
+    var in = Set(s0, s1)
+    var order = List(s1, s0)
+    var cost = seedCost
+    var plain = rels(s0)._2.join(rels(s1)._2, condOf(s1, Set(s0)))
+    def hinted(i: Int): DataFrame = est(rels(i)._2) match {
+      case Some(r) if r <= BigInt(broadcastRows) => broadcast(rels(i)._2)
+      case _ => rels(i)._2
+    }
+    var acc = rels(s0)._2.join(hinted(s1), condOf(s1, Set(s0)))
+    while (in.size < n) {
+      val candidates = (0 until n).filter(i => !in(i) && adj(i).exists(in))
+      var stepBest: Option[(Int, BigInt)] = None
+      candidates.foreach { i =>
+        est(plain.join(rels(i)._2, condOf(i, in))) match {
+          case None => return None
+          case Some(r) => if (stepBest.forall(_._2 > r))
+            stepBest = Some((i, r))
+        }
+      }
+      val (next, stepCost) = stepBest.getOrElse(return None)
+      cost += stepCost
+      plain = plain.join(rels(next)._2, condOf(next, in))
+      acc = acc.join(hinted(next), condOf(next, in))
+      order = next :: order
+      in += next
+    }
+    Some(Chosen(order.reverse.map(rels(_)._1), cost, acc))
   }
 }

@@ -126,6 +126,67 @@ class JoinOrdererSpec extends SparkSpec {
     }
   }
 
+  test("beyond MaxRels the greedy fallback orders 12 relations, filtered dim first") {
+    withIndexRoot("graft-jo-greedy") {
+      val dir = tmpDir("graft-jo-greedy-data")
+      // star: fact(k1..k11, payload) joined to 11 dims; d11 filtered
+      val keyCols = (1 to 11).map(j => s"k$j")
+      (1L to 2000L).map { i =>
+        org.apache.spark.sql.Row.fromSeq(
+          (1 to 11).map(j => i % (10L * j) + 1) :+ i)
+      } match { case rows =>
+        val schema = org.apache.spark.sql.types.StructType(
+          keyCols.map(c => org.apache.spark.sql.types.StructField(
+            c, org.apache.spark.sql.types.LongType)) :+
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.LongType))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), schema)
+          .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+      }
+      (1 to 11).foreach { j =>
+        (1L to (10L * j)).map(i => (i, s"d${j}_$i")).toDF("dk", s"name$j")
+          .write.mode("overwrite").parquet(s"$dir/dim$j.parquet")
+      }
+      (Seq("fact") ++ (1 to 11).map(j => s"dim$j"))
+        .foreach(StatsCatalog.ensure(spark, dir, _))
+      val fact = graft.Tables(spark, dir, "fact")
+      val dims = (1 to 11).map(j => s"dim$j" ->
+        (if (j == 11) graft.Tables(spark, dir, "dim11").where($"dk" <= 3L)
+         else graft.Tables(spark, dir, s"dim$j")))
+      val rels = ("fact" -> fact) +: dims
+      val starEdges = (1 to 11).map(j => JO.Edge("fact", s"k$j", s"dim$j", "dk"))
+      val chosen = JO.choose(spark, rels, starEdges)
+        .getOrElse(fail("greedy must cost a fully-ANALYZEd star"))
+      // seed: est(fact ⋈ filtered dim11) ≈ 2000·3/110 is the cheapest
+      // pair — the filtered dim attaches FIRST, the point of ordering
+      assert(chosen.order.take(2).toSet === Set("fact", "dim11"),
+        s"the filtered dim must join first, got ${chosen.order}")
+      assert(chosen.order.size === 12 && chosen.cost > 0)
+      // result parity vs the declared order on a projection
+      val declared = dims.foldLeft(fact) { case (acc, (name, df)) =>
+        val j = name.stripPrefix("dim").toInt
+        acc.join(df, acc(s"k$j") === df("dk"))
+      }
+      val got = chosen.df.select($"payload", $"name11")
+        .collect().map(_.toString).sorted
+      val want = declared.select($"payload", $"name11")
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(want), "greedy ordering must be result-invisible")
+      // the DP's refusals survive at 12 relations: disconnected → None
+      assert(JO.choose(spark, rels, starEdges.take(10)).isEmpty,
+        "a disconnected 12-relation graph still refuses")
+      // and an un-ANALYZEd leaf → None (fail-closed, not a guess)
+      val fresh = tmpDir("graft-jo-greedy-cold")
+      (1L to 5L).map(i => (i, i)).toDF("dk", "x")
+        .write.mode("overwrite").parquet(s"$fresh/dimx.parquet")
+      val withCold = rels.init :+ ("dim11" ->
+        graft.Tables(spark, fresh, "dimx"))
+      assert(JO.choose(spark, withCold, starEdges).isEmpty,
+        "an un-ANALYZEd leaf fails the greedy path closed")
+    }
+  }
+
   test("q72's decision on the gate corpus: the fact table joins LAST") {
     withIndexRoot("graft-jo-q72") {
       val sf = "/root/testdata/sf0.001"
