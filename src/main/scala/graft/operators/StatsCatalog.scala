@@ -298,9 +298,25 @@ object StatsCatalog {
   def adviseJoin(s: SparkSession, dir: String, leftTable: String,
       rightTable: String, key: String,
       broadcastBytes: Long = 32L * 1024 * 1024,
+      skewAvgFreq: Double = 64.0): JoinAdvice =
+    adviseJoinSides(s, dir, leftTable, key, dir, rightTable, key,
+      broadcastBytes, skewAvgFreq)
+
+  /** Two-sided generalization of [[adviseJoin]] — the form the
+    * TRANSPARENT steering rule ([[graft.plans
+    * .TransparentJoinSteeringRule]], D93) needs, where the two join
+    * legs may live in different directories and join on differently
+    * named columns (`l_orderkey = o_orderkey`). Same decision
+    * procedure, same fail-closed artifact reads; ties between
+    * equal-sized sides broadcast the RIGHT one (the `rb <= lb` arm),
+    * a deterministic convention callers can rely on. */
+  def adviseJoinSides(s: SparkSession,
+      leftDir: String, leftTable: String, leftKey: String,
+      rightDir: String, rightTable: String, rightKey: String,
+      broadcastBytes: Long = 32L * 1024 * 1024,
       skewAvgFreq: Double = 64.0): JoinAdvice = {
-    val lb = tableBytes(dir, leftTable)
-    val rb = tableBytes(dir, rightTable)
+    val lb = tableBytes(leftDir, leftTable)
+    val rb = tableBytes(rightDir, rightTable)
     if (math.min(lb, rb) <= broadcastBytes) {
       if (rb <= lb) BroadcastSide(rightTable, rb)
       else BroadcastSide(leftTable, lb)
@@ -316,19 +332,26 @@ object StatsCatalog {
       // key with true max frequency between the thresholds is real
       // skew, and degrading to PlainShuffle there would be strictly
       // worse advice than having no profile at all)
-      val freq = Seq(leftTable, rightTable).flatMap { t =>
-        keyProfile(s, dir, t, key).flatMap {
+      val freq = Seq((leftDir, leftTable, leftKey),
+          (rightDir, rightTable, rightKey)).flatMap { case (d, t, key) =>
+        keyProfile(s, d, t, key).flatMap {
           case (Nil, _) => None
           case (_, f) => Some(f.toDouble)
         }.orElse(
           // statsIfReady: advice reads AVAILABLE metadata only — an
           // un-ANALYZEd table contributes no frequency signal rather
           // than triggering a decision-time ANALYZE (r13 review);
-          // the MAINTAINED tier (D91) serves the mean when the exact
-          // catalog went stale under appends — approx ndv is exactly
-          // advisory-grade
-          statsIfReady(s, dir, t).flatMap(_.get(key)).map(_.avgFreq)
-            .orElse(StatsMaintain.statsIfCurrent(s, dir, t)
+          // the MAINTAINED tier (D91/D94) serves when the exact
+          // catalog went stale under appends — first the maintained
+          // KEY profile's max frequency (the skew signal itself,
+          // kept fresh at O(batch)), then the maintained mean —
+          // approx stats are exactly advisory-grade
+          StatsMaintain.keyProfileIfCurrent(s, d, t, key).flatMap {
+            case (Nil, _) => None
+            case (_, f) => Some(f.toDouble)
+          }).orElse(
+          statsIfReady(s, d, t).flatMap(_.get(key)).map(_.avgFreq)
+            .orElse(StatsMaintain.statsIfCurrent(s, d, t)
               .flatMap(_.get(key))
               .filter(_.ndvEst > 0)
               .map(m => (m.n - m.nulls).toDouble / m.ndvEst)))

@@ -251,6 +251,222 @@ object StatsMaintain {
     fix
   }
 
+  // ------------------------------------------------------------------
+  // MAINTAINED KEY PROFILES + COLUMN GROUPS (D94) — O(batch)
+  // freshness for the two ADVISORY artifacts D91 left out (the r13
+  // verdict's next-round #5): after one day of appends the exact
+  // key profile (fingerprint-keyed) is unreachable and adviseJoin
+  // loses its hot-key list — exactly the artifact whose absence
+  // melts a reducer. Both ride algebras this file already ships:
+  //
+  //  - KEY PROFILE: the top-`trackK` (key, count) pairs maintained
+  //    additively (Misra–Gries / space-saving family — public
+  //    designs): an append sums the batch's per-key counts into the
+  //    tracked set and re-takes the top-K. Keys outside the tracked
+  //    set accumulate only from when they enter it, so a tracked
+  //    count is a LOWER bound — fine for skew advice (a key the
+  //    bound already calls hot IS hot; a slowly-warming key is
+  //    caught within one tracking window), stated here because it
+  //    is the one place maintenance trades exactness for O(batch).
+  //    The serve threshold (`hotFreq`) is baked at build like the
+  //    exact profile's, so advice reads need no caller knob.
+  //  - COLUMN GROUP: tuple-NDV on the same deterministic HLL
+  //    registers as the column sketches (hash of the
+  //    null-sentineled tuple rendering), register MAX-merge per
+  //    append — bit-identical to a rebuild, estimate keeps HLL
+  //    error. Serves `exact = false` GroupStats: the estimator's
+  //    correlated-GROUP-BY fix survives appends, while the FD
+  //    PROOF face ([[StatsCatalog.determines]]) still demands the
+  //    exact listing (spec-pinned).
+  //
+  // Same currency contract as the column stats: every artifact
+  // carries the post-append listing fingerprint it covers and
+  // serves only while that matches the live listing.
+  // ------------------------------------------------------------------
+
+  private def keyProfPath(dir: String, table: String, column: String) =
+    s"${maintPath(dir, table)}/keyprof_$column"
+  private def grpPath(dir: String, table: String, cols: Seq[String]) =
+    s"${maintPath(dir, table)}/grp_${cols.sorted.mkString("__")}"
+
+  /** Build the maintained key profile from one full groupBy pass:
+    * top `trackK` keys by count (ties by key ASC — deterministic),
+    * with the serve threshold `hotFreq` baked into the artifact.
+    * Idempotent while current. */
+  def ensureKeyProfileMaint(s: SparkSession, dir: String, table: String,
+      column: String, hotFreq: Long = 1000L, trackK: Int = 4096): Unit = {
+    if (keyProfileReadIfCurrent(s, dir, table, column).isDefined) return
+    val counts = graft.Tables(s, dir, table)
+      .where(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("freq"))
+    writeKeyProf(s, dir, table, column, counts, hotFreq, trackK)
+  }
+
+  private def writeKeyProf(s: SparkSession, dir: String, table: String,
+      column: String, counts: DataFrame, hotFreq: Long, trackK: Int): Unit = {
+    val covered = IndexStore.fingerprint(dir, table)
+    counts
+      .orderBy(col("freq").desc, col("key"))
+      .limit(trackK)
+      .withColumn("covered", lit(covered))
+      .withColumn("hot_freq", lit(hotFreq))
+      .withColumn("track_k", lit(trackK))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(keyProfPath(dir, table, column))
+  }
+
+  /** O(batch) profile maintenance: the caller appended `batch`'s
+    * rows ALREADY; this sums the batch's per-key counts into the
+    * tracked set (tracked keys add, new keys enter at their batch
+    * count) and re-takes the top-K — the batch is the only data
+    * scanned; the old rows are a ≤trackK-row kilobyte frame. */
+  def appendMaintainKeyProfile(s: SparkSession, dir: String, table: String,
+      column: String, batch: DataFrame): Unit = {
+    import s.implicits._
+    val path = keyProfPath(dir, table, column)
+    require(IndexStore.artifactReady(path),
+      "maintained key profile must be built (ensureKeyProfileMaint) before appendMaintainKeyProfile")
+    val meta = s.read.parquet(path).select(col("hot_freq"), col("track_k"))
+      .limit(1).collect()
+    val (hotFreq, trackK) = meta.headOption
+      .map(r => (r.getLong(0), r.getInt(1))).getOrElse((1000L, 4096))
+    val old = s.read.parquet(path).select(col("key"), col("freq"))
+      .as[(String, Long)].collect().toSeq
+    val merged = batch
+      .where(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("freq"))
+      .union(old.toDF("key", "freq"))
+      .groupBy(col("key")).agg(sum(col("freq")).as("freq"))
+    writeKeyProf(s, dir, table, column, merged, hotFreq, trackK)
+  }
+
+  private def keyProfileReadIfCurrent(s: SparkSession, dir: String,
+      table: String, column: String): Option[Seq[Row]] = {
+    val path = keyProfPath(dir, table, column)
+    if (!IndexStore.artifactReady(path)) return None
+    val rows = s.read.parquet(path)
+      .orderBy(col("freq").desc, col("key")).collect().toSeq
+    // per-row meta: an empty tracked set cannot prove its coverage,
+    // so it fails closed (an empty TABLE has no skew to advise on)
+    rows.headOption.filter(_.getAs[String]("covered") ==
+      IndexStore.fingerprint(dir, table)).map(_ => rows)
+  }
+
+  /** Serving face, shaped like [[StatsCatalog.keyProfile]]: (keys at
+    * or above the baked hot threshold ranked by frequency, max
+    * tracked frequency) while the artifact covers the live listing;
+    * None otherwise. Counts are lower bounds (see the block
+    * comment), so a served hot key is genuinely hot. */
+  def keyProfileIfCurrent(s: SparkSession, dir: String, table: String,
+      column: String, maxHot: Int = 1024): Option[(Seq[String], Long)] =
+    keyProfileReadIfCurrent(s, dir, table, column).map { rows =>
+      val hotFreq = rows.head.getAs[Long]("hot_freq")
+      val hot = rows.filter(_.getAs[Long]("freq") >= hotFreq)
+        .take(maxHot).map(_.getAs[String]("key"))
+      (hot, rows.head.getAs[Long]("freq"))
+    }
+
+  /** Null-sentineled deterministic tuple rendering — the column-group
+    * register hash input. concat_ws alone would collide (null, "x")
+    * with ("x", null); the sentinel keeps the rendering injective on
+    * tuples whose values avoid the control character. */
+  private def tupleCol(cols: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws("\u0001",
+      cols.sorted.map(c => coalesce(col(c).cast(StringType), lit("\u0000N"))): _*)
+
+  private def grpRegisterRows(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import SketchRollup.{MaxRho, P}
+    val label = cols.sorted.mkString(",")
+    def rho(payload: org.apache.spark.sql.Column) =
+      when(payload === 0L, lit(MaxRho))
+        .otherwise(lit(MaxRho) - length(bin(payload)))
+    val h = graft.functions.DetHash.hash60(tupleCol(cols), s"maintgrp_$label")
+    df.select(lit(label).as("column"),
+        h.bitwiseAND(lit((SketchRollup.M - 1).toLong)).as("reg"),
+        rho(shiftright(h, P)).as("rho"))
+      .groupBy(col("column"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Build the maintained tuple-NDV group from one pass; idempotent
+    * while current. */
+  def ensureColumnGroupMaint(s: SparkSession, dir: String, table: String,
+      columns: Seq[String]): Unit = {
+    require(columns.size >= 2, "a column group needs at least 2 columns")
+    if (columnGroupApproxIfCurrent(s, dir, table, columns).isDefined) return
+    val df = graft.Tables(s, dir, table)
+    writeGrpArtifact(s, dir, table, columns, df.count(),
+      grpRegisterRows(df, columns))
+  }
+
+  private def writeGrpArtifact(s: SparkSession, dir: String, table: String,
+      columns: Seq[String], n: Long, regs: DataFrame): Unit = {
+    import s.implicits._
+    val path = grpPath(dir, table, columns)
+    // registers first, summary (with the covered stamp) last — the
+    // torn-write discipline of the column artifact
+    regs.coalesce(1).write.mode("overwrite").parquet(s"$path/registers")
+    Seq((columns.sorted.mkString(","), n, IndexStore.fingerprint(dir, table)))
+      .toDF("columns", "n", "covered")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/summary")
+  }
+
+  /** O(batch) group maintenance: register MAX-merge (exact vs a
+    * rebuild) + row-count add; scans only the batch. */
+  def appendMaintainColumnGroup(s: SparkSession, dir: String, table: String,
+      columns: Seq[String], batch: DataFrame): Unit = {
+    import s.implicits._
+    val path = grpPath(dir, table, columns)
+    require(IndexStore.artifactReady(s"$path/summary"),
+      "maintained column group must be built (ensureColumnGroupMaint) before appendMaintainColumnGroup")
+    val oldN = s.read.parquet(s"$path/summary").head().getAs[Long]("n")
+    val oldRegs = s.read.parquet(s"$path/registers")
+      .as[(String, Long, Long)].collect().toSeq
+    val merged = grpRegisterRows(batch, columns)
+      .union(oldRegs.toDF("column", "reg", "rho"))
+      .groupBy(col("column"), col("reg")).agg(max(col("rho")).as("rho"))
+    writeGrpArtifact(s, dir, table, columns, oldN + batch.count(), merged)
+  }
+
+  /** Serving face for the ESTIMATOR's correlated-GROUP-BY fix:
+    * approx GroupStats while current — `exact = false` by
+    * construction, so the FD proof face can never consume it. */
+  def columnGroupApproxIfCurrent(s: SparkSession, dir: String,
+      table: String, columns: Seq[String]): Option[StatsCatalog.GroupStats] = {
+    val path = grpPath(dir, table, columns)
+    if (!IndexStore.artifactReady(s"$path/summary") ||
+        !IndexStore.artifactReady(s"$path/registers")) return None
+    val r = s.read.parquet(s"$path/summary").head()
+    if (r.getAs[String]("covered") != IndexStore.fingerprint(dir, table)) None
+    else {
+      val est = grpEstimate(s, s"$path/registers")
+      Some(StatsCatalog.GroupStats(columns.sorted, r.getAs[Long]("n"),
+        est, exact = false))
+    }
+  }
+
+  private def grpEstimate(s: SparkSession, regPath: String): Long = {
+    val m = SketchRollup.M
+    val twoPow52 = 4503599627370496L
+    val r = s.read.parquet(regPath)
+      .agg(count(lit(1)).as("regs_hit"),
+        sum(pow(lit(2.0), lit(SketchRollup.MaxRho) - col("rho")).cast("long"))
+          .as("z_obs")).head()
+    val hit = r.getAs[Long]("regs_hit")
+    val zObs = if (hit == 0) 0L else r.getAs[Long]("z_obs")
+    val zeros = m.toLong - hit
+    val zInt = BigInt(zObs) + BigInt(zeros) * twoPow52
+    val raw = 0.7213 / (1.0 + 1.079 / m) * m * m * twoPow52.toDouble /
+      zInt.toDouble
+    val est =
+      if (raw <= 2.5 * m && zeros > 0)
+        m.toDouble * math.log(m.toDouble / zeros.toDouble)
+      else raw
+    math.round(est)
+  }
+
   /** The serving face: Some only while the artifact is intact AND
     * covers exactly the table's LIVE listing — an appended-but-not-
     * maintained file fails closed. */

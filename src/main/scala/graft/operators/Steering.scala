@@ -201,8 +201,14 @@ object Steering {
           else broadcast(fact).join(dim, Seq(key))
         (joined, Decision(advice, Nil, None))
       case StatsCatalog.SaltedShuffle(_) =>
+        // hot set: the exact profile while its fingerprint is live,
+        // else the O(batch)-maintained profile (D94) — after a day of
+        // appends the salt set survives without a corpus re-profile
         val hot = StatsCatalog.keyProfile(s, dir, factTable, key)
-          .map(_._1).getOrElse(Nil)
+          .map(_._1)
+          .orElse(StatsMaintain.keyProfileIfCurrent(s, dir, factTable, key)
+            .map(_._1))
+          .getOrElse(Nil)
         val parts = shufflePartitionsFor(s,
           fact.join(dim, Seq(key)), targetRowsPerPartition)
         (SkewJoin.saltedJoinHot(fact, dim, key, saltOn, factor, hot,
@@ -243,6 +249,51 @@ object Steering {
       fact.select(col("k")).distinct()
         .withColumn("seg", pmod(col("k"), lit(7L)))
         .write.mode("overwrite").parquet(s"$fix/skew_dim.parquet")
+    }
+    fix
+  }
+
+  /** The q84 MAINTAINED-ADVICE FIXTURE: the skew fixture's fact
+    * rebuilt as a base build (event_id ≢ 2 mod 5) plus a late
+    * APPENDED slice, with the advisory artifacts MAINTAINED across
+    * the append at O(batch) — column stats ([[StatsMaintain
+    * .appendMaintain]], D91) and the hot-key profile
+    * ([[StatsMaintain.appendMaintainKeyProfile]], D94). The exact
+    * fingerprint-keyed profile is deliberately NEVER built here:
+    * q84 proves the advice pipeline (skew dispatch, salt set,
+    * estimator-sized exchange) runs entirely on the maintained
+    * tier after an append that fail-closes the exact one. Base ∪
+    * slice ≡ the full derived fact, so the DuckDB oracle replays
+    * the q69 derivation from raw events. Idempotent per events
+    * fingerprint: a warm host with current maintained artifacts
+    * skips all mutation. */
+  def ensureMaintainedSkewFixture(s: SparkSession, dir: String,
+      hotFreq: Long = 200L): String = {
+    val fix = s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/steer_maint_fixture"
+    val T = "fact_m"
+    if (StatsMaintain.statsIfCurrent(s, fix, T).isEmpty ||
+        StatsMaintain.keyProfileIfCurrent(s, fix, T, "k").isEmpty ||
+        !IndexStore.artifactReady(s"$fix/dim_m.parquet")) {
+      val (tfs, tp) = IndexStore.fsOf(s"$fix/$T.parquet")
+      tfs.delete(tp, true)
+      val (afs, ap) = IndexStore.fsOf(StatsMaintain.maintPath(fix, T))
+      afs.delete(ap, true)
+      val ev = graft.Tables(s, dir, "events")
+      val fact = ev.select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("event_id")).as("k"),
+        col("event_id"), col("value"))
+      val isSlice = pmod(col("event_id"), lit(5L)) === 2L
+      fact.where(!isSlice).write.mode("overwrite").parquet(s"$fix/$T.parquet")
+      StatsMaintain.ensure(s, fix, T)
+      StatsMaintain.ensureKeyProfileMaint(s, fix, T, "k", hotFreq = hotFreq)
+      fact.where(isSlice).write.mode("append").parquet(s"$fix/$T.parquet")
+      StatsMaintain.appendMaintain(s, fix, T, fact.where(isSlice))
+      StatsMaintain.appendMaintainKeyProfile(s, fix, T, "k",
+        fact.where(isSlice))
+      fact.select(col("k")).distinct()
+        .withColumn("seg", pmod(col("k"), lit(7L)))
+        .write.mode("overwrite").parquet(s"$fix/dim_m.parquet")
     }
     fix
   }

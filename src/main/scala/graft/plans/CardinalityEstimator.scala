@@ -494,7 +494,16 @@ object CardinalityEstimator {
               val names = attrs.flatMap(a => e.env.get(a.exprId).map(_.column))
               if (srcs.size == 1 && names.size == attrs.size)
                 StatsCatalog.columnGroupIfReady(s, srcs.head._1,
-                  srcs.head._2, names).map(g => BigInt(g.ndv).max(1))
+                  srcs.head._2, names)
+                  // MAINTAINED tier (D94): when the exact group went
+                  // stale under appends, the HLL-maintained tuple-NDV
+                  // serves — an ESTIMATE is advisory by contract, so
+                  // approx-grade is admissible here (and only here:
+                  // the FD proof face never reads this tier)
+                  .orElse(graft.operators.StatsMaintain
+                    .columnGroupApproxIfCurrent(s, srcs.head._1,
+                      srcs.head._2, names))
+                  .map(g => BigInt(g.ndv).max(1))
               else None
             }
           val prod = grouped.getOrElse {

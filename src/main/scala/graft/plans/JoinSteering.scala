@@ -1,0 +1,237 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.operators.{StatsCatalog, StatsMaintain}
+
+/** TRANSPARENT JOIN STEERING as a Catalyst optimizer rule (D93) —
+  * the r13 verdict's top ask: the D50/D84/D88 zero-client-change
+  * discipline applied to D83's join dispatch. Until now only callers
+  * of [[graft.operators.Steering.advisedJoin]] got the engine brain;
+  * a dashboard issuing a plain `fact.join(dim, key)` got none of it.
+  * This rule matches the plain inner equi-join over registered
+  * parquet tables and dispatches on the SAME persisted statistics
+  * ([[StatsCatalog.adviseJoinSides]]):
+  *
+  *  - BROADCAST arm: the within-budget side gets the logical
+  *    BROADCAST hint — the planner's own BroadcastHashJoin takes it
+  *    from there (a hint, not a forced physical op: AQE and the
+  *    planner's size checks still hold their vetoes);
+  *  - SALTED arm: the fact side's PROFILED hot keys
+  *    ([[StatsCatalog.keyProfile]], else the O(batch)-maintained
+  *    profile [[StatsMaintain.keyProfileIfCurrent]], D94) rewrite
+  *    the join into the hot-key-targeted salted shape — fact rows on
+  *    a hot key spread over `factor` salts by a deterministic hash
+  *    of the row's other columns; the dim side becomes a `factor`-way
+  *    union in which ONLY hot-key rows replicate (copy 0 carries
+  *    every dim row at salt 0, copies 1..factor−1 carry hot rows
+  *    only), so the join on (key, salt) is row-for-row the plain
+  *    join — the exactness argument of
+  *    [[graft.operators.SkewJoin.saltedJoinHot]], restated at the
+  *    plan layer and gated by the q83 oracle (which replays the
+  *    PLAIN join in DuckDB);
+  *  - PLAIN arm: the plan passes through untouched — exchange
+  *    sizing at runtime belongs to AQE; the opt-in
+  *    [[graft.operators.Steering.advisedJoin]] API remains the way
+  *    to get estimator-sized exchanges deterministically.
+  *
+  * Fail-closed vetoes, each leaving the plan untouched:
+  *  - any existing join hint (the user outranks the advisor);
+  *  - a side that is not a pure Filter/Project/SubqueryAlias chain
+  *    over ONE single-root parquet relation — the base table's file
+  *    bytes and key profile are then honest upper bounds for the
+  *    side (a join-shaped side could hide a huge probe behind a
+  *    small base table, exactly the plan a file-bytes broadcast
+  *    decision must never see);
+  *  - absent ANALYZE stats on either base table (the discipline:
+  *    no advice without evidence — `tableBytes` alone could decide,
+  *    but a steering layer that acts on less evidence than its
+  *    opt-in API is a regression);
+  *  - for the salted arm: no current hot-key list on the bigger
+  *    side, a key type outside long/int/string (hot keys persist as
+  *    string renderings and must round-trip to typed literals), or
+  *    no second hashable fact column to seed the salt (hashing the
+  *    key alone would put every hot row on ONE salt — worse than
+  *    not salting);
+  *  - overlapping output exprIds between the sides (a self-join of
+  *    one Dataset instance — attribute identity would be ambiguous
+  *    in the rewritten tree).
+  *
+  * Idempotent by construction for the fixed-point user batch: the
+  * broadcast arm leaves a non-NONE hint (no re-match), the salted
+  * arm leaves a conjunctive condition (the matcher demands a single
+  * equality). Plan-time cost per candidate join: two FS metadata
+  * listings + memoized artifact reads — the
+  * [[JoinEliminationRule]] class of check, no jobs.
+  *
+  * Reference capability: the daily enrich join of
+  * `TransformTaxiTrips.py:93-94` is exactly the plain-join shape
+  * that now gets the engine brain with zero client changes. */
+class TransparentJoinSteeringRule(
+    spark: SparkSession,
+    broadcastBytes: Long = 32L * 1024 * 1024,
+    skewAvgFreq: Double = 64.0,
+    factor: Int = 8) extends Rule[LogicalPlan] {
+
+  /** The single parquet relation under a pure narrow chain, with its
+    * (dir, table) — None for any other side shape. */
+  private def simpleSide(p: LogicalPlan): Option[(LogicalRelation, String, String)] =
+    p match {
+      case rel: LogicalRelation =>
+        rel.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+            case rp :: Nil if rp.getName.endsWith(".parquet") =>
+              Some((rel, rp.getParent.toString, rp.getName.stripSuffix(".parquet")))
+            case _ => None
+          }
+          case _ => None
+        }
+      case f: Filter => simpleSide(f.child)
+      case pr: Project => simpleSide(pr.child)
+      case sa: SubqueryAlias => simpleSide(sa.child)
+      case _ => None
+    }
+
+  /** Hot-key renderings back to typed literals — only for key types
+    * whose string round-trip is exact. */
+  private def hotLiterals(keyType: DataType,
+      hot: Seq[String]): Option[Seq[Literal]] = keyType match {
+    case LongType => Some(hot.map(h => Literal(h.toLong)))
+    case IntegerType => Some(hot.map(h => Literal(h.toInt)))
+    case StringType => Some(hot.map(Literal(_)))
+    case _ => None
+  }
+
+  /** Current hot-key list for (dir, table, column): the exact
+    * fingerprint-keyed profile first, else the maintained tier. */
+  private def hotKeysFor(dir: String, table: String,
+      column: String): Option[Seq[String]] =
+    StatsCatalog.keyProfile(spark, dir, table, column).map(_._1)
+      .orElse(StatsMaintain.keyProfileIfCurrent(spark, dir, table, column)
+        .map(_._1))
+      .filter(_.nonEmpty)
+
+  /** The salted rewrite (see class scaladoc). `factPlan` carries the
+    * hot-keyed attribute `factKey`; `dimPlan` replicates. Returns
+    * None when no deterministic per-row salt seed exists. */
+  private def saltedRewrite(j: Join, factPlan: LogicalPlan,
+      factKey: AttributeReference, dimPlan: LogicalPlan,
+      dimKey: AttributeReference, hotLits: Seq[Literal],
+      factIsLeft: Boolean): Option[LogicalPlan] = {
+    // deterministic per-row salt: hash of every atomic fact column —
+    // demanding one beyond the key, because identical hash inputs
+    // land identical salts (a key-only hash would re-concentrate the
+    // hot key on one reducer)
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BinaryType | BooleanType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val hashCols = factPlan.output.filter(a => hashable(a.dataType))
+    if (!hashCols.exists(_.exprId != factKey.exprId)) return None
+    val isHotFact = In(factKey, hotLits)
+    val saltExpr = If(isHotFact,
+      Pmod(new XxHash64(hashCols), Literal(factor.toLong)), Literal(0L))
+    val saltF = Alias(saltExpr, "__salt_f")()
+    val saltedFact = Project(factPlan.output :+ saltF, factPlan)
+
+    val isHotDim = In(dimKey, hotLits)
+    val copies = (0 until factor).map { i =>
+      val child = if (i == 0) dimPlan else Filter(isHotDim, dimPlan)
+      Project(dimPlan.output :+ Alias(Literal(i.toLong), "__salt_d")(), child)
+    }
+    val dimUnion = Union(copies)
+    val saltD = dimUnion.output.last
+
+    val cond = And(EqualTo(factKey, dimKey),
+      EqualTo(saltF.toAttribute, saltD))
+    val steered =
+      if (factIsLeft) Join(saltedFact, dimUnion, Inner, Some(cond), JoinHint.NONE)
+      else Join(dimUnion, saltedFact, Inner, Some(cond), JoinHint.NONE)
+    // restore the original output (exprIds untouched throughout; the
+    // projection prunes the salts and pins the column order)
+    Some(Project(j.output, steered))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner,
+        Some(EqualTo(x: AttributeReference, y: AttributeReference)), hint)
+        if hint == JoinHint.NONE &&
+          left.outputSet.intersect(right.outputSet).isEmpty =>
+      val steered = for {
+        (lRel, lDir, lTable) <- simpleSide(left)
+        (rRel, rDir, rTable) <- simpleSide(right)
+        // bind the condition's attributes to their sides
+        a <- Seq(x, y).find(k => left.outputSet.contains(k))
+        b <- Seq(x, y).find(k => right.outputSet.contains(k))
+        if a.exprId != b.exprId
+        // "untouched" proof: the attribute IS a column of the side's
+        // base relation (an Alias would have minted a new exprId)
+        if lRel.output.exists(_.exprId == a.exprId)
+        if rRel.output.exists(_.exprId == b.exprId)
+        // the discipline: no steering without ANALYZE evidence
+        if StatsCatalog.statsIfReady(spark, lDir, lTable).isDefined
+        if StatsCatalog.statsIfReady(spark, rDir, rTable).isDefined
+        out <- StatsCatalog.adviseJoinSides(spark,
+          lDir, lTable, a.name, rDir, rTable, b.name,
+          broadcastBytes, skewAvgFreq) match {
+          case StatsCatalog.BroadcastSide(_, _) =>
+            // resolve the side by the advice's own comparison (right
+            // wins ties) rather than by table NAME, which two dirs
+            // could share
+            val lb = StatsCatalog.tableBytes(lDir, lTable)
+            val rb = StatsCatalog.tableBytes(rDir, rTable)
+            val bHint = Some(HintInfo(Some(BROADCAST)))
+            if (rb <= lb) Some(j.copy(hint = JoinHint(None, bHint)))
+            else Some(j.copy(hint = JoinHint(bHint, None)))
+          case StatsCatalog.SaltedShuffle(_) =>
+            // salt the BIGGER side (its hot keys melt the reducer);
+            // the smaller side pays the hot-row replication
+            val lb = StatsCatalog.tableBytes(lDir, lTable)
+            val rb = StatsCatalog.tableBytes(rDir, rTable)
+            val (fPlan, fKey, fDir, fTable, dPlan, dKey, factIsLeft) =
+              if (lb >= rb) (left, a, lDir, lTable, right, b, true)
+              else (right, b, rDir, rTable, left, a, false)
+            for {
+              hot <- hotKeysFor(fDir, fTable, fKey.name)
+              lits <- hotLiterals(fKey.dataType, hot)
+              rewritten <- saltedRewrite(j, fPlan, fKey, dPlan, dKey,
+                lits, factIsLeft)
+            } yield rewritten
+          case StatsCatalog.PlainShuffle => None
+        }
+      } yield out
+      steered.getOrElse(j)
+  }
+}
+
+object TransparentJoinSteering {
+  /** Enable transparent steering on `s` with the given thresholds —
+    * LAST CALL WINS (an existing rule instance is replaced, so a
+    * session reconfiguring its budget gets deterministic behavior).
+    * Exactness-preserving by construction (broadcast is a hint;
+    * salting is result-invisible, q83 hash-gated), so session-wide
+    * enablement is safe — the [[RollupRouting.enable]] contract. */
+  def enable(s: SparkSession,
+      broadcastBytes: Long = 32L * 1024 * 1024,
+      skewAvgFreq: Double = 64.0,
+      factor: Int = 8): Unit = {
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[TransparentJoinSteeringRule]) :+
+        new TransparentJoinSteeringRule(s, broadcastBytes, skewAvgFreq, factor)
+  }
+
+  /** Test seam: remove the rule so plan-pinning suites sharing the
+    * session don't see foreign rewrites. */
+  private[graft] def disableForTest(s: SparkSession): Unit =
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[TransparentJoinSteeringRule])
+}

@@ -3704,7 +3704,7 @@ object RelationalQueries {
 
   /** q82 — TRANSPARENT RESULT-CACHE SERVING ([[graft.plans
     * .TransparentResultCache]] × [[graft.operators.ResultCache
-    * .publish]], D93): the r13 verdict's "API-level, not
+    * .publish]], D90's transparent face): the r13 verdict's "API-level, not
     * transparent" serving tier closed. D90's `through` made the
     * second run of a query free for callers who ASK; this makes it
     * free for every client — a published result is substituted by an
@@ -3739,6 +3739,110 @@ object RelationalQueries {
     served
   }
 
+  /** q83 — TRANSPARENT JOIN STEERING ([[graft.plans
+    * .TransparentJoinSteeringRule]], D93): the r13 verdict's top
+    * ask — q69's engine-brain dispatch with ZERO client changes.
+    * The query writes the PLAIN `fact.join(dim, k)` (no Steering
+    * API anywhere); the optimizer rule reads the same persisted
+    * artifacts q69's opt-in call does (ANALYZE stats, the hot-key
+    * profile) and rewrites the join into the hot-key-targeted
+    * salted shape — fact hot rows spread over the salt range, dim
+    * hot rows replicated via a factor-way union, everything else
+    * single-copy at salt 0. The require() pins that the steer
+    * actually fired (a silent pass-through would fail Verify
+    * loudly); JoinSteeringSpec pins the other arms (broadcast
+    * hint, plain pass-through) and every fail-closed veto. The
+    * oracle replays the PLAIN join in DuckDB, so the hash gate
+    * proves the rule is result-invisible end to end — the proof an
+    * optimizer rewrite owes. */
+  val q83TransparentSteering: GraftQuery = q(
+    "q83_transparent_steering",
+    "transparent join steering: a PLAIN join is salted by the optimizer rule from persisted stats; oracle replays the plain join",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
+      |         value
+      |  FROM events),
+      |d AS (SELECT DISTINCT k FROM f),
+      |dd AS (SELECT k, ((k % 7) + 7) % 7 AS seg FROM d)
+      |SELECT dd.seg, count(*) AS n,
+      |       CAST(sum(CAST(floor(f.value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM f JOIN dd ON f.k = dd.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val fix = graft.operators.Steering.ensureSkewFixture(s, dir)
+    SC.ensure(s, fix, "skew_fact")
+    SC.ensure(s, fix, "skew_dim")
+    SC.ensureKeyProfile(s, fix, "skew_fact", "k", hotFreq = 200L)
+    // budget scaled so the near-fact-sized dim can never broadcast
+    // (the q69 knob); the rule holds the session until the next
+    // enable reconfigures it — exactness-preserving either way
+    graft.plans.TransparentJoinSteering.enable(s,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
+    val fact = Tables(s, fix, "skew_fact")
+    val dim = Tables(s, fix, "skew_dim")
+    val joined = fact.join(dim, fact("k") === dim("k"))
+    require(joined.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+      "the plain join must be steered into the salted shape by the rule")
+    joined.groupBy(dim("seg").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value").cast("long")).as("v_fp"))
+      .orderBy($"seg")
+  }
+
+  /** q84 — ADVICE SURVIVES APPENDS AT O(batch) ([[graft.operators
+    * .StatsMaintain]] maintained key profile + [[graft.operators
+    * .Steering.advisedJoin]], D94): the r13 verdict's next-round #5
+    * — after one append the exact fingerprint-keyed key profile is
+    * unreachable and, before this round, `adviseJoin` lost its
+    * hot-key list exactly when the melting reducer needed it. The
+    * fixture rebuilds the skew fact as base + appended slice with
+    * NO exact profile ever built; the maintained tier (top-K
+    * counts merged additively, column stats merged by the D91
+    * algebra) carries the whole dispatch: skew diagnosis from the
+    * maintained max frequency, the salt set from the maintained
+    * hot list, the exchange width from the estimator's maintained-
+    * stats fallback. Base ∪ slice ≡ the q69 derivation, so the
+    * DuckDB oracle replays the plain join from raw events — the
+    * hash gate proves O(batch) freshness changed no result.
+    * StatsMaintainSpec pins that the EXACT proof faces
+    * (uniqueNonNull / determines) still refuse this tier. */
+  val q84MaintainedAdvice: GraftQuery = q(
+    "q84_maintained_advice",
+    "O(batch)-maintained hot-key profile drives the salted dispatch after an append; oracle replays the plain join",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
+      |         value
+      |  FROM events),
+      |d AS (SELECT DISTINCT k FROM f),
+      |dd AS (SELECT k, ((k % 7) + 7) % 7 AS seg FROM d)
+      |SELECT dd.seg, count(*) AS n, count(DISTINCT f.k) AS keys,
+      |       CAST(sum(CAST(floor(f.value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM f JOIN dd ON f.k = dd.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val fix = graft.operators.Steering.ensureMaintainedSkewFixture(s, dir)
+    graft.operators.StatsCatalog.ensure(s, fix, "dim_m")
+    val (joined, decision) = graft.operators.Steering.advisedJoin(
+      s, fix, "fact_m", "dim_m", "k",
+      saltOn = $"event_id", factor = 8,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0,
+      targetRowsPerPartition = 4096L)
+    // the dispatch and its salt set must have come from the
+    // MAINTAINED tier (the exact profile was never built)
+    require(decision.advice.isInstanceOf[graft.operators.StatsCatalog.SaltedShuffle],
+      s"the maintained profile must diagnose the skew, got ${decision.advice}")
+    require(decision.hotKeys == Seq("-1"),
+      s"the maintained hot set must drive the salt, got ${decision.hotKeys}")
+    joined.groupBy($"seg")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"k").as("keys"),
+        sum(floor($"value").cast("long")).as("v_fp"))
+      .orderBy($"seg")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3761,5 +3865,6 @@ object RelationalQueries {
     q69AdvisedSkewJoin, q70EstimatedBroadcast, q71RoutedDictionary,
     q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy,
     q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes,
-    q80MaintainedStats, q81McvEstimate, q82TransparentCache)
+    q80MaintainedStats, q81McvEstimate, q82TransparentCache,
+    q83TransparentSteering, q84MaintainedAdvice)
 }

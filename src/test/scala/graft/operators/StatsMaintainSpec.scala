@@ -152,6 +152,92 @@ class StatsMaintainSpec extends SparkSpec {
     }
   }
 
+  test("the maintained key profile merges additively and drives salted advice after an append") {
+    withIndexRoot("graft-maint-keyprof") {
+      val dir = tmpDir("graft-maint-keyprof-data")
+      // zipfian: key 7 owns 1500 of 3000 base rows
+      val baseRows = (1L to 1500L).map(i => (i % 30 + 100L, i, i % 9)) ++
+        (1L to 1500L).map(i => (7L, 50000L + i, 1L))
+      baseRows.toDF("k", "sid", "v")
+        .write.mode("overwrite").parquet(s"$dir/zf.parquet")
+      (1L to 150L).map(i => (i, s"d$i")).toDF("k", "dname")
+        .write.mode("overwrite").parquet(s"$dir/zd.parquet")
+      StatsMaintain.ensureKeyProfileMaint(spark, dir, "zf", "k",
+        hotFreq = 500L)
+      assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "zf", "k")
+        === Some((Seq("7"), 1500L)))
+      // the exact profile goes stale the moment the table moves; the
+      // maintained one merges the batch counts ADDITIVELY
+      val batch = (1L to 600L).map(i => (7L, 90000L + i, 2L)).toDF("k", "sid", "v")
+      batch.write.mode("append").parquet(s"$dir/zf.parquet")
+      assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "zf", "k").isEmpty,
+        "appended-but-unmaintained must fail closed")
+      StatsMaintain.appendMaintainKeyProfile(spark, dir, "zf", "k", batch)
+      assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "zf", "k")
+        === Some((Seq("7"), 2100L)),
+        "tracked hot count = base + batch, exactly")
+      // ...and adviseJoin consumes it: the salted dispatch survives
+      // the append with NO exact profile anywhere
+      val advice = StatsCatalog.adviseJoin(spark, dir, "zf", "zd", "k",
+        broadcastBytes = 0L, skewAvgFreq = 64.0)
+      advice match {
+        case StatsCatalog.SaltedShuffle(f) => assert(f === 2100.0)
+        case other => fail(s"maintained profile must diagnose skew, got $other")
+      }
+      // the EXACT proof faces still refuse everything maintained:
+      // no exact ANALYZE of the live listing exists for zf
+      assert(!StatsCatalog.uniqueNonNull(spark, dir, "zf", "sid"),
+        "uniqueness proofs never read the maintained tier")
+      assert(StatsCatalog.determines(spark, dir, "zf", "sid", "k").isEmpty,
+        "FD proofs never read the maintained tier")
+    }
+  }
+
+  test("the maintained column group serves the estimator after an append; FD proofs refuse it") {
+    withIndexRoot("graft-maint-grp") {
+      val dir = tmpDir("graft-maint-grp-data")
+      // correlated pair: city determines-ish region (10 cities × 1
+      // region each) — tuple ndv 10, independence product 10×3=30
+      (1L to 600L).map(i => (s"c${i % 10}", s"r${i % 10 % 3}", i))
+        .toDF("city", "region", "v")
+        .write.mode("overwrite").parquet(s"$dir/geo.parquet")
+      StatsCatalog.ensure(spark, dir, "geo")
+      StatsMaintain.ensure(spark, dir, "geo")
+      StatsMaintain.ensureColumnGroupMaint(spark, dir, "geo",
+        Seq("city", "region"))
+      val g0 = StatsMaintain.columnGroupApproxIfCurrent(spark, dir, "geo",
+        Seq("city", "region")).getOrElse(fail("must serve when current"))
+      assert(!g0.exact && g0.n === 600L)
+      assert(g0.ndv >= 8 && g0.ndv <= 12, s"HLL of 10 tuples: ${g0.ndv}")
+      // append two NEW cities; maintain group + column stats at O(batch)
+      val batch = (1L to 60L).map(i => (s"c1${i % 2}", "r9", 9999L + i))
+        .toDF("city", "region", "v")
+      batch.write.mode("append").parquet(s"$dir/geo.parquet")
+      assert(StatsMaintain.columnGroupApproxIfCurrent(spark, dir, "geo",
+        Seq("city", "region")).isEmpty, "stale group must fail closed")
+      StatsMaintain.appendMaintain(spark, dir, "geo", batch)
+      StatsMaintain.appendMaintainColumnGroup(spark, dir, "geo",
+        Seq("city", "region"), batch)
+      val g1 = StatsMaintain.columnGroupApproxIfCurrent(spark, dir, "geo",
+        Seq("city", "region")).getOrElse(fail("must serve after maintain"))
+      assert(g1.n === 660L && g1.ndv >= 10 && g1.ndv <= 14,
+        s"merged tuple ndv ≈ 12: ${g1.ndv}")
+      // the ESTIMATOR consumes the maintained tier: a correlated
+      // GROUP BY estimates at the measured tuple-NDV, not the
+      // independence product, even though the exact group (if any)
+      // and exact stats are stale after the append
+      val gb = graft.Tables(spark, dir, "geo")
+        .groupBy($"city", $"region").agg(count(lit(1)))
+      val est = graft.plans.CardinalityEstimator.estimateRows(
+        spark, gb, useColumnGroups = true)
+      assert(est.isDefined && est.get >= 10 && est.get <= 14,
+        s"maintained tuple-NDV must serve the estimate: $est")
+      // FD proofs demand the EXACT artifact of the LIVE listing
+      assert(StatsCatalog.determines(spark, dir, "geo", "city", "region")
+        .isEmpty, "approx groups never license an FD")
+    }
+  }
+
   test("torn artifacts and stale stamps never serve") {
     withIndexRoot("graft-maint-torn") {
       val dir = tmpDir("graft-maint-torn-data")

@@ -99,6 +99,15 @@ class SteeringSpec extends SparkSpec {
       assert(q70.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"),
         "q70's estimate must license the broadcast hint")
+      // q84: the maintained-tier fixture must ALSO salt — the whole
+      // dispatch (diagnosis, salt set, exchange width) runs on
+      // O(batch)-maintained artifacts, no exact profile anywhere
+      val q84 = graft.queries.RelationalQueries.q84MaintainedAdvice
+        .fn(spark, "/root/testdata/sf0.001")
+      val p84 = q84.queryExecution.executedPlan.toString
+      assert(p84.contains("__salt"),
+        s"q84's maintained advice must salt the hot key:\n$p84")
+      assert(q84.count() >= 1)
     }
   }
 

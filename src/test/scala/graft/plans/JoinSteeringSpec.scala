@@ -1,0 +1,123 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.StatsCatalog
+import org.apache.spark.sql.functions._
+
+/** The transparent steering contract (r13 verdict next-round #1): a
+  * PLAIN `fact.join(dim, key)` — no Steering API call anywhere — is
+  * dispatched by the optimizer rule on the persisted statistics, the
+  * plan differing by fixture shape exactly as SteeringSpec pins for
+  * the opt-in API: zipfian fact + over-budget dim → hot-key salted
+  * rewrite; within-budget dim → BROADCAST hint; uniform fact → plan
+  * untouched. Every veto leg fails closed to the unrewritten plan,
+  * and every steered plan is result-identical to the plain join. */
+class JoinSteeringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture(dir: String): Unit = {
+    // zipfian fact: hot key 7 owns 3000 rows; uniform tail over 30 keys
+    val zrows = (1L to 3000L).map(i => (i % 30 + 100L, i, (i % 11).toDouble)) ++
+      (1L to 3000L).map(i => (7L, 100000L + i, 1.0))
+    zrows.toDF("k", "sid", "v")
+      .write.mode("overwrite").parquet(s"$dir/zfact.parquet")
+    (1L to 6000L).map(i => (i % 130 + 1L, i, (i % 11).toDouble))
+      .toDF("k", "sid", "v")
+      .write.mode("overwrite").parquet(s"$dir/ufact.parquet")
+    (1L to 150L).map(i => (i, s"d$i")).toDF("dk", "dname")
+      .write.mode("overwrite").parquet(s"$dir/dim.parquet")
+  }
+
+  private def plainJoin(dir: String) = {
+    val f = graft.Tables(spark, dir, "zfact")
+    val d = graft.Tables(spark, dir, "dim")
+    f.join(d, f("k") === d("dk"))
+  }
+
+  test("plain joins are steered by fixture shape; vetoes pass through") {
+    withIndexRoot("graft-tjs") {
+      val dir = tmpDir("graft-tjs-data")
+      writeFixture(dir)
+      try {
+        // --- veto: no stats at all → untouched even when enabled
+        TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+          skewAvgFreq = 64.0, factor = 4)
+        val cold = plainJoin(dir).queryExecution.optimizedPlan.toString
+        assert(!cold.contains("__salt_f") && !cold.contains("broadcast"),
+          s"no ANALYZE evidence must mean no steering:\n$cold")
+
+        Seq("zfact", "ufact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
+        StatsCatalog.ensureKeyProfile(spark, dir, "zfact", "k", hotFreq = 1000L)
+        StatsCatalog.ensureKeyProfile(spark, dir, "ufact", "k", hotFreq = 1000L)
+
+        // --- salted arm: zipfian fact, dim over the (zero) budget
+        val steered = plainJoin(dir)
+        val sp = steered.queryExecution.optimizedPlan.toString
+        assert(sp.contains("__salt_f") && sp.contains("__salt_d"),
+          s"the zipfian fixture must take the salted rewrite:\n$sp")
+        // result-invisible vs the rule disabled
+        val agg = steered.groupBy($"dname").agg(sum($"v").as("sv"))
+          .collect().map(_.toString).toSet
+        TransparentJoinSteering.disableForTest(spark)
+        val truth = plainJoin(dir).groupBy($"dname").agg(sum($"v").as("sv"))
+          .collect().map(_.toString).toSet
+        assert(agg === truth, "salting must be result-invisible")
+
+        // --- uniform fact: PlainShuffle → untouched
+        TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+          skewAvgFreq = 64.0, factor = 4)
+        val u = graft.Tables(spark, dir, "ufact")
+        val d = graft.Tables(spark, dir, "dim")
+        val up = u.join(d, u("k") === d("dk"))
+          .queryExecution.optimizedPlan.toString
+        assert(!up.contains("__salt_f"),
+          s"a uniform fact must not pay the salt:\n$up")
+
+        // --- broadcast arm: dim within budget → BROADCAST hint fires
+        // even with the planner's own file-size threshold disabled
+        TransparentJoinSteering.enable(spark,
+          broadcastBytes = 32L * 1024 * 1024, skewAvgFreq = 64.0, factor = 4)
+        val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val bp = plainJoin(dir).queryExecution.executedPlan.toString
+          assert(bp.contains("BroadcastHashJoin"),
+            s"a within-budget dim must broadcast via the rule's hint:\n$bp")
+          TransparentJoinSteering.disableForTest(spark)
+          val np = plainJoin(dir).queryExecution.executedPlan.toString
+          assert(!np.contains("BroadcastHashJoin"),
+            "the hint must come from the rule, not the planner's threshold")
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+        // --- veto: a user-supplied hint outranks the advisor
+        TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+          skewAvgFreq = 64.0, factor = 4)
+        val f = graft.Tables(spark, dir, "zfact")
+        val hinted = f.hint("merge").join(d, f("k") === d("dk"))
+          .queryExecution.optimizedPlan.toString
+        assert(!hinted.contains("__salt_f"),
+          s"an existing join hint must veto the rewrite:\n$hinted")
+
+        // --- veto: a non-simple side (aggregate below the join)
+        val pre = u.groupBy($"k").agg(sum($"v").as("v"))
+        val ap = pre.join(d, pre("k") === d("dk"))
+          .queryExecution.optimizedPlan.toString
+        assert(!ap.contains("__salt_f") && !ap.contains("__salt_d"),
+          s"an aggregate-shaped side must pass through:\n$ap")
+      } finally TransparentJoinSteering.disableForTest(spark)
+    }
+  }
+
+  test("q83's registered fixture takes the salted arm through the rule") {
+    withIndexRoot("graft-tjs-q83") {
+      try {
+        val q83 = graft.queries.RelationalQueries.q83TransparentSteering
+          .fn(spark, "/root/testdata/sf0.001")
+        val p = q83.queryExecution.optimizedPlan.toString
+        assert(p.contains("__salt_f"),
+          s"q83's plain join must be steered into the salted shape:\n$p")
+        assert(q83.count() >= 1)
+      } finally TransparentJoinSteering.disableForTest(spark)
+    }
+  }
+}
