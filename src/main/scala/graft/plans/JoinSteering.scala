@@ -28,11 +28,10 @@ import graft.operators.{StatsCatalog, StatsMaintain}
   *    profile [[StatsMaintain.keyProfileIfCurrent]], D94) rewrite
   *    the join into the hot-key-targeted salted shape — fact rows on
   *    a hot key spread over `factor` salts by a deterministic hash
-  *    of the row's other columns; the dim side becomes a `factor`-way
-  *    union in which ONLY hot-key rows replicate (copy 0 carries
-  *    every dim row at salt 0, copies 1..factor−1 carry hot rows
-  *    only), so the join on (key, salt) is row-for-row the plain
-  *    join — the exactness argument of
+  *    of the row's other columns; the dim side explodes a per-row
+  *    salt array (ONE scan: hot-key rows carry the full salt range,
+  *    everything else the single salt 0), so the join on (key, salt)
+  *    is row-for-row the plain join — the exactness argument of
   *    [[graft.operators.SkewJoin.saltedJoinHot]], restated at the
   *    plan layer and gated by the q83 oracle (which replays the
   *    PLAIN join in DuckDB);
@@ -141,19 +140,22 @@ class TransparentJoinSteeringRule(
     val saltF = Alias(saltExpr, "__salt_f")()
     val saltedFact = Project(factPlan.output :+ saltF, factPlan)
 
+    // dim replication via explode — the dim scans ONCE: hot-key rows
+    // carry the full salt range, everything else the single salt 0
+    // (the SkewJoin.saltedJoinHot shape, built at the plan layer)
     val isHotDim = In(dimKey, hotLits)
-    val copies = (0 until factor).map { i =>
-      val child = if (i == 0) dimPlan else Filter(isHotDim, dimPlan)
-      Project(dimPlan.output :+ Alias(Literal(i.toLong), "__salt_d")(), child)
-    }
-    val dimUnion = Union(copies)
-    val saltD = dimUnion.output.last
+    val saltRange = CreateArray((0 until factor).map(i => Literal(i.toLong)))
+    val saltZero = CreateArray(Seq(Literal(0L)))
+    val saltD = AttributeReference("__salt_d", LongType, nullable = false)()
+    val dimExploded = Generate(Explode(If(isHotDim, saltRange, saltZero)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(saltD), child = dimPlan)
 
     val cond = And(EqualTo(factKey, dimKey),
       EqualTo(saltF.toAttribute, saltD))
     val steered =
-      if (factIsLeft) Join(saltedFact, dimUnion, Inner, Some(cond), JoinHint.NONE)
-      else Join(dimUnion, saltedFact, Inner, Some(cond), JoinHint.NONE)
+      if (factIsLeft) Join(saltedFact, dimExploded, Inner, Some(cond), JoinHint.NONE)
+      else Join(dimExploded, saltedFact, Inner, Some(cond), JoinHint.NONE)
     // restore the original output (exprIds untouched throughout; the
     // projection prunes the salts and pins the column order)
     Some(Project(j.output, steered))
