@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -15,9 +15,9 @@ import graft.operators.{StatsCatalog, StatsMaintain}
   * discipline applied to D83's join dispatch. Until now only callers
   * of [[graft.operators.Steering.advisedJoin]] got the engine brain;
   * a dashboard issuing a plain `fact.join(dim, key)` got none of it.
-  * This rule matches the plain inner equi-join over registered
-  * parquet tables and dispatches on the SAME persisted statistics
-  * ([[StatsCatalog.adviseJoinSides]]):
+  * This rule matches the plain INNER or LEFT OUTER single-equality
+  * equi-join over registered parquet tables and dispatches on the
+  * SAME persisted statistics ([[StatsCatalog.adviseJoinSides]]):
   *
   *  - BROADCAST arm: the within-budget side gets the logical
   *    BROADCAST hint — the planner's own BroadcastHashJoin takes it
@@ -60,7 +60,13 @@ import graft.operators.{StatsCatalog, StatsMaintain}
   *    not salting);
   *  - overlapping output exprIds between the sides (a self-join of
   *    one Dataset instance — attribute identity would be ambiguous
-  *    in the rewritten tree).
+  *    in the rewritten tree);
+  *  - LEFT OUTER additionally pins the roles: only the RIGHT side
+  *    may take the broadcast hint (the outer side cannot be the
+  *    hash-join build), and only a LEFT-side hot profile salts (the
+  *    replicated side must never emit unmatched rows — replicating
+  *    the outer side would null-extend its unmatched rows once per
+  *    salt). A right-side-only skew signal therefore passes through.
   *
   * Idempotent by construction for the fixed-point user batch: the
   * broadcast arm leaves a non-NONE hint (no re-match), the salted
@@ -122,7 +128,7 @@ class TransparentJoinSteeringRule(
   private def saltedRewrite(j: Join, factPlan: LogicalPlan,
       factKey: AttributeReference, dimPlan: LogicalPlan,
       dimKey: AttributeReference, hotLits: Seq[Literal],
-      factIsLeft: Boolean): Option[LogicalPlan] = {
+      factIsLeft: Boolean, joinType: JoinType): Option[LogicalPlan] = {
     // deterministic per-row salt: hash of every atomic fact column —
     // demanding one beyond the key, because identical hash inputs
     // land identical salts (a key-only hash would re-concentrate the
@@ -153,19 +159,29 @@ class TransparentJoinSteeringRule(
 
     val cond = And(EqualTo(factKey, dimKey),
       EqualTo(saltF.toAttribute, saltD))
+    // the join type carries through: for LEFT OUTER the fact is the
+    // left/outer side (caller-enforced) and the exploded dim never
+    // emits unmatched rows, so an unmatched fact row null-extends
+    // exactly once — at its own single salt
     val steered =
-      if (factIsLeft) Join(saltedFact, dimExploded, Inner, Some(cond), JoinHint.NONE)
-      else Join(dimExploded, saltedFact, Inner, Some(cond), JoinHint.NONE)
+      if (factIsLeft) Join(saltedFact, dimExploded, joinType, Some(cond), JoinHint.NONE)
+      else Join(dimExploded, saltedFact, joinType, Some(cond), JoinHint.NONE)
     // restore the original output (exprIds untouched throughout; the
     // projection prunes the salts and pins the column order)
     Some(Project(j.output, steered))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner,
+    case j @ Join(left, right, jt,
         Some(EqualTo(x: AttributeReference, y: AttributeReference)), hint)
-        if hint == JoinHint.NONE &&
+        if (jt == Inner || jt == LeftOuter) && hint == JoinHint.NONE &&
           left.outputSet.intersect(right.outputSet).isEmpty =>
+      // LEFT OUTER constrains both arms (the reference's daily enrich
+      // join is exactly this shape): the REPLICATED/BUILT side must be
+      // the right one — a broadcast hint on the outer side cannot
+      // hash-join, and replicating the outer side would emit its
+      // unmatched rows once per salt
+      val outer = jt == LeftOuter
       val steered = for {
         (lRel, lDir, lTable) <- simpleSide(left)
         (rRel, rDir, rTable) <- simpleSide(right)
@@ -191,20 +207,25 @@ class TransparentJoinSteeringRule(
             val rb = StatsCatalog.tableBytes(rDir, rTable)
             val bHint = Some(HintInfo(Some(BROADCAST)))
             if (rb <= lb) Some(j.copy(hint = JoinHint(None, bHint)))
+            else if (outer) None // outer side cannot build — fail closed
             else Some(j.copy(hint = JoinHint(bHint, None)))
           case StatsCatalog.SaltedShuffle(_) =>
             // salt the BIGGER side (its hot keys melt the reducer);
-            // the smaller side pays the hot-row replication
+            // the smaller side pays the hot-row replication. Outer
+            // joins pin the roles: fact = left, replicated = right.
             val lb = StatsCatalog.tableBytes(lDir, lTable)
             val rb = StatsCatalog.tableBytes(rDir, rTable)
             val (fPlan, fKey, fDir, fTable, dPlan, dKey, factIsLeft) =
-              if (lb >= rb) (left, a, lDir, lTable, right, b, true)
+              if (outer || lb >= rb) (left, a, lDir, lTable, right, b, true)
               else (right, b, rDir, rTable, left, a, false)
             for {
+              // fail-closed by construction: no current hot profile on
+              // the FACT side (for outer, the left side) → no rewrite —
+              // a right-side-only skew signal never salts an outer join
               hot <- hotKeysFor(fDir, fTable, fKey.name)
               lits <- hotLiterals(fKey.dataType, hot)
               rewritten <- saltedRewrite(j, fPlan, fKey, dPlan, dKey,
-                lits, factIsLeft)
+                lits, factIsLeft, jt)
             } yield rewritten
           case StatsCatalog.PlainShuffle => None
         }

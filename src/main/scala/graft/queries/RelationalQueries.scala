@@ -3843,6 +3843,55 @@ object RelationalQueries {
       .orderBy($"seg")
   }
 
+  /** q85 — TRANSPARENT STEERING OF A LEFT-OUTER ENRICH ([[graft
+    * .plans.TransparentJoinSteeringRule]], D93's outer leg): the
+    * reference's daily enrich join is a LEFT join of the cleaned
+    * fact to the areas dim (`TransformTaxiTrips.py:93-94`) — the
+    * exact shape q83's inner-only matcher left behind. The dim side
+    * here is FILTERED (seg ≠ 3), so a seventh of the fact's keys
+    * null-extend: the gate exercises outer semantics (unmatched
+    * rows must survive exactly once — at their single salt), the
+    * filtered-side trace (simpleSide sees through the Filter), and
+    * the hot-key salt in one plan. The role pins are spec-pinned in
+    * JoinSteeringSpec (outer side never broadcasts, right-side-only
+    * skew never salts); the oracle replays the plain LEFT join in
+    * DuckDB — result-invisibility, outer edition. */
+  val q85SteeredLeftEnrich: GraftQuery = q(
+    "q85_steered_left_enrich",
+    "transparent steering of a plain LEFT-OUTER enrich join: hot key salts, unmatched rows null-extend exactly once; oracle replays the plain left join",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
+      |         value
+      |  FROM events),
+      |d AS (SELECT DISTINCT k FROM f),
+      |dd AS (SELECT k, ((k % 7) + 7) % 7 AS seg FROM d),
+      |ddf AS (SELECT * FROM dd WHERE seg <> 3)
+      |SELECT coalesce(ddf.seg, -1) AS seg, count(*) AS n,
+      |       count(ddf.k) AS matched,
+      |       CAST(sum(CAST(floor(f.value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM f LEFT JOIN ddf ON f.k = ddf.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val fix = graft.operators.Steering.ensureSkewFixture(s, dir)
+    SC.ensure(s, fix, "skew_fact")
+    SC.ensure(s, fix, "skew_dim")
+    SC.ensureKeyProfile(s, fix, "skew_fact", "k", hotFreq = 200L)
+    graft.plans.TransparentJoinSteering.enable(s,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
+    val fact = Tables(s, fix, "skew_fact")
+    val dim = Tables(s, fix, "skew_dim").where($"seg" =!= 3L)
+    val joined = fact.join(dim, fact("k") === dim("k"), "left")
+    require(joined.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+      "the plain LEFT enrich must be steered into the salted shape")
+    joined.groupBy(coalesce(dim("seg"), lit(-1L)).as("seg"))
+      .agg(count(lit(1)).as("n"),
+        count(dim("k")).as("matched"),
+        sum(floor($"value").cast("long")).as("v_fp"))
+      .orderBy($"seg")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3866,5 +3915,5 @@ object RelationalQueries {
     q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy,
     q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes,
     q80MaintainedStats, q81McvEstimate, q82TransparentCache,
-    q83TransparentSteering, q84MaintainedAdvice)
+    q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich)
 }

@@ -108,6 +108,68 @@ class JoinSteeringSpec extends SparkSpec {
     }
   }
 
+  test("LEFT OUTER steering pins the roles: left-side skew salts, right-side-only skew and outer-side broadcasts pass through") {
+    withIndexRoot("graft-tjs-outer") {
+      val dir = tmpDir("graft-tjs-outer-data")
+      writeFixture(dir)
+      try {
+        Seq("zfact", "ufact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
+        StatsCatalog.ensureKeyProfile(spark, dir, "zfact", "k", hotFreq = 1000L)
+        TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+          skewAvgFreq = 64.0, factor = 4)
+        val f = graft.Tables(spark, dir, "zfact")
+        val d = graft.Tables(spark, dir, "dim")
+        // unmatched rows in play, the hard way: dim filtered to
+        // dk >= 50, so the HOT key 7 itself is unmatched — its 3000
+        // null-extended rows must each survive exactly once across
+        // the salt range (fact tail keys 100..129 stay matched)
+        val df = d.where($"dk" >= 50L)
+        val steered = f.join(df, f("k") === df("dk"), "left")
+        val sp = steered.queryExecution.optimizedPlan.toString
+        assert(sp.contains("__salt_f"),
+          s"left-side skew must salt the LEFT OUTER join:\n$sp")
+        val agg = steered.groupBy(coalesce($"dname", lit("none")).as("g"))
+          .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+          .collect().map(_.toString).toSet
+        TransparentJoinSteering.disableForTest(spark)
+        val truth = f.join(df, f("k") === df("dk"), "left")
+          .groupBy(coalesce($"dname", lit("none")).as("g"))
+          .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+          .collect().map(_.toString).toSet
+        assert(agg === truth,
+          "outer salting must null-extend unmatched rows exactly once")
+
+        // right-side-only skew: dim LEFT JOIN zfact — the hot profile
+        // sits on the RIGHT side, which must never replicate
+        TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+          skewAvgFreq = 64.0, factor = 4)
+        val rp = d.join(f, d("dk") === f("k"), "left")
+          .queryExecution.optimizedPlan.toString
+        assert(!rp.contains("__salt_f"),
+          s"right-side-only skew must pass an outer join through:\n$rp")
+
+        // outer-side broadcast: with the dim on the LEFT of a left
+        // join and a generous budget, the advice picks the small left
+        // side — which cannot build — so the plan passes through
+        TransparentJoinSteering.enable(spark,
+          broadcastBytes = 32L * 1024 * 1024, skewAvgFreq = 1e9, factor = 4)
+        val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val bp = d.join(f, d("dk") === f("k"), "left")
+            .queryExecution.executedPlan.toString
+          assert(!bp.contains("BroadcastHashJoin"),
+            s"the outer side must never take the build hint:\n$bp")
+          // ...while the same budget broadcasts the dim on the RIGHT
+          val ok = f.join(d, f("k") === d("dk"), "left")
+            .queryExecution.executedPlan.toString
+          assert(ok.contains("BroadcastHashJoin"),
+            s"a right-side dim under budget must broadcast:\n$ok")
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      } finally TransparentJoinSteering.disableForTest(spark)
+    }
+  }
+
   test("q83's registered fixture takes the salted arm through the rule") {
     withIndexRoot("graft-tjs-q83") {
       try {
