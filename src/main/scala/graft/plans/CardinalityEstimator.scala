@@ -94,11 +94,20 @@ object CardinalityEstimator {
     * the same reason as `useColumnGroups`: the estimator must be
     * deterministic about which algebra it ran, and q67's replayed
     * oracle pins the uniform one (q81 pins this one). */
+  /** `useFeedback = true` additionally consults recorded OBSERVED
+    * cardinalities ([[graft.operators.CardFeedback]], D96) — the
+    * learning tier: any subtree whose exact canonical form ‖ source
+    * stamp was observed serves its TRUE count in place of the
+    * algebraic estimate (and shapes outside the algebra become
+    * estimable when observed). OPT-IN like the other tiers: the
+    * estimator declares which algebra it ran; q86 pins this one. */
   def estimateRows(s: SparkSession,
       df: org.apache.spark.sql.DataFrame,
       useColumnGroups: Boolean = false,
-      useMcv: Boolean = false): Option[BigInt] =
-    est(s, df.queryExecution.analyzed, useColumnGroups, useMcv).map(_.rows)
+      useMcv: Boolean = false,
+      useFeedback: Boolean = false): Option[BigInt] =
+    est(s, df.queryExecution.analyzed, useColumnGroups, useMcv,
+      useFeedback).map(_.rows)
 
   private def tableOf(rel: LogicalRelation): Option[(String, String)] =
     rel.relation match {
@@ -285,8 +294,27 @@ object CardinalityEstimator {
     else e.rows
   }
 
+  /** Entry point + the FEEDBACK tier: when `fb`, an observed
+    * cardinality for this exact canonical subtree overrides the
+    * algebraic row count — env/src still come from the algebra so
+    * parents keep their attribute stats; a shape the algebra cannot
+    * cost becomes estimable when observed. Each node's check costs
+    * one (memoized) canonicalization + one FS-metadata stamp walk —
+    * plan-time only, no jobs. */
   private def est(s: SparkSession, plan: LogicalPlan,
-      groups: Boolean, mcv: Boolean): Option[Est] =
+      groups: Boolean, mcv: Boolean, fb: Boolean = false): Option[Est] = {
+    val algebraic = estAlgebra(s, plan, groups, mcv, fb)
+    if (!fb) algebraic
+    else graft.operators.CardFeedback.observed(s, plan) match {
+      case Some(n) =>
+        Some(algebraic.map(_.copy(rows = BigInt(n)))
+          .getOrElse(Est(BigInt(n), Map.empty, Map.empty)))
+      case None => algebraic
+    }
+  }
+
+  private def estAlgebra(s: SparkSession, plan: LogicalPlan,
+      groups: Boolean, mcv: Boolean, fb: Boolean): Option[Est] =
     plan match {
       case rel: LogicalRelation =>
         tableOf(rel).flatMap { case (dir, table) =>
@@ -312,7 +340,7 @@ object CardinalityEstimator {
           }
         }
       case Project(list, child) =>
-        est(s, child, groups, mcv).map { e =>
+        est(s, child, groups, mcv, fb).map { e =>
           // rebind: bare attrs keep their stats; aliases of bare
           // attrs carry the underlying column's stats to the new id;
           // a NAME-PRESERVING single-source alias (the loader's
@@ -335,15 +363,15 @@ object CardinalityEstimator {
             e.src.get(f).map(t -> _) }.toMap
           Est(e.rows, rebound, reboundSrc)
         }
-      case SubqueryAlias(_, child) => est(s, child, groups, mcv)
-      case Sort(_, _, child, _) => est(s, child, groups, mcv)
+      case SubqueryAlias(_, child) => est(s, child, groups, mcv, fb)
+      case Sort(_, _, child, _) => est(s, child, groups, mcv, fb)
       // a window computes columns, never changes cardinality; its new
       // attributes carry no stats, the child's keep theirs
-      case Window(_, _, _, child, _) => est(s, child, groups, mcv)
+      case Window(_, _, _, child, _) => est(s, child, groups, mcv, fb)
       // DISTINCT / dropDuplicates(keys) is a group-by in disguise:
       // min(child, ∏ ndv(keys)) under the same independence algebra
       case Deduplicate(keys, child) =>
-        est(s, child, groups, mcv).map { e =>
+        est(s, child, groups, mcv, fb).map { e =>
           val prod = keys.map {
             case a: AttributeReference =>
               e.env.get(a.exprId).map(st => BigInt(st.ndv).max(1))
@@ -354,15 +382,15 @@ object CardinalityEstimator {
             e.env, e.src)
         }
       case Filter(cond, child) =>
-        est(s, child, groups, mcv).map { e =>
+        est(s, child, groups, mcv, fb).map { e =>
           val rows = conjuncts(cond).foldLeft(e.rows)(
             (r, c) => r * selPpm(c, e.env, s, e.src, mcv) / M)
           Est(rows, e.env, e.src)
         }
       case Join(l, r, jt, Some(cond), _) if jt == Inner || jt == LeftOuter =>
         for {
-          le <- est(s, l, groups, mcv)
-          re <- est(s, r, groups, mcv)
+          le <- est(s, l, groups, mcv, fb)
+          re <- est(s, r, groups, mcv, fb)
           key <- conjuncts(cond).collectFirst {
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if le.env.contains(a.exprId) && re.env.contains(b.exprId) =>
@@ -412,8 +440,8 @@ object CardinalityEstimator {
         }
       case Join(l, r, jt, Some(cond), _) if jt == LeftSemi || jt == LeftAnti =>
         for {
-          le <- est(s, l, groups, mcv)
-          re <- est(s, r, groups, mcv)
+          le <- est(s, l, groups, mcv, fb)
+          re <- est(s, r, groups, mcv, fb)
           key <- conjuncts(cond).collectFirst {
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if le.env.contains(a.exprId) && re.env.contains(b.exprId) =>
@@ -440,15 +468,15 @@ object CardinalityEstimator {
       // distinct side (dedup via the left env's ndv product when
       // every column has stats, else the raw side).
       case Intersect(l, r, false) =>
-        for { le <- est(s, l, groups, mcv); re <- est(s, r, groups, mcv) } yield
+        for { le <- est(s, l, groups, mcv, fb); re <- est(s, r, groups, mcv, fb) } yield
           Est(distinctBound(l, le).min(distinctBound(r, re)),
             le.env, le.src)
       case Except(l, r, false) =>
         // EXCEPT DISTINCT emits at most the left side's DISTINCT rows
         // (r13 review caught the raw-rows shortfall vs the comment)
-        est(s, l, groups, mcv).map(e => Est(distinctBound(l, e), e.env, e.src))
+        est(s, l, groups, mcv, fb).map(e => Est(distinctBound(l, e), e.env, e.src))
       case Union(children, _, _) if children.nonEmpty =>
-        val es = children.map(c => est(s, c, groups, mcv))
+        val es = children.map(c => est(s, c, groups, mcv, fb))
         if (es.forall(_.isDefined))
           // output exprIds are the head child's — its env is the
           // union's declared distribution (uniformity assumption)
@@ -456,7 +484,7 @@ object CardinalityEstimator {
             es.head.get.src))
         else None
       case Aggregate(group, _, Expand(projections, expOut, child), _) =>
-        est(s, child, groups, mcv).map { e =>
+        est(s, child, groups, mcv, fb).map { e =>
           // Per grouping set: rebind the Expand's output positionally
           // from THAT branch's projection (live slots are attr refs to
           // the group-by aliases, NULLed slots and the grouping-id are
@@ -481,7 +509,7 @@ object CardinalityEstimator {
           Est(branches.sum, Map.empty, Map.empty)
         }
       case Aggregate(group, _, child, _) =>
-        est(s, child, groups, mcv).map { e =>
+        est(s, child, groups, mcv, fb).map { e =>
           // COLUMN-GROUP path (opt-in): when every grouped attribute
           // traces to ONE table and a persisted group artifact covers
           // exactly that column set, its measured tuple-NDV replaces
@@ -518,9 +546,9 @@ object CardinalityEstimator {
             Map.empty, Map.empty)
         }
       case GlobalLimit(IntegerLiteral(k), child) =>
-        est(s, child, groups, mcv).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
+        est(s, child, groups, mcv, fb).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
       case LocalLimit(IntegerLiteral(k), child) =>
-        est(s, child, groups, mcv).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
+        est(s, child, groups, mcv, fb).map(e => Est(e.rows.min(BigInt(k)), e.env, e.src))
       case _ => None
     }
 }

@@ -3892,6 +3892,60 @@ object RelationalQueries {
       .orderBy($"seg")
   }
 
+  /** q86 — CARDINALITY FEEDBACK ([[graft.operators.CardFeedback]] ×
+    * [[graft.plans.CardinalityEstimator]] useFeedback, D96): the
+    * learning tier — DB2's LEO / SQL Server CE feedback (public
+    * designs). The estimator's declared algebra is exactly as wrong
+    * as its independence assumption (two conjuncts on one column
+    * multiply), and the engine RUNS the queries it mispredicts, so
+    * every execution is a free exact observation. Three observed
+    * shapes: the correlated filter (algebra underestimates), a full
+    * join, and an explode the algebra cannot cost at all — after one
+    * recording each, the feedback-tier estimate IS the true count,
+    * which is what lets the DuckDB oracle gate an ESTIMATOR with a
+    * row hash: the oracle recomputes the observations as plain
+    * counts. Staleness is impossible, not detected (result-cache
+    * keying: canonical plan ‖ source stamp — a mutated table re-keys
+    * the observation to unreachable; spec-pinned). CardFeedbackSpec
+    * pins the subtree-reuse LEO move: the standalone observation
+    * serves INSIDE a larger join's estimate. */
+  val q86CardinalityFeedback: GraftQuery = q(
+    "q86_cardinality_feedback",
+    "observed-cardinality feedback: recorded executions serve exact counts to the estimator; oracle recomputes the counts",
+    """SELECT * FROM (
+      |  SELECT 'explode_observed' AS shape,
+      |         CAST((SELECT count(*) * 2 FROM orders) AS BIGINT) AS est
+      |  UNION ALL
+      |  SELECT 'filter_observed',
+      |         CAST((SELECT count(*) FROM orders
+      |               WHERE o_custkey <= 200 AND o_custkey <= 300) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'join_observed',
+      |         CAST((SELECT count(*) FROM lineitem l
+      |               JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |               WHERE o.o_custkey <= 200) AS BIGINT)
+      |) ORDER BY shape""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val CF = graft.operators.CardFeedback
+    val CE = graft.plans.CardinalityEstimator
+    def f = Tables(s, dir, "orders")
+      .where($"o_custkey" <= 200L && $"o_custkey" <= 300L)
+    def j = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders").where($"o_custkey" <= 200L),
+        $"l_orderkey" === $"o_orderkey")
+    def e = Tables(s, dir, "orders")
+      .select($"o_orderkey", explode(array(lit(1), lit(2))).as("x"))
+    Seq(f, j, e).foreach(CF.record(s, _))
+    def served(df: org.apache.spark.sql.DataFrame): Long =
+      CE.estimateRows(s, df, useFeedback = true)
+        .getOrElse(sys.error("the observation must serve")).toLong
+    Seq(("explode_observed", served(e)),
+        ("filter_observed", served(f)),
+        ("join_observed", served(j)))
+      .toDF("shape", "est").orderBy($"shape")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3915,5 +3969,6 @@ object RelationalQueries {
     q72JoinOrder, q73EntityServing, q74ColumnGroupStats, q75FdGroupBy,
     q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes,
     q80MaintainedStats, q81McvEstimate, q82TransparentCache,
-    q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich)
+    q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich,
+    q86CardinalityFeedback)
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.plans.CardinalityEstimator
+import org.apache.spark.sql.functions._
+
+/** The feedback-tier contract (D96): an observed cardinality serves
+  * the exact count for its canonical subtree — standalone AND inside
+  * a larger plan (the LEO move) — overriding the algebra's
+  * correlated-conjunct misestimate; a mutated source re-keys the
+  * observation to unreachable (algebra fallback, never yesterday's
+  * count); moving plans (current-time expressions) refuse the
+  * keyspace; retention only ever costs a re-miss. */
+class CardFeedbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("observed counts override the correlated misestimate, reuse inside joins, and fail closed on mutation") {
+    withIndexRoot("graft-feedback") {
+      val dir = tmpDir("graft-feedback-data")
+      // fact: k uniform over 1..100; dim joins on k
+      (1L to 5000L).map(i => (i % 100 + 1, i)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+      (1L to 100L).map(i => (i, s"d$i")).toDF("dk", "dname")
+        .write.mode("overwrite").parquet(s"$dir/dim.parquet")
+      Seq("fact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
+      val fact = graft.Tables(spark, dir, "fact")
+      val dim = graft.Tables(spark, dir, "dim")
+
+      // correlated conjuncts on one column: the algebra multiplies
+      // the two range fractions; the truth is the tighter one alone
+      def filtered = dim.where($"dk" <= 50L && $"dk" <= 60L)
+      val algebraic = CardinalityEstimator.estimateRows(spark, filtered).get
+      assert(algebraic < BigInt(50),
+        s"the independence assumption must misestimate here: $algebraic")
+      val observed = CardFeedback.record(spark, filtered).get
+      assert(observed === 50L)
+      assert(CardinalityEstimator.estimateRows(spark, filtered,
+        useFeedback = true).contains(BigInt(50)),
+        "the observation must serve the exact count")
+      // ...and WITHOUT the flag the declared algebra stands
+      assert(CardinalityEstimator.estimateRows(spark, filtered)
+        .contains(algebraic))
+
+      // the LEO move: the SAME canonical subtree inside a larger
+      // plan serves its observation — the join estimate becomes
+      // |fact| * observed / max(ndv) instead of riding the miss
+      val join = fact.join(filtered, $"k" === $"dk")
+      val joinAlg = CardinalityEstimator.estimateRows(spark, join).get
+      val joinFb = CardinalityEstimator.estimateRows(spark, join,
+        useFeedback = true).get
+      assert(joinFb === BigInt(5000) * 50 / 100,
+        s"join estimate must consume the subtree observation: $joinFb")
+      assert(joinAlg < joinFb, "the algebra alone rode the misestimate")
+
+      // a shape OUTSIDE the algebra becomes estimable when observed
+      val exploded = dim.select($"dk", explode(array(lit(1), lit(2))).as("x"))
+      assert(CardinalityEstimator.estimateRows(spark, exploded).isEmpty)
+      assert(CardFeedback.record(spark, exploded).contains(200L))
+      assert(CardinalityEstimator.estimateRows(spark, exploded,
+        useFeedback = true).contains(BigInt(200)))
+
+      // mutation re-keys: append to dim -> the observation is
+      // unreachable, the algebra serves again (never a stale count)
+      Seq((101L, "d101")).toDF("dk", "dname")
+        .write.mode("append").parquet(s"$dir/dim.parquet")
+      assert(CardFeedback.observed(spark,
+        filtered.queryExecution.analyzed).isEmpty,
+        "a mutated source must make the observation unreachable")
+
+      // moving plans refuse the keyspace entirely
+      assert(CardFeedback.record(spark,
+        dim.where($"dk" <= 50L && current_date().isNotNull)).isEmpty,
+        "current-time expressions are never recorded")
+
+      // retention: sweeping to zero only costs a re-miss
+      assert(CardFeedback.sweep(spark, 0) >= 1)
+      assert(CardFeedback.observed(spark,
+        exploded.queryExecution.analyzed).isEmpty)
+    }
+  }
+}
