@@ -86,6 +86,99 @@ object CardFeedback {
       }
     }
 
+  // ------------------------------------------------------------------
+  // TRANSPARENT AUTO-RECORDING — the D93/D90 zero-client-change
+  // discipline applied to learning: with [[enableAutoRecord]] on,
+  // every COMPLETED query action harvests its observed root
+  // cardinality into the store, so the estimator's feedback tier
+  // improves from the workload the engine is already serving —
+  // nobody calls record(), the queries teach the optimizer (LEO's
+  // own deployment model; public design).
+  //
+  // Safety gates, each fail-closed to "not recorded":
+  //  - only COMPLETE actions harvest (collect/count/foreach/save
+  //    classes; a partially-consumed toLocalIterator would record an
+  //    undercount — the one way auto-feedback could learn a lie);
+  //  - the key is the ACTION'S OWN analyzed plan, so a limited show()
+  //    records the limit-plan's true count, never the unlimited
+  //    plan's;
+  //  - unkeyable plans (commands, non-file leaves, moving
+  //    expressions) are skipped by the keying itself;
+  //  - the root metric must exist (nodes without numOutputRows skip).
+  //
+  // Cost, stated: one kilobyte artifact write per harvested action —
+  // the opt-in's price, bounded by [[sweep]]. The write is itself a
+  // command and therefore unkeyable: no recursion.
+  // ------------------------------------------------------------------
+
+  /** Actions whose completion implies the root metric saw EVERY
+    * output row of the action's plan. */
+  private val CompleteActions = Set("collect", "collectAsList",
+    "collectToPython", "count", "foreach", "foreachPartition",
+    "showString", "save", "head", "first")
+
+  /** Observed root cardinality of an executed query, if its plan is
+    * keyable and its final root carries the row metric. */
+  private[graft] def rootRows(
+      p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      rootRows(a.executedPlan)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+      rootRows(w.child)
+    case other => other.metrics.get("numOutputRows").map(_.value)
+  }
+
+  /** Harvest one completed execution into the store (no-op for
+    * unkeyable plans or metric-less roots). Exposed for direct use;
+    * the auto-record listener is the transparent caller. */
+  def harvest(s: SparkSession,
+      qe: org.apache.spark.sql.execution.QueryExecution): Option[Long] =
+    for {
+      key <- ResultCache.keyOf(qe.analyzed)
+      n <- rootRows(qe.executedPlan)
+    } yield {
+      import s.implicits._
+      Seq(n).toDF("rows").coalesce(1)
+        .write.mode("overwrite").parquet(feedbackPath(key))
+      cache.put(key, n)
+      n
+    }
+
+  private val autoSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private val autoListeners =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      org.apache.spark.sql.util.QueryExecutionListener]()
+
+  /** Idempotently enable transparent harvesting on `s`: every
+    * completed complete-action execution records its observation. */
+  def enableAutoRecord(s: SparkSession): Unit =
+    if (autoSessions.add(s)) {
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          if (CompleteActions.contains(funcName)) {
+            try { harvest(s, qe); () } catch { case _: Exception => () }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      autoListeners.put(s, l)
+      s.listenerManager.register(l)
+    }
+
+  /** Test seam: unregister the listener so suites sharing the
+    * session don't harvest each other's actions. */
+  private[graft] def disableAutoRecordForTest(s: SparkSession): Unit = {
+    val l = autoListeners.remove(s)
+    if (l != null) s.listenerManager.unregister(l)
+    autoSessions.remove(s)
+    ()
+  }
+
   /** Retention: keep the newest `maxEntries` observations by mtime.
     * Deleting a live one only costs a fallback to the algebra. */
   def sweep(s: SparkSession, maxEntries: Int): Int = {

@@ -78,4 +78,49 @@ class CardFeedbackSpec extends SparkSpec {
         exploded.queryExecution.analyzed).isEmpty)
     }
   }
+
+  test("auto-record harvests completed actions transparently; partial and unkeyable ones never record") {
+    withIndexRoot("graft-feedback-auto") {
+      val dir = tmpDir("graft-feedback-auto-data")
+      (1L to 300L).map(i => (i % 10, i)).toDF("g", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val t = graft.Tables(spark, dir, "t")
+      CardFeedback.enableAutoRecord(spark)
+      try {
+        // a plain collect teaches the optimizer with zero client code
+        val shape = t.where($"g" <= 3L)
+        assert(shape.collect().length === 120)
+        def eventually[A](what: String)(f: => Option[A]): A = {
+          val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+          var r = f
+          while (r.isEmpty && System.nanoTime() < deadline) {
+            Thread.sleep(200); r = f
+          }
+          r.getOrElse(fail(s"$what did not materialize in time"))
+        }
+        val n = eventually("the harvested observation") {
+          CardFeedback.observed(spark, shape.queryExecution.analyzed)
+        }
+        assert(n === 120L)
+        // ...and the estimator's feedback tier consumes it unasked-for
+        assert(graft.plans.CardinalityEstimator.estimateRows(spark,
+          t.where($"g" <= 3L), useFeedback = true).contains(BigInt(120)))
+        // a partially-consumable action never records (an abandoned
+        // iterator would teach an undercount)
+        val partial = t.where($"g" === 7L)
+        val it = partial.toLocalIterator()
+        assert(it.hasNext && it.next() != null)
+        Thread.sleep(1500)
+        assert(CardFeedback.observed(spark,
+          partial.queryExecution.analyzed).isEmpty,
+          "toLocalIterator must never harvest")
+        // moving plans stay unkeyable through the auto path too
+        val moving = t.where($"g" <= 3L && current_date().isNotNull)
+        assert(moving.collect().length === 120)
+        Thread.sleep(1500)
+        assert(CardFeedback.observed(spark,
+          moving.queryExecution.analyzed).isEmpty)
+      } finally CardFeedback.disableAutoRecordForTest(spark)
+    }
+  }
 }
