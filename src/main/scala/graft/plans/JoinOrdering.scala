@@ -1,0 +1,164 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.planToDf
+
+import graft.operators.StatsCatalog
+
+/** TRANSPARENT JOIN ORDERING as a Catalyst optimizer rule (D97) —
+  * the D93 zero-client-change discipline applied to D85's Selinger
+  * enumeration: a dashboard writing the three-way join in the WORST
+  * order (fact–fact first) got nothing from [[JoinOrderer]] unless
+  * it called the API. This rule matches a chain of plain INNER
+  * equi-joins whose leaves are all [[SimpleSides]] over ANALYZEd
+  * tables, hands the leaves + equality edges to [[JoinOrderer
+  * .choose]] (the exact DP through 10 relations, the greedy
+  * construction beyond — D95), and splices the chosen left-deep
+  * chain back under the original output exprIds. The declared order
+  * becomes what it always should have been: a statement of WHAT to
+  * join, not HOW.
+  *
+  * COMPOSITION with the steering rule (D93), deliberately staged:
+  * this rule reorders with NO hints ([[JoinOrderer.choose]] runs at
+  * broadcastRows = 0), leaving plain Join nodes — exactly the shape
+  * the steering rule then dispatches per-join (broadcast hint /
+  * salted rewrite / pass-through). [[enable]] inserts this rule
+  * BEFORE any registered steering rule so each fixed-point pass
+  * orders first, steers second; a steered (Project-wrapped) subtree
+  * no longer reads as a simple leaf, so the two rewrites never
+  * fight.
+  *
+  * Fail-closed vetoes, each leaving the plan untouched: any hint
+  * anywhere in the chain, any non-inner join, any condition conjunct
+  * that is not attr=attr between two DIFFERENT leaves, a leaf that
+  * is not a simple single-relation chain, duplicate attribute names
+  * inside a leaf (the rebuild resolves columns by name), more than
+  * [[JoinOrderer.MaxRelsGreedy]] leaves, overlapping leaf outputs
+  * (self-joins of one Dataset instance), and — through the DP's own
+  * discipline — any un-ANALYZEd leaf (choose answers None).
+  *
+  * FIXED-POINT stability, argued: the rewrite fires only when the
+  * chosen order differs from the chain's current leaf order. Leaves
+  * are fed to the DP in a canonical order (sorted by canonicalized
+  * subtree rendering), so the choice is a pure function of
+  * (leaf set, edges, stats) — independent of the tree shape that
+  * reached it. After one rewrite the chain IS the chosen order, the
+  * next pass chooses it again, the guard holds the plan still; and
+  * every prefix of the chosen chain is itself the choice for its own
+  * leaf subset (the DP reconstructs from optimal sub-chains with
+  * index ties fixed by the canonical order; the greedy path picks
+  * each step's minimum over a superset of the prefix's candidates),
+  * so re-matching an inner sub-chain also holds still. */
+class TransparentJoinOrderingRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** Flatten a maximal chain of eligible inner joins: the left-deep
+    * (or bushy) leaf sequence in tree order + every condition
+    * conjunct. `None` marks an ineligible node INSIDE a join (hint /
+    * outer / non-equi), which vetoes the whole chain. */
+  private def flatten(p: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
+    p match {
+      case Join(l, r, Inner, Some(cond), hint) if hint == JoinHint.NONE =>
+        val (ll, lc) = flatten(l)
+        val (rl, rc) = flatten(r)
+        (ll ++ rl, lc ++ rc ++ conjuncts(cond))
+      case leaf => (Seq(leaf), Nil)
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def reorder(j: Join): Option[LogicalPlan] = {
+    val (leaves, conds) = flatten(j)
+    if (leaves.size < 3 || leaves.size > JoinOrderer.MaxRelsGreedy) return None
+    // every leaf: a simple ANALYZEd single-relation chain with
+    // unambiguous column names and disjoint outputs
+    val sides = leaves.map(SimpleSides.of)
+    if (sides.exists(_.isEmpty)) return None
+    if (leaves.exists(l => l.output.map(_.name).distinct.size != l.output.size))
+      return None
+    if (leaves.map(_.outputSet).reduce(_ ++ _).size !=
+        leaves.map(_.output.size).sum) return None
+    if (sides.flatten.exists { case (_, dir, table) =>
+        StatsCatalog.statsIfReady(spark, dir, table).isEmpty }) return None
+    // every conjunct: attr = attr between two different leaves
+    def leafOf(a: AttributeReference): Option[Int] =
+      leaves.indexWhere(_.outputSet.contains(a)) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    val edgesOpt = conds.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        for {
+          la <- leafOf(a); lb <- leafOf(b)
+          if la != lb
+        } yield (la, a.name, lb, b.name)
+      case _ => None
+    }
+    if (edgesOpt.exists(_.isEmpty)) return None
+    // canonical leaf order: the DP's choice must be a function of the
+    // leaf SET, not of the tree shape that reached it (fixed point).
+    // Two leaves with the SAME canonical form (a self-join via two
+    // reads) would make the canonical order tree-dependent — veto.
+    val renders = leaves.map(_.canonicalized.toString)
+    if (renders.distinct.size != renders.size) return None
+    val canon = leaves.zipWithIndex
+      .sortBy { case (l, i) => (l.canonicalized.toString, i) }
+    val pos = canon.map(_._2).zipWithIndex.toMap // original idx -> canon idx
+    val rels = canon.zipWithIndex.map { case ((l, _), ci) =>
+      s"r$ci" -> planToDf(spark, l)
+    }
+    val edges = edgesOpt.flatten.map { case (la, an, lb, bn) =>
+      JoinOrderer.Edge(s"r${pos(la)}", an, s"r${pos(lb)}", bn)
+    }
+    // broadcastRows = 0: ordering leaves hints to the steering rule
+    val chosen = JoinOrderer.choose(spark, rels, edges, broadcastRows = 0L)
+      .getOrElse(return None)
+    // the guard that makes the fixed point: already in this order?
+    val currentOrder = leaves.indices.map(i => s"r${pos(i)}")
+    if (chosen.order == currentOrder) return None
+    Some(Project(j.output, chosen.df.queryExecution.analyzed))
+  }
+
+  /** Manual recursion: a rewritten chain is NOT re-entered in the
+    * same pass (the guard keeps later passes still). */
+  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+    case j @ Join(_, _, Inner, Some(_), hint) if hint == JoinHint.NONE =>
+      reorder(j) match {
+        case Some(newTree) => newTree
+        case None => j.mapChildren(rewrite)
+      }
+    case other => other.mapChildren(rewrite)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+}
+
+object TransparentJoinOrdering {
+  /** Idempotently enable transparent ordering on `s`, INSERTED BEFORE
+    * any registered steering rule (order first, steer second — see
+    * class scaladoc). Exactness-preserving: reordering inner
+    * equi-joins is result-invisible (q87 hash-gates it), so
+    * session-wide enablement is safe. */
+  def enable(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.exists(
+        _.isInstanceOf[TransparentJoinOrderingRule])) {
+      val (steer, rest) = s.experimental.extraOptimizations
+        .partition(_.isInstanceOf[TransparentJoinSteeringRule])
+      s.experimental.extraOptimizations =
+        rest ++ (new TransparentJoinOrderingRule(s) +: steer)
+    }
+
+  /** Test seam: remove the rule so plan-pinning suites sharing the
+    * session don't see foreign reorders. */
+  private[graft] def disableForTest(s: SparkSession): Unit =
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[TransparentJoinOrderingRule])
+}

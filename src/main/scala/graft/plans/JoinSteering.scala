@@ -84,24 +84,7 @@ class TransparentJoinSteeringRule(
     skewAvgFreq: Double = 64.0,
     factor: Int = 8) extends Rule[LogicalPlan] {
 
-  /** The single parquet relation under a pure narrow chain, with its
-    * (dir, table) — None for any other side shape. */
-  private def simpleSide(p: LogicalPlan): Option[(LogicalRelation, String, String)] =
-    p match {
-      case rel: LogicalRelation =>
-        rel.relation match {
-          case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
-            case rp :: Nil if rp.getName.endsWith(".parquet") =>
-              Some((rel, rp.getParent.toString, rp.getName.stripSuffix(".parquet")))
-            case _ => None
-          }
-          case _ => None
-        }
-      case f: Filter => simpleSide(f.child)
-      case pr: Project => simpleSide(pr.child)
-      case sa: SubqueryAlias => simpleSide(sa.child)
-      case _ => None
-    }
+  private def simpleSide(p: LogicalPlan) = SimpleSides.of(p)
 
   /** Hot-key renderings back to typed literals — only for key types
     * whose string round-trip is exact. */
@@ -232,6 +215,30 @@ class TransparentJoinSteeringRule(
       } yield out
       steered.getOrElse(j)
   }
+}
+
+/** The side shape both transparent join rules (D93 steering, D97
+  * ordering) trust: a pure Filter/Project/SubqueryAlias chain over
+  * ONE single-root parquet relation — the only shape for which the
+  * base table's file bytes, key profile, and ANALYZE stats are
+  * honest bounds for the side. */
+private[plans] object SimpleSides {
+  def of(p: LogicalPlan): Option[(LogicalRelation, String, String)] =
+    p match {
+      case rel: LogicalRelation =>
+        rel.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+            case rp :: Nil if rp.getName.endsWith(".parquet") =>
+              Some((rel, rp.getParent.toString, rp.getName.stripSuffix(".parquet")))
+            case _ => None
+          }
+          case _ => None
+        }
+      case f: Filter => of(f.child)
+      case pr: Project => of(pr.child)
+      case sa: SubqueryAlias => of(sa.child)
+      case _ => None
+    }
 }
 
 object TransparentJoinSteering {

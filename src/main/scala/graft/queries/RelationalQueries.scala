@@ -3946,6 +3946,60 @@ object RelationalQueries {
       .toDF("shape", "est").orderBy($"shape")
   }
 
+  /** q87 — TRANSPARENT JOIN ORDERING ([[graft.plans
+    * .TransparentJoinOrderingRule]] × [[graft.plans.JoinOrderer]],
+    * D97): q72's Selinger enumeration with ZERO client changes —
+    * the query DECLARES the worst left-deep order (the fact–fact
+    * pair first, the shape a generated-BI tool emits) as a plain
+    * join chain, and the optimizer rule hands the leaves + equality
+    * edges to the DP, which attaches the 150-customer filtered dim
+    * first. The require() pins that the re-shape fired (the
+    * innermost join must hold customer–orders — a silent
+    * fall-through fails Verify loudly); JoinOrderingSpec pins the
+    * vetoes, the fixed point, and the composition with the steering
+    * rule. The oracle replays the order-invariant join in DuckDB —
+    * the hash gate is the result-invisibility proof every plan
+    * rewrite owes. */
+  val q87TransparentOrdering: GraftQuery = q(
+    "q87_transparent_ordering",
+    "transparent join ordering: a worst-order declared chain is re-shaped by the optimizer rule from ANALYZE stats; oracle replays the join",
+    """SELECT o.o_orderstatus, count(*) AS n,
+      |       round(sum(l.l_extendedprice), 2) AS rev
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE c.c_custkey <= 150
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    Seq("customer", "orders", "lineitem").foreach(SC.ensure(s, dir, _))
+    graft.plans.TransparentJoinOrdering.enable(s)
+    val cu = Tables(s, dir, "customer").where($"c_custkey" <= 150L)
+    val or = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    // the WORST declared order: the fact-fact pair first
+    val joined = li
+      .join(or, li("l_orderkey") === or("o_orderkey"))
+      .join(cu, or("o_custkey") === cu("c_custkey"))
+    val deepest = joined.queryExecution.optimizedPlan.collect {
+      case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+    }.last
+    val deepTables = deepest.collectLeaves().collect {
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        rel.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.head.getName.stripSuffix(".parquet")
+        }
+    }.toSet
+    require(deepTables == Set("customer", "orders"),
+      s"the rule must re-shape the worst declared order, innermost = $deepTables")
+    joined.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_extendedprice"), 2).as("rev"))
+      .orderBy($"o_orderstatus")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -3970,5 +4024,5 @@ object RelationalQueries {
     q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes,
     q80MaintainedStats, q81McvEstimate, q82TransparentCache,
     q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich,
-    q86CardinalityFeedback)
+    q86CardinalityFeedback, q87TransparentOrdering)
 }

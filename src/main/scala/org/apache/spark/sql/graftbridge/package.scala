@@ -10,4 +10,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 package object graftbridge {
   def exprToColumn(e: Expression): Column = ExpressionUtils.column(e)
   def columnToExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame (the `private[sql]`
+    * `Dataset.ofRows`) — output attributes keep their exprIds, which
+    * is what lets an optimizer rule hand plan fragments to the
+    * DataFrame-level engine brain (JoinOrderer) and splice the
+    * result back under the original output. */
+  def planToDf(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,113 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.StatsCatalog
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+
+/** The transparent-ordering contract (D97): a chain of plain inner
+  * equi-joins DECLARED in the worst order is re-shaped by the
+  * optimizer to the DP's choice — filtered dim first, corpus-sized
+  * fact last — with the result bit-identical; every veto (hints,
+  * missing stats, non-simple leaves, self-joins) passes through; a
+  * re-optimization of the already-ordered plan holds still (the
+  * fixed-point guard); and the steering rule composes on top of the
+  * ordered chain in the same batch. */
+class JoinOrderingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTables(dir: String): Unit = {
+    (1L to 4000L).map(i => (i % 50 + 1, i % 40 + 1, i))
+      .toDF("ka", "kb", "payload")
+      .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+    (1L to 50L).map(i => (i, s"a$i")).toDF("dak", "aname")
+      .write.mode("overwrite").parquet(s"$dir/dima.parquet")
+    (1L to 40L).map(i => (i, s"b$i")).toDF("dbk", "bname")
+      .write.mode("overwrite").parquet(s"$dir/dimb.parquet")
+  }
+
+  /** The deepest join's leaf tables, from its relations' root paths. */
+  private def innermostTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    joins.last.collectLeaves().collect {
+      case rel: LogicalRelation => rel.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.head.getName.stripSuffix(".parquet")
+      }
+    }.toSet
+  }
+
+  test("the worst declared order is re-shaped to the DP's choice; vetoes and the fixed point hold") {
+    withIndexRoot("graft-tjo") {
+      val dir = tmpDir("graft-tjo-data")
+      writeTables(dir)
+      try {
+        val fact = graft.Tables(spark, dir, "fact")
+        val dima = graft.Tables(spark, dir, "dima").where($"dak" <= 5L)
+        val dimb = graft.Tables(spark, dir, "dimb")
+        def worst = fact
+          .join(dimb, $"kb" === $"dbk")
+          .join(dima, $"ka" === $"dak")
+
+        // no stats -> untouched even when enabled
+        TransparentJoinOrdering.enable(spark)
+        assert(innermostTables(worst) === Set("fact", "dimb"),
+          "without ANALYZE evidence the declared order must stand")
+
+        Seq("fact", "dima", "dimb").foreach(StatsCatalog.ensure(spark, dir, _))
+        // with stats: the filtered dima attaches FIRST
+        val ordered = worst
+        assert(innermostTables(ordered) === Set("fact", "dima"),
+          s"the DP must re-shape the chain:\n${ordered.queryExecution.optimizedPlan}")
+        // result-invisible
+        val got = ordered.select($"payload", $"aname", $"bname")
+          .collect().map(_.toString).sorted
+        TransparentJoinOrdering.disableForTest(spark)
+        val want = worst.select($"payload", $"aname", $"bname")
+          .collect().map(_.toString).sorted
+        assert(got.sameElements(want), "reordering must be result-invisible")
+
+        // fixed point: the ordered plan re-optimizes to ITSELF
+        TransparentJoinOrdering.enable(spark)
+        val once = ordered.queryExecution.optimizedPlan
+        val rule = new TransparentJoinOrderingRule(spark)
+        assert(rule.apply(once).fastEquals(once),
+          "re-applying the rule to its own output must hold still")
+
+        // veto: a user hint anywhere in the chain
+        val hinted = fact.join(broadcast(dimb), $"kb" === $"dbk")
+          .join(dima, $"ka" === $"dak")
+        assert(innermostTables(hinted) === Set("fact", "dimb"),
+          "a hinted chain must pass through")
+
+        // veto: a non-simple leaf (aggregate under the join)
+        val pre = dimb.groupBy($"dbk").agg(first($"bname").as("bname"))
+        val agged = fact.join(pre, $"kb" === $"dbk")
+          .join(dima, $"ka" === $"dak")
+        assert(innermostTables(agged) === Set("fact", "dimb"),
+          "an aggregate-shaped leaf must pass through")
+
+        // composition: steering broadcasts the ordered chain's dims
+        // in the same batch (order first, steer second)
+        TransparentJoinSteering.enable(spark,
+          broadcastBytes = 32L * 1024 * 1024, skewAvgFreq = 1e9)
+        val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val composed = worst
+          assert(innermostTables(composed) === Set("fact", "dima"))
+          assert(composed.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+            "the steering rule must hint the ordered chain's dims")
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+          TransparentJoinSteering.disableForTest(spark)
+        }
+      } finally {
+        TransparentJoinOrdering.disableForTest(spark)
+        TransparentJoinSteering.disableForTest(spark)
+      }
+    }
+  }
+}
