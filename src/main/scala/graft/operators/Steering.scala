@@ -94,7 +94,14 @@ object Steering {
     *    — the correlated-group-by estimate runs on independence;
     *  - `key_profile`: an equi-join key column with no per-key
     *    profile — skew stays invisible to [[adviseJoin]]'s max-
-    *    frequency path.
+    *    frequency path;
+    *  - `mcv`: an equality-against-literal filter column with no
+    *    most-common-value list — the skew-aware estimator tier
+    *    (D92) runs uniform exactly where the workload filters;
+    *  - `feedback`: a plan the estimator cannot cost at all (a
+    *    shape outside the algebra, over fully-ANALYZEd tables) —
+    *    one recorded execution ([[CardFeedback.record]], D96) makes
+    *    it estimable.
     *
     * ADVICE, not action: the caller owns the maintenance window (an
     * advisor that launched scans would be an ANALYZE, not an
@@ -115,16 +122,52 @@ object Steering {
         case _ => None
       }
     val advice = scala.collection.mutable.LinkedHashSet[AnalyzeAdvice]()
-    workload.foreach { df =>
+    workload.zipWithIndex.foreach { case (df, wi) =>
       val plan = df.queryExecution.analyzed
       val rels = plan.collect { case r: LogicalRelation => r }
       def sourceOf(a: AttributeReference): Option[(String, String)] =
         rels.find(_.output.exists(_.exprId == a.exprId)).flatMap(tableOf)
-      rels.flatMap(tableOf).foreach { case (dir, table) =>
-        if (StatsCatalog.statsIfReady(s, dir, table).isEmpty)
-          advice += AnalyzeAdvice("table_stats", dir, table, Nil)
-      }
+      val allAnalyzed = rels.flatMap(tableOf).map { case (dir, table) =>
+        val ready = StatsCatalog.statsIfReady(s, dir, table).isDefined
+        if (!ready) advice += AnalyzeAdvice("table_stats", dir, table, Nil)
+        ready
+      }.forall(identity)
+      // `feedback`: a keyable plan the algebra cannot cost even with
+      // every leaf ANALYZEd (table_stats is the right advice until
+      // then) and no observation recorded — one execution fixes it.
+      // `dir` carries the workload position so the maintenance
+      // window knows WHICH plan to record; `table` the record key's
+      // prefix for cross-referencing the artifact.
+      if (allAnalyzed && rels.nonEmpty &&
+          graft.plans.CardinalityEstimator.estimateRows(s, df).isEmpty &&
+          CardFeedback.observed(s, plan).isEmpty)
+        ResultCache.keyOf(plan).foreach { key =>
+          advice += AnalyzeAdvice("feedback", s"workload[$wi]",
+            key.take(12), Nil)
+        }
       plan.foreach {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+          // `mcv`: equality-against-literal columns without an MCV
+          // list — the D92 skew tier runs uniform exactly where the
+          // workload filters
+          def eqAttr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+              : Seq[AttributeReference] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              eqAttr(l) ++ eqAttr(r)
+            case org.apache.spark.sql.catalyst.expressions
+              .EqualTo(a: AttributeReference,
+                _: org.apache.spark.sql.catalyst.expressions.Literal) => Seq(a)
+            case org.apache.spark.sql.catalyst.expressions
+              .EqualTo(_: org.apache.spark.sql.catalyst.expressions.Literal,
+                a: AttributeReference) => Seq(a)
+            case _ => Nil
+          }
+          eqAttr(cond).foreach { a =>
+            sourceOf(a).foreach { case (dir, table) =>
+              if (StatsCatalog.mcvIfReady(s, dir, table, a.name).isEmpty)
+                advice += AnalyzeAdvice("mcv", dir, table, Seq(a.name))
+            }
+          }
         case Aggregate(groups, _, _, _) if groups.size >= 2 &&
             groups.forall(_.isInstanceOf[AttributeReference]) =>
           val attrs = groups.map(_.asInstanceOf[AttributeReference])

@@ -194,29 +194,47 @@ class SteeringSpec extends SparkSpec {
       val d = graft.Tables(spark, dir, "dm")
       val workload = Seq(
         f.groupBy($"k", $"name").agg(count(lit(1))),
-        f.join(d, $"k" === $"dk").agg(sum($"v")))
-      val advice = Steering.adviseAnalyze(spark, workload)
-      assert(advice.map(a => (a.kind, a.table, a.columns)) === Seq(
+        f.join(d, $"k" === $"dk").agg(sum($"v")),
+        // equality filter -> the MCV tier wants a list for `name`
+        f.where($"name" === "g3").select($"v"),
+        // a shape outside the algebra -> one recorded execution fixes it
+        f.select($"k", explode(array(lit(1), lit(2))).as("x")))
+      def report() = Steering.adviseAnalyze(spark, workload)
+      assert(report().map(a => (a.kind, a.table, a.columns)) === Seq(
         ("column_group", "fct", Seq("k", "name")),
         ("key_profile", "dm", Seq("dk")),
         ("key_profile", "fct", Seq("k")),
+        ("mcv", "fct", Seq("name")),
         ("table_stats", "dm", Nil),
-        ("table_stats", "fct", Nil)), advice.toString)
-      // run the advised jobs: the report drains to empty and the
-      // estimator can now cost every plan in the workload
-      advice.foreach {
+        ("table_stats", "fct", Nil)), report().toString)
+      // run the advised jobs: the report converges — table_stats
+      // first, then (once every leaf is ANALYZEd) the feedback gap
+      // surfaces for the explode plan, then records away
+      def run(as: Seq[Steering.AnalyzeAdvice]): Unit = as.foreach {
         case Steering.AnalyzeAdvice("table_stats", d0, t, _) =>
           StatsCatalog.ensure(spark, d0, t)
         case Steering.AnalyzeAdvice("column_group", d0, t, cols) =>
           StatsCatalog.ensureColumnGroup(spark, d0, t, cols)
         case Steering.AnalyzeAdvice("key_profile", d0, t, Seq(c)) =>
           StatsCatalog.ensureKeyProfile(spark, d0, t, c)
+        case Steering.AnalyzeAdvice("mcv", d0, t, Seq(c)) =>
+          StatsCatalog.ensureMcv(spark, d0, t, c)
+        case Steering.AnalyzeAdvice("feedback", pos, _, _) =>
+          val i = pos.stripPrefix("workload[").stripSuffix("]").toInt
+          assert(CardFeedback.record(spark, workload(i)).isDefined)
         case other => fail(s"unexpected advice $other")
       }
-      assert(Steering.adviseAnalyze(spark, workload).isEmpty,
-        "after the advised ensures the report must drain")
+      run(report())
+      val second = report()
+      assert(second.map(a => (a.kind, a.dir)) ===
+        Seq(("feedback", "workload[3]")),
+        s"with every leaf ANALYZEd the uncostable plan surfaces: $second")
+      run(second)
+      assert(report().isEmpty,
+        "after the advised ensures + recording the report must drain")
       workload.foreach { q =>
-        assert(graft.plans.CardinalityEstimator.estimateRows(spark, q).isDefined)
+        assert(graft.plans.CardinalityEstimator.estimateRows(spark, q,
+          useFeedback = true).isDefined)
       }
     }
   }
