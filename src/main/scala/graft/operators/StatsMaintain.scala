@@ -346,12 +346,17 @@ object StatsMaintain {
       table: String, column: String): Option[Seq[Row]] = {
     val path = keyProfPath(dir, table, column)
     if (!IndexStore.artifactReady(path)) return None
+    val live = IndexStore.fingerprint(dir, table)
+    val cached = keyProfMemo.get(path)
+    if (cached != null && cached._1 == live) return Some(cached._2)
     val rows = s.read.parquet(path)
       .orderBy(col("freq").desc, col("key")).collect().toSeq
     // per-row meta: an empty tracked set cannot prove its coverage,
     // so it fails closed (an empty TABLE has no skew to advise on)
-    rows.headOption.filter(_.getAs[String]("covered") ==
-      IndexStore.fingerprint(dir, table)).map(_ => rows)
+    rows.headOption.filter(_.getAs[String]("covered") == live).map { _ =>
+      keyProfMemo.put(path, (live, rows))
+      rows
+    }
   }
 
   /** Serving face, shaped like [[StatsCatalog.keyProfile]]: (keys at
@@ -438,12 +443,17 @@ object StatsMaintain {
     val path = grpPath(dir, table, columns)
     if (!IndexStore.artifactReady(s"$path/summary") ||
         !IndexStore.artifactReady(s"$path/registers")) return None
+    val live = IndexStore.fingerprint(dir, table)
+    val cached = grpMemo.get(path)
+    if (cached != null && cached._1 == live) return Some(cached._2)
     val r = s.read.parquet(s"$path/summary").head()
-    if (r.getAs[String]("covered") != IndexStore.fingerprint(dir, table)) None
+    if (r.getAs[String]("covered") != live) None
     else {
       val est = grpEstimate(s, s"$path/registers")
-      Some(StatsCatalog.GroupStats(columns.sorted, r.getAs[Long]("n"),
-        est, exact = false))
+      val g = StatsCatalog.GroupStats(columns.sorted, r.getAs[Long]("n"),
+        est, exact = false)
+      grpMemo.put(path, (live, g))
+      Some(g)
     }
   }
 
@@ -467,16 +477,40 @@ object StatsMaintain {
     math.round(est)
   }
 
+  /** Stamp-keyed memos for the PLAN-TIME serving faces — the
+    * [[StatsCatalog]] readStats discipline (r12 advice #1): the
+    * estimator and the advice sites read these on every candidate
+    * plan, and each uncached read is a Spark job (the register
+    * estimate is an aggregation). Keyed on the COVERED fingerprint,
+    * which each call still recomputes from live FS metadata (the
+    * cheap, fail-closed part): a maintenance write changes covered →
+    * re-read; a table mutation diverges covered from live → the
+    * staleness check fails before the memo is consulted. */
+  private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, MaintainedCol])]()
+  private val keyProfMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[Row])]()
+  private val grpMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, StatsCatalog.GroupStats)]()
+
   /** The serving face: Some only while the artifact is intact AND
     * covers exactly the table's LIVE listing — an appended-but-not-
     * maintained file fails closed. */
   def statsIfCurrent(s: SparkSession, dir: String,
       table: String): Option[Map[String, MaintainedCol]] = {
     if (!IndexStore.artifactReady(sumPath(dir, table))) return None
+    val live = IndexStore.fingerprint(dir, table)
+    val memoKey = maintPath(dir, table)
+    val cached = statsMemo.get(memoKey)
+    if (cached != null && cached._1 == live) return Some(cached._2)
     val rows = s.read.parquet(sumPath(dir, table)).limit(1)
       .select(col("covered")).collect()
     val covered = rows.headOption.map(_.getString(0)).getOrElse(return None)
-    if (covered != IndexStore.fingerprint(dir, table)) None
-    else readArtifact(s, dir, table).map(_.map(m => m.column -> m).toMap)
+    if (covered != live) None
+    else readArtifact(s, dir, table).map { cols =>
+      val m = cols.map(c => c.column -> c).toMap
+      statsMemo.put(memoKey, (covered, m))
+      m
+    }
   }
 }
