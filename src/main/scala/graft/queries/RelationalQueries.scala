@@ -4000,6 +4000,52 @@ object RelationalQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** q88 — APPROXIMATE QUERY PROCESSING OVER A DETERMINISTIC SAMPLE
+    * ([[graft.operators.SampledAgg]], D98): the BlinkDB-class
+    * capability on the engine's own no-rand() discipline — a row is
+    * sampled iff hash60(event_id ‖ salt) mod 10⁶ < ppm, so the 1%
+    * materialized sample is a pure function of the data: DuckDB
+    * replays the membership predicate AND the integer Horvitz–
+    * Thompson scaling (×100) exactly, which is how an APPROXIMATE
+    * operator earns a hash gate. The query serves from the sample
+    * artifact (require()-pinned: the corpus is never read) and emits
+    * sample and estimate columns side by side — approximation is a
+    * contract the caller sees, never a silent substitution. At
+    * 100 TB: one artifact pass per corpus lifetime, O(batch)
+    * maintenance with ZERO drift (spec-pinned bit-identical to a
+    * rebuild), 100× less IO per exploratory aggregate with the
+    * binomial error model spec-pinned. */
+  val q88SampledAgg: GraftQuery = q(
+    "q88_sampled_agg",
+    "approximate aggregates from a deterministic 1% materialized sample: integer-exact scaling, membership replayed by the oracle",
+    s"""WITH s AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE ${graft.operators.SampledAgg.membershipSql("event_id", 10000L)})
+      |SELECT event_type,
+      |       count(*) AS n_sample,
+      |       CAST(count(*) * 100 AS BIGINT) AS n_est,
+      |       CAST(sum(v) AS BIGINT) AS v_fp_sample,
+      |       CAST(sum(v) * 100 AS BIGINT) AS v_fp_est
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SA = graft.operators.SampledAgg
+    val ppm = 10000L
+    SA.ensureSample(s, dir, "events", "event_id", ppm)
+    val sample = SA.sampleIfCurrent(s, dir, "events", "event_id", ppm)
+      .getOrElse(sys.error("the sample artifact must serve"))
+    require(sample.inputFiles.forall(_.contains("aqp_")),
+      "the approximate aggregate must never read the corpus")
+    val k = SA.scaleFactor(ppm)
+    sample.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        (count(lit(1)) * k).as("n_est"),
+        sum(floor($"value").cast("long")).as("v_fp_sample"),
+        (sum(floor($"value").cast("long")) * k).as("v_fp_est"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4024,5 +4070,5 @@ object RelationalQueries {
     q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes,
     q80MaintainedStats, q81McvEstimate, q82TransparentCache,
     q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich,
-    q86CardinalityFeedback, q87TransparentOrdering)
+    q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg)
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The AQP contract (D98): the materialized sample serves without
+  * touching the corpus, maintenance under appends is BIT-IDENTICAL
+  * to a full rebuild (the deterministic-membership dividend — no
+  * approximation drift, ever), staleness fails closed, the scale
+  * stays integer, and the binomial error model holds on the
+  * fixture. */
+class SampledAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sample lifecycle: serve from artifact, zero-drift maintenance, fail-closed staleness, bounded error") {
+    withIndexRoot("graft-aqp") {
+      val dir = tmpDir("graft-aqp-data")
+      val ppm = 100000L // 10% — scale 10
+      (1L to 20000L).map(i => (i, s"g${i % 4}", (i % 13).toDouble))
+        .toDF("id", "g", "v")
+        .write.mode("overwrite").parquet(s"$dir/ev.parquet")
+      SampledAgg.ensureSample(spark, dir, "ev", "id", ppm)
+      val sample = SampledAgg.sampleIfCurrent(spark, dir, "ev", "id", ppm)
+        .getOrElse(fail("fresh sample must serve"))
+      // serving reads ONLY the artifact, never the corpus
+      assert(sample.inputFiles.forall(_.contains("aqp_")),
+        s"sample reads must stay inside the artifact: ${sample.inputFiles.toSeq}")
+      // the sample IS the membership predicate's rows
+      val expected = graft.Tables(spark, dir, "ev")
+        .where(SampledAgg.membership("id", ppm))
+        .collect().map(_.toString).sorted
+      assert(sample.collect().map(_.toString).sorted.sameElements(expected))
+
+      // the binomial error model holds: est = n_s × scale within
+      // 6·sigma of the truth (deterministic hash ~ binomial draw)
+      val scale = SampledAgg.scaleFactor(ppm)
+      assert(scale === 10L)
+      val nS = sample.count()
+      val est = nS * scale
+      val f = ppm.toDouble / SampledAgg.M
+      val sigma = math.sqrt(20000L * f * (1 - f)) * scale
+      assert(math.abs(est - 20000L) <= 6 * sigma,
+        s"est $est vs 20000, sigma $sigma")
+
+      // append → fail closed → O(batch) maintenance → IDENTICAL to a
+      // full rebuild (membership never depended on the rest of the
+      // corpus, so maintenance cannot drift)
+      val batch = (20001L to 24000L).map(i => (i, s"g${i % 4}", 1.0))
+        .toDF("id", "g", "v")
+      batch.write.mode("append").parquet(s"$dir/ev.parquet")
+      assert(SampledAgg.sampleIfCurrent(spark, dir, "ev", "id", ppm).isEmpty,
+        "appended-but-unmaintained must fail closed")
+      SampledAgg.appendMaintainSample(spark, dir, "ev", "id", ppm, batch)
+      val maintained = SampledAgg.sampleIfCurrent(spark, dir, "ev", "id", ppm)
+        .getOrElse(fail("maintained sample must serve"))
+        .collect().map(_.toString).sorted
+      val rebuilt = graft.Tables(spark, dir, "ev")
+        .where(SampledAgg.membership("id", ppm))
+        .collect().map(_.toString).sorted
+      assert(maintained.sameElements(rebuilt),
+        "maintenance must be bit-identical to a rebuild")
+
+      // the integer-scale precondition is enforced, not assumed
+      intercept[IllegalArgumentException] {
+        SampledAgg.ensureSample(spark, dir, "ev", "id", ppm = 300000L)
+      }
+      // torn meta never serves
+      val marker = new java.io.File(
+        s"${SampledAgg.samplePath(dir, "ev", "id", ppm)}/meta/_SUCCESS")
+      assert(marker.delete())
+      assert(SampledAgg.sampleIfCurrent(spark, dir, "ev", "id", ppm).isEmpty)
+    }
+  }
+}
