@@ -123,4 +123,120 @@ object SampledAgg {
   /** The integer scale factor 10⁶/ppm — apply to sampled counts and
     * integer-valued sampled sums for the Horvitz–Thompson estimate. */
   def scaleFactor(ppm: Long): Long = { requireDivides(ppm); M / ppm }
+
+  // ------------------------------------------------------------------
+  // STRATIFIED sampling (D98's rare-group face — BlinkDB's actual
+  // contribution, public design): a uniform ppm sample starves rare
+  // strata (a 10⁻⁵ event type contributes ~0 rows at ppm = 10⁴, so
+  // its estimate is garbage exactly where the analyst zooms in). The
+  // stratified sample keeps the TOP-K ROWS BY HASH per stratum —
+  // deterministic, so: the oracle replays membership as a SQL window
+  // (row_number over (partition by stratum order by hash, key) ≤ K);
+  // every stratum, however rare, carries min(K, n) rows; and the
+  // per-stratum estimate scales by the exact recorded stratum count
+  // (sum_sample × n_stratum ÷ k_used, integer division — replayable).
+  // MAINTENANCE is O(batch + sample) and EXACT: a row ranked below K
+  // can only sink as rows append (ranks are monotone under union),
+  // so re-ranking (old sample ∪ batch) and keeping K is bit-identical
+  // to a full rebuild — the top-K-rollup argument, applied to
+  // sampling. Counts add exactly.
+  // ------------------------------------------------------------------
+
+  def stratSamplePath(dir: String, table: String, keyCol: String,
+      stratumCol: String, k: Int): String = {
+    val (fs, p) = IndexStore.fsOf(s"$dir/$table.parquet")
+    val canon = fs.makeQualified(p).toString
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${IndexStore.root}/aqps_${key}_${table}_${stratumCol}_$k"
+  }
+
+  /** The deterministic per-stratum rank — change ONLY in lockstep
+    * with the q89 oracle's window rendering. */
+  private def rankCol(keyCol: String, stratumCol: String) =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(graft.functions.DetHash.hash60(col(keyCol), "aqps"),
+        col(keyCol))
+
+  private def buildStrat(s: SparkSession, df: DataFrame, keyCol: String,
+      stratumCol: String, k: Int): (DataFrame, DataFrame) = {
+    val ranked = df.withColumn("__rk",
+      row_number().over(rankCol(keyCol, stratumCol)))
+    val sample = ranked.where(col("__rk") <= k).drop("__rk")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    (sample, counts)
+  }
+
+  /** Build the stratified sample once per fingerprint: one ranked
+    * pass (the Z-order/recluster class of one-time cost) + one count
+    * pass; idempotent while current. */
+  def ensureStratifiedSample(s: SparkSession, dir: String, table: String,
+      keyCol: String, stratumCol: String, k: Int): Unit = {
+    require(k > 0, "k must be positive")
+    if (stratifiedIfCurrent(s, dir, table, keyCol, stratumCol, k).isDefined) return
+    val p = stratSamplePath(dir, table, keyCol, stratumCol, k)
+    val (fs, dp) = IndexStore.fsOf(dataPath(p))
+    fs.delete(dp, true)
+    val (fs2, cp) = IndexStore.fsOf(s"$p/counts")
+    fs2.delete(cp, true)
+    val (sample, counts) = buildStrat(s,
+      graft.Tables(s, dir, table), keyCol, stratumCol, k)
+    sample.write.mode("overwrite").parquet(dataPath(p))
+    counts.coalesce(1).write.mode("overwrite").parquet(s"$p/counts")
+    writeStratMeta(s, dir, table, keyCol, stratumCol, k)
+  }
+
+  private def writeStratMeta(s: SparkSession, dir: String, table: String,
+      keyCol: String, stratumCol: String, k: Int): Unit = {
+    import s.implicits._
+    Seq((IndexStore.fingerprint(dir, table), k))
+      .toDF("covered", "k").coalesce(1).write.mode("overwrite")
+      .parquet(metaPath(stratSamplePath(dir, table, keyCol, stratumCol, k)))
+  }
+
+  /** O(batch + sample) maintenance, EXACT (see block comment): the
+    * caller appended `batch` ALREADY; re-rank (old sample ∪ batch's
+    * own top-K) and keep K; counts add. */
+  def appendMaintainStratified(s: SparkSession, dir: String, table: String,
+      keyCol: String, stratumCol: String, k: Int, batch: DataFrame): Unit = {
+    import s.implicits._
+    val p = stratSamplePath(dir, table, keyCol, stratumCol, k)
+    require(IndexStore.artifactReady(metaPath(p)),
+      "stratified sample must be built (ensureStratifiedSample) first")
+    val (batchSample, batchCounts) = buildStrat(s, batch, keyCol, stratumCol, k)
+    val merged = s.read.parquet(dataPath(p)).union(batchSample)
+      .withColumn("__rk", row_number().over(rankCol(keyCol, stratumCol)))
+      .where(col("__rk") <= k).drop("__rk")
+    val mergedCounts = s.read.parquet(s"$p/counts").union(batchCounts)
+      .groupBy(col("stratum")).agg(sum(col("n")).as("n"))
+    // stage-then-swap: the union reads the paths it replaces
+    val stage = s"$p/stage"
+    merged.write.mode("overwrite").parquet(s"$stage/data")
+    mergedCounts.coalesce(1).write.mode("overwrite").parquet(s"$stage/counts")
+    val (fs, _) = IndexStore.fsOf(p)
+    fs.delete(new org.apache.hadoop.fs.Path(dataPath(p)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/counts"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/data"),
+      new org.apache.hadoop.fs.Path(dataPath(p)))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/counts"),
+      new org.apache.hadoop.fs.Path(s"$p/counts"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    writeStratMeta(s, dir, table, keyCol, stratumCol, k)
+  }
+
+  /** (sample rows, exact per-stratum counts) while current. */
+  def stratifiedIfCurrent(s: SparkSession, dir: String, table: String,
+      keyCol: String, stratumCol: String,
+      k: Int): Option[(DataFrame, DataFrame)] = {
+    val p = stratSamplePath(dir, table, keyCol, stratumCol, k)
+    if (!IndexStore.artifactReady(metaPath(p)) ||
+        !IndexStore.artifactReady(dataPath(p)) ||
+        !IndexStore.artifactReady(s"$p/counts")) return None
+    val meta = s.read.parquet(metaPath(p)).head()
+    if (meta.getAs[String]("covered") != IndexStore.fingerprint(dir, table) ||
+        meta.getAs[Int]("k") != k) None
+    else Some((s.read.parquet(dataPath(p)), s.read.parquet(s"$p/counts")))
+  }
 }

@@ -4046,6 +4046,53 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q89 — STRATIFIED DETERMINISTIC SAMPLING ([[graft.operators
+    * .SampledAgg]] stratified face, D98): the rare-group fix — a
+    * uniform 1% sample starves a 10⁻⁵ stratum exactly where the
+    * analyst zooms in; the stratified artifact keeps the TOP-K ROWS
+    * BY HASH per stratum, so every stratum carries min(K, n) rows
+    * and scales by its own EXACT recorded count (sample_sum ×
+    * n_stratum ÷ k_used, integer division — Spark `div` and DuckDB
+    * `//` both truncate, so the replay is bit-exact). Membership is
+    * a SQL window over the deterministic hash, which is how the
+    * oracle replays it; the require() pins that the serve reads only
+    * the artifact. Maintenance is O(batch + sample) and EXACT
+    * (ranks are monotone under union — spec-pinned bit-identical to
+    * a rebuild). */
+  val q89StratifiedSample: GraftQuery = q(
+    "q89_stratified_sample",
+    "stratified deterministic sample: top-K-by-hash per stratum, per-stratum exact-count scaling, window-replayed by the oracle",
+    s"""WITH ranked AS (
+      |  SELECT event_type,
+      |         CAST(floor(value) AS BIGINT) AS v,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY ${graft.functions.DetHash.hash60Sql("event_id", "aqps")}, event_id) AS rk
+      |  FROM events),
+      |c AS (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1)
+      |SELECT r.event_type, count(*) AS k_used, c.n_true,
+      |       CAST(sum(r.v) AS BIGINT) AS v_sample,
+      |       (CAST(sum(r.v) AS BIGINT) * c.n_true) // count(*) AS v_est
+      |FROM ranked r JOIN c USING (event_type)
+      |WHERE rk <= 500
+      |GROUP BY 1, 3 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SA = graft.operators.SampledAgg
+    SA.ensureStratifiedSample(s, dir, "events", "event_id", "event_type", 500)
+    val (sample, counts) = SA.stratifiedIfCurrent(
+      s, dir, "events", "event_id", "event_type", 500)
+      .getOrElse(sys.error("the stratified sample must serve"))
+    require((sample.inputFiles ++ counts.inputFiles).forall(_.contains("aqps_")),
+      "the stratified aggregate must never read the corpus")
+    sample.groupBy($"event_type")
+      .agg(count(lit(1)).as("k_used"),
+        sum(floor($"value").cast("long")).as("v_sample"))
+      .join(counts.withColumnRenamed("stratum", "event_type"), Seq("event_type"))
+      .select($"event_type", $"k_used", $"n".as("n_true"), $"v_sample",
+        expr("(v_sample * n) div k_used").as("v_est"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4070,5 +4117,6 @@ object RelationalQueries {
     q76EntityPurge, q77ResultCache, q78Unpivot, q79SeasonalSpikes,
     q80MaintainedStats, q81McvEstimate, q82TransparentCache,
     q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich,
-    q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg)
+    q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg,
+    q89StratifiedSample)
 }

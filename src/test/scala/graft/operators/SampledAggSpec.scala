@@ -71,4 +71,59 @@ class SampledAggSpec extends SparkSpec {
       assert(SampledAgg.sampleIfCurrent(spark, dir, "ev", "id", ppm).isEmpty)
     }
   }
+
+  test("stratified sample covers rare strata, scales by exact counts, maintains exactly") {
+    withIndexRoot("graft-aqp-strat") {
+      val dir = tmpDir("graft-aqp-strat-data")
+      // one BIG stratum (18k rows) and one RARE one (60 rows): the
+      // uniform 1%-class sample would starve the rare stratum; the
+      // stratified artifact must carry min(K, n) of each
+      val rows = (1L to 18000L).map(i => (i, "big", 2L)) ++
+        (100001L to 100060L).map(i => (i, "rare", 5L))
+      rows.toDF("id", "st", "v")
+        .write.mode("overwrite").parquet(s"$dir/ev.parquet")
+      val K = 100
+      SampledAgg.ensureStratifiedSample(spark, dir, "ev", "id", "st", K)
+      val (sample, counts) = SampledAgg.stratifiedIfCurrent(
+        spark, dir, "ev", "id", "st", K).getOrElse(fail("must serve"))
+      val byStratum = sample.groupBy($"st").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStratum === Map("big" -> 100L, "rare" -> 60L),
+        "every stratum carries min(K, n) rows")
+      // constant v per stratum makes the estimate EXACT: the scaled
+      // sum must equal the true sum for both strata
+      val est = sample.groupBy($"st")
+        .agg(count(lit(1)).as("k_used"), sum($"v").as("v_sample"))
+        .join(counts.withColumnRenamed("stratum", "st"), Seq("st"))
+        .selectExpr("st", "(v_sample * n) div k_used AS v_est")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est === Map("big" -> 36000L, "rare" -> 300L))
+
+      // append: new rows enter where their hash ranks; maintenance
+      // (old sample ∪ batch top-K, re-ranked) must be BIT-IDENTICAL
+      // to a full rebuild — ranks are monotone under union
+      val batch = (200001L to 203000L).map(i => (i, "big", 3L)) ++
+        (300001L to 300010L).map(i => (i, "rare", 7L))
+      val bdf = batch.toDF("id", "st", "v")
+      bdf.write.mode("append").parquet(s"$dir/ev.parquet")
+      assert(SampledAgg.stratifiedIfCurrent(
+        spark, dir, "ev", "id", "st", K).isEmpty, "stale must fail closed")
+      SampledAgg.appendMaintainStratified(spark, dir, "ev", "id", "st", K, bdf)
+      val (m, mc) = SampledAgg.stratifiedIfCurrent(
+        spark, dir, "ev", "id", "st", K).getOrElse(fail("must serve"))
+      val rebuilt = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"st")
+          .orderBy(graft.functions.DetHash.hash60($"id", "aqps"), $"id")
+        graft.Tables(spark, dir, "ev")
+          .withColumn("rk", row_number().over(w))
+          .where($"rk" <= K).drop("rk")
+      }
+      assert(m.collect().map(_.toString).sorted.sameElements(
+        rebuilt.collect().map(_.toString).sorted),
+        "maintained stratified sample must equal a rebuild exactly")
+      assert(mc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("big" -> 21000L, "rare" -> 70L), "counts add exactly")
+    }
+  }
 }
