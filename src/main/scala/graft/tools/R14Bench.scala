@@ -121,6 +121,22 @@ object R14Bench {
     val profileBatchSec = timed(
       SM.appendMaintainKeyProfile(spark, fix, "skew_fact", "k", batch))
 
+    // ---- D98: sampled aggregate vs the corpus aggregate ----------
+    val SA = graft.operators.SampledAgg
+    val ppm = 10000L
+    val aqpEnsureSec = timed(
+      SA.ensureSample(spark, dir, "events", "event_id", ppm))
+    def corpusAgg = graft.Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v"))
+    def sampleAgg = SA.sampleIfCurrent(spark, dir, "events", "event_id", ppm)
+      .get.groupBy($"event_type")
+      .agg((count(lit(1)) * SA.scaleFactor(ppm)).as("n_est"),
+        (sum(floor($"value").cast("long")) * SA.scaleFactor(ppm)).as("v_est"))
+    noop(corpusAgg); noop(sampleAgg) // warm both
+    val (corpusSec, corpusBytes) = measured(noop(corpusAgg))
+    val (aqpSec, aqpBytes) = measured(noop(sampleAgg))
+
     // ---- D95: 12-relation greedy decision time -------------------
     val JO = graft.plans.JoinOrderer
     val star = s"${graft.operators.IndexStore.root}/r14_star"
@@ -149,7 +165,7 @@ object R14Bench {
       order12 = c.order.take(2).mkString(">")
     }
 
-    println(f"""{"metric":"r14_family","label":"$label","sf":"$dir","entity_ensure_sec":$ensureSec%.3f,"entity_serve_sec":$serveSec%.3f,"entity_serve_bytes":$serveBytes,"entity_rawscan_sec":$rawSec%.3f,"entity_rawscan_bytes":$rawBytes,"entity_unpruned_bytes":$unprunedBytes,"steer_plain_sec":$plainSec%.3f,"steer_salted_sec":$steeredSec%.3f,"profile_full_sec":$profileFullSec%.3f,"profile_batch_sec":$profileBatchSec%.3f,"greedy12_decision_sec":$greedySec%.3f,"greedy12_first":"$order12"}""")
+    println(f"""{"metric":"r14_family","label":"$label","sf":"$dir","entity_ensure_sec":$ensureSec%.3f,"entity_serve_sec":$serveSec%.3f,"entity_serve_bytes":$serveBytes,"entity_rawscan_sec":$rawSec%.3f,"entity_rawscan_bytes":$rawBytes,"entity_unpruned_bytes":$unprunedBytes,"steer_plain_sec":$plainSec%.3f,"steer_salted_sec":$steeredSec%.3f,"profile_full_sec":$profileFullSec%.3f,"profile_batch_sec":$profileBatchSec%.3f,"greedy12_decision_sec":$greedySec%.3f,"greedy12_first":"$order12","aqp_ensure_sec":$aqpEnsureSec%.3f,"aqp_corpus_sec":$corpusSec%.3f,"aqp_corpus_bytes":$corpusBytes,"aqp_sample_sec":$aqpSec%.3f,"aqp_sample_bytes":$aqpBytes}""")
     spark.stop()
   }
 }
