@@ -75,12 +75,20 @@ object JoinOrderer {
     * connected (a disconnected graph would force a cartesian
     * product, which this engine never plans — the caller gets
     * None, not an explosion). */
+  /** `useMcv` / `useFeedback` thread the estimator's opt-in tiers
+    * (D92 skew-aware equalities, D96 observed cardinalities) into
+    * the enumeration — a RECORDED execution of a misestimated
+    * subtree can flip the chosen order (spec-pinned), which is the
+    * whole point of a learning optimizer. OFF by default: q72/q87
+    * pin the declared uniform algebra. */
   def choose(s: SparkSession, rels: Seq[(String, DataFrame)],
-      edges: Seq[Edge], broadcastRows: Long = 1L << 17): Option[Chosen] = {
+      edges: Seq[Edge], broadcastRows: Long = 1L << 17,
+      useMcv: Boolean = false, useFeedback: Boolean = false): Option[Chosen] = {
     val n = rels.size
     require(n >= 2 && n <= MaxRelsGreedy,
       s"need 2..$MaxRelsGreedy relations, got $n")
-    if (n > MaxRels) return chooseGreedy(s, rels, edges, broadcastRows)
+    if (n > MaxRels)
+      return chooseGreedy(s, rels, edges, broadcastRows, useMcv, useFeedback)
     require(rels.map(_._1).distinct.size == n, "relation names must be distinct")
     val idx = rels.map(_._1).zipWithIndex.toMap
     edges.foreach { e =>
@@ -141,8 +149,11 @@ object JoinOrderer {
     val estCache = scala.collection.mutable.Map[Int, Option[BigInt]]()
     def est(mask: Int): Option[BigInt] = estCache.getOrElseUpdate(mask,
       if (Integer.bitCount(mask) == 1)
-        CardinalityEstimator.estimateRows(s, rels(Integer.numberOfTrailingZeros(mask))._2)
-      else CardinalityEstimator.estimateRows(s, canonicalJoin(mask)))
+        CardinalityEstimator.estimateRows(s,
+          rels(Integer.numberOfTrailingZeros(mask))._2, useMcv = useMcv,
+          useFeedback = useFeedback)
+      else CardinalityEstimator.estimateRows(s, canonicalJoin(mask),
+        useMcv = useMcv, useFeedback = useFeedback))
 
     // left-deep DP over connected subsets: best(S) = min over last-
     // attached t of best(S−t) + est(S); singletons cost 0 (a leaf
@@ -208,7 +219,8 @@ object JoinOrderer {
     * UNHINTED so the estimator never meets a hint node — broadcast
     * licensing applies only to the returned chain. */
   def chooseGreedy(s: SparkSession, rels: Seq[(String, DataFrame)],
-      edges: Seq[Edge], broadcastRows: Long = 1L << 17): Option[Chosen] = {
+      edges: Seq[Edge], broadcastRows: Long = 1L << 17,
+      useMcv: Boolean = false, useFeedback: Boolean = false): Option[Chosen] = {
     val n = rels.size
     require(n >= 2 && n <= MaxRelsGreedy,
       s"need 2..$MaxRelsGreedy relations, got $n")
@@ -242,7 +254,8 @@ object JoinOrderer {
       }.reduce(_ && _)
 
     def est(df: DataFrame): Option[BigInt] =
-      CardinalityEstimator.estimateRows(s, df)
+      CardinalityEstimator.estimateRows(s, df, useMcv = useMcv,
+        useFeedback = useFeedback)
 
     // seed: cheapest connected pair, ties by (min index, max index)
     val pairs = edges.map(e => (idx(e.a) min idx(e.b), idx(e.a) max idx(e.b)))

@@ -187,6 +187,40 @@ class JoinOrdererSpec extends SparkSpec {
     }
   }
 
+  test("a recorded observation flips the chosen order (the learning optimizer)") {
+    withIndexRoot("graft-jo-learn") {
+      val dir = tmpDir("graft-jo-learn-data")
+      writeTables(dir)
+      Seq("fact", "dima", "dimb").foreach(StatsCatalog.ensure(spark, dir, _))
+      val fact = graft.Tables(spark, dir, "fact")
+      // dima's filter carries a conjunct OUTSIDE the algebra (the
+      // arithmetic rewrites the attribute), so the estimator applies
+      // the Selinger default 1/3 and UNDERESTIMATES the 30 true rows;
+      // dimb's range filter estimates near its true 12
+      val dima = graft.Tables(spark, dir, "dima")
+        .where($"dak" <= 30L && $"dak" + 0L <= 30L)
+      val dimb = graft.Tables(spark, dir, "dimb").where($"dbk" <= 12L)
+      val rels = Seq("fact" -> fact, "dima" -> dima, "dimb" -> dimb)
+      // under the misestimate, dima looks cheapest and joins first
+      val blind = JO.choose(spark, rels, edges).getOrElse(fail("must cost"))
+      assert(blind.order.take(2).toSet === Set("dima", "fact"),
+        s"the algebra's underestimate picks dima first: ${blind.order}")
+      // record ONE execution of the misestimated subtree...
+      assert(graft.operators.CardFeedback.record(spark, dima).contains(30L))
+      // ...and the DP, fed the observation, flips to dimb-first
+      val learned = JO.choose(spark, rels, edges, useFeedback = true)
+        .getOrElse(fail("must cost"))
+      assert(learned.order.take(2).toSet === Set("dimb", "fact"),
+        s"the observed 30 rows must flip the order: ${learned.order}")
+      // the declared algebra stays pinned without the flag
+      assert(JO.choose(spark, rels, edges).get.order.take(2).toSet ===
+        Set("dima", "fact"))
+      // and both orders compute the same rows
+      assert(learned.df.select($"payload").collect().map(_.toString).sorted
+        .sameElements(blind.df.select($"payload").collect().map(_.toString).sorted))
+    }
+  }
+
   test("q72's decision on the gate corpus: the fact table joins LAST") {
     withIndexRoot("graft-jo-q72") {
       val sf = "/root/testdata/sf0.001"
