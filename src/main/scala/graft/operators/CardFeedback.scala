@@ -69,10 +69,54 @@ object CardFeedback {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** SCOPED plan-key memo (r14 review): the feedback tier checks
+    * EVERY node of every estimated plan, and each keyOf pays a full
+    * FS-listing walk of the node's leaves — inside the join
+    * orderer's 2\u207f-subset sweep that multiplied into thousands of
+    * listings per decision. The memo lives only inside an explicit
+    * [[withKeyScope]] (opened by one estimateRows evaluation or one
+    * JoinOrderer.choose enumeration, re-entrant), so there is NO
+    * wall-clock staleness window: across calls, a mutated table
+    * re-keys instantly — the "staleness is impossible" contract
+    * stays spec-pinned. Keyed on canonicalized form + sorted leaf
+    * roots; thread-local, cleared when the outermost scope exits. */
+  private val scopeDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  private val scopeCache =
+    new ThreadLocal[scala.collection.mutable.Map[String, Option[String]]] {
+      override def initialValue() =
+        scala.collection.mutable.Map.empty[String, Option[String]]
+    }
+
+  /** Open a key-memo scope around one plan-enumeration burst. */
+  def withKeyScope[A](f: => A): A = {
+    scopeDepth.set(scopeDepth.get + 1)
+    try f
+    finally {
+      scopeDepth.set(scopeDepth.get - 1)
+      if (scopeDepth.get == 0) scopeCache.get.clear()
+    }
+  }
+
+  private def keyOfMemo(plan: LogicalPlan): Option[String] = {
+    if (scopeDepth.get == 0) return ResultCache.keyOf(plan)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = plan.collect {
+      case rel: LogicalRelation => rel.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.sorted
+    if (roots.isEmpty) return ResultCache.keyOf(plan) // unkeyable anyway
+    val memoKey = plan.canonicalized.toString + "::" + roots.mkString("|")
+    scopeCache.get.getOrElseUpdate(memoKey, ResultCache.keyOf(plan))
+  }
+
   /** The observed cardinality of `plan` if one was recorded for
     * exactly this canonical form over exactly these source files. */
   def observed(s: SparkSession, plan: LogicalPlan): Option[Long] =
-    ResultCache.keyOf(plan).flatMap { key =>
+    keyOfMemo(plan).flatMap { key =>
       val hit = cache.get(key)
       if (hit != null) Some(hit.longValue())
       else {
@@ -112,10 +156,16 @@ object CardFeedback {
   // ------------------------------------------------------------------
 
   /** Actions whose completion implies the root metric saw EVERY
-    * output row of the action's plan. */
+    * output row of the action's plan. "save" is deliberately absent
+    * (r14 review): a write's analyzed plan is a COMMAND whose leaves
+    * are still file relations, so the keying alone would NOT refuse
+    * it — harvesting writes would record command-keyed junk the
+    * estimator can never match, one Spark job per write, on the
+    * listener-bus thread. [[harvest]] also vetoes Command plans
+    * outright for the same reason. */
   private val CompleteActions = Set("collect", "collectAsList",
     "collectToPython", "count", "foreach", "foreachPartition",
-    "showString", "save", "head", "first")
+    "showString", "head", "first")
 
   /** Observed root cardinality of an executed query, if its plan is
     * keyable and its final root carries the row metric. */
@@ -134,6 +184,8 @@ object CardFeedback {
   def harvest(s: SparkSession,
       qe: org.apache.spark.sql.execution.QueryExecution): Option[Long] =
     for {
+      _ <- Option.when(!qe.analyzed.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Command])(())
       key <- ResultCache.keyOf(qe.analyzed)
       n <- rootRows(qe.executedPlan)
     } yield {

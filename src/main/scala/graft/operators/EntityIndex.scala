@@ -314,7 +314,9 @@ object EntityIndex {
           val target = new org.apache.hadoop.fs.Path(spp, tag)
           val stg = new org.apache.hadoop.fs.Path(spp, stgName)
           if (!sfs.exists(target) &&
-              IndexStore.artifactReady(stg.toString)) sfs.rename(stg, target)
+              IndexStore.artifactReady(stg.toString))
+            require(sfs.rename(stg, target),
+              s"vacuum recovery: rename $stg -> $target failed")
           else sfs.delete(stg, true) // torn or superseded stage
         }
       sfs.listStatus(spp).filter(_.isDirectory)
@@ -323,7 +325,9 @@ object EntityIndex {
           val tag = tName.stripPrefix("trash_")
           val target = new org.apache.hadoop.fs.Path(spp, tag)
           val t = new org.apache.hadoop.fs.Path(spp, tName)
-          if (!sfs.exists(target)) sfs.rename(t, target) // torn-stage rollback
+          if (!sfs.exists(target)) // torn-stage rollback
+            require(sfs.rename(t, target),
+              s"vacuum recovery: rollback $t -> $target failed")
           else sfs.delete(t, true) // swap completed; drop the old copy
         }
     }
@@ -336,8 +340,14 @@ object EntityIndex {
       if (!batchDf.join(purged, Seq("user_id"), "left_semi").isEmpty) {
         batchDf.join(purged, Seq("user_id"), "left_anti")
           .coalesce(1).write.mode("overwrite").parquet(stg.toString)
-        bfs.rename(bpp, aside)
-        bfs.rename(stg, bpp)
+        // FAIL LOUD on either rename (r14 review): a silently failed
+        // swap followed by the tombstone clear below would resurrect
+        // the purged rows — aborting here leaves the tombstones in
+        // place and the recovery legs above repair on the next run
+        require(bfs.rename(bpp, aside),
+          s"vacuum swap: rename $bpp -> $aside failed")
+        require(bfs.rename(stg, bpp),
+          s"vacuum swap: rename $stg -> $bpp failed")
         bfs.delete(aside, true)
         ()
       }

@@ -92,18 +92,47 @@ object SampledAgg {
       .write.mode("overwrite").parquet(metaPath(samplePath(dir, table, keyCol, ppm)))
   }
 
-  /** O(batch) maintenance: the caller appended `batch` to the table
-    * ALREADY; the batch's own sample appends to the artifact — the
-    * deterministic membership makes the result bit-identical to a
-    * full rebuild (spec-pinned). */
+  /** Swap `stage` in as `target`, failing loud; with a recovery leg
+    * for a crash that deleted the target before the rename landed. */
+  private def stageSwap(fs: org.apache.hadoop.fs.FileSystem,
+      stage: String, target: String): Unit = {
+    val st = new org.apache.hadoop.fs.Path(stage)
+    val tg = new org.apache.hadoop.fs.Path(target)
+    fs.delete(tg, true)
+    require(fs.rename(st, tg), s"sample swap: rename $st -> $tg failed")
+  }
+
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      stage: String, target: String): Unit = {
+    val st = new org.apache.hadoop.fs.Path(stage)
+    val tg = new org.apache.hadoop.fs.Path(target)
+    if (!fs.exists(tg) && IndexStore.artifactReady(stage))
+      require(fs.rename(st, tg), s"sample recovery: rename $st -> $tg failed")
+    else fs.delete(st, true)
+  }
+
+  /** O(batch + sample) maintenance, IDEMPOTENT under retries and
+    * crash-repairing (r14 review): the caller appended `batch` to
+    * the table ALREADY. An already-covered listing is a no-op; the
+    * merge deduplicates on the row-unique `keyCol`, so a retry after
+    * any crash window converges to exactly the rebuild's rows; the
+    * merged data stages first and swaps with loud renames, meta
+    * (the commit point) last. `keyCol` MUST be row-unique — the same
+    * contract the stratified rank already requires. */
   def appendMaintainSample(s: SparkSession, dir: String, table: String,
       keyCol: String, ppm: Long, batch: DataFrame): Unit = {
     requireDivides(ppm)
+    if (sampleIfCurrent(s, dir, table, keyCol, ppm).isDefined) return
     val p = samplePath(dir, table, keyCol, ppm)
     require(IndexStore.artifactReady(metaPath(p)),
       "sample must be built (ensureSample) before appendMaintainSample")
-    batch.where(membership(keyCol, ppm))
-      .write.mode("append").parquet(dataPath(p))
+    val (fs, _) = IndexStore.fsOf(p)
+    recoverSwap(fs, s"$p/stage_data", dataPath(p))
+    val merged = s.read.parquet(dataPath(p))
+      .union(batch.where(membership(keyCol, ppm)))
+      .dropDuplicates(keyCol)
+    merged.write.mode("overwrite").parquet(s"$p/stage_data")
+    stageSwap(fs, s"$p/stage_data", dataPath(p))
     writeMeta(s, dir, table, keyCol, ppm)
   }
 
@@ -169,6 +198,15 @@ object SampledAgg {
     (sample, counts)
   }
 
+  /** Counts persist WITH the covered stamp they were computed for —
+    * the crash-window discriminator: a retry that finds the counts
+    * already stamped with the live listing must not add the batch
+    * again (r14 review: the one leg dedup alone cannot repair). */
+  private def writeStratCounts(s: SparkSession, counts: DataFrame,
+      covered: String, path: String): Unit =
+    counts.withColumn("covered", lit(covered))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
   /** Build the stratified sample once per fingerprint: one ranked
     * pass (the Z-order/recluster class of one-time cost) + one count
     * pass; idempotent while current. */
@@ -184,7 +222,8 @@ object SampledAgg {
     val (sample, counts) = buildStrat(s,
       graft.Tables(s, dir, table), keyCol, stratumCol, k)
     sample.write.mode("overwrite").parquet(dataPath(p))
-    counts.coalesce(1).write.mode("overwrite").parquet(s"$p/counts")
+    writeStratCounts(s, counts,
+      IndexStore.fingerprint(dir, table), s"$p/counts")
     writeStratMeta(s, dir, table, keyCol, stratumCol, k)
   }
 
@@ -196,33 +235,43 @@ object SampledAgg {
       .parquet(metaPath(stratSamplePath(dir, table, keyCol, stratumCol, k)))
   }
 
-  /** O(batch + sample) maintenance, EXACT (see block comment): the
-    * caller appended `batch` ALREADY; re-rank (old sample ∪ batch's
-    * own top-K) and keep K; counts add. */
+  /** O(batch + sample) maintenance, EXACT and IDEMPOTENT (r14
+    * review): the caller appended `batch` ALREADY. An already-
+    * covered listing is a no-op. The data merge deduplicates on the
+    * row-unique `keyCol` before re-ranking, so a retry after any
+    * crash window converges to the rebuild's rows; the counts carry
+    * their covered stamp, so a retry that finds them already at the
+    * live listing (crash between counts swap and meta) never adds
+    * the batch twice. Swaps fail loud; meta commits last. */
   def appendMaintainStratified(s: SparkSession, dir: String, table: String,
       keyCol: String, stratumCol: String, k: Int, batch: DataFrame): Unit = {
-    import s.implicits._
+    if (stratifiedIfCurrent(s, dir, table, keyCol, stratumCol, k).isDefined)
+      return
     val p = stratSamplePath(dir, table, keyCol, stratumCol, k)
     require(IndexStore.artifactReady(metaPath(p)),
       "stratified sample must be built (ensureStratifiedSample) first")
+    val (fs, _) = IndexStore.fsOf(p)
+    recoverSwap(fs, s"$p/stage/data", dataPath(p))
+    recoverSwap(fs, s"$p/stage/counts", s"$p/counts")
+    val live = IndexStore.fingerprint(dir, table)
     val (batchSample, batchCounts) = buildStrat(s, batch, keyCol, stratumCol, k)
     val merged = s.read.parquet(dataPath(p)).union(batchSample)
+      .dropDuplicates(keyCol)
       .withColumn("__rk", row_number().over(rankCol(keyCol, stratumCol)))
       .where(col("__rk") <= k).drop("__rk")
-    val mergedCounts = s.read.parquet(s"$p/counts").union(batchCounts)
-      .groupBy(col("stratum")).agg(sum(col("n")).as("n"))
-    // stage-then-swap: the union reads the paths it replaces
-    val stage = s"$p/stage"
-    merged.write.mode("overwrite").parquet(s"$stage/data")
-    mergedCounts.coalesce(1).write.mode("overwrite").parquet(s"$stage/counts")
-    val (fs, _) = IndexStore.fsOf(p)
-    fs.delete(new org.apache.hadoop.fs.Path(dataPath(p)), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$p/counts"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/data"),
-      new org.apache.hadoop.fs.Path(dataPath(p)))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/counts"),
-      new org.apache.hadoop.fs.Path(s"$p/counts"))
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val oldCounts = s.read.parquet(s"$p/counts")
+    val countsApplied = oldCounts.limit(1).select(col("covered"))
+      .collect().headOption.exists(_.getString(0) == live)
+    val mergedCounts =
+      if (countsApplied) oldCounts.select(col("stratum"), col("n"))
+      else oldCounts.select(col("stratum"), col("n")).union(batchCounts)
+        .groupBy(col("stratum")).agg(sum(col("n")).as("n"))
+    // stage-then-swap: the merges read the paths they replace
+    merged.write.mode("overwrite").parquet(s"$p/stage/data")
+    writeStratCounts(s, mergedCounts, live, s"$p/stage/counts")
+    stageSwap(fs, s"$p/stage/data", dataPath(p))
+    stageSwap(fs, s"$p/stage/counts", s"$p/counts")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/stage"), true)
     writeStratMeta(s, dir, table, keyCol, stratumCol, k)
   }
 
@@ -237,6 +286,7 @@ object SampledAgg {
     val meta = s.read.parquet(metaPath(p)).head()
     if (meta.getAs[String]("covered") != IndexStore.fingerprint(dir, table) ||
         meta.getAs[Int]("k") != k) None
-    else Some((s.read.parquet(dataPath(p)), s.read.parquet(s"$p/counts")))
+    else Some((s.read.parquet(dataPath(p)),
+      s.read.parquet(s"$p/counts").select(col("stratum"), col("n"))))
   }
 }

@@ -109,6 +109,25 @@ object SketchRollup {
 
   /** HLL estimate per event_type from merged registers. Returns
     * (event_type, regs_hit, est_users). */
+  /** SCALAR rendering of the register→estimate formula — the ONE
+    * place the α/linear-counting algebra lives for driver-side
+    * consumers (r14 review: three hand-copies risked silent
+    * divergence). `regsHit` = registers with any observation,
+    * `zObs` = Σ 2^(MaxRho − rho) over them (the integer-Z scheme —
+    * an untouched register contributes 2^52, folded in here). */
+  def estimateScalar(regsHit: Long, zObs: Long): Long = {
+    val twoPow52 = 4503599627370496L
+    val zeros = M.toLong - regsHit
+    val zInt = BigInt(zObs) + BigInt(zeros) * twoPow52
+    val raw = 0.7213 / (1.0 + 1.079 / M) * M * M * twoPow52.toDouble /
+      zInt.toDouble
+    val est =
+      if (raw <= 2.5 * M && zeros > 0)
+        M.toDouble * math.log(M.toDouble / zeros.toDouble)
+      else raw
+    math.round(est)
+  }
+
   def estimate(merged: DataFrame): DataFrame = {
     val twoPow52 = 4503599627370496L // 2^52
     merged

@@ -305,15 +305,20 @@ object StatsMaintain {
 
   private def writeKeyProf(s: SparkSession, dir: String, table: String,
       column: String, counts: DataFrame, hotFreq: Long, trackK: Int): Unit = {
-    val covered = IndexStore.fingerprint(dir, table)
+    import s.implicits._
+    val p = keyProfPath(dir, table, column)
+    // rows first, the meta (knobs + covered stamp) LAST as the commit
+    // point — and SEPARATE from the rows, so an EMPTY tracked set
+    // still serves and still remembers its baked thresholds (r14
+    // review: per-row meta silently reset hotFreq to defaults on the
+    // first append after an empty build)
     counts
       .orderBy(col("freq").desc, col("key"))
       .limit(trackK)
-      .withColumn("covered", lit(covered))
-      .withColumn("hot_freq", lit(hotFreq))
-      .withColumn("track_k", lit(trackK))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(keyProfPath(dir, table, column))
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/rows")
+    Seq((IndexStore.fingerprint(dir, table), hotFreq, trackK))
+      .toDF("covered", "hot_freq", "track_k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
   }
 
   /** O(batch) profile maintenance: the caller appended `batch`'s
@@ -325,13 +330,14 @@ object StatsMaintain {
       column: String, batch: DataFrame): Unit = {
     import s.implicits._
     val path = keyProfPath(dir, table, column)
-    require(IndexStore.artifactReady(path),
+    require(IndexStore.artifactReady(s"$path/meta"),
       "maintained key profile must be built (ensureKeyProfileMaint) before appendMaintainKeyProfile")
-    val meta = s.read.parquet(path).select(col("hot_freq"), col("track_k"))
-      .limit(1).collect()
-    val (hotFreq, trackK) = meta.headOption
-      .map(r => (r.getLong(0), r.getInt(1))).getOrElse((1000L, 4096))
-    val old = s.read.parquet(path).select(col("key"), col("freq"))
+    // the baked knobs come from the meta — present even for an empty
+    // tracked set, never silently reset to defaults
+    val meta = s.read.parquet(s"$path/meta").head()
+    val (hotFreq, trackK) =
+      (meta.getAs[Long]("hot_freq"), meta.getAs[Int]("track_k"))
+    val old = s.read.parquet(s"$path/rows").select(col("key"), col("freq"))
       .as[(String, Long)].collect().toSeq
     val merged = batch
       .where(col(column).isNotNull)
@@ -343,34 +349,36 @@ object StatsMaintain {
   }
 
   private def keyProfileReadIfCurrent(s: SparkSession, dir: String,
-      table: String, column: String): Option[Seq[Row]] = {
+      table: String, column: String): Option[(Long, Seq[Row])] = {
     val path = keyProfPath(dir, table, column)
-    if (!IndexStore.artifactReady(path)) return None
+    if (!IndexStore.artifactReady(s"$path/meta") ||
+        !IndexStore.artifactReady(s"$path/rows")) return None
     val live = IndexStore.fingerprint(dir, table)
     val cached = keyProfMemo.get(path)
     if (cached != null && cached._1 == live) return Some(cached._2)
-    val rows = s.read.parquet(path)
-      .orderBy(col("freq").desc, col("key")).collect().toSeq
-    // per-row meta: an empty tracked set cannot prove its coverage,
-    // so it fails closed (an empty TABLE has no skew to advise on)
-    rows.headOption.filter(_.getAs[String]("covered") == live).map { _ =>
-      keyProfMemo.put(path, (live, rows))
-      rows
+    val meta = s.read.parquet(s"$path/meta").head()
+    if (meta.getAs[String]("covered") != live) None
+    else {
+      val rows = s.read.parquet(s"$path/rows")
+        .orderBy(col("freq").desc, col("key")).collect().toSeq
+      val v = (meta.getAs[Long]("hot_freq"), rows)
+      keyProfMemo.put(path, (live, v))
+      Some(v)
     }
   }
 
   /** Serving face, shaped like [[StatsCatalog.keyProfile]]: (keys at
     * or above the baked hot threshold ranked by frequency, max
     * tracked frequency) while the artifact covers the live listing;
-    * None otherwise. Counts are lower bounds (see the block
-    * comment), so a served hot key is genuinely hot. */
+    * None otherwise. An EMPTY tracked set serves (Nil, 0) — "nothing
+    * tracked" is an answer, not an absence. Counts are lower bounds
+    * (see the block comment), so a served hot key is genuinely hot. */
   def keyProfileIfCurrent(s: SparkSession, dir: String, table: String,
       column: String, maxHot: Int = 1024): Option[(Seq[String], Long)] =
-    keyProfileReadIfCurrent(s, dir, table, column).map { rows =>
-      val hotFreq = rows.head.getAs[Long]("hot_freq")
+    keyProfileReadIfCurrent(s, dir, table, column).map { case (hotFreq, rows) =>
       val hot = rows.filter(_.getAs[Long]("freq") >= hotFreq)
         .take(maxHot).map(_.getAs[String]("key"))
-      (hot, rows.head.getAs[Long]("freq"))
+      (hot, rows.headOption.map(_.getAs[Long]("freq")).getOrElse(0L))
     }
 
   /** Null-sentineled deterministic tuple rendering — the column-group
@@ -458,23 +466,13 @@ object StatsMaintain {
   }
 
   private def grpEstimate(s: SparkSession, regPath: String): Long = {
-    val m = SketchRollup.M
-    val twoPow52 = 4503599627370496L
     val r = s.read.parquet(regPath)
       .agg(count(lit(1)).as("regs_hit"),
         sum(pow(lit(2.0), lit(SketchRollup.MaxRho) - col("rho")).cast("long"))
           .as("z_obs")).head()
     val hit = r.getAs[Long]("regs_hit")
-    val zObs = if (hit == 0) 0L else r.getAs[Long]("z_obs")
-    val zeros = m.toLong - hit
-    val zInt = BigInt(zObs) + BigInt(zeros) * twoPow52
-    val raw = 0.7213 / (1.0 + 1.079 / m) * m * m * twoPow52.toDouble /
-      zInt.toDouble
-    val est =
-      if (raw <= 2.5 * m && zeros > 0)
-        m.toDouble * math.log(m.toDouble / zeros.toDouble)
-      else raw
-    math.round(est)
+    // the formula itself lives ONCE, in SketchRollup (r14 review)
+    SketchRollup.estimateScalar(hit, if (hit == 0) 0L else r.getAs[Long]("z_obs"))
   }
 
   /** Stamp-keyed memos for the PLAN-TIME serving faces — the
@@ -489,7 +487,7 @@ object StatsMaintain {
   private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Map[String, MaintainedCol])]()
   private val keyProfMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Seq[Row])]()
+    String, (String, (Long, Seq[Row]))]()
   private val grpMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, StatsCatalog.GroupStats)]()
 

@@ -106,8 +106,13 @@ object CardinalityEstimator {
       useColumnGroups: Boolean = false,
       useMcv: Boolean = false,
       useFeedback: Boolean = false): Option[BigInt] =
-    est(s, df.queryExecution.analyzed, useColumnGroups, useMcv,
-      useFeedback).map(_.rows)
+    // the key-memo scope bounds the feedback tier's per-node stamp
+    // walks to one per distinct subtree per EVALUATION — never a
+    // wall-clock window (see CardFeedback.withKeyScope)
+    graft.operators.CardFeedback.withKeyScope {
+      est(s, df.queryExecution.analyzed, useColumnGroups, useMcv,
+        useFeedback).map(_.rows)
+    }
 
   private def tableOf(rel: LogicalRelation): Option[(String, String)] =
     rel.relation match {

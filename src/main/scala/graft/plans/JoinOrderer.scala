@@ -83,7 +83,17 @@ object JoinOrderer {
     * pin the declared uniform algebra. */
   def choose(s: SparkSession, rels: Seq[(String, DataFrame)],
       edges: Seq[Edge], broadcastRows: Long = 1L << 17,
-      useMcv: Boolean = false, useFeedback: Boolean = false): Option[Chosen] = {
+      useMcv: Boolean = false, useFeedback: Boolean = false): Option[Chosen] =
+    // ONE key-memo scope for the whole enumeration: the 2ⁿ subsets
+    // share their feedback stamp walks (re-entrant with the
+    // per-estimate scope inside)
+    graft.operators.CardFeedback.withKeyScope {
+      chooseImpl(s, rels, edges, broadcastRows, useMcv, useFeedback)
+    }
+
+  private def chooseImpl(s: SparkSession, rels: Seq[(String, DataFrame)],
+      edges: Seq[Edge], broadcastRows: Long,
+      useMcv: Boolean, useFeedback: Boolean): Option[Chosen] = {
     val n = rels.size
     require(n >= 2 && n <= MaxRelsGreedy,
       s"need 2..$MaxRelsGreedy relations, got $n")

@@ -190,7 +190,12 @@ class TransparentJoinSteeringRule(
             val rb = StatsCatalog.tableBytes(rDir, rTable)
             val bHint = Some(HintInfo(Some(BROADCAST)))
             if (rb <= lb) Some(j.copy(hint = JoinHint(None, bHint)))
-            else if (outer) None // outer side cannot build — fail closed
+            // outer: the left side can never build, but when the
+            // RIGHT side also fits the budget it is the legal build —
+            // hint it rather than passing through (r14 review)
+            else if (outer && rb <= broadcastBytes)
+              Some(j.copy(hint = JoinHint(None, bHint)))
+            else if (outer) None
             else Some(j.copy(hint = JoinHint(bHint, None)))
           case StatsCatalog.SaltedShuffle(_) =>
             // salt the BIGGER side (its hot keys melt the reducer);

@@ -59,6 +59,20 @@ class SampledAggSpec extends SparkSpec {
         .collect().map(_.toString).sorted
       assert(maintained.sameElements(rebuilt),
         "maintenance must be bit-identical to a rebuild")
+      // RETRY idempotence (r14 review): a double call is a no-op...
+      SampledAgg.appendMaintainSample(spark, dir, "ev", "id", ppm, batch)
+      // ...and the crash window (data merged, meta not yet committed:
+      // simulated by staling the meta) converges on retry instead of
+      // double-appending the batch's rows
+      Seq(("stale", ppm)).toDF("covered", "ppm").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${SampledAgg.samplePath(dir, "ev", "id", ppm)}/meta")
+      SampledAgg.appendMaintainSample(spark, dir, "ev", "id", ppm, batch)
+      val retried = SampledAgg.sampleIfCurrent(spark, dir, "ev", "id", ppm)
+        .getOrElse(fail("must serve after retry"))
+        .collect().map(_.toString).sorted
+      assert(retried.sameElements(rebuilt),
+        "a crash-window retry must converge, never double-weight the batch")
 
       // the integer-scale precondition is enforced, not assumed
       intercept[IllegalArgumentException] {
@@ -124,6 +138,22 @@ class SampledAggSpec extends SparkSpec {
         "maintained stratified sample must equal a rebuild exactly")
       assert(mc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
         Map("big" -> 21000L, "rare" -> 70L), "counts add exactly")
+      // RETRY idempotence + crash window (r14 review): the stamped
+      // counts must never add the batch twice, the deduped re-rank
+      // must never keep a row twice
+      SampledAgg.appendMaintainStratified(spark, dir, "ev", "id", "st", K, bdf)
+      Seq(("stale", K)).toDF("covered", "k").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${SampledAgg.stratSamplePath(dir, "ev", "id", "st", K)}/meta")
+      SampledAgg.appendMaintainStratified(spark, dir, "ev", "id", "st", K, bdf)
+      val (m2, mc2) = SampledAgg.stratifiedIfCurrent(
+        spark, dir, "ev", "id", "st", K).getOrElse(fail("must serve"))
+      assert(m2.collect().map(_.toString).sorted.sameElements(
+        rebuilt.collect().map(_.toString).sorted),
+        "crash-window retry must keep the sample a rebuild, not a double")
+      assert(mc2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("big" -> 21000L, "rare" -> 70L),
+        "stamped counts must never add the batch twice")
     }
   }
 }

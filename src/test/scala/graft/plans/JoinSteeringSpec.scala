@@ -148,11 +148,15 @@ class JoinSteeringSpec extends SparkSpec {
         assert(!rp.contains("__salt_f"),
           s"right-side-only skew must pass an outer join through:\n$rp")
 
-        // outer-side broadcast: with the dim on the LEFT of a left
-        // join and a generous budget, the advice picks the small left
-        // side — which cannot build — so the plan passes through
+        // outer-side broadcast roles: with a budget admitting only
+        // the LEFT (outer) dim, the hint is refused — the outer side
+        // cannot build and the fact is over budget (pass-through);
+        // with a generous budget the RIGHT side (the legal build)
+        // takes the hint even though the advice's min-side was the
+        // left dim (the r14 review's fallback)
+        val dimBytes = graft.operators.StatsCatalog.tableBytes(dir, "dim")
         TransparentJoinSteering.enable(spark,
-          broadcastBytes = 32L * 1024 * 1024, skewAvgFreq = 1e9, factor = 4)
+          broadcastBytes = dimBytes + 1, skewAvgFreq = 1e9, factor = 4)
         val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try {
@@ -160,7 +164,13 @@ class JoinSteeringSpec extends SparkSpec {
             .queryExecution.executedPlan.toString
           assert(!bp.contains("BroadcastHashJoin"),
             s"the outer side must never take the build hint:\n$bp")
-          // ...while the same budget broadcasts the dim on the RIGHT
+          TransparentJoinSteering.enable(spark,
+            broadcastBytes = 32L * 1024 * 1024, skewAvgFreq = 1e9, factor = 4)
+          val fb = d.join(f, d("dk") === f("k"), "left")
+            .queryExecution.executedPlan.toString
+          assert(fb.contains("BroadcastHashJoin"),
+            s"a within-budget RIGHT side must build even when the advice's min-side is the outer one:\n$fb")
+          // ...and the dim on the RIGHT broadcasts as usual
           val ok = f.join(d, f("k") === d("dk"), "left")
             .queryExecution.executedPlan.toString
           assert(ok.contains("BroadcastHashJoin"),
