@@ -42,11 +42,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * written coalesce(1), so the read-back preserves row order — an
   * ORDER BY survives the cache.
   *
-  * Scope: single-writer per key (the engine's job model); results
-  * are RESULT-sized by assumption — a caller caching a corpus-sized
-  * frame gets exactly the storage bill it asked for. Entries are
-  * immutable once written; stale entries (dead stamps) are orphans a
-  * periodic sweep deletes by directory age — they can never serve. */
+  * CONCURRENT MISSES are safe by staged write + rename commit: each
+  * writer computes into its own `$path.staged-<uuid>` directory and
+  * COMMITS with one atomic rename onto the final entry path — the
+  * first rename wins, losers delete their stage and serve the
+  * winner's entry. A reader that passed [[IndexStore.artifactReady]]
+  * can never observe a half-written or deleted entry, because the
+  * final path is only ever created by a rename of a complete stage
+  * and is never overwritten in place. (Two dashboard viewers missing
+  * simultaneously is the DESIGNED workload of a query-keyed cache,
+  * so this is load-bearing, not defensive.) Results are RESULT-sized
+  * by assumption — a caller caching a corpus-sized frame gets
+  * exactly the storage bill it asked for. Entries are immutable once
+  * committed; stale entries (dead stamps) and crashed stage
+  * directories are orphans the periodic sweep deletes by directory
+  * age — they can never serve. */
 object ResultCache {
 
   def cachePath(key: String): String =
@@ -149,8 +159,45 @@ object ResultCache {
     val path = cachePath(key)
     if (IndexStore.artifactReady(path)) (s.read.parquet(path), true)
     else {
-      df.coalesce(1).write.mode("overwrite").parquet(path)
+      writeEntry(df, path)
       (s.read.parquet(path), false)
+    }
+  }
+
+  /** Stage-then-rename commit of one entry (see class scaladoc):
+    * write `df` into a private stage, commit with ONE atomic rename
+    * onto `path`. A lost race (the rename finds the path taken)
+    * deletes the stage and returns false — the winner's entry is
+    * byte-equivalent by keying, so the loser serves it. A rename
+    * blocked by a TORN leftover (a directory without its _SUCCESS —
+    * only a pre-fix overwrite or an outside mutation can leave one)
+    * clears the junk and retries once; a second failure is loud. */
+  private[graft] def writeEntry(df: DataFrame, path: String): Boolean = {
+    val stage = s"$path.staged-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val (fs, target) = IndexStore.fsOf(path)
+    val st = new org.apache.hadoop.fs.Path(stage)
+    // FileContext.rename, NOT FileSystem.rename: the FileSystem face
+    // MOVES-INTO an existing destination directory (the loser's stage
+    // would nest inside the winner's entry and double its rows on
+    // read); the FileContext face fails atomically when the
+    // destination exists — exactly the commit-or-lose semantics the
+    // race needs
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, df.sparkSession.sessionState.newHadoopConf())
+    def tryCommit(): Boolean =
+      try { fc.rename(st, target); true }
+      catch { case _: java.io.IOException => false }
+    def discard(): Unit = { fs.delete(st, true); () }
+    if (tryCommit()) true
+    else if (IndexStore.artifactReady(path)) { discard(); false }
+    else {
+      fs.delete(target, true)
+      val won = tryCommit()
+      if (!won) discard()
+      require(won || IndexStore.artifactReady(path),
+        s"result cache: could not commit $path and no committed entry exists")
+      won
     }
   }
 
@@ -196,10 +243,7 @@ object ResultCache {
       case Some(key) =>
         val path = cachePath(key)
         if (IndexStore.artifactReady(path)) false
-        else {
-          df.coalesce(1).write.mode("overwrite").parquet(path)
-          true
-        }
+        else writeEntry(df, path)
     }
   }
 }

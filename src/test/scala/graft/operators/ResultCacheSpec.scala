@@ -105,6 +105,61 @@ class ResultCacheSpec extends SparkSpec {
     }
   }
 
+  test("staged-write commit: a lost publish race discards the stage and serves the winner") {
+    withIndexRoot("graft-rc-race") {
+      val dir = tmpDir("graft-rc-race-data")
+      writeTable(dir)
+      val shape = graft.Tables(spark, dir, "t")
+        .groupBy($"k").agg(count(lit(1)).as("n")).orderBy($"k")
+      val path = s"${IndexStore.root}/result_cache/race_entry"
+      // deterministic loser leg: the first commit wins, the second
+      // (same key, simulating the concurrent miss that lost) must
+      // find the path taken, delete its stage, and report false
+      assert(ResultCache.writeEntry(shape, path), "first writer commits")
+      assert(!ResultCache.writeEntry(shape, path), "second writer loses, never overwrites")
+      assert(IndexStore.artifactReady(path))
+      val (fs, root) = IndexStore.fsOf(s"${IndexStore.root}/result_cache")
+      assert(!fs.listStatus(root).exists(_.getPath.getName.contains(".staged-")),
+        "loser stages are deleted, not leaked")
+      // torn-leftover recovery: a directory WITHOUT its _SUCCESS (a
+      // crashed pre-fix overwrite) must not wedge the commit
+      val torn = s"${IndexStore.root}/result_cache/torn_entry"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(torn, "junk"))
+      assert(ResultCache.writeEntry(shape, torn), "torn junk is cleared and the commit lands")
+      assert(IndexStore.artifactReady(torn))
+    }
+  }
+
+  test("two concurrent misses on one key: both serve correct rows, one committed entry, no stage leaks") {
+    withIndexRoot("graft-rc-conc") {
+      val dir = tmpDir("graft-rc-conc-data")
+      writeTable(dir)
+      def shape = graft.Tables(spark, dir, "t")
+        .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .orderBy($"k")
+      val expected = shape.collect().map(_.toString).toSeq
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futures = (1 to 2).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+            override def call(): Seq[String] = {
+              barrier.await()
+              ResultCache.through(spark, shape)._1.collect().map(_.toString).toSeq
+            }
+          })
+        }
+        futures.foreach(f => assert(f.get() === expected,
+          "every racer serves the correct rows, whichever commit won"))
+      } finally pool.shutdown()
+      val (fs, root) = IndexStore.fsOf(s"${IndexStore.root}/result_cache")
+      val entries = fs.listStatus(root).map(_.getPath.getName)
+      assert(!entries.exists(_.contains(".staged-")), "no stage directories leak")
+      assert(entries.length === 1, s"exactly one committed entry, got ${entries.toSeq}")
+      assert(ResultCache.through(spark, shape)._2, "the committed entry serves the next identical plan")
+    }
+  }
+
   test("plans with non-file leaves compute directly and never cache") {
     withIndexRoot("graft-rc-local") {
       val local = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
