@@ -39,12 +39,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * Costs, stated: [[record]] executes the plan once (a count — the
   * maintenance-window pattern: record the workload's worst
   * misestimates, shaped like the ANALYZE advisor's report); serving
-  * costs one canonicalization + one FS-metadata listing per plan
-  * NODE per estimate (the EnsureWatermark class of plan-time cost)
-  * and no jobs — the artifact is one kilobyte row read through a
-  * stamp-keyed memo. [[sweep]] is the result-cache retention verbatim:
-  * dead stamps are unreachable orphans, deleting a live entry only
-  * re-misses. */
+  * costs one canonicalization + one in-memory index-listing stamp per
+  * plan NODE per estimate and no jobs — the artifact is one kilobyte
+  * row read through a stamp-keyed, size-bounded memo. [[sweep]] is
+  * the result-cache retention verbatim: dead stamps are unreachable
+  * orphans, deleting a live entry only re-misses — and the harvest
+  * path invokes it opportunistically so the store stays bounded with
+  * no caller discipline. */
 object CardFeedback {
 
   def feedbackPath(key: String): String =
@@ -65,9 +66,18 @@ object CardFeedback {
 
   /** Stamp-keyed memo: the key embeds the source stamp, so a cached
     * positive can never go stale (a mutated source re-keys); only
-    * positives memoize — an absent artifact may appear later. */
+    * positives memoize — an absent artifact may appear later.
+    * BOUNDED (r14 advice): auto-record can harvest an unbounded
+    * workload, so the memo clears past [[MemoMax]] entries — a clear
+    * only re-pays kilobyte artifact reads, never loses observations. */
+  private val MemoMax = 4096
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def memoize(key: String, n: Long): Unit = {
+    if (cache.size >= MemoMax) cache.clear()
+    cache.put(key, n)
+    ()
+  }
 
   /** SCOPED plan-key memo (r14 review): the feedback tier checks
     * EVERY node of every estimated plan, and each keyOf pays a full
@@ -124,7 +134,7 @@ object CardFeedback {
         if (!IndexStore.artifactReady(path)) None
         else {
           val n = s.read.parquet(path).head().getAs[Long]("rows")
-          cache.put(key, n)
+          memoize(key, n)
           Some(n)
         }
       }
@@ -192,9 +202,20 @@ object CardFeedback {
       import s.implicits._
       Seq(n).toDF("rows").coalesce(1)
         .write.mode("overwrite").parquet(feedbackPath(key))
-      cache.put(key, n)
+      memoize(key, n)
+      // opportunistic retention (r14 advice): the store is otherwise
+      // only bounded by an explicit sweep() nobody is obliged to call
+      if (harvestCount.incrementAndGet() % SweepEvery == 0) { sweep(s, SweepKeep); () }
       n
     }
+
+  /** Test seam: a cold process has an empty memo — the retention
+    * specs model one by clearing it. */
+  private[graft] def clearMemoForTest(): Unit = cache.clear()
+
+  private val harvestCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val SweepEvery = 256L
+  private val SweepKeep = 4096
 
   private val autoSessions =
     java.util.Collections.newSetFromMap(
@@ -202,6 +223,23 @@ object CardFeedback {
   private val autoListeners =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       org.apache.spark.sql.util.QueryExecutionListener]()
+
+  /** The harvest writes run OFF the listener bus (r14 advice: an
+    * artifact write per completed action blocked the shared bus
+    * thread — the very cost the CompleteActions comment excluded
+    * writes for). One daemon thread, a small bounded queue, DISCARD
+    * on overflow: dropping a harvest under burst only loses an
+    * observation the next identical run re-records. Race-free even
+    * though async: the key is computed from the plan's OWN FileIndex
+    * snapshot ([[ResultCache.planStamp]], r15), so an append landing
+    * between completion and harvest cannot re-stamp the observation —
+    * the count files under the listing the query actually read. */
+  private lazy val harvestPool = new java.util.concurrent.ThreadPoolExecutor(
+    1, 1, 30L, java.util.concurrent.TimeUnit.SECONDS,
+    new java.util.concurrent.ArrayBlockingQueue[Runnable](64),
+    (r: Runnable) => { val t = new Thread(r, "graft-feedback-harvest")
+      t.setDaemon(true); t },
+    new java.util.concurrent.ThreadPoolExecutor.DiscardPolicy())
 
   /** Idempotently enable transparent harvesting on `s`: every
     * completed complete-action execution records its observation. */
@@ -212,7 +250,9 @@ object CardFeedback {
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit =
           if (CompleteActions.contains(funcName)) {
-            try { harvest(s, qe); () } catch { case _: Exception => () }
+            harvestPool.execute(() => {
+              try { harvest(s, qe); () } catch { case _: Exception => () }
+            })
           }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
@@ -221,6 +261,14 @@ object CardFeedback {
       autoListeners.put(s, l)
       s.listenerManager.register(l)
     }
+
+  /** Test seam: wait until every harvest enqueued so far has drained
+    * (the specs assert on artifacts the async pool writes). */
+  private[graft] def awaitHarvests(): Unit = {
+    val f = harvestPool.submit(new Runnable { override def run(): Unit = () })
+    f.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    ()
+  }
 
   /** Test seam: unregister the listener so suites sharing the
     * session don't harvest each other's actions. */

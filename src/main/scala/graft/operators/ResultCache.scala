@@ -19,13 +19,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    queries built in different sessions key the same entry, while
   *    any semantic difference (another filter literal, another
   *    column) re-keys — never a wrong-result serve, at worst a miss;
-  *  - the SOURCE STAMP is the (name, length, mtime) listing of every
+  *  - the SOURCE STAMP is the (path, length, mtime) listing of every
   *    file-based leaf in the plan — raw tables AND engine artifacts
   *    a rewrite may have substituted (a routed plan reads the rollup
   *    parquet, so the rollup's files are stamped automatically). A
   *    mutated source changes the stamp → the old entry is
   *    unreachable, the Fingerprint-keying discipline of every
-  *    artifact in this engine applied to results.
+  *    artifact in this engine applied to results. The stamp reads
+  *    each relation's OWN FileIndex (r15) — the listing snapshot the
+  *    plan actually scans — NOT a fresh walk of the live filesystem:
+  *    a DataFrame created before an append caches the pre-append
+  *    listing, and a live-walk stamp would have filed its pre-append
+  *    result under the post-append key (a permanent wrong serve); the
+  *    plan-own stamp keys every result by exactly the bytes it was
+  *    computed from, makes async feedback harvesting race-free by
+  *    construction, and is cheaper (the index listing is in memory).
   *
   * Fail-closed like everything else: a plan with any non-file leaf
   * (a LocalRelation's data is not part of the canonicalized string,
@@ -67,8 +75,8 @@ object ResultCache {
       .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** (stamp, true) when every leaf is a file relation; (_, false)
-    * marks an uncacheable plan. The stamp walks each root path's
-    * listing — FS metadata only, the EnsureWatermark class of cost. */
+    * marks an uncacheable plan. The stamp reads each relation's own
+    * in-memory FileIndex listing — no filesystem calls at all. */
   /** Expressions whose VALUE moves between runs while their
     * canonicalized form does not — caching them would serve an
     * earlier moment's rows. Non-deterministic expressions (rand,
@@ -95,13 +103,12 @@ object ResultCache {
   private[graft] def planStamp(
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : (String, Boolean) = {
-    var fileLeaves = List.empty[String]
+    var indexes = List.empty[org.apache.spark.sql.execution.datasources.FileIndex]
     var other = false
     (analyzed +: analyzed.subqueriesAll).foreach(_.foreach {
       case rel: LogicalRelation =>
         rel.relation match {
-          case fs: HadoopFsRelation =>
-            fileLeaves = fs.location.rootPaths.map(_.toString).toList ++ fileLeaves
+          case fs: HadoopFsRelation => indexes = fs.location :: indexes
           case _ => other = true
         }
       case p if p.children.isEmpty && p.output.nonEmpty &&
@@ -112,21 +119,19 @@ object ResultCache {
       case p =>
         if (p.expressions.exists(timeOrNonDeterministic)) other = true
     })
-    if (other || fileLeaves.isEmpty) ("", false)
+    if (other || indexes.isEmpty) ("", false)
     else {
-      import org.apache.hadoop.fs.FileStatus
-      val desc = fileLeaves.sorted.map { p =>
-        val (fs, root) = IndexStore.fsOf(p)
-        def walk(st: FileStatus): Seq[FileStatus] =
-          if (st.isDirectory)
-            fs.listStatus(st.getPath).sortBy(_.getPath.getName)
-              .toIndexedSeq.flatMap(walk)
-          else Seq(st)
-        if (!fs.exists(root)) s"$p:absent"
-        else walk(fs.getFileStatus(root))
-          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .mkString("|")
-      }.mkString("||")
+      // each relation's OWN index listing (see class scaladoc), in a
+      // canonical order-independent rendering: full qualified path +
+      // length + mtime, flat-sorted — two indexes over the same bytes
+      // stamp identically however they were listed
+      val desc = indexes.map { loc =>
+        val files = loc.listFiles(Nil, Nil).flatMap(_.files)
+        if (files.isEmpty)
+          loc.rootPaths.map(_.toString).sorted.mkString(",") + ":empty"
+        else files.map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+          .sorted.mkString("|")
+      }.sorted.mkString("||")
       (md5(desc), true)
     }
   }

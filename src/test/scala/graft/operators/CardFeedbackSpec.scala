@@ -59,21 +59,34 @@ class CardFeedbackSpec extends SparkSpec {
       assert(CardinalityEstimator.estimateRows(spark, exploded,
         useFeedback = true).contains(BigInt(200)))
 
-      // mutation re-keys: append to dim -> the observation is
-      // unreachable, the algebra serves again (never a stale count)
+      // mutation re-keys: append to dim -> a FRESH read of the table
+      // lists the post-append files, so its stamp cannot reach the
+      // observation — the algebra serves again (never a stale count).
+      // The HELD frame keeps serving: its cached FileIndex still
+      // reads the pre-append files, so 50 is exact FOR THAT PLAN —
+      // the r15 plan-own-listing stamp keys observations by what a
+      // plan actually scans, not by the live directory
       Seq((101L, "d101")).toDF("dk", "dname")
         .write.mode("append").parquet(s"$dir/dim.parquet")
+      val freshFiltered = graft.Tables(spark, dir, "dim")
+        .where($"dk" <= 50L && $"dk" <= 60L)
       assert(CardFeedback.observed(spark,
-        filtered.queryExecution.analyzed).isEmpty,
-        "a mutated source must make the observation unreachable")
+        freshFiltered.queryExecution.analyzed).isEmpty,
+        "a fresh post-append read must not reach the old observation")
+      assert(CardFeedback.observed(spark,
+        filtered.queryExecution.analyzed).contains(50L),
+        "the held pre-append frame keeps its exact observation")
 
       // moving plans refuse the keyspace entirely
       assert(CardFeedback.record(spark,
         dim.where($"dk" <= 50L && current_date().isNotNull)).isEmpty,
         "current-time expressions are never recorded")
 
-      // retention: sweeping to zero only costs a re-miss
+      // retention: sweeping to zero only costs a re-miss (the memo
+      // may serve a swept observation for the rest of THIS process —
+      // still exact, keyed by snapshot; a cold process re-misses)
       assert(CardFeedback.sweep(spark, 0) >= 1)
+      CardFeedback.clearMemoForTest()
       assert(CardFeedback.observed(spark,
         exploded.queryExecution.analyzed).isEmpty)
     }
