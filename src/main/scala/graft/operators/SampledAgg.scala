@@ -92,24 +92,17 @@ object SampledAgg {
       .write.mode("overwrite").parquet(metaPath(samplePath(dir, table, keyCol, ppm)))
   }
 
-  /** Swap `stage` in as `target`, failing loud; with a recovery leg
-    * for a crash that deleted the target before the rename landed. */
+  /** Stage-then-swap commit moves: the shared [[IndexStore.stageSwap]]
+    * / [[IndexStore.recoverSwap]] pair (r15 — StatsMaintain's key
+    * profiles adopted the same discipline, so the helpers moved to
+    * the one store both ride). */
   private def stageSwap(fs: org.apache.hadoop.fs.FileSystem,
-      stage: String, target: String): Unit = {
-    val st = new org.apache.hadoop.fs.Path(stage)
-    val tg = new org.apache.hadoop.fs.Path(target)
-    fs.delete(tg, true)
-    require(fs.rename(st, tg), s"sample swap: rename $st -> $tg failed")
-  }
+      stage: String, target: String): Unit =
+    IndexStore.stageSwap(fs, stage, target)
 
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-      stage: String, target: String): Unit = {
-    val st = new org.apache.hadoop.fs.Path(stage)
-    val tg = new org.apache.hadoop.fs.Path(target)
-    if (!fs.exists(tg) && IndexStore.artifactReady(stage))
-      require(fs.rename(st, tg), s"sample recovery: rename $st -> $tg failed")
-    else fs.delete(st, true)
-  }
+      stage: String, target: String): Unit =
+    IndexStore.recoverSwap(fs, stage, target)
 
   /** O(batch + sample) maintenance, IDEMPOTENT under retries and
     * crash-repairing (r14 review): the caller appended `batch` to

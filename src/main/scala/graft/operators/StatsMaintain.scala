@@ -156,6 +156,12 @@ object StatsMaintain {
   def appendMaintain(s: SparkSession, dir: String, table: String,
       batch: DataFrame): Unit = {
     import s.implicits._
+    // idempotent entry (r15, the column-group discipline): an
+    // already-covered artifact is a no-op, so double calls never
+    // double-count n/nulls; the registers-then-summary write order
+    // makes the remaining crash windows converge on retry (the old
+    // summary is re-read, the register merge is idempotent)
+    if (statsIfCurrent(s, dir, table).isDefined) return
     val old = readArtifact(s, dir, table).getOrElse(sys.error(
       "maintained stats must be built (ensure) before appendMaintain"))
     val dtypes = graft.Tables(s, dir, table).schema
@@ -303,41 +309,79 @@ object StatsMaintain {
     writeKeyProf(s, dir, table, column, counts, hotFreq, trackK)
   }
 
+  /** Commit one key-profile state, crash-convergently (r14 advice:
+    * the old in-place rows overwrite made the rows file both the
+    * merge INPUT and a pre-commit output — a crash between rows and
+    * meta, then a retry, re-summed the batch into already-merged
+    * counts). Now the rows and the covered stamp they were computed
+    * for stage TOGETHER and land in ONE swap (`$p/data`), so a retry
+    * can always discriminate "merged already" from "not yet"; the
+    * meta (knobs + covered stamp, the SERVE point) lands last — and
+    * SEPARATE from the rows, so an EMPTY tracked set still serves
+    * and still remembers its baked thresholds (r14 review). */
   private def writeKeyProf(s: SparkSession, dir: String, table: String,
       column: String, counts: DataFrame, hotFreq: Long, trackK: Int): Unit = {
     import s.implicits._
     val p = keyProfPath(dir, table, column)
-    // rows first, the meta (knobs + covered stamp) LAST as the commit
-    // point — and SEPARATE from the rows, so an EMPTY tracked set
-    // still serves and still remembers its baked thresholds (r14
-    // review: per-row meta silently reset hotFreq to defaults on the
-    // first append after an empty build)
+    val (fs, _) = IndexStore.fsOf(p)
+    val covered = IndexStore.fingerprint(dir, table)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/stage"), true)
     counts
       .orderBy(col("freq").desc, col("key"))
       .limit(trackK)
-      .coalesce(1).write.mode("overwrite").parquet(s"$p/rows")
-    Seq((IndexStore.fingerprint(dir, table), hotFreq, trackK))
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/rows")
+    Seq(covered).toDF("covered")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/stamp")
+    IndexStore.stageSwap(fs, s"$p/stage", s"$p/data")
+    writeKeyProfMeta(s, p, covered, hotFreq, trackK)
+  }
+
+  private def writeKeyProfMeta(s: SparkSession, p: String, covered: String,
+      hotFreq: Long, trackK: Int): Unit = {
+    import s.implicits._
+    Seq((covered, hotFreq, trackK))
       .toDF("covered", "hot_freq", "track_k")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
   }
 
-  /** O(batch) profile maintenance: the caller appended `batch`'s
+  /** O(batch) profile maintenance, IDEMPOTENT under retries and
+    * crash-convergent (r14 advice): the caller appended `batch`'s
     * rows ALREADY; this sums the batch's per-key counts into the
     * tracked set (tracked keys add, new keys enter at their batch
     * count) and re-takes the top-K — the batch is the only data
-    * scanned; the old rows are a ≤trackK-row kilobyte frame. */
+    * scanned; the old rows are a ≤trackK-row kilobyte frame. An
+    * already-covered artifact is a no-op (double calls never
+    * double-count); a crash between the data swap and the meta
+    * commit is discriminated by the data's own covered stamp — the
+    * retry sees rows already at the live listing and re-commits
+    * only the meta, never re-merging the batch. */
   def appendMaintainKeyProfile(s: SparkSession, dir: String, table: String,
       column: String, batch: DataFrame): Unit = {
     import s.implicits._
+    if (keyProfileReadIfCurrent(s, dir, table, column).isDefined) return
     val path = keyProfPath(dir, table, column)
     require(IndexStore.artifactReady(s"$path/meta"),
       "maintained key profile must be built (ensureKeyProfileMaint) before appendMaintainKeyProfile")
+    val (fs, _) = IndexStore.fsOf(path)
+    IndexStore.recoverSwap(fs, s"$path/stage", s"$path/data",
+      readySubs = Seq("rows", "stamp"))
+    require(IndexStore.artifactReady(s"$path/data/rows") &&
+        IndexStore.artifactReady(s"$path/data/stamp"),
+      "torn maintained key profile: rebuild with ensureKeyProfileMaint")
     // the baked knobs come from the meta — present even for an empty
     // tracked set, never silently reset to defaults
     val meta = s.read.parquet(s"$path/meta").head()
     val (hotFreq, trackK) =
       (meta.getAs[Long]("hot_freq"), meta.getAs[Int]("track_k"))
-    val old = s.read.parquet(s"$path/rows").select(col("key"), col("freq"))
+    val live = IndexStore.fingerprint(dir, table)
+    val dataStamp = s.read.parquet(s"$path/data/stamp").head().getString(0)
+    if (dataStamp == live) {
+      // the crash window: rows committed for this listing, meta (the
+      // serve point) did not land — re-commit the meta, merge nothing
+      writeKeyProfMeta(s, path, live, hotFreq, trackK)
+      return
+    }
+    val old = s.read.parquet(s"$path/data/rows").select(col("key"), col("freq"))
       .as[(String, Long)].collect().toSeq
     val merged = batch
       .where(col(column).isNotNull)
@@ -352,14 +396,14 @@ object StatsMaintain {
       table: String, column: String): Option[(Long, Seq[Row])] = {
     val path = keyProfPath(dir, table, column)
     if (!IndexStore.artifactReady(s"$path/meta") ||
-        !IndexStore.artifactReady(s"$path/rows")) return None
+        !IndexStore.artifactReady(s"$path/data/rows")) return None
     val live = IndexStore.fingerprint(dir, table)
     val cached = keyProfMemo.get(path)
     if (cached != null && cached._1 == live) return Some(cached._2)
     val meta = s.read.parquet(s"$path/meta").head()
     if (meta.getAs[String]("covered") != live) None
     else {
-      val rows = s.read.parquet(s"$path/rows")
+      val rows = s.read.parquet(s"$path/data/rows")
         .orderBy(col("freq").desc, col("key")).collect().toSeq
       val v = (meta.getAs[Long]("hot_freq"), rows)
       keyProfMemo.put(path, (live, v))
@@ -427,12 +471,24 @@ object StatsMaintain {
   }
 
   /** O(batch) group maintenance: register MAX-merge (exact vs a
-    * rebuild) + row-count add; scans only the batch. */
+    * rebuild) + row-count add; scans only the batch. IDEMPOTENT
+    * (r14 advice): an already-covered artifact is a no-op, so a
+    * double call (or a retry after the summary committed) never adds
+    * the batch's count twice. The remaining crash windows converge:
+    * a crash between the registers write and the summary write
+    * leaves the OLD summary (old n, old covered stamp — fail-closed
+    * stale), and the retry re-reads that old n and MAX-merges the
+    * registers again (register merge is idempotent by algebra), so
+    * the batch's count lands exactly once; a summary torn mid-write
+    * fails `artifactReady` and the entry require(), repaired by a
+    * full ensure rebuild — loud, never silently wrong. */
   def appendMaintainColumnGroup(s: SparkSession, dir: String, table: String,
       columns: Seq[String], batch: DataFrame): Unit = {
     import s.implicits._
+    if (columnGroupApproxIfCurrent(s, dir, table, columns).isDefined) return
     val path = grpPath(dir, table, columns)
-    require(IndexStore.artifactReady(s"$path/summary"),
+    require(IndexStore.artifactReady(s"$path/summary") &&
+        IndexStore.artifactReady(s"$path/registers"),
       "maintained column group must be built (ensureColumnGroupMaint) before appendMaintainColumnGroup")
     val oldN = s.read.parquet(s"$path/summary").head().getAs[Long]("n")
     val oldRegs = s.read.parquet(s"$path/registers")
@@ -484,6 +540,12 @@ object StatsMaintain {
     * cheap, fail-closed part): a maintenance write changes covered →
     * re-read; a table mutation diverges covered from live → the
     * staleness check fails before the memo is consulted. */
+  /** Test seam: a cold (post-crash) process has empty memos — the
+    * crash-window specs model one by clearing them. */
+  private[graft] def clearMemosForTest(): Unit = {
+    statsMemo.clear(); keyProfMemo.clear(); grpMemo.clear()
+  }
+
   private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Map[String, MaintainedCol])]()
   private val keyProfMemo = new java.util.concurrent.ConcurrentHashMap[

@@ -238,6 +238,64 @@ class StatsMaintainSpec extends SparkSpec {
     }
   }
 
+  test("key-profile maintenance is idempotent and crash-convergent (r14 advice: rows committed, meta not)") {
+    withIndexRoot("graft-maint-kp-idem") {
+      val dir = tmpDir("graft-maint-kp-idem-data")
+      val baseRows = (1L to 1500L).map(i => (i % 30 + 100L, i, i % 9)) ++
+        (1L to 1500L).map(i => (7L, 50000L + i, 1L))
+      baseRows.toDF("k", "sid", "v")
+        .write.mode("overwrite").parquet(s"$dir/zf.parquet")
+      StatsMaintain.ensureKeyProfileMaint(spark, dir, "zf", "k", hotFreq = 500L)
+      val preFp = IndexStore.fingerprint(dir, "zf")
+      val batch = (1L to 600L).map(i => (7L, 90000L + i, 2L)).toDF("k", "sid", "v")
+      batch.write.mode("append").parquet(s"$dir/zf.parquet")
+      StatsMaintain.appendMaintainKeyProfile(spark, dir, "zf", "k", batch)
+      val once = Some((Seq("7"), 2100L))
+      assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "zf", "k") === once)
+      // a plain DOUBLE CALL with the same batch is a no-op
+      StatsMaintain.appendMaintainKeyProfile(spark, dir, "zf", "k", batch)
+      assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "zf", "k") === once,
+        "a double call must never re-sum the batch")
+      // the crash window: the data unit (rows + their covered stamp)
+      // swapped in, the meta commit did not land — simulated by
+      // regressing the meta to the pre-append stamp and clearing the
+      // in-process memos (a real crash loses them anyway)
+      val kp = s"${StatsMaintain.maintPath(dir, "zf")}/keyprof_k"
+      Seq((preFp, 500L, 4096)).toDF("covered", "hot_freq", "track_k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$kp/meta")
+      StatsMaintain.clearMemosForTest()
+      assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "zf", "k").isEmpty,
+        "the torn window fails closed before the retry")
+      StatsMaintain.appendMaintainKeyProfile(spark, dir, "zf", "k", batch)
+      assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "zf", "k") === once,
+        "the retry discriminates by the data's own stamp: counts equal the single application, never base + 2×batch")
+    }
+  }
+
+  test("column-stats and column-group maintenance are double-call idempotent") {
+    withIndexRoot("graft-maint-grp-idem") {
+      val dir = tmpDir("graft-maint-grp-idem-data")
+      (1L to 600L).map(i => (s"c${i % 10}", s"r${i % 10 % 3}", i))
+        .toDF("city", "region", "v")
+        .write.mode("overwrite").parquet(s"$dir/geo.parquet")
+      StatsMaintain.ensure(spark, dir, "geo")
+      StatsMaintain.ensureColumnGroupMaint(spark, dir, "geo", Seq("city", "region"))
+      val batch = (1L to 60L).map(i => (s"c1${i % 2}", "r9", 9999L + i))
+        .toDF("city", "region", "v")
+      batch.write.mode("append").parquet(s"$dir/geo.parquet")
+      (1 to 2).foreach { _ => // the second pass must be a no-op
+        StatsMaintain.appendMaintain(spark, dir, "geo", batch)
+        StatsMaintain.appendMaintainColumnGroup(spark, dir, "geo",
+          Seq("city", "region"), batch)
+      }
+      assert(StatsMaintain.statsIfCurrent(spark, dir, "geo")
+        .get("city").n === 660L, "column n lands the batch exactly once")
+      assert(StatsMaintain.columnGroupApproxIfCurrent(spark, dir, "geo",
+        Seq("city", "region")).get.n === 660L,
+        "group n lands the batch exactly once")
+    }
+  }
+
   test("torn artifacts and stale stamps never serve") {
     withIndexRoot("graft-maint-torn") {
       val dir = tmpDir("graft-maint-torn-data")
