@@ -310,11 +310,19 @@ object StatsCatalog {
     * procedure, same fail-closed artifact reads; ties between
     * equal-sized sides broadcast the RIGHT one (the `rb <= lb` arm),
     * a deterministic convention callers can rely on. */
+  /** `useMcv = true` (r15, the estimateRows-flag contract: OPT-IN is
+    * the declaration of which algebra runs) additionally lets the
+    * skew diagnosis read each key's MCV list (D92) when neither the
+    * exact nor the maintained profile serves — the MCV top frequency
+    * IS a max-frequency lower bound, which is exactly the signal the
+    * dispatch needs; q69/q83's replayed decisions pin the default
+    * algebra unchanged. */
   def adviseJoinSides(s: SparkSession,
       leftDir: String, leftTable: String, leftKey: String,
       rightDir: String, rightTable: String, rightKey: String,
       broadcastBytes: Long = 32L * 1024 * 1024,
-      skewAvgFreq: Double = 64.0): JoinAdvice = {
+      skewAvgFreq: Double = 64.0,
+      useMcv: Boolean = false): JoinAdvice = {
     val lb = tableBytes(leftDir, leftTable)
     val rb = tableBytes(rightDir, rightTable)
     if (math.min(lb, rb) <= broadcastBytes) {
@@ -350,6 +358,13 @@ object StatsCatalog {
             case (Nil, _) => None
             case (_, f) => Some(f.toDouble)
           }).orElse(
+          // MCV tier (opt-in): the list's top frequency is an exact
+          // max-frequency LOWER bound for the column — a key the
+          // bound calls hot IS hot (the maintained profile's own
+          // lower-bound argument)
+          if (useMcv) mcvIfReady(s, d, t, key)
+            .flatMap(_.headOption).map(_._2.toDouble)
+          else None).orElse(
           statsIfReady(s, d, t).flatMap(_.get(key)).map(_.avgFreq)
             .orElse(StatsMaintain.statsIfCurrent(s, d, t)
               .flatMap(_.get(key))

@@ -296,6 +296,36 @@ object Steering {
     fix
   }
 
+  /** The q90 LEARNED-ORDERING FIXTURE: two more tables beside the
+    * skew fixture's fact, each DETERMINISTICALLY derived so the
+    * DuckDB oracle replays them inline —
+    *  - `ord_b`: every event's (event_id, b_g = event_id mod 400) —
+    *    fact-sized, near-unique join key, a 400-value group key;
+    *  - `ord_c`: the DISTINCT b_g values under 100 from ORDERS'
+    *    keyspace — a 100-row dim joining b_g.
+    * The shape is built so the UNIFORM algebra and the MCV tier
+    * disagree about the cheapest first join of
+    * `fact(k=-1) ⋈ ord_b ⋈ ord_c`: uniformity prices the filtered
+    * fact at n/ndv ≈ 1 row (the hot key IS the ndv formula's blind
+    * spot) so fact⋈ord_b looks free, while the MCV list prices the
+    * filter at its true ~n/3 frequency, making ord_b⋈ord_c (n/4)
+    * the cheaper seed — one persisted skew artifact flips the
+    * transparent plan, scale-independently (n/3 vs n/4). */
+  def ensureOrderTierFixture(s: SparkSession, dir: String): String = {
+    val fix = ensureSkewFixture(s, dir)
+    if (!IndexStore.artifactReady(s"$fix/ord_b.parquet") ||
+        !IndexStore.artifactReady(s"$fix/ord_c.parquet")) {
+      graft.Tables(s, dir, "events")
+        .select(col("event_id"), pmod(col("event_id"), lit(400L)).as("b_g"))
+        .write.mode("overwrite").parquet(s"$fix/ord_b.parquet")
+      graft.Tables(s, dir, "orders")
+        .select(pmod(col("o_orderkey"), lit(400L)).as("g"))
+        .where(col("g") < 100L).distinct()
+        .write.mode("overwrite").parquet(s"$fix/ord_c.parquet")
+    }
+    fix
+  }
+
   /** The q84 MAINTAINED-ADVICE FIXTURE: the skew fixture's fact
     * rebuilt as a base build (event_id ≢ 2 mod 5) plus a late
     * APPENDED slice, with the advisory artifacts MAINTAINED across

@@ -267,8 +267,13 @@ object JoinOrderer {
       CardinalityEstimator.estimateRows(s, df, useMcv = useMcv,
         useFeedback = useFeedback)
 
-    // seed: cheapest connected pair, ties by (min index, max index)
-    val pairs = edges.map(e => (idx(e.a) min idx(e.b), idx(e.a) max idx(e.b)))
+    // seed: cheapest connected pair, ties by (min index, max index).
+    // Self-loop edges (a = a) are dropped here as the DP drops them
+    // from its adjacency (r14 advice: a self-loop in `pairs` would
+    // seed rels(i).join(rels(i)) — an ambiguous self-join of one
+    // Dataset instance — instead of being harmlessly ignored)
+    val pairs = edges.filter(e => idx(e.a) != idx(e.b))
+      .map(e => (idx(e.a) min idx(e.b), idx(e.a) max idx(e.b)))
       .distinct.sorted
     var seedBest: Option[((Int, Int), BigInt)] = None
     pairs.foreach { case (i, j) =>

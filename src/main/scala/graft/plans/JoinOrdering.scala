@@ -59,19 +59,47 @@ class TransparentJoinOrderingRule(spark: SparkSession)
   /** Flatten a maximal chain of eligible inner joins: the left-deep
     * (or bushy) leaf sequence in tree order + every condition
     * conjunct. `None` marks an ineligible node INSIDE a join (hint /
-    * outer / non-equi), which vetoes the whole chain. */
+    * outer / non-equi), which vetoes the whole chain. INTERIOR
+    * attribute-only Projects are transparent (r15): column pruning
+    * runs before this batch and inserts a pruning Project between
+    * every pair of real-world joins (any chain whose intermediate
+    * columns are not all consumed downstream gets one), which would
+    * otherwise truncate every flatten at two leaves. Attribute-only
+    * means no new exprIds, so the conditions still bind and the
+    * top-level output splice restores the pruned shape; leaf-side
+    * Projects (over relations) stay leaves — their pruning reaches
+    * the scan and must survive the rebuild. */
   private def flatten(p: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
     p match {
       case Join(l, r, Inner, Some(cond), hint) if hint == JoinHint.NONE =>
         val (ll, lc) = flatten(l)
         val (rl, rc) = flatten(r)
         (ll ++ rl, lc ++ rc ++ conjuncts(cond))
+      case Project(list, j @ Join(_, _, Inner, Some(_), hint))
+          if hint == JoinHint.NONE &&
+            list.forall(_.isInstanceOf[AttributeReference]) =>
+        flatten(j)
       case leaf => (Seq(leaf), Nil)
     }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
+  }
+
+  /** The LEARNED-TIER opt-in (r14 verdict #2): the session config
+    * `spark.graft.ordering.tiers` — a comma list of `mcv` and/or
+    * `feedback` — threads the estimator's D92/D96 tiers into this
+    * rule's enumeration, so ONE recorded observation (or an MCV
+    * list) can flip the TRANSPARENT plan with zero client code (the
+    * q86+q87 composition, gated by q90). Unset (the default) runs
+    * the declared uniform algebra q87 pins — the config IS the
+    * declaration of which algebra the session wants, the same
+    * contract as the estimateRows flags. */
+  private def tiers(): (Boolean, Boolean) = {
+    val t = spark.conf.get("spark.graft.ordering.tiers", "")
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    (t.contains("mcv"), t.contains("feedback"))
   }
 
   private def reorder(j: Join): Option[LogicalPlan] = {
@@ -127,6 +155,13 @@ class TransparentJoinOrderingRule(spark: SparkSession)
     // hold-still answer is served from the memo; a differing cached
     // order still reruns the enumeration once to rebuild the chain.
     val currentOrder: Seq[String] = leaves.indices.map(i => s"r${pos(i)}")
+    val (useMcv, useFeedback) = tiers()
+    // the steady-state memo only serves the UNIFORM algebra: the
+    // stats stamps key it, but MCV artifacts and feedback
+    // observations have no single stamp to key on — with a learned
+    // tier enabled, every pass re-enumerates (the opt-in's price;
+    // the decision stays a pure function of the artifacts it read,
+    // so the fixed-point guard still holds the plan still)
     val stampKey = sides.flatten.map { case (_, d, t) =>
       graft.operators.EnsureWatermark
         .stampIfHolds(StatsCatalog.statsPath(d, t)).getOrElse("absent")
@@ -134,13 +169,17 @@ class TransparentJoinOrderingRule(spark: SparkSession)
     val memoKey = canon.map(_._1.canonicalized.toString).mkString("||") +
       "::" + edges.sortBy(e => (e.a, e.aCol, e.b, e.bCol)).mkString(";") +
       "::" + stampKey
-    val cached = JoinOrdering.chosenMemo.get(memoKey)
+    val memoUsable = !useMcv && !useFeedback
+    val cached = if (memoUsable) JoinOrdering.chosenMemo.get(memoKey) else null
     if (cached != null && cached == currentOrder) return None
     // broadcastRows = 0: ordering leaves hints to the steering rule
-    val chosen = JoinOrderer.choose(spark, rels, edges, broadcastRows = 0L)
+    val chosen = JoinOrderer.choose(spark, rels, edges, broadcastRows = 0L,
+      useMcv = useMcv, useFeedback = useFeedback)
       .getOrElse(return None)
-    if (JoinOrdering.chosenMemo.size > 1024) JoinOrdering.chosenMemo.clear()
-    JoinOrdering.chosenMemo.put(memoKey, chosen.order)
+    if (memoUsable) {
+      if (JoinOrdering.chosenMemo.size > 1024) JoinOrdering.chosenMemo.clear()
+      JoinOrdering.chosenMemo.put(memoKey, chosen.order)
+    }
     // the guard that makes the fixed point: already in this order?
     if (chosen.order == currentOrder) return None
     Some(Project(j.output, chosen.df.queryExecution.analyzed))

@@ -86,6 +86,19 @@ class TransparentJoinSteeringRule(
 
   private def simpleSide(p: LogicalPlan) = SimpleSides.of(p)
 
+  /** The LEARNED-TIER opt-in (r14 verdict #2, steering half): the
+    * session config `spark.graft.steering.tiers` containing `mcv`
+    * lets the dispatch read MCV lists (D92) where the exact and
+    * maintained profiles are absent — both for the skew DIAGNOSIS
+    * (the MCV top frequency is an exact max-frequency lower bound,
+    * threaded through [[StatsCatalog.adviseJoinSides]] useMcv) and
+    * for the SALT SET (MCV values at or above the rule's own
+    * `skewAvgFreq` are provably hot). Unset runs the declared
+    * profile-only algebra q83/q85 pin. */
+  private def mcvTier(): Boolean =
+    spark.conf.get("spark.graft.steering.tiers", "")
+      .split(",").map(_.trim.toLowerCase).contains("mcv")
+
   /** Hot-key renderings back to typed literals — only for key types
     * whose string round-trip is exact. */
   private def hotLiterals(keyType: DataType,
@@ -97,12 +110,17 @@ class TransparentJoinSteeringRule(
   }
 
   /** Current hot-key list for (dir, table, column): the exact
-    * fingerprint-keyed profile first, else the maintained tier. */
+    * fingerprint-keyed profile first, else the maintained tier, else
+    * (mcv tier only) the MCV values at or above `skewAvgFreq`. */
   private def hotKeysFor(dir: String, table: String,
       column: String): Option[Seq[String]] =
     StatsCatalog.keyProfile(spark, dir, table, column).map(_._1)
       .orElse(StatsMaintain.keyProfileIfCurrent(spark, dir, table, column)
         .map(_._1))
+      .orElse(
+        if (mcvTier()) StatsCatalog.mcvIfReady(spark, dir, table, column)
+          .map(_.filter(_._2 >= skewAvgFreq).map(_._1))
+        else None)
       .filter(_.nonEmpty)
 
   /** The salted rewrite (see class scaladoc). `factPlan` carries the
@@ -181,7 +199,7 @@ class TransparentJoinSteeringRule(
         if StatsCatalog.statsIfReady(spark, rDir, rTable).isDefined
         out <- StatsCatalog.adviseJoinSides(spark,
           lDir, lTable, a.name, rDir, rTable, b.name,
-          broadcastBytes, skewAvgFreq) match {
+          broadcastBytes, skewAvgFreq, useMcv = mcvTier()) match {
           case StatsCatalog.BroadcastSide(_, _) =>
             // resolve the side by the advice's own comparison (right
             // wins ties) rather than by table NAME, which two dirs

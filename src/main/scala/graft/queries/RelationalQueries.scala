@@ -4093,6 +4093,91 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q90 — LEARNED TIERS STEER THE TRANSPARENT PLAN ([[graft.plans
+    * .TransparentJoinOrderingRule]] × session config
+    * `spark.graft.ordering.tiers`, D99): the r14 verdict's #2 — the
+    * engine HAD skew (q81) and feedback (q86) tiers that provably
+    * flip the OPT-IN orderer, but the zero-client-change rule ran
+    * uniform-only. The config is the session's declaration of which
+    * estimation algebra runs (the estimateRows-flag contract, one
+    * level up): unset, this exact chain keeps its declared order
+    * (require()-pinned — q87's uniform pin stands); set to `mcv`,
+    * ONE persisted skew artifact re-seeds the enumeration and the
+    * TRANSPARENT plan flips to join the 100-row dim first
+    * (require()-pinned). Uniformity prices the hot-key filter at
+    * n/ndv ≈ 1 row — the blind spot that would seed a join against
+    * a ~n/3-row probe; the MCV tier prices it truly. The oracle
+    * replays the order-invariant join in DuckDB — the flip is
+    * result-invisible, which is the proof every learned rewrite
+    * owes. The gate restores the config and unregisters the rule so
+    * later queries run algebra-clean (r14 wrong #4). */
+  val q90LearnedOrdering: GraftQuery = q(
+    "q90_learned_ordering",
+    "one MCV artifact flips the transparent join order via session-config tiers; oracle replays the order-invariant join",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
+      |         event_id, value
+      |  FROM events),
+      |b AS (SELECT event_id, ((event_id % 400) + 400) % 400 AS b_g FROM events),
+      |c AS (SELECT DISTINCT g FROM (
+      |        SELECT ((o_orderkey % 400) + 400) % 400 AS g FROM orders)
+      |      WHERE g < 100)
+      |SELECT b.b_g % 7 AS grp, count(*) AS n,
+      |       CAST(sum(CAST(floor(f.value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM f
+      |JOIN b ON f.event_id = b.event_id
+      |JOIN c ON b.b_g = c.g
+      |WHERE f.k = -1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val fix = graft.operators.Steering.ensureOrderTierFixture(s, dir)
+    Seq("skew_fact", "ord_b", "ord_c").foreach(SC.ensure(s, fix, _))
+    SC.ensureMcv(s, fix, "skew_fact", "k")
+    graft.plans.TransparentJoinOrdering.enable(s)
+    def shape = {
+      val a = Tables(s, fix, "skew_fact").where($"k" === -1L)
+      val b = Tables(s, fix, "ord_b")
+      val c = Tables(s, fix, "ord_c")
+      a.join(b, a("event_id") === b("event_id"))
+        .join(c, b("b_g") === c("g"))
+        .groupBy(pmod(b("b_g"), lit(7L)).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value").cast("long")).as("v_fp"))
+        .orderBy($"grp")
+    }
+    def innermost(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val deepest = df.queryExecution.optimizedPlan.collect {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }.last
+      deepest.collectLeaves().collect {
+        case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          rel.relation match {
+            case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              hfs.location.rootPaths.head.getName.stripSuffix(".parquet")
+          }
+      }.toSet
+    }
+    val prev = s.conf.getOption("spark.graft.ordering.tiers")
+    try {
+      s.conf.unset("spark.graft.ordering.tiers")
+      require(innermost(shape) == Set("skew_fact", "ord_b"),
+        "with tiers unset the uniform algebra keeps the declared order")
+      s.conf.set("spark.graft.ordering.tiers", "mcv")
+      val served = shape
+      require(innermost(served) == Set("ord_b", "ord_c"),
+        "one MCV artifact must flip the transparent order to seed the dim join")
+      served
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.graft.ordering.tiers", v)
+        case None => s.conf.unset("spark.graft.ordering.tiers")
+      }
+      graft.plans.TransparentJoinOrdering.disableForTest(s)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4118,5 +4203,5 @@ object RelationalQueries {
     q80MaintainedStats, q81McvEstimate, q82TransparentCache,
     q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich,
     q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg,
-    q89StratifiedSample)
+    q89StratifiedSample, q90LearnedOrdering)
 }

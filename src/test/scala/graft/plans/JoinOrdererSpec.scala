@@ -239,4 +239,23 @@ class JoinOrdererSpec extends SparkSpec {
       assert(chosen.order.take(2).toSet === Set("customer", "orders"))
     }
   }
+
+  test("a self-loop edge is ignored by the greedy path, never seeded (r14 advice)") {
+    withIndexRoot("graft-jo-selfloop") {
+      val dir = tmpDir("graft-jo-selfloop-data")
+      writeTables(dir)
+      Seq("fact", "dima").foreach(StatsCatalog.ensure(spark, dir, _))
+      val fact = graft.Tables(spark, dir, "fact")
+      val dima = graft.Tables(spark, dir, "dima")
+      val rels = Seq("fact" -> fact, "dima" -> dima)
+      val clean = Seq(JO.Edge("fact", "ka", "dima", "dak"))
+      val withLoop = clean :+ JO.Edge("fact", "ka", "fact", "ka")
+      // the DP path already dropped self-loops from its adjacency;
+      // the public greedy path used to seed rels(i).join(rels(i))
+      val got = JO.chooseGreedy(spark, rels, withLoop)
+        .getOrElse(fail("the self-loop must be ignored, not fatal"))
+      assert(got.order === JO.chooseGreedy(spark, rels, clean).get.order,
+        "a self-loop contributes nothing to the decision")
+    }
+  }
 }

@@ -110,4 +110,54 @@ class JoinOrderingSpec extends SparkSpec {
       }
     }
   }
+
+  test("session-config tiers thread feedback into the transparent rule; unset keeps the uniform pin") {
+    withIndexRoot("graft-tjo-tiers") {
+      val dir = tmpDir("graft-tjo-tiers-data")
+      writeTables(dir)
+      Seq("fact", "dima", "dimb").foreach(StatsCatalog.ensure(spark, dir, _))
+      TransparentJoinOrdering.enable(spark)
+      try {
+        val fact = graft.Tables(spark, dir, "fact")
+        // dima's second conjunct is outside the algebra (arithmetic on
+        // the attribute — pmod survives constant folding, unlike the
+        // +0 trick the opt-in spec uses on UNoptimized plans) ->
+        // Selinger default 1/3 underestimates its 30 true rows; dimb
+        // estimates near its true 12
+        val dima = graft.Tables(spark, dir, "dima")
+          .where($"dak" <= 30L && pmod($"dak", lit(1000L)) <= 30L)
+        val dimb = graft.Tables(spark, dir, "dimb").where($"dbk" <= 12L)
+        def worst = fact
+          .join(dima, $"ka" === $"dak")
+          .join(dimb, $"kb" === $"dbk")
+        // uniform algebra: the misestimated dima joins first
+        assert(innermostTables(worst) === Set("fact", "dima"),
+          "with tiers unset the blind underestimate seeds dima")
+        // record ONE execution of the leaf EXACTLY as the rule sees it
+        // (the optimizer-stage subtree, fished from the plan itself)
+        val probe = worst.queryExecution.optimizedPlan
+        val leaf = probe.collect { case j: Join => j.children }.flatten
+          .find(ch => SimpleSides.of(ch).exists(_._3 == "dima"))
+          .getOrElse(fail("the dima leaf must be a simple side"))
+        val observed = graft.operators.CardFeedback.record(spark,
+          org.apache.spark.sql.graftbridge.planToDf(spark, leaf))
+        assert(observed.contains(30L))
+        spark.conf.set("spark.graft.ordering.tiers", "feedback")
+        try {
+          assert(innermostTables(worst) === Set("fact", "dimb"),
+            "one recorded observation must flip the TRANSPARENT order")
+          // result-invisible either way
+          val learned = worst.select($"payload", $"aname", $"bname")
+            .collect().map(_.toString).sorted
+          spark.conf.unset("spark.graft.ordering.tiers")
+          val uniform = worst.select($"payload", $"aname", $"bname")
+            .collect().map(_.toString).sorted
+          assert(learned.sameElements(uniform))
+        } finally spark.conf.unset("spark.graft.ordering.tiers")
+        // the uniform pin stands after the config clears
+        assert(innermostTables(worst) === Set("fact", "dima"),
+          "clearing the config restores the declared uniform algebra")
+      } finally TransparentJoinOrdering.disableForTest(spark)
+    }
+  }
 }

@@ -192,4 +192,36 @@ class JoinSteeringSpec extends SparkSpec {
       } finally TransparentJoinSteering.disableForTest(spark)
     }
   }
+
+  test("the MCV tier (session config) salts a profiled-nowhere hot key; unset keeps the declared algebra") {
+    withIndexRoot("graft-tjs-mcv") {
+      val dir = tmpDir("graft-tjs-mcv-data")
+      writeFixture(dir)
+      TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+        skewAvgFreq = 64.0, factor = 4)
+      try {
+        // ANALYZE stats only — NO key profile, exact or maintained,
+        // anywhere: the declared dispatch sees just the MEAN frequency
+        // (6000/2031 ≈ 3 < 64) and passes through
+        Seq("zfact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
+        StatsCatalog.ensureMcv(spark, dir, "zfact", "k")
+        val plainP = plainJoin(dir).queryExecution.optimizedPlan.toString
+        assert(!plainP.contains("__salt_f"),
+          s"without the tier the mean-frequency algebra must pass through:\n$plainP")
+        val want = plainJoin(dir).collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.steering.tiers", "mcv")
+        try {
+          // the MCV top frequency (3000) is an exact max-freq lower
+          // bound -> skew diagnosed; the >=skewAvgFreq MCV values are
+          // the salt set
+          val steered = plainJoin(dir)
+          val sp = steered.queryExecution.optimizedPlan.toString
+          assert(sp.contains("__salt_f"),
+            s"the MCV tier must diagnose and salt the hot key:\n$sp")
+          assert(steered.collect().map(_.toString).sorted.sameElements(want),
+            "the MCV-salted join is row-identical to the plain one")
+        } finally spark.conf.unset("spark.graft.steering.tiers")
+      } finally TransparentJoinSteering.disableForTest(spark)
+    }
+  }
 }
