@@ -326,6 +326,48 @@ object Steering {
     fix
   }
 
+  /** The q91 CATALOG FIXTURE: the skew fact's rows laid out at a
+    * path that does NOT follow the engine's `<table>.parquet` naming
+    * (`cat/fact_cat`) — the shape every catalog table (`CREATE TABLE
+    * … USING parquet LOCATION`, `saveAsTable`) presents. Identity
+    * reaches the engine brain only through
+    * [[graft.plans.JoinElimination.registerTablePath]]; the rows are
+    * byte-derived from the skew fact, so the registration's
+    * "same rows" assertion holds by construction and the DuckDB
+    * oracle replays the q83 derivation from raw events. Returns the
+    * registered path. */
+  def ensureCatalogFixture(s: SparkSession, dir: String): String = {
+    val fix = ensureSkewFixture(s, dir)
+    val path = s"$fix/cat/fact_cat"
+    if (!IndexStore.artifactReady(path))
+      s.read.parquet(s"$fix/skew_fact.parquet")
+        .write.mode("overwrite").parquet(path)
+    graft.plans.JoinElimination.registerTablePath(path, fix, "skew_fact")
+    path
+  }
+
+  /** The q92 COMPOSITE-KEY FIXTURE: a fact keyed by TWO columns
+    * (g1 = event_id mod 500, g2 = user_id mod 7) and the distinct
+    * (g1, g2) dim with a derived segment — the generated-BI shape
+    * the single-equality matcher used to pass over silently. Both
+    * deterministically derived from events for the oracle replay. */
+  def ensureCompositeFixture(s: SparkSession, dir: String): String = {
+    val fix = ensureSkewFixture(s, dir)
+    if (!IndexStore.artifactReady(s"$fix/comp_fact.parquet") ||
+        !IndexStore.artifactReady(s"$fix/comp_dim.parquet")) {
+      val ev = graft.Tables(s, dir, "events")
+      val fact = ev.select(
+        pmod(col("event_id"), lit(500L)).as("g1"),
+        pmod(col("user_id"), lit(7L)).as("g2"),
+        col("value"))
+      fact.write.mode("overwrite").parquet(s"$fix/comp_fact.parquet")
+      fact.select(col("g1"), col("g2")).distinct()
+        .withColumn("seg", pmod(col("g1") + col("g2"), lit(5L)))
+        .write.mode("overwrite").parquet(s"$fix/comp_dim.parquet")
+    }
+    fix
+  }
+
   /** The q84 MAINTAINED-ADVICE FIXTURE: the skew fixture's fact
     * rebuilt as a base build (event_id ≢ 2 mod 5) plus a late
     * APPENDED slice, with the advisory artifacts MAINTAINED across

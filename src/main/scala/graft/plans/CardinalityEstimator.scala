@@ -114,16 +114,11 @@ object CardinalityEstimator {
         useFeedback).map(_.rows)
     }
 
+  /** Shared with the transparent rules: engine-layout roots resolve
+    * directly, registered catalog paths through the registry (r15 —
+    * catalog tables estimate with their registered table's stats). */
   private def tableOf(rel: LogicalRelation): Option[(String, String)] =
-    rel.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.toList match {
-          case p :: Nil if p.getName.endsWith(".parquet") =>
-            Some((p.getParent.toString, p.getName.stripSuffix(".parquet")))
-          case _ => None
-        }
-      case _ => None
-    }
+    TableIdentity.of(rel)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)

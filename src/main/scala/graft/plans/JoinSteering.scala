@@ -69,11 +69,13 @@ import graft.operators.{StatsCatalog, StatsMaintain}
   *    salt). A right-side-only skew signal therefore passes through.
   *
   * Idempotent by construction for the fixed-point user batch: the
-  * broadcast arm leaves a non-NONE hint (no re-match), the salted
-  * arm leaves a conjunctive condition (the matcher demands a single
-  * equality). Plan-time cost per candidate join: two FS metadata
-  * listings + memoized artifact reads — the
-  * [[JoinEliminationRule]] class of check, no jobs.
+  * broadcast arm leaves a non-NONE hint (no re-match); the salted
+  * arm's output re-matches the (r15) conjunctive matcher but fails
+  * its untouched-key proof — the salt column's exprId is minted by
+  * the rewrite, not a base-relation column — and its replicated side
+  * is a Generate, which is no simple side. Plan-time cost per
+  * candidate join: two FS metadata listings + memoized artifact
+  * reads — the [[JoinEliminationRule]] class of check, no jobs.
   *
   * Reference capability: the daily enrich join of
   * `TransformTaxiTrips.py:93-94` is exactly the plain-join shape
@@ -172,11 +174,37 @@ class TransparentJoinSteeringRule(
     Some(Project(j.output, steered))
   }
 
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, jt,
-        Some(EqualTo(x: AttributeReference, y: AttributeReference)), hint)
+    case j @ Join(left, right, jt, Some(cond), hint)
         if (jt == Inner || jt == LeftOuter) && hint == JoinHint.NONE &&
-          left.outputSet.intersect(right.outputSet).isEmpty =>
+          left.outputSet.intersect(right.outputSet).isEmpty &&
+          conjunctsOf(cond).forall {
+            case EqualTo(_: AttributeReference, _: AttributeReference) => true
+            case _ => false
+          } =>
+      // COMPOSITE keys (r15, the r14 verdict's #5): every conjunct
+      // must be attr = attr between the two sides; the BROADCAST arm
+      // is key-blind (file bytes decide) so it covers any arity,
+      // while the SALTED arm stays single-equality — hot-key profiles
+      // are single-column artifacts, and a hot k1 does NOT make
+      // (k1, k2) hot, so a multi-key skew diagnosis would be a guess.
+      // A composite join whose advice says salt therefore passes
+      // through, fail-closed as ever.
+      val pairs: Seq[(AttributeReference, AttributeReference)] =
+        conjunctsOf(cond).flatMap {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            for {
+              a <- Seq(x, y).find(k => left.outputSet.contains(k))
+              b <- Seq(x, y).find(k => right.outputSet.contains(k))
+              if a.exprId != b.exprId
+            } yield (a, b)
+          case _ => None
+        }
       // LEFT OUTER constrains both arms (the reference's daily enrich
       // join is exactly this shape): the REPLICATED/BUILT side must be
       // the right one — a broadcast hint on the outer side cannot
@@ -184,16 +212,17 @@ class TransparentJoinSteeringRule(
       // unmatched rows once per salt
       val outer = jt == LeftOuter
       val steered = for {
+        _ <- Option.when(pairs.size == conjunctsOf(cond).size &&
+          pairs.nonEmpty)(())
+        (a, b) = pairs.head
         (lRel, lDir, lTable) <- simpleSide(left)
         (rRel, rDir, rTable) <- simpleSide(right)
-        // bind the condition's attributes to their sides
-        a <- Seq(x, y).find(k => left.outputSet.contains(k))
-        b <- Seq(x, y).find(k => right.outputSet.contains(k))
-        if a.exprId != b.exprId
-        // "untouched" proof: the attribute IS a column of the side's
-        // base relation (an Alias would have minted a new exprId)
-        if lRel.output.exists(_.exprId == a.exprId)
-        if rRel.output.exists(_.exprId == b.exprId)
+        // "untouched" proof: every key attribute IS a column of its
+        // side's base relation (an Alias would have minted a new
+        // exprId)
+        if pairs.forall { case (pa, pb) =>
+          lRel.output.exists(_.exprId == pa.exprId) &&
+            rRel.output.exists(_.exprId == pb.exprId) }
         // the discipline: no steering without ANALYZE evidence
         if StatsCatalog.statsIfReady(spark, lDir, lTable).isDefined
         if StatsCatalog.statsIfReady(spark, rDir, rTable).isDefined
@@ -215,6 +244,10 @@ class TransparentJoinSteeringRule(
               Some(j.copy(hint = JoinHint(None, bHint)))
             else if (outer) None
             else Some(j.copy(hint = JoinHint(bHint, None)))
+          case StatsCatalog.SaltedShuffle(_) if pairs.size > 1 =>
+            // composite keys never salt (single-column profile grain
+            // — see the matcher comment); fail-closed pass-through
+            None
           case StatsCatalog.SaltedShuffle(_) =>
             // salt the BIGGER side (its hot keys melt the reducer);
             // the smaller side pays the hot-row replication. Outer
@@ -240,23 +273,44 @@ class TransparentJoinSteeringRule(
   }
 }
 
+/** The one table-identity resolver of the engine brain (r15, the
+  * r14 verdict's #4): a single-root file relation traces to the
+  * (dir, table) whose persisted artifacts govern it — directly when
+  * the root is the engine's `<dir>/<table>.parquet` layout, else
+  * through the [[JoinElimination.registerTablePath]] registry, which
+  * is how CATALOG tables (`CREATE TABLE … USING parquet LOCATION`,
+  * `saveAsTable`) and any externally-laid-out path inherit steering,
+  * ordering, and estimation: registration is the caller's assertion
+  * that the path reads exactly the registered table's rows, the same
+  * contract [[RollupRouting]]'s alias registry established. Safe to
+  * be wrong only in ADVISORY ways by construction — every consumer
+  * (broadcast hints, result-invisible salting, estimates) preserves
+  * results regardless of which table the stats described. */
+private[graft] object TableIdentity {
+  def of(rel: LogicalRelation): Option[(String, String)] =
+    rel.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+        case rp :: Nil =>
+          if (rp.getName.endsWith(".parquet"))
+            Some((rp.getParent.toString, rp.getName.stripSuffix(".parquet")))
+          else JoinElimination.registeredFor(rp)
+        case _ => None
+      }
+      case _ => None
+    }
+}
+
 /** The side shape both transparent join rules (D93 steering, D97
   * ordering) trust: a pure Filter/Project/SubqueryAlias chain over
-  * ONE single-root parquet relation — the only shape for which the
-  * base table's file bytes, key profile, and ANALYZE stats are
-  * honest bounds for the side. */
+  * ONE single-root file relation with a resolved table identity
+  * ([[TableIdentity]] — the engine layout or a registered catalog
+  * path) — the only shape for which the base table's file bytes,
+  * key profile, and ANALYZE stats are honest bounds for the side. */
 private[plans] object SimpleSides {
   def of(p: LogicalPlan): Option[(LogicalRelation, String, String)] =
     p match {
       case rel: LogicalRelation =>
-        rel.relation match {
-          case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
-            case rp :: Nil if rp.getName.endsWith(".parquet") =>
-              Some((rel, rp.getParent.toString, rp.getName.stripSuffix(".parquet")))
-            case _ => None
-          }
-          case _ => None
-        }
+        TableIdentity.of(rel).map { case (dir, table) => (rel, dir, table) }
       case f: Filter => of(f.child)
       case pr: Project => of(pr.child)
       case sa: SubqueryAlias => of(sa.child)

@@ -4178,6 +4178,113 @@ object RelationalQueries {
     }
   }
 
+  /** q91 — THE CATALOG SURFACE GETS THE ENGINE BRAIN ([[graft.plans
+    * .TableIdentity]] × [[graft.plans.JoinElimination
+    * .registerTablePath]], D100): the r14 verdict's #4 — the
+    * transparent rules demanded the engine's own `<table>.parquet`
+    * root naming, so a dashboard joining CATALOG tables (the
+    * engine's stated SQL surface, reference requirement 4) silently
+    * got nothing. The fixture lays the skew fact out at a
+    * catalog-style path (`cat/fact_cat`, no naming convention),
+    * registers its table identity (the RollupRouting alias
+    * contract: registration asserts same-rows; every consumer stays
+    * result-preserving even if the assertion lied), creates a real
+    * session-catalog table over it, and issues the join as PLAIN
+    * spark.sql over that table and a GraftCatalog-style view — the
+    * require() pins that the rule salted it. The oracle replays the
+    * plain join from raw events: result-invisibility on the SQL
+    * surface. */
+  val q91CatalogSteering: GraftQuery = q(
+    "q91_catalog_steering",
+    "a spark.sql join over a registered catalog table is salted by the transparent rule; oracle replays the plain join",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
+      |         value
+      |  FROM events),
+      |d AS (SELECT DISTINCT k FROM f),
+      |dd AS (SELECT k, ((k % 7) + 7) % 7 AS seg FROM d)
+      |SELECT dd.seg, count(*) AS n, count(DISTINCT f.k) AS keys,
+      |       CAST(sum(CAST(floor(f.value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM f JOIN dd ON f.k = dd.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val fix = graft.operators.Steering.ensureSkewFixture(s, dir)
+    SC.ensure(s, fix, "skew_fact")
+    SC.ensure(s, fix, "skew_dim")
+    SC.ensureKeyProfile(s, fix, "skew_fact", "k", hotFreq = 200L)
+    val catPath = graft.operators.Steering.ensureCatalogFixture(s, dir)
+    s.sql(s"CREATE TABLE IF NOT EXISTS graft_cat_fact USING parquet LOCATION '$catPath'")
+    Tables(s, fix, "skew_dim").createOrReplaceTempView("graft_cat_dim")
+    graft.plans.TransparentJoinSteering.enable(s,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
+    try {
+      val served = s.sql(
+        """SELECT d.seg, count(*) AS n, count(DISTINCT f.k) AS keys,
+          |       sum(CAST(floor(f.value) AS BIGINT)) AS v_fp
+          |FROM graft_cat_fact f JOIN graft_cat_dim d ON f.k = d.k
+          |GROUP BY d.seg ORDER BY d.seg""".stripMargin)
+      require(served.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+        "the catalog-table join must be steered through the registered identity")
+      served
+    } finally graft.plans.TransparentJoinSteering.disableForTest(s)
+  }
+
+  /** q92 — COMPOSITE-KEY JOINS GET THE BROADCAST ARM
+    * ([[graft.plans.TransparentJoinSteeringRule]]'s r15 conjunctive
+    * matcher, D100): the r14 verdict's #5 — a two-column equi-join
+    * (the generated-BI staple) was silently vetoed by the
+    * single-equality matcher. Now every attr=attr conjunct binds and
+    * the key-blind broadcast arm dispatches on file bytes; the
+    * SALTED arm deliberately stays single-key (hot-key profiles are
+    * single-column artifacts — a hot k1 does not make (k1, k2) hot),
+    * spec-pinned fail-closed. The gate disables Spark's own
+    * size-based broadcast while planning, so the BroadcastHashJoin
+    * in the pinned plan can only come from the rule's hint; the
+    * oracle replays the plain composite join. */
+  val q92CompositeSteering: GraftQuery = q(
+    "q92_composite_steering",
+    "a composite-key (two-conjunct) plain join takes the broadcast arm; oracle replays the plain join",
+    """WITH f AS (
+      |  SELECT ((event_id % 500) + 500) % 500 AS g1,
+      |         ((user_id % 7) + 7) % 7 AS g2, value
+      |  FROM events),
+      |d0 AS (SELECT DISTINCT g1, g2 FROM f),
+      |d AS (SELECT g1, g2, ((g1 + g2) % 5 + 5) % 5 AS seg FROM d0)
+      |SELECT d.seg, count(*) AS n,
+      |       CAST(sum(CAST(floor(f.value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM f JOIN d ON f.g1 = d.g1 AND f.g2 = d.g2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val fix = graft.operators.Steering.ensureCompositeFixture(s, dir)
+    SC.ensure(s, fix, "comp_fact")
+    SC.ensure(s, fix, "comp_dim")
+    graft.plans.TransparentJoinSteering.enable(s)
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = Tables(s, fix, "comp_fact")
+      val dim = Tables(s, fix, "comp_dim")
+      val served = fact
+        .join(dim, fact("g1") === dim("g1") && fact("g2") === dim("g2"))
+        .groupBy(dim("seg").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value").cast("long")).as("v_fp"))
+        .orderBy($"seg")
+      require(served.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "with size-based broadcast disabled, only the rule's hint can " +
+          "produce a BroadcastHashJoin on the composite key")
+      served
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      graft.plans.TransparentJoinSteering.disableForTest(s)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4203,5 +4310,6 @@ object RelationalQueries {
     q80MaintainedStats, q81McvEstimate, q82TransparentCache,
     q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich,
     q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg,
-    q89StratifiedSample, q90LearnedOrdering)
+    q89StratifiedSample, q90LearnedOrdering, q91CatalogSteering,
+    q92CompositeSteering)
 }
