@@ -190,24 +190,127 @@ object CardFeedback {
 
   /** Harvest one completed execution into the store (no-op for
     * unkeyable plans or metric-less roots). Exposed for direct use;
-    * the auto-record listener is the transparent caller. */
+    * the auto-record listener is the transparent caller. Also
+    * harvests SUB-ROOT observations ([[harvestSubtrees]], r15). */
   def harvest(s: SparkSession,
-      qe: org.apache.spark.sql.execution.QueryExecution): Option[Long] =
-    for {
+      qe: org.apache.spark.sql.execution.QueryExecution): Option[Long] = {
+    val root = for {
       _ <- Option.when(!qe.analyzed.isInstanceOf[
         org.apache.spark.sql.catalyst.plans.logical.Command])(())
       key <- ResultCache.keyOf(qe.analyzed)
       n <- rootRows(qe.executedPlan)
     } yield {
-      import s.implicits._
-      Seq(n).toDF("rows").coalesce(1)
-        .write.mode("overwrite").parquet(feedbackPath(key))
-      memoize(key, n)
-      // opportunistic retention (r14 advice): the store is otherwise
-      // only bounded by an explicit sweep() nobody is obliged to call
-      if (harvestCount.incrementAndGet() % SweepEvery == 0) { sweep(s, SweepKeep); () }
+      writeObservation(s, key, n)
       n
     }
+    if (root.isDefined) { harvestSubtrees(s, qe); () }
+    root
+  }
+
+  private def writeObservation(s: SparkSession, key: String, n: Long): Unit = {
+    import s.implicits._
+    Seq(n).toDF("rows").coalesce(1)
+      .write.mode("overwrite").parquet(feedbackPath(key))
+    memoize(key, n)
+    // opportunistic retention (r14 advice): the store is otherwise
+    // only bounded by an explicit sweep() nobody is obliged to call
+    if (harvestCount.incrementAndGet() % SweepEvery == 0) { sweep(s, SweepKeep); () }
+  }
+
+  /** SUB-ROOT HARVESTING (r14 verdict #6): one workload run should
+    * teach the estimator at SUBTREE grain — the executed plan's
+    * per-operator `numOutputRows` metrics are free, exact
+    * observations of every Filter and Join subtree the query
+    * contained (LEO's actual design: it instrumented operators, not
+    * roots). Each qualifying physical node's `logicalLink` (the
+    * optimizer-stage logical subtree it implements) keys the
+    * observation exactly the root path does; the estimator then
+    * serves it wherever that canonical subtree reappears — including
+    * inside the transparent ordering rule's enumeration, whose
+    * leaves ARE optimizer-stage plans.
+    *
+    * The exactness discipline — a metric is recorded only when the
+    * node's output was provably CONSUMED IN FULL:
+    *  - the whole plan is vetoed if the query carries any Limit (a
+    *    partially-pulled subtree records an undercount — the one way
+    *    auto-feedback could learn a lie);
+    *  - walking down, a node's metric qualifies only while every
+    *    ancestor fully consumes its input: projections, filters,
+    *    sorts, aggregates, windows, expands, generates, unions and
+    *    exchanges do; a sort-merge or shuffled-hash join does NOT
+    *    (it may stop pulling one side when the other exhausts), so
+    *    its children disqualify UNLESS a materialization barrier
+    *    (shuffle/broadcast exchange, a completed AQE query stage)
+    *    sits between — a scheduled map stage always runs to
+    *    completion, making everything below it exact again. A
+    *    broadcast-hash join's STREAMED side is fully consumed
+    *    whenever the join's own output is (every probe row must be
+    *    read), so it inherits; the build side re-qualifies at its
+    *    broadcast exchange.
+    * Bounded at [[MaxSubtreesPerHarvest]] writes per action. */
+  private val MaxSubtreesPerHarvest = 16
+  private[graft] def harvestSubtrees(s: SparkSession,
+      qe: org.apache.spark.sql.execution.QueryExecution): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+    import org.apache.spark.sql.execution._
+    val limited = qe.analyzed.exists {
+      case _: GlobalLimit | _: LocalLimit => true
+      case _ => false
+    }
+    if (limited) return 0
+    var recorded = 0
+    def tryRecord(p: SparkPlan): Unit =
+      if (recorded < MaxSubtreesPerHarvest) for {
+        link <- p.logicalLink
+        if !link.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Command]
+        rows <- p.metrics.get("numOutputRows").map(_.value)
+        key <- ResultCache.keyOf(link)
+      } { writeObservation(s, key, rows); recorded += 1 }
+    def fullConsumer(p: SparkPlan): Boolean = p match {
+      case _: ProjectExec | _: FilterExec | _: SortExec | _: UnionExec |
+           _: ExpandExec | _: GenerateExec => true
+      case _: aggregate.HashAggregateExec |
+           _: aggregate.ObjectHashAggregateExec |
+           _: aggregate.SortAggregateExec => true
+      case _: window.WindowExec => true
+      case _: adaptive.AQEShuffleReadExec => true
+      case _ => false
+    }
+    def visit(p: SparkPlan, exact: Boolean): Unit = p match {
+      case a: adaptive.AdaptiveSparkPlanExec => visit(a.executedPlan, exact)
+      // a query stage of a SUCCEEDED query ran to completion: its
+      // subtree's metrics are exact whatever happened above it
+      case qs: adaptive.QueryStageExec => visit(qs.plan, exact = true)
+      case w: WholeStageCodegenExec => visit(w.child, exact)
+      case ia: InputAdapter => visit(ia.child, exact)
+      case ex: exchange.ShuffleExchangeExec => visit(ex.child, exact = true)
+      case ex: exchange.BroadcastExchangeExec => visit(ex.child, exact = true)
+      case re: exchange.ReusedExchangeExec => visit(re.child, exact = true)
+      case bhj: joins.BroadcastHashJoinExec =>
+        if (exact) tryRecord(bhj)
+        val (streamed, build) = bhj.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+            (bhj.left, bhj.right)
+          case _ => (bhj.right, bhj.left)
+        }
+        visit(streamed, exact)
+        visit(build, exact = false)
+      case j: joins.BaseJoinExec =>
+        if (exact) tryRecord(j)
+        // a merge/hash join may stop pulling one side early — its
+        // children re-qualify only below a barrier
+        j.children.foreach(visit(_, exact = false))
+      case f: FilterExec =>
+        if (exact) tryRecord(f)
+        visit(f.child, exact)
+      case other =>
+        other.children.foreach(visit(_, exact && fullConsumer(other)))
+    }
+    try visit(qe.executedPlan, exact = true)
+    catch { case _: Exception => () }
+    recorded
+  }
 
   /** Test seam: a cold process has an empty memo — the retention
     * specs model one by clearing it. */

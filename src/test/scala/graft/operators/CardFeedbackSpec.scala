@@ -92,6 +92,49 @@ class CardFeedbackSpec extends SparkSpec {
     }
   }
 
+  test("one run of a 3-join query leaves subtree observations the estimator serves standalone (r14 verdict #6)") {
+    withIndexRoot("graft-feedback-subtree") {
+      val dir = tmpDir("graft-feedback-subtree-data")
+      (1L to 5000L).map(i => (i % 100 + 1, i % 40 + 1, i)).toDF("ka", "kb", "v")
+        .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+      (1L to 100L).map(i => (i, s"a$i")).toDF("dak", "aname")
+        .write.mode("overwrite").parquet(s"$dir/dima.parquet")
+      (1L to 40L).map(i => (i, s"b$i")).toDF("dbk", "bname")
+        .write.mode("overwrite").parquet(s"$dir/dimb.parquet")
+      Seq("fact", "dima", "dimb").foreach(StatsCatalog.ensure(spark, dir, _))
+      val fact = graft.Tables(spark, dir, "fact")
+      val dima = graft.Tables(spark, dir, "dima").where($"dak" <= 30L)
+      val dimb = graft.Tables(spark, dir, "dimb")
+      val query = fact
+        .join(dima, $"ka" === $"dak")
+        .join(dimb, $"kb" === $"dbk")
+        .groupBy($"aname").agg(count(lit(1)).as("n"))
+      // the run: ONE explicit harvest of the executed plan (the
+      // auto-record listener calls exactly this)
+      assert(query.collect().nonEmpty)
+      val recorded = CardFeedback.harvestSubtrees(spark, query.queryExecution)
+      assert(recorded >= 2, s"filter + join subtrees must harvest, got $recorded")
+      // the estimator now serves the EXACT observation for the join
+      // subtree, standalone — fished from the plan as the optimizer
+      // (and the transparent ordering rule) would see it
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val joins = query.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val inner = joins.last // the deepest join: fact ⋈ dima
+      val innerDf = org.apache.spark.sql.graftbridge.planToDf(spark, inner)
+      val trueRows = innerDf.count()
+      assert(trueRows === 1500L)
+      assert(graft.plans.CardinalityEstimator.estimateRows(spark, innerDf,
+        useFeedback = true).contains(BigInt(1500)),
+        "the harvested join-subtree observation must serve standalone")
+      // and a LIMITED query never harvests subtrees (partial pulls
+      // would record undercounts)
+      val lim = fact.join(dima, $"ka" === $"dak").limit(3)
+      assert(lim.collect().length === 3)
+      assert(CardFeedback.harvestSubtrees(spark, lim.queryExecution) === 0,
+        "a Limit anywhere vetoes the whole subtree harvest")
+    }
+  }
+
   test("auto-record harvests completed actions transparently; partial and unkeyable ones never record") {
     withIndexRoot("graft-feedback-auto") {
       val dir = tmpDir("graft-feedback-auto-data")
