@@ -268,6 +268,96 @@ object SampledAgg {
     writeStratMeta(s, dir, table, keyCol, stratumCol, k)
   }
 
+  // ------------------------------------------------------------------
+  // TOLERANCE-DECLARED SERVING (r14 verdict #7 — "make the opt-in
+  // consumable"): the caller states WHAT error it tolerates, the
+  // engine picks HOW to serve — approximation stays a contract the
+  // caller sees (the tolerance is the opt-in; the answer carries its
+  // source and its per-group disclosed bound), never a silent
+  // substitution. The decision ladder, cheapest honest answer first:
+  //  1. the smallest CURRENT uniform sample whose worst SEEN group
+  //     meets the tolerance — bound = 2·10⁶ / ⌊√k⌋ ppm, the 2σ
+  //     binomial relative error of the Horvitz–Thompson count
+  //     estimate (Var(k) ≈ n·p for small p ⇒ rel-σ ≈ 1/√k);
+  //     integer-exact, so DuckDB replays the bound itself;
+  //  2. a CURRENT stratified artifact whose stratum IS the group
+  //     column: its per-stratum counts are recorded EXACTLY, so the
+  //     answer is error-0 without touching the corpus;
+  //  3. the corpus (exact, error 0) — the fail-closed floor when no
+  //     current artifact covers the live listing.
+  // Disclosed limitation: a group the uniform sample never SAW is
+  // invisible to both the estimate and the min-k screen — the screen
+  // protects seen-group accuracy (a sample whose thinnest seen group
+  // misses the tolerance escalates); rare-group completeness is what
+  // the stratified tier is for.
+  // ------------------------------------------------------------------
+
+  /** The per-group 2σ relative error bound, in ppm — integer-exact
+    * for positive k (floor-of-positive-quotient ≡ both engines'
+    * integer division; double sqrt agrees on ⌊√k⌋ at these
+    * magnitudes). */
+  private def relErrPpm(k: org.apache.spark.sql.Column) =
+    floor(lit(2L * M) / floor(sqrt(k.cast("double")))).cast("long")
+
+  /** Serve per-group counts of `table` grouped by `groupCol` within
+    * the caller's declared `tolerancePpm` (2σ relative, ppm).
+    * Returns (frame, source): columns (groupCol, n_est,
+    * rel_err_ppm, source), source ∈ sample_<ppm> | stratified |
+    * exact. Deterministic: a pure function of the persisted
+    * artifacts and the tolerance. */
+  def serveGroupCounts(s: SparkSession, dir: String, table: String,
+      keyCol: String, groupCol: String, tolerancePpm: Long,
+      ppms: Seq[Long] = Seq.empty,
+      stratifiedK: Option[Int] = None): (DataFrame, String) = {
+    require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
+    // 1. cheapest uniform sample meeting the tolerance on its worst
+    //    SEEN group
+    ppms.sorted.foreach { ppm =>
+      sampleIfCurrent(s, dir, table, keyCol, ppm).foreach { sample =>
+        val ks = sample.groupBy(col(groupCol)).agg(count(lit(1)).as("k"))
+        val minK = ks.agg(min(col("k"))).head().getLong(0)
+        val worst = 2L * M / math.floor(math.sqrt(minK.toDouble)).toLong.max(1L)
+        if (minK >= 1 && worst <= tolerancePpm) {
+          val source = s"sample_$ppm"
+          return (ks.select(col(groupCol),
+            (col("k") * scaleFactor(ppm)).as("n_est"),
+            relErrPpm(col("k")).as("rel_err_ppm"),
+            lit(source).as("source")), source)
+        }
+      }
+    }
+    // 2. stratified-by-group artifact: exact recorded counts, no scan
+    stratifiedK.foreach { k =>
+      stratifiedIfCurrent(s, dir, table, keyCol, groupCol, k).foreach {
+        case (_, counts) =>
+          return (counts.select(col("stratum").as(groupCol),
+            col("n").as("n_est"),
+            lit(0L).as("rel_err_ppm"),
+            lit("stratified").as("source")), "stratified")
+      }
+    }
+    // 3. fail-closed floor: the corpus, exactly
+    (graft.Tables(s, dir, table).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_est"))
+      .select(col(groupCol), col("n_est"),
+        lit(0L).as("rel_err_ppm"), lit("exact").as("source")), "exact")
+  }
+
+  /** The q93 GATE FIXTURE: a four-equal-group table derived from
+    * events (g = event_id mod 4 — DuckDB replays it inline), with
+    * the 25% uniform sample and the stratified-by-g artifact built.
+    * Idempotent per events fingerprint. */
+  def ensureToleranceFixture(s: SparkSession, dir: String): String = {
+    val fix = s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/aqp_tol_fixture"
+    if (!IndexStore.artifactReady(s"$fix/tol_t.parquet"))
+      graft.Tables(s, dir, "events")
+        .select(col("event_id"), pmod(col("event_id"), lit(4L)).as("g"))
+        .write.mode("overwrite").parquet(s"$fix/tol_t.parquet")
+    ensureSample(s, fix, "tol_t", "event_id", 250000L)
+    ensureStratifiedSample(s, fix, "tol_t", "event_id", "g", 500)
+    fix
+  }
+
   /** (sample rows, exact per-stratum counts) while current. */
   def stratifiedIfCurrent(s: SparkSession, dir: String, table: String,
       keyCol: String, stratumCol: String,

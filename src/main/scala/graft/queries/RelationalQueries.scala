@@ -4285,6 +4285,58 @@ object RelationalQueries {
     }
   }
 
+  /** q93 — TOLERANCE-DECLARED AQP SERVING ([[graft.operators
+    * .SampledAgg.serveGroupCounts]], D101): the r14 verdict's #7 —
+    * the opt-in AQP stance "defended by making it consumable". The
+    * caller declares WHAT error it tolerates; the engine picks HOW:
+    * the cheapest current uniform sample whose worst seen group
+    * meets the bound, else the stratified artifact's exact recorded
+    * counts, else the corpus — approximation stays a visible
+    * contract (every row carries its source and its 2σ binomial
+    * bound, integer-exact so DuckDB replays the BOUND itself, not
+    * just the estimate). The same aggregate is served twice: a 35%
+    * tolerance lands on the 25% sample (require()-pinned
+    * artifact-only read), a 2% tolerance escalates past it to the
+    * stratified tier (error 0 without touching the corpus,
+    * require()-pinned). The oracle replays membership, scaling, AND
+    * the bound formula. */
+  val q93ToleranceServing: GraftQuery = q(
+    "q93_tolerance_serving",
+    "declared-tolerance AQP: loose tolerance serves the uniform sample with its disclosed bound, tight escalates to exact stratified counts; oracle replays membership, scaling and the bound",
+    s"""WITH t AS (
+      |  SELECT event_id, ((event_id % 4) + 4) % 4 AS g FROM events),
+      |s AS (SELECT g, count(*) AS k FROM t
+      |      WHERE ${graft.operators.SampledAgg.membershipSql("event_id", 250000L)}
+      |      GROUP BY g),
+      |loose AS (SELECT g, k * 4 AS n_est,
+      |          2000000 // CAST(floor(sqrt(k)) AS BIGINT) AS rel_err_ppm,
+      |          'sample_250000' AS source FROM s),
+      |tight AS (SELECT g, count(*) AS n_est,
+      |          CAST(0 AS BIGINT) AS rel_err_ppm,
+      |          'stratified' AS source FROM t GROUP BY g)
+      |SELECT * FROM (SELECT * FROM loose UNION ALL SELECT * FROM tight)
+      |ORDER BY source, g""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SA = graft.operators.SampledAgg
+    val fix = SA.ensureToleranceFixture(s, dir)
+    val (loose, looseSrc) = SA.serveGroupCounts(s, fix, "tol_t",
+      "event_id", "g", tolerancePpm = 350000L, ppms = Seq(250000L),
+      stratifiedK = Some(500))
+    require(looseSrc == "sample_250000",
+      s"a 35% tolerance must serve from the 25% sample, got $looseSrc")
+    require(loose.inputFiles.forall(_.contains("aqp_")),
+      "the sampled serve must never read the corpus")
+    val (tight, tightSrc) = SA.serveGroupCounts(s, fix, "tol_t",
+      "event_id", "g", tolerancePpm = 20000L, ppms = Seq(250000L),
+      stratifiedK = Some(500))
+    require(tightSrc == "stratified",
+      s"a 2% tolerance must escalate to the stratified exact counts, got $tightSrc")
+    require(tight.inputFiles.forall(_.contains("aqps_")),
+      "the stratified serve reads only its artifact")
+    loose.unionByName(tight).orderBy($"source", $"g")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4311,5 +4363,5 @@ object RelationalQueries {
     q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich,
     q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg,
     q89StratifiedSample, q90LearnedOrdering, q91CatalogSteering,
-    q92CompositeSteering)
+    q92CompositeSteering, q93ToleranceServing)
 }

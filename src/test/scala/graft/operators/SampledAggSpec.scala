@@ -156,4 +156,44 @@ class SampledAggSpec extends SparkSpec {
         "stamped counts must never add the batch twice")
     }
   }
+
+  test("tolerance serving ladder: sample within bound, stratified past it, exact corpus as the fail-closed floor") {
+    withIndexRoot("graft-aqp-tol") {
+      val dir = tmpDir("graft-aqp-tol-data")
+      (1L to 8000L).map(i => (i, i % 4)).toDF("key", "g")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val exactCounts = graft.Tables(spark, dir, "t").groupBy($"g")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // floor: NO artifacts at all -> exact corpus scan, error 0
+      val (floor0, src0) = SampledAgg.serveGroupCounts(spark, dir, "t",
+        "key", "g", tolerancePpm = 500000L,
+        ppms = Seq(250000L), stratifiedK = Some(100))
+      assert(src0 === "exact")
+      assert(floor0.collect().forall(r => r.getAs[Long]("rel_err_ppm") == 0L &&
+        r.getAs[Long]("n_est") == exactCounts(r.getAs[Long]("g"))))
+      // sample within bound: ~500 sampled rows per group -> 2σ ≈ 9%
+      SampledAgg.ensureSample(spark, dir, "t", "key", 250000L)
+      val (est, src1) = SampledAgg.serveGroupCounts(spark, dir, "t",
+        "key", "g", tolerancePpm = 150000L, ppms = Seq(250000L))
+      assert(src1 === "sample_250000")
+      est.collect().foreach { r =>
+        val g = r.getAs[Long]("g")
+        val bound = r.getAs[Long]("rel_err_ppm")
+        assert(bound > 0 && bound <= 150000L, s"disclosed bound within tolerance: $bound")
+        val err = math.abs(r.getAs[Long]("n_est") - exactCounts(g)).toDouble /
+          exactCounts(g)
+        assert(err <= 3.0 * bound / 1e6, s"the 2σ bound must hold with slack: $err vs $bound ppm")
+      }
+      // a tolerance the sample cannot meet escalates to the
+      // stratified tier's EXACT recorded counts
+      SampledAgg.ensureStratifiedSample(spark, dir, "t", "key", "g", 100)
+      val (strat, src2) = SampledAgg.serveGroupCounts(spark, dir, "t",
+        "key", "g", tolerancePpm = 1000L,
+        ppms = Seq(250000L), stratifiedK = Some(100))
+      assert(src2 === "stratified")
+      assert(strat.collect().forall(r => r.getAs[Long]("rel_err_ppm") == 0L &&
+        r.getAs[Long]("n_est") == exactCounts(r.getAs[Long]("g"))))
+    }
+  }
 }
