@@ -144,6 +144,13 @@ object JoinElimination {
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ new JoinEliminationRule(s)
 
+  /** Test/gate seam: unregister the rule so sessions shared across
+    * queries optimize rule-clean (r14 wrong #4). */
+  private[graft] def disableForTest(s: SparkSession): Unit =
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[JoinEliminationRule])
+
   /** Registered table identities: canonical path → the (dir, table)
     * whose ANALYZE stats govern it — the catalog-alias face
     * [[RollupRouting.registerEventsPath]] established (r10 ask):

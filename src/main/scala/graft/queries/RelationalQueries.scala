@@ -26,6 +26,14 @@ object RelationalQueries {
   private def q(name: String, doc: String, oracle: String)(fn: QFn) =
     GraftQuery(name, fn, Some(oracle), doc)
 
+  /** Force `df`'s optimized plan, then run `cleanup` (unregistering
+    * whatever session rule the gate enabled): optimizedPlan memoizes,
+    * so THIS query still executes its rewritten shape while every
+    * LATER query on the shared session optimizes rule-clean — the
+    * r14 "gate-enabled rules leak into subsequent bench legs" fix. */
+  private def pinThen(df: DataFrame)(cleanup: => Unit): DataFrame =
+    try { df.queryExecution.optimizedPlan; df } finally cleanup
+
   /** q57's pair budget: admitted basket pairs ≤ this × |lineitem| —
     * the d01 `BudgetPerDoc` discipline applied to co-occurrence
     * mining, so one hot basket can never plan C(n,2) pairs. */
@@ -1710,12 +1718,12 @@ object RelationalQueries {
     import s.implicits._
     graft.operators.HistogramRollup.ensure(s, dir)
     graft.plans.RollupRouting.enable(s)
-    Tables(s, dir, "events")
+    pinThen(Tables(s, dir, "events")
       .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-08 00:00:00")) &&
         $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-18 00:00:00")))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"))
-      .orderBy($"event_type")
+      .orderBy($"event_type"))(graft.plans.RollupRouting.disableForTest(s))
   }
 
   /** q43 — K-ANONYMITY RELEASE
@@ -1984,12 +1992,12 @@ object RelationalQueries {
     import s.implicits._
     graft.operators.AggRollup.ensure(s, dir)
     graft.plans.RollupRouting.enable(s)
-    Tables(s, dir, "events")
+    pinThen(Tables(s, dir, "events")
       .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-06 00:00:00")) &&
         $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-20 00:00:00")))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
-      .orderBy($"event_type")
+      .orderBy($"event_type"))(graft.plans.RollupRouting.disableForTest(s))
   }
 
   /** q48 — COUNT-MIN SKETCH POINT FREQUENCY
@@ -2085,12 +2093,12 @@ object RelationalQueries {
     import s.implicits._
     graft.operators.AggRollup.ensure(s, dir)
     graft.plans.RollupRouting.enable(s)
-    Tables(s, dir, "events")
+    pinThen(Tables(s, dir, "events")
       .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-10 00:00:00")) &&
         $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-24 00:00:00")))
       .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
       .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
-      .orderBy($"event_type", $"day")
+      .orderBy($"event_type", $"day"))(graft.plans.RollupRouting.disableForTest(s))
   }
 
   /** q50 — ZERO-COPY SHALLOW CLONE
@@ -2769,13 +2777,13 @@ object RelationalQueries {
     import s.implicits._
     graft.operators.TopKRollup.ensure(s, dir)
     graft.plans.RollupRouting.enable(s)
-    Tables(s, dir, "events")
+    pinThen(Tables(s, dir, "events")
       .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-01 00:00:00")) &&
         $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-14 00:00:00")))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"user_id")
-      .limit(20)
+      .limit(20))(graft.plans.RollupRouting.disableForTest(s))
   }
 
   /** q62 — COLUMN STATISTICS CATALOG ([[graft.operators
@@ -2849,10 +2857,10 @@ object RelationalQueries {
     graft.plans.JoinElimination.enable(s)
     val c = Tables(s, dir, "customer")
     val n = Tables(s, dir, "nation")
-    c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+    pinThen(c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n"), round(sum($"c_acctbal"), 2).as("bal"))
-      .orderBy($"c_mktsegment")
+      .orderBy($"c_mktsegment"))(graft.plans.JoinElimination.disableForTest(s))
   }
 
   /** q64 — ORDER-PRESERVING DICTIONARY ENCODING ([[graft.operators
@@ -2981,12 +2989,12 @@ object RelationalQueries {
     import s.implicits._
     graft.operators.AggRollup.ensure(s, dir)
     graft.plans.RollupRouting.enable(s)
-    Tables(s, dir, "events")
+    pinThen(Tables(s, dir, "events")
       .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-04 00:00:00")) &&
         $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-29 00:00:00")))
       .groupBy($"event_type", date_trunc("week", $"ts").as("wk"))
       .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
-      .orderBy($"event_type", $"wk")
+      .orderBy($"event_type", $"wk"))(graft.plans.RollupRouting.disableForTest(s))
   }
 
   /** q67 — CARDINALITY ESTIMATION FROM THE ANALYZE CATALOG
@@ -3112,10 +3120,10 @@ object RelationalQueries {
     import s.implicits._
     graft.operators.AggRollup.ensure(s, dir)
     graft.plans.RollupRouting.enable(s)
-    Tables(s, dir, "events")
+    pinThen(Tables(s, dir, "events")
       .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-06 00:00:00")) &&
         $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-27 00:00:00")))
-      .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp"))
+      .agg(count(lit(1)).as("n"), sum(floor($"value")).as("v_fp")))(graft.plans.RollupRouting.disableForTest(s))
   }
 
   /** q69 — STATS-ADVISED SKEW JOIN ([[graft.operators.Steering
@@ -3238,10 +3246,10 @@ object RelationalQueries {
     import s.implicits._
     graft.operators.Dictionary.ensure(s, dir, "events", "event_type")
     graft.plans.DictionaryRouting.enable(s)
-    Tables(s, dir, "events")
+    pinThen(Tables(s, dir, "events")
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n"))
-      .orderBy($"event_type")
+      .orderBy($"event_type"))(graft.plans.DictionaryRouting.disableForTest(s))
   }
 
   /** q72 — COST-BASED JOIN-ORDER SELECTION ([[graft.plans
@@ -3419,12 +3427,12 @@ object RelationalQueries {
     SC.ensure(s, dir, "nation")
     SC.ensureColumnGroup(s, dir, "nation", Seq("n_nationkey", "n_name"))
     graft.plans.FdAggregation.enable(s)
-    Tables(s, dir, "customer")
+    pinThen(Tables(s, dir, "customer")
       .join(Tables(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_nationkey", $"n_name")
       .agg(count(lit(1)).as("customers"),
         round(sum($"c_acctbal"), 2).as("bal"))
-      .orderBy($"n_nationkey")
+      .orderBy($"n_nationkey"))(graft.plans.FdAggregation.disableForTest(s))
   }
 
   /** q76 — GDPR PURGE ON THE ENTITY STORE ([[graft.operators
@@ -3728,15 +3736,21 @@ object RelationalQueries {
   ) { (s, dir) =>
     import s.implicits._
     graft.plans.TransparentResultCache.enable(s)
-    def shape = Tables(s, dir, "orders")
-      .groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum($"o_custkey").as("ck_sum"))
-      .orderBy($"o_orderstatus")
-    graft.operators.ResultCache.publish(s, shape)
-    val served = shape
-    require(served.inputFiles.forall(_.contains("result_cache")),
-      "the identical plan must serve through the transparent tier")
-    served
+    try {
+      def shape = Tables(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum($"o_custkey").as("ck_sum"))
+        .orderBy($"o_orderstatus")
+      graft.operators.ResultCache.publish(s, shape)
+      val served = shape
+      require(served.inputFiles.forall(_.contains("result_cache")),
+        "the identical plan must serve through the transparent tier")
+      // the substituted plan is pinned (optimizedPlan memoizes); the
+      // rule must not tax every LATER query's optimization (r14
+      // wrong #4: gate-enabled session rules leaked into bench legs)
+      require(served.queryExecution.optimizedPlan != null)
+      served
+    } finally graft.plans.TransparentResultCache.disableForTest(s)
   }
 
   /** q83 — TRANSPARENT JOIN STEERING ([[graft.plans
@@ -3776,19 +3790,24 @@ object RelationalQueries {
     SC.ensure(s, fix, "skew_dim")
     SC.ensureKeyProfile(s, fix, "skew_fact", "k", hotFreq = 200L)
     // budget scaled so the near-fact-sized dim can never broadcast
-    // (the q69 knob); the rule holds the session until the next
-    // enable reconfigures it — exactness-preserving either way
+    // (the q69 knob); the FULL returned frame's plan is forced and
+    // pinned BEFORE the rule unregisters, so the execution runs the
+    // steered shape while later queries optimize rule-clean (r14
+    // wrong #4)
     graft.plans.TransparentJoinSteering.enable(s,
       broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
-    val fact = Tables(s, fix, "skew_fact")
-    val dim = Tables(s, fix, "skew_dim")
-    val joined = fact.join(dim, fact("k") === dim("k"))
-    require(joined.queryExecution.optimizedPlan.toString.contains("__salt_f"),
-      "the plain join must be steered into the salted shape by the rule")
-    joined.groupBy(dim("seg").as("seg"))
-      .agg(count(lit(1)).as("n"),
-        sum(floor($"value").cast("long")).as("v_fp"))
-      .orderBy($"seg")
+    try {
+      val fact = Tables(s, fix, "skew_fact")
+      val dim = Tables(s, fix, "skew_dim")
+      val served = fact.join(dim, fact("k") === dim("k"))
+        .groupBy(dim("seg").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value").cast("long")).as("v_fp"))
+        .orderBy($"seg")
+      require(served.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+        "the plain join must be steered into the salted shape by the rule")
+      served
+    } finally graft.plans.TransparentJoinSteering.disableForTest(s)
   }
 
   /** q84 — ADVICE SURVIVES APPENDS AT O(batch) ([[graft.operators
@@ -3880,16 +3899,19 @@ object RelationalQueries {
     SC.ensureKeyProfile(s, fix, "skew_fact", "k", hotFreq = 200L)
     graft.plans.TransparentJoinSteering.enable(s,
       broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
-    val fact = Tables(s, fix, "skew_fact")
-    val dim = Tables(s, fix, "skew_dim").where($"seg" =!= 3L)
-    val joined = fact.join(dim, fact("k") === dim("k"), "left")
-    require(joined.queryExecution.optimizedPlan.toString.contains("__salt_f"),
-      "the plain LEFT enrich must be steered into the salted shape")
-    joined.groupBy(coalesce(dim("seg"), lit(-1L)).as("seg"))
-      .agg(count(lit(1)).as("n"),
-        count(dim("k")).as("matched"),
-        sum(floor($"value").cast("long")).as("v_fp"))
-      .orderBy($"seg")
+    try {
+      val fact = Tables(s, fix, "skew_fact")
+      val dim = Tables(s, fix, "skew_dim").where($"seg" =!= 3L)
+      val served = fact.join(dim, fact("k") === dim("k"), "left")
+        .groupBy(coalesce(dim("seg"), lit(-1L)).as("seg"))
+        .agg(count(lit(1)).as("n"),
+          count(dim("k")).as("matched"),
+          sum(floor($"value").cast("long")).as("v_fp"))
+        .orderBy($"seg")
+      require(served.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+        "the plain LEFT enrich must be steered into the salted shape")
+      served
+    } finally graft.plans.TransparentJoinSteering.disableForTest(s)
   }
 
   /** q86 — CARDINALITY FEEDBACK ([[graft.operators.CardFeedback]] ×
@@ -3975,29 +3997,33 @@ object RelationalQueries {
     val SC = graft.operators.StatsCatalog
     Seq("customer", "orders", "lineitem").foreach(SC.ensure(s, dir, _))
     graft.plans.TransparentJoinOrdering.enable(s)
-    val cu = Tables(s, dir, "customer").where($"c_custkey" <= 150L)
-    val or = Tables(s, dir, "orders")
-    val li = Tables(s, dir, "lineitem")
-    // the WORST declared order: the fact-fact pair first
-    val joined = li
-      .join(or, li("l_orderkey") === or("o_orderkey"))
-      .join(cu, or("o_custkey") === cu("c_custkey"))
-    val deepest = joined.queryExecution.optimizedPlan.collect {
-      case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
-    }.last
-    val deepTables = deepest.collectLeaves().collect {
-      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        rel.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.head.getName.stripSuffix(".parquet")
-        }
-    }.toSet
-    require(deepTables == Set("customer", "orders"),
-      s"the rule must re-shape the worst declared order, innermost = $deepTables")
-    joined.groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("n"),
-        round(sum($"l_extendedprice"), 2).as("rev"))
-      .orderBy($"o_orderstatus")
+    try {
+      val cu = Tables(s, dir, "customer").where($"c_custkey" <= 150L)
+      val or = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      // the WORST declared order: the fact-fact pair first; the FULL
+      // frame's plan is forced and pinned before the rule unregisters
+      val served = li
+        .join(or, li("l_orderkey") === or("o_orderkey"))
+        .join(cu, or("o_custkey") === cu("c_custkey"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_extendedprice"), 2).as("rev"))
+        .orderBy($"o_orderstatus")
+      val deepest = served.queryExecution.optimizedPlan.collect {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }.last
+      val deepTables = deepest.collectLeaves().collect {
+        case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          rel.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.head.getName.stripSuffix(".parquet")
+          }
+      }.toSet
+      require(deepTables == Set("customer", "orders"),
+        s"the rule must re-shape the worst declared order, innermost = $deepTables")
+      served
+    } finally graft.plans.TransparentJoinOrdering.disableForTest(s)
   }
 
   /** q88 — APPROXIMATE QUERY PROCESSING OVER A DETERMINISTIC SAMPLE
