@@ -4241,7 +4241,12 @@ object RelationalQueries {
     SC.ensure(s, fix, "skew_dim")
     SC.ensureKeyProfile(s, fix, "skew_fact", "k", hotFreq = 200L)
     val catPath = graft.operators.Steering.ensureCatalogFixture(s, dir)
-    s.sql(s"CREATE TABLE IF NOT EXISTS graft_cat_fact USING parquet LOCATION '$catPath'")
+    // drop-and-recreate, NOT IF NOT EXISTS: the fixture path is
+    // fingerprint-keyed per sf dir, and a session that crosses dirs
+    // (the bench warms at sf0.001 then measures at sf0.1) must not
+    // keep a table pinned at the previous dir's location
+    s.sql("DROP TABLE IF EXISTS graft_cat_fact")
+    s.sql(s"CREATE TABLE graft_cat_fact USING parquet LOCATION '$catPath'")
     Tables(s, fix, "skew_dim").createOrReplaceTempView("graft_cat_dim")
     graft.plans.TransparentJoinSteering.enable(s,
       broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
