@@ -343,15 +343,92 @@ object SampledAgg {
         lit(0L).as("rel_err_ppm"), lit("exact").as("source")), "exact")
   }
 
-  /** The q93 GATE FIXTURE: a four-equal-group table derived from
-    * events (g = event_id mod 4 — DuckDB replays it inline), with
-    * the 25% uniform sample and the stratified-by-g artifact built.
-    * Idempotent per events fingerprint. */
+  /** SUM face of the tolerance ladder (D102): same contract as
+    * [[serveGroupCounts]], for per-group sums of the FLOORED value
+    * column (the engine's fixed-point discipline — replayable
+    * integer sums). The bound is the 2σ relative error of the
+    * Horvitz–Thompson sum from the sample's own variance:
+    * rel-σ(Σ̂) = √(k·Σv² − (Σv)²) / (Σv·√k) — every ingredient an
+    * exact 64-bit integer aggregate of the sample, the final
+    * sqrt/division in IEEE doubles computed identically by both
+    * engines from identical integers, floored to ppm (DuckDB replays
+    * the BOUND, not just the estimate). Documented envelope:
+    * k·Σv² must stay below 2⁶³ (holds through the 100× replica;
+    * a corpus with |v| beyond ~10⁶ should band the value first).
+    * Non-positive group sums serve the conservative cap 10⁶ ppm.
+    * The STRATIFIED leg scales by its exact recorded count (the q89
+    * integer formula) with the same variance bound per stratum —
+    * and a stratum fully contained in the sample (k = n) is EXACT,
+    * bound 0. */
+  private def sumBound(k: org.apache.spark.sql.Column,
+      s1: org.apache.spark.sql.Column,
+      s2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(s1 > 0L,
+      floor(lit(2000000.0) *
+        sqrt(greatest(k * s2 - s1 * s1, lit(0L)).cast("double")) /
+        (s1.cast("double") * sqrt(k.cast("double")))).cast("long"))
+      .otherwise(lit(1000000L))
+
+  def serveGroupSums(s: SparkSession, dir: String, table: String,
+      keyCol: String, groupCol: String, valueCol: String,
+      tolerancePpm: Long, ppms: Seq[Long] = Seq.empty,
+      stratifiedK: Option[Int] = None): (DataFrame, String) = {
+    require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
+    def v = floor(col(valueCol)).cast("long")
+    def ingredients(df: DataFrame) = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k"), sum(v).as("s1"), sum(v * v).as("s2"))
+    def worstOf(ing: DataFrame, bound: org.apache.spark.sql.Column): Long =
+      ing.agg(max(bound)).head().getLong(0)
+    // 1. cheapest uniform sample whose worst group bound meets it
+    ppms.sorted.foreach { ppm =>
+      sampleIfCurrent(s, dir, table, keyCol, ppm).foreach { sample =>
+        val ing = ingredients(sample)
+        val b = sumBound(col("k"), col("s1"), col("s2"))
+        if (ing.limit(1).count() > 0 && worstOf(ing, b) <= tolerancePpm) {
+          val source = s"sample_$ppm"
+          return (ing.select(col(groupCol),
+            (col("s1") * scaleFactor(ppm)).as("sum_est"),
+            b.as("rel_err_ppm"), lit(source).as("source")), source)
+        }
+      }
+    }
+    // 2. stratified-by-group: exact-count scaling, variance bound per
+    //    stratum; a fully-contained stratum (k = n) is exact
+    stratifiedK.foreach { kk =>
+      stratifiedIfCurrent(s, dir, table, keyCol, groupCol, kk).foreach {
+        case (sample, counts) =>
+          val ing = ingredients(sample)
+            .join(counts.withColumnRenamed("stratum", groupCol), Seq(groupCol))
+          val b = when(col("k") === col("n"), lit(0L))
+            .otherwise(sumBound(col("k"), col("s1"), col("s2")))
+          if (worstOf(ing, b) <= tolerancePpm)
+            return (ing.select(col(groupCol),
+              expr("(s1 * n) div k").as("sum_est"),
+              b.as("rel_err_ppm"), lit("stratified").as("source")),
+              "stratified")
+      }
+    }
+    // 3. the corpus, exactly
+    (graft.Tables(s, dir, table).groupBy(col(groupCol))
+      .agg(sum(v).as("sum_est"))
+      .select(col(groupCol), col("sum_est"),
+        lit(0L).as("rel_err_ppm"), lit("exact").as("source")), "exact")
+  }
+
+  /** The q93/q95 GATE FIXTURE: a four-equal-group table derived from
+    * events (g = event_id mod 4 — DuckDB replays it inline; the raw
+    * value column rides along for the SUM face), with the 25%
+    * uniform sample and the stratified-by-g artifact built.
+    * Idempotent per events fingerprint; _v2 in the path = the
+    * fixture-version discipline (v1 lacked the value column — a warm
+    * host must not serve the old shape). */
   def ensureToleranceFixture(s: SparkSession, dir: String): String = {
-    val fix = s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/aqp_tol_fixture"
+    val fix = s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/aqp_tol_fixture_v2"
     if (!IndexStore.artifactReady(s"$fix/tol_t.parquet"))
       graft.Tables(s, dir, "events")
-        .select(col("event_id"), pmod(col("event_id"), lit(4L)).as("g"))
+        .select(col("event_id"), pmod(col("event_id"), lit(4L)).as("g"),
+          col("value"))
         .write.mode("overwrite").parquet(s"$fix/tol_t.parquet")
     ensureSample(s, fix, "tol_t", "event_id", 250000L)
     ensureStratifiedSample(s, fix, "tol_t", "event_id", "g", 500)

@@ -346,6 +346,28 @@ object Steering {
     path
   }
 
+  /** The q94 MCV-STEERING FIXTURE: a skewed fact (hot key −7 owns the
+    * user_id ≡ 0 mod 4 quarter of events) whose key profile is NEVER
+    * built — dedicated tables so no other gate's profiled fixture can
+    * leak a profile in; only the MCV list (built by the gate) can
+    * diagnose the skew. Deterministically derived for the oracle. */
+  def ensureMcvSteerFixture(s: SparkSession, dir: String): String = {
+    val fix = s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/steer_mcv_fixture"
+    if (!IndexStore.artifactReady(s"$fix/mcv_fact.parquet") ||
+        !IndexStore.artifactReady(s"$fix/mcv_dim.parquet")) {
+      val ev = graft.Tables(s, dir, "events")
+      val fact = ev.select(
+        when(col("user_id") % 4 === 0, lit(-7L))
+          .otherwise(col("event_id")).as("k"),
+        col("event_id"), col("value"))
+      fact.write.mode("overwrite").parquet(s"$fix/mcv_fact.parquet")
+      fact.select(col("k")).distinct()
+        .withColumn("seg", pmod(col("k"), lit(9L)))
+        .write.mode("overwrite").parquet(s"$fix/mcv_dim.parquet")
+    }
+    fix
+  }
+
   /** The q92 COMPOSITE-KEY FIXTURE: a fact keyed by TWO columns
     * (g1 = event_id mod 500, g2 = user_id mod 7) and the distinct
     * (g1, g2) dim with a derived segment — the generated-BI shape

@@ -4368,6 +4368,129 @@ object RelationalQueries {
     loose.unionByName(tight).orderBy($"source", $"g")
   }
 
+  /** q94 — MCV-TIER TRANSPARENT STEERING (D99's steering half,
+    * gated): the q83 salted dispatch with NO key profile anywhere —
+    * the skew fixture's exact profile is deliberately never built
+    * and the maintained tier never ensured; the declared algebra
+    * sees only the MEAN frequency (well under the skew threshold)
+    * and passes through (require()-pinned with the config unset),
+    * then `spark.graft.steering.tiers=mcv` lets the dispatch read
+    * the MCV list: its top frequency is an exact max-frequency
+    * LOWER bound (skew diagnosed), and the ≥threshold MCV values
+    * are provably hot (the salt set). The oracle replays the plain
+    * join — the learned dispatch is result-invisible. Uses its own
+    * fixture tables (mcv_fact/mcv_dim) so q83/q84/q85's profiled
+    * fixtures can never leak a profile in. */
+  val q94McvSteering: GraftQuery = q(
+    "q94_mcv_steering",
+    "the MCV tier diagnoses skew and salts a profile-less plain join via session config; oracle replays the plain join",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 4 = 0 THEN -7 ELSE event_id END AS k,
+      |         event_id, value
+      |  FROM events),
+      |d AS (SELECT DISTINCT k FROM f),
+      |dd AS (SELECT k, ((k % 9) + 9) % 9 AS seg FROM d)
+      |SELECT dd.seg, count(*) AS n,
+      |       CAST(sum(CAST(floor(f.value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM f JOIN dd ON f.k = dd.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val fix = graft.operators.Steering.ensureMcvSteerFixture(s, dir)
+    SC.ensure(s, fix, "mcv_fact")
+    SC.ensure(s, fix, "mcv_dim")
+    SC.ensureMcv(s, fix, "mcv_fact", "k")
+    graft.plans.TransparentJoinSteering.enable(s,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
+    val prev = s.conf.getOption("spark.graft.steering.tiers")
+    try {
+      def shape = {
+        val fact = Tables(s, fix, "mcv_fact")
+        val dim = Tables(s, fix, "mcv_dim")
+        fact.join(dim, fact("k") === dim("k"))
+          .groupBy(dim("seg").as("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"value").cast("long")).as("v_fp"))
+          .orderBy($"seg")
+      }
+      s.conf.unset("spark.graft.steering.tiers")
+      require(!shape.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+        "with no profile and the tier unset, the mean-frequency algebra passes through")
+      s.conf.set("spark.graft.steering.tiers", "mcv")
+      val served = shape
+      require(served.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+        "the MCV tier must diagnose the skew and salt the hot key")
+      served
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.graft.steering.tiers", v)
+        case None => s.conf.unset("spark.graft.steering.tiers")
+      }
+      graft.plans.TransparentJoinSteering.disableForTest(s)
+    }
+  }
+
+  /** q95 — TOLERANCE-DECLARED APPROXIMATE SUMS ([[graft.operators
+    * .SampledAgg.serveGroupSums]], D102): counts (q93) have a
+    * closed-form binomial bound; SUMS need the sample's own variance
+    * — the bound 2·√(k·Σv² − (Σv)²)/(Σv·√k) is computed from exact
+    * 64-bit integer ingredients of the sample, so DuckDB replays the
+    * BOUND as well as the estimate (an approximate answer whose
+    * accuracy claim is itself hash-gated). A 20% tolerance serves
+    * the 25% sample's Horvitz–Thompson sums (require()-pinned
+    * artifact-only — a 45% bound sounds loose, but it is the
+    * fixture's own worst-group bound at sf0.001 plus honest margin;
+    * the bound SHRINKS as √k with scale, 288k→25k ppm across the
+    * three SFs); a 0.5% tolerance exceeds the sample's variance
+    * bound at every SF, so the ladder lands on its fail-closed
+    * exact floor (require()-pinned). The stratified middle rung
+    * (including the k = n exact-stratum case) is spec-pinned on
+    * controlled data where its decision is SF-independent. */
+  val q95ToleranceSums: GraftQuery = q(
+    "q95_tolerance_sums",
+    "declared-tolerance approximate sums: sample-variance bound replayed by the oracle; tight tolerance falls closed to exact",
+    s"""WITH t AS (
+      |  SELECT event_id, ((event_id % 4) + 4) % 4 AS g,
+      |         CAST(floor(value) AS BIGINT) AS v
+      |  FROM events),
+      |s AS (SELECT g, count(*) AS k, sum(v) AS s1, sum(v * v) AS s2 FROM t
+      |      WHERE ${graft.operators.SampledAgg.membershipSql("event_id", 250000L)}
+      |      GROUP BY g),
+      |loose AS (SELECT g, CAST(s1 * 4 AS BIGINT) AS sum_est,
+      |          CAST(CASE WHEN s1 > 0 THEN
+      |            floor(2000000.0 * sqrt(CAST(greatest(k * s2 - s1 * s1, 0) AS DOUBLE))
+      |                  / (CAST(s1 AS DOUBLE) * sqrt(CAST(k AS DOUBLE))))
+      |          ELSE 1000000 END AS BIGINT) AS rel_err_ppm,
+      |          'sample_250000' AS source FROM s),
+      |tight AS (SELECT g, CAST(sum(v) AS BIGINT) AS sum_est,
+      |          CAST(0 AS BIGINT) AS rel_err_ppm,
+      |          'exact' AS source FROM t GROUP BY g)
+      |SELECT * FROM (SELECT * FROM loose UNION ALL SELECT * FROM tight)
+      |ORDER BY source, g""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SA = graft.operators.SampledAgg
+    val fix = SA.ensureToleranceFixture(s, dir)
+    val (loose, looseSrc) = SA.serveGroupSums(s, fix, "tol_t",
+      "event_id", "g", "value", tolerancePpm = 450000L,
+      ppms = Seq(250000L), stratifiedK = Some(500))
+    require(looseSrc == "sample_250000",
+      s"a 45% tolerance must serve the sampled sums, got $looseSrc")
+    require(loose.inputFiles.forall(_.contains("aqp_")),
+      "the sampled serve must never read the corpus")
+    // the tight leg declares ONLY the uniform sample (the stratified
+    // rung's decision is SF-dependent here — at tiny SFs every
+    // stratum fits inside the 500-row cap and serves EXACTLY; that
+    // rung, including the k = n case, is spec-pinned instead)
+    val (tight, tightSrc) = SA.serveGroupSums(s, fix, "tol_t",
+      "event_id", "g", "value", tolerancePpm = 5000L,
+      ppms = Seq(250000L))
+    require(tightSrc == "exact",
+      s"a 0.5% tolerance exceeds the sample's bound and must fall closed to exact, got $tightSrc")
+    loose.unionByName(tight).orderBy($"source", $"g")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4394,5 +4517,6 @@ object RelationalQueries {
     q83TransparentSteering, q84MaintainedAdvice, q85SteeredLeftEnrich,
     q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg,
     q89StratifiedSample, q90LearnedOrdering, q91CatalogSteering,
-    q92CompositeSteering, q93ToleranceServing)
+    q92CompositeSteering, q93ToleranceServing, q94McvSteering,
+    q95ToleranceSums)
 }

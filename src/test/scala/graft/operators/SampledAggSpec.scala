@@ -196,4 +196,53 @@ class SampledAggSpec extends SparkSpec {
         r.getAs[Long]("n_est") == exactCounts(r.getAs[Long]("g"))))
     }
   }
+
+  test("tolerance SUM ladder: variance bound holds, stratified rung scales by exact counts, k=n strata are exact") {
+    withIndexRoot("graft-aqp-sums") {
+      val dir = tmpDir("graft-aqp-sums-data")
+      // group 0: 4000 rows (stratified keeps 100 of them — a true
+      // subsample); group 1: 60 rows (fully contained, k = n)
+      val rows = (1L to 4000L).map(i => (i, 0L, (i % 97).toDouble)) ++
+        (1L to 60L).map(i => (100000L + i, 1L, (i % 13).toDouble))
+      rows.toDF("key", "g", "value")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val exactSums = graft.Tables(spark, dir, "t").groupBy($"g")
+        .agg(sum(floor($"value")).as("sv")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // uniform-sample leg: bound discloses and holds with slack
+      SampledAgg.ensureSample(spark, dir, "t", "key", 250000L)
+      val (est, src1) = SampledAgg.serveGroupSums(spark, dir, "t",
+        "key", "g", "value", tolerancePpm = 1000000L, ppms = Seq(250000L))
+      assert(src1 === "sample_250000")
+      est.collect().foreach { r =>
+        val g = r.getAs[Long]("g")
+        val bound = r.getAs[Long]("rel_err_ppm")
+        assert(bound > 0)
+        val err = math.abs(r.getAs[Long]("sum_est") - exactSums(g)).toDouble /
+          exactSums(g)
+        assert(err <= 3.0 * bound / 1e6,
+          s"the 2-sigma sum bound must hold with slack: $err vs $bound ppm (g=$g)")
+      }
+      // stratified rung: a tolerance the uniform sample cannot meet
+      // but the per-stratum artifact can; the tiny stratum is FULLY
+      // contained (k = n) and therefore exact with bound 0
+      SampledAgg.ensureStratifiedSample(spark, dir, "t", "key", "g", 100)
+      val uniformWorst = est.agg(max($"rel_err_ppm")).head().getLong(0)
+      val (strat, src2) = SampledAgg.serveGroupSums(spark, dir, "t",
+        "key", "g", "value", tolerancePpm = uniformWorst - 1,
+        ppms = Seq(250000L), stratifiedK = Some(100))
+      assert(src2 === "stratified",
+        s"the ladder must escalate past the sample to the stratified rung")
+      val byG = strat.collect().map(r => r.getAs[Long]("g") -> r).toMap
+      assert(byG(1L).getAs[Long]("rel_err_ppm") === 0L,
+        "a fully-contained stratum is exact")
+      assert(byG(1L).getAs[Long]("sum_est") === exactSums(1L))
+      val g0 = byG(0L)
+      assert(g0.getAs[Long]("rel_err_ppm") > 0L)
+      val err0 = math.abs(g0.getAs[Long]("sum_est") - exactSums(0L)).toDouble /
+        exactSums(0L)
+      assert(err0 <= 3.0 * g0.getAs[Long]("rel_err_ppm") / 1e6,
+        "the stratified sum bound holds with slack")
+    }
+  }
 }
