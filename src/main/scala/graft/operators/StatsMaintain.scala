@@ -143,6 +143,16 @@ object StatsMaintain {
   def ensure(s: SparkSession, dir: String, table: String): Unit =
     if (statsIfCurrent(s, dir, table).isEmpty) reEnsure(s, dir, table)
 
+  /** Whether a maintained artifact EXISTS (current or stale) — the
+    * bootstrap probe for ingest glue: absent → build from the table
+    * so far; present → O(batch) maintenance (never a full rescan). */
+  def built(dir: String, table: String): Boolean =
+    IndexStore.artifactReady(sumPath(dir, table))
+
+  /** [[built]] for the maintained key profile. */
+  def keyProfileBuilt(dir: String, table: String, column: String): Boolean =
+    IndexStore.artifactReady(s"${keyProfPath(dir, table, column)}/meta")
+
   /** Full rebuild — the repair path for a stale or torn artifact. */
   def reEnsure(s: SparkSession, dir: String, table: String): Unit = {
     val df = graft.Tables(s, dir, table)

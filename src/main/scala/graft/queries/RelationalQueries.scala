@@ -4491,6 +4491,67 @@ object RelationalQueries {
     loose.unionByName(tight).orderBy($"source", $"g")
   }
 
+  /** q96 — STREAMING-MAINTAINED ADVISORY ARTIFACTS
+    * ([[graft.streaming.MaintainedIngest]], D103): the D91/D94
+    * freshness story on the STREAMING surface — the skew-fixture
+    * derivation arrives as three micro-batches (the foreachBatch
+    * body driven directly, the StreamingDedup replay pattern; the
+    * MemoryStream wiring is spec-pinned), each landing exactly-once
+    * in its batch_id partition and maintaining the column stats and
+    * hot-key profile at O(batch). The gate re-drives ALL THREE
+    * batches every run — a warm host's replays are full no-ops
+    * (marker + covered-stamp guards), which is itself the
+    * exactly-once proof running inside the correctness gate. The
+    * oracle recomputes the maintained fields and the hot-key count
+    * from raw events; batch boundaries are invisible by
+    * construction. */
+  val q96StreamingMaintained: GraftQuery = q(
+    "q96_streaming_maintained",
+    "micro-batch ingest keeps maintained stats and the hot-key profile current at O(batch); oracle recomputes from raw events",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
+      |         event_id, value
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'event_id' AS item, count(event_id) AS n,
+      |         min(event_id) AS mn, max(event_id) AS mx FROM f
+      |  UNION ALL
+      |  SELECT 'hot_keys',
+      |         (SELECT count(*) FROM f WHERE k = -1),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'k', count(k), min(k), max(k) FROM f
+      |) ORDER BY item""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SM = graft.operators.StatsMaintain
+    val MI = graft.streaming.MaintainedIngest
+    val IS = graft.operators.IndexStore
+    val fix = graft.operators.Steering.ensureSkewFixture(s, dir) + "/stream_maint"
+    val rows = Tables(s, dir, "events").select(
+      when($"user_id" % 3 === 0, lit(-1L)).otherwise($"event_id").as("k"),
+      $"event_id", $"value")
+    // three micro-batches, re-driven EVERY run: warm replays no-op
+    (0 to 2).foreach { b =>
+      MI.processBatch(rows.where(pmod($"event_id", lit(3L)) === b.toLong),
+        b.toLong, fix, "sing", profileColumn = Some("k"), hotFreq = 200L)
+    }
+    val st = SM.statsIfCurrent(s, fix, "sing")
+      .getOrElse(sys.error("streamed stats must be CURRENT after the batches"))
+    val (hot, hotFreq) = SM.keyProfileIfCurrent(s, fix, "sing", "k")
+      .getOrElse(sys.error("the streamed profile must be CURRENT"))
+    require(hot == Seq("-1"),
+      s"the hot set must come through the streamed maintenance, got $hot")
+    def row(c: String) = {
+      val m = st(c)
+      (c, m.n - m.nulls, Some(m.min.get.toLong), Some(m.max.get.toLong))
+    }
+    Seq(row("event_id"),
+      ("hot_keys", hotFreq, None: Option[Long], None: Option[Long]),
+      row("k"))
+      .toDF("item", "n", "mn", "mx").orderBy($"item")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4518,5 +4579,5 @@ object RelationalQueries {
     q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg,
     q89StratifiedSample, q90LearnedOrdering, q91CatalogSteering,
     q92CompositeSteering, q93ToleranceServing, q94McvSteering,
-    q95ToleranceSums)
+    q95ToleranceSums, q96StreamingMaintained)
 }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.StatsMaintain
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The maintained-ingest contract (D103): a stream of micro-batches
+  * lands exactly-once in batch_id partitions while the advisory
+  * artifacts (column stats, hot-key profile) stay CURRENT at O(batch)
+  * — the first batch bootstraps, replays converge (rows never
+  * duplicate, counts never double), and the engine-brain consumers
+  * (estimator, join advice) read a live table with zero full rescans
+  * after the bootstrap. */
+class MaintainedIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed batches keep the maintained artifacts current; the stream wiring works end to end") {
+    withIndexRoot("graft-ingest") {
+      val dir = tmpDir("graft-ingest-data")
+      val ckpt = tmpDir("graft-ingest-ckpt")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = {
+        import org.apache.spark.sql.classic.ClassicConversions._
+        spark.sqlContext
+      }
+      val mem = MemoryStream[(Long, Long, Double)]
+      val rows = mem.toDF().toDF("k", "sid", "v")
+      // batch 0: hot key 7 x 600 + 400 tail; batch 1: 300 more hot
+      mem.addData((1L to 600L).map(i => (7L, i, 1.0)) ++
+        (1L to 400L).map(i => (i % 40 + 100L, 10000L + i, 2.0)): _*)
+      MaintainedIngest.run(rows, dir, "ing", ckpt,
+        profileColumn = Some("k"), hotFreq = 500L).processAllAvailable()
+      mem.addData((1L to 300L).map(i => (7L, 20000L + i, 3.0)): _*)
+      MaintainedIngest.run(rows, dir, "ing", ckpt,
+        profileColumn = Some("k"), hotFreq = 500L).processAllAvailable()
+
+      assert(graft.Tables(spark, dir, "ing").count() === 1300L)
+      val st = StatsMaintain.statsIfCurrent(spark, dir, "ing")
+        .getOrElse(fail("stats must be CURRENT right after the stream"))
+      assert(st("k").n === 1300L)
+      assert(st("v").min.map(_.toDouble).contains(1.0))
+      assert(st("v").max.map(_.toDouble).contains(3.0))
+      assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "ing", "k")
+        === Some((Seq("7"), 900L)),
+        "the hot-key profile merges across micro-batches")
+    }
+  }
+
+  test("replays converge: re-run batches, a lost marker, and a half-maintained batch never double-count") {
+    withIndexRoot("graft-ingest-replay") {
+      val dir = tmpDir("graft-ingest-replay-data")
+      def batch(n: Long, off: Long) =
+        (1L to n).map(i => (7L, off + i, 1.0)).toDF("k", "sid", "v")
+      MaintainedIngest.processBatch(batch(500, 0), 0L, dir, "ing",
+        Some("k"), hotFreq = 100L)
+      MaintainedIngest.processBatch(batch(200, 1000), 1L, dir, "ing",
+        Some("k"), hotFreq = 100L)
+      def profile() =
+        StatsMaintain.keyProfileIfCurrent(spark, dir, "ing", "k").map(_._2)
+      def statN() = StatsMaintain.statsIfCurrent(spark, dir, "ing").map(_("k").n)
+      assert(graft.Tables(spark, dir, "ing").count() === 700L)
+      assert(statN() === Some(700L) && profile() === Some(700L))
+      // plain replay of a committed batch: full no-op
+      MaintainedIngest.processBatch(batch(200, 1000), 1L, dir, "ing",
+        Some("k"), hotFreq = 100L)
+      assert(graft.Tables(spark, dir, "ing").count() === 700L)
+      assert(statN() === Some(700L) && profile() === Some(700L))
+      // crash window (b): partition + marker landed, NO maintenance
+      // ran (the marker precedes the maintains, so this is the only
+      // reachable no-maintain replay state) — the replay skips the
+      // write and maintains exactly once
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      batch(100, 5000).withColumn("batch_id", lit(2L))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/ing.parquet")
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/ing_batches/batch_2"),
+        true).close()
+      StatsMaintain.clearMemosForTest()
+      MaintainedIngest.processBatch(batch(100, 5000), 2L, dir, "ing",
+        Some("k"), hotFreq = 100L)
+      assert(graft.Tables(spark, dir, "ing").count() === 800L)
+      assert(statN() === Some(800L) && profile() === Some(800L),
+        "a landed-but-unmaintained batch maintains exactly once on replay")
+      // crash window (a): partition landed WITHOUT its marker (crash
+      // mid-write or pre-marker) — the replay rewrites the partition
+      // (replacing any partials, never appending) and maintains once
+      batch(50, 9000).withColumn("batch_id", lit(3L))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/ing.parquet")
+      StatsMaintain.clearMemosForTest()
+      MaintainedIngest.processBatch(batch(50, 9000), 3L, dir, "ing",
+        Some("k"), hotFreq = 100L)
+      assert(graft.Tables(spark, dir, "ing").count() === 850L,
+        "the rewrite replaces the partition, never appends a second copy")
+      assert(statN() === Some(850L) && profile() === Some(850L),
+        "the re-maintained counts equal the single application")
+    }
+  }
+}
