@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -15,9 +15,10 @@ import graft.operators.{StatsCatalog, StatsMaintain}
   * discipline applied to D83's join dispatch. Until now only callers
   * of [[graft.operators.Steering.advisedJoin]] got the engine brain;
   * a dashboard issuing a plain `fact.join(dim, key)` got none of it.
-  * This rule matches the plain INNER or LEFT OUTER single-equality
-  * equi-join over registered parquet tables and dispatches on the
-  * SAME persisted statistics ([[StatsCatalog.adviseJoinSides]]):
+  * This rule matches the plain INNER, LEFT OUTER, LEFT SEMI, or
+  * LEFT ANTI equi-join (single or composite keys) over registered
+  * parquet tables and dispatches on the SAME persisted statistics
+  * ([[StatsCatalog.adviseJoinSides]]):
   *
   *  - BROADCAST arm: the within-budget side gets the logical
   *    BROADCAST hint — the planner's own BroadcastHashJoin takes it
@@ -181,7 +182,8 @@ class TransparentJoinSteeringRule(
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, jt, Some(cond), hint)
-        if (jt == Inner || jt == LeftOuter) && hint == JoinHint.NONE &&
+        if (jt == Inner || jt == LeftOuter ||
+          jt == LeftSemi || jt == LeftAnti) && hint == JoinHint.NONE &&
           left.outputSet.intersect(right.outputSet).isEmpty &&
           conjunctsOf(cond).forall {
             case EqualTo(_: AttributeReference, _: AttributeReference) => true
@@ -205,12 +207,18 @@ class TransparentJoinSteeringRule(
             } yield (a, b)
           case _ => None
         }
-      // LEFT OUTER constrains both arms (the reference's daily enrich
-      // join is exactly this shape): the REPLICATED/BUILT side must be
-      // the right one — a broadcast hint on the outer side cannot
-      // hash-join, and replicating the outer side would emit its
-      // unmatched rows once per salt
-      val outer = jt == LeftOuter
+      // LEFT OUTER / LEFT SEMI / LEFT ANTI constrain both arms the
+      // same way (r15 extends D93 to the EXISTS / NOT-EXISTS shapes):
+      // the REPLICATED/BUILT side must be the RIGHT one — for outer,
+      // replicating the left would null-extend its unmatched rows
+      // once per salt; for semi/anti the OUTPUT is the left rows, so
+      // replicating the left would emit duplicates, while the
+      // replicated RIGHT side never emits rows at all, which is
+      // exactly why the salted-semi/anti rewrite stays exact: a left
+      // row at its single (or hash-spread) salt meets the dim key
+      // iff the plain join's row would — hot dim keys carry every
+      // salt, everything else salt 0
+      val outer = jt != Inner
       val steered = for {
         _ <- Option.when(pairs.size == conjunctsOf(cond).size &&
           pairs.nonEmpty)(())

@@ -4552,6 +4552,66 @@ object RelationalQueries {
       .toDF("item", "n", "mn", "mx").orderBy($"item")
   }
 
+  /** q97 — TRANSPARENT STEERING OF SEMI / ANTI JOINS (D104): the
+    * EXISTS / NOT-EXISTS shape every generated-BI filter emits
+    * decorrelates to LEFT SEMI / LEFT ANTI — and both were silently
+    * outside D93's matcher. The role pins extend LEFT OUTER's: the
+    * output is the LEFT rows only, so the replicated/built side must
+    * be the right one — which is also why the salted rewrite stays
+    * EXACT here: the exploded dim never emits rows, a hot left row
+    * at its hash-spread salt meets the dim key iff the plain join
+    * would (hot dim keys carry every salt), and semi/anti emit each
+    * left row at most/exactly once either way. The dim is filtered
+    * (seg ≠ 3), so the anti leg is non-trivial (a seventh of the
+    * keys survive it). Both legs require()-pinned salted; the
+    * oracle replays EXISTS / NOT EXISTS in DuckDB. */
+  val q97SemiAntiSteering: GraftQuery = q(
+    "q97_semi_anti_steering",
+    "plain LEFT SEMI and LEFT ANTI joins are salted by the transparent rule; oracle replays EXISTS / NOT EXISTS",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
+      |         value
+      |  FROM events),
+      |d AS (SELECT DISTINCT k FROM f),
+      |dd AS (SELECT k FROM (SELECT k, ((k % 7) + 7) % 7 AS seg FROM d)
+      |       WHERE seg <> 3)
+      |SELECT * FROM (
+      |  SELECT 'anti' AS leg, count(*) AS n,
+      |         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_fp
+      |  FROM f WHERE NOT EXISTS (SELECT 1 FROM dd WHERE dd.k = f.k)
+      |  UNION ALL
+      |  SELECT 'semi', count(*),
+      |         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |  FROM f WHERE EXISTS (SELECT 1 FROM dd WHERE dd.k = f.k)
+      |) ORDER BY leg""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val fix = graft.operators.Steering.ensureSkewFixture(s, dir)
+    SC.ensure(s, fix, "skew_fact")
+    SC.ensure(s, fix, "skew_dim")
+    SC.ensureKeyProfile(s, fix, "skew_fact", "k", hotFreq = 200L)
+    graft.plans.TransparentJoinSteering.enable(s,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
+    try {
+      def leg(kind: String, label: String) = {
+        val fact = Tables(s, fix, "skew_fact")
+        val dim = Tables(s, fix, "skew_dim").where($"seg" =!= 3L)
+        fact.join(dim, fact("k") === dim("k"), kind)
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"value").cast("long")).as("v_fp"))
+          .select(lit(label).as("leg"), $"n", $"v_fp")
+      }
+      val semi = leg("left_semi", "semi")
+      val anti = leg("left_anti", "anti")
+      require(semi.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+        "the plain LEFT SEMI join must be steered into the salted shape")
+      require(anti.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+        "the plain LEFT ANTI join must be steered into the salted shape")
+      anti.unionByName(semi).orderBy($"leg")
+    } finally graft.plans.TransparentJoinSteering.disableForTest(s)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4579,5 +4639,5 @@ object RelationalQueries {
     q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg,
     q89StratifiedSample, q90LearnedOrdering, q91CatalogSteering,
     q92CompositeSteering, q93ToleranceServing, q94McvSteering,
-    q95ToleranceSums, q96StreamingMaintained)
+    q95ToleranceSums, q96StreamingMaintained, q97SemiAntiSteering)
 }

@@ -193,6 +193,61 @@ class JoinSteeringSpec extends SparkSpec {
     }
   }
 
+  test("semi/anti steering pins the roles: right side broadcasts or replicates, left-only signals pass through") {
+    withIndexRoot("graft-tjs-semi") {
+      val dir = tmpDir("graft-tjs-semi-data")
+      writeFixture(dir)
+      try {
+        Seq("zfact", "ufact", "dim").foreach(StatsCatalog.ensure(spark, dir, _))
+        StatsCatalog.ensureKeyProfile(spark, dir, "zfact", "k", hotFreq = 1000L)
+        val zf = graft.Tables(spark, dir, "zfact")
+        val uf = graft.Tables(spark, dir, "ufact")
+        val dm = graft.Tables(spark, dir, "dim")
+
+        // salted arm: zipfian LEFT + over-budget dim, semi AND anti
+        TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+          skewAvgFreq = 64.0, factor = 4)
+        Seq("left_semi", "left_anti").foreach { kind =>
+          val p = zf.join(dm, zf("k") === dm("dk"), kind)
+            .queryExecution.optimizedPlan.toString
+          assert(p.contains("__salt_f"), s"$kind must salt:\n$p")
+          // result-invisibility: steered equals plain
+          val got = zf.join(dm, zf("k") === dm("dk"), kind)
+            .collect().map(_.toString).sorted
+          TransparentJoinSteering.disableForTest(spark)
+          val want = zf.join(dm, zf("k") === dm("dk"), kind)
+            .collect().map(_.toString).sorted
+          TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+            skewAvgFreq = 64.0, factor = 4)
+          assert(got.sameElements(want), s"salted $kind is row-identical")
+        }
+        // right-side-only skew never salts a semi/anti (replicating
+        // the LEFT would duplicate emitted rows) — pass-through
+        val rSkew = uf.join(zf, uf("k") === zf("k"), "left_semi")
+          .queryExecution.optimizedPlan.toString
+        assert(!rSkew.contains("__salt_f"),
+          s"a right-side-only skew signal must pass through:\n$rSkew")
+
+        // broadcast arm: within-budget RIGHT side gets the hint; a
+        // within-budget LEFT side alone never builds (pass-through)
+        // budget sized so ONLY the 150-row dim fits (the fact's
+        // parquet is tens of KB — a budget both sides fit would make
+        // the right-side hint legal in the left-small leg too)
+        TransparentJoinSteering.enable(spark,
+          broadcastBytes = 8L * 1024, skewAvgFreq = 1e9)
+        val rightSmall = zf.join(dm, zf("k") === dm("dk"), "left_anti")
+          .queryExecution.optimizedPlan.toString
+        assert(rightSmall.contains("right=true") ||
+          rightSmall.contains("rightHint"),
+          s"the within-budget right side must carry the build hint:\n$rightSmall")
+        val leftSmall = dm.join(zf, dm("dk") === zf("k"), "left_semi")
+          .queryExecution.optimizedPlan.toString
+        assert(!leftSmall.contains("Hint") && !leftSmall.contains("__salt_f"),
+          s"a small LEFT side of a semi join must pass through:\n$leftSmall")
+      } finally TransparentJoinSteering.disableForTest(spark)
+    }
+  }
+
   test("the MCV tier (session config) salts a profiled-nowhere hot key; unset keeps the declared algebra") {
     withIndexRoot("graft-tjs-mcv") {
       val dir = tmpDir("graft-tjs-mcv-data")
