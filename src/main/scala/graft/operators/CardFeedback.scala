@@ -133,9 +133,15 @@ object CardFeedback {
         val path = feedbackPath(key)
         if (!IndexStore.artifactReady(path)) None
         else {
-          val n = s.read.parquet(path).head().getAs[Long]("rows")
-          memoize(key, n)
-          Some(n)
+          // fail CLOSED on a read race (r15 self-review): the async
+          // harvest overwrites entries and the opportunistic sweep
+          // deletes them — an estimate must fall back to the algebra,
+          // never fail the user's query from the optimizer
+          try {
+            val n = s.read.parquet(path).head().getAs[Long]("rows")
+            memoize(key, n)
+            Some(n)
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
       }
     }
@@ -337,12 +343,18 @@ object CardFeedback {
     * snapshot ([[ResultCache.planStamp]], r15), so an append landing
     * between completion and harvest cannot re-stamp the observation —
     * the count files under the listing the query actually read. */
-  private lazy val harvestPool = new java.util.concurrent.ThreadPoolExecutor(
-    1, 1, 30L, java.util.concurrent.TimeUnit.SECONDS,
-    new java.util.concurrent.ArrayBlockingQueue[Runnable](64),
-    (r: Runnable) => { val t = new Thread(r, "graft-feedback-harvest")
-      t.setDaemon(true); t },
-    new java.util.concurrent.ThreadPoolExecutor.DiscardPolicy())
+  private lazy val harvestPool = {
+    val p = new java.util.concurrent.ThreadPoolExecutor(
+      1, 1, 30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.ArrayBlockingQueue[Runnable](64),
+      (r: Runnable) => { val t = new Thread(r, "graft-feedback-harvest")
+        t.setDaemon(true); t },
+      new java.util.concurrent.ThreadPoolExecutor.DiscardPolicy())
+    // queue-inserted tasks (awaitHarvests) only run if a worker
+    // exists; prestart so the drain marker can never sit unserved
+    p.prestartCoreThread()
+    p
+  }
 
   /** Idempotently enable transparent harvesting on `s`: every
     * completed complete-action execution records its observation. */
@@ -366,11 +378,17 @@ object CardFeedback {
     }
 
   /** Test seam: wait until every harvest enqueued so far has drained
-    * (the specs assert on artifacts the async pool writes). */
+    * (the specs assert on artifacts the async pool writes). The
+    * marker goes STRAIGHT into the work queue (blocking until space)
+    * — submit() under a full queue would hit DiscardPolicy and turn
+    * the wait into a silent 60 s timeout (r15 self-review). */
   private[graft] def awaitHarvests(): Unit = {
-    val f = harvestPool.submit(new Runnable { override def run(): Unit = () })
-    f.get(60, java.util.concurrent.TimeUnit.SECONDS)
-    ()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val marker: Runnable = () => latch.countDown()
+    require(harvestPool.getQueue.offer(marker, 60,
+      java.util.concurrent.TimeUnit.SECONDS), "harvest queue never drained")
+    require(latch.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "harvest drain marker never ran")
   }
 
   /** Test seam: unregister the listener so suites sharing the

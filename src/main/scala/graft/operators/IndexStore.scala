@@ -164,6 +164,24 @@ object IndexStore {
     catch { case _: java.io.FileNotFoundException => false }
   }
 
+  /** Canonical FULL qualified URI (scheme ‖ authority ‖ path) — the
+    * ONE rendering both path registries (RollupRouting,
+    * JoinElimination) key on. The authority is rendered EXPLICITLY:
+    * Hadoop's makeQualified is not idempotent on it (a bare "/x"
+    * qualifies to file:///x with an EMPTY authority, an
+    * already-qualified "file:/x" keeps a NULL one), so the raw URI
+    * rendering differs for one filesystem location depending on who
+    * wrote the path — the r15 catalog gate caught a registration
+    * missing its own lookup this way, and a helper duplicated per
+    * registry is the same bug waiting to diverge (r15 self-review). */
+  private[graft] def canonUri(p: org.apache.hadoop.fs.Path): String = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val u = p.getFileSystem(conf).makeQualified(p).toUri
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
+
   /** Swap `stage` in as `target`, failing loud — the shared commit
     * move of every staged artifact maintenance (SampledAgg samples,
     * StatsMaintain key profiles). Single-maintainer scope: the

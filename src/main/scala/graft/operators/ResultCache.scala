@@ -57,7 +57,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * winner's entry. A reader that passed [[IndexStore.artifactReady]]
   * can never observe a half-written or deleted entry, because the
   * final path is only ever created by a rename of a complete stage
-  * and is never overwritten in place. (Two dashboard viewers missing
+  * and is never overwritten in place — with ONE stated legacy
+  * exception: repairing a PRE-FIX torn leftover (a state the fixed
+  * writer can no longer create) deletes the junk non-atomically, and
+  * two repairers racing that one state can briefly expose an absent
+  * path between delete and re-commit; loud, never wrong, and
+  * unreachable for entries written by this code. (Two dashboard viewers missing
   * simultaneously is the DESIGNED workload of a query-keyed cache,
   * so this is load-bearing, not defensive.) Results are RESULT-sized
   * by assumption — a caller caching a corpus-sized frame gets
@@ -197,10 +202,19 @@ object ResultCache {
     if (tryCommit()) true
     else if (IndexStore.artifactReady(path)) { discard(); false }
     else {
-      fs.delete(target, true)
+      // torn-leftover repair. Post-fix, a torn FINAL path cannot be
+      // CREATED (finals appear only by atomic rename of a complete
+      // stage), so this leg only ever fires on a pre-fix leftover or
+      // an external mutation. The readiness re-check narrows the
+      // race where a COMPETING repairer commits between our check
+      // and our delete; the residual window (competitor commits
+      // between re-check and delete) is loud-not-wrong — our own
+      // identical entry re-commits right after — and is confined to
+      // that legacy-junk state (r15 self-review, documented).
+      if (!IndexStore.artifactReady(path)) fs.delete(target, true)
       val won = tryCommit()
-      if (!won) discard()
-      require(won || IndexStore.artifactReady(path),
+      if (!won && IndexStore.artifactReady(path)) { discard(); return false }
+      require(won,
         s"result cache: could not commit $path and no committed entry exists")
       won
     }

@@ -315,7 +315,10 @@ object SampledAgg {
     ppms.sorted.foreach { ppm =>
       sampleIfCurrent(s, dir, table, keyCol, ppm).foreach { sample =>
         val ks = sample.groupBy(col(groupCol)).agg(count(lit(1)).as("k"))
-        val minK = ks.agg(min(col("k"))).head().getLong(0)
+        // null-safe: an EMPTY-but-current sample (nothing hashed under
+        // ppm) must fall down the ladder, not NPE (r15 self-review)
+        val minK = Option(ks.agg(min(col("k"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         val worst = 2L * M / math.floor(math.sqrt(minK.toDouble)).toLong.max(1L)
         if (minK >= 1 && worst <= tolerancePpm) {
           val source = s"sample_$ppm"
@@ -378,14 +381,17 @@ object SampledAgg {
     def ingredients(df: DataFrame) = df
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("k"), sum(v).as("s1"), sum(v * v).as("s2"))
-    def worstOf(ing: DataFrame, bound: org.apache.spark.sql.Column): Long =
-      ing.agg(max(bound)).head().getLong(0)
+    // None on an empty frame (null max) — the ladder falls through
+    // instead of NPEing (r15 self-review)
+    def worstOf(ing: DataFrame,
+        bound: org.apache.spark.sql.Column): Option[Long] =
+      Option(ing.agg(max(bound)).head().get(0)).map(_.asInstanceOf[Long])
     // 1. cheapest uniform sample whose worst group bound meets it
     ppms.sorted.foreach { ppm =>
       sampleIfCurrent(s, dir, table, keyCol, ppm).foreach { sample =>
         val ing = ingredients(sample)
         val b = sumBound(col("k"), col("s1"), col("s2"))
-        if (ing.limit(1).count() > 0 && worstOf(ing, b) <= tolerancePpm) {
+        if (worstOf(ing, b).exists(_ <= tolerancePpm)) {
           val source = s"sample_$ppm"
           return (ing.select(col(groupCol),
             (col("s1") * scaleFactor(ppm)).as("sum_est"),
@@ -402,7 +408,7 @@ object SampledAgg {
             .join(counts.withColumnRenamed("stratum", groupCol), Seq(groupCol))
           val b = when(col("k") === col("n"), lit(0L))
             .otherwise(sumBound(col("k"), col("s1"), col("s2")))
-          if (worstOf(ing, b) <= tolerancePpm)
+          if (worstOf(ing, b).exists(_ <= tolerancePpm))
             return (ing.select(col(groupCol),
               expr("(s1 * n) div k").as("sum_est"),
               b.as("rel_err_ppm"), lit("stratified").as("source")),

@@ -172,8 +172,15 @@ object StatsMaintain {
     // makes the remaining crash windows converge on retry (the old
     // summary is re-read, the register merge is idempotent)
     if (statsIfCurrent(s, dir, table).isDefined) return
-    val old = readArtifact(s, dir, table).getOrElse(sys.error(
-      "maintained stats must be built (ensure) before appendMaintain"))
+    require(built(dir, table),
+      "maintained stats must be built (ensure) before appendMaintain")
+    val old = readArtifact(s, dir, table).getOrElse {
+      // built summary but unreadable registers = a crash tore the
+      // registers overwrite mid-write; the repair is a full rebuild
+      // (r15 self-review: the ingest glue replays this path forever
+      // if it throws instead of converging)
+      return reEnsure(s, dir, table)
+    }
     val dtypes = graft.Tables(s, dir, table).schema
       .fields.map(f => f.name -> f.dataType).toMap
     val batchSums = summarize(batch).map(t => t._1 -> t).toMap
@@ -300,8 +307,13 @@ object StatsMaintain {
   // serves only while that matches the live listing.
   // ------------------------------------------------------------------
 
+  // keyprof2: the r15 stage/data/stamp layout is incompatible with the
+  // r14 flat rows/meta one, and a warm host's old-layout artifact must
+  // read as ABSENT (→ clean rebuild), never as torn (→ a crash-looping
+  // require) — the fixture-version discipline applied to the artifact
+  // path (r15 self-review)
   private def keyProfPath(dir: String, table: String, column: String) =
-    s"${maintPath(dir, table)}/keyprof_$column"
+    s"${maintPath(dir, table)}/keyprof2_$column"
   private def grpPath(dir: String, table: String, cols: Seq[String]) =
     s"${maintPath(dir, table)}/grp_${cols.sorted.mkString("__")}"
 

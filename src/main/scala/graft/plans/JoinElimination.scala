@@ -166,19 +166,8 @@ object JoinElimination {
 
   /** Canonical FULL qualified URI (scheme + authority), exactly
     * [[RollupRouting]]'s discipline. */
-  private def canon(p: org.apache.hadoop.fs.Path): String = {
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val u = p.getFileSystem(conf).makeQualified(p).toUri
-    // render authority EXPLICITLY: Hadoop's makeQualified is not
-    // idempotent on it (a bare "/x" qualifies to file:///x with an
-    // EMPTY authority, an already-qualified "file:/x" keeps a NULL
-    // one), so the raw URI rendering differs for one filesystem
-    // location depending on who wrote the path — the r15 catalog
-    // gate caught a registration missing its own lookup this way
-    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-  }
+  private def canon(p: org.apache.hadoop.fs.Path): String =
+    graft.operators.IndexStore.canonUri(p)
 
   def registerTablePath(path: String, dir: String, table: String): Unit = {
     registeredPaths.put(

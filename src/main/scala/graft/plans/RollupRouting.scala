@@ -471,19 +471,8 @@ object RollupRouting {
     * tables at the same path on DIFFERENT filesystems
     * (`s3://a/events` vs `s3://b/events`, hdfs vs file) and route an
     * unrelated table to another corpus' rollups — wrong aggregates. */
-  private def canon(p: org.apache.hadoop.fs.Path): String = {
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val u = p.getFileSystem(conf).makeQualified(p).toUri
-    // render authority EXPLICITLY: Hadoop's makeQualified is not
-    // idempotent on it (a bare "/x" qualifies to file:///x with an
-    // EMPTY authority, an already-qualified "file:/x" keeps a NULL
-    // one), so the raw URI rendering differs for one filesystem
-    // location depending on who wrote the path — the r15 catalog
-    // gate caught a registration missing its own lookup this way
-    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-  }
+  private def canon(p: org.apache.hadoop.fs.Path): String =
+    graft.operators.IndexStore.canonUri(p)
 
   /** Route aggregates over the table at `path` (e.g. a catalog
     * table's location) to the rollups of `dir`. */

@@ -260,7 +260,7 @@ class StatsMaintainSpec extends SparkSpec {
       // swapped in, the meta commit did not land — simulated by
       // regressing the meta to the pre-append stamp and clearing the
       // in-process memos (a real crash loses them anyway)
-      val kp = s"${StatsMaintain.maintPath(dir, "zf")}/keyprof_k"
+      val kp = s"${StatsMaintain.maintPath(dir, "zf")}/keyprof2_k"
       Seq((preFp, 500L, 4096)).toDF("covered", "hot_freq", "track_k")
         .coalesce(1).write.mode("overwrite").parquet(s"$kp/meta")
       StatsMaintain.clearMemosForTest()
