@@ -4526,7 +4526,6 @@ object RelationalQueries {
     import s.implicits._
     val SM = graft.operators.StatsMaintain
     val MI = graft.streaming.MaintainedIngest
-    val IS = graft.operators.IndexStore
     val fix = graft.operators.Steering.ensureSkewFixture(s, dir) + "/stream_maint"
     val rows = Tables(s, dir, "events").select(
       when($"user_id" % 3 === 0, lit(-1L)).otherwise($"event_id").as("k"),
