@@ -213,10 +213,14 @@ object ResultCache {
       // that legacy-junk state (r15 self-review, documented).
       if (!IndexStore.artifactReady(path)) fs.delete(target, true)
       val won = tryCommit()
-      if (!won && IndexStore.artifactReady(path)) { discard(); return false }
-      require(won,
+      // the stage is discarded on EVERY non-winning exit — including
+      // the loud one (r15 review #2: a result-sized stage orphaned
+      // per failed repair would accumulate unbounded junk)
+      if (!won) discard()
+      if (won) true
+      else if (IndexStore.artifactReady(path)) false
+      else sys.error(
         s"result cache: could not commit $path and no committed entry exists")
-      won
     }
   }
 

@@ -310,21 +310,23 @@ object SampledAgg {
       ppms: Seq[Long] = Seq.empty,
       stratifiedK: Option[Int] = None): (DataFrame, String) = {
     require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
+    require(!ReservedServeNames.contains(groupCol),
+      s"groupCol collides with a reserved serving column: $groupCol")
     // 1. cheapest uniform sample meeting the tolerance on its worst
     //    SEEN group
     ppms.sorted.foreach { ppm =>
       sampleIfCurrent(s, dir, table, keyCol, ppm).foreach { sample =>
-        val ks = sample.groupBy(col(groupCol)).agg(count(lit(1)).as("k"))
+        val ks = sample.groupBy(col(groupCol)).agg(count(lit(1)).as("__k"))
         // null-safe: an EMPTY-but-current sample (nothing hashed under
         // ppm) must fall down the ladder, not NPE (r15 self-review)
-        val minK = Option(ks.agg(min(col("k"))).head().get(0))
+        val minK = Option(ks.agg(min(col("__k"))).head().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
         val worst = 2L * M / math.floor(math.sqrt(minK.toDouble)).toLong.max(1L)
         if (minK >= 1 && worst <= tolerancePpm) {
           val source = s"sample_$ppm"
           return (ks.select(col(groupCol),
-            (col("k") * scaleFactor(ppm)).as("n_est"),
-            relErrPpm(col("k")).as("rel_err_ppm"),
+            (col("__k") * scaleFactor(ppm)).as("n_est"),
+            relErrPpm(col("__k")).as("rel_err_ppm"),
             lit(source).as("source")), source)
         }
       }
@@ -372,29 +374,54 @@ object SampledAgg {
         (s1.cast("double") * sqrt(k.cast("double")))).cast("long"))
       .otherwise(lit(1000000L))
 
+  /** Reserved internal/output names — a group column shadowing one
+    * would make the serve frames ambiguous (r15 review: the engine's
+    * own fixtures use a column literally named "k"). */
+  private val ReservedServeNames =
+    Set("__k", "__s1", "__s2", "__mv", "__n", "n_est", "sum_est",
+      "rel_err_ppm", "source")
+
   def serveGroupSums(s: SparkSession, dir: String, table: String,
       keyCol: String, groupCol: String, valueCol: String,
       tolerancePpm: Long, ppms: Seq[Long] = Seq.empty,
       stratifiedK: Option[Int] = None): (DataFrame, String) = {
     require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
+    require(!ReservedServeNames.contains(groupCol),
+      s"groupCol collides with a reserved serving column: $groupCol")
     def v = floor(col(valueCol)).cast("long")
     def ingredients(df: DataFrame) = df
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("k"), sum(v).as("s1"), sum(v * v).as("s2"))
+      .agg(count(lit(1)).as("__k"), sum(v).as("__s1"), sum(v * v).as("__s2"),
+        max(abs(v)).as("__mv"))
     // None on an empty frame (null max) — the ladder falls through
     // instead of NPEing (r15 self-review)
     def worstOf(ing: DataFrame,
         bound: org.apache.spark.sql.Column): Option[Long] =
       Option(ing.agg(max(bound)).head().get(0)).map(_.asInstanceOf[Long])
+    // the documented envelope, ENFORCED (r15 review #2): the variance
+    // ingredients are 64-bit; k²·max(v)² bounds every product in the
+    // bound formula (k·Σv² ≤ k²mv², s1² ≤ k²mv²), so a group outside
+    // it could have silently wrapped — the rung refuses and the
+    // ladder falls down, never serving a fabricated bound
+    def inEnvelope(ing: DataFrame): Boolean = {
+      val r = ing.agg(max(col("__k")), max(col("__mv"))).head()
+      (Option(r.get(0)), Option(r.get(1))) match {
+        case (Some(k), Some(mv)) =>
+          val prod = BigInt(k.asInstanceOf[Long]) * k.asInstanceOf[Long] *
+            BigInt(mv.asInstanceOf[Long]) * mv.asInstanceOf[Long]
+          prod < BigInt(Long.MaxValue)
+        case _ => false // empty frame: nothing to serve from this rung
+      }
+    }
     // 1. cheapest uniform sample whose worst group bound meets it
     ppms.sorted.foreach { ppm =>
       sampleIfCurrent(s, dir, table, keyCol, ppm).foreach { sample =>
         val ing = ingredients(sample)
-        val b = sumBound(col("k"), col("s1"), col("s2"))
-        if (worstOf(ing, b).exists(_ <= tolerancePpm)) {
+        val b = sumBound(col("__k"), col("__s1"), col("__s2"))
+        if (inEnvelope(ing) && worstOf(ing, b).exists(_ <= tolerancePpm)) {
           val source = s"sample_$ppm"
           return (ing.select(col(groupCol),
-            (col("s1") * scaleFactor(ppm)).as("sum_est"),
+            (col("__s1") * scaleFactor(ppm)).as("sum_est"),
             b.as("rel_err_ppm"), lit(source).as("source")), source)
         }
       }
@@ -405,12 +432,13 @@ object SampledAgg {
       stratifiedIfCurrent(s, dir, table, keyCol, groupCol, kk).foreach {
         case (sample, counts) =>
           val ing = ingredients(sample)
-            .join(counts.withColumnRenamed("stratum", groupCol), Seq(groupCol))
-          val b = when(col("k") === col("n"), lit(0L))
-            .otherwise(sumBound(col("k"), col("s1"), col("s2")))
-          if (worstOf(ing, b).exists(_ <= tolerancePpm))
+            .join(counts.select(col("stratum").as(groupCol),
+              col("n").as("__n")), Seq(groupCol))
+          val b = when(col("__k") === col("__n"), lit(0L))
+            .otherwise(sumBound(col("__k"), col("__s1"), col("__s2")))
+          if (inEnvelope(ing) && worstOf(ing, b).exists(_ <= tolerancePpm))
             return (ing.select(col(groupCol),
-              expr("(s1 * n) div k").as("sum_est"),
+              expr("(__s1 * __n) div __k").as("sum_est"),
               b.as("rel_err_ppm"), lit("stratified").as("source")),
               "stratified")
       }

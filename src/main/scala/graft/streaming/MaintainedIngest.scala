@@ -27,8 +27,9 @@ import graft.operators.StatsMaintain
   *    but a replaced partition has new mtimes, which would make an
   *    already-maintained batch look like fresh data to the
   *    fingerprint-keyed maintenance guards;
-  *  - therefore a LANDED MARKER (one FS file, created after the
-  *    partition write commits) records that the partition is
+  *  - therefore a LANDED MARKER (one FS file named by batch id AND
+  *    an order-independent content id, created after the partition
+  *    write commits) records that exactly THIS batch's partition is
   *    complete: a replay that finds the marker SKIPS the rewrite
   *    (listing unchanged), and the maintenance entry guards then
   *    see covered == live and no-op;
@@ -45,36 +46,108 @@ import graft.operators.StatsMaintain
 object MaintainedIngest {
 
   private def tablePath(dir: String, table: String) = s"$dir/$table.parquet"
-  private def markerPath(dir: String, table: String, batchId: Long) =
-    s"$dir/${table}_batches/batch_$batchId"
+
+  /** Order-independent content id of a batch: decimal sum of per-row
+    * hashes (a long sum would ANSI-overflow; decimal(38) holds
+    * billions of 19-digit terms), rendered as a short md5 token.
+    * Exposed for the crash-window specs, which must mint real
+    * markers. */
+  private[streaming] def contentIdOf(batch: DataFrame): String =
+    Option(batch
+      .agg(sum(xxhash64(struct(batch.columns.map(col).toIndexedSeq: _*))
+        .cast("decimal(20,0)")))
+      .head().get(0))
+      .map(d => java.security.MessageDigest.getInstance("MD5")
+        .digest(d.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16))
+      .getOrElse("empty")
 
   /** The foreachBatch body (exposed for replay tests, the
     * StreamingDedup pattern). The FIRST batch bootstraps: with no
     * maintained artifact yet, ensure() builds from the table so far
     * (= exactly this batch); every later batch pays O(batch)
     * maintenance only. See the class scaladoc for the
-    * window-by-window exactly-once argument. */
+    * window-by-window exactly-once argument.
+    *
+    * LINEAGE BREAKS are detected, not assumed away (r15 review #2):
+    * the marker name embeds an order-independent CONTENT ID of the
+    * batch (one xxhash64-sum pass over rows about to be written
+    * anyway), so a stream restarted with a fresh checkpoint — same
+    * batchId, DIFFERENT data — cannot silently skip its write
+    * against the old stream's marker. Same (id, content) → replay,
+    * skip. Same id, different content → the partition is REPLACED
+    * (dynamic overwrite), the old marker retires, and the advisory
+    * artifacts REBUILD from the table (the O(batch) merge would
+    * otherwise double-count against rows that no longer exist) —
+    * a full rescan, paid exactly when the lineage actually broke. */
   def processBatch(batch: DataFrame, batchId: Long, dir: String,
       table: String, profileColumn: Option[String] = None,
       hotFreq: Long = 1000L): Unit = {
     val s = batch.sparkSession
     val withId = batch.withColumn("batch_id", lit(batchId))
-    val marker = new org.apache.hadoop.fs.Path(markerPath(dir, table, batchId))
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    val contentId = contentIdOf(batch)
+    val markerDir = new org.apache.hadoop.fs.Path(s"$dir/${table}_batches")
+    val fs = markerDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(markerDir,
+      s"batch_${batchId}_$contentId")
+    if (fs.exists(marker)) {
+      // exact replay of a landed batch: listing unchanged, the
+      // maintains below no-op on their covered stamps
+      maintain(s, dir, table, withId, profileColumn, hotFreq,
+        lineageBroke = false)
+      return
+    }
+    val priorMarkers =
+      fs.globStatus(new org.apache.hadoop.fs.Path(markerDir,
+        s"batch_${batchId}_*"))
+    val lineageBroke = priorMarkers != null && priorMarkers.nonEmpty
+    // no marker, but the partition may ALREADY hold exactly this
+    // batch (a crash between the write and the marker — or a
+    // pre-content-id commit whose marker name this code no longer
+    // recognizes): content-compare before rewriting, because a
+    // rewrite of identical rows still changes the listing and would
+    // turn the maintenance guards' "covered == live" into a
+    // double-merge. One partition-pruned scan, paid only on the
+    // no-marker path (r15 self-review round 2).
+    var tableExisted = true
+    val existingSame =
+      try {
+        // the read itself throws on a first-ever batch (no table yet)
+        val existing = s.read.parquet(tablePath(dir, table))
+          .where(col("batch_id") === batchId)
+          .select(batch.columns.map(col).toIndexedSeq: _*)
+        contentIdOf(existing) == contentId
+      } catch {
+        case scala.util.control.NonFatal(_) => tableExisted = false; false
+      }
+    if (!existingSame)
       withId.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(tablePath(dir, table))
-      fs.create(marker, true).close()
-    }
+    if (lineageBroke) priorMarkers.foreach(st => fs.delete(st.getPath, false))
+    fs.create(marker, true).close()
+    // a batch that CREATED the table is a lineage start: any surviving
+    // maintained artifact describes a table that no longer exists
+    // (e.g. the table was deleted and re-ingested while the artifact
+    // store kept its path-keyed entry) — rebuild, never merge into it
+    maintain(s, dir, table, withId, profileColumn, hotFreq,
+      lineageBroke || !tableExisted)
+  }
+
+  private def maintain(s: org.apache.spark.sql.SparkSession, dir: String,
+      table: String, withId: DataFrame, profileColumn: Option[String],
+      hotFreq: Long, lineageBroke: Boolean): Unit = {
     // both maintains are idempotent (r15): covered == live no-ops
-    if (StatsMaintain.built(dir, table))
-      StatsMaintain.appendMaintain(s, dir, table, withId)
-    else StatsMaintain.ensure(s, dir, table)
+    if (lineageBroke || !StatsMaintain.built(dir, table))
+      StatsMaintain.ensure(s, dir, table)
+    else StatsMaintain.appendMaintain(s, dir, table, withId)
     profileColumn.foreach { c =>
-      if (StatsMaintain.keyProfileBuilt(dir, table, c))
-        StatsMaintain.appendMaintainKeyProfile(s, dir, table, c, withId)
-      else StatsMaintain.ensureKeyProfileMaint(s, dir, table, c, hotFreq)
+      // ensureKeyProfileMaint rebuilds from a FULL scan whenever the
+      // artifact is not current — which a lineage break guarantees
+      // (the partition rewrite changed the listing)
+      if (lineageBroke || !StatsMaintain.keyProfileBuilt(dir, table, c))
+        StatsMaintain.ensureKeyProfileMaint(s, dir, table, c, hotFreq)
+      else StatsMaintain.appendMaintainKeyProfile(s, dir, table, c, withId)
     }
   }
 

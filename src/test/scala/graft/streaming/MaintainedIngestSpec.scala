@@ -74,8 +74,9 @@ class MaintainedIngestSpec extends SparkSpec {
       batch(100, 5000).withColumn("batch_id", lit(2L))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(s"$dir/ing.parquet")
-      fs.create(new org.apache.hadoop.fs.Path(s"$dir/ing_batches/batch_2"),
-        true).close()
+      val cid2 = MaintainedIngest.contentIdOf(batch(100, 5000))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/ing_batches/batch_2_$cid2"), true).close()
       StatsMaintain.clearMemosForTest()
       MaintainedIngest.processBatch(batch(100, 5000), 2L, dir, "ing",
         Some("k"), hotFreq = 100L)
@@ -95,6 +96,17 @@ class MaintainedIngestSpec extends SparkSpec {
         "the rewrite replaces the partition, never appends a second copy")
       assert(statN() === Some(850L) && profile() === Some(850L),
         "the re-maintained counts equal the single application")
+      // LINEAGE BREAK: a restarted stream reuses batchId 3 with
+      // DIFFERENT data — the content-id marker catches it, the
+      // partition is replaced (not skipped, not appended), and the
+      // advisory artifacts REBUILD instead of merging against rows
+      // that no longer exist
+      MaintainedIngest.processBatch(batch(80, 50000), 3L, dir, "ing",
+        Some("k"), hotFreq = 100L)
+      assert(graft.Tables(spark, dir, "ing").count() === 880L,
+        "the broken-lineage batch replaces its partition (800 + 80)")
+      assert(statN() === Some(880L) && profile() === Some(880L),
+        "a lineage break rebuilds the artifacts from the table")
     }
   }
 }
