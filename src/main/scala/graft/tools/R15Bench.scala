@@ -149,6 +149,40 @@ object R15Bench {
     out("harvest_subtrees_n") =
       CF.harvestSubtrees(spark, threeJoin.queryExecution)
 
+    // ---- D104 semi-join steering (plain vs salted, the r14 inner
+    // receipt's protocol: same JVM, min-of-3 after warm-up per leg) --
+    val sfix = graft.operators.Steering.ensureSkewFixture(spark, dir)
+    SC.ensure(spark, sfix, "skew_fact"); SC.ensure(spark, sfix, "skew_dim")
+    SC.ensureKeyProfile(spark, sfix, "skew_fact", "k", hotFreq = 200L)
+    def semiLeg(): Long = {
+      val f = graft.Tables(spark, sfix, "skew_fact")
+      val d = graft.Tables(spark, sfix, "skew_dim").where($"seg" =!= 3L)
+      f.join(d, f("k") === d("k"), "left_semi").count()
+    }
+    graft.plans.TransparentJoinSteering.disableForTest(spark)
+    out("semi_plain_sec") = { semiLeg(); (1 to 3).map(_ => timed { semiLeg(); () }).min }
+    graft.plans.TransparentJoinSteering.enable(spark,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
+    out("semi_salted_sec") = { semiLeg(); (1 to 3).map(_ => timed { semiLeg(); () }).min }
+    graft.plans.TransparentJoinSteering.disableForTest(spark)
+
+    // ---- D103 maintained ingest: a FIXED 10k-row batch into a table
+    // built from this decade's events — the O(batch) claim is a flat
+    // curve while the table (and its artifacts) grow 100x -----------
+    val MI = graft.streaming.MaintainedIngest
+    val ifix = s"${sys.props("graft.index.dir")}/ingest_bench"
+    val ev = graft.Tables(spark, dir, "events").select(
+      $"event_id", pmod($"user_id", lit(64L)).as("k"), $"value")
+    MI.processBatch(ev, 0L, ifix, "ring", profileColumn = Some("k"),
+      hotFreq = 100L)
+    val smallBatch = ev.where(pmod($"event_id", lit(997L)) === 1L)
+      .withColumn("event_id", $"event_id" + 1000000000L)
+    out("ingest_batch_rows") = smallBatch.count()
+    out("ingest_batch_sec") = timed {
+      MI.processBatch(smallBatch, 1L, ifix, "ring",
+        profileColumn = Some("k"), hotFreq = 100L)
+    }
+
     def jsonVal(v: Any): String = v match {
       case d: Double => f"$d%.3f"
       case s: String => "\"" + s + "\""

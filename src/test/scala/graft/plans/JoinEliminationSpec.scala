@@ -132,4 +132,30 @@ class JoinEliminationSpec extends SparkSpec {
       assert(extra.count() === 6L)
     }
   }
+
+  test("the path registry is authority-idempotent: every URI rendering of one location resolves (r15 canon fix)") {
+    withIndexRoot("graft-canon") {
+      val dir = tmpDir("graft-canon-data")
+      writeTables(dir)
+      // register with the BARE path; look up in every rendering a
+      // relation's rootPaths can carry — Hadoop's makeQualified
+      // renders the authority differently for bare vs pre-qualified
+      // inputs (file:///x vs file:/x), the bug q91 caught: a
+      // registration missing its own lookup
+      JoinElimination.registerTablePath(s"$dir/somewhere_else", dir, "dim")
+      Seq(s"$dir/somewhere_else",        // bare
+          s"file:$dir/somewhere_else",   // null-authority qualified
+          s"file://$dir/somewhere_else") // empty-authority (file:///)
+        .foreach { rendering =>
+          val p = new org.apache.hadoop.fs.Path(rendering)
+          assert(JoinElimination.registeredFor(p).contains((dir, "dim")),
+            s"rendering must resolve: $rendering")
+        }
+      // TableIdentity consumes the registry for non-.parquet roots;
+      // the engine layout resolves directly without registration
+      val enginePath = new org.apache.hadoop.fs.Path(s"$dir/fact.parquet")
+      assert(JoinElimination.registeredFor(enginePath).isEmpty,
+        "unregistered paths resolve nowhere through the registry")
+    }
+  }
 }
