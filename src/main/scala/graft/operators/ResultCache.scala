@@ -59,10 +59,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * final path is only ever created by a rename of a complete stage
   * and is never overwritten in place — with ONE stated legacy
   * exception: repairing a PRE-FIX torn leftover (a state the fixed
-  * writer can no longer create) deletes the junk non-atomically, and
-  * two repairers racing that one state can briefly expose an absent
-  * path between delete and re-commit; loud, never wrong, and
-  * unreachable for entries written by this code. (Two dashboard viewers missing
+  * writer can no longer create) moves the junk ASIDE with one atomic
+  * rename to a `.torn-` sibling (r16 — never a delete: a competitor's
+  * complete entry racing that repair stays intact on disk), and the
+  * repairer's own identical entry re-commits immediately after;
+  * loud at worst for the one atomic op, never wrong, and unreachable
+  * for entries written by this code. (Two dashboard viewers missing
   * simultaneously is the DESIGNED workload of a query-keyed cache,
   * so this is load-bearing, not defensive.) Results are RESULT-sized
   * by assumption — a caller caching a corpus-sized frame gets
@@ -205,13 +207,21 @@ object ResultCache {
       // torn-leftover repair. Post-fix, a torn FINAL path cannot be
       // CREATED (finals appear only by atomic rename of a complete
       // stage), so this leg only ever fires on a pre-fix leftover or
-      // an external mutation. The readiness re-check narrows the
-      // race where a COMPETING repairer commits between our check
-      // and our delete; the residual window (competitor commits
-      // between re-check and delete) is loud-not-wrong — our own
-      // identical entry re-commits right after — and is confined to
-      // that legacy-junk state (r15 self-review, documented).
-      if (!IndexStore.artifactReady(path)) fs.delete(target, true)
+      // an external mutation. The junk is moved ASIDE with one atomic
+      // rename (r16 advice) — never deleted in place: a COMPETING
+      // writer committing its complete entry between our readiness
+      // re-check and the repair now has that entry renamed to a
+      // junk-suffixed sibling (still intact on disk) instead of
+      // destroyed mid-read, and our own identical entry re-commits
+      // immediately after — the loud window shrinks to the one atomic
+      // op. Junk paths are `.torn-` siblings under result_cache, so
+      // the age-based [[sweep]] retires them with the stale entries.
+      if (!IndexStore.artifactReady(path)) {
+        val junk = new org.apache.hadoop.fs.Path(
+          s"$path.torn-${java.util.UUID.randomUUID().toString.take(12)}")
+        try fc.rename(target, junk)
+        catch { case _: java.io.IOException => () } // already gone or taken
+      }
       val won = tryCommit()
       // the stage is discarded on EVERY non-winning exit — including
       // the loud one (r15 review #2: a result-sized stage orphaned

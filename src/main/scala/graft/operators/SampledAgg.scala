@@ -357,9 +357,13 @@ object SampledAgg {
     * exact 64-bit integer aggregate of the sample, the final
     * sqrt/division in IEEE doubles computed identically by both
     * engines from identical integers, floored to ppm (DuckDB replays
-    * the BOUND, not just the estimate). Documented envelope:
-    * k·Σv² must stay below 2⁶³ (holds through the 100× replica;
-    * a corpus with |v| beyond ~10⁶ should band the value first).
+    * the BOUND, not just the estimate). Documented envelope,
+    * ENFORCED: k·Σv² must stay below 2⁶³ (holds through the 100×
+    * replica; a corpus with |v| beyond ~10⁶ should band the value
+    * first), and the STRATIFIED rung additionally requires
+    * k·mv·n < 2⁶³ — its estimate is the scale-up (Σv·n) div k and
+    * n is the unbounded exact stratum count (r16 advice). Outside
+    * either, the rung refuses and the ladder falls down.
     * Non-positive group sums serve the conservative cap 10⁶ ppm.
     * The STRATIFIED leg scales by its exact recorded count (the q89
     * integer formula) with the same variance bound per stratum —
@@ -402,14 +406,26 @@ object SampledAgg {
     // ingredients are 64-bit; k²·max(v)² bounds every product in the
     // bound formula (k·Σv² ≤ k²mv², s1² ≤ k²mv²), so a group outside
     // it could have silently wrapped — the rung refuses and the
-    // ladder falls down, never serving a fabricated bound
-    def inEnvelope(ing: DataFrame): Boolean = {
-      val r = ing.agg(max(col("__k")), max(col("__mv"))).head()
+    // ladder falls down, never serving a fabricated bound.
+    // `withScaleN = true` (the STRATIFIED rung, r16 advice): that
+    // rung's estimate is the SCALE-UP (Σv·n) div k, and n — the exact
+    // full stratum row count — is unbounded by the k²mv² check; since
+    // |Σv| ≤ k·mv, requiring k·mv·maxN < 2⁶³ bounds the long product
+    // Σv·n too, so a ~10¹⁰-row stratum can no longer wrap into a
+    // garbage sum_est served with a small disclosed bound
+    def inEnvelope(ing: DataFrame, withScaleN: Boolean = false): Boolean = {
+      val aggs = Seq(max(col("__k")), max(col("__mv"))) ++
+        (if (withScaleN) Seq(max(col("__n"))) else Nil)
+      val r = ing.agg(aggs.head, aggs.tail: _*).head()
       (Option(r.get(0)), Option(r.get(1))) match {
-        case (Some(k), Some(mv)) =>
-          val prod = BigInt(k.asInstanceOf[Long]) * k.asInstanceOf[Long] *
-            BigInt(mv.asInstanceOf[Long]) * mv.asInstanceOf[Long]
-          prod < BigInt(Long.MaxValue)
+        case (Some(k0), Some(mv0)) =>
+          val k = BigInt(k0.asInstanceOf[Long])
+          val mv = BigInt(mv0.asInstanceOf[Long])
+          val boundOk = k * k * mv * mv < BigInt(Long.MaxValue)
+          val scaleOk = !withScaleN || Option(r.get(2)).exists { n0 =>
+            k * mv * BigInt(n0.asInstanceOf[Long]) < BigInt(Long.MaxValue)
+          }
+          boundOk && scaleOk
         case _ => false // empty frame: nothing to serve from this rung
       }
     }
@@ -436,7 +452,8 @@ object SampledAgg {
               col("n").as("__n")), Seq(groupCol))
           val b = when(col("__k") === col("__n"), lit(0L))
             .otherwise(sumBound(col("__k"), col("__s1"), col("__s2")))
-          if (inEnvelope(ing) && worstOf(ing, b).exists(_ <= tolerancePpm))
+          if (inEnvelope(ing, withScaleN = true) &&
+              worstOf(ing, b).exists(_ <= tolerancePpm))
             return (ing.select(col(groupCol),
               expr("(__s1 * __n) div __k").as("sum_est"),
               b.as("rel_err_ppm"), lit("stratified").as("source")),

@@ -153,6 +153,25 @@ object StatsMaintain {
   def keyProfileBuilt(dir: String, table: String, column: String): Boolean =
     IndexStore.artifactReady(s"${keyProfPath(dir, table, column)}/meta")
 
+  /** Drop EVERY maintained artifact of (dir, table) — column stats,
+    * key profiles, column groups, MCV lists (they all live under
+    * [[maintPath]]). The LINEAGE-BREAK tombstone (r16 advice): an
+    * ingest that replaced rows must make the break DURABLE before it
+    * transitions its markers, so that any crash-replay state finds
+    * the artifacts absent and REBUILDS — an O(batch) merge into
+    * artifacts still carrying the replaced rows' contributions would
+    * be wrong advisory stats stamped current. Idempotent; also clears
+    * the plan-time memos so a same-process replay cannot serve the
+    * dropped state. */
+  def dropMaintained(dir: String, table: String): Unit = {
+    val (fs, p) = IndexStore.fsOf(maintPath(dir, table))
+    fs.delete(p, true)
+    val prefix = maintPath(dir, table)
+    statsMemo.keySet.removeIf(_.startsWith(prefix))
+    keyProfMemo.keySet.removeIf(_.startsWith(prefix))
+    grpMemo.keySet.removeIf(_.startsWith(prefix))
+  }
+
   /** Full rebuild — the repair path for a stale or torn artifact. */
   def reEnsure(s: SparkSession, dir: String, table: String): Unit = {
     val df = graft.Tables(s, dir, table)

@@ -124,14 +124,22 @@ object MaintainedIngest {
       withId.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(tablePath(dir, table))
-    if (lineageBroke) priorMarkers.foreach(st => fs.delete(st.getPath, false))
-    fs.create(marker, true).close()
     // a batch that CREATED the table is a lineage start: any surviving
     // maintained artifact describes a table that no longer exists
     // (e.g. the table was deleted and re-ingested while the artifact
     // store kept its path-keyed entry) — rebuild, never merge into it
-    maintain(s, dir, table, withId, profileColumn, hotFreq,
-      lineageBroke || !tableExisted)
+    val mustRebuild = lineageBroke || !tableExisted
+    // make the break DURABLE before the marker transition (r16
+    // advice): tombstone the maintained artifacts FIRST, so a crash
+    // after the old-marker delete (or after the new-marker create)
+    // but before the rebuild leaves a replay that finds them ABSENT
+    // and rebuilds — never an exact-replay path that O(batch)-merges
+    // the new batch into artifacts still carrying the replaced rows'
+    // contributions and stamps them current
+    if (mustRebuild) StatsMaintain.dropMaintained(dir, table)
+    if (lineageBroke) priorMarkers.foreach(st => fs.delete(st.getPath, false))
+    fs.create(marker, true).close()
+    maintain(s, dir, table, withId, profileColumn, hotFreq, mustRebuild)
   }
 
   private def maintain(s: org.apache.spark.sql.SparkSession, dir: String,

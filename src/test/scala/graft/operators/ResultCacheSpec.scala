@@ -127,6 +127,14 @@ class ResultCacheSpec extends SparkSpec {
       fs.mkdirs(new org.apache.hadoop.fs.Path(torn, "junk"))
       assert(ResultCache.writeEntry(shape, torn), "torn junk is cleared and the commit lands")
       assert(IndexStore.artifactReady(torn))
+      // the junk is moved ASIDE atomically (r16 advice), never deleted
+      // in place: a competitor's complete entry racing the repair
+      // stays intact on disk, retired later by the age-based sweep
+      val aside = fs.listStatus(root)
+        .filter(_.getPath.getName.startsWith("torn_entry.torn-"))
+      assert(aside.length === 1, "exactly one junk-aside path")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(aside.head.getPath, "junk")),
+        "the moved-aside junk keeps its contents")
     }
   }
 

@@ -245,4 +245,35 @@ class SampledAggSpec extends SparkSpec {
         "the stratified sum bound holds with slack")
     }
   }
+
+  test("stratified scale-up envelope: a stratum count that would wrap sum_est refuses the rung (r16 advice)") {
+    withIndexRoot("graft-aqp-envelope") {
+      val dir = tmpDir("graft-aqp-envelope-data")
+      // constant value -> variance 0, bound 0: only the SCALE-UP
+      // product (s1 * n) can go wrong, which is exactly the hole the
+      // old k²mv² check left open
+      (1L to 1000L).map(i => (i, 0L, 500000.0)).toDF("key", "g", "value")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      SampledAgg.ensureStratifiedSample(spark, dir, "t", "key", "g", 100)
+      // control: with the TRUE stratum count the rung serves
+      val (_, okSrc) = SampledAgg.serveGroupSums(spark, dir, "t",
+        "key", "g", "value", tolerancePpm = 1000000L,
+        stratifiedK = Some(100))
+      assert(okSrc === "stratified", "sane counts serve from the rung")
+      // forge a ~10¹²-row stratum count carrying the LIVE covered
+      // stamp (the state a genuinely huge corpus would produce):
+      // k·mv·n = 100 · 5e5 · 1e12 = 5e19 > 2⁶³ — the long product
+      // s1·n would wrap and serve garbage under a 0-ppm bound
+      val covered = IndexStore.fingerprint(dir, "t")
+      Seq((0L, 1000000000000L, covered)).toDF("stratum", "n", "covered")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${SampledAgg.stratSamplePath(dir, "t", "key", "g", 100)}/counts")
+      val (floor, src) = SampledAgg.serveGroupSums(spark, dir, "t",
+        "key", "g", "value", tolerancePpm = 1000000L,
+        stratifiedK = Some(100))
+      assert(src === "exact",
+        "a stratum outside the scale-up envelope must fall down the ladder, never serve a wrapped estimate")
+      assert(floor.collect().forall(_.getAs[Long]("rel_err_ppm") == 0L))
+    }
+  }
 }

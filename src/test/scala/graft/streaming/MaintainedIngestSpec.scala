@@ -109,4 +109,57 @@ class MaintainedIngestSpec extends SparkSpec {
         "a lineage break rebuilds the artifacts from the table")
     }
   }
+
+  test("a crash INSIDE a lineage break converges: the tombstone precedes the marker transition (r16 advice)") {
+    withIndexRoot("graft-ingest-break") {
+      val dir = tmpDir("graft-ingest-break-data")
+      def batch(n: Long, off: Long) =
+        (1L to n).map(i => (7L, off + i, 1.0)).toDF("k", "sid", "v")
+      MaintainedIngest.processBatch(batch(500, 0), 0L, dir, "ing",
+        Some("k"), hotFreq = 100L)
+      MaintainedIngest.processBatch(batch(200, 1000), 1L, dir, "ing",
+        Some("k"), hotFreq = 100L)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def statN() = StatsMaintain.statsIfCurrent(spark, dir, "ing").map(_("k").n)
+      def profN() =
+        StatsMaintain.keyProfileIfCurrent(spark, dir, "ing", "k").map(_._2)
+      // WINDOW 1 (the r16 advice's wrong window): a restarted stream
+      // reuses batchId 1 with DIFFERENT data and crashes right before
+      // the maintain — the fixed writer has by then (a) replaced the
+      // partition, (b) TOMBSTONED the artifacts, (c) retired the old
+      // marker, (d) created the new one. The replay takes the
+      // exact-replay path (marker matches) but finds the artifacts
+      // ABSENT and rebuilds — never an O(batch) merge into stats
+      // still counting the replaced 200 rows (which would serve 790).
+      val b1b = batch(90, 70000)
+      b1b.withColumn("batch_id", lit(1L)).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/ing.parquet")
+      StatsMaintain.dropMaintained(dir, "ing")
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/ing_batches/batch_1_*"))
+        .foreach(st => fs.delete(st.getPath, false))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/ing_batches/batch_1_${MaintainedIngest.contentIdOf(b1b)}"),
+        true).close()
+      StatsMaintain.clearMemosForTest()
+      MaintainedIngest.processBatch(b1b, 1L, dir, "ing", Some("k"), hotFreq = 100L)
+      assert(graft.Tables(spark, dir, "ing").count() === 590L)
+      assert(statN() === Some(590L) && profN() === Some(590L),
+        "the replay must rebuild from the table; a merge over the stale artifact would have stamped 790 current")
+      // WINDOW 2: crash after the tombstone but BEFORE the old-marker
+      // retire — the replay re-detects the break from the marker
+      // mismatch, skips the (identical) rewrite, and rebuilds
+      val b1c = batch(40, 90000)
+      b1c.withColumn("batch_id", lit(1L)).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/ing.parquet")
+      StatsMaintain.dropMaintained(dir, "ing")
+      StatsMaintain.clearMemosForTest()
+      MaintainedIngest.processBatch(b1c, 1L, dir, "ing", Some("k"), hotFreq = 100L)
+      assert(graft.Tables(spark, dir, "ing").count() === 540L)
+      assert(statN() === Some(540L) && profN() === Some(540L),
+        "a half-finished break converges on replay")
+    }
+  }
 }
