@@ -361,8 +361,10 @@ object StatsCatalog {
           // MCV tier (opt-in): the list's top frequency is an exact
           // max-frequency LOWER bound for the column — a key the
           // bound calls hot IS hot (the maintained profile's own
-          // lower-bound argument)
+          // lower-bound argument); the O(batch)-MAINTAINED list
+          // (D105) serves when the exact one went stale under appends
           if (useMcv) mcvIfReady(s, d, t, key)
+            .orElse(StatsMaintain.mcvMaintIfCurrent(s, d, t, key))
             .flatMap(_.headOption).map(_._2.toDouble)
           else None).orElse(
           statsIfReady(s, d, t).flatMap(_.get(key)).map(_.avgFreq)

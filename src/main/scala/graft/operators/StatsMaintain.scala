@@ -170,6 +170,7 @@ object StatsMaintain {
     statsMemo.keySet.removeIf(_.startsWith(prefix))
     keyProfMemo.keySet.removeIf(_.startsWith(prefix))
     grpMemo.keySet.removeIf(_.startsWith(prefix))
+    mcvMemo.keySet.removeIf(_.startsWith(prefix))
   }
 
   /** Full rebuild — the repair path for a stale or torn artifact. */
@@ -466,6 +467,147 @@ object StatsMaintain {
       (hot, rows.headOption.map(_.getAs[Long]("freq")).getOrElse(0L))
     }
 
+  // ------------------------------------------------------------------
+  // MAINTAINED MCV LISTS (D105) — O(batch) freshness for the D92
+  // most-common-value statistics, the r15 verdict's #1: the LEARNED
+  // TIERS (D99) read [[StatsCatalog.mcvIfReady]], which is exact-
+  // listing-keyed — one appended file stales it and the steering /
+  // ordering tier silently reverts to uniform until a full
+  // re-ANALYZE. Same space-saving top-K algebra as the maintained
+  // key profile, applied to VALUES instead of join keys: an append
+  // sums the batch's per-value counts into the tracked set and
+  // re-takes the top trackK. A tracked count is a LOWER bound for
+  // values that ever left the set — fine for BOTH consumers: the
+  // estimator's MCV-hit equality under-corrects toward uniform
+  // (never fabricates skew), and a value the bound calls hot IS hot
+  // (the dispatch's salt-set argument). The serve face returns the
+  // top `k` (baked at build — the exact MCV's contract) ranked
+  // (freq DESC, value ASC), shaped exactly like mcvIfReady so every
+  // consumer composes by orElse. Same currency contract and the
+  // keyprof2 stage/data/stamp crash discipline.
+  // ------------------------------------------------------------------
+
+  private def mcvMaintPath(dir: String, table: String, column: String) =
+    s"${maintPath(dir, table)}/mcv_$column"
+
+  /** [[built]] for the maintained MCV list. */
+  def mcvMaintBuilt(dir: String, table: String, column: String): Boolean =
+    IndexStore.artifactReady(s"${mcvMaintPath(dir, table, column)}/meta")
+
+  /** Build the maintained MCV list from one full groupBy pass: track
+    * the top `trackK` values by count (ties by value ASC), serve the
+    * top `k`. Idempotent while current. */
+  def ensureMcvMaint(s: SparkSession, dir: String, table: String,
+      column: String, k: Int = 32, trackK: Int = 4096): Unit = {
+    require(k > 0 && trackK >= k, s"need trackK >= k > 0, got k=$k trackK=$trackK")
+    if (mcvMaintReadIfCurrent(s, dir, table, column).isDefined) return
+    val counts = graft.Tables(s, dir, table)
+      .where(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("value"))
+      .agg(count(lit(1)).as("freq"))
+    writeMcvMaint(s, dir, table, column, counts, k, trackK)
+  }
+
+  /** Commit one maintained-MCV state — the [[writeKeyProf]] crash
+    * discipline verbatim: rows + the covered stamp they were computed
+    * for stage TOGETHER and land in ONE swap, the meta (knobs +
+    * stamp, the SERVE point) last, so a retry can always discriminate
+    * "merged already" from "not yet". */
+  private def writeMcvMaint(s: SparkSession, dir: String, table: String,
+      column: String, counts: DataFrame, k: Int, trackK: Int): Unit = {
+    import s.implicits._
+    val p = mcvMaintPath(dir, table, column)
+    val (fs, _) = IndexStore.fsOf(p)
+    val covered = IndexStore.fingerprint(dir, table)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/stage"), true)
+    counts
+      .orderBy(col("freq").desc, col("value"))
+      .limit(trackK)
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/rows")
+    Seq(covered).toDF("covered")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/stamp")
+    IndexStore.stageSwap(fs, s"$p/stage", s"$p/data")
+    writeMcvMaintMeta(s, p, covered, k, trackK)
+  }
+
+  private def writeMcvMaintMeta(s: SparkSession, p: String, covered: String,
+      k: Int, trackK: Int): Unit = {
+    import s.implicits._
+    Seq((covered, k, trackK)).toDF("covered", "k", "track_k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
+  }
+
+  /** O(batch) MCV maintenance, IDEMPOTENT under retries and
+    * crash-convergent (the [[appendMaintainKeyProfile]] argument,
+    * value-grained): the caller appended `batch`'s rows ALREADY; this
+    * sums the batch's per-value counts into the tracked set and
+    * re-takes the top trackK — the batch is the only data scanned;
+    * the old rows are a ≤trackK-row kilobyte frame. */
+  def appendMaintainMcv(s: SparkSession, dir: String, table: String,
+      column: String, batch: DataFrame): Unit = {
+    import s.implicits._
+    if (mcvMaintReadIfCurrent(s, dir, table, column).isDefined) return
+    val path = mcvMaintPath(dir, table, column)
+    require(IndexStore.artifactReady(s"$path/meta"),
+      "maintained MCV must be built (ensureMcvMaint) before appendMaintainMcv")
+    val (fs, _) = IndexStore.fsOf(path)
+    IndexStore.recoverSwap(fs, s"$path/stage", s"$path/data",
+      readySubs = Seq("rows", "stamp"))
+    require(IndexStore.artifactReady(s"$path/data/rows") &&
+        IndexStore.artifactReady(s"$path/data/stamp"),
+      "torn maintained MCV: rebuild with ensureMcvMaint")
+    val meta = s.read.parquet(s"$path/meta").head()
+    val (k, trackK) = (meta.getAs[Int]("k"), meta.getAs[Int]("track_k"))
+    val live = IndexStore.fingerprint(dir, table)
+    val dataStamp = s.read.parquet(s"$path/data/stamp").head().getString(0)
+    if (dataStamp == live) {
+      // crash window: rows committed for this listing, meta (the
+      // serve point) did not land — re-commit the meta, merge nothing
+      writeMcvMaintMeta(s, path, live, k, trackK)
+      return
+    }
+    val old = s.read.parquet(s"$path/data/rows")
+      .select(col("value"), col("freq")).as[(String, Long)].collect().toSeq
+    val merged = batch
+      .where(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("value"))
+      .agg(count(lit(1)).as("freq"))
+      .union(old.toDF("value", "freq"))
+      .groupBy(col("value")).agg(sum(col("freq")).as("freq"))
+    writeMcvMaint(s, dir, table, column, merged, k, trackK)
+  }
+
+  private def mcvMaintReadIfCurrent(s: SparkSession, dir: String,
+      table: String, column: String): Option[(Int, Seq[(String, Long)])] = {
+    val path = mcvMaintPath(dir, table, column)
+    if (!IndexStore.artifactReady(s"$path/meta") ||
+        !IndexStore.artifactReady(s"$path/data/rows")) return None
+    val live = IndexStore.fingerprint(dir, table)
+    val cached = mcvMemo.get(path)
+    if (cached != null && cached._1 == live) return Some(cached._2)
+    val meta = s.read.parquet(s"$path/meta").head()
+    if (meta.getAs[String]("covered") != live) None
+    else {
+      val rows = s.read.parquet(s"$path/data/rows")
+        .orderBy(col("freq").desc, col("value")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val v = (meta.getAs[Int]("k"), rows)
+      mcvMemo.put(path, (live, v))
+      Some(v)
+    }
+  }
+
+  /** Serving face, shaped like [[StatsCatalog.mcvIfReady]]: the top
+    * `k` (value, freq) pairs ranked (freq DESC, value ASC) while the
+    * artifact covers the live listing; None otherwise. Frequencies
+    * are LOWER bounds for values that ever left the tracked set (see
+    * the block comment) — advisory-exact for both consumers. */
+  def mcvMaintIfCurrent(s: SparkSession, dir: String, table: String,
+      column: String): Option[Seq[(String, Long)]] =
+    mcvMaintReadIfCurrent(s, dir, table, column).map { case (k, rows) =>
+      rows.take(k)
+    }
+
   /** Null-sentineled deterministic tuple rendering — the column-group
     * register hash input. concat_ws alone would collide (null, "x")
     * with ("x", null); the sentinel keeps the rendering injective on
@@ -584,7 +726,7 @@ object StatsMaintain {
   /** Test seam: a cold (post-crash) process has empty memos — the
     * crash-window specs model one by clearing them. */
   private[graft] def clearMemosForTest(): Unit = {
-    statsMemo.clear(); keyProfMemo.clear(); grpMemo.clear()
+    statsMemo.clear(); keyProfMemo.clear(); grpMemo.clear(); mcvMemo.clear()
   }
 
   private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -593,6 +735,8 @@ object StatsMaintain {
     String, (String, (Long, Seq[Row]))]()
   private val grpMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, StatsCatalog.GroupStats)]()
+  private val mcvMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Int, Seq[(String, Long)]))]()
 
   /** The serving face: Some only while the artifact is intact AND
     * covers exactly the table's LIVE listing — an appended-but-not-

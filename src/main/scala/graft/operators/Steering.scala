@@ -434,4 +434,43 @@ object Steering {
     }
     fix
   }
+
+  /** The q98 MAINTAINED-MCV FIXTURE (D105): the q94 derivation
+    * rebuilt as a base build (user_id ≢ 2 mod 5) plus an APPENDED
+    * slice, with the column stats and the MCV list maintained at
+    * O(batch) across the append. No key profile — exact or
+    * maintained — is ever built, and no exact artifact can survive
+    * the append (both are fingerprint-keyed): the learned tier's
+    * skew diagnosis AND salt set must come entirely from the
+    * maintained MCV. Base ∪ slice ≡ the full derived fact, so the
+    * DuckDB oracle replays the q94 derivation from raw events.
+    * Idempotent per events fingerprint. */
+  def ensureMaintainedMcvFixture(s: SparkSession, dir: String): String = {
+    val fix = s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/steer_mcv_maint_fixture"
+    val T = "mcvm_fact"
+    if (StatsMaintain.statsIfCurrent(s, fix, T).isEmpty ||
+        StatsMaintain.mcvMaintIfCurrent(s, fix, T, "k").isEmpty ||
+        !IndexStore.artifactReady(s"$fix/mcvm_dim.parquet")) {
+      val (tfs, tp) = IndexStore.fsOf(s"$fix/$T.parquet")
+      tfs.delete(tp, true)
+      val (afs, ap) = IndexStore.fsOf(StatsMaintain.maintPath(fix, T))
+      afs.delete(ap, true)
+      val ev = graft.Tables(s, dir, "events")
+      val fact = ev.select(
+        when(col("user_id") % 4 === 0, lit(-7L))
+          .otherwise(col("event_id")).as("k"),
+        col("event_id"), col("value"))
+      val isSlice = pmod(col("user_id"), lit(5L)) === 2L
+      fact.where(!isSlice).write.mode("overwrite").parquet(s"$fix/$T.parquet")
+      StatsMaintain.ensure(s, fix, T)
+      StatsMaintain.ensureMcvMaint(s, fix, T, "k")
+      fact.where(isSlice).write.mode("append").parquet(s"$fix/$T.parquet")
+      StatsMaintain.appendMaintain(s, fix, T, fact.where(isSlice))
+      StatsMaintain.appendMaintainMcv(s, fix, T, "k", fact.where(isSlice))
+      fact.select(col("k")).distinct()
+        .withColumn("seg", pmod(col("k"), lit(11L)))
+        .write.mode("overwrite").parquet(s"$fix/mcvm_dim.parquet")
+    }
+    fix
+  }
 }

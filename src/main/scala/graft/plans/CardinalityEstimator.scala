@@ -164,7 +164,13 @@ object CardinalityEstimator {
     else for {
       (dir, table) <- src.get(a.exprId)
       st <- env.get(a.exprId)
+      // the O(batch)-maintained list (D105) serves when the exact
+      // artifact went stale under appends — frequencies are lower
+      // bounds there, so a hit under-corrects toward uniform, never
+      // fabricates skew
       m <- StatsCatalog.mcvIfReady(s, dir, table, st.column)
+        .orElse(graft.operators.StatsMaintain
+          .mcvMaintIfCurrent(s, dir, table, st.column))
     } yield m
 
   /** The MCV equality algebra (PostgreSQL's eqsel over

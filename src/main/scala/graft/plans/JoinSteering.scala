@@ -114,7 +114,10 @@ class TransparentJoinSteeringRule(
 
   /** Current hot-key list for (dir, table, column): the exact
     * fingerprint-keyed profile first, else the maintained tier, else
-    * (mcv tier only) the MCV values at or above `skewAvgFreq`. */
+    * (mcv tier only) the MCV values at or above `skewAvgFreq` — from
+    * the exact list, else the O(batch)-maintained one (D105: the
+    * learned tier survives appends; its frequencies are lower bounds,
+    * so a value it calls hot IS hot). */
   private def hotKeysFor(dir: String, table: String,
       column: String): Option[Seq[String]] =
     StatsCatalog.keyProfile(spark, dir, table, column).map(_._1)
@@ -122,6 +125,7 @@ class TransparentJoinSteeringRule(
         .map(_._1))
       .orElse(
         if (mcvTier()) StatsCatalog.mcvIfReady(spark, dir, table, column)
+          .orElse(StatsMaintain.mcvMaintIfCurrent(spark, dir, table, column))
           .map(_.filter(_._2 >= skewAvgFreq).map(_._1))
         else None)
       .filter(_.nonEmpty)
@@ -231,9 +235,16 @@ class TransparentJoinSteeringRule(
         if pairs.forall { case (pa, pb) =>
           lRel.output.exists(_.exprId == pa.exprId) &&
             rRel.output.exists(_.exprId == pb.exprId) }
-        // the discipline: no steering without ANALYZE evidence
-        if StatsCatalog.statsIfReady(spark, lDir, lTable).isDefined
-        if StatsCatalog.statsIfReady(spark, rDir, rTable).isDefined
+        // the discipline: no steering without evidence — an exact
+        // ANALYZE of the live listing, or (r16, the D103 composition)
+        // the O(batch)-MAINTAINED stats covering it: a table under
+        // streaming ingest keeps advisory currency without a corpus
+        // scan per batch, and every consumer below (file bytes,
+        // profiles, MCV, advice) reads its own current tier anyway
+        if StatsCatalog.statsIfReady(spark, lDir, lTable).isDefined ||
+          StatsMaintain.statsIfCurrent(spark, lDir, lTable).isDefined
+        if StatsCatalog.statsIfReady(spark, rDir, rTable).isDefined ||
+          StatsMaintain.statsIfCurrent(spark, rDir, rTable).isDefined
         out <- StatsCatalog.adviseJoinSides(spark,
           lDir, lTable, a.name, rDir, rTable, b.name,
           broadcastBytes, skewAvgFreq, useMcv = mcvTier()) match {

@@ -4611,6 +4611,67 @@ object RelationalQueries {
     } finally graft.plans.TransparentJoinSteering.disableForTest(s)
   }
 
+  /** q98 — O(batch)-MAINTAINED MCV LISTS FEED THE LEARNED TIER
+    * ([[graft.operators.StatsMaintain.appendMaintainMcv]], D105):
+    * the r15 verdict's #1 — D99's learned steering tier read the
+    * exact-listing-keyed MCV artifact, so ONE appended file staled
+    * it and the tier silently reverted to uniform until a full
+    * re-ANALYZE. The fixture appends a slice and maintains the MCV
+    * list (and the column stats) at O(batch); the gate then
+    * require()-pins that no exact artifact survived the append (the
+    * skew diagnosis and the salt set can only have come from the
+    * MAINTAINED tier) and that the transparent rule still salts the
+    * hot key. The oracle replays the plain join — the maintained
+    * dispatch is result-invisible. */
+  val q98MaintainedMcvSteering: GraftQuery = q(
+    "q98_maintained_mcv_steering",
+    "the O(batch)-maintained MCV list keeps the learned steering tier firing after an append that stales every exact artifact; oracle replays the plain join",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 4 = 0 THEN -7 ELSE event_id END AS k,
+      |         event_id, value
+      |  FROM events),
+      |d AS (SELECT DISTINCT k FROM f),
+      |dd AS (SELECT k, ((k % 11) + 11) % 11 AS seg FROM d)
+      |SELECT dd.seg, count(*) AS n,
+      |       CAST(sum(CAST(floor(f.value) AS BIGINT)) AS BIGINT) AS v_fp
+      |FROM f JOIN dd ON f.k = dd.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    val SM = graft.operators.StatsMaintain
+    val fix = graft.operators.Steering.ensureMaintainedMcvFixture(s, dir)
+    SC.ensure(s, fix, "mcvm_dim")
+    require(SC.statsIfReady(s, fix, "mcvm_fact").isEmpty &&
+        SC.mcvIfReady(s, fix, "mcvm_fact", "k").isEmpty,
+      "no exact fact artifact may survive the append — the maintained tier must carry alone")
+    require(SM.mcvMaintIfCurrent(s, fix, "mcvm_fact", "k")
+        .exists(_.headOption.exists(_._1 == "-7")),
+      "the maintained MCV list must rank the hot value first")
+    graft.plans.TransparentJoinSteering.enable(s,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
+    val prev = s.conf.getOption("spark.graft.steering.tiers")
+    try {
+      s.conf.set("spark.graft.steering.tiers", "mcv")
+      val fact = Tables(s, fix, "mcvm_fact")
+      val dim = Tables(s, fix, "mcvm_dim")
+      val served = fact.join(dim, fact("k") === dim("k"))
+        .groupBy(dim("seg").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value").cast("long")).as("v_fp"))
+        .orderBy($"seg")
+      require(served.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+        "the maintained MCV tier must diagnose the skew and salt the hot key across the append")
+      served
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.graft.steering.tiers", v)
+        case None => s.conf.unset("spark.graft.steering.tiers")
+      }
+      graft.plans.TransparentJoinSteering.disableForTest(s)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4638,5 +4699,6 @@ object RelationalQueries {
     q86CardinalityFeedback, q87TransparentOrdering, q88SampledAgg,
     q89StratifiedSample, q90LearnedOrdering, q91CatalogSteering,
     q92CompositeSteering, q93ToleranceServing, q94McvSteering,
-    q95ToleranceSums, q96StreamingMaintained, q97SemiAntiSteering)
+    q95ToleranceSums, q96StreamingMaintained, q97SemiAntiSteering,
+    q98MaintainedMcvSteering)
 }

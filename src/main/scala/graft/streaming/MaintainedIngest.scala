@@ -82,7 +82,7 @@ object MaintainedIngest {
     * a full rescan, paid exactly when the lineage actually broke. */
   def processBatch(batch: DataFrame, batchId: Long, dir: String,
       table: String, profileColumn: Option[String] = None,
-      hotFreq: Long = 1000L): Unit = {
+      hotFreq: Long = 1000L, mcvColumns: Seq[String] = Nil): Unit = {
     val s = batch.sparkSession
     val withId = batch.withColumn("batch_id", lit(batchId))
     val contentId = contentIdOf(batch)
@@ -93,7 +93,7 @@ object MaintainedIngest {
     if (fs.exists(marker)) {
       // exact replay of a landed batch: listing unchanged, the
       // maintains below no-op on their covered stamps
-      maintain(s, dir, table, withId, profileColumn, hotFreq,
+      maintain(s, dir, table, withId, profileColumn, hotFreq, mcvColumns,
         lineageBroke = false)
       return
     }
@@ -139,13 +139,14 @@ object MaintainedIngest {
     if (mustRebuild) StatsMaintain.dropMaintained(dir, table)
     if (lineageBroke) priorMarkers.foreach(st => fs.delete(st.getPath, false))
     fs.create(marker, true).close()
-    maintain(s, dir, table, withId, profileColumn, hotFreq, mustRebuild)
+    maintain(s, dir, table, withId, profileColumn, hotFreq, mcvColumns,
+      mustRebuild)
   }
 
   private def maintain(s: org.apache.spark.sql.SparkSession, dir: String,
       table: String, withId: DataFrame, profileColumn: Option[String],
-      hotFreq: Long, lineageBroke: Boolean): Unit = {
-    // both maintains are idempotent (r15): covered == live no-ops
+      hotFreq: Long, mcvColumns: Seq[String], lineageBroke: Boolean): Unit = {
+    // every maintain is idempotent (r15): covered == live no-ops
     if (lineageBroke || !StatsMaintain.built(dir, table))
       StatsMaintain.ensure(s, dir, table)
     else StatsMaintain.appendMaintain(s, dir, table, withId)
@@ -157,18 +158,27 @@ object MaintainedIngest {
         StatsMaintain.ensureKeyProfileMaint(s, dir, table, c, hotFreq)
       else StatsMaintain.appendMaintainKeyProfile(s, dir, table, c, withId)
     }
+    // the maintained MCV lists (D105, r16): the learned steering /
+    // ordering tiers keep firing across micro-batches with zero
+    // full rescans after each column's bootstrap
+    mcvColumns.foreach { c =>
+      if (lineageBroke || !StatsMaintain.mcvMaintBuilt(dir, table, c))
+        StatsMaintain.ensureMcvMaint(s, dir, table, c)
+      else StatsMaintain.appendMaintainMcv(s, dir, table, c, withId)
+    }
   }
 
   /** Wire a stream through the maintained ingest. */
   def run(rows: DataFrame, dir: String, table: String,
       checkpoint: String, profileColumn: Option[String] = None,
-      hotFreq: Long = 1000L,
+      hotFreq: Long = 1000L, mcvColumns: Seq[String] = Nil,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     rows.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, dir, table, profileColumn, hotFreq)
+        processBatch(batch, batchId, dir, table, profileColumn, hotFreq,
+          mcvColumns)
       }
       .start()
 }

@@ -238,6 +238,70 @@ class StatsMaintainSpec extends SparkSpec {
     }
   }
 
+  test("the maintained MCV list merges additively, drives the learned tiers after an append, and is crash-convergent") {
+    withIndexRoot("graft-maint-mcv") {
+      val dir = tmpDir("graft-maint-mcv-data")
+      // zipfian: value 7 owns 1500 of 3000 base rows; 30-key tail
+      val baseRows = (1L to 1500L).map(i => (i % 30 + 100L, i, i % 9)) ++
+        (1L to 1500L).map(i => (7L, 50000L + i, 1L))
+      baseRows.toDF("k", "sid", "v")
+        .write.mode("overwrite").parquet(s"$dir/zf.parquet")
+      (1L to 150L).map(i => (i, s"d$i")).toDF("k", "dname")
+        .write.mode("overwrite").parquet(s"$dir/zd.parquet")
+      StatsMaintain.ensureMcvMaint(spark, dir, "zf", "k", k = 8)
+      val m0 = StatsMaintain.mcvMaintIfCurrent(spark, dir, "zf", "k")
+        .getOrElse(fail("a fresh maintained list must serve"))
+      assert(m0.head === (("7", 1500L)) && m0.size === 8)
+      // on an unappended table the maintained list IS the exact list
+      // (same ranking contract: freq DESC, value ASC, top k)
+      StatsCatalog.ensureMcv(spark, dir, "zf", "k", k = 8)
+      assert(StatsCatalog.mcvIfReady(spark, dir, "zf", "k").contains(m0))
+      val preFp = IndexStore.fingerprint(dir, "zf")
+      val batch = (1L to 600L).map(i => (7L, 90000L + i, 2L)).toDF("k", "sid", "v")
+      batch.write.mode("append").parquet(s"$dir/zf.parquet")
+      assert(StatsMaintain.mcvMaintIfCurrent(spark, dir, "zf", "k").isEmpty,
+        "appended-but-unmaintained must fail closed")
+      StatsMaintain.appendMaintainMcv(spark, dir, "zf", "k", batch)
+      val m1 = StatsMaintain.mcvMaintIfCurrent(spark, dir, "zf", "k")
+        .getOrElse(fail("must serve after maintenance"))
+      assert(m1.head === (("7", 2100L)),
+        "tracked hot count = base + batch, exactly")
+      // the EXACT list is stale — the useMcv advice must now ride the
+      // maintained one: skew diagnosed at the merged frequency
+      assert(StatsCatalog.mcvIfReady(spark, dir, "zf", "k").isEmpty)
+      StatsCatalog.adviseJoinSides(spark, dir, "zf", "k", dir, "zd", "k",
+        broadcastBytes = 0L, skewAvgFreq = 64.0, useMcv = true) match {
+        case StatsCatalog.SaltedShuffle(f) => assert(f === 2100.0)
+        case other => fail(s"the maintained MCV must diagnose skew, got $other")
+      }
+      // the ESTIMATOR's MCV tier rides it too: the hot-value equality
+      // estimates at the merged frequency, not the uniform 1/ndv
+      StatsMaintain.ensure(spark, dir, "zf")
+      val eq = graft.Tables(spark, dir, "zf").where($"k" === 7L)
+      val est = graft.plans.CardinalityEstimator.estimateRows(
+        spark, eq, useMcv = true)
+      assert(est.isDefined && est.get >= 1900 && est.get <= 2200,
+        s"maintained MCV hit must serve ~2100, got $est")
+      // idempotence: a plain double call never re-sums the batch
+      StatsMaintain.appendMaintainMcv(spark, dir, "zf", "k", batch)
+      assert(StatsMaintain.mcvMaintIfCurrent(spark, dir, "zf", "k")
+        .exists(_.head == (("7", 2100L))))
+      // crash window: the data unit (rows + covered stamp) swapped,
+      // the meta commit did not land — the retry discriminates by the
+      // data's own stamp, never re-merging the batch
+      val mp = s"${StatsMaintain.maintPath(dir, "zf")}/mcv_k"
+      Seq((preFp, 8, 4096)).toDF("covered", "k", "track_k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$mp/meta")
+      StatsMaintain.clearMemosForTest()
+      assert(StatsMaintain.mcvMaintIfCurrent(spark, dir, "zf", "k").isEmpty,
+        "the torn window fails closed before the retry")
+      StatsMaintain.appendMaintainMcv(spark, dir, "zf", "k", batch)
+      assert(StatsMaintain.mcvMaintIfCurrent(spark, dir, "zf", "k")
+        .exists(_.head == (("7", 2100L))),
+        "the retry converges to the single application, never base + 2×batch")
+    }
+  }
+
   test("key-profile maintenance is idempotent and crash-convergent (r14 advice: rows committed, meta not)") {
     withIndexRoot("graft-maint-kp-idem") {
       val dir = tmpDir("graft-maint-kp-idem-data")

@@ -29,10 +29,12 @@ class MaintainedIngestSpec extends SparkSpec {
       mem.addData((1L to 600L).map(i => (7L, i, 1.0)) ++
         (1L to 400L).map(i => (i % 40 + 100L, 10000L + i, 2.0)): _*)
       MaintainedIngest.run(rows, dir, "ing", ckpt,
-        profileColumn = Some("k"), hotFreq = 500L).processAllAvailable()
+        profileColumn = Some("k"), hotFreq = 500L,
+        mcvColumns = Seq("k")).processAllAvailable()
       mem.addData((1L to 300L).map(i => (7L, 20000L + i, 3.0)): _*)
       MaintainedIngest.run(rows, dir, "ing", ckpt,
-        profileColumn = Some("k"), hotFreq = 500L).processAllAvailable()
+        profileColumn = Some("k"), hotFreq = 500L,
+        mcvColumns = Seq("k")).processAllAvailable()
 
       assert(graft.Tables(spark, dir, "ing").count() === 1300L)
       val st = StatsMaintain.statsIfCurrent(spark, dir, "ing")
@@ -43,6 +45,9 @@ class MaintainedIngestSpec extends SparkSpec {
       assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "ing", "k")
         === Some((Seq("7"), 900L)),
         "the hot-key profile merges across micro-batches")
+      assert(StatsMaintain.mcvMaintIfCurrent(spark, dir, "ing", "k")
+        .exists(_.headOption.contains(("7", 900L))),
+        "the maintained MCV list merges across micro-batches (D105)")
     }
   }
 
