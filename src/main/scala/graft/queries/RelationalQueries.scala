@@ -4672,6 +4672,223 @@ object RelationalQueries {
     }
   }
 
+  /** q99 — WHOLE-BRAIN COMPOSITION (the r15 verdict's #2): every
+    * transparent rule the engine ships — rollup routing (D50),
+    * dictionary routing (D84), FD aggregation reduction (D88), join
+    * elimination (D78), join steering (D93), join ordering (D97),
+    * and the result cache (D90) — enabled in ONE session together
+    * with BOTH learned-tier configs, each gate-representative shape
+    * run under the full stack and require()-pinned to the rewrite it
+    * owns. Until now each rule was gated in isolation (`pinThen`
+    * enables → pins → unregisters), so rule-ordering interactions —
+    * the exact class of bug a fixed-point batch of seven rewrites
+    * can hide — were untested. The composition disciplines this
+    * pins: dictionary routing DECLINES rollup-servable shapes (the
+    * routed count must come from hist_daily, not code space), the
+    * ordering rule reorders before the steering rule dispatches,
+    * the cache substitutes a plan already shaped by every other
+    * rule (keys are canonicalized post-rewrite), and the learned
+    * tiers change no result. The oracle replays all seven shapes
+    * PLAIN in DuckDB — one hash over the union proves the whole
+    * brain result-invisible at once. */
+  val q99WholeBrainComposition: GraftQuery = q(
+    "q99_whole_brain_composition",
+    "all seven transparent rules + both learned-tier configs coexist in one session; each shape pinned to its rewrite; oracle replays everything plain",
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
+      |         value
+      |  FROM events),
+      |dd AS (SELECT k, ((k % 7) + 7) % 7 AS seg
+      |       FROM (SELECT DISTINCT k FROM f)),
+      |routed AS (
+      |  SELECT 'routed' AS shape, event_type AS key, count(*) AS n,
+      |         CAST(0 AS DOUBLE) AS v
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-18 00:00:00'
+      |  GROUP BY 2),
+      |dict AS (
+      |  SELECT 'dict', event_type, count(*),
+      |         CAST(count(DISTINCT user_id) AS DOUBLE)
+      |  FROM events GROUP BY 2),
+      |fd AS (
+      |  SELECT 'fd', n_name, count(*),
+      |         CAST(round(sum(c_acctbal), 2) AS DOUBLE)
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 2),
+      |steered AS (
+      |  SELECT 'steered', CAST(dd.seg AS VARCHAR), count(*),
+      |         CAST(sum(CAST(floor(f.value) AS BIGINT)) AS DOUBLE)
+      |  FROM f JOIN dd ON f.k = dd.k GROUP BY 2),
+      |ordered_ AS (
+      |  SELECT 'ordered', o.o_orderstatus, count(*),
+      |         CAST(round(sum(l.l_extendedprice), 2) AS DOUBLE)
+      |  FROM customer c
+      |  JOIN orders o ON c.c_custkey = o.o_custkey
+      |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE c.c_custkey <= 150 GROUP BY 2),
+      |cached AS (
+      |  SELECT 'cached', o_orderstatus, count(*),
+      |         CAST(sum(CAST(o_custkey AS BIGINT)) AS DOUBLE)
+      |  FROM orders GROUP BY 2),
+      |eliminated AS (
+      |  SELECT 'eliminated', c.c_mktsegment, count(*),
+      |         CAST(round(sum(c.c_acctbal), 2) AS DOUBLE)
+      |  FROM customer c
+      |  LEFT JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+      |  GROUP BY 2)
+      |SELECT * FROM (
+      |  SELECT * FROM routed UNION ALL SELECT * FROM dict
+      |  UNION ALL SELECT * FROM fd UNION ALL SELECT * FROM steered
+      |  UNION ALL SELECT * FROM ordered_ UNION ALL SELECT * FROM cached
+      |  UNION ALL SELECT * FROM eliminated)
+      |ORDER BY shape, key""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    import graft.{plans => P}
+    // ---- artifacts every rule needs (all idempotent per fingerprint)
+    graft.operators.HistogramRollup.ensure(s, dir)
+    graft.operators.Dictionary.ensure(s, dir, "events", "event_type")
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(SC.ensure(s, dir, _))
+    SC.ensureColumnGroup(s, dir, "nation", Seq("n_nationkey", "n_name"))
+    val fix = graft.operators.Steering.ensureSkewFixture(s, dir)
+    SC.ensure(s, fix, "skew_fact")
+    SC.ensure(s, fix, "skew_dim")
+    SC.ensureKeyProfile(s, fix, "skew_fact", "k", hotFreq = 200L)
+    // ---- the whole brain, one session: registration order puts the
+    // rollup router before the dictionary router (the shared-shape
+    // tie the dict rule's rollupServable screen already declines —
+    // pinned below), ordering before steering (enable() inserts it
+    // so), the cache last
+    P.RollupRouting.enable(s)
+    P.DictionaryRouting.enable(s)
+    P.FdAggregation.enable(s)
+    P.JoinElimination.enable(s)
+    P.TransparentJoinSteering.enable(s,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8)
+    P.TransparentJoinOrdering.enable(s)
+    P.TransparentResultCache.enable(s)
+    val prevOrd = s.conf.getOption("spark.graft.ordering.tiers")
+    val prevSteer = s.conf.getOption("spark.graft.steering.tiers")
+    s.conf.set("spark.graft.ordering.tiers", "mcv,feedback")
+    s.conf.set("spark.graft.steering.tiers", "mcv")
+    try {
+      def shaped(label: String, df: org.apache.spark.sql.DataFrame,
+          key: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column) =
+        df.select(lit(label).as("shape"), key.cast("string").as("key"),
+          n.as("n"), v.cast("double").as("v"))
+      // ROUTED: the plain windowed count must come from the rollup —
+      // and NOT from code space (the dict rule declines it)
+      val routed = Tables(s, dir, "events")
+        .where($"ts" >= lit(graft.operators.MinMaxManifest.utc("2024-01-08 00:00:00")) &&
+          $"ts" < lit(graft.operators.MinMaxManifest.utc("2024-01-18 00:00:00")))
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      require(routed.inputFiles.exists(_.contains("hist_daily")) &&
+          !routed.inputFiles.exists(_.contains("events.parquet")),
+        "composed: the rollup router must win the windowed count")
+      // DICT: countDistinct keeps it out of the rollup's reach; the
+      // dictionary router must encode it
+      val dict = Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n"))
+      require(dict.inputFiles.exists(_.contains("dict_events_event_type")),
+        "composed: the dictionary router must encode the distinct aggregate")
+      // FD: the determined display column leaves the grouping key
+      val fd = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_nationkey", $"n_name")
+        .agg(count(lit(1)).as("customers"),
+          round(sum($"c_acctbal"), 2).as("bal"))
+      require(fd.queryExecution.optimizedPlan.toString.contains("max(n_name"),
+        "composed: the FD rule must reduce the grouping key")
+      // STEERED: the plain skew join salts
+      val fact = Tables(s, fix, "skew_fact")
+      val dim = Tables(s, fix, "skew_dim")
+      val steered = fact.join(dim, fact("k") === dim("k"))
+        .groupBy(dim("seg").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value").cast("long")).as("v_fp"))
+      require(steered.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+        "composed: the steering rule must salt the hot key")
+      // ORDERED: the worst declared chain re-shapes (customer–orders
+      // innermost) with the learned tiers ON
+      val cu = Tables(s, dir, "customer").where($"c_custkey" <= 150L)
+      val or = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val ordered = li
+        .join(or, li("l_orderkey") === or("o_orderkey"))
+        .join(cu, or("o_custkey") === cu("c_custkey"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_extendedprice"), 2).as("rev"))
+      val deepest = ordered.queryExecution.optimizedPlan.collect {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }.last
+      val deepTables = deepest.collectLeaves().collect {
+        case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          rel.relation match {
+            case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              hfs.location.rootPaths.head.getName.stripSuffix(".parquet")
+          }
+      }.toSet
+      require(deepTables == Set("customer", "orders"),
+        s"composed: the ordering rule must re-shape the chain, innermost = $deepTables")
+      // CACHED: a published result substitutes into the identical
+      // plan — keyed on the post-every-other-rule optimized form
+      def cachedShape = Tables(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum($"o_custkey").as("ck_sum"))
+      graft.operators.ResultCache.publish(s, cachedShape)
+      val cached = cachedShape
+      require(cached.inputFiles.forall(_.contains("result_cache")),
+        "composed: the identical plan must serve through the cache")
+      // ELIMINATED: the unused unique-key LEFT join disappears
+      val cust = Tables(s, dir, "customer")
+      val nat = Tables(s, dir, "nation")
+      val elim = cust
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"), "left")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum($"c_acctbal"), 2).as("bal"))
+      require(!elim.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "composed: the elimination rule must drop the unused join")
+      // one frame, one hash: the union's own plan is forced while the
+      // full stack is registered (the pinThen discipline)
+      val out = shaped("routed", routed, $"event_type", $"n", lit(0.0))
+        .unionByName(shaped("dict", dict, $"event_type", $"n",
+          $"users".cast("double")))
+        .unionByName(shaped("fd", fd, $"n_name", $"customers", $"bal"))
+        .unionByName(shaped("steered", steered, $"seg", $"n",
+          $"v_fp".cast("double")))
+        .unionByName(shaped("ordered", ordered, $"o_orderstatus", $"n", $"rev"))
+        .unionByName(shaped("cached", cached, $"o_orderstatus", $"n",
+          $"ck_sum".cast("double")))
+        .unionByName(shaped("eliminated", elim, $"c_mktsegment", $"n", $"bal"))
+        .orderBy($"shape", $"key")
+      out.queryExecution.optimizedPlan
+      out
+    } finally {
+      prevOrd match {
+        case Some(v) => s.conf.set("spark.graft.ordering.tiers", v)
+        case None => s.conf.unset("spark.graft.ordering.tiers")
+      }
+      prevSteer match {
+        case Some(v) => s.conf.set("spark.graft.steering.tiers", v)
+        case None => s.conf.unset("spark.graft.steering.tiers")
+      }
+      P.RollupRouting.disableForTest(s)
+      P.DictionaryRouting.disableForTest(s)
+      P.FdAggregation.disableForTest(s)
+      P.JoinElimination.disableForTest(s)
+      P.TransparentJoinSteering.disableForTest(s)
+      P.TransparentJoinOrdering.disableForTest(s)
+      P.TransparentResultCache.disableForTest(s)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4700,5 +4917,5 @@ object RelationalQueries {
     q89StratifiedSample, q90LearnedOrdering, q91CatalogSteering,
     q92CompositeSteering, q93ToleranceServing, q94McvSteering,
     q95ToleranceSums, q96StreamingMaintained, q97SemiAntiSteering,
-    q98MaintainedMcvSteering)
+    q98MaintainedMcvSteering, q99WholeBrainComposition)
 }
