@@ -269,6 +269,101 @@ object SampledAgg {
   }
 
   // ------------------------------------------------------------------
+  // EXACT GROUP ROLLUP (r16, the ladder's error-0 rung): a persisted
+  // (group, n, Σ⌊v⌋) table — |groups| rows, kilobytes — maintained
+  // ADDITIVELY at O(batch) (counts and integer sums add exactly, the
+  // stratified-counts covered-stamp discipline for crash
+  // idempotency). When current it DOMINATES every sampled rung on
+  // both axes (error 0 ≤ any tolerance; |groups| rows ≤ any sample),
+  // so the tolerance ladders consult it FIRST — the D50 rollup
+  // lesson restated inside AQP: a dashboard that declared ±5% gets
+  // the exact answer for free when someone ensured the rollup.
+  // ------------------------------------------------------------------
+
+  def groupRollupPath(dir: String, table: String, groupCol: String,
+      valueCol: String): String = {
+    val (fs, p) = IndexStore.fsOf(s"$dir/$table.parquet")
+    val canon = fs.makeQualified(p).toString
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${IndexStore.root}/aqpr_${key}_${table}_${groupCol}_$valueCol"
+  }
+
+  private def rollupAgg(df: DataFrame, groupCol: String, valueCol: String) =
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col(valueCol)).cast("long")).as("s"))
+
+  /** Rows + the covered stamp they were computed for land TOGETHER
+    * (the [[writeStratCounts]] discipline): a retry discriminates
+    * "merged already" by the rows' own stamp. */
+  private def writeGroupRollup(s: SparkSession, rows: DataFrame,
+      covered: String, path: String): Unit =
+    rows.withColumn("covered", lit(covered))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/data")
+
+  /** Build once per fingerprint from one grouped pass; idempotent
+    * while current. */
+  def ensureGroupRollup(s: SparkSession, dir: String, table: String,
+      groupCol: String, valueCol: String): Unit = {
+    if (groupRollupIfCurrent(s, dir, table, groupCol, valueCol).isDefined)
+      return
+    val p = groupRollupPath(dir, table, groupCol, valueCol)
+    writeGroupRollup(s, rollupAgg(graft.Tables(s, dir, table),
+      groupCol, valueCol), IndexStore.fingerprint(dir, table), p)
+  }
+
+  /** O(batch) ADDITIVE maintenance, idempotent: the caller appended
+    * `batch` ALREADY; counts and integer sums add exactly, so the
+    * merged artifact equals a rebuild. A retry that finds the rows
+    * already stamped with the live listing is a no-op (the stamp
+    * rides the rows — one atomic parquet overwrite, no torn window
+    * between data and stamp). */
+  def appendMaintainGroupRollup(s: SparkSession, dir: String, table: String,
+      groupCol: String, valueCol: String, batch: DataFrame): Unit = {
+    if (groupRollupIfCurrent(s, dir, table, groupCol, valueCol).isDefined)
+      return
+    val p = groupRollupPath(dir, table, groupCol, valueCol)
+    if (!IndexStore.artifactReady(s"$p/data"))
+      // unbuilt or torn mid-overwrite: the repair is a full rebuild —
+      // loud-absent converges, never a crash-looping require (the r15
+      // keyprof lesson)
+      return ensureGroupRollup(s, dir, table, groupCol, valueCol)
+    val oldSlim = s.read.parquet(s"$p/data").select(col("grp"), col("n"), col("s"))
+    val old = oldSlim.collect().toSeq // |groups| rows — kilobytes by contract
+    val oldDf = s.createDataFrame(
+      s.sparkContext.parallelize(old, 1), oldSlim.schema)
+    val merged = rollupAgg(batch, groupCol, valueCol)
+      .select(col("grp"), col("n"), col("s"))
+      .union(oldDf)
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    writeGroupRollup(s, merged, IndexStore.fingerprint(dir, table), p)
+  }
+
+  /** Drop the rollup artifact — the q100 gate's determinism reset
+    * (idempotent; the next ensure rebuilds in one grouped pass). */
+  def dropGroupRollup(dir: String, table: String, groupCol: String,
+      valueCol: String): Unit = {
+    val (fs, p) = IndexStore.fsOf(
+      groupRollupPath(dir, table, groupCol, valueCol))
+    fs.delete(p, true)
+    ()
+  }
+
+  /** (grp, n, s) while the artifact covers the LIVE listing. */
+  def groupRollupIfCurrent(s: SparkSession, dir: String, table: String,
+      groupCol: String, valueCol: String): Option[DataFrame] = {
+    val p = groupRollupPath(dir, table, groupCol, valueCol)
+    if (!IndexStore.artifactReady(s"$p/data")) return None
+    val df = s.read.parquet(s"$p/data")
+    val covered = df.limit(1).select(col("covered")).collect()
+      .headOption.map(_.getString(0))
+    if (!covered.contains(IndexStore.fingerprint(dir, table))) None
+    else Some(df.select(col("grp"), col("n"), col("s")))
+  }
+
+  // ------------------------------------------------------------------
   // TOLERANCE-DECLARED SERVING (r14 verdict #7 — "make the opt-in
   // consumable"): the caller states WHAT error it tolerates, the
   // engine picks HOW to serve — approximation stays a contract the
@@ -308,10 +403,19 @@ object SampledAgg {
   def serveGroupCounts(s: SparkSession, dir: String, table: String,
       keyCol: String, groupCol: String, tolerancePpm: Long,
       ppms: Seq[Long] = Seq.empty,
-      stratifiedK: Option[Int] = None): (DataFrame, String) = {
+      stratifiedK: Option[Int] = None,
+      rollupValueCol: Option[String] = None): (DataFrame, String) = {
     require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
     require(!ReservedServeNames.contains(groupCol),
       s"groupCol collides with a reserved serving column: $groupCol")
+    // 0. the exact group rollup (r16): error 0 at |groups| rows
+    //    dominates every sampled rung on both axes — consult it first
+    rollupValueCol.foreach { vc =>
+      groupRollupIfCurrent(s, dir, table, groupCol, vc).foreach { r =>
+        return (r.select(col("grp").as(groupCol), col("n").as("n_est"),
+          lit(0L).as("rel_err_ppm"), lit("rollup").as("source")), "rollup")
+      }
+    }
     // 1. cheapest uniform sample meeting the tolerance on its worst
     //    SEEN group
     ppms.sorted.foreach { ppm =>
@@ -402,6 +506,12 @@ object SampledAgg {
     def worstOf(ing: DataFrame,
         bound: org.apache.spark.sql.Column): Option[Long] =
       Option(ing.agg(max(bound)).head().get(0)).map(_.asInstanceOf[Long])
+    // 0. the exact group rollup (r16): error 0 at |groups| rows —
+    //    the cheapest honest answer when someone ensured it
+    groupRollupIfCurrent(s, dir, table, groupCol, valueCol).foreach { r =>
+      return (r.select(col("grp").as(groupCol), col("s").as("sum_est"),
+        lit(0L).as("rel_err_ppm"), lit("rollup").as("source")), "rollup")
+    }
     // the documented envelope, ENFORCED (r15 review #2): the variance
     // ingredients are 64-bit; k²·max(v)² bounds every product in the
     // bound formula (k·Σv² ≤ k²mv², s1² ≤ k²mv²), so a group outside
@@ -467,6 +577,149 @@ object SampledAgg {
         lit(0L).as("rel_err_ppm"), lit("exact").as("source")), "exact")
   }
 
+  /** AVG face of the tolerance ladder (r16, the r15 verdict's #3):
+    * per-group FLOOR-AVERAGES of the floored value column —
+    * `avg_est = Σ⌊v⌋ div k`, integer division in both engines, so
+    * DuckDB replays estimate AND bound. The ratio-estimator bound is
+    * [[sumBound]] itself: at fixed group size the relative error of
+    * the mean equals the relative error of the Horvitz–Thompson sum
+    * (both scale Σv by a constant), so the 2σ formula carries over
+    * unchanged. Rungs, cheapest honest first: the exact group rollup
+    * (s div n, error 0), the cheapest uniform sample within
+    * tolerance, the stratified artifact (a per-stratum top-K-by-hash
+    * draw IS a uniform draw within the stratum; k = n strata exact),
+    * the exact corpus floor. No scale-up envelope needed — the
+    * estimate divides, never multiplies (the k²mv² check still
+    * guards the bound's own products). */
+  def serveGroupAvgs(s: SparkSession, dir: String, table: String,
+      keyCol: String, groupCol: String, valueCol: String,
+      tolerancePpm: Long, ppms: Seq[Long] = Seq.empty,
+      stratifiedK: Option[Int] = None): (DataFrame, String) = {
+    require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
+    require(!ReservedServeNames.contains(groupCol),
+      s"groupCol collides with a reserved serving column: $groupCol")
+    def v = floor(col(valueCol)).cast("long")
+    def ingredients(df: DataFrame) = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__k"), sum(v).as("__s1"), sum(v * v).as("__s2"),
+        max(abs(v)).as("__mv"))
+    def worstOf(ing: DataFrame,
+        bound: org.apache.spark.sql.Column): Option[Long] =
+      Option(ing.agg(max(bound)).head().get(0)).map(_.asInstanceOf[Long])
+    def inEnvelope(ing: DataFrame): Boolean = {
+      val r = ing.agg(max(col("__k")), max(col("__mv"))).head()
+      (Option(r.get(0)), Option(r.get(1))) match {
+        case (Some(k0), Some(mv0)) =>
+          BigInt(k0.asInstanceOf[Long]) * k0.asInstanceOf[Long] *
+            BigInt(mv0.asInstanceOf[Long]) * mv0.asInstanceOf[Long] <
+            BigInt(Long.MaxValue)
+        case _ => false
+      }
+    }
+    // 0. exact rollup: avg = s div n, error 0
+    groupRollupIfCurrent(s, dir, table, groupCol, valueCol).foreach { r =>
+      return (r.select(col("grp").as(groupCol),
+        expr("s div n").as("avg_est"),
+        lit(0L).as("rel_err_ppm"), lit("rollup").as("source")), "rollup")
+    }
+    // 1. cheapest uniform sample whose worst group bound meets it
+    ppms.sorted.foreach { ppm =>
+      sampleIfCurrent(s, dir, table, keyCol, ppm).foreach { sample =>
+        val ing = ingredients(sample)
+        val b = sumBound(col("__k"), col("__s1"), col("__s2"))
+        if (inEnvelope(ing) && worstOf(ing, b).exists(_ <= tolerancePpm)) {
+          val source = s"sample_$ppm"
+          return (ing.select(col(groupCol),
+            expr("__s1 div __k").as("avg_est"),
+            b.as("rel_err_ppm"), lit(source).as("source")), source)
+        }
+      }
+    }
+    // 2. stratified-by-group: the stratum mean from its sample rows;
+    //    a fully-contained stratum (k = n) is exact, bound 0
+    stratifiedK.foreach { kk =>
+      stratifiedIfCurrent(s, dir, table, keyCol, groupCol, kk).foreach {
+        case (sample, counts) =>
+          val ing = ingredients(sample)
+            .join(counts.select(col("stratum").as(groupCol),
+              col("n").as("__n")), Seq(groupCol))
+          val b = when(col("__k") === col("__n"), lit(0L))
+            .otherwise(sumBound(col("__k"), col("__s1"), col("__s2")))
+          if (inEnvelope(ing) && worstOf(ing, b).exists(_ <= tolerancePpm))
+            return (ing.select(col(groupCol),
+              expr("__s1 div __k").as("avg_est"),
+              b.as("rel_err_ppm"), lit("stratified").as("source")),
+              "stratified")
+      }
+    }
+    // 3. the corpus, exactly: floor-avg = Σ⌊v⌋ div count
+    (graft.Tables(s, dir, table).groupBy(col(groupCol))
+      .agg(sum(v).as("__s1"), count(lit(1)).as("__k"))
+      .select(col(groupCol), expr("__s1 div __k").as("avg_est"),
+        lit(0L).as("rel_err_ppm"), lit("exact").as("source")), "exact")
+  }
+
+  // ------------------------------------------------------------------
+  // QUANTILE face (r16, the r15 verdict's #3): the D39 histogram is
+  // an EXACT-algebra artifact the ladder never consulted — its bin
+  // counts are exact, so a percentile estimate interpolated inside
+  // the rank-k bin is within ONE BIN WIDTH of the exact order
+  // statistic (the cumulative counts place rank k in that bin with
+  // certainty). That absolute bound discloses as a per-group relative
+  // ppm bound; when it meets the declared tolerance the quantile is
+  // served from ≤101 kilobyte-sized bin rows per group — the scan-
+  // free rung. The floor is the exact rank-k order statistic (a
+  // per-group sort — the cost the histogram rung exists to avoid).
+  // Both rungs emit 1e4-scaled BIGINTs (the q36 integer discipline:
+  // no float tie to break, DuckDB replays estimate AND bound).
+  // ------------------------------------------------------------------
+
+  /** Serve the p-th percentile of events.value per event_type over a
+    * DAY-ALIGNED window within the caller's tolerance. Returns
+    * (frame, source): columns (event_type, q_e4, rel_err_ppm,
+    * source), source ∈ histogram | exact. The histogram rung serves
+    * only while [[HistogramRollup.routable]] holds (artifact current
+    * vs the live events listing — the fail-closed contract). */
+  def serveQuantile(s: SparkSession, dir: String, lo: String, hi: String,
+      p: Int, tolerancePpm: Long): (DataFrame, String) = {
+    require(p >= 1 && p <= 99, s"percentile in [1, 99], got $p")
+    require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
+    val HR = HistogramRollup
+    // 1. the histogram rung: disclosed bound = one bin width,
+    //    relative to the estimate — integer-exact, replayable
+    if (HR.routable(HR.histPath(dir))) {
+      val est = HR.percentiles(HR.mergedBins(s, dir, lo, hi), Seq(p))
+        .select(col("event_type"), col(s"p${p}_e4").as("q_e4"))
+      val overflowE4 = HR.NumBins.toLong * HR.BinWidthE4
+      // integer DIV, never float-divide-then-cast (the r7 tie lesson)
+      val b = when(col("q_e4") <= 0L || col("q_e4") >= lit(overflowE4),
+        lit(M)) // bin 0 or the unbounded overflow bin: no honest rel bound
+        .otherwise(expr(s"${HR.BinWidthE4 * M}L DIV q_e4"))
+      val worst = Option(est.agg(max(b)).head().get(0))
+        .map(_.asInstanceOf[Long])
+      if (worst.exists(_ <= tolerancePpm))
+        return (est.select(col("event_type"), col("q_e4"),
+          b.as("rel_err_ppm"), lit("histogram").as("source")), "histogram")
+    }
+    // 2. the exact floor: rank k = ⌈p·n/100⌉ (the histogram's own k),
+    //    value at rank k, e4-floored — a per-group sort
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("__v_e4"))
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val exact = graft.Tables(s, dir, "events")
+      .where(col("ts") >= lit(MinMaxManifest.utc(lo)) &&
+        col("ts") < lit(MinMaxManifest.utc(hi)))
+      .select(col("event_type"),
+        floor(col("value") * 10000.0).cast("long").as("__v_e4"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .where(col("__rk") === expr(s"(${p}L * __n + 99L) DIV 100L"))
+      .select(col("event_type"), col("__v_e4").as("q_e4"),
+        lit(0L).as("rel_err_ppm"), lit("exact").as("source"))
+    (exact, "exact")
+  }
+
   /** The q93/q95 GATE FIXTURE: a four-equal-group table derived from
     * events (g = event_id mod 4 — DuckDB replays it inline; the raw
     * value column rides along for the SUM face), with the 25%
@@ -483,6 +736,22 @@ object SampledAgg {
         .write.mode("overwrite").parquet(s"$fix/tol_t.parquet")
     ensureSample(s, fix, "tol_t", "event_id", 250000L)
     ensureStratifiedSample(s, fix, "tol_t", "event_id", "g", 500)
+    fix
+  }
+
+  /** q100's AVG-face fixture: the tolerance fixture's derivation
+    * under its OWN table name (`tol_a`), so the group rollup the q100
+    * gate builds and drops can never collide with q93/q95's
+    * sampled-rung pins on `tol_t` — artifact isolation per gate, the
+    * fixture discipline. */
+  def ensureToleranceAvgFixture(s: SparkSession, dir: String): String = {
+    val fix = s"${IndexStore.root}/${IndexStore.fingerprint(dir, "events")}/aqp_tol_fixture_v2"
+    if (!IndexStore.artifactReady(s"$fix/tol_a.parquet"))
+      graft.Tables(s, dir, "events")
+        .select(col("event_id"), pmod(col("event_id"), lit(4L)).as("g"),
+          col("value"))
+        .write.mode("overwrite").parquet(s"$fix/tol_a.parquet")
+    ensureSample(s, fix, "tol_a", "event_id", 250000L)
     fix
   }
 

@@ -4889,6 +4889,141 @@ object RelationalQueries {
     }
   }
 
+  /** q100 — TOLERANCE-DECLARED FLOOR-AVERAGES + THE EXACT ROLLUP
+    * RUNG ([[graft.operators.SampledAgg.serveGroupAvgs]] /
+    * [[graft.operators.SampledAgg.ensureGroupRollup]], r15 verdict
+    * #3): the AQP surface grows the AVG face — `avg_est = Σ⌊v⌋ div
+    * k`, integer division in both engines, with the ratio-estimator
+    * bound being exactly the q95 sum bound (at fixed group size the
+    * mean's relative error equals the scaled sum's) — and the ladder
+    * gains its error-0 rung: a persisted (group, n, Σ⌊v⌋) rollup,
+    * |groups| rows, O(batch)-maintainable, that DOMINATES every
+    * sampled rung on both axes when current. The gate drops the
+    * rollup, pins the sampled serve under a 45% tolerance (bound
+    * replayed by the oracle), then ensures the rollup and pins that
+    * even tolerance 0 now serves scan-free from kilobytes. Its own
+    * fixture table (`tol_a`) keeps the rollup from ever leaking into
+    * q93/q95's sampled-rung pins. */
+  val q100ToleranceAvgs: GraftQuery = q(
+    "q100_tolerance_avgs",
+    "declared-tolerance floor-averages: sampled ratio estimate with replayable bound; a current exact rollup serves even tolerance 0 scan-free",
+    s"""WITH t AS (
+      |  SELECT event_id, ((event_id % 4) + 4) % 4 AS g,
+      |         CAST(floor(value) AS BIGINT) AS v
+      |  FROM events),
+      |s AS (SELECT g, count(*) AS k, sum(v) AS s1, sum(v * v) AS s2 FROM t
+      |      WHERE ${graft.operators.SampledAgg.membershipSql("event_id", 250000L)}
+      |      GROUP BY g),
+      |loose AS (SELECT g, CAST(s1 // k AS BIGINT) AS avg_est,
+      |          CAST(CASE WHEN s1 > 0 THEN
+      |            floor(2000000.0 * sqrt(CAST(greatest(k * s2 - s1 * s1, 0) AS DOUBLE))
+      |                  / (CAST(s1 AS DOUBLE) * sqrt(CAST(k AS DOUBLE))))
+      |          ELSE 1000000 END AS BIGINT) AS rel_err_ppm,
+      |          'sample_250000' AS source FROM s),
+      |tight AS (SELECT g, CAST(sum(v) // count(*) AS BIGINT) AS avg_est,
+      |          CAST(0 AS BIGINT) AS rel_err_ppm,
+      |          'rollup' AS source FROM t GROUP BY g)
+      |SELECT * FROM (SELECT * FROM loose UNION ALL SELECT * FROM tight)
+      |ORDER BY source, g""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SA = graft.operators.SampledAgg
+    val fix = SA.ensureToleranceAvgFixture(s, dir)
+    // deterministic cold AND warm: the rollup is dropped first, so
+    // the loose leg always exercises the sampled rung
+    SA.dropGroupRollup(fix, "tol_a", "g", "value")
+    val (loose, looseSrc) = SA.serveGroupAvgs(s, fix, "tol_a",
+      "event_id", "g", "value", tolerancePpm = 450000L,
+      ppms = Seq(250000L))
+    require(looseSrc == "sample_250000",
+      s"a 45% tolerance must serve the sampled floor-avg, got $looseSrc")
+    require(loose.inputFiles.forall(_.contains("aqp_")),
+      "the sampled serve must never read the corpus")
+    SA.ensureGroupRollup(s, fix, "tol_a", "g", "value")
+    val (tight, tightSrc) = SA.serveGroupAvgs(s, fix, "tol_a",
+      "event_id", "g", "value", tolerancePpm = 0L, ppms = Seq(250000L))
+    require(tightSrc == "rollup",
+      s"with the rollup current, even tolerance 0 serves scan-free, got $tightSrc")
+    require(tight.inputFiles.forall(_.contains("aqpr_")),
+      "the rollup serve reads only its kilobyte artifact")
+    loose.unionByName(tight).orderBy($"source", $"g")
+  }
+
+  /** q101 — TOLERANCE-DECLARED QUANTILES FROM THE HISTOGRAM
+    * ([[graft.operators.SampledAgg.serveQuantile]], r15 verdict #3):
+    * the D39 histogram is an EXACT-algebra artifact the ladder never
+    * consulted — its bin counts are exact, so the interpolated
+    * percentile is within ONE BIN WIDTH of the exact order statistic,
+    * and that disclosed bound (integer DIV, replayed by the oracle)
+    * meets a 10% tolerance from ≤101 kilobyte bin rows per group. A
+    * 0.5% tolerance exceeds the bin-width bound at every SF and falls
+    * to the exact rank-k floor (the per-group sort the histogram rung
+    * exists to avoid), replayed by the oracle as the same integer
+    * rank. Both rungs emit 1e4-scaled BIGINTs — the q36 discipline:
+    * no float tie to break. */
+  val q101ToleranceQuantiles: GraftQuery = q(
+    "q101_tolerance_quantiles",
+    "declared-tolerance p95: histogram rung within its disclosed bin-width bound, exact rank-k order statistic as the fail-closed floor",
+    """WITH w AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-01-18 00:00:00'),
+      |b AS (
+      |  SELECT event_type,
+      |         greatest(CAST(0 AS BIGINT),
+      |                  least(CAST(floor(value / 5.0) AS BIGINT), 100)) AS bin,
+      |         count(*) AS cnt
+      |  FROM w GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bin, cnt,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      |  FROM b),
+      |est AS (
+      |  SELECT event_type,
+      |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
+      |             ELSE 50000 * bin
+      |             + (50000 * ((95*n + 99) // 100 - (cum - cnt))) // cnt
+      |             END AS BIGINT), bin)
+      |           FILTER (cum >= (95*n + 99) // 100) AS q_e4
+      |  FROM c GROUP BY event_type),
+      |hist AS (
+      |  SELECT event_type, q_e4,
+      |         CAST(CASE WHEN q_e4 <= 0 OR q_e4 >= 5000000 THEN 1000000
+      |              ELSE 50000000000 // q_e4 END AS BIGINT) AS rel_err_ppm,
+      |         'histogram' AS source
+      |  FROM est),
+      |exact AS (
+      |  SELECT event_type, q_e4, CAST(0 AS BIGINT) AS rel_err_ppm,
+      |         'exact' AS source
+      |  FROM (
+      |    SELECT event_type,
+      |           CAST(floor(value * 10000) AS BIGINT) AS q_e4,
+      |           row_number() OVER (PARTITION BY event_type
+      |             ORDER BY CAST(floor(value * 10000) AS BIGINT)) AS rk,
+      |           count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM w)
+      |  WHERE rk = (95*n + 99) // 100)
+      |SELECT * FROM (SELECT * FROM hist UNION ALL SELECT * FROM exact)
+      |ORDER BY source, event_type""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SA = graft.operators.SampledAgg
+    graft.operators.HistogramRollup.ensure(s, dir)
+    val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-18 00:00:00")
+    val (loose, looseSrc) = SA.serveQuantile(s, dir, lo, hi, 95,
+      tolerancePpm = 100000L)
+    require(looseSrc == "histogram",
+      s"a 10% tolerance must serve from the histogram bins, got $looseSrc")
+    require(loose.inputFiles.forall(_.contains("hist_daily")),
+      "the histogram serve must never read the corpus")
+    val (tight, tightSrc) = SA.serveQuantile(s, dir, lo, hi, 95,
+      tolerancePpm = 5000L)
+    require(tightSrc == "exact",
+      s"a 0.5% tolerance exceeds the bin-width bound and must fall to the exact rank, got $tightSrc")
+    loose.unionByName(tight).orderBy($"source", $"event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -4917,5 +5052,6 @@ object RelationalQueries {
     q89StratifiedSample, q90LearnedOrdering, q91CatalogSteering,
     q92CompositeSteering, q93ToleranceServing, q94McvSteering,
     q95ToleranceSums, q96StreamingMaintained, q97SemiAntiSteering,
-    q98MaintainedMcvSteering, q99WholeBrainComposition)
+    q98MaintainedMcvSteering, q99WholeBrainComposition,
+    q100ToleranceAvgs, q101ToleranceQuantiles)
 }

@@ -246,6 +246,99 @@ class SampledAggSpec extends SparkSpec {
     }
   }
 
+  test("group rollup: error-0 rung dominates the ladder, maintains additively at O(batch), fails closed stale") {
+    withIndexRoot("graft-aqp-roll") {
+      val dir = tmpDir("graft-aqp-roll-data")
+      (1L to 6000L).map(i => (i, i % 3, (i % 7).toDouble))
+        .toDF("key", "g", "value")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      def exact() = graft.Tables(spark, dir, "t").groupBy($"g")
+        .agg(count(lit(1)).as("n"), sum(floor($"value")).as("s")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      SampledAgg.ensureGroupRollup(spark, dir, "t", "g", "value")
+      // all three faces serve error 0 from the rollup — even at
+      // tolerance 0, with NO sample anywhere
+      val (sums, s1) = SampledAgg.serveGroupSums(spark, dir, "t",
+        "key", "g", "value", tolerancePpm = 0L)
+      assert(s1 === "rollup")
+      assert(sums.inputFiles.forall(_.contains("aqpr_")), "kilobyte read only")
+      val e0 = exact()
+      assert(sums.collect().forall(r => r.getAs[Long]("sum_est") ==
+        e0(r.getAs[Long]("g"))._2 && r.getAs[Long]("rel_err_ppm") == 0L))
+      val (cnts, c1) = SampledAgg.serveGroupCounts(spark, dir, "t",
+        "key", "g", tolerancePpm = 0L, rollupValueCol = Some("value"))
+      assert(c1 === "rollup")
+      assert(cnts.collect().forall(r => r.getAs[Long]("n_est") ==
+        e0(r.getAs[Long]("g"))._1))
+      val (avgs, a1) = SampledAgg.serveGroupAvgs(spark, dir, "t",
+        "key", "g", "value", tolerancePpm = 0L)
+      assert(a1 === "rollup")
+      assert(avgs.collect().forall { r =>
+        val (n, sm) = e0(r.getAs[Long]("g"))
+        r.getAs[Long]("avg_est") == sm / n
+      })
+      // append → fail closed → O(batch) additive maintenance equals a
+      // rebuild exactly; a double call never re-adds the batch
+      val batch = (10001L to 12000L).map(i => (i, i % 3, 3.0))
+        .toDF("key", "g", "value")
+      batch.write.mode("append").parquet(s"$dir/t.parquet")
+      assert(SampledAgg.groupRollupIfCurrent(spark, dir, "t", "g", "value")
+        .isEmpty, "appended-but-unmaintained must fail closed")
+      val (floor1, fSrc) = SampledAgg.serveGroupSums(spark, dir, "t",
+        "key", "g", "value", tolerancePpm = 0L)
+      assert(fSrc === "exact", "a stale rollup falls to the exact floor")
+      SampledAgg.appendMaintainGroupRollup(spark, dir, "t", "g", "value", batch)
+      SampledAgg.appendMaintainGroupRollup(spark, dir, "t", "g", "value", batch)
+      val e1 = exact()
+      val served = SampledAgg.groupRollupIfCurrent(spark, dir, "t", "g", "value")
+        .getOrElse(fail("must serve after maintenance")).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+      assert(served === e1, "additive maintenance equals a rebuild, applied once")
+    }
+  }
+
+  test("quantile ladder: bin-width bound holds in-domain; overflow-bin percentiles refuse the rung") {
+    withIndexRoot("graft-aqp-quant") {
+      val dir = tmpDir("graft-aqp-quant-data")
+      // type 'in': values 0..400 (inside the [0,500) domain);
+      // type 'over': values 400..1000 — its p95 lands in the
+      // unbounded overflow bin, where no honest relative bound exists
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val rows = (1L to 4000L).map(i => (ts0, "in", (i % 401).toDouble)) ++
+        (1L to 4000L).map(i => (ts0, "over", 400.0 + (i % 601)))
+      rows.toDF("ts", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      graft.operators.HistogramRollup.ensure(spark, dir)
+      val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-18 00:00:00")
+      // p50 of 'in' ≈ 200 → bound ≈ 25000 ppm; p50 of 'over' ≈ 700 —
+      // the overflow bin caps ITS bound at 10⁶, so the worst-group
+      // screen refuses any tolerance below the cap
+      val (_, s1) = SampledAgg.serveQuantile(spark, dir, lo, hi, 50,
+        tolerancePpm = 500000L)
+      assert(s1 === "exact",
+        "an overflow-bin percentile must refuse the histogram rung for any sub-cap tolerance")
+      // at the cap the capped bound is admissible — and DISCLOSED
+      val (capped, s2) = SampledAgg.serveQuantile(spark, dir, lo, hi, 50,
+        tolerancePpm = 1000000L)
+      assert(s2 === "histogram")
+      val byType = capped.collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(byType("over").getAs[Long]("rel_err_ppm") === 1000000L,
+        "the overflow bin discloses the cap, never a fabricated bound")
+      // the in-domain bound holds: |exact − est| ≤ one bin width
+      val estIn = byType("in").getAs[Long]("q_e4")
+      val exactIn = {
+        val (ex, src) = SampledAgg.serveQuantile(spark, dir, lo, hi, 50,
+          tolerancePpm = 0L)
+        assert(src === "exact")
+        ex.collect().map(r => r.getString(0) -> r.getAs[Long]("q_e4"))
+          .toMap.apply("in")
+      }
+      assert(math.abs(estIn - exactIn) <= 50000L,
+        s"bin-width bound must hold: est $estIn vs exact $exactIn")
+    }
+  }
+
   test("stratified scale-up envelope: a stratum count that would wrap sum_est refuses the rung (r16 advice)") {
     withIndexRoot("graft-aqp-envelope") {
       val dir = tmpDir("graft-aqp-envelope-data")
