@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftbridge.planToDf
 
@@ -33,13 +33,20 @@ import graft.operators.StatsCatalog
   * fight.
   *
   * Fail-closed vetoes, each leaving the plan untouched: any hint
-  * anywhere in the chain, any non-inner join, any condition conjunct
-  * that is not attr=attr between two DIFFERENT leaves, a leaf that
-  * is not a simple single-relation chain, duplicate attribute names
-  * inside a leaf (the rebuild resolves columns by name), more than
+  * anywhere in the chain, any non-inner join, a leaf that is not a
+  * simple single-relation chain, duplicate attribute names inside a
+  * leaf (the rebuild resolves columns by name), more than
   * [[JoinOrderer.MaxRelsGreedy]] leaves, overlapping leaf outputs
-  * (self-joins of one Dataset instance), and — through the DP's own
-  * discipline — any un-ANALYZEd leaf (choose answers None).
+  * (self-joins of one Dataset instance), any non-deterministic
+  * residual conjunct (not freely movable), and — through the DP's
+  * own discipline — any un-ANALYZEd leaf (choose answers None).
+  * NON-EQUALITY conjuncts no longer veto (r16): they re-apply as a
+  * residual Filter above the rebuilt chain — placed at the top, a
+  * documented trade (the declared plan may have evaluated them
+  * deeper; the reorder's intermediate savings are the bet) — while
+  * a join whose condition carries NO equality edge disconnects the
+  * graph and the DP refuses, so a pure theta join still passes
+  * through untouched.
   *
   * FIXED-POINT stability, argued: the rewrite fires only when the
   * chosen order differs from the chain's current leaf order. Leaves
@@ -57,29 +64,47 @@ class TransparentJoinOrderingRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   /** Flatten a maximal chain of eligible inner joins: the left-deep
-    * (or bushy) leaf sequence in tree order + every condition
-    * conjunct. `None` marks an ineligible node INSIDE a join (hint /
-    * outer / non-equi), which vetoes the whole chain. INTERIOR
-    * attribute-only Projects are transparent (r15): column pruning
-    * runs before this batch and inserts a pruning Project between
-    * every pair of real-world joins (any chain whose intermediate
-    * columns are not all consumed downstream gets one), which would
-    * otherwise truncate every flatten at two leaves. Attribute-only
-    * means no new exprIds, so the conditions still bind and the
-    * top-level output splice restores the pruned shape; leaf-side
-    * Projects (over relations) stay leaves — their pruning reaches
-    * the scan and must survive the rebuild. */
-  private def flatten(p: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
+    * (or bushy) leaf sequence in tree order + every JOIN condition
+    * conjunct + every INTERIOR-FILTER conjunct (separately — see
+    * below). INTERIOR wrappers are transparent (r15 for
+    * attribute-only Projects; r16 for Filters and SubqueryAliases —
+    * the r15 verdict's #5, the shapes real BI plans put between
+    * joins):
+    *
+    *  - attribute-only Projects mint no exprIds, so conditions still
+    *    bind and the top-level output splice restores the pruned
+    *    shape;
+    *  - a Filter between inner joins commutes with them (an inner
+    *    chain is a filter over a product): its conjuncts re-apply
+    *    ABOVE the rebuilt chain — except two-leaf equalities, which
+    *    ARE join edges and join the graph (they came from exactly
+    *    the predicate-into-join folding the optimizer does when
+    *    shapes allow);
+    *  - a SubqueryAlias only re-qualifies names (same exprIds), so
+    *    stripping it is invisible to the exprId-addressed rebuild.
+    *
+    * The `≤ 1 leaf` guard keeps LEAF-SIDE wrappers with their leaf:
+    * a pruning Project / pushed Filter / alias over one relation
+    * reaches the scan and must survive the rebuild untouched. */
+  private def flatten(p: LogicalPlan)
+      : (Seq[LogicalPlan], Seq[Expression], Seq[Expression]) =
     p match {
       case Join(l, r, Inner, Some(cond), hint) if hint == JoinHint.NONE =>
-        val (ll, lc) = flatten(l)
-        val (rl, rc) = flatten(r)
-        (ll ++ rl, lc ++ rc ++ conjuncts(cond))
-      case Project(list, j @ Join(_, _, Inner, Some(_), hint))
-          if hint == JoinHint.NONE &&
-            list.forall(_.isInstanceOf[AttributeReference]) =>
-        flatten(j)
-      case leaf => (Seq(leaf), Nil)
+        val (ll, lc, lr) = flatten(l)
+        val (rl, rc, rr) = flatten(r)
+        (ll ++ rl, lc ++ rc ++ conjuncts(cond), lr ++ rr)
+      case pr @ Project(list, child)
+          if list.forall(_.isInstanceOf[AttributeReference]) =>
+        val (cl, cc, cr) = flatten(child)
+        if (cl.size <= 1) (Seq(pr), Nil, Nil) else (cl, cc, cr)
+      case f @ Filter(cond, child) =>
+        val (cl, cc, cr) = flatten(child)
+        if (cl.size <= 1) (Seq(f), Nil, Nil)
+        else (cl, cc, cr ++ conjuncts(cond))
+      case sa: SubqueryAlias =>
+        val (cl, cc, cr) = flatten(sa.child)
+        if (cl.size <= 1) (Seq(sa), Nil, Nil) else (cl, cc, cr)
+      case leaf => (Seq(leaf), Nil, Nil)
     }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -103,7 +128,7 @@ class TransparentJoinOrderingRule(spark: SparkSession)
   }
 
   private def reorder(j: Join): Option[LogicalPlan] = {
-    val (leaves, conds) = flatten(j)
+    val (leaves, joinConds, residuals) = flatten(j)
     if (leaves.size < 3 || leaves.size > JoinOrderer.MaxRelsGreedy) return None
     // every leaf: a simple ANALYZEd single-relation chain with
     // unambiguous column names and disjoint outputs
@@ -115,13 +140,32 @@ class TransparentJoinOrderingRule(spark: SparkSession)
         leaves.map(_.output.size).sum) return None
     if (sides.flatten.exists { case (_, dir, table) =>
         StatsCatalog.statsIfReady(spark, dir, table).isEmpty }) return None
-    // every conjunct: attr = attr between two different leaves
     def leafOf(a: AttributeReference): Option[Int] =
       leaves.indexWhere(_.outputSet.contains(a)) match {
         case -1 => None
         case i => Some(i)
       }
-    val edgesOpt = conds.map {
+    // conjunct classification (r16): two-leaf equalities ARE join
+    // edges; every OTHER conjunct — whether it arrived in a join
+    // condition (Catalyst folds a non-pushable interior filter into
+    // the join it sits on) or in an interior Filter — re-applies
+    // ABOVE the rebuilt chain. Legal because an inner chain is a
+    // filter over a product: any conjunct may evaluate at any point
+    // where its attributes exist, and the chain's top sees every
+    // leaf output. A join left with NO equality edges simply
+    // disconnects the graph and the DP refuses — never a cartesian.
+    val (edgeConds, residFilters) = (joinConds ++ residuals).partition {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (for { la <- leafOf(a); lb <- leafOf(b) } yield la != lb)
+          .getOrElse(false)
+      case _ => false
+    }
+    if (residFilters.exists(_.references.exists(a =>
+        !leaves.exists(_.outputSet.contains(a))))) return None
+    // a NON-DETERMINISTIC residual is not freely movable (its row
+    // set depends on where it evaluates) — veto, plan untouched
+    if (residFilters.exists(!_.deterministic)) return None
+    val edgesOpt = edgeConds.map {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         for {
           la <- leafOf(a); lb <- leafOf(b)
@@ -182,7 +226,16 @@ class TransparentJoinOrderingRule(spark: SparkSession)
     }
     // the guard that makes the fixed point: already in this order?
     if (chosen.order == currentOrder) return None
-    Some(Project(j.output, chosen.df.queryExecution.analyzed))
+    val chain = chosen.df.queryExecution.analyzed
+    // residual filters re-apply on top of the rebuilt chain; their
+    // two-leaf equalities already live in the chain's join conditions
+    // (condOf attaches every edge where its endpoint joins), so the
+    // re-matched inner chain reads the same edge set and the fixed
+    // point holds
+    val rebuilt =
+      if (residFilters.isEmpty) chain
+      else Filter(residFilters.reduce(And), chain)
+    Some(Project(j.output, rebuilt))
   }
 
   /** Manual recursion: a rewritten chain is NOT re-entered in the

@@ -111,6 +111,63 @@ class JoinOrderingSpec extends SparkSpec {
     }
   }
 
+  test("interior Filters and SubqueryAliases are transparent; residual predicates survive the reorder (r16)") {
+    withIndexRoot("graft-tjo-interior") {
+      val dir = tmpDir("graft-tjo-interior-data")
+      writeTables(dir)
+      try {
+        Seq("fact", "dima", "dimb").foreach(StatsCatalog.ensure(spark, dir, _))
+        TransparentJoinOrdering.enable(spark)
+        val fact = graft.Tables(spark, dir, "fact")
+        val dima = graft.Tables(spark, dir, "dima").where($"dak" <= 5L)
+        val dimb = graft.Tables(spark, dir, "dimb")
+        // a NON-PUSHABLE interior filter: it references BOTH sides of
+        // the first join, so Catalyst cannot push it below — before
+        // r16 it truncated every flatten at two leaves
+        def interior = fact
+          .join(dimb, $"kb" === $"dbk")
+          .where($"payload" + $"dbk" > 2L)
+          .join(dima, $"ka" === $"dak")
+        assert(innermostTables(interior) === Set("fact", "dima"),
+          s"an interior filter must not truncate the flatten:\n${interior.queryExecution.optimizedPlan}")
+        // the residual predicate SURVIVES the rewrite: result equals
+        // the unruled plan's
+        val got = interior.select($"payload", $"aname", $"bname")
+          .collect().map(_.toString).sorted
+        TransparentJoinOrdering.disableForTest(spark)
+        val want = interior.select($"payload", $"aname", $"bname")
+          .collect().map(_.toString).sorted
+        assert(got.sameElements(want),
+          "the interior-filter rewrite must be result-invisible")
+
+        TransparentJoinOrdering.enable(spark)
+        // a SubqueryAlias-wrapped interior (the generated-BI CTE
+        // shape) flattens too
+        def aliased = fact
+          .join(dimb, $"kb" === $"dbk").alias("mid")
+          .join(dima, $"ka" === $"dak")
+        assert(innermostTables(aliased) === Set("fact", "dima"),
+          s"an interior alias must not truncate the flatten:\n${aliased.queryExecution.optimizedPlan}")
+
+        // fixed point: the filtered rewrite re-optimizes to itself
+        val rule = new TransparentJoinOrderingRule(spark)
+        val once = interior.queryExecution.optimizedPlan
+        assert(rule.apply(once).fastEquals(once),
+          "the interior-filter rewrite must be a fixed point")
+        val onceA = aliased.queryExecution.optimizedPlan
+        assert(rule.apply(onceA).fastEquals(onceA),
+          "the alias rewrite must be a fixed point")
+
+        // the q87 pin is untouched: a plain chain (no interior
+        // wrappers) reorders exactly as before
+        def worst = fact
+          .join(dimb, $"kb" === $"dbk")
+          .join(dima, $"ka" === $"dak")
+        assert(innermostTables(worst) === Set("fact", "dima"))
+      } finally TransparentJoinOrdering.disableForTest(spark)
+    }
+  }
+
   test("session-config tiers thread feedback into the transparent rule; unset keeps the uniform pin") {
     withIndexRoot("graft-tjo-tiers") {
       val dir = tmpDir("graft-tjo-tiers-data")
