@@ -58,9 +58,17 @@ object StatsMaintain {
   private def regPath(dir: String, table: String) = s"${maintPath(dir, table)}/registers"
 
   /** One maintained column: exact n/nulls/min/max + the HLL NDV
-    * estimate (rounded long; advisory-grade by construction). */
+    * estimate (rounded long; advisory-grade by construction).
+    * `degraded` (r16, the CDC-delete story): after a
+    * [[deleteMaintain]], n/nulls stay EXACT but min/max are only
+    * one-sided BOUNDS of the live range (deletes can only shrink it)
+    * and ndvEst is an UPPER bound (register max-merge has no
+    * inverse) — still advisory-safe, flagged so [[Steering
+    * .adviseAnalyze]] can name the re-ANALYZE that restores
+    * exactness. */
   final case class MaintainedCol(column: String, n: Long, nulls: Long,
-      min: Option[String], max: Option[String], ndvEst: Long)
+      min: Option[String], max: Option[String], ndvEst: Long,
+      degraded: Boolean = false)
 
   private def orderable(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | DateType | TimestampType |
@@ -128,15 +136,21 @@ object StatsMaintain {
 
   private def writeArtifact(s: SparkSession, dir: String, table: String,
       sums: Seq[(String, Long, Long, Option[String], Option[String])],
-      regs: DataFrame): Unit = {
+      regs: DataFrame, degraded: Boolean = false): Unit = {
     import s.implicits._
     // registers first; the summary carries the covered stamp and is
     // the COMMIT point (see class scaladoc)
     regs.coalesce(1).write.mode("overwrite").parquet(regPath(dir, table))
     val covered = IndexStore.fingerprint(dir, table)
-    sums.map { case (c, n, nulls, mn, mx) => (c, n, nulls, mn, mx, covered) }
-      .toDF("column", "n", "nulls", "min", "max", "covered")
+    sums.map { case (c, n, nulls, mn, mx) =>
+        (c, n, nulls, mn, mx, covered, degraded) }
+      .toDF("column", "n", "nulls", "min", "max", "covered", "degraded")
       .coalesce(1).write.mode("overwrite").parquet(sumPath(dir, table))
+    // a rebuild at an UNCHANGED listing (reEnsure clearing the
+    // degraded flag) must not be shadowed by the covered-keyed memo
+    // (r16: the stamp alone cannot see an artifact rewrite)
+    statsMemo.remove(maintPath(dir, table))
+    ()
   }
 
   /** Build once from a full scan; safe to call when already current. */
@@ -229,19 +243,81 @@ object StatsMaintain {
     val merged = registerRows(batch)
       .union(oldRegs.toDF("column", "reg", "rho"))
       .groupBy(col("column"), col("reg")).agg(max(col("rho")).as("rho"))
-    writeArtifact(s, dir, table, mergedSums, merged)
+    // a degraded (delete-maintained) artifact stays degraded under
+    // appends: the kept bounds remain valid bounds, but only a full
+    // re-ANALYZE restores exactness (r16)
+    writeArtifact(s, dir, table, mergedSums, merged,
+      degraded = old.exists(_.degraded))
   }
+
+  /** O(batch) DELETE maintenance (r16, the D42 gap between D91 and
+    * the CDC family): the caller REMOVED `deleted`'s rows from the
+    * table ALREADY (covered is taken from the post-delete listing).
+    * Only the ADDITIVE fields retract exactly — n and nulls subtract
+    * (clamped at 0: advisory, never negative). min/max and the NDV
+    * registers provably cannot retract (register max-merge has no
+    * inverse — the D42 max-merge argument), so they are KEPT as
+    * documented one-sided bounds: stored min ≤ live min ≤ live max ≤
+    * stored max (deletes only shrink the range) and the HLL estimate
+    * is an UPPER bound on live NDV. The artifact marks itself
+    * `degraded`; [[Steering.adviseAnalyze]] reports `degraded_stats`
+    * for it, and a full [[reEnsure]] (or the next ensure after a
+    * fingerprint move) restores exactness. Idempotent and
+    * crash-convergent like [[appendMaintain]]: an already-covered
+    * artifact no-ops; a crash between the (unchanged) registers
+    * rewrite and the summary leaves the old summary — fail-closed
+    * stale, the retry re-subtracts against the OLD counts exactly
+    * once. A batch column the frame lacks follows the appendMaintain
+    * convention (the scan served those rows' column as NULL). */
+  def deleteMaintain(s: SparkSession, dir: String, table: String,
+      deleted: DataFrame): Unit = {
+    import s.implicits._
+    if (statsIfCurrent(s, dir, table).isDefined) return
+    require(built(dir, table),
+      "maintained stats must be built (ensure) before deleteMaintain")
+    val old = readArtifact(s, dir, table).getOrElse {
+      return reEnsure(s, dir, table)
+    }
+    val batchSums = summarize(deleted).map(t => t._1 -> t).toMap
+    val batchN = batchSums.values.headOption.map(_._2).getOrElse(0L)
+    val mergedSums = old.map { m =>
+      batchSums.get(m.column) match {
+        case None =>
+          (m.column, (m.n - batchN).max(0L), (m.nulls - batchN).max(0L),
+            m.min, m.max)
+        case Some((_, bn, bnulls, _, _)) =>
+          (m.column, (m.n - bn).max(0L), (m.nulls - bnulls).max(0L),
+            m.min, m.max)
+      }
+    }
+    val oldRegs = s.read.parquet(regPath(dir, table))
+      .as[(String, Long, Long)].collect().toSeq
+    writeArtifact(s, dir, table, mergedSums,
+      oldRegs.toDF("column", "reg", "rho"), degraded = true)
+  }
+
+  /** True when the maintained artifact is CURRENT but degraded (a
+    * delete was maintained since the last full build) — the
+    * [[Steering.adviseAnalyze]] probe. */
+  def statsDegraded(s: SparkSession, dir: String, table: String): Boolean =
+    statsIfCurrent(s, dir, table)
+      .exists(_.values.exists(_.degraded))
 
   private def readArtifact(s: SparkSession, dir: String,
       table: String): Option[Seq[MaintainedCol]] = {
     if (!IndexStore.artifactReady(sumPath(dir, table)) ||
         !IndexStore.artifactReady(regPath(dir, table))) return None
     val ests = estimates(s, dir, table)
-    Some(s.read.parquet(sumPath(dir, table)).collect().toSeq.map { r =>
+    val df = s.read.parquet(sumPath(dir, table))
+    // pre-r16 artifacts lack the degraded column — they were never
+    // delete-maintained, so false is exact, not a guess
+    val hasDeg = df.schema.fieldNames.contains("degraded")
+    Some(df.collect().toSeq.map { r =>
       MaintainedCol(r.getAs[String]("column"), r.getAs[Long]("n"),
         r.getAs[Long]("nulls"), Option(r.getAs[String]("min")),
         Option(r.getAs[String]("max")),
-        ests.getOrElse(r.getAs[String]("column"), 0L))
+        ests.getOrElse(r.getAs[String]("column"), 0L),
+        degraded = hasDeg && r.getAs[Boolean]("degraded"))
     })
   }
 

@@ -130,6 +130,12 @@ object Steering {
       val allAnalyzed = rels.flatMap(tableOf).map { case (dir, table) =>
         val ready = StatsCatalog.statsIfReady(s, dir, table).isDefined
         if (!ready) advice += AnalyzeAdvice("table_stats", dir, table, Nil)
+        // `degraded_stats` (r16): the maintained artifact is CURRENT
+        // but delete-degraded — n/nulls exact, min/max/NDV one-sided
+        // bounds — and only a full re-ANALYZE restores exactness;
+        // this is the named repair the deleteMaintain contract owes
+        if (StatsMaintain.statsDegraded(s, dir, table))
+          advice += AnalyzeAdvice("degraded_stats", dir, table, Nil)
         ready
       }.forall(identity)
       // `feedback`: a keyable plan the algebra cannot cost even with

@@ -336,6 +336,71 @@ class StatsMaintainSpec extends SparkSpec {
     }
   }
 
+  test("delete maintenance retracts n/nulls exactly, degrades bounds honestly, and names its repair (r16)") {
+    withIndexRoot("graft-maint-del") {
+      val dir = tmpDir("graft-maint-del-data")
+      // rows 1..1000; v null when i % 10 == 0; max carrier = row 1000
+      (1L to 1000L).map(i => (i, if (i % 10 == 0) None else Some(i * 2)))
+        .toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      StatsMaintain.ensure(spark, dir, "t")
+      assert(!StatsMaintain.statsDegraded(spark, dir, "t"))
+      // DELETE the top slice (ids 901..1000, 10 nulls, incl. the max)
+      // by rewriting the table — the artifact fail-closes stale
+      val keep = graft.Tables(spark, dir, "t").where($"id" <= 900L)
+        .collect()
+      val deleted = graft.Tables(spark, dir, "t").where($"id" > 900L)
+        .collect()
+      import org.apache.spark.sql.Row
+      val schema = graft.Tables(spark, dir, "t").schema
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(keep.toIndexedSeq, 2), schema)
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      assert(StatsMaintain.statsIfCurrent(spark, dir, "t").isEmpty,
+        "deleted-but-unmaintained must fail closed")
+      val delDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(deleted.toIndexedSeq, 2), schema)
+      StatsMaintain.deleteMaintain(spark, dir, "t", delDf)
+      // a plain double call is a no-op (covered == live)
+      StatsMaintain.deleteMaintain(spark, dir, "t", delDf)
+      val st = StatsMaintain.statsIfCurrent(spark, dir, "t")
+        .getOrElse(fail("must serve after delete maintenance"))
+      // retractable fields are EXACT
+      assert(st("id").n === 900L && st("id").nulls === 0L)
+      assert(st("v").n === 900L && st("v").nulls === 90L)
+      // non-retractable fields degrade to one-sided bounds: the kept
+      // max (1998 — id 999's value; id 1000 is null) still BOUNDS the
+      // live max (1798); flagged degraded
+      assert(st("v").max.map(_.toLong).contains(1998L),
+        "the kept max is a bound, not the live value")
+      assert(st("v").degraded && st("id").degraded)
+      assert(StatsMaintain.statsDegraded(spark, dir, "t"))
+      // the advisor NAMES the repair on any workload touching t
+      val advice = Steering.adviseAnalyze(spark,
+        Seq(graft.Tables(spark, dir, "t").groupBy($"v").count()))
+      assert(advice.exists(a => a.kind == "degraded_stats" && a.table == "t"),
+        s"adviseAnalyze must name the degraded artifact: $advice")
+      // an APPEND on the degraded artifact maintains and stays
+      // degraded (bounds remain bounds; only re-ANALYZE restores)
+      val batch = (2001L to 2100L).map(i => (i, Some(i * 2)))
+        .toDF("id", "v")
+      batch.write.mode("append").parquet(s"$dir/t.parquet")
+      StatsMaintain.appendMaintain(spark, dir, "t", batch)
+      val st2 = StatsMaintain.statsIfCurrent(spark, dir, "t")
+        .getOrElse(fail("must serve after append"))
+      assert(st2("id").n === 1000L && st2("id").degraded,
+        "append over a degraded artifact keeps the flag")
+      assert(st2("v").max.map(_.toLong).contains(4200L))
+      // the full rebuild restores exactness and clears the flag
+      StatsMaintain.reEnsure(spark, dir, "t")
+      val st3 = StatsMaintain.statsIfCurrent(spark, dir, "t")
+        .getOrElse(fail("must serve after rebuild"))
+      assert(!st3("v").degraded &&
+        st3("v").max.map(_.toLong).contains(4200L) && st3("v").n === 1000L)
+      assert(!StatsMaintain.statsDegraded(spark, dir, "t"))
+    }
+  }
+
   test("column-stats and column-group maintenance are double-call idempotent") {
     withIndexRoot("graft-maint-grp-idem") {
       val dir = tmpDir("graft-maint-grp-idem-data")
