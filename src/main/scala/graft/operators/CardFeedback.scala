@@ -51,6 +51,21 @@ object CardFeedback {
   def feedbackPath(key: String): String =
     s"${IndexStore.root}/card_feedback/$key"
 
+  /** Cheap store WATERMARK (r16, the learned-tier memo key): a hash
+    * of the store directory's child names + mtimes — one FS listing,
+    * no jobs. Any new observation, re-record, or retention sweep
+    * changes it, so an ordering memo keyed on it serves exactly
+    * while the learning state the enumeration read is unchanged. */
+  def storeStamp(): String = {
+    val (fs, root) = IndexStore.fsOf(s"${IndexStore.root}/card_feedback")
+    if (!fs.exists(root)) return "empty"
+    val desc = fs.listStatus(root)
+      .map(st => s"${st.getPath.getName}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Execute `df` once and persist its observed output cardinality
     * under its plan key. Returns the observation, or None for an
     * unkeyable plan (never recorded — see class scaladoc). Identical

@@ -524,6 +524,28 @@ object StatsCatalog {
     EnsureWatermark.write(path)
   }
 
+  /** Cheap MCV-TIER WATERMARK for one table (r16, the learned-tier
+    * memo key): one hash over the exact MCV artifacts' listing (they
+    * live under the table's fingerprint dir, so a table mutation
+    * re-keys automatically) and the maintained MCV listing (under
+    * the maint path). Any build, maintenance, or retirement of
+    * either tier changes the stamp — FS metadata only, no jobs. */
+  def mcvTierStamp(dir: String, table: String): String = {
+    def listDesc(root: String, prefix: String): String = {
+      val (fs, p) = IndexStore.fsOf(root)
+      if (!fs.exists(p)) "absent"
+      else fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .map(st => s"${st.getPath.getName}:${st.getModificationTime}")
+        .sorted.mkString(",")
+    }
+    val exact = listDesc(
+      s"${IndexStore.root}/${IndexStore.fingerprint(dir, table)}",
+      s"stats_${table}_mcv_")
+    val maint = listDesc(StatsMaintain.maintPath(dir, table), "mcv_")
+    s"$exact;$maint"
+  }
+
   /** Stamp-keyed memo for plan-time MCV reads — the readStats
     * discipline. */
   private val mcvCache =

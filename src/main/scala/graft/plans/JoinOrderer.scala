@@ -91,9 +91,14 @@ object JoinOrderer {
       chooseImpl(s, rels, edges, broadcastRows, useMcv, useFeedback)
     }
 
+  /** Enumeration counter — the memo specs' seam: an optimization
+    * served from [[JoinOrdering.chosenMemo]] must not move it. */
+  private[plans] val enumerations = new java.util.concurrent.atomic.AtomicLong
+
   private def chooseImpl(s: SparkSession, rels: Seq[(String, DataFrame)],
       edges: Seq[Edge], broadcastRows: Long,
       useMcv: Boolean, useFeedback: Boolean): Option[Chosen] = {
+    enumerations.incrementAndGet()
     val n = rels.size
     require(n >= 2 && n <= MaxRelsGreedy,
       s"need 2..$MaxRelsGreedy relations, got $n")

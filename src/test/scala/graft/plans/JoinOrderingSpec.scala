@@ -168,6 +168,47 @@ class JoinOrderingSpec extends SparkSpec {
     }
   }
 
+  test("learned-tier enumeration memoizes under store watermarks; one observation re-keys it (r16)") {
+    withIndexRoot("graft-tjo-memo") {
+      val dir = tmpDir("graft-tjo-memo-data")
+      writeTables(dir)
+      try {
+        Seq("fact", "dima", "dimb").foreach(StatsCatalog.ensure(spark, dir, _))
+        spark.conf.set("spark.graft.ordering.tiers", "mcv,feedback")
+        TransparentJoinOrdering.enable(spark)
+        val fact = graft.Tables(spark, dir, "fact")
+        val dima = graft.Tables(spark, dir, "dima").where($"dak" <= 5L)
+        val dimb = graft.Tables(spark, dir, "dimb")
+        def worst = fact
+          .join(dimb, $"kb" === $"dbk")
+          .join(dima, $"ka" === $"dak")
+        val once = worst.queryExecution.optimizedPlan
+        assert(innermostTables(worst) === Set("fact", "dima"))
+        val rule = new TransparentJoinOrderingRule(spark)
+        val c1 = JoinOrderer.enumerations.get
+        assert(rule.apply(once).fastEquals(once))
+        assert(JoinOrderer.enumerations.get === c1,
+          "tiers ON + stores unchanged: the hold-still answer must come from the memo, not a re-enumeration")
+        // ONE recorded observation moves the feedback-store watermark
+        // — the next pass re-keys and re-enumerates exactly once
+        graft.operators.CardFeedback.record(spark,
+          dimb.where($"bname" === "b1"))
+        assert(rule.apply(once).fastEquals(once),
+          "an observation for an unrelated shape must not flip the choice")
+        assert(JoinOrderer.enumerations.get === c1 + 1,
+          "a store change must re-key the memo and re-enumerate once")
+        // the re-enumerated choice re-memoizes under the new stamp
+        val c2 = JoinOrderer.enumerations.get
+        assert(rule.apply(once).fastEquals(once))
+        assert(JoinOrderer.enumerations.get === c2,
+          "the new stamp serves from the memo again")
+      } finally {
+        spark.conf.unset("spark.graft.ordering.tiers")
+        TransparentJoinOrdering.disableForTest(spark)
+      }
+    }
+  }
+
   test("session-config tiers thread feedback into the transparent rule; unset keeps the uniform pin") {
     withIndexRoot("graft-tjo-tiers") {
       val dir = tmpDir("graft-tjo-tiers-data")
