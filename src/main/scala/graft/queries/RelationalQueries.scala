@@ -5024,6 +5024,68 @@ object RelationalQueries {
     loose.unionByName(tight).orderBy($"source", $"event_type")
   }
 
+  /** q102 — SHUFFLED-HASH DISPATCH FOR SEMI / ANTI JOINS (r15
+    * verdict #7, redirected with receipts): the asked-for BuildLeft
+    * arm is VERIFIED INFEASIBLE on Spark 4.1.2 —
+    * `canBuildShuffledHashJoinLeft` admits inner/outer types only
+    * (decompiled; LeftSemi/LeftAnti build-left never landed
+    * upstream) — so the dispatch ships the legal adjacent win: a
+    * Plain-advice semi/anti join whose RIGHT side is stats-proven
+    * within the hash budget takes the SHUFFLE_HASH hint, replacing
+    * sort-merge and dropping BOTH sides' sorts (at 100 TB, the probe
+    * side's sort saved per query). Both legs require()-pin the
+    * ShuffledHashJoin BuildRight physical plan with size-based
+    * broadcast disabled (only the rule's hint can produce it); the
+    * oracle replays EXISTS / NOT EXISTS. */
+  val q102SemiAntiHashDispatch: GraftQuery = q(
+    "q102_semi_anti_hash_dispatch",
+    "plain-advice semi/anti joins take the shuffled-hash build-right arm from stats; oracle replays EXISTS / NOT EXISTS",
+    """SELECT * FROM (
+      |  SELECT 'anti' AS leg, count(*) AS n,
+      |         CAST(sum(o_custkey) AS BIGINT) AS fp
+      |  FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                    WHERE l.l_orderkey = o.o_orderkey
+      |                      AND l.l_quantity > 45)
+      |  UNION ALL
+      |  SELECT 'semi', count(*), CAST(sum(o_custkey) AS BIGINT)
+      |  FROM orders o
+      |  WHERE EXISTS (SELECT 1 FROM lineitem l
+      |                WHERE l.l_orderkey = o.o_orderkey
+      |                  AND l.l_quantity > 45)
+      |) ORDER BY leg""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SC = graft.operators.StatsCatalog
+    SC.ensure(s, dir, "orders")
+    SC.ensure(s, dir, "lineitem")
+    graft.plans.TransparentJoinSteering.enable(s,
+      broadcastBytes = 1024L, skewAvgFreq = 64.0, factor = 8,
+      hashBytes = 8L * 1024 * 1024 * 1024)
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def leg(kind: String, label: String) = {
+        val or = Tables(s, dir, "orders")
+        val li = Tables(s, dir, "lineitem").where($"l_quantity" > 45.0)
+        val f = or.join(li, or("o_orderkey") === li("l_orderkey"), kind)
+          .agg(count(lit(1)).as("n"), sum($"o_custkey").as("fp"))
+          .select(lit(label).as("leg"), $"n", $"fp")
+        val phys = f.queryExecution.executedPlan.toString
+        require(phys.contains("ShuffledHashJoin") &&
+            phys.contains("BuildRight"),
+          s"the $kind leg must take the shuffled-hash build-right arm:\n$phys")
+        f
+      }
+      val anti = leg("left_anti", "anti")
+      val semi = leg("left_semi", "semi")
+      anti.unionByName(semi).orderBy($"leg")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      graft.plans.TransparentJoinSteering.disableForTest(s)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -5053,5 +5115,5 @@ object RelationalQueries {
     q92CompositeSteering, q93ToleranceServing, q94McvSteering,
     q95ToleranceSums, q96StreamingMaintained, q97SemiAntiSteering,
     q98MaintainedMcvSteering, q99WholeBrainComposition,
-    q100ToleranceAvgs, q101ToleranceQuantiles)
+    q100ToleranceAvgs, q101ToleranceQuantiles, q102SemiAntiHashDispatch)
 }

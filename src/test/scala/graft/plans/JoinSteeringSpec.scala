@@ -244,6 +244,36 @@ class JoinSteeringSpec extends SparkSpec {
           .queryExecution.optimizedPlan.toString
         assert(!leftSmall.contains("Hint") && !leftSmall.contains("__salt_f"),
           s"a small LEFT side of a semi join must pass through:\n$leftSmall")
+
+        // shuffled-hash arm (r16): a PLAIN-advice semi/anti whose
+        // right side fits the hash budget takes SHUFFLE_HASH
+        // build-right — the only legal hash build for semi/anti on
+        // this Spark (BuildLeft verified unsupported upstream)
+        TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+          skewAvgFreq = 1e9, factor = 4, hashBytes = 1L << 30)
+        val prior2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          def shjShape = uf.join(dm, uf("k") === dm("dk"), "left_semi")
+          val shj = shjShape.queryExecution.executedPlan.toString
+          assert(shj.contains("ShuffledHashJoin") && shj.contains("BuildRight"),
+            s"plain-advice semi must take the shuffled-hash arm:\n$shj")
+          val got = shjShape.collect().map(_.toString).sorted
+          TransparentJoinSteering.disableForTest(spark)
+          val unruled = uf.join(dm, uf("k") === dm("dk"), "left_semi")
+          assert(!unruled.queryExecution.executedPlan.toString
+            .contains("ShuffledHashJoin"),
+            "the SHJ must come from the rule's hint, not the planner")
+          val want = unruled.collect().map(_.toString).sorted
+          assert(got.sameElements(want), "the hash arm is result-invisible")
+          // a zero budget refuses — fail-closed like every arm
+          TransparentJoinSteering.enable(spark, broadcastBytes = 0L,
+            skewAvgFreq = 1e9, factor = 4, hashBytes = 0L)
+          assert(!shjShape.queryExecution.executedPlan.toString
+            .contains("ShuffledHashJoin"),
+            "an over-budget right side must pass through")
+        } finally
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior2)
       } finally TransparentJoinSteering.disableForTest(spark)
     }
   }
