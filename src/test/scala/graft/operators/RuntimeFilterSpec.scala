@@ -49,6 +49,39 @@ class RuntimeFilterSpec extends SparkSpec {
       s"filter must push through the temp view to the scan:\n$plan")
   }
 
+  test("GraftCatalog: layer selection builds only what was asked; warm registration runs zero jobs (r16)") {
+    withIndexRoot("graft-cat-lazy") {
+      // cold host, ONE layer asked: only that artifact builds, only
+      // that view registers
+      graft.GraftCatalog.registerRollups(spark, sf, layers = Seq("hll_daily"))
+      assert(spark.catalog.tableExists("hll_daily"))
+      assert(!IndexStore.artifactReady(HistogramRollup.histPath(sf)),
+        "an unchosen layer must not pay its build scan")
+      assert(!spark.catalog.tableExists("hist_daily"),
+        "an unchosen layer must not register")
+      // a typo fails loud, never silently registers nothing
+      intercept[IllegalArgumentException] {
+        graft.GraftCatalog.registerRollups(spark, sf, layers = Seq("hll_dailyy"))
+      }
+      // WARM re-registration of the chosen layer runs ZERO jobs: the
+      // ensure guard is FS metadata and the view is a lazy plan
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.GraftCatalog.registerRollups(spark, sf, layers = Seq("hll_daily"))
+        Thread.sleep(300) // let the listener bus drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(jobs.get === 0L,
+        s"warm registration must run zero Spark jobs, ran ${jobs.get}")
+    }
+  }
+
   test("GraftCatalog: rollup layers queryable through plain spark.sql") {
     withIndexRoot("graft-cat-roll") {
       graft.GraftCatalog.registerRollups(spark, sf)
