@@ -524,6 +524,13 @@ object StatsCatalog {
     EnsureWatermark.write(path)
   }
 
+  /** The table's LIVE listing fingerprint — the public face for
+    * plan-layer memo keys (r16): a maintained-evidence leaf keys on
+    * it, since the maintained artifacts only serve while covering
+    * exactly this listing. */
+  def listingFingerprint(dir: String, table: String): String =
+    IndexStore.fingerprint(dir, table)
+
   /** Cheap MCV-TIER WATERMARK for one table (r16, the learned-tier
     * memo key): one hash over the exact MCV artifacts' listing (they
     * live under the table's fingerprint dir, so a table mutation

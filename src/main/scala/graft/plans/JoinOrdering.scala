@@ -138,8 +138,15 @@ class TransparentJoinOrderingRule(spark: SparkSession)
       return None
     if (leaves.map(_.outputSet).reduce(_ ++ _).size !=
         leaves.map(_.output.size).sum) return None
+    // evidence per leaf (r16, the steering rule's extension applied
+    // here): an exact ANALYZE of the live listing, OR the O(batch)-
+    // maintained stats covering it — the estimator already serves
+    // the maintained tier, so a table under streaming ingest keeps
+    // participating in transparent ordering with zero full rescans
     if (sides.flatten.exists { case (_, dir, table) =>
-        StatsCatalog.statsIfReady(spark, dir, table).isEmpty }) return None
+        StatsCatalog.statsIfReady(spark, dir, table).isEmpty &&
+          graft.operators.StatsMaintain
+            .statsIfCurrent(spark, dir, table).isEmpty }) return None
     def leafOf(a: AttributeReference): Option[Int] =
       leaves.indexWhere(_.outputSet.contains(a)) match {
         case -1 => None
@@ -211,7 +218,12 @@ class TransparentJoinOrderingRule(spark: SparkSession)
     // (the q90 flip fires exactly as before). FS-metadata cost only.
     val stampKey = sides.flatten.map { case (_, d, t) =>
       graft.operators.EnsureWatermark
-        .stampIfHolds(StatsCatalog.statsPath(d, t)).getOrElse("absent")
+        .stampIfHolds(StatsCatalog.statsPath(d, t))
+        // a maintained-evidence leaf keys on its LIVE listing
+        // fingerprint: maintenance moves it (the artifact only serves
+        // while covering it), so the memo re-keys exactly when the
+        // maintained stats can have changed
+        .getOrElse("maint:" + StatsCatalog.listingFingerprint(d, t))
     }.mkString("|")
     val tierStamp =
       (if (useMcv) sides.flatten.map { case (_, d, t) =>

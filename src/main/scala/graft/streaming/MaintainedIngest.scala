@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.StatsMaintain
+import graft.operators.{SampledAgg, StatsMaintain}
 
 /** MAINTAINED STREAMING INGEST (D103) — the D91/D94 freshness story
   * wired to the streaming surface: at 100 TB the appends arrive as
@@ -82,7 +82,8 @@ object MaintainedIngest {
     * a full rescan, paid exactly when the lineage actually broke. */
   def processBatch(batch: DataFrame, batchId: Long, dir: String,
       table: String, profileColumn: Option[String] = None,
-      hotFreq: Long = 1000L, mcvColumns: Seq[String] = Nil): Unit = {
+      hotFreq: Long = 1000L, mcvColumns: Seq[String] = Nil,
+      groupRollups: Seq[(String, String)] = Nil): Unit = {
     val s = batch.sparkSession
     val withId = batch.withColumn("batch_id", lit(batchId))
     val contentId = contentIdOf(batch)
@@ -94,7 +95,7 @@ object MaintainedIngest {
       // exact replay of a landed batch: listing unchanged, the
       // maintains below no-op on their covered stamps
       maintain(s, dir, table, withId, profileColumn, hotFreq, mcvColumns,
-        lineageBroke = false)
+        groupRollups, lineageBroke = false)
       return
     }
     val priorMarkers =
@@ -136,16 +137,25 @@ object MaintainedIngest {
     // and rebuilds — never an exact-replay path that O(batch)-merges
     // the new batch into artifacts still carrying the replaced rows'
     // contributions and stamps them current
-    if (mustRebuild) StatsMaintain.dropMaintained(dir, table)
+    if (mustRebuild) {
+      StatsMaintain.dropMaintained(dir, table)
+      // the exact group rollups (D106) live outside maintPath — the
+      // same tombstone discipline applies: an O(batch) merge into a
+      // rollup still counting replaced rows would be wrong EXACT
+      // data, worse than wrong advisory stats
+      groupRollups.foreach { case (g, v) =>
+        SampledAgg.dropGroupRollup(dir, table, g, v) }
+    }
     if (lineageBroke) priorMarkers.foreach(st => fs.delete(st.getPath, false))
     fs.create(marker, true).close()
     maintain(s, dir, table, withId, profileColumn, hotFreq, mcvColumns,
-      mustRebuild)
+      groupRollups, mustRebuild)
   }
 
   private def maintain(s: org.apache.spark.sql.SparkSession, dir: String,
       table: String, withId: DataFrame, profileColumn: Option[String],
-      hotFreq: Long, mcvColumns: Seq[String], lineageBroke: Boolean): Unit = {
+      hotFreq: Long, mcvColumns: Seq[String],
+      groupRollups: Seq[(String, String)], lineageBroke: Boolean): Unit = {
     // every maintain is idempotent (r15): covered == live no-ops
     if (lineageBroke || !StatsMaintain.built(dir, table))
       StatsMaintain.ensure(s, dir, table)
@@ -166,19 +176,28 @@ object MaintainedIngest {
         StatsMaintain.ensureMcvMaint(s, dir, table, c)
       else StatsMaintain.appendMaintainMcv(s, dir, table, c, withId)
     }
+    // the exact group rollups (D106): additive O(batch) maintenance;
+    // after a lineage break the tombstone above left them absent and
+    // ensure rebuilds from the replaced table (appendMaintain's own
+    // absent-repair covers the torn-overwrite window)
+    groupRollups.foreach { case (g, v) =>
+      if (lineageBroke) SampledAgg.ensureGroupRollup(s, dir, table, g, v)
+      else SampledAgg.appendMaintainGroupRollup(s, dir, table, g, v, withId)
+    }
   }
 
   /** Wire a stream through the maintained ingest. */
   def run(rows: DataFrame, dir: String, table: String,
       checkpoint: String, profileColumn: Option[String] = None,
       hotFreq: Long = 1000L, mcvColumns: Seq[String] = Nil,
+      groupRollups: Seq[(String, String)] = Nil,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     rows.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, dir, table, profileColumn, hotFreq,
-          mcvColumns)
+          mcvColumns, groupRollups)
       }
       .start()
 }

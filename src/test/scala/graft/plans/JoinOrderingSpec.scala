@@ -168,6 +168,35 @@ class JoinOrderingSpec extends SparkSpec {
     }
   }
 
+  test("a maintained-stats-only leaf participates in transparent ordering (r16)") {
+    withIndexRoot("graft-tjo-maint") {
+      val dir = tmpDir("graft-tjo-maint-data")
+      writeTables(dir)
+      try {
+        // fact gets NO exact ANALYZE — only the O(batch)-maintained
+        // tier (the streamed-table state); the dims are exact
+        Seq("dima", "dimb").foreach(StatsCatalog.ensure(spark, dir, _))
+        graft.operators.StatsMaintain.ensure(spark, dir, "fact")
+        TransparentJoinOrdering.enable(spark)
+        val fact = graft.Tables(spark, dir, "fact")
+        val dima = graft.Tables(spark, dir, "dima").where($"dak" <= 5L)
+        val dimb = graft.Tables(spark, dir, "dimb")
+        def worst = fact
+          .join(dimb, $"kb" === $"dbk")
+          .join(dima, $"ka" === $"dak")
+        assert(innermostTables(worst) === Set("fact", "dima"),
+          s"maintained evidence must license the reorder:\n${worst.queryExecution.optimizedPlan}")
+        // a stale maintained artifact (append, no maintenance) fails
+        // closed: the chain passes through untouched
+        (1L to 10L).map(i => (99L, 99L, 900000L + i))
+          .toDF("ka", "kb", "payload")
+          .write.mode("append").parquet(s"$dir/fact.parquet")
+        assert(innermostTables(worst) === Set("fact", "dimb"),
+          "appended-but-unmaintained evidence must veto the reorder")
+      } finally TransparentJoinOrdering.disableForTest(spark)
+    }
+  }
+
   test("learned-tier enumeration memoizes under store watermarks; one observation re-keys it (r16)") {
     withIndexRoot("graft-tjo-memo") {
       val dir = tmpDir("graft-tjo-memo-data")

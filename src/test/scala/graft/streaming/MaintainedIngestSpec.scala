@@ -57,9 +57,11 @@ class MaintainedIngestSpec extends SparkSpec {
       def batch(n: Long, off: Long) =
         (1L to n).map(i => (7L, off + i, 1.0)).toDF("k", "sid", "v")
       MaintainedIngest.processBatch(batch(500, 0), 0L, dir, "ing",
-        Some("k"), hotFreq = 100L)
+        Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       MaintainedIngest.processBatch(batch(200, 1000), 1L, dir, "ing",
-        Some("k"), hotFreq = 100L)
+        Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       def profile() =
         StatsMaintain.keyProfileIfCurrent(spark, dir, "ing", "k").map(_._2)
       def statN() = StatsMaintain.statsIfCurrent(spark, dir, "ing").map(_("k").n)
@@ -67,7 +69,8 @@ class MaintainedIngestSpec extends SparkSpec {
       assert(statN() === Some(700L) && profile() === Some(700L))
       // plain replay of a committed batch: full no-op
       MaintainedIngest.processBatch(batch(200, 1000), 1L, dir, "ing",
-        Some("k"), hotFreq = 100L)
+        Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       assert(graft.Tables(spark, dir, "ing").count() === 700L)
       assert(statN() === Some(700L) && profile() === Some(700L))
       // crash window (b): partition + marker landed, NO maintenance
@@ -84,7 +87,8 @@ class MaintainedIngestSpec extends SparkSpec {
         s"$dir/ing_batches/batch_2_$cid2"), true).close()
       StatsMaintain.clearMemosForTest()
       MaintainedIngest.processBatch(batch(100, 5000), 2L, dir, "ing",
-        Some("k"), hotFreq = 100L)
+        Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       assert(graft.Tables(spark, dir, "ing").count() === 800L)
       assert(statN() === Some(800L) && profile() === Some(800L),
         "a landed-but-unmaintained batch maintains exactly once on replay")
@@ -96,7 +100,8 @@ class MaintainedIngestSpec extends SparkSpec {
         .partitionBy("batch_id").parquet(s"$dir/ing.parquet")
       StatsMaintain.clearMemosForTest()
       MaintainedIngest.processBatch(batch(50, 9000), 3L, dir, "ing",
-        Some("k"), hotFreq = 100L)
+        Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       assert(graft.Tables(spark, dir, "ing").count() === 850L,
         "the rewrite replaces the partition, never appends a second copy")
       assert(statN() === Some(850L) && profile() === Some(850L),
@@ -107,11 +112,16 @@ class MaintainedIngestSpec extends SparkSpec {
       // advisory artifacts REBUILD instead of merging against rows
       // that no longer exist
       MaintainedIngest.processBatch(batch(80, 50000), 3L, dir, "ing",
-        Some("k"), hotFreq = 100L)
+        Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       assert(graft.Tables(spark, dir, "ing").count() === 880L,
         "the broken-lineage batch replaces its partition (800 + 80)")
       assert(statN() === Some(880L) && profile() === Some(880L),
         "a lineage break rebuilds the artifacts from the table")
+      assert(graft.operators.SampledAgg
+        .groupRollupIfCurrent(spark, dir, "ing", "k", "v")
+        .map(_.agg(sum($"n")).head().getLong(0)) === Some(880L),
+        "the group rollup rides the same exactly-once discipline (D106 x D103)")
     }
   }
 
@@ -121,14 +131,19 @@ class MaintainedIngestSpec extends SparkSpec {
       def batch(n: Long, off: Long) =
         (1L to n).map(i => (7L, off + i, 1.0)).toDF("k", "sid", "v")
       MaintainedIngest.processBatch(batch(500, 0), 0L, dir, "ing",
-        Some("k"), hotFreq = 100L)
+        Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       MaintainedIngest.processBatch(batch(200, 1000), 1L, dir, "ing",
-        Some("k"), hotFreq = 100L)
+        Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def statN() = StatsMaintain.statsIfCurrent(spark, dir, "ing").map(_("k").n)
       def profN() =
         StatsMaintain.keyProfileIfCurrent(spark, dir, "ing", "k").map(_._2)
+      def rollN() = graft.operators.SampledAgg
+        .groupRollupIfCurrent(spark, dir, "ing", "k", "v")
+        .map(_.agg(sum($"n")).head().getLong(0))
       // WINDOW 1 (the r16 advice's wrong window): a restarted stream
       // reuses batchId 1 with DIFFERENT data and crashes right before
       // the maintain — the fixed writer has by then (a) replaced the
@@ -142,16 +157,20 @@ class MaintainedIngestSpec extends SparkSpec {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(s"$dir/ing.parquet")
       StatsMaintain.dropMaintained(dir, "ing")
+      graft.operators.SampledAgg.dropGroupRollup(dir, "ing", "k", "v")
       fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/ing_batches/batch_1_*"))
         .foreach(st => fs.delete(st.getPath, false))
       fs.create(new org.apache.hadoop.fs.Path(
         s"$dir/ing_batches/batch_1_${MaintainedIngest.contentIdOf(b1b)}"),
         true).close()
       StatsMaintain.clearMemosForTest()
-      MaintainedIngest.processBatch(b1b, 1L, dir, "ing", Some("k"), hotFreq = 100L)
+      MaintainedIngest.processBatch(b1b, 1L, dir, "ing", Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       assert(graft.Tables(spark, dir, "ing").count() === 590L)
       assert(statN() === Some(590L) && profN() === Some(590L),
         "the replay must rebuild from the table; a merge over the stale artifact would have stamped 790 current")
+      assert(rollN() === Some(590L),
+        "the tombstoned group rollup rebuilds exactly too")
       // WINDOW 2: crash after the tombstone but BEFORE the old-marker
       // retire — the replay re-detects the break from the marker
       // mismatch, skips the (identical) rewrite, and rebuilds
@@ -160,11 +179,14 @@ class MaintainedIngestSpec extends SparkSpec {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(s"$dir/ing.parquet")
       StatsMaintain.dropMaintained(dir, "ing")
+      graft.operators.SampledAgg.dropGroupRollup(dir, "ing", "k", "v")
       StatsMaintain.clearMemosForTest()
-      MaintainedIngest.processBatch(b1c, 1L, dir, "ing", Some("k"), hotFreq = 100L)
+      MaintainedIngest.processBatch(b1c, 1L, dir, "ing", Some("k"), hotFreq = 100L,
+        groupRollups = Seq(("k", "v")))
       assert(graft.Tables(spark, dir, "ing").count() === 540L)
       assert(statN() === Some(540L) && profN() === Some(540L),
         "a half-finished break converges on replay")
+      assert(rollN() === Some(540L))
     }
   }
 }
