@@ -59,10 +59,24 @@ object GraftCatalog {
   val RollupLayers: Seq[String] = Seq("hll_daily", "hist_daily",
     "file_stats", "agg_daily", "kmv_daily", "feat_daily", "cms_daily")
 
-  /** (session identity, view name) → the artifact path its view was
-    * registered over — the warm-registration zero-jobs guard. */
+  /** (session identity, view name) → the artifact path AND file
+    * listing its view was registered over — the warm-registration
+    * zero-jobs guard. The LISTING matters (r16 review #2): the
+    * streaming/CDC appendBatch faces add files at the SAME
+    * fingerprint-keyed path, so a path-only guard would pin a
+    * permanently stale view over an appended rollup. */
   private val registeredViews =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+
+  /** FS-metadata listing stamp of one artifact directory — no jobs. */
+  private def artifactStamp(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
 
   /** Register persisted ROLLUP layers as views — the dashboard-facing
     * face of the scan-free operators, so a SQL client can merge
@@ -88,14 +102,16 @@ object GraftCatalog {
       val path = RollupEnsures(name)(spark, sfDir)
       // re-reading the artifact would pay a schema-inference job per
       // registration; a view already bound to this exact artifact
-      // path is current by construction (artifact paths are
-      // fingerprint-keyed — a changed corpus changes the path and
-      // re-registers), so the warm path stays at zero jobs
+      // path AND file listing is current by construction (a changed
+      // corpus changes the path; an appendBatch at the same path
+      // changes the listing — either way re-register), so the warm
+      // path stays at zero jobs
       val key = (System.identityHashCode(spark), name)
-      if (registeredViews.get(key) != path ||
+      val bound = path + "::" + artifactStamp(spark, path)
+      if (registeredViews.get(key) != bound ||
           !spark.catalog.tableExists(name)) {
         spark.read.parquet(path).createOrReplaceTempView(name)
-        registeredViews.put(key, path)
+        registeredViews.put(key, bound)
       }
     }
     // the optimizer rewrite on top: a dashboard writing the PLAIN

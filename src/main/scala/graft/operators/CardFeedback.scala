@@ -59,9 +59,17 @@ object CardFeedback {
   def storeStamp(): String = {
     val (fs, root) = IndexStore.fsOf(s"${IndexStore.root}/card_feedback")
     if (!fs.exists(root)) return "empty"
-    val desc = fs.listStatus(root)
-      .map(st => s"${st.getPath.getName}:${st.getModificationTime}")
-      .sorted.mkString("|")
+    // TWO-LEVEL listing (r16 review #6): a re-record recreates its
+    // entry within one coarse-mtime tick with identical name/mtime,
+    // but parquet part-file names carry a per-write UUID — listing
+    // each entry's FILES catches every rewrite regardless of the
+    // filesystem's timestamp granularity
+    val desc = fs.listStatus(root).flatMap { st =>
+      val base = s"${st.getPath.getName}:${st.getModificationTime}"
+      if (!st.isDirectory) Seq(base)
+      else base +: fs.listStatus(st.getPath).map(f =>
+        s"${st.getPath.getName}/${f.getPath.getName}:${f.getLen}").toSeq
+    }.sorted.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

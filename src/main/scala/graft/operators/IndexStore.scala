@@ -134,6 +134,18 @@ object IndexStore {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
+  /** The FS-QUALIFIED identity key of a table path — md5(canonical
+    * URI), truncated: the one derivation every table-path-keyed
+    * artifact family shares (maintained stats, AQP samples, group
+    * rollups), so a fix to the qualification caveat lands everywhere
+    * at once (r16 review: the block existed in four copies). */
+  private[operators] def tablePathKey(dir: String, table: String): String = {
+    val (fs, p) = fsOf(s"$dir/$table.parquet")
+    val canon = fs.makeQualified(p).toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
   /** Staleness fingerprint of `dir/table.parquet`: md5 over the sorted
     * (name, size, mtime) list of its files — a metadata-only listing,
     * never a data scan. A rewritten corpus gets a fresh key (and a

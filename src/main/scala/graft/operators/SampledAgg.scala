@@ -47,13 +47,8 @@ object SampledAgg {
   val M = 1000000L
 
   def samplePath(dir: String, table: String, keyCol: String,
-      ppm: Long): String = {
-    val (fs, p) = IndexStore.fsOf(s"$dir/$table.parquet")
-    val canon = fs.makeQualified(p).toString
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${IndexStore.root}/aqp_${key}_${table}_${keyCol}_$ppm"
-  }
+      ppm: Long): String =
+    s"${IndexStore.root}/aqp_${IndexStore.tablePathKey(dir, table)}_${table}_${keyCol}_$ppm"
   private def dataPath(p: String) = s"$p/data"
   private def metaPath(p: String) = s"$p/meta"
 
@@ -87,8 +82,12 @@ object SampledAgg {
   private def writeMeta(s: SparkSession, dir: String, table: String,
       keyCol: String, ppm: Long): Unit = {
     import s.implicits._
-    Seq((IndexStore.fingerprint(dir, table), ppm))
-      .toDF("covered", "ppm").coalesce(1)
+    // the covered ROW COUNT rides the meta (r16 review #1): the
+    // sample's own size relates to the table only statistically, so
+    // the append-maintain coherence check needs the exact total
+    Seq((IndexStore.fingerprint(dir, table), ppm,
+        graft.Tables(s, dir, table).count()))
+      .toDF("covered", "ppm", "rows").coalesce(1)
       .write.mode("overwrite").parquet(metaPath(samplePath(dir, table, keyCol, ppm)))
   }
 
@@ -119,6 +118,19 @@ object SampledAgg {
     val p = samplePath(dir, table, keyCol, ppm)
     require(IndexStore.artifactReady(metaPath(p)),
       "sample must be built (ensureSample) before appendMaintainSample")
+    // ROWCOUNT COHERENCE (r16 review #1): merging assumes live table
+    // = covered listing + exactly this batch; an out-of-band delete
+    // would leave deleted rows IN the sample stamped current —
+    // breaking the bit-identical-to-rebuild contract. Pre-rows-stamp
+    // metas (missing field) rebuild once; metadata-speed counts.
+    val metaDf = s.read.parquet(metaPath(p))
+    val coveredRows =
+      if (metaDf.schema.fieldNames.contains("rows"))
+        metaDf.head().getAs[Long]("rows")
+      else -1L
+    if (coveredRows < 0 || BigInt(coveredRows) + BigInt(batch.count()) !=
+        BigInt(graft.Tables(s, dir, table).count()))
+      return ensureSample(s, dir, table, keyCol, ppm)
     val (fs, _) = IndexStore.fsOf(p)
     recoverSwap(fs, s"$p/stage_data", dataPath(p))
     val merged = s.read.parquet(dataPath(p))
@@ -165,13 +177,8 @@ object SampledAgg {
   // ------------------------------------------------------------------
 
   def stratSamplePath(dir: String, table: String, keyCol: String,
-      stratumCol: String, k: Int): String = {
-    val (fs, p) = IndexStore.fsOf(s"$dir/$table.parquet")
-    val canon = fs.makeQualified(p).toString
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${IndexStore.root}/aqps_${key}_${table}_${stratumCol}_$k"
-  }
+      stratumCol: String, k: Int): String =
+    s"${IndexStore.root}/aqps_${IndexStore.tablePathKey(dir, table)}_${table}_${stratumCol}_$k"
 
   /** The deterministic per-stratum rank — change ONLY in lockstep
     * with the q89 oracle's window rendering. */
@@ -255,6 +262,21 @@ object SampledAgg {
     val oldCounts = s.read.parquet(s"$p/counts")
     val countsApplied = oldCounts.limit(1).select(col("covered"))
       .collect().headOption.exists(_.getString(0) == live)
+    // ROWCOUNT COHERENCE (r16 review #1): the recorded counts' total
+    // IS the covered row count; unless they already cover the live
+    // listing (the crash window), Σn_old + |batch| must equal
+    // |table| — an out-of-band delete would otherwise stamp exact
+    // per-stratum counts over rows that no longer exist
+    if (!countsApplied) {
+      val oldTotal = Option(oldCounts.agg(sum(col("n"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (BigInt(oldTotal) + BigInt(batch.count()) !=
+          BigInt(graft.Tables(s, dir, table).count())) {
+        val (dfs, dp) = IndexStore.fsOf(p)
+        dfs.delete(dp, true)
+        return ensureStratifiedSample(s, dir, table, keyCol, stratumCol, k)
+      }
+    }
     val mergedCounts =
       if (countsApplied) oldCounts.select(col("stratum"), col("n"))
       else oldCounts.select(col("stratum"), col("n")).union(batchCounts)
@@ -281,13 +303,8 @@ object SampledAgg {
   // ------------------------------------------------------------------
 
   def groupRollupPath(dir: String, table: String, groupCol: String,
-      valueCol: String): String = {
-    val (fs, p) = IndexStore.fsOf(s"$dir/$table.parquet")
-    val canon = fs.makeQualified(p).toString
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${IndexStore.root}/aqpr_${key}_${table}_${groupCol}_$valueCol"
-  }
+      valueCol: String): String =
+    s"${IndexStore.root}/aqpr_${IndexStore.tablePathKey(dir, table)}_${table}_${groupCol}_$valueCol"
 
   private def rollupAgg(df: DataFrame, groupCol: String, valueCol: String) =
     df.groupBy(col(groupCol).as("grp"))
@@ -331,6 +348,17 @@ object SampledAgg {
       return ensureGroupRollup(s, dir, table, groupCol, valueCol)
     val oldSlim = s.read.parquet(s"$p/data").select(col("grp"), col("n"), col("s"))
     val old = oldSlim.collect().toSeq // |groups| rows — kilobytes by contract
+    // ROWCOUNT COHERENCE (r16 review #1): merging assumes live table
+    // = covered listing + exactly this batch. The rollup's own Σn IS
+    // the covered row count, so an out-of-band delete/replacement
+    // between the covered stamp and this append shows up as
+    // Σn_old + |batch| ≠ |table| — and a blind merge would stamp
+    // WRONG EXACT data (served at rel_err 0) as current. Mismatch →
+    // full rebuild; the counts are parquet-metadata-speed.
+    val oldRows = old.map(_.getAs[Long]("n")).foldLeft(BigInt(0))(_ + _)
+    if (oldRows + BigInt(batch.count()) !=
+        BigInt(graft.Tables(s, dir, table).count()))
+      return ensureGroupRollup(s, dir, table, groupCol, valueCol)
     val oldDf = s.createDataFrame(
       s.sparkContext.parallelize(old, 1), oldSlim.schema)
     val merged = rollupAgg(batch, groupCol, valueCol)
@@ -349,6 +377,21 @@ object SampledAgg {
       groupRollupPath(dir, table, groupCol, valueCol))
     fs.delete(p, true)
     ()
+  }
+
+  /** Drop EVERY group rollup of (dir, table) — the lineage-break
+    * tombstone must not depend on which (group, value) pairs the
+    * CURRENT ingest configuration names (r16 review #3: a rollup
+    * maintained under an earlier configuration would survive the
+    * break with pre-replacement counts and poison a later re-add).
+    * Glob over the shared table-path key; idempotent. */
+  def dropAllGroupRollups(dir: String, table: String): Unit = {
+    val namePrefix = s"aqpr_${IndexStore.tablePathKey(dir, table)}_${table}_"
+    val (fs, root) = IndexStore.fsOf(IndexStore.root)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(namePrefix))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** (grp, n, s) while the artifact covers the LIVE listing. */
@@ -482,12 +525,52 @@ object SampledAgg {
         (s1.cast("double") * sqrt(k.cast("double")))).cast("long"))
       .otherwise(lit(1000000L))
 
+  /** The variance-bound ingredient frame shared by the SUM and AVG
+    * faces (r16 review #8 — one copy, never two drifting ones):
+    * per-group count, Σ⌊v⌋, Σ⌊v⌋², max|⌊v⌋|. */
+  private def sumIngredients(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = floor(col(valueCol)).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__k"), sum(v).as("__s1"),
+        sum(v * v).as("__s2"), max(abs(v)).as("__mv"))
+  }
+
+  /** None on an empty frame (null max) — the ladder falls through
+    * instead of NPEing (r15 self-review). */
+  private def worstBoundOf(ing: DataFrame,
+      bound: org.apache.spark.sql.Column): Option[Long] =
+    Option(ing.agg(max(bound)).head().get(0)).map(_.asInstanceOf[Long])
+
+  /** The ENFORCED overflow envelope shared by both faces (r15 review
+    * #2 + r16 advice): k²·mv² bounds every product in the bound
+    * formula; `withScaleN` additionally bounds the STRATIFIED sum
+    * rung's scale-up product (|Σv|·n ≤ k·mv·n) — the AVG faces
+    * divide, never multiply, so they pass withScaleN = false. */
+  private def boundEnvelope(ing: DataFrame,
+      withScaleN: Boolean = false): Boolean = {
+    val aggs = Seq(max(col("__k")), max(col("__mv"))) ++
+      (if (withScaleN) Seq(max(col("__n"))) else Nil)
+    val r = ing.agg(aggs.head, aggs.tail: _*).head()
+    (Option(r.get(0)), Option(r.get(1))) match {
+      case (Some(k0), Some(mv0)) =>
+        val k = BigInt(k0.asInstanceOf[Long])
+        val mv = BigInt(mv0.asInstanceOf[Long])
+        val boundOk = k * k * mv * mv < BigInt(Long.MaxValue)
+        val scaleOk = !withScaleN || Option(r.get(2)).exists { n0 =>
+          k * mv * BigInt(n0.asInstanceOf[Long]) < BigInt(Long.MaxValue)
+        }
+        boundOk && scaleOk
+      case _ => false // empty frame: nothing to serve from this rung
+    }
+  }
+
   /** Reserved internal/output names — a group column shadowing one
     * would make the serve frames ambiguous (r15 review: the engine's
     * own fixtures use a column literally named "k"). */
   private val ReservedServeNames =
     Set("__k", "__s1", "__s2", "__mv", "__n", "n_est", "sum_est",
-      "rel_err_ppm", "source")
+      "avg_est", "rel_err_ppm", "source")
 
   def serveGroupSums(s: SparkSession, dir: String, table: String,
       keyCol: String, groupCol: String, valueCol: String,
@@ -496,55 +579,20 @@ object SampledAgg {
     require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
     require(!ReservedServeNames.contains(groupCol),
       s"groupCol collides with a reserved serving column: $groupCol")
-    def v = floor(col(valueCol)).cast("long")
-    def ingredients(df: DataFrame) = df
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__k"), sum(v).as("__s1"), sum(v * v).as("__s2"),
-        max(abs(v)).as("__mv"))
-    // None on an empty frame (null max) — the ladder falls through
-    // instead of NPEing (r15 self-review)
-    def worstOf(ing: DataFrame,
-        bound: org.apache.spark.sql.Column): Option[Long] =
-      Option(ing.agg(max(bound)).head().get(0)).map(_.asInstanceOf[Long])
     // 0. the exact group rollup (r16): error 0 at |groups| rows —
     //    the cheapest honest answer when someone ensured it
     groupRollupIfCurrent(s, dir, table, groupCol, valueCol).foreach { r =>
       return (r.select(col("grp").as(groupCol), col("s").as("sum_est"),
         lit(0L).as("rel_err_ppm"), lit("rollup").as("source")), "rollup")
     }
-    // the documented envelope, ENFORCED (r15 review #2): the variance
-    // ingredients are 64-bit; k²·max(v)² bounds every product in the
-    // bound formula (k·Σv² ≤ k²mv², s1² ≤ k²mv²), so a group outside
-    // it could have silently wrapped — the rung refuses and the
-    // ladder falls down, never serving a fabricated bound.
-    // `withScaleN = true` (the STRATIFIED rung, r16 advice): that
-    // rung's estimate is the SCALE-UP (Σv·n) div k, and n — the exact
-    // full stratum row count — is unbounded by the k²mv² check; since
-    // |Σv| ≤ k·mv, requiring k·mv·maxN < 2⁶³ bounds the long product
-    // Σv·n too, so a ~10¹⁰-row stratum can no longer wrap into a
-    // garbage sum_est served with a small disclosed bound
-    def inEnvelope(ing: DataFrame, withScaleN: Boolean = false): Boolean = {
-      val aggs = Seq(max(col("__k")), max(col("__mv"))) ++
-        (if (withScaleN) Seq(max(col("__n"))) else Nil)
-      val r = ing.agg(aggs.head, aggs.tail: _*).head()
-      (Option(r.get(0)), Option(r.get(1))) match {
-        case (Some(k0), Some(mv0)) =>
-          val k = BigInt(k0.asInstanceOf[Long])
-          val mv = BigInt(mv0.asInstanceOf[Long])
-          val boundOk = k * k * mv * mv < BigInt(Long.MaxValue)
-          val scaleOk = !withScaleN || Option(r.get(2)).exists { n0 =>
-            k * mv * BigInt(n0.asInstanceOf[Long]) < BigInt(Long.MaxValue)
-          }
-          boundOk && scaleOk
-        case _ => false // empty frame: nothing to serve from this rung
-      }
-    }
     // 1. cheapest uniform sample whose worst group bound meets it
+    //    (shared [[sumIngredients]]/[[boundEnvelope]] — r16 review #8)
     ppms.sorted.foreach { ppm =>
       sampleIfCurrent(s, dir, table, keyCol, ppm).foreach { sample =>
-        val ing = ingredients(sample)
+        val ing = sumIngredients(sample, groupCol, valueCol)
         val b = sumBound(col("__k"), col("__s1"), col("__s2"))
-        if (inEnvelope(ing) && worstOf(ing, b).exists(_ <= tolerancePpm)) {
+        if (boundEnvelope(ing) &&
+            worstBoundOf(ing, b).exists(_ <= tolerancePpm)) {
           val source = s"sample_$ppm"
           return (ing.select(col(groupCol),
             (col("__s1") * scaleFactor(ppm)).as("sum_est"),
@@ -553,17 +601,18 @@ object SampledAgg {
       }
     }
     // 2. stratified-by-group: exact-count scaling, variance bound per
-    //    stratum; a fully-contained stratum (k = n) is exact
+    //    stratum; a fully-contained stratum (k = n) is exact. The
+    //    scale-up product needs the withScaleN envelope (r16 advice)
     stratifiedK.foreach { kk =>
       stratifiedIfCurrent(s, dir, table, keyCol, groupCol, kk).foreach {
         case (sample, counts) =>
-          val ing = ingredients(sample)
+          val ing = sumIngredients(sample, groupCol, valueCol)
             .join(counts.select(col("stratum").as(groupCol),
               col("n").as("__n")), Seq(groupCol))
           val b = when(col("__k") === col("__n"), lit(0L))
             .otherwise(sumBound(col("__k"), col("__s1"), col("__s2")))
-          if (inEnvelope(ing, withScaleN = true) &&
-              worstOf(ing, b).exists(_ <= tolerancePpm))
+          if (boundEnvelope(ing, withScaleN = true) &&
+              worstBoundOf(ing, b).exists(_ <= tolerancePpm))
             return (ing.select(col(groupCol),
               expr("(__s1 * __n) div __k").as("sum_est"),
               b.as("rel_err_ppm"), lit("stratified").as("source")),
@@ -572,7 +621,7 @@ object SampledAgg {
     }
     // 3. the corpus, exactly
     (graft.Tables(s, dir, table).groupBy(col(groupCol))
-      .agg(sum(v).as("sum_est"))
+      .agg(sum(floor(col(valueCol)).cast("long")).as("sum_est"))
       .select(col(groupCol), col("sum_est"),
         lit(0L).as("rel_err_ppm"), lit("exact").as("source")), "exact")
   }
@@ -598,24 +647,6 @@ object SampledAgg {
     require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
     require(!ReservedServeNames.contains(groupCol),
       s"groupCol collides with a reserved serving column: $groupCol")
-    def v = floor(col(valueCol)).cast("long")
-    def ingredients(df: DataFrame) = df
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__k"), sum(v).as("__s1"), sum(v * v).as("__s2"),
-        max(abs(v)).as("__mv"))
-    def worstOf(ing: DataFrame,
-        bound: org.apache.spark.sql.Column): Option[Long] =
-      Option(ing.agg(max(bound)).head().get(0)).map(_.asInstanceOf[Long])
-    def inEnvelope(ing: DataFrame): Boolean = {
-      val r = ing.agg(max(col("__k")), max(col("__mv"))).head()
-      (Option(r.get(0)), Option(r.get(1))) match {
-        case (Some(k0), Some(mv0)) =>
-          BigInt(k0.asInstanceOf[Long]) * k0.asInstanceOf[Long] *
-            BigInt(mv0.asInstanceOf[Long]) * mv0.asInstanceOf[Long] <
-            BigInt(Long.MaxValue)
-        case _ => false
-      }
-    }
     // 0. exact rollup: avg = s div n, error 0
     groupRollupIfCurrent(s, dir, table, groupCol, valueCol).foreach { r =>
       return (r.select(col("grp").as(groupCol),
@@ -623,11 +654,14 @@ object SampledAgg {
         lit(0L).as("rel_err_ppm"), lit("rollup").as("source")), "rollup")
     }
     // 1. cheapest uniform sample whose worst group bound meets it
+    //    (shared [[sumIngredients]]/[[boundEnvelope]] — r16 review #8;
+    //    the AVG estimate divides, so withScaleN stays false)
     ppms.sorted.foreach { ppm =>
       sampleIfCurrent(s, dir, table, keyCol, ppm).foreach { sample =>
-        val ing = ingredients(sample)
+        val ing = sumIngredients(sample, groupCol, valueCol)
         val b = sumBound(col("__k"), col("__s1"), col("__s2"))
-        if (inEnvelope(ing) && worstOf(ing, b).exists(_ <= tolerancePpm)) {
+        if (boundEnvelope(ing) &&
+            worstBoundOf(ing, b).exists(_ <= tolerancePpm)) {
           val source = s"sample_$ppm"
           return (ing.select(col(groupCol),
             expr("__s1 div __k").as("avg_est"),
@@ -640,12 +674,13 @@ object SampledAgg {
     stratifiedK.foreach { kk =>
       stratifiedIfCurrent(s, dir, table, keyCol, groupCol, kk).foreach {
         case (sample, counts) =>
-          val ing = ingredients(sample)
+          val ing = sumIngredients(sample, groupCol, valueCol)
             .join(counts.select(col("stratum").as(groupCol),
               col("n").as("__n")), Seq(groupCol))
           val b = when(col("__k") === col("__n"), lit(0L))
             .otherwise(sumBound(col("__k"), col("__s1"), col("__s2")))
-          if (inEnvelope(ing) && worstOf(ing, b).exists(_ <= tolerancePpm))
+          if (boundEnvelope(ing) &&
+              worstBoundOf(ing, b).exists(_ <= tolerancePpm))
             return (ing.select(col(groupCol),
               expr("__s1 div __k").as("avg_est"),
               b.as("rel_err_ppm"), lit("stratified").as("source")),
@@ -654,7 +689,8 @@ object SampledAgg {
     }
     // 3. the corpus, exactly: floor-avg = Σ⌊v⌋ div count
     (graft.Tables(s, dir, table).groupBy(col(groupCol))
-      .agg(sum(v).as("__s1"), count(lit(1)).as("__k"))
+      .agg(sum(floor(col(valueCol)).cast("long")).as("__s1"),
+        count(lit(1)).as("__k"))
       .select(col(groupCol), expr("__s1 div __k").as("avg_est"),
         lit(0L).as("rel_err_ppm"), lit("exact").as("source")), "exact")
   }
@@ -684,6 +720,13 @@ object SampledAgg {
       p: Int, tolerancePpm: Long): (DataFrame, String) = {
     require(p >= 1 && p <= 99, s"percentile in [1, 99], got $p")
     require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
+    // ENFORCED day alignment (r16 review #4): the histogram's grain
+    // is the day — a mid-day bound would make the two rungs evaluate
+    // DIFFERENT windows (bins are day-keyed, the exact floor filters
+    // raw ts) and the disclosed bound would not cover the excluded
+    // partial day's mass; fail loud, never serve a silent mismatch
+    require(Seq(lo, hi).forall(_.endsWith(" 00:00:00")),
+      s"serveQuantile windows must be day-aligned (histogram grain): [$lo, $hi)")
     val HR = HistogramRollup
     // 1. the histogram rung: disclosed bound = one bin width,
     //    relative to the estimate — integer-exact, replayable

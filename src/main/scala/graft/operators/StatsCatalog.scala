@@ -538,12 +538,20 @@ object StatsCatalog {
     * the maint path). Any build, maintenance, or retirement of
     * either tier changes the stamp — FS metadata only, no jobs. */
   def mcvTierStamp(dir: String, table: String): String = {
+    // two-level listing, the storeStamp discipline (r16 review #6):
+    // part-file names carry per-write UUIDs, so rewrites within one
+    // coarse-mtime tick still re-key
     def listDesc(root: String, prefix: String): String = {
       val (fs, p) = IndexStore.fsOf(root)
       if (!fs.exists(p)) "absent"
       else fs.listStatus(p)
         .filter(_.getPath.getName.startsWith(prefix))
-        .map(st => s"${st.getPath.getName}:${st.getModificationTime}")
+        .flatMap { st =>
+          val base = s"${st.getPath.getName}:${st.getModificationTime}"
+          if (!st.isDirectory) Seq(base)
+          else base +: fs.listStatus(st.getPath).map(f =>
+            s"${st.getPath.getName}/${f.getPath.getName}:${f.getLen}").toSeq
+        }
         .sorted.mkString(",")
     }
     val exact = listDesc(

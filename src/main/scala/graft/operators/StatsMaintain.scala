@@ -43,17 +43,13 @@ import org.apache.spark.sql.types._
   * .determines]] still demand a real ANALYZE of the exact listing. */
 object StatsMaintain {
 
-  def maintPath(dir: String, table: String): String = {
-    // key on the FS-QUALIFIED table path, not the raw string: the
+  def maintPath(dir: String, table: String): String =
+    // keyed on the FS-QUALIFIED table path, not the raw string: the
     // estimator derives `dir` from a relation's rootPaths (scheme-
     // qualified, "file:/…"), callers pass bare "/…" — both must land
-    // on ONE artifact
-    val (fs, p) = IndexStore.fsOf(s"$dir/$table.parquet")
-    val canon = fs.makeQualified(p).toString
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${IndexStore.root}/stats_maint_${key}_$table"
-  }
+    // on ONE artifact ([[IndexStore.tablePathKey]], shared with the
+    // AQP artifact families)
+    s"${IndexStore.root}/stats_maint_${IndexStore.tablePathKey(dir, table)}_$table"
   private def sumPath(dir: String, table: String) = s"${maintPath(dir, table)}/summary"
   private def regPath(dir: String, table: String) = s"${maintPath(dir, table)}/registers"
 
@@ -218,6 +214,17 @@ object StatsMaintain {
     val dtypes = graft.Tables(s, dir, table).schema
       .fields.map(f => f.name -> f.dataType).toMap
     val batchSums = summarize(batch).map(t => t._1 -> t).toMap
+    // ROWCOUNT COHERENCE (r16 review #1): merging assumes the live
+    // table = the covered listing + exactly this batch; a delete or
+    // replacement that happened WITHOUT its deleteMaintain shows up
+    // as n_old + |batch| ≠ |table| — a blind merge would stamp stats
+    // (and their downstream consumers' trust) over rows that no
+    // longer exist. Mismatch → full rebuild, metadata-speed counts.
+    if (old.headOption.map(_.n).exists(oldN =>
+        BigInt(oldN) + BigInt(batchSums.values.headOption.map(_._2)
+          .getOrElse(batch.count())) !=
+          BigInt(graft.Tables(s, dir, table).count())))
+      return reEnsure(s, dir, table)
     // every appended row advances EVERY maintained column's row count
     // — a column the batch frame lacks is served as NULL by the
     // parquet scan for each batch row, so n and nulls advance
@@ -448,7 +455,11 @@ object StatsMaintain {
       .orderBy(col("freq").desc, col("key"))
       .limit(trackK)
       .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/rows")
-    Seq(covered).toDF("covered")
+    // the stamp carries the COVERED ROW COUNT too (r16 review #1):
+    // the tracked top-K cannot reconstruct the total, and the
+    // append-maintain coherence check needs it
+    Seq((covered, graft.Tables(s, dir, table).count()))
+      .toDF("covered", "rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/stamp")
     IndexStore.stageSwap(fs, s"$p/stage", s"$p/data")
     writeKeyProfMeta(s, p, covered, hotFreq, trackK)
@@ -492,13 +503,27 @@ object StatsMaintain {
     val (hotFreq, trackK) =
       (meta.getAs[Long]("hot_freq"), meta.getAs[Int]("track_k"))
     val live = IndexStore.fingerprint(dir, table)
-    val dataStamp = s.read.parquet(s"$path/data/stamp").head().getString(0)
+    val stampDf = s.read.parquet(s"$path/data/stamp")
+    val stampRow = stampDf.head()
+    val dataStamp = stampRow.getAs[String]("covered")
     if (dataStamp == live) {
       // the crash window: rows committed for this listing, meta (the
       // serve point) did not land — re-commit the meta, merge nothing
       writeKeyProfMeta(s, path, live, hotFreq, trackK)
       return
     }
+    // ROWCOUNT COHERENCE (r16 review #1): tracked counts are lower
+    // bounds of TRUE counts only while the table grew by exactly the
+    // batches maintained; an out-of-band delete would make them
+    // OVER-estimates ("a value the bound calls hot" might not be).
+    // Pre-rows-stamp artifacts (missing field) rebuild once.
+    val oldRows =
+      if (stampDf.schema.fieldNames.contains("rows"))
+        stampRow.getAs[Long]("rows")
+      else -1L
+    if (oldRows < 0 || BigInt(oldRows) + BigInt(batch.count()) !=
+        BigInt(graft.Tables(s, dir, table).count()))
+      return ensureKeyProfileMaint(s, dir, table, column, hotFreq, trackK)
     val old = s.read.parquet(s"$path/data/rows").select(col("key"), col("freq"))
       .as[(String, Long)].collect().toSeq
     val merged = batch
@@ -600,7 +625,10 @@ object StatsMaintain {
       .orderBy(col("freq").desc, col("value"))
       .limit(trackK)
       .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/rows")
-    Seq(covered).toDF("covered")
+    // covered row count in the stamp — the coherence check's input
+    // (r16 review #1), the keyprof discipline
+    Seq((covered, graft.Tables(s, dir, table).count()))
+      .toDF("covered", "rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/stamp")
     IndexStore.stageSwap(fs, s"$p/stage", s"$p/data")
     writeMcvMaintMeta(s, p, covered, k, trackK)
@@ -635,13 +663,25 @@ object StatsMaintain {
     val meta = s.read.parquet(s"$path/meta").head()
     val (k, trackK) = (meta.getAs[Int]("k"), meta.getAs[Int]("track_k"))
     val live = IndexStore.fingerprint(dir, table)
-    val dataStamp = s.read.parquet(s"$path/data/stamp").head().getString(0)
+    val stampDf = s.read.parquet(s"$path/data/stamp")
+    val stampRow = stampDf.head()
+    val dataStamp = stampRow.getAs[String]("covered")
     if (dataStamp == live) {
       // crash window: rows committed for this listing, meta (the
       // serve point) did not land — re-commit the meta, merge nothing
       writeMcvMaintMeta(s, path, live, k, trackK)
       return
     }
+    // rowcount coherence (r16 review #1) — the keyprof argument,
+    // value-grained: an out-of-band delete would turn the tracked
+    // lower bounds into over-estimates; mismatch → full rebuild
+    val oldRows =
+      if (stampDf.schema.fieldNames.contains("rows"))
+        stampRow.getAs[Long]("rows")
+      else -1L
+    if (oldRows < 0 || BigInt(oldRows) + BigInt(batch.count()) !=
+        BigInt(graft.Tables(s, dir, table).count()))
+      return ensureMcvMaint(s, dir, table, column, k, trackK)
     val old = s.read.parquet(s"$path/data/rows")
       .select(col("value"), col("freq")).as[(String, Long)].collect().toSeq
     val merged = batch

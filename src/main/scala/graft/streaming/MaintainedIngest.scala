@@ -142,9 +142,11 @@ object MaintainedIngest {
       // the exact group rollups (D106) live outside maintPath — the
       // same tombstone discipline applies: an O(batch) merge into a
       // rollup still counting replaced rows would be wrong EXACT
-      // data, worse than wrong advisory stats
-      groupRollups.foreach { case (g, v) =>
-        SampledAgg.dropGroupRollup(dir, table, g, v) }
+      // data, worse than wrong advisory stats. ALL of the table's
+      // rollups drop, not just this configuration's list (r16 review
+      // #3: a rollup from an earlier configuration would otherwise
+      // survive the break and poison a later re-add)
+      SampledAgg.dropAllGroupRollups(dir, table)
     }
     if (lineageBroke) priorMarkers.foreach(st => fs.delete(st.getPath, false))
     fs.create(marker, true).close()

@@ -339,6 +339,57 @@ class SampledAggSpec extends SparkSpec {
     }
   }
 
+  test("rowcount coherence: out-of-band deletes never blind-merge — every maintainer rebuilds (r16 review)") {
+    withIndexRoot("graft-aqp-coherence") {
+      val dir = tmpDir("graft-aqp-coherence-data")
+      (1L to 6000L).map(i => (i, i % 3, (i % 7).toDouble))
+        .toDF("key", "g", "value")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      SampledAgg.ensureGroupRollup(spark, dir, "t", "g", "value")
+      SampledAgg.ensureSample(spark, dir, "t", "key", 250000L)
+      SampledAgg.ensureStratifiedSample(spark, dir, "t", "key", "g", 50)
+      // OUT-OF-BAND delete: the table shrinks to 4000 rows with no
+      // delete-maintenance call anywhere
+      val keep = graft.Tables(spark, dir, "t").where($"key" <= 4000L)
+        .collect()
+      val schema = graft.Tables(spark, dir, "t").schema
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(keep.toIndexedSeq, 2), schema)
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      // then a batch appends the normal way
+      val batch = (10001L to 10500L).map(i => (i, i % 3, 3.0))
+        .toDF("key", "g", "value")
+      batch.write.mode("append").parquet(s"$dir/t.parquet")
+      // every maintainer detects Σold + |batch| ≠ |table| and REBUILDS
+      // — a blind merge would stamp the deleted rows' mass current
+      SampledAgg.appendMaintainGroupRollup(spark, dir, "t", "g", "value", batch)
+      val exact = graft.Tables(spark, dir, "t").groupBy($"g")
+        .agg(count(lit(1)).as("n"), sum(floor($"value")).as("s")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val roll = SampledAgg.groupRollupIfCurrent(spark, dir, "t", "g", "value")
+        .getOrElse(fail("the rollup must serve after the rebuild")).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+      assert(roll === exact,
+        "the rollup must equal the live table, never old + batch")
+      SampledAgg.appendMaintainSample(spark, dir, "t", "key", 250000L, batch)
+      val sample = SampledAgg.sampleIfCurrent(spark, dir, "t", "key", 250000L)
+        .getOrElse(fail("the sample must serve after the rebuild"))
+        .collect().map(_.toString).sorted
+      val rebuilt = graft.Tables(spark, dir, "t")
+        .where(SampledAgg.membership("key", 250000L))
+        .collect().map(_.toString).sorted
+      assert(sample.sameElements(rebuilt),
+        "the maintained sample must not retain deleted rows")
+      SampledAgg.appendMaintainStratified(spark, dir, "t", "key", "g", 50, batch)
+      val (_, counts) = SampledAgg.stratifiedIfCurrent(
+        spark, dir, "t", "key", "g", 50)
+        .getOrElse(fail("the stratified artifact must serve after the rebuild"))
+      assert(counts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        exact.map { case (g, (n, _)) => g -> n },
+        "the exact stratum counts must equal the live table's")
+    }
+  }
+
   test("stratified scale-up envelope: a stratum count that would wrap sum_est refuses the rung (r16 advice)") {
     withIndexRoot("graft-aqp-envelope") {
       val dir = tmpDir("graft-aqp-envelope-data")

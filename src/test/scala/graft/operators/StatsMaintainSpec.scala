@@ -401,6 +401,45 @@ class StatsMaintainSpec extends SparkSpec {
     }
   }
 
+  test("rowcount coherence: out-of-band deletes rebuild stats, key profile, and MCV — never a blind merge (r16 review)") {
+    withIndexRoot("graft-maint-coherence") {
+      val dir = tmpDir("graft-maint-coherence-data")
+      val baseRows = (1L to 1500L).map(i => (i % 30 + 100L, i, i % 9)) ++
+        (1L to 1500L).map(i => (7L, 50000L + i, 1L))
+      baseRows.toDF("k", "sid", "v")
+        .write.mode("overwrite").parquet(s"$dir/zf.parquet")
+      StatsMaintain.ensure(spark, dir, "zf")
+      StatsMaintain.ensureKeyProfileMaint(spark, dir, "zf", "k", hotFreq = 500L)
+      StatsMaintain.ensureMcvMaint(spark, dir, "zf", "k", k = 8)
+      // OUT-OF-BAND delete: 1000 of key 7's rows vanish with no
+      // deleteMaintain anywhere (the r16 review's wrong window)
+      val keep = graft.Tables(spark, dir, "zf")
+        .where($"k" =!= 7L || $"sid" <= 50500L).collect()
+      val schema = graft.Tables(spark, dir, "zf").schema
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(keep.toIndexedSeq, 2), schema)
+        .write.mode("overwrite").parquet(s"$dir/zf.parquet")
+      // then a normal append + maintenance of JUST the batch
+      val batch = (1L to 100L).map(i => (7L, 90000L + i, 2L)).toDF("k", "sid", "v")
+      batch.write.mode("append").parquet(s"$dir/zf.parquet")
+      StatsMaintain.appendMaintain(spark, dir, "zf", batch)
+      StatsMaintain.appendMaintainKeyProfile(spark, dir, "zf", "k", batch)
+      StatsMaintain.appendMaintainMcv(spark, dir, "zf", "k", batch)
+      // live truth: 1500 tail + 500 kept hot + 100 batch = 2100 rows,
+      // key 7 at 600
+      val st = StatsMaintain.statsIfCurrent(spark, dir, "zf")
+        .getOrElse(fail("stats must serve after the rebuild"))
+      assert(st("k").n === 2100L,
+        "a blind merge would have served 3000 + 100")
+      assert(StatsMaintain.keyProfileIfCurrent(spark, dir, "zf", "k")
+        === Some((Seq("7"), 600L)),
+        "the profile must equal the live table, never old + batch")
+      assert(StatsMaintain.mcvMaintIfCurrent(spark, dir, "zf", "k")
+        .exists(_.headOption.contains(("7", 600L))),
+        "the MCV list must equal the live table, never old + batch")
+    }
+  }
+
   test("column-stats and column-group maintenance are double-call idempotent") {
     withIndexRoot("graft-maint-grp-idem") {
       val dir = tmpDir("graft-maint-grp-idem-data")
