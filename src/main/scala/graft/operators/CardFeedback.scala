@@ -52,26 +52,29 @@ object CardFeedback {
     s"${IndexStore.root}/card_feedback/$key"
 
   /** Cheap store WATERMARK (r16, the learned-tier memo key): a hash
-    * of the store directory's child names + mtimes — one FS listing,
-    * no jobs. Any new observation, re-record, or retention sweep
-    * changes it, so an ordering memo keyed on it serves exactly
-    * while the learning state the enumeration read is unchanged. */
+    * of every file path + length under the store — one recursive FS
+    * listing (a flat LIST on object stores), no jobs. Any new
+    * observation, re-record, or retention sweep changes it, so an
+    * ordering memo keyed on it serves exactly while the learning
+    * state the enumeration read is unchanged. */
   def storeStamp(): String = {
     val (fs, root) = IndexStore.fsOf(s"${IndexStore.root}/card_feedback")
     if (!fs.exists(root)) return "empty"
-    // TWO-LEVEL listing (r16 review #6): a re-record recreates its
-    // entry within one coarse-mtime tick with identical name/mtime,
-    // but parquet part-file names carry a per-write UUID — listing
-    // each entry's FILES catches every rewrite regardless of the
-    // filesystem's timestamp granularity
-    val desc = fs.listStatus(root).flatMap { st =>
-      val base = s"${st.getPath.getName}:${st.getModificationTime}"
-      if (!st.isDirectory) Seq(base)
-      else base +: fs.listStatus(st.getPath).map(f =>
-        s"${st.getPath.getName}/${f.getPath.getName}:${f.getLen}").toSeq
-    }.sorted.mkString("|")
+    // RECURSIVE FILE listing (r16 review, both passes): a re-record
+    // recreates its entry within one coarse-mtime tick with identical
+    // dir name/mtime, but parquet part-FILE names carry a per-write
+    // UUID — `listFiles(recursive)` reaches them at any depth, and on
+    // object stores it is a flat LIST (one RPC-class call), not a
+    // per-entry walk
+    val it = fs.listFiles(root, true)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      parts += s"${f.getPath.toUri.getPath}:${f.getLen}"
+    }
     java.security.MessageDigest.getInstance("MD5")
-      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(parts.sorted.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** Execute `df` once and persist its observed output cardinality

@@ -76,17 +76,19 @@ object SampledAgg {
     fs.delete(dp, true)
     graft.Tables(s, dir, table).where(membership(keyCol, ppm))
       .write.mode("overwrite").parquet(dataPath(p))
-    writeMeta(s, dir, table, keyCol, ppm)
+    writeMeta(s, dir, table, keyCol, ppm,
+      graft.Tables(s, dir, table).count())
   }
 
+  /** `rows` = the live table count the caller already holds (review
+    * pass 2: recounting here doubled the metadata jobs per maintain). */
   private def writeMeta(s: SparkSession, dir: String, table: String,
-      keyCol: String, ppm: Long): Unit = {
+      keyCol: String, ppm: Long, rows: Long): Unit = {
     import s.implicits._
     // the covered ROW COUNT rides the meta (r16 review #1): the
     // sample's own size relates to the table only statistically, so
     // the append-maintain coherence check needs the exact total
-    Seq((IndexStore.fingerprint(dir, table), ppm,
-        graft.Tables(s, dir, table).count()))
+    Seq((IndexStore.fingerprint(dir, table), ppm, rows))
       .toDF("covered", "ppm", "rows").coalesce(1)
       .write.mode("overwrite").parquet(metaPath(samplePath(dir, table, keyCol, ppm)))
   }
@@ -128,8 +130,9 @@ object SampledAgg {
       if (metaDf.schema.fieldNames.contains("rows"))
         metaDf.head().getAs[Long]("rows")
       else -1L
+    val liveRows = graft.Tables(s, dir, table).count()
     if (coveredRows < 0 || BigInt(coveredRows) + BigInt(batch.count()) !=
-        BigInt(graft.Tables(s, dir, table).count()))
+        BigInt(liveRows))
       return ensureSample(s, dir, table, keyCol, ppm)
     val (fs, _) = IndexStore.fsOf(p)
     recoverSwap(fs, s"$p/stage_data", dataPath(p))
@@ -138,7 +141,7 @@ object SampledAgg {
       .dropDuplicates(keyCol)
     merged.write.mode("overwrite").parquet(s"$p/stage_data")
     stageSwap(fs, s"$p/stage_data", dataPath(p))
-    writeMeta(s, dir, table, keyCol, ppm)
+    writeMeta(s, dir, table, keyCol, ppm, liveRows)
   }
 
   /** The sampled rows while the artifact covers the LIVE listing —
@@ -271,11 +274,12 @@ object SampledAgg {
       val oldTotal = Option(oldCounts.agg(sum(col("n"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       if (BigInt(oldTotal) + BigInt(batch.count()) !=
-          BigInt(graft.Tables(s, dir, table).count())) {
-        val (dfs, dp) = IndexStore.fsOf(p)
-        dfs.delete(dp, true)
+          BigInt(graft.Tables(s, dir, table).count()))
+        // rebuild IN PLACE — never delete the artifact first (r16
+        // review pass 2: deleting meta opens a crash window where
+        // every retry hits the entry require and throws forever;
+        // ensure's own overwrite sequence converges from stale state)
         return ensureStratifiedSample(s, dir, table, keyCol, stratumCol, k)
-      }
     }
     val mergedCounts =
       if (countsApplied) oldCounts.select(col("stratum"), col("n"))
@@ -724,8 +728,11 @@ object SampledAgg {
     // is the day — a mid-day bound would make the two rungs evaluate
     // DIFFERENT windows (bins are day-keyed, the exact floor filters
     // raw ts) and the disclosed bound would not cover the excluded
-    // partial day's mass; fail loud, never serve a silent mismatch
-    require(Seq(lo, hi).forall(_.endsWith(" 00:00:00")),
+    // partial day's mass. The check PARSES (the same rendering utc()
+    // accepts — review pass 2: a string-suffix test rejected valid
+    // ISO-T day-aligned bounds and tested rendering, not alignment)
+    require(Seq(lo, hi).forall(t =>
+        MinMaxManifest.utc(t).toInstant.getEpochSecond % 86400L == 0L),
       s"serveQuantile windows must be day-aligned (histogram grain): [$lo, $hi)")
     val HR = HistogramRollup
     // 1. the histogram rung: disclosed bound = one bin width,

@@ -538,19 +538,26 @@ object StatsCatalog {
     * the maint path). Any build, maintenance, or retirement of
     * either tier changes the stamp — FS metadata only, no jobs. */
   def mcvTierStamp(dir: String, table: String): String = {
-    // two-level listing, the storeStamp discipline (r16 review #6):
-    // part-file names carry per-write UUIDs, so rewrites within one
-    // coarse-mtime tick still re-key
+    // RECURSIVE file listing, the storeStamp discipline (r16 review,
+    // both passes): the maintained tier's part files live at depth 3
+    // (mcv_<col>/data/rows/part-*), so only a recursive listing
+    // reaches the per-write UUID names that defeat coarse-mtime ticks
     def listDesc(root: String, prefix: String): String = {
       val (fs, p) = IndexStore.fsOf(root)
       if (!fs.exists(p)) "absent"
       else fs.listStatus(p)
         .filter(_.getPath.getName.startsWith(prefix))
         .flatMap { st =>
-          val base = s"${st.getPath.getName}:${st.getModificationTime}"
-          if (!st.isDirectory) Seq(base)
-          else base +: fs.listStatus(st.getPath).map(f =>
-            s"${st.getPath.getName}/${f.getPath.getName}:${f.getLen}").toSeq
+          if (!st.isDirectory) Seq(s"${st.getPath.getName}:${st.getLen}")
+          else {
+            val it = fs.listFiles(st.getPath, true)
+            val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (it.hasNext) {
+              val f = it.next()
+              parts += s"${f.getPath.toUri.getPath}:${f.getLen}"
+            }
+            parts.toSeq
+          }
         }
         .sorted.mkString(",")
     }

@@ -431,7 +431,8 @@ object StatsMaintain {
       .where(col(column).isNotNull)
       .groupBy(col(column).cast(StringType).as("key"))
       .agg(count(lit(1)).as("freq"))
-    writeKeyProf(s, dir, table, column, counts, hotFreq, trackK)
+    writeKeyProf(s, dir, table, column, counts, hotFreq, trackK,
+      graft.Tables(s, dir, table).count())
   }
 
   /** Commit one key-profile state, crash-convergently (r14 advice:
@@ -445,7 +446,8 @@ object StatsMaintain {
     * SEPARATE from the rows, so an EMPTY tracked set still serves
     * and still remembers its baked thresholds (r14 review). */
   private def writeKeyProf(s: SparkSession, dir: String, table: String,
-      column: String, counts: DataFrame, hotFreq: Long, trackK: Int): Unit = {
+      column: String, counts: DataFrame, hotFreq: Long, trackK: Int,
+      liveRows: Long): Unit = {
     import s.implicits._
     val p = keyProfPath(dir, table, column)
     val (fs, _) = IndexStore.fsOf(p)
@@ -457,8 +459,9 @@ object StatsMaintain {
       .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/rows")
     // the stamp carries the COVERED ROW COUNT too (r16 review #1):
     // the tracked top-K cannot reconstruct the total, and the
-    // append-maintain coherence check needs it
-    Seq((covered, graft.Tables(s, dir, table).count()))
+    // append-maintain coherence check needs it (threaded in — review
+    // pass 2: recounting here doubled the metadata jobs)
+    Seq((covered, liveRows))
       .toDF("covered", "rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/stamp")
     IndexStore.stageSwap(fs, s"$p/stage", s"$p/data")
@@ -521,8 +524,9 @@ object StatsMaintain {
       if (stampDf.schema.fieldNames.contains("rows"))
         stampRow.getAs[Long]("rows")
       else -1L
+    val liveRows = graft.Tables(s, dir, table).count()
     if (oldRows < 0 || BigInt(oldRows) + BigInt(batch.count()) !=
-        BigInt(graft.Tables(s, dir, table).count()))
+        BigInt(liveRows))
       return ensureKeyProfileMaint(s, dir, table, column, hotFreq, trackK)
     val old = s.read.parquet(s"$path/data/rows").select(col("key"), col("freq"))
       .as[(String, Long)].collect().toSeq
@@ -532,7 +536,7 @@ object StatsMaintain {
       .agg(count(lit(1)).as("freq"))
       .union(old.toDF("key", "freq"))
       .groupBy(col("key")).agg(sum(col("freq")).as("freq"))
-    writeKeyProf(s, dir, table, column, merged, hotFreq, trackK)
+    writeKeyProf(s, dir, table, column, merged, hotFreq, trackK, liveRows)
   }
 
   private def keyProfileReadIfCurrent(s: SparkSession, dir: String,
@@ -606,7 +610,8 @@ object StatsMaintain {
       .where(col(column).isNotNull)
       .groupBy(col(column).cast(StringType).as("value"))
       .agg(count(lit(1)).as("freq"))
-    writeMcvMaint(s, dir, table, column, counts, k, trackK)
+    writeMcvMaint(s, dir, table, column, counts, k, trackK,
+      graft.Tables(s, dir, table).count())
   }
 
   /** Commit one maintained-MCV state — the [[writeKeyProf]] crash
@@ -615,7 +620,8 @@ object StatsMaintain {
     * stamp, the SERVE point) last, so a retry can always discriminate
     * "merged already" from "not yet". */
   private def writeMcvMaint(s: SparkSession, dir: String, table: String,
-      column: String, counts: DataFrame, k: Int, trackK: Int): Unit = {
+      column: String, counts: DataFrame, k: Int, trackK: Int,
+      liveRows: Long): Unit = {
     import s.implicits._
     val p = mcvMaintPath(dir, table, column)
     val (fs, _) = IndexStore.fsOf(p)
@@ -626,8 +632,9 @@ object StatsMaintain {
       .limit(trackK)
       .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/rows")
     // covered row count in the stamp — the coherence check's input
-    // (r16 review #1), the keyprof discipline
-    Seq((covered, graft.Tables(s, dir, table).count()))
+    // (r16 review #1), the keyprof discipline; threaded in, never
+    // recounted (review pass 2)
+    Seq((covered, liveRows))
       .toDF("covered", "rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/stage/stamp")
     IndexStore.stageSwap(fs, s"$p/stage", s"$p/data")
@@ -679,8 +686,9 @@ object StatsMaintain {
       if (stampDf.schema.fieldNames.contains("rows"))
         stampRow.getAs[Long]("rows")
       else -1L
+    val liveRows = graft.Tables(s, dir, table).count()
     if (oldRows < 0 || BigInt(oldRows) + BigInt(batch.count()) !=
-        BigInt(graft.Tables(s, dir, table).count()))
+        BigInt(liveRows))
       return ensureMcvMaint(s, dir, table, column, k, trackK)
     val old = s.read.parquet(s"$path/data/rows")
       .select(col("value"), col("freq")).as[(String, Long)].collect().toSeq
@@ -690,7 +698,7 @@ object StatsMaintain {
       .agg(count(lit(1)).as("freq"))
       .union(old.toDF("value", "freq"))
       .groupBy(col("value")).agg(sum(col("freq")).as("freq"))
-    writeMcvMaint(s, dir, table, column, merged, k, trackK)
+    writeMcvMaint(s, dir, table, column, merged, k, trackK, liveRows)
   }
 
   private def mcvMaintReadIfCurrent(s: SparkSession, dir: String,
@@ -790,6 +798,11 @@ object StatsMaintain {
         IndexStore.artifactReady(s"$path/registers"),
       "maintained column group must be built (ensureColumnGroupMaint) before appendMaintainColumnGroup")
     val oldN = s.read.parquet(s"$path/summary").head().getAs[Long]("n")
+    // rowcount coherence (r16 review pass 2: the one maintainer the
+    // first pass missed) — the summary's own n is the covered total
+    if (BigInt(oldN) + BigInt(batch.count()) !=
+        BigInt(graft.Tables(s, dir, table).count()))
+      return ensureColumnGroupMaint(s, dir, table, columns)
     val oldRegs = s.read.parquet(s"$path/registers")
       .as[(String, Long, Long)].collect().toSeq
     val merged = grpRegisterRows(batch, columns)
