@@ -40,13 +40,12 @@ import graft.operators.StatsCatalog
   * (self-joins of one Dataset instance), any non-deterministic
   * residual conjunct (not freely movable), and — through the DP's
   * own discipline — any un-ANALYZEd leaf (choose answers None).
-  * NON-EQUALITY conjuncts no longer veto (r16): they re-apply as a
-  * residual Filter above the rebuilt chain — placed at the top, a
-  * documented trade (the declared plan may have evaluated them
-  * deeper; the reorder's intermediate savings are the bet) — while
-  * a join whose condition carries NO equality edge disconnects the
-  * graph and the DP refuses, so a pure theta join still passes
-  * through untouched.
+  * NON-EQUALITY conjuncts no longer veto (r16): they re-apply as
+  * residual Filters at the LOWEST rebuilt-chain node whose output
+  * covers their references (deepest-legal placement — the declared
+  * plan's early filtering survives the reorder), while a join whose
+  * condition carries NO equality edge disconnects the graph and the
+  * DP refuses, so a pure theta join still passes through untouched.
   *
   * FIXED-POINT stability, argued: the rewrite fires only when the
   * chosen order differs from the chain's current leaf order. Leaves
@@ -245,14 +244,30 @@ class TransparentJoinOrderingRule(spark: SparkSession)
     // the guard that makes the fixed point: already in this order?
     if (chosen.order == currentOrder) return None
     val chain = chosen.df.queryExecution.analyzed
-    // residual filters re-apply on top of the rebuilt chain; their
-    // two-leaf equalities already live in the chain's join conditions
-    // (condOf attaches every edge where its endpoint joins), so the
-    // re-matched inner chain reads the same edge set and the fixed
-    // point holds
+    // residual filters re-apply at the LOWEST chain node whose output
+    // covers their references (r16 close: top-only placement was the
+    // documented trade — a residual over the innermost pair now
+    // filters before the later joins see the rows, like the declared
+    // plan did). transformUp visits bottom-up, so the first covering
+    // Join wins; anything uncovered by an interior node lands on top.
+    // The re-matched chain reads the same leaf set and edge set (the
+    // placed Filters are interior-transparent, their two-leaf
+    // equalities already live in the join conditions), so the fixed
+    // point holds wherever they sit.
     val rebuilt =
       if (residFilters.isEmpty) chain
-      else Filter(residFilters.reduce(And), chain)
+      else {
+        var remaining = residFilters
+        val placed = chain.transformUp {
+          case jn: Join =>
+            val (here, rest) =
+              remaining.partition(_.references.subsetOf(jn.outputSet))
+            remaining = rest
+            if (here.isEmpty) jn else Filter(here.reduce(And), jn)
+        }
+        if (remaining.isEmpty) placed
+        else Filter(remaining.reduce(And), placed)
+      }
     Some(Project(j.output, rebuilt))
   }
 

@@ -149,6 +149,40 @@ class JoinOrderingSpec extends SparkSpec {
         assert(innermostTables(aliased) === Set("fact", "dima"),
           s"an interior alias must not truncate the flatten:\n${aliased.queryExecution.optimizedPlan}")
 
+        // DEEPEST-LEGAL residual placement (r16 close): a residual
+        // over the INNERMOST chosen pair (fact, dima) must sit below
+        // the top join, not above the whole chain — the declared
+        // plan's early filtering survives the reorder
+        def deepResid = fact
+          .join(dimb, $"kb" === $"dbk")
+          .join(dima, $"ka" === $"dak")
+          .where($"payload" + $"dak" > 2L)
+        val drPlan = deepResid.queryExecution.optimizedPlan
+        assert(innermostTables(deepResid) === Set("fact", "dima"))
+        val innerJoin = drPlan.collect {
+          case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+        }.last
+        val filtersAboveInner = drPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.find(_ eq innerJoin).isDefined &&
+                f.condition.references.exists(_.name == "dak") => f
+        }
+        assert(filtersAboveInner.nonEmpty &&
+          !filtersAboveInner.exists(_.find {
+            case jn: org.apache.spark.sql.catalyst.plans.logical.Join =>
+              !(jn eq innerJoin)
+            case _ => false
+          }.isDefined),
+          s"the residual must sit directly over the innermost join:\n$drPlan")
+        val gotD = deepResid.select($"payload", $"aname", $"bname")
+          .collect().map(_.toString).sorted
+        TransparentJoinOrdering.disableForTest(spark)
+        val wantD = deepResid.select($"payload", $"aname", $"bname")
+          .collect().map(_.toString).sorted
+        assert(gotD.sameElements(wantD),
+          "deep placement must be result-invisible")
+        TransparentJoinOrdering.enable(spark)
+
         // fixed point: the filtered rewrite re-optimizes to itself
         val rule = new TransparentJoinOrderingRule(spark)
         val once = interior.queryExecution.optimizedPlan
