@@ -389,8 +389,17 @@ object SampledAgg {
     * maintained under an earlier configuration would survive the
     * break with pre-replacement counts and poison a later re-add).
     * Glob over the shared table-path key; idempotent. */
-  def dropAllGroupRollups(dir: String, table: String): Unit = {
-    val namePrefix = s"aqpr_${IndexStore.tablePathKey(dir, table)}_${table}_"
+  def dropAllGroupRollups(dir: String, table: String): Unit =
+    dropAllByPrefix(s"aqpr_${IndexStore.tablePathKey(dir, table)}_${table}_")
+
+  /** [[dropAllGroupRollups]] for the group HISTOGRAMS (D109) — the
+    * same lineage-tombstone sweep: a partition replacement can
+    * preserve the row count, so the coherence screen alone cannot
+    * catch it; the break must drop every artifact of the table. */
+  def dropAllGroupHistograms(dir: String, table: String): Unit =
+    dropAllByPrefix(s"aqph_${IndexStore.tablePathKey(dir, table)}_${table}_")
+
+  private def dropAllByPrefix(namePrefix: String): Unit = {
     val (fs, root) = IndexStore.fsOf(IndexStore.root)
     if (!fs.exists(root)) return
     fs.listStatus(root)
@@ -768,6 +777,187 @@ object SampledAgg {
       .select(col("event_type"), col("__v_e4").as("q_e4"),
         lit(0L).as("rel_err_ppm"), lit("exact").as("source"))
     (exact, "exact")
+  }
+
+  // ------------------------------------------------------------------
+  // GENERIC GROUP HISTOGRAM (D109, r16) — the D39 fixed-bin algebra
+  // freed from the events table: a persisted (grp, bin, cnt) table
+  // for ANY (table, groupCol, valueCol), additively O(batch)-
+  // maintainable, serving per-group percentiles at |groups|·bins
+  // rows with the one-bin-width disclosed bound. NULL values land in
+  // the SENTINEL bin −1, so Σcnt equals the table row count and the
+  // rowcount coherence check rides the artifact's own mass (no extra
+  // stamp field). Contract: groupCol is a dashboard dimension
+  // (bounded cardinality — the artifact is |groups|·(numBins+2)
+  // rows); the merge stages and swaps, never a driver collect.
+  // ------------------------------------------------------------------
+
+  def groupHistPath(dir: String, table: String, groupCol: String,
+      valueCol: String): String =
+    s"${IndexStore.root}/aqph_${IndexStore.tablePathKey(dir, table)}_${table}_${groupCol}_$valueCol"
+
+  private def histBinCol(valueCol: String, binWidth: Double, numBins: Int) =
+    when(col(valueCol).isNull, lit(-1L))
+      .otherwise(greatest(lit(0L),
+        least(floor(col(valueCol) / binWidth).cast("long"),
+          lit(numBins.toLong))))
+
+  private def histBins(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Double, numBins: Int): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        histBinCol(valueCol, binWidth, numBins).as("bin"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private def writeGroupHistMeta(s: SparkSession, p: String,
+      covered: String, binWidthE4: Long, numBins: Int): Unit = {
+    import s.implicits._
+    Seq((covered, binWidthE4, numBins))
+      .toDF("covered", "bin_width_e4", "num_bins")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
+  }
+
+  /** Build once per fingerprint from one binning pass. `binWidth`
+    * must render exactly at e4 scale (the integer-replay contract).
+    * The covered stamp rides the DATA rows (the stratified-counts
+    * discipline), the meta (knobs + stamp) is the serve point. */
+  def ensureGroupHistogram(s: SparkSession, dir: String, table: String,
+      groupCol: String, valueCol: String, binWidth: Double = 5.0,
+      numBins: Int = 100): Unit = {
+    val binWidthE4 = math.round(binWidth * 10000.0)
+    require(binWidthE4 > 0 && binWidthE4 / 10000.0 == binWidth,
+      s"binWidth must be exact at e4 scale, got $binWidth")
+    if (groupHistIfCurrent(s, dir, table, groupCol, valueCol).isDefined)
+      return
+    val p = groupHistPath(dir, table, groupCol, valueCol)
+    val covered = IndexStore.fingerprint(dir, table)
+    histBins(graft.Tables(s, dir, table), groupCol, valueCol,
+        binWidth, numBins)
+      .withColumn("covered", lit(covered))
+      .write.mode("overwrite").parquet(s"$p/data")
+    writeGroupHistMeta(s, p, covered, binWidthE4, numBins)
+  }
+
+  /** O(batch) ADDITIVE maintenance, idempotent and crash-convergent:
+    * bin counts add exactly, so the merged artifact equals a rebuild;
+    * the data's own covered stamp discriminates the rows-committed/
+    * meta-missing crash window (re-commit the meta, merge nothing);
+    * the rowcount coherence screen (Σcnt IS the covered row count —
+    * the null sentinel makes that exact) rebuilds on out-of-band
+    * mutation; a torn artifact reads absent and rebuilds. */
+  def appendMaintainGroupHistogram(s: SparkSession, dir: String,
+      table: String, groupCol: String, valueCol: String,
+      batch: DataFrame): Unit = {
+    if (groupHistIfCurrent(s, dir, table, groupCol, valueCol).isDefined)
+      return
+    val p = groupHistPath(dir, table, groupCol, valueCol)
+    if (!IndexStore.artifactReady(s"$p/data") ||
+        !IndexStore.artifactReady(s"$p/meta"))
+      return ensureGroupHistogram(s, dir, table, groupCol, valueCol)
+    val (fs, _) = IndexStore.fsOf(p)
+    IndexStore.recoverSwap(fs, s"$p/stage_data", s"$p/data")
+    val meta = s.read.parquet(s"$p/meta").head()
+    val (binWidthE4, numBins) =
+      (meta.getAs[Long]("bin_width_e4"), meta.getAs[Int]("num_bins"))
+    val live = IndexStore.fingerprint(dir, table)
+    val old = s.read.parquet(s"$p/data")
+    val dataCovered = old.limit(1).select(col("covered")).collect()
+      .headOption.map(_.getString(0))
+    if (dataCovered.contains(live)) {
+      // crash window: data committed for this listing, meta did not
+      // land — re-commit the meta, merge nothing
+      writeGroupHistMeta(s, p, live, binWidthE4, numBins)
+      return
+    }
+    val oldTotal = Option(old.agg(sum(col("cnt"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (BigInt(oldTotal) + BigInt(batch.count()) !=
+        BigInt(graft.Tables(s, dir, table).count()))
+      return ensureGroupHistogram(s, dir, table, groupCol, valueCol,
+        binWidthE4 / 10000.0, numBins)
+    val merged = old.select(col("grp"), col("bin"), col("cnt"))
+      .union(histBins(batch, groupCol, valueCol,
+        binWidthE4 / 10000.0, numBins))
+      .groupBy(col("grp"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+      .withColumn("covered", lit(live))
+    merged.write.mode("overwrite").parquet(s"$p/stage_data")
+    IndexStore.stageSwap(fs, s"$p/stage_data", s"$p/data")
+    writeGroupHistMeta(s, p, live, binWidthE4, numBins)
+  }
+
+  /** (bins frame (grp, bin, cnt), binWidthE4, numBins) while the
+    * artifact covers the LIVE listing. */
+  def groupHistIfCurrent(s: SparkSession, dir: String, table: String,
+      groupCol: String, valueCol: String)
+      : Option[(DataFrame, Long, Int)] = {
+    val p = groupHistPath(dir, table, groupCol, valueCol)
+    if (!IndexStore.artifactReady(s"$p/data") ||
+        !IndexStore.artifactReady(s"$p/meta")) return None
+    val meta = s.read.parquet(s"$p/meta").head()
+    if (meta.getAs[String]("covered") != IndexStore.fingerprint(dir, table))
+      None
+    else Some((s.read.parquet(s"$p/data")
+        .select(col("grp"), col("bin"), col("cnt")),
+      meta.getAs[Long]("bin_width_e4"), meta.getAs[Int]("num_bins")))
+  }
+
+  /** Tolerance-declared PER-GROUP percentiles for any (table,
+    * groupCol, valueCol) — the [[serveQuantile]] ladder freed from
+    * the events histogram: rung 1 serves from the group histogram's
+    * exact bin counts (rank k lands inside one bin with certainty →
+    * the disclosed bound is one bin width, integer DIV, replayable;
+    * bin 0 / the unbounded overflow bin cap at 10⁶); rung 2 is the
+    * exact rank-k order statistic per group (the per-group sort the
+    * histogram rung exists to avoid). NULL values are outside the
+    * percentile in BOTH rungs (the sentinel bin never enters the
+    * walk; the exact rung filters non-null). 1e4-scaled BIGINTs
+    * throughout — the q36 discipline. Output: (grp, q_e4,
+    * rel_err_ppm, source). */
+  def serveGroupQuantiles(s: SparkSession, dir: String, table: String,
+      groupCol: String, valueCol: String, p: Int,
+      tolerancePpm: Long): (DataFrame, String) = {
+    require(p >= 1 && p <= 99, s"percentile in [1, 99], got $p")
+    require(tolerancePpm >= 0, "tolerance is a ppm bound, >= 0")
+    groupHistIfCurrent(s, dir, table, groupCol, valueCol).foreach {
+      case (bins, binWidthE4, numBins) =>
+        val grpW = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy("bin")
+        val withCum = bins.where(col("bin") >= 0L)
+          .withColumn("n", sum("cnt").over(grpW))
+          .withColumn("cum", sum("cnt").over(w))
+        val kSql = s"(${p}L * n + 99L) DIV 100L"
+        val e4 = expr(
+          s"""CASE WHEN bin = ${numBins}L THEN ${numBins * binWidthE4}L
+             |ELSE ${binWidthE4}L * bin
+             |  + ($binWidthE4 * ($kSql - (cum - cnt))) DIV cnt END""".stripMargin)
+        val est = withCum.groupBy(col("grp"))
+          .agg(min(when(col("cum") >= expr(kSql),
+            struct(col("bin"), e4.as("e")))).getField("e").as("q_e4"))
+        val overflowE4 = numBins.toLong * binWidthE4
+        val b = when(col("q_e4") <= 0L || col("q_e4") >= lit(overflowE4),
+          lit(M))
+          .otherwise(expr(s"${binWidthE4 * M}L DIV q_e4"))
+        val worst = Option(est.agg(max(b)).head().get(0))
+          .map(_.asInstanceOf[Long])
+        if (worst.exists(_ <= tolerancePpm))
+          return (est.select(col("grp"), col("q_e4"),
+            b.as("rel_err_ppm"), lit("histogram").as("source")), "histogram")
+    }
+    // the exact floor: rank k = ⌈p·n/100⌉ per group, e4-floored
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("__v_e4"))
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    (graft.Tables(s, dir, table)
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        floor(col(valueCol) * 10000.0).cast("long").as("__v_e4"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(grpW))
+      .where(col("__rk") === expr(s"(${p}L * __n + 99L) DIV 100L"))
+      .select(col("grp"), col("__v_e4").as("q_e4"),
+        lit(0L).as("rel_err_ppm"), lit("exact").as("source")), "exact")
   }
 
   /** The q93/q95 GATE FIXTURE: a four-equal-group table derived from

@@ -5086,6 +5086,82 @@ object RelationalQueries {
     }
   }
 
+  /** q103 — GENERIC PER-GROUP QUANTILES FROM A GROUP HISTOGRAM
+    * ([[graft.operators.SampledAgg.serveGroupQuantiles]] /
+    * [[graft.operators.SampledAgg.ensureGroupHistogram]], D109): the
+    * D39 fixed-bin algebra freed from the events table — a persisted
+    * (grp, bin, cnt) artifact for ANY (table, group, value) triple,
+    * additively O(batch)-maintainable (nulls land in a sentinel bin
+    * so Σcnt IS the covered row count — the coherence screen rides
+    * the artifact's own mass), serving per-group p95 at
+    * \|groups\|·bins rows with the one-bin-width integer-DIV bound.
+    * A 10% tolerance serves from the artifact (require()-pinned
+    * artifact-only); 0.5% exceeds the bin-width bound at every SF
+    * and falls to the exact per-group rank-k floor. The oracle
+    * replays bins, cumulative walk, bound, AND the exact rank. */
+  val q103GroupQuantiles: GraftQuery = q(
+    "q103_group_quantiles",
+    "per-group declared-tolerance p95 from a generic group histogram; bin-width bound replayed; exact rank-k fail-closed floor",
+    """WITH t AS (
+      |  SELECT event_id, ((event_id % 4) + 4) % 4 AS g, value
+      |  FROM events),
+      |b AS (
+      |  SELECT g,
+      |         greatest(CAST(0 AS BIGINT),
+      |                  least(CAST(floor(value / 5.0) AS BIGINT), 100)) AS bin,
+      |         count(*) AS cnt
+      |  FROM t WHERE value IS NOT NULL GROUP BY 1, 2),
+      |c AS (
+      |  SELECT g, bin, cnt,
+      |         sum(cnt) OVER (PARTITION BY g) AS n,
+      |         sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum
+      |  FROM b),
+      |est AS (
+      |  SELECT g,
+      |         min_by(CAST(CASE WHEN bin = 100 THEN 5000000
+      |             ELSE 50000 * bin
+      |             + (50000 * ((95*n + 99) // 100 - (cum - cnt))) // cnt
+      |             END AS BIGINT), bin)
+      |           FILTER (cum >= (95*n + 99) // 100) AS q_e4
+      |  FROM c GROUP BY g),
+      |hist AS (
+      |  SELECT g, q_e4,
+      |         CAST(CASE WHEN q_e4 <= 0 OR q_e4 >= 5000000 THEN 1000000
+      |              ELSE 50000000000 // q_e4 END AS BIGINT) AS rel_err_ppm,
+      |         'histogram' AS source
+      |  FROM est),
+      |exact AS (
+      |  SELECT g, q_e4, CAST(0 AS BIGINT) AS rel_err_ppm,
+      |         'exact' AS source
+      |  FROM (
+      |    SELECT g, CAST(floor(value * 10000) AS BIGINT) AS q_e4,
+      |           row_number() OVER (PARTITION BY g
+      |             ORDER BY CAST(floor(value * 10000) AS BIGINT)) AS rk,
+      |           count(*) OVER (PARTITION BY g) AS n
+      |    FROM t WHERE value IS NOT NULL)
+      |  WHERE rk = (95*n + 99) // 100)
+      |SELECT * FROM (SELECT * FROM hist UNION ALL SELECT * FROM exact)
+      |ORDER BY source, g""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val SA = graft.operators.SampledAgg
+    val fix = SA.ensureToleranceAvgFixture(s, dir)
+    SA.ensureGroupHistogram(s, fix, "tol_a", "g", "value")
+    val (loose, looseSrc) = SA.serveGroupQuantiles(s, fix, "tol_a",
+      "g", "value", 95, tolerancePpm = 100000L)
+    require(looseSrc == "histogram",
+      s"a 10% tolerance must serve from the group histogram, got $looseSrc")
+    require(loose.inputFiles.forall(_.contains("aqph_")),
+      "the histogram serve must never read the corpus")
+    val (tight, tightSrc) = SA.serveGroupQuantiles(s, fix, "tol_a",
+      "g", "value", 95, tolerancePpm = 5000L)
+    require(tightSrc == "exact",
+      s"a 0.5% tolerance exceeds the bin-width bound and must fall to the exact rank, got $tightSrc")
+    loose.withColumnRenamed("grp", "g")
+      .unionByName(tight.withColumnRenamed("grp", "g"))
+      .orderBy($"source", $"g")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03BroadcastJoin, q04StarJoin,
     q05LeftJoin, q06Distinct, q07CountDistinct, q08TwoLevelAgg,
@@ -5115,5 +5191,6 @@ object RelationalQueries {
     q92CompositeSteering, q93ToleranceServing, q94McvSteering,
     q95ToleranceSums, q96StreamingMaintained, q97SemiAntiSteering,
     q98MaintainedMcvSteering, q99WholeBrainComposition,
-    q100ToleranceAvgs, q101ToleranceQuantiles, q102SemiAntiHashDispatch)
+    q100ToleranceAvgs, q101ToleranceQuantiles, q102SemiAntiHashDispatch,
+    q103GroupQuantiles)
 }

@@ -83,7 +83,8 @@ object MaintainedIngest {
   def processBatch(batch: DataFrame, batchId: Long, dir: String,
       table: String, profileColumn: Option[String] = None,
       hotFreq: Long = 1000L, mcvColumns: Seq[String] = Nil,
-      groupRollups: Seq[(String, String)] = Nil): Unit = {
+      groupRollups: Seq[(String, String)] = Nil,
+      groupHistograms: Seq[(String, String)] = Nil): Unit = {
     val s = batch.sparkSession
     val withId = batch.withColumn("batch_id", lit(batchId))
     val contentId = contentIdOf(batch)
@@ -95,7 +96,7 @@ object MaintainedIngest {
       // exact replay of a landed batch: listing unchanged, the
       // maintains below no-op on their covered stamps
       maintain(s, dir, table, withId, profileColumn, hotFreq, mcvColumns,
-        groupRollups, lineageBroke = false)
+        groupRollups, groupHistograms, lineageBroke = false)
       return
     }
     val priorMarkers =
@@ -145,19 +146,23 @@ object MaintainedIngest {
       // data, worse than wrong advisory stats. ALL of the table's
       // rollups drop, not just this configuration's list (r16 review
       // #3: a rollup from an earlier configuration would otherwise
-      // survive the break and poison a later re-add)
+      // survive the break and poison a later re-add) — and the group
+      // histograms with them: a replacement can PRESERVE the row
+      // count, so their coherence screens alone cannot catch it
       SampledAgg.dropAllGroupRollups(dir, table)
+      SampledAgg.dropAllGroupHistograms(dir, table)
     }
     if (lineageBroke) priorMarkers.foreach(st => fs.delete(st.getPath, false))
     fs.create(marker, true).close()
     maintain(s, dir, table, withId, profileColumn, hotFreq, mcvColumns,
-      groupRollups, mustRebuild)
+      groupRollups, groupHistograms, mustRebuild)
   }
 
   private def maintain(s: org.apache.spark.sql.SparkSession, dir: String,
       table: String, withId: DataFrame, profileColumn: Option[String],
       hotFreq: Long, mcvColumns: Seq[String],
-      groupRollups: Seq[(String, String)], lineageBroke: Boolean): Unit = {
+      groupRollups: Seq[(String, String)],
+      groupHistograms: Seq[(String, String)], lineageBroke: Boolean): Unit = {
     // every maintain is idempotent (r15): covered == live no-ops
     if (lineageBroke || !StatsMaintain.built(dir, table))
       StatsMaintain.ensure(s, dir, table)
@@ -186,6 +191,11 @@ object MaintainedIngest {
       if (lineageBroke) SampledAgg.ensureGroupRollup(s, dir, table, g, v)
       else SampledAgg.appendMaintainGroupRollup(s, dir, table, g, v, withId)
     }
+    // the generic group histograms (D109): same additive discipline
+    groupHistograms.foreach { case (g, v) =>
+      if (lineageBroke) SampledAgg.ensureGroupHistogram(s, dir, table, g, v)
+      else SampledAgg.appendMaintainGroupHistogram(s, dir, table, g, v, withId)
+    }
   }
 
   /** Wire a stream through the maintained ingest. */
@@ -193,13 +203,14 @@ object MaintainedIngest {
       checkpoint: String, profileColumn: Option[String] = None,
       hotFreq: Long = 1000L, mcvColumns: Seq[String] = Nil,
       groupRollups: Seq[(String, String)] = Nil,
+      groupHistograms: Seq[(String, String)] = Nil,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     rows.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, dir, table, profileColumn, hotFreq,
-          mcvColumns, groupRollups)
+          mcvColumns, groupRollups, groupHistograms)
       }
       .start()
 }

@@ -339,6 +339,77 @@ class SampledAggSpec extends SparkSpec {
     }
   }
 
+  test("group histogram: quantiles within one bin, null sentinel, additive maintenance, coherence (D109)") {
+    withIndexRoot("graft-aqp-ghist") {
+      val dir = tmpDir("graft-aqp-ghist-data")
+      // g=0: 0..400 uniform; g=1: 0..100 plus NULLs (the sentinel leg)
+      val rows = (1L to 4000L).map(i => (i, 0L, Some((i % 401).toDouble))) ++
+        (1L to 900L).map(i => (10000L + i, 1L, Some((i % 101).toDouble))) ++
+        (1L to 100L).map(i => (20000L + i, 1L, None: Option[Double]))
+      rows.toDF("key", "g", "value")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      SampledAgg.ensureGroupHistogram(spark, dir, "t", "g", "value")
+      // Σcnt == table rows — the null sentinel makes the artifact's
+      // own mass the coherence input
+      val (bins0, bw, nb) = SampledAgg.groupHistIfCurrent(
+        spark, dir, "t", "g", "value").getOrElse(fail("must serve"))
+      assert(bw === 50000L && nb === 100)
+      assert(bins0.agg(sum($"cnt")).head().getLong(0) === 5000L)
+      assert(bins0.where($"bin" === -1L).agg(sum($"cnt")).head()
+        .getLong(0) === 100L, "nulls land in the sentinel bin")
+      // the served estimate is within one bin of the exact rank
+      val (est, src) = SampledAgg.serveGroupQuantiles(spark, dir, "t",
+        "g", "value", 50, tolerancePpm = 1000000L)
+      assert(src === "histogram")
+      val (exact, srcX) = SampledAgg.serveGroupQuantiles(spark, dir, "t",
+        "g", "value", 50, tolerancePpm = 0L)
+      assert(srcX === "exact")
+      val eMap = est.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val xMap = exact.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(eMap.keySet === Set(0L, 1L) && xMap.keySet === Set(0L, 1L))
+      eMap.foreach { case (g, e) =>
+        assert(math.abs(e - xMap(g)) <= 50000L,
+          s"one-bin bound must hold for g=$g: $e vs ${xMap(g)}")
+      }
+      // additive O(batch) maintenance equals a rebuild; double call
+      // is a no-op
+      val batch = (30000L to 30499L).map(i => (i, 0L, Some(42.0)))
+        .toDF("key", "g", "value")
+      batch.write.mode("append").parquet(s"$dir/t.parquet")
+      assert(SampledAgg.groupHistIfCurrent(spark, dir, "t", "g", "value")
+        .isEmpty, "appended-but-unmaintained fails closed")
+      SampledAgg.appendMaintainGroupHistogram(spark, dir, "t", "g", "value", batch)
+      SampledAgg.appendMaintainGroupHistogram(spark, dir, "t", "g", "value", batch)
+      val (bins1, _, _) = SampledAgg.groupHistIfCurrent(
+        spark, dir, "t", "g", "value").getOrElse(fail("must serve"))
+      val rebuilt = graft.Tables(spark, dir, "t")
+        .select($"g".as("grp"),
+          when($"value".isNull, lit(-1L))
+            .otherwise(greatest(lit(0L),
+              least(floor($"value" / 5.0).cast("long"), lit(100L)))).as("bin"))
+        .groupBy($"grp", $"bin").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(bins1.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap === rebuilt,
+        "maintenance must equal a rebuild, applied once")
+      // rowcount coherence: out-of-band delete then append → rebuild
+      val keep = graft.Tables(spark, dir, "t").where($"key" <= 3000L).collect()
+      val schema = graft.Tables(spark, dir, "t").schema
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(keep.toIndexedSeq, 2), schema)
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+      val b2 = (40000L to 40099L).map(i => (i, 1L, Some(7.0)))
+        .toDF("key", "g", "value")
+      b2.write.mode("append").parquet(s"$dir/t.parquet")
+      SampledAgg.appendMaintainGroupHistogram(spark, dir, "t", "g", "value", b2)
+      val (bins2, _, _) = SampledAgg.groupHistIfCurrent(
+        spark, dir, "t", "g", "value").getOrElse(fail("must serve"))
+      assert(bins2.agg(sum($"cnt")).head().getLong(0) ===
+        graft.Tables(spark, dir, "t").count(),
+        "an out-of-band delete must rebuild, never blind-merge")
+    }
+  }
+
   test("rowcount coherence: out-of-band deletes never blind-merge — every maintainer rebuilds (r16 review)") {
     withIndexRoot("graft-aqp-coherence") {
       val dir = tmpDir("graft-aqp-coherence-data")

@@ -30,11 +30,13 @@ class MaintainedIngestSpec extends SparkSpec {
         (1L to 400L).map(i => (i % 40 + 100L, 10000L + i, 2.0)): _*)
       MaintainedIngest.run(rows, dir, "ing", ckpt,
         profileColumn = Some("k"), hotFreq = 500L,
-        mcvColumns = Seq("k")).processAllAvailable()
+        mcvColumns = Seq("k"),
+        groupHistograms = Seq(("k", "v"))).processAllAvailable()
       mem.addData((1L to 300L).map(i => (7L, 20000L + i, 3.0)): _*)
       MaintainedIngest.run(rows, dir, "ing", ckpt,
         profileColumn = Some("k"), hotFreq = 500L,
-        mcvColumns = Seq("k")).processAllAvailable()
+        mcvColumns = Seq("k"),
+        groupHistograms = Seq(("k", "v"))).processAllAvailable()
 
       assert(graft.Tables(spark, dir, "ing").count() === 1300L)
       val st = StatsMaintain.statsIfCurrent(spark, dir, "ing")
@@ -48,6 +50,11 @@ class MaintainedIngestSpec extends SparkSpec {
       assert(StatsMaintain.mcvMaintIfCurrent(spark, dir, "ing", "k")
         .exists(_.headOption.contains(("7", 900L))),
         "the maintained MCV list merges across micro-batches (D105)")
+      val (bins, _, _) = graft.operators.SampledAgg
+        .groupHistIfCurrent(spark, dir, "ing", "k", "v")
+        .getOrElse(fail("the group histogram must be CURRENT after the stream (D109)"))
+      assert(bins.agg(sum($"cnt")).head().getLong(0) === 1300L,
+        "the histogram's mass merges across micro-batches")
     }
   }
 
