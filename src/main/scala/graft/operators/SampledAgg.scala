@@ -819,21 +819,28 @@ object SampledAgg {
 
   /** Build once per fingerprint from one binning pass. `binWidth`
     * must render exactly at e4 scale (the integer-replay contract).
-    * The covered stamp rides the DATA rows (the stratified-counts
-    * discipline), the meta (knobs + stamp) is the serve point. */
+    * The covered stamp AND the knobs ride the DATA rows (review pass
+    * 3: the crash-window meta re-commit must recover the knobs the
+    * data was actually binned with, never the surviving meta's); the
+    * meta (knobs + stamp) is the serve point. A current artifact
+    * with DIFFERENT knobs than requested is re-provisioned, never a
+    * silent no-op (the stratifiedIfCurrent k-check precedent). */
   def ensureGroupHistogram(s: SparkSession, dir: String, table: String,
       groupCol: String, valueCol: String, binWidth: Double = 5.0,
       numBins: Int = 100): Unit = {
     val binWidthE4 = math.round(binWidth * 10000.0)
     require(binWidthE4 > 0 && binWidthE4 / 10000.0 == binWidth,
       s"binWidth must be exact at e4 scale, got $binWidth")
-    if (groupHistIfCurrent(s, dir, table, groupCol, valueCol).isDefined)
+    if (groupHistIfCurrent(s, dir, table, groupCol, valueCol)
+        .exists { case (_, bw, nb) => bw == binWidthE4 && nb == numBins })
       return
     val p = groupHistPath(dir, table, groupCol, valueCol)
     val covered = IndexStore.fingerprint(dir, table)
     histBins(graft.Tables(s, dir, table), groupCol, valueCol,
         binWidth, numBins)
       .withColumn("covered", lit(covered))
+      .withColumn("bin_width_e4", lit(binWidthE4))
+      .withColumn("num_bins", lit(numBins))
       .write.mode("overwrite").parquet(s"$p/data")
     writeGroupHistMeta(s, p, covered, binWidthE4, numBins)
   }
@@ -851,21 +858,44 @@ object SampledAgg {
     if (groupHistIfCurrent(s, dir, table, groupCol, valueCol).isDefined)
       return
     val p = groupHistPath(dir, table, groupCol, valueCol)
-    if (!IndexStore.artifactReady(s"$p/data") ||
-        !IndexStore.artifactReady(s"$p/meta"))
+    if (!IndexStore.artifactReady(s"$p/data")) {
+      // torn or unbuilt data: rebuild with the META's knobs when it
+      // survived (review pass 3: a torn custom-knob artifact must not
+      // silently degrade to the defaults), else the defaults
+      if (IndexStore.artifactReady(s"$p/meta")) {
+        val m = s.read.parquet(s"$p/meta").head()
+        return ensureGroupHistogram(s, dir, table, groupCol, valueCol,
+          m.getAs[Long]("bin_width_e4") / 10000.0, m.getAs[Int]("num_bins"))
+      }
+      return ensureGroupHistogram(s, dir, table, groupCol, valueCol)
+    }
+    if (!IndexStore.artifactReady(s"$p/meta"))
       return ensureGroupHistogram(s, dir, table, groupCol, valueCol)
     val (fs, _) = IndexStore.fsOf(p)
     IndexStore.recoverSwap(fs, s"$p/stage_data", s"$p/data")
-    val meta = s.read.parquet(s"$p/meta").head()
-    val (binWidthE4, numBins) =
-      (meta.getAs[Long]("bin_width_e4"), meta.getAs[Int]("num_bins"))
     val live = IndexStore.fingerprint(dir, table)
     val old = s.read.parquet(s"$p/data")
-    val dataCovered = old.limit(1).select(col("covered")).collect()
-      .headOption.map(_.getString(0))
+    if (!old.schema.fieldNames.contains("bin_width_e4")) {
+      // pre-knob-stamp layout: rebuild once under the meta's knobs
+      val m = s.read.parquet(s"$p/meta").head()
+      return ensureGroupHistogram(s, dir, table, groupCol, valueCol,
+        m.getAs[Long]("bin_width_e4") / 10000.0, m.getAs[Int]("num_bins"))
+    }
+    val head = old.limit(1)
+      .select(col("covered"), col("bin_width_e4"), col("num_bins"))
+      .collect().headOption
+    val dataCovered = head.map(_.getString(0))
+    // the knobs the data was ACTUALLY binned with ride the rows —
+    // the only truth the crash-window re-commit may stamp (review
+    // pass 3: the surviving meta could carry a superseded
+    // provisioning's knobs)
+    val (binWidthE4, numBins) = head
+      .map(r => (r.getLong(1), r.getInt(2)))
+      .getOrElse((50000L, 100))
     if (dataCovered.contains(live)) {
       // crash window: data committed for this listing, meta did not
-      // land — re-commit the meta, merge nothing
+      // land — re-commit the meta (with the data's own knobs), merge
+      // nothing
       writeGroupHistMeta(s, p, live, binWidthE4, numBins)
       return
     }
@@ -880,6 +910,8 @@ object SampledAgg {
         binWidthE4 / 10000.0, numBins))
       .groupBy(col("grp"), col("bin")).agg(sum(col("cnt")).as("cnt"))
       .withColumn("covered", lit(live))
+      .withColumn("bin_width_e4", lit(binWidthE4))
+      .withColumn("num_bins", lit(numBins))
     merged.write.mode("overwrite").parquet(s"$p/stage_data")
     IndexStore.stageSwap(fs, s"$p/stage_data", s"$p/data")
     writeGroupHistMeta(s, p, live, binWidthE4, numBins)

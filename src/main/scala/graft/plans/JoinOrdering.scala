@@ -74,11 +74,11 @@ class TransparentJoinOrderingRule(spark: SparkSession)
     *    bind and the top-level output splice restores the pruned
     *    shape;
     *  - a Filter between inner joins commutes with them (an inner
-    *    chain is a filter over a product): its conjuncts re-apply
-    *    ABOVE the rebuilt chain — except two-leaf equalities, which
-    *    ARE join edges and join the graph (they came from exactly
-    *    the predicate-into-join folding the optimizer does when
-    *    shapes allow);
+    *    chain is a filter over a product): its conjuncts re-apply at
+    *    the DEEPEST legal node of the rebuilt chain — except
+    *    two-leaf equalities, which ARE join edges and join the graph
+    *    (they came from exactly the predicate-into-join folding the
+    *    optimizer does when shapes allow);
     *  - a SubqueryAlias only re-qualifies names (same exprIds), so
     *    stripping it is invisible to the exprId-addressed rebuild.
     *
@@ -154,12 +154,13 @@ class TransparentJoinOrderingRule(spark: SparkSession)
     // conjunct classification (r16): two-leaf equalities ARE join
     // edges; every OTHER conjunct — whether it arrived in a join
     // condition (Catalyst folds a non-pushable interior filter into
-    // the join it sits on) or in an interior Filter — re-applies
-    // ABOVE the rebuilt chain. Legal because an inner chain is a
-    // filter over a product: any conjunct may evaluate at any point
-    // where its attributes exist, and the chain's top sees every
-    // leaf output. A join left with NO equality edges simply
-    // disconnects the graph and the DP refuses — never a cartesian.
+    // the join it sits on) or in an interior Filter — re-applies as
+    // a residual at the DEEPEST covering node of the rebuilt chain
+    // (the placement below). Legal because an inner chain is a
+    // filter over a product: a conjunct may evaluate at any point
+    // where its attributes exist. A join left with NO equality edges
+    // simply disconnects the graph and the DP refuses — never a
+    // cartesian.
     val (edgeConds, residFilters) = (joinConds ++ residuals).partition {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         (for { la <- leafOf(a); lb <- leafOf(b) } yield la != lb)

@@ -112,9 +112,14 @@ object R16Bench {
     val (hS, hB, hSrc) = quantLeg(100000L)
     out("hist_serve_sec") = hS; out("hist_serve_bytes") = hB
     out("hist_serve_src") = hSrc
-    val (xS, xB, xSrc) = quantLeg(0L) // below any bin bound -> exact sort
+    // the exact leg measures the PURE per-group sort (review pass 3:
+    // with the artifact present, tolerance-0 still evaluated rung 1's
+    // window aggregation before falling through)
+    SA.dropAllGroupHistograms(fix, "tol_a")
+    val (xS, xB, xSrc) = quantLeg(0L)
     out("hist_exact_sec") = xS; out("hist_exact_bytes") = xB
     out("hist_exact_src") = xSrc
+    SA.ensureGroupHistogram(spark, fix, "tol_a", "g", "value")
 
     // ---- D105 maintained MCV: fixed 10k-row batch --------------------
     val SM = graft.operators.StatsMaintain
@@ -164,7 +169,10 @@ object R16Bench {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
 
     def jsonVal(v: Any): String = v match {
-      case d: Double => f"$d%.3f"
+      // Locale.ROOT: a comma-decimal default locale would emit
+      // invalid JSON (review pass 3)
+      case d: Double =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
       case s: String => "\"" + s + "\""
       case x => x.toString
     }

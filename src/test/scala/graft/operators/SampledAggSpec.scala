@@ -407,6 +407,15 @@ class SampledAggSpec extends SparkSpec {
       assert(bins2.agg(sum($"cnt")).head().getLong(0) ===
         graft.Tables(spark, dir, "t").count(),
         "an out-of-band delete must rebuild, never blind-merge")
+      // knob re-provisioning (review pass 3): a CURRENT artifact with
+      // different knobs rebuilds at the requested granularity, never
+      // a silent no-op leaving the finer tolerance unreachable
+      SampledAgg.ensureGroupHistogram(spark, dir, "t", "g", "value",
+        binWidth = 1.0, numBins = 500)
+      val (_, bw2, nb2) = SampledAgg.groupHistIfCurrent(
+        spark, dir, "t", "g", "value").getOrElse(fail("must serve"))
+      assert(bw2 === 10000L && nb2 === 500,
+        "the requested knobs must win over the surviving artifact")
     }
   }
 
