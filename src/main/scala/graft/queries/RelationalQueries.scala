@@ -4507,7 +4507,7 @@ object RelationalQueries {
     * construction. */
   val q96StreamingMaintained: GraftQuery = q(
     "q96_streaming_maintained",
-    "micro-batch ingest keeps maintained stats and the hot-key profile current at O(batch); oracle recomputes from raw events",
+    "micro-batch ingest keeps the FULL maintained family current at O(batch): stats, hot-key profile, MCV list, group rollup, group histogram; oracle recomputes from raw events",
     """WITH f AS (
       |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE event_id END AS k,
       |         event_id, value
@@ -4516,24 +4516,40 @@ object RelationalQueries {
       |  SELECT 'event_id' AS item, count(event_id) AS n,
       |         min(event_id) AS mn, max(event_id) AS mx FROM f
       |  UNION ALL
+      |  SELECT 'hist_n', count(*),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM f
+      |  UNION ALL
       |  SELECT 'hot_keys',
       |         (SELECT count(*) FROM f WHERE k = -1),
       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
       |  UNION ALL
       |  SELECT 'k', count(k), min(k), max(k) FROM f
+      |  UNION ALL
+      |  SELECT 'mcv_top',
+      |         (SELECT count(*) FROM f WHERE k = -1),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'roll_s',
+      |         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM f
       |) ORDER BY item""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
     val SM = graft.operators.StatsMaintain
+    val SA = graft.operators.SampledAgg
     val MI = graft.streaming.MaintainedIngest
     val fix = graft.operators.Steering.ensureSkewFixture(s, dir) + "/stream_maint"
     val rows = Tables(s, dir, "events").select(
       when($"user_id" % 3 === 0, lit(-1L)).otherwise($"event_id").as("k"),
       $"event_id", $"value")
-    // three micro-batches, re-driven EVERY run: warm replays no-op
+    // three micro-batches, re-driven EVERY run: warm replays no-op.
+    // The FULL maintained family rides each batch (r16): stats,
+    // profile, MCV list (D105), group rollup (D106), histogram (D109)
     (0 to 2).foreach { b =>
       MI.processBatch(rows.where(pmod($"event_id", lit(3L)) === b.toLong),
-        b.toLong, fix, "sing", profileColumn = Some("k"), hotFreq = 200L)
+        b.toLong, fix, "sing", profileColumn = Some("k"), hotFreq = 200L,
+        mcvColumns = Seq("k"), groupRollups = Seq(("k", "value")),
+        groupHistograms = Seq(("k", "value")))
     }
     val st = SM.statsIfCurrent(s, fix, "sing")
       .getOrElse(sys.error("streamed stats must be CURRENT after the batches"))
@@ -4541,13 +4557,27 @@ object RelationalQueries {
       .getOrElse(sys.error("the streamed profile must be CURRENT"))
     require(hot == Seq("-1"),
       s"the hot set must come through the streamed maintenance, got $hot")
+    val mcvTop = SM.mcvMaintIfCurrent(s, fix, "sing", "k")
+      .getOrElse(sys.error("the streamed MCV list must be CURRENT"))
+      .headOption.getOrElse(sys.error("the MCV list must rank the hot value"))
+    require(mcvTop._1 == "-1",
+      s"the maintained MCV head must be the hot value, got $mcvTop")
+    val rollS = SA.groupRollupIfCurrent(s, fix, "sing", "k", "value")
+      .getOrElse(sys.error("the streamed group rollup must be CURRENT"))
+      .agg(sum($"s")).head().getLong(0)
+    val histN = SA.groupHistIfCurrent(s, fix, "sing", "k", "value")
+      .getOrElse(sys.error("the streamed group histogram must be CURRENT"))
+      ._1.agg(sum($"cnt")).head().getLong(0)
     def row(c: String) = {
       val m = st(c)
       (c, m.n - m.nulls, Some(m.min.get.toLong), Some(m.max.get.toLong))
     }
     Seq(row("event_id"),
+      ("hist_n", histN, None: Option[Long], None: Option[Long]),
       ("hot_keys", hotFreq, None: Option[Long], None: Option[Long]),
-      row("k"))
+      row("k"),
+      ("mcv_top", mcvTop._2, None: Option[Long], None: Option[Long]),
+      ("roll_s", rollS, None: Option[Long], None: Option[Long]))
       .toDF("item", "n", "mn", "mx").orderBy($"item")
   }
 
