@@ -11,11 +11,13 @@ import graft.operators.{SampledAgg, StatsMaintain}
   * micro-batches, and an advisory tier that goes stale between
   * nightly ANALYZE runs is exactly the artifact whose absence melts
   * a reducer (q84's lesson). Each micro-batch lands in its own
-  * `batch_id` partition and then maintains the column stats and
-  * (optionally) the hot-key profile at O(batch) — so the estimator,
-  * the join advisor, and the transparent steering rule stay current
-  * against a LIVE table with zero full scans after the initial
-  * ensure.
+  * `batch_id` partition and then maintains the declared artifact
+  * family at O(batch) — the column stats, and optionally the hot-key
+  * profile, MCV lists (D105), exact group rollups (D106), and group
+  * histograms (D109) — so the estimator, the join advisor, the
+  * transparent rules, and the AQP ladders stay current against a
+  * LIVE table with zero full scans after each artifact's
+  * bootstrap.
   *
   * EXACTLY-ONCE under foreachBatch replays, argued window by window
   * (the r15 crash-idempotency of the maintenance faces is what makes
