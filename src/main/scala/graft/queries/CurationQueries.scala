@@ -624,9 +624,6 @@ object CurationQueries {
       val d = Tables(s, dir, "documents")
         .select($"doc_id",
           size(toks).as("n_tok"), size(array_distinct(toks)).as("n_uniq"))
-      val gated = d
-        .where($"n_tok" >= 5 && ($"n_uniq".cast("double") / $"n_tok") >= 0.3)
-        .select($"doc_id")
       // components is an EAGER iterative operator — run it once and
       // feed both consumers (the drop list and the split labels)
       val comp = graft.operators.ConnectedComponents
@@ -635,22 +632,33 @@ object CurationQueries {
       val drops = DedupQueries
         .keeperDrops(s, dir,
           Some(comp.withColumnRenamed("component", "cluster")))
-        .select($"dropped".as("doc_id"))
-      val surviving = gated.join(drops, Seq("doc_id"), "left_anti")
-      val labeled = surviving
+        .select($"dropped".as("doc_id"), lit(true).as("is_drop"))
+      // ONE pass: the five stage counts are monotone refinements of
+      // the same per-doc frame (total ⊇ gated ⊇ deduped = train ∪
+      // eval), so they fold into conditional aggregates over a single
+      // flags frame instead of five unioned aggregates that re-ran
+      // the tokenize + drop-join + label-join lineage up to five
+      // times. stack() explodes the one aggregate row back into the
+      // five (stage_no, stage, docs) rows.
+      val flags = d
+        .withColumn("gated",
+          $"n_tok" >= 5 && ($"n_uniq".cast("double") / $"n_tok") >= 0.3)
+        .join(drops, Seq("doc_id"), "left")
         .join(comp, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"component", $"doc_id").as("cluster"))
-      val split = labeled.withColumn("split",
-        when(hash60($"cluster", "leak") % 10 < 9, "train").otherwise("eval"))
-      def stage(no: Int, name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("docs"))
-          .select(lit(no).as("stage_no"), lit(name).as("stage"), $"docs")
-      stage(1, "total", d)
-        .union(stage(2, "gated", gated))
-        .union(stage(3, "deduped", surviving))
-        .union(stage(4, "train", split.where($"split" === "train")))
-        .union(stage(5, "eval", split.where($"split" === "eval")))
+        .select($"gated",
+          ($"gated" && $"is_drop".isNull).as("surv"),
+          (hash60(coalesce($"component", $"doc_id"), "leak") % 10 < 9)
+            .as("train"))
+      flags
+        .agg(
+          count(lit(1)).as("c1"),
+          count(when($"gated", 1)).as("c2"),
+          count(when($"surv", 1)).as("c3"),
+          count(when($"surv" && $"train", 1)).as("c4"),
+          count(when($"surv" && !$"train", 1)).as("c5"))
+        .select(expr(
+          "stack(5, 1, 'total', c1, 2, 'gated', c2, 3, 'deduped', c3, " +
+            "4, 'train', c4, 5, 'eval', c5) AS (stage_no, stage, docs)"))
         .orderBy($"stage_no")
     },
     Some(raw"""WITH RECURSIVE dd AS (

@@ -807,14 +807,18 @@ object DedupQueries {
     val qd = Tables(s, dir, "documents")
       .select($"doc_id",
         graft.functions.TextStats.ttr($"text").as("quality"))
-    val member = comp.join(qd, Seq("doc_id"))
-      .withColumn("rn", row_number().over(Window
-        .partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")))
-    val keep = member.where($"rn" === 1)
-      .select($"cluster", $"doc_id".as("keeper"))
-    member.where($"rn" > 1)
-      .select($"cluster", $"doc_id".as("dropped"), $"quality")
-      .join(keep, Seq("cluster"))
+    // keeper and rank come out of ONE window pass: first(doc_id) over
+    // the same (quality desc, doc_id) order IS the rank-1 doc, so the
+    // old keep-side self-join (which re-evaluated the whole
+    // comp ⋈ quality ⋈ window lineage a second time and shuffled it
+    // again by cluster) collapses into a second expression in the
+    // same WindowExec.
+    val w = Window.partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")
+    comp.join(qd, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keeper", first($"doc_id").over(w))
+      .where($"rn" > 1)
+      .select($"cluster", $"doc_id".as("dropped"), $"quality", $"keeper")
   }
 
   /** The deterministic CDC scenario d08 and d09 share: the corpus as
@@ -1321,11 +1325,20 @@ object DedupQueries {
       }.toDF("doc_id", "p", "gram")
       .select($"doc_id", $"p",
         graft.functions.DetHash.hash60($"gram", "span").as("gh"))
-    val df = grams.groupBy($"gh")
-      .agg(countDistinct($"doc_id").as("d"))
+    // the df ≤ 32 boilerplate cap without a second pass: distinct doc
+    // count per gram = sum of first-occurrence flags (rows sorted by
+    // doc within the gram partition), computed by two stacked windows
+    // in the ONE exchange the gram mass must cross for the self-join
+    // anyway. The previous countDistinct-aggregate + join-back ran
+    // the tokenize/gram flatMap lineage twice and shuffled the gram
+    // mass twice more; here the self-join's both sides reuse the same
+    // windowed exchange (ReusedExchange — the flatMap executes once).
+    val wDoc = Window.partitionBy($"gh").orderBy($"doc_id")
+    val kept = grams
+      .withColumn("nd", when(lag($"doc_id", 1).over(wDoc).isNull ||
+        lag($"doc_id", 1).over(wDoc) =!= $"doc_id", 1L).otherwise(0L))
+      .withColumn("d", sum($"nd").over(Window.partitionBy($"gh")))
       .where($"d" <= SpanMaxDf)
-      .select($"gh")
-    val kept = grams.join(df, "gh")
     val pairs = kept.select($"gh", $"doc_id".as("doc_a"), $"p".as("pa"))
       .join(kept.select($"gh", $"doc_id".as("doc_b"), $"p".as("pb")), "gh")
       .where($"doc_a" < $"doc_b")

@@ -265,7 +265,13 @@ object TextQueries {
       // boilerplate fingerprint shared by millions of docs never
       // materializes a million-element buffer. The df ≤ 10 cap
       // (standard winnowing-index hygiene) also bounds the pair
-      // fan-out to C(10,2) per fingerprint.
+      // fan-out to C(10,2) per fingerprint. (Two r16 variants measured
+      // SLOWER and were rejected: a count-window df in the
+      // collect_list's own exchange — 2.0 s → 3.3 s, WindowExec
+      // full-sorts the posting mass while this hash aggregate reduces
+      // map-side — and a MEMORY_AND_DISK persist of fps — 2.4 s →
+      // 3.7 s, the JIT'd winnow flatMap recompute is cheaper than the
+      // cache write + three columnar reads at two-long row width.)
       val rare = fps
         .groupBy($"fp").agg(count(lit(1)).as("df"))
         .where($"df".between(2, 10))
@@ -945,15 +951,23 @@ object TextQueries {
           // engines (Column `/` is double division, hence the expr)
           sequence(lit(0), expr("(size(split(trim(text), '\\\\s+')) + 2) div 3 - 1")),
           i => array_join(slice(toks, i * 3 + 1, lit(3)), " "))).as(Seq("pos", "seg")))
-    val counts = segs.groupBy($"seg")
-      .agg(countDistinct($"doc_id").as("n_docs"))
-    segs.join(counts, "seg")
+    // "seen in ≥ 2 docs" needs no distinct-count: doc_id is non-null,
+    // so countDistinct(doc_id) ≥ 2 ⟺ min(doc_id) ≠ max(doc_id). The
+    // min/max window over seg computes the flag in the ONE exchange
+    // the segment mass must cross anyway — the previous
+    // countDistinct-aggregate + join-back shape shuffled that mass
+    // three times (agg build, join probe, sort-merge) for the same
+    // boolean.
+    val wSeg = Window.partitionBy($"seg")
+    segs
+      .withColumn("boiler",
+        min($"doc_id").over(wSeg) =!= max($"doc_id").over(wSeg))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
-        sum(when($"n_docs" >= 2, 1).otherwise(0)).as("boiler_segments"),
+        sum(when($"boiler", 1).otherwise(0)).as("boiler_segments"),
         md5(array_join(transform(
-          array_sort(collect_list(when($"n_docs" < 2, struct($"pos", $"seg")))),
+          array_sort(collect_list(when(!$"boiler", struct($"pos", $"seg")))),
           _.getField("seg")), " ")).as("kept_md5"))
       .orderBy($"doc_id")
   }
