@@ -549,19 +549,28 @@ class QueryPlanSpec extends SparkSpec {
       s"the merge window must partition by the key, never global:\n$wline")
   }
 
-  test("t17: segment dedup joins on the segment key; no window anywhere") {
+  test("t17: boilerplate flag rides the ONE segment exchange; no join anywhere") {
     val df = QueryRegistry.asMap("t17_boilerplate_removal")(spark, sf)
     df.collect() // finalize the adaptive plan
+    // AdaptiveSparkPlan.toString prints Final AND Initial plans — pin
+    // the final one only, or every count below doubles
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("Join"), s"segment-frequency join missing:\n$p")
-    assert(p.contains("seg"), "join/agg must key on the segment column")
-    assert(!p.contains("Window"),
-      "t17 is explode+agg+join+agg; a window would mean a global sort crept in")
-    // the segment-frequency table is vocabulary-bounded (tiny next to
-    // the exploded segs), so AQE must turn the join-back into a
-    // broadcast — the corpus-sized side never shuffles for the join
-    assert(p.contains("BroadcastHashJoin"),
-      s"AQE should broadcast the segment-frequency side:\n$p")
+      .split("== Initial Plan ==").head
+    // the r16 shape: min(doc_id)≠max(doc_id) window over seg computes
+    // the ≥2-docs flag inside the one exchange the segment mass must
+    // cross anyway — the previous countDistinct-agg + join-back
+    // shuffled that mass three times for the same boolean
+    assert(!p.contains("Join"),
+      s"t17 must not join — the boiler flag is a window in the segment exchange:\n$p")
+    val wline = p.linesIterator.find(_.contains("Window ")).getOrElse(
+      fail(s"no Window node in t17 plan:\n$p"))
+    assert(wline.contains("seg#"),
+      s"the boiler window must partition by seg, never global:\n$wline")
+    // segment mass crosses exactly two hash exchanges: seg (window)
+    // and doc_id (reassembly agg); a third would mean the join-back
+    // shape crept back in
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"t17 must shuffle the segment mass exactly twice (seg, doc_id):\n$p")
   }
 
   test("q32: merged read = one layout scan + two anti-joins with tombstones built") {
