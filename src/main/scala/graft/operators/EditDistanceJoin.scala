@@ -74,7 +74,10 @@ object EditDistanceJoin {
     * are budget-bounded below the variant mass. */
   def pairs(df: DataFrame, key: String, str: String,
       maxDist: Int = 1): DataFrame = {
-    val base = df.select(col(key).as("k"), col(str).as("nm"))
+    // Par.widen: the variant explode is length(nm)-fold CPU on a
+    // byte-small scan — a single-split input serializes it (guide §2)
+    val base = graft.functions.Par.widen(
+      df.select(col(key).as("k"), col(str).as("nm")))
     // one explicit v-keyed exchange both self-join sides share
     // (ReusedExchange) — without it each side plans its own shuffle
     // of the wide variant frame and the explode lineage runs twice
@@ -120,7 +123,8 @@ object EditDistanceJoin {
     * O(len²·N) explode throughput, not O(N). */
   def pairsBudgeted(df: DataFrame, key: String, str: String,
       maxDist: Int, budget: Long): DataFrame = {
-    val base = df.select(col(key).as("k"), col(str).as("nm"))
+    val base = graft.functions.Par.widen(
+      df.select(col(key).as("k"), col(str).as("nm")))
     // the budget machinery makes the variant frame feed FOUR
     // consumers (the mass count, admit's own evaluation, and both
     // candidate-join sides) through four DIFFERENT exchanges —

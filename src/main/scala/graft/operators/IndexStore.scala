@@ -662,7 +662,8 @@ object IndexStore {
   private def sketchBands(docs: org.apache.spark.sql.DataFrame, bands: Int,
       rows: Int): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.functions.Par.widen(
+        docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .flatMap { case (id, text) =>
         val mins = graft.functions.HashSketch.minhashModP(
           graft.functions.HashSketch.shingle3(text), bands * rows)

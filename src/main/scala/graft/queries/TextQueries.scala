@@ -252,11 +252,22 @@ object TextQueries {
       // longs per row. (The previous array-column formulation shuffled
       // boxed Seq[Long] fingerprint sets through three stages and was
       // 4× slower end to end.)
-      val fps = Tables(s, dir, "documents")
-        .select($"doc_id", $"text").as[(Long, String)]
+      // widen the scan first (Par.widen, guide §2.6): the sub-MB
+      // single-file corpus plans as ONE split, and the winnow flatMap
+      // lineage fuses into EVERY downstream map stage (the broadcast
+      // semi-joins keep cfps map-side), so uncached recompute ran the
+      // whole query serially — measured every t07 stage at tasks=1
+      val fps = graft.functions.Par.widen(
+          Tables(s, dir, "documents").select($"doc_id", $"text"))
+        .as[(Long, String)]
         .flatMap { case (id, t) =>
           HashSketch.winnow(t).iterator.map(f => (id, f)) }
         .toDF("doc_id", "fp")
+      // (re-measured in r16 AFTER the widening: an fp-keyed
+      // repartition+MEMORY_AND_DISK persist of fps still lost badly —
+      // 2.13 s → 4.78 s min-of-3 — the cache write + the lost
+      // scan↔consumer pipelining cost more than five 32-way winnow
+      // recomputes; the earlier rejection of a persist here stands.)
       // inverted index: docs sharing a RARE fingerprint become
       // candidate pairs. Document frequency is counted FIRST (count is
       // an O(1) aggregation buffer) and the 2..10 band restricts
@@ -559,8 +570,9 @@ object TextQueries {
     // reach the scan, so filtering `grams` post-hoc would tokenize and
     // 13-gram the FULL corpus once per join side — here each side's
     // scan prunes to its own split and tokenizes it exactly once.
-    def grams(side: DataFrame, idName: String): DataFrame = side
-      .select($"doc_id", $"text").as[(Long, String)]
+    def grams(side: DataFrame, idName: String): DataFrame =
+      graft.functions.Par.widen(side
+        .select($"doc_id", $"text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         val toks = t.trim.split("\\s+")
         val seen = new java.util.LinkedHashSet[String]()
@@ -618,8 +630,8 @@ object TextQueries {
   ) { (s, dir) =>
     import s.implicits._
     val W = 32; val S = 24
-    Tables(s, dir, "documents")
-      .select($"doc_id", $"text").as[(Long, String)]
+    graft.functions.Par.widen(Tables(s, dir, "documents")
+        .select($"doc_id", $"text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.trim.split("\\s+")
         val md = java.security.MessageDigest.getInstance("MD5")
