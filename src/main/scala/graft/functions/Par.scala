@@ -29,6 +29,12 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // fire only when the scan is FAR below the core count: a plan
+    // already at ≥ target/4 splits gains little from more slicing and
+    // the exchange itself costs a full pass over the rows (measured:
+    // q31/q41's ~20-split as-of scans regressed 1.5× under an
+    // unconditional widen, while the 1-split corpus scans this exists
+    // for won 1.3–1.7×)
+    if (df.rdd.getNumPartitions * 4 <= target) df.repartition(target) else df
   }
 }

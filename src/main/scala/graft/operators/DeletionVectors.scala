@@ -78,6 +78,17 @@ object DeletionVectors {
     * would not change results, only grow the artifact). */
   def eqDeletesRecorded(dir: String): Boolean = ready(eqDeletesPath(dir))
 
+  /** Whether a position-tombstone table exists for `dir` — the same
+    * re-run guard for [[deleteWhere]] (r16): the pass is result-
+    * idempotent either way (DeletionVectorsSpec pins that), but an
+    * unguarded re-run still pays the full layout scan + two
+    * anti-joins just to find zero surviving matches. Callers whose
+    * predicate is fixed per layout (the registered q32 fixture) can
+    * skip the no-op scan once tombstones are committed; a first pass
+    * that matched nothing leaves the path absent, so the guard never
+    * masks a delete that still has work to do. */
+  def posDeletesRecorded(dir: String): Boolean = ready(posDeletesPath(dir))
+
   /** Build the layout (manifest + snapshot-0 log included) if absent. */
   def ensure(s: SparkSession, dir: String): Unit = {
     recover(s, dir)

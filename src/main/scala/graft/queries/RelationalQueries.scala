@@ -1115,9 +1115,13 @@ object RelationalQueries {
     (0L to 2L).map { snap =>
       val (f, _, _) = M.asOfEvents(s, dir, snap,
         "1970-01-01 00:00:00", "2200-01-01 00:00:00", "events_tt")
+      // (r16: Par.widen here was measured and REJECTED — 1.36 s →
+      // 2.08 min-of-4: the events_tt layout is multi-file, so the
+      // as-of scans already run ~20-way and the added exchange only
+      // moved the rows for nothing)
       f.agg(count(lit(1)).as("n"),
-        round(sum($"value"), 2).as("value_sum"),
-        countDistinct($"user_id").as("users"))
+          round(sum($"value"), 2).as("value_sum"),
+          countDistinct($"user_id").as("users"))
         .select(lit(snap).as("snap_id"), $"n", $"value_sum", $"users")
     }.reduce(_ union _).orderBy($"snap_id")
   }
@@ -1161,7 +1165,13 @@ object RelationalQueries {
     if (!DV.eqDeletesRecorded(dir))
       DV.deleteKeys(s, dir,
         Tables(s, dir, "events").select($"user_id").where($"user_id" % 97 === 0))
-    DV.deleteWhere(s, dir, $"event_type" === "click" && $"value" < 5.0)
+    // position-delete guard symmetric to the equality one (r16): the
+    // unguarded re-run was a full layout scan + two anti-joins per
+    // execution that provably appends nothing (idempotence stays
+    // spec-pinned in DeletionVectorsSpec; the fixture predicate is
+    // fixed per layout, so recorded ⇒ nothing left to find)
+    if (!DV.posDeletesRecorded(dir))
+      DV.deleteWhere(s, dir, $"event_type" === "click" && $"value" < 5.0)
     DV.readMerged(s, dir)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
@@ -1682,7 +1692,10 @@ object RelationalQueries {
       val (f, _, _) = M.asOfEvents(s, dir, snap,
         "1970-01-01 00:00:00", "2200-01-01 00:00:00", "events_tt")
       // layering order is the contract: purge first (needs the raw
-      // key), THEN the policy (which drops and masks it away)
+      // key), THEN the policy (which drops and masks it away).
+      // (r16: Par.widen on f was measured and REJECTED — 1.62 s →
+      // 2.58 min-of-4, same reason as q31: the layout already scans
+      // ~20-way)
       G.governed(f.join(erased, Seq("user_id"), "left_anti"), policy)
         .agg(count(lit(1)).as("n"),
           countDistinct($"user_sha").as("users_masked"),
@@ -2567,8 +2580,15 @@ object RelationalQueries {
     // THREE consumers (the mass aggregate and both self-join sides)
     // through different exchanges; columnar cache, the d06/d19
     // contract (harnesses clearCache() between queries)
+    // repartition by the basket key BEFORE caching (the d19
+    // discipline): every consumer below is o-keyed — the mass
+    // aggregate, the hot-tail anti-join, and BOTH self-join sides —
+    // so baking HashPartitioning(o) into the cached blocks lets all
+    // of them read the cache exchange-free; the distinct's natural
+    // (o, p) layout forced each to re-shuffle the itemset frame
     val i = Tables(s, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      .repartition($"o")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // basket mass = C(k,2) over distinct parts; only multi-part
     // baskets (cand > 0) enter the admission — a singleton basket

@@ -694,7 +694,9 @@ object TextQueries {
     import s.implicits._
     import graft.functions.PiiOps
     val m7 = $"doc_id" % 7
-    val aug = Tables(s, dir, "documents")
+    // Par.widen: four regex counters + the redact chain are the whole
+    // cost and fuse into the 1-split scan (guide §2)
+    val aug = graft.functions.Par.widen(Tables(s, dir, "documents")
       .select($"source",
         concat($"text",
           when(m7 === 0, concat(lit(" mail user"),
@@ -703,7 +705,7 @@ object TextQueries {
             .when(m7 === 2, lit(" call 555-867-5309"))
             .when(m7 === 3, concat(lit(" ip 10.0.0."),
               ($"doc_id" % 255).cast("string")))
-            .otherwise(lit(""))).as("t"))
+            .otherwise(lit(""))).as("t")))
     val f = aug.select($"source",
       PiiOps.piiCount($"t", PiiOps.EmailRe).as("emails"),
       PiiOps.piiCount($"t", PiiOps.SsnRe).as("ssns"),
@@ -762,6 +764,11 @@ object TextQueries {
       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
+    // (r16: Par.widen was measured here and REJECTED both ways —
+    // 0.80 s → 1.46 min-of-4 widening the tokens() projection (boxed
+    // arrays through the exchange) and → 1.42 widening the raw text:
+    // t14's cost is the bigram counting joins, not the scan, and the
+    // extra exchange only feeds them later)
     val tk = Tables(s, dir, "documents")
       .select($"doc_id", $"lang", tokens($"text").as("toks"))
     val n = size($"toks")
@@ -828,7 +835,11 @@ object TextQueries {
       |FROM f GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
-    val tk = Tables(s, dir, "documents")
+    // Par.widen BEFORE tokenizing (the t14 lesson: shuffle the raw
+    // text, never the boxed token array): trigram expansion + the
+    // per-doc distinct are map-side CPU on the 1-split scan (guide §2)
+    val tk = graft.functions.Par.widen(Tables(s, dir, "documents")
+        .select($"doc_id", $"source", $"text"))
       .select($"doc_id", $"source", tokens($"text").as("toks"))
     val n = size($"toks")
     val g = tk.where(n >= 3)
@@ -1125,7 +1136,10 @@ object TextQueries {
     // nothing else changes
     val weights = s.range(4096).select($"id".as("idx"),
       (($"id" * 2654435761L) % 2001L - 1000L).as("w"))
-    val feats = Tables(s, dir, "documents")
+    // Par.widen: the per-token md5 feature hash is the whole inference
+    // cost and fuses into the 1-split scan (guide §2)
+    val feats = graft.functions.Par.widen(Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text"))
       .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
       .select($"doc_id", $"lang",
         pmod(graft.functions.DetHash.hash60($"tok", "qlr"), lit(4096L))
