@@ -14,6 +14,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // AQE coalescing targets BYTES (minPartitionSize, default 1m),
+      // which under-parallelizes CPU-dense stages whose inputs are
+      // kilobytes of compressed columns (sketch verifies, windowed
+      // rank floors): a sub-1-MB stage coalesces to ONE task on any
+      // core count. 64k keeps such stages near the core count while
+      // staying irrelevant at cluster scale, where post-shuffle
+      // partitions dwarf it (parallelismFirst still bounds the task
+      // count by defaultParallelism). Parameterised; production
+      // deployments with byte-bound stages should keep Spark's 1m.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up: run EVERY query once at the smallest SF so
